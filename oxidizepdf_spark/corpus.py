@@ -1,0 +1,798 @@
+"""Deterministic synthetic-PDF fixture and corpus generation.
+
+Python port of the reference's test builders (byte layout matched so the
+structural parse path is exercised identically):
+
+- 5-object skeleton: oxidize-pdf-core/tests/common/synthetic_pdf.rs:23-71
+- generic assembler:  tests/common/pdf_assembler.rs:20-66
+- case matrix:        FIXTURES.md §3 (C01-C20) and §4 (X01-X16), derived from
+  the reference's own test assertions (extraction_tj_implicit_space_test.rs,
+  extraction_artifact_test.rs, issue_341_xref_stream_double_decode_test.rs, …)
+
+Everything is seeded/deterministic — no wall-clock, no external data.
+"""
+
+from __future__ import annotations
+
+import base64
+import random
+import zlib
+
+# ---------------------------------------------------------------------------
+# builders
+# ---------------------------------------------------------------------------
+
+BINARY_MARKER = b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n"
+
+
+def build_pdf_with_content_stream(
+    content: bytes,
+    content_filter: str | None = None,
+    extra_objects: dict[int, bytes] | None = None,
+    page_extra: str = "",
+    font_obj: bytes | None = None,
+    indirect_length: bool = False,
+    length_delta: int = 0,
+) -> bytes:
+    """Minimal 1-page PDF, /F1 Helvetica, classic xref
+    (synthetic_pdf.rs:23-71 layout).
+
+    ``content_filter``: encode the content stream with a named filter chain
+    ('FlateDecode' | 'ASCIIHexDecode' | 'LZWDecode' | 'AHx+Fl').
+    ``extra_objects``: {obj_num: body_bytes} appended before the xref
+    (e.g. image XObjects); page_extra is spliced into the page dict
+    (e.g. ``/XObject << /Im1 6 0 R >>`` inside /Resources needs page_extra).
+    ``indirect_length``: /Length as ``7 0 R`` with object 7 = the int.
+    ``length_delta``: corrupt the declared /Length by this much (X11).
+    """
+    extra_objects = dict(extra_objects or {})
+    encoded, filter_clause = _encode_content(content, content_filter)
+
+    out = bytearray()
+    offsets: dict[int, int] = {}
+    out += BINARY_MARKER
+
+    def obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        if not body.endswith(b"\n"):
+            out.extend(b"\n")
+        out.extend(b"endobj\n")
+
+    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    resources = b"<< /Font << /F1 4 0 R >> " + page_extra.encode("latin-1") + b">>"
+    obj(
+        3,
+        b"<< /Type /Page /Parent 2 0 R /Resources "
+        + resources
+        + b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+    )
+    obj(4, font_obj or b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    declared_len = len(encoded) + length_delta
+    length_entry = b"7 0 R" if indirect_length else b"%d" % declared_len
+    offsets[5] = len(out)
+    out.extend(b"5 0 obj\n<< /Length " + length_entry + filter_clause + b" >>\nstream\n")
+    out.extend(encoded)
+    out.extend(b"\nendstream\nendobj\n")
+    if indirect_length:
+        obj(7, b"%d" % declared_len)
+    for num, body in sorted(extra_objects.items()):
+        obj(num, body)
+
+    max_obj = max([5] + ([7] if indirect_length else []) + list(extra_objects))
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n" % (max_obj + 1))
+    out.extend(b"0000000000 65535 f \n")
+    for num in range(1, max_obj + 1):
+        off = offsets.get(num, 0)
+        kind = b"n" if num in offsets else b"f"
+        out.extend(b"%010d 00000 %s \n" % (off, kind))
+    out.extend(
+        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_obj + 1, xref_off)
+    )
+    return bytes(out)
+
+
+def _encode_content(content: bytes, content_filter: str | None) -> tuple[bytes, bytes]:
+    if content_filter is None:
+        return content, b""
+    if content_filter == "FlateDecode":
+        return zlib.compress(content), b" /Filter /FlateDecode"
+    if content_filter == "ASCIIHexDecode":
+        return content.hex().encode() + b">", b" /Filter /ASCIIHexDecode"
+    if content_filter == "LZWDecode":
+        return lzw_encode(content), b" /Filter /LZWDecode"
+    if content_filter == "AHx+Fl":
+        return (
+            zlib.compress(content).hex().encode() + b">",
+            b" /Filter [/ASCIIHexDecode /FlateDecode]",
+        )
+    raise ValueError(content_filter)
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF-flavor LZW encoder (fixture-side only; decode parity is the
+    kernel's decode_lzw)."""
+    CLEAR, EOD = 256, 257
+    dict_: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out_bits: list[tuple[int, int]] = [(CLEAR, width)]
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in dict_:
+            w = wc
+        else:
+            out_bits.append((dict_[w], width))
+            dict_[wc] = next_code
+            next_code += 1
+            if next_code + early_change - 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([ch])
+    if w:
+        out_bits.append((dict_[w], width))
+    out_bits.append((EOD, width))
+    buf = 0
+    nbits = 0
+    out = bytearray()
+    for code, wd in out_bits:
+        buf = (buf << wd) | code
+        nbits += wd
+        while nbits >= 8:
+            out.append((buf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((buf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def assemble_pdf(objects: dict[int, bytes], root: int = 1) -> bytes:
+    """Generic assembler (pdf_assembler.rs:20-66): bodies between
+    ``N 0 obj``/``endobj``, classic xref, /Root from ``root``."""
+    out = bytearray(BINARY_MARKER)
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        if not objects[num].endswith(b"\n"):
+            out.extend(b"\n")
+        out.extend(b"endobj\n")
+    max_obj = max(objects)
+    xref_off = len(out)
+    out.extend(b"xref\n0 %d\n0000000000 65535 f \n" % (max_obj + 1))
+    for num in range(1, max_obj + 1):
+        out.extend(
+            b"%010d 00000 %s \n"
+            % (offsets.get(num, 0), b"n" if num in offsets else b"f")
+        )
+    out.extend(
+        b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_obj + 1, root, xref_off)
+    )
+    return bytes(out)
+
+
+def _stream_obj(dict_body: bytes, data: bytes) -> bytes:
+    return (
+        b"<< /Length %d %s >>\nstream\n" % (len(data), dict_body)
+        + data
+        + b"\nendstream"
+    )
+
+
+def build_pdf_xref_stream(content: bytes, use_objstm: bool = False) -> bytes:
+    """PDF 1.5 file with a /Type /XRef stream (X06), optionally with the
+    non-stream objects packed into a /Type /ObjStm container (X07).
+
+    XRef stream uses /W [1 2 1] with FlateDecode + /Predictor 12 /Columns 4
+    (the issue #341 shape, xref_stream.rs:61-221)."""
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >> "
+            b"/Contents 5 0 R /MediaBox [0 0 612 792] >>"
+        ),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+
+    def write_obj(num: int, body: bytes) -> None:
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(body)
+        out.extend(b"\nendobj\n")
+
+    entries: dict[int, tuple] = {}  # num -> (type, f2, f3)
+    if use_objstm:
+        # objects 1-4 inside ObjStm #6; entries become type-2
+        parts = []
+        offs = []
+        pos = 0
+        for num in (1, 2, 3, 4):
+            offs.append((num, pos))
+            body = bodies[num]
+            parts.append(body)
+            pos += len(body) + 1
+        header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+        payload = header + b"\n".join(parts)
+        compressed = zlib.compress(payload)
+        write_obj(
+            6,
+            b"<< /Type /ObjStm /N 4 /First %d /Length %d /Filter /FlateDecode >>\nstream\n"
+            % (len(header), len(compressed))
+            + compressed
+            + b"\nendstream",
+        )
+        for idx, (num, _) in enumerate(offs):
+            entries[num] = (2, 6, idx)
+    else:
+        for num in (1, 2, 3, 4):
+            write_obj(num, bodies[num])
+            entries[num] = (1, offsets[num], 0)
+
+    write_obj(5, b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream")
+    entries[5] = (1, offsets[5], 0)
+    if use_objstm:
+        entries[6] = (1, offsets[6], 0)
+
+    xref_num = 7 if use_objstm else 6
+    xref_off_placeholder = len(out)
+    entries[0] = (0, 0, 65535)
+    entries[xref_num] = (1, xref_off_placeholder, 0)
+
+    size = xref_num + 1
+    rows = bytearray()
+    for num in range(size):
+        t, f2, f3 = entries.get(num, (0, 0, 0))
+        rows += bytes([t]) + f2.to_bytes(2, "big") + bytes([f3 & 0xFF])
+    # apply PNG Up predictor (Predictor 12, Columns 4)
+    row_w = 4
+    pred = bytearray()
+    prev = bytes(row_w)
+    for i in range(0, len(rows), row_w):
+        row = rows[i : i + row_w]
+        pred.append(2)  # Up
+        pred += bytes((row[j] - prev[j]) & 0xFF for j in range(row_w))
+        prev = row
+    xref_data = zlib.compress(bytes(pred))
+    xref_dict = (
+        b"<< /Type /XRef /Size %d /W [1 2 1] /Index [0 %d] /Root 1 0 R "
+        b"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 4 >> "
+        b"/Length %d >>" % (size, size, len(xref_data))
+    )
+    offsets[xref_num] = len(out)
+    out.extend(b"%d 0 obj\n" % xref_num)
+    out.extend(xref_dict)
+    out.extend(b"\nstream\n")
+    out.extend(xref_data)
+    out.extend(b"\nendstream\nendobj\n")
+    out.extend(b"startxref\n%d\n%%%%EOF\n" % offsets[xref_num])
+    return bytes(out)
+
+
+def build_pdf_incremental_update(new_content: bytes) -> bytes:
+    """X08: classic base (content 'Hello World') + appended update body that
+    overrides object 5, new xref section with /Prev (xref.rs:495-574)."""
+    base = build_pdf_with_content_stream(b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET")
+    base_xref_off = int(base.rsplit(b"startxref\n", 1)[1].split(b"\n", 1)[0])
+    out = bytearray(base)
+    new_obj5_off = len(out)
+    out.extend(
+        b"5 0 obj\n<< /Length %d >>\nstream\n" % len(new_content)
+        + new_content
+        + b"\nendstream\nendobj\n"
+    )
+    xref_off = len(out)
+    out.extend(b"xref\n0 1\n0000000000 65535 f \n5 1\n%010d 00000 n \n" % new_obj5_off)
+    out.extend(
+        b"trailer\n<< /Size 6 /Root 1 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (base_xref_off, xref_off)
+    )
+    return bytes(out)
+
+
+def build_pdf_multipage(page_texts: list[str], nested: bool = True) -> bytes:
+    """X15: /Pages tree with an intermediate node and inherited /Resources
+    declared on the root Pages (page_tree.rs:199; document.rs:486-522)."""
+    objects: dict[int, bytes] = {}
+    n = len(page_texts)
+    page_nums = list(range(10, 10 + n))
+    content_nums = list(range(10 + n, 10 + 2 * n))
+    if nested and n >= 3:
+        # root Pages(2) -> [page0, intermediate(3) -> [page1..]], resources on root
+        kids_top = [f"{page_nums[0]} 0 R", "3 0 R"]
+        objects[2] = (
+            b"<< /Type /Pages /Kids [%s] /Count %d /Resources << /Font << /F1 4 0 R >> >> >>"
+            % (" ".join(kids_top).encode(), n)
+        )
+        inner = " ".join(f"{p} 0 R" for p in page_nums[1:])
+        objects[3] = b"<< /Type /Pages /Parent 2 0 R /Kids [%s] /Count %d >>" % (
+            inner.encode(),
+            n - 1,
+        )
+        parents = [2] + [3] * (n - 1)
+    else:
+        kids = " ".join(f"{p} 0 R" for p in page_nums)
+        objects[2] = (
+            b"<< /Type /Pages /Kids [%s] /Count %d /Resources << /Font << /F1 4 0 R >> >> >>"
+            % (kids.encode(), n)
+        )
+        parents = [2] * n
+    objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objects[4] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i, text in enumerate(page_texts):
+        objects[page_nums[i]] = (
+            b"<< /Type /Page /Parent %d 0 R /Contents %d 0 R /MediaBox [0 0 612 792] >>"
+            % (parents[i], content_nums[i])
+        )
+        content = b"BT /F1 12 Tf 100 700 Td (%s) Tj ET" % escape_pdf_string(text)
+        objects[content_nums[i]] = _stream_obj(b"", content)
+    return assemble_pdf(objects)
+
+
+def escape_pdf_string(text: str) -> bytes:
+    """Escape for a PDF literal string; latin-1-safe payload."""
+    raw = text.encode("latin-1", errors="replace")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def build_text_pdf(text: str, lines_per_page: int = 40) -> bytes:
+    """Build a PDF whose extraction round-trips ``text`` exactly (used by the
+    documents-table oracle queries): each input line is one Tj; lines are
+    placed 20pt apart (> newline_threshold 10 → '\\n' re-synthesis); pages
+    of ``lines_per_page`` lines each."""
+    lines = text.split("\n") if text else [""]
+    if len(lines) <= lines_per_page:
+        parts = []
+        y = 720
+        parts.append(b"BT /F1 12 Tf")
+        first = True
+        for ln in lines:
+            if first:
+                parts.append(b"100 %d Td (%s) Tj" % (y, escape_pdf_string(ln)))
+                first = False
+            else:
+                parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
+        parts.append(b"ET")
+        return build_pdf_with_content_stream(b" ".join(parts))
+    pages = []
+    for i in range(0, len(lines), lines_per_page):
+        pages.append("\n".join(lines[i : i + lines_per_page]))
+    return build_pdf_multipage_texts(pages)
+
+
+def build_pdf_multipage_texts(page_texts: list[str]) -> bytes:
+    """Multi-line pages variant of build_pdf_multipage (flat tree)."""
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    n = len(page_texts)
+    page_nums = list(range(10, 10 + n))
+    content_nums = list(range(10 + n, 10 + 2 * n))
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objects[2] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d /Resources << /Font << /F1 4 0 R >> >> >>"
+        % (kids.encode(), n)
+    )
+    for i, text in enumerate(page_texts):
+        objects[page_nums[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R /MediaBox [0 0 612 792] >>"
+            % content_nums[i]
+        )
+        parts = [b"BT /F1 12 Tf"]
+        first = True
+        for ln in text.split("\n"):
+            if first:
+                parts.append(b"100 720 Td (%s) Tj" % escape_pdf_string(ln))
+                first = False
+            else:
+                parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
+        parts.append(b"ET")
+        objects[content_nums[i]] = _stream_obj(b"", b" ".join(parts))
+    return assemble_pdf(objects)
+
+
+# ---------------------------------------------------------------------------
+# case matrix: (case_id, pdf_bytes, expected spans [(kind, text, media_ref)])
+# ---------------------------------------------------------------------------
+
+_C = b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET"  # canonical C01 content
+
+_IMG_OBJ = (
+    b"<< /Type /XObject /Subtype /Image /Width 2 /Height 2 /ColorSpace /DeviceGray "
+    b"/BitsPerComponent 8 /Length 4 >>\nstream\n\x00\x01\x02\x03\nendstream"
+)
+
+_FORM_OBJ = (
+    b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] /Length %d >>\nstream\n%s\nendstream"
+)
+
+
+def _tounicode_font(cmap_body: bytes, type0: bool = False) -> dict[int, bytes]:
+    """Font object(s) with a /ToUnicode stream as obj 8 (+ descendant 9)."""
+    objs = {8: _stream_obj(b"", cmap_body)}
+    if type0:
+        objs[9] = (
+            b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Dummy "
+            b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+        )
+    return objs
+
+
+_TOUNICODE_BFCHAR = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+2 beginbfchar
+<41> <0041>
+<42> <FFFD>
+endbfchar
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+_TOUNICODE_BFRANGE = b"""begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<41> <43> <0061>
+endbfrange
+endcmap"""
+
+_TOUNICODE_2BYTE = b"""begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0048> <0048>
+<0069> <0069>
+endbfchar
+endcmap"""
+
+
+def content_cases() -> list[tuple[str, bytes, list[tuple[str, str, str | None]]]]:
+    """C01-C20 (FIXTURES.md §3): (case, content_bytes, expected spans).
+    Expected text follows the reference defaults (thresholds 0.3/0.2/10.0).
+
+    Span segmentation convention: kind='text' spans are the raw extracted-text
+    slices between image-capture events, so concatenating a page's text spans
+    reproduces the reference's extracted string exactly (incl. synthesized
+    separators that precede a post-image show op)."""
+
+    def T(s: str):
+        return ("text", s, None)
+
+    def I(ref: str):  # noqa: E743
+        return ("image", "", ref)
+
+    cases: list[tuple[str, bytes, list]] = [
+        ("C01", b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET", [T("Hello World")]),
+        (
+            "C02",
+            b"BT /F1 12 Tf 100 700 Td (Line one) Tj 0 -20 Td (Line two) Tj ET",
+            [T("Line one\nLine two")],
+        ),
+        ("C03", b"BT /F1 12 Tf 100 700 Td (A) Tj 120 0 Td (B) Tj ET", [T("A B")]),
+        (
+            "C04",
+            b"BT /F1 12 Tf 14 TL 100 700 Td (First) Tj T* (Second) Tj ET",
+            [T("First\nSecond")],
+        ),
+        (
+            "C05",
+            b"BT /F1 12 Tf 14 TL 100 700 Td (First) Tj (Second) ' ET",
+            [T("First\nSecond")],
+        ),
+        (
+            "C06",
+            b'BT /F1 12 Tf 14 TL 100 700 Td (First) Tj 1 2 (Second) " ET',
+            [T("First\nSecond")],
+        ),
+        ("C07", b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (Placed) Tj ET", [T("Placed")]),
+        (
+            "C08",
+            b"BT /F1 12 Tf 100 700 Td [(Hello)-300(World)] TJ ET",
+            [T("Hello World")],
+        ),
+        (
+            "C09",
+            b"BT /F1 12 Tf 100 700 Td [(W)-50(o)-50(r)-50(d)] TJ ET",
+            [T("Word")],
+        ),
+        (
+            "C10",
+            b"BT /F1 12 Tf 100 700 Td [(Hello )-300(World)] TJ ET",
+            [T("Hello World")],
+        ),
+        (
+            "C11",
+            b"BT /F1 12 Tf 100 700 Td [(One)-300(Two)-300(Three)-300(Four)] TJ ET",
+            [T("One Two Three Four")],
+        ),
+        ("C12", b"BT /F1 12 Tf 100 700 Td <48656C6C6F> Tj ET", [T("Hello")]),
+        (
+            "C13",
+            rb"BT /F1 12 Tf 100 700 Td (A\(B\)\\C\101) Tj ET",
+            [T("A(B)\\CA")],
+        ),
+        ("C14", b"BT /F1 12 Tf 100 700 Td (a (b) c) Tj ET", [T("a (b) c")]),
+        (
+            "C15",
+            b"q 2 0 0 2 0 0 cm BT /F1 12 Tf 50 350 Td (Scaled) Tj ET Q",
+            [T("Scaled")],
+        ),
+        (
+            "C16",
+            b"/Artifact BMC BT /F1 12 Tf 100 20 Td (Page 1 of 9) Tj ET EMC "
+            b"BT /F1 12 Tf 100 700 Td (Body) Tj ET",
+            [T("Body")],
+        ),
+        (
+            "C17",
+            b"/P <</MCID 0>> BDC BT /F1 12 Tf 100 700 Td (Tagged) Tj ET EMC",
+            [T("Tagged")],
+        ),
+        (
+            "C18",
+            b"0.5 w 100 100 m 200 200 l S 10 10 150 50 re f "
+            b"BT /F1 12 Tf 100 700 Td (OnlyText) Tj ET",
+            [T("OnlyText")],
+        ),
+        (
+            "C20",
+            b"BT /F1 12 Tf 100 700 Td (X) Tj ET BI /W 1 /H 1 /CS /G /BPC 8 ID \x00 EI",
+            [T("X"), I("inline:0:0")],
+        ),
+    ]
+    return cases
+
+
+def structural_cases() -> list[tuple[str, bytes, list[tuple[str, str, str | None]]]]:
+    """X01-X16 + C19 (whole-file variants, FIXTURES.md §4)."""
+
+    def T(s: str):
+        return ("text", s, None)
+
+    def I(ref: str):  # noqa: E743
+        return ("image", "", ref)
+
+    hello = [T("Hello World")]
+    cases: list[tuple[str, bytes, list]] = []
+    cases.append(("X01", build_pdf_with_content_stream(_C), hello))
+    cases.append(
+        ("X02", build_pdf_with_content_stream(_C, content_filter="FlateDecode"), hello)
+    )
+    cases.append(
+        (
+            "X03",
+            build_pdf_with_content_stream(_C, content_filter="ASCIIHexDecode"),
+            hello,
+        )
+    )
+    cases.append(
+        ("X04", build_pdf_with_content_stream(_C, content_filter="LZWDecode"), hello)
+    )
+    cases.append(("X05", build_pdf_with_content_stream(_C, content_filter="AHx+Fl"), hello))
+    cases.append(("X06", build_pdf_xref_stream(_C), hello))
+    cases.append(("X07", build_pdf_xref_stream(_C, use_objstm=True), hello))
+    cases.append(
+        (
+            "X08",
+            build_pdf_incremental_update(
+                b"BT /F1 12 Tf 100 700 Td (Updated) Tj ET"
+            ),
+            [T("Updated")],
+        )
+    )
+    cases.append(
+        ("X09", build_pdf_with_content_stream(_C, indirect_length=True), hello)
+    )
+    # X10: corrupt the startxref digits → recovery scan path
+    x01 = build_pdf_with_content_stream(_C)
+    head, sep, tail = x01.rpartition(b"startxref\n")
+    digits_end = tail.find(b"\n")
+    corrupt = head + sep + b"99999999" + tail[digits_end:]
+    cases.append(("X10", corrupt, hello))
+    cases.append(("X11", build_pdf_with_content_stream(_C, length_delta=-4), hello))
+    # X12: ToUnicode bfchar (content shows bytes 0x41 0x42 → 'A' + U+FFFD)
+    font12 = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /ToUnicode 8 0 R >>"
+    )
+    cases.append(
+        (
+            "X12",
+            build_pdf_with_content_stream(
+                b"BT /F1 12 Tf 100 700 Td (AB) Tj ET",
+                font_obj=font12,
+                extra_objects=_tounicode_font(_TOUNICODE_BFCHAR),
+            ),
+            [T("A�")],
+        )
+    )
+    cases.append(
+        (
+            "X13",
+            build_pdf_with_content_stream(
+                b"BT /F1 12 Tf 100 700 Td (ABC) Tj ET",
+                font_obj=font12,
+                extra_objects=_tounicode_font(_TOUNICODE_BFRANGE),
+            ),
+            [T("abc")],
+        )
+    )
+    font14 = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Dummy /Encoding /Identity-H "
+        b"/DescendantFonts [9 0 R] /ToUnicode 8 0 R >>"
+    )
+    cases.append(
+        (
+            "X14",
+            build_pdf_with_content_stream(
+                b"BT /F1 12 Tf 100 700 Td <00480069> Tj ET",
+                font_obj=font14,
+                extra_objects=_tounicode_font(_TOUNICODE_2BYTE, type0=True),
+            ),
+            [T("Hi")],
+        )
+    )
+    cases.append(
+        (
+            "X15",
+            build_pdf_multipage(["Page one", "Page two", "Page three"]),
+            [T("Page one"), T("Page two"), T("Page three")],
+        )
+    )
+    form_content = b"BT /F1 12 Tf 100 600 Td (Inside) Tj ET"
+    cases.append(
+        (
+            "X16",
+            build_pdf_with_content_stream(
+                b"BT /F1 12 Tf 100 700 Td (Outside) Tj ET /Fm1 Do",
+                page_extra="/XObject << /Fm1 6 0 R >> ",
+                extra_objects={6: _FORM_OBJ % (len(form_content), form_content)},
+            ),
+            [T("Outside\nInside")],
+        )
+    )
+    cases.append(
+        (
+            "C19",
+            build_pdf_with_content_stream(
+                b"BT /F1 12 Tf 100 700 Td (Before) Tj ET "
+                b"q 100 0 0 100 50 50 cm /Im1 Do Q "
+                b"BT /F1 12 Tf 100 500 Td (After) Tj ET",
+                page_extra="/XObject << /Im1 6 0 R >> ",
+                extra_objects={6: _IMG_OBJ},
+            ),
+            [T("Before"), I("Im1"), T("\nAfter")],
+        )
+    )
+    return cases
+
+
+def all_cases() -> list[tuple[str, bytes, list[tuple[str, str, str | None]]]]:
+    out = []
+    for case, content, expected in content_cases():
+        out.append((case, build_pdf_with_content_stream(content), expected))
+    out.extend(structural_cases())
+    return out
+
+
+# ---------------------------------------------------------------------------
+# corpus generator (input-table + expected-output-table rows)
+# ---------------------------------------------------------------------------
+
+
+def encode_raw_payload(pdf: bytes) -> str:
+    """latin-1 text when lossless, else prefixed base85 (FIXTURES.md §1.1)."""
+    try:
+        text = pdf.decode("latin-1")
+        if text.encode("latin-1") == pdf:
+            return text
+    except (UnicodeDecodeError, UnicodeEncodeError):  # pragma: no cover
+        pass
+    return "b85:" + base64.b85encode(pdf).decode("ascii")
+
+
+def generate_corpus(
+    n_docs: int = 100,
+    seed: int = 42,
+    pct_interleaved: float = 0.3,
+    mega_doc_rate: float = 0.02,
+    mega_pages: int = 50,
+    corrupt_rate: float = 0.05,
+    n_parts: int = 8,
+):
+    """Yield (input_row, expected_row) dict pairs (FIXTURES.md §5 knobs).
+
+    Deterministic for a given seed. Rows have the authoritative shape:
+    {doc_id, part_id, spans:[{kind,text,media_ref,offset}]}.
+    """
+    rng = random.Random(seed)
+    cases = all_cases()
+    for i in range(n_docs):
+        doc_id = f"doc-{i:06d}"
+        part_id = hash_bucket(doc_id, n_parts)
+        r = rng.random()
+        if r < mega_doc_rate:
+            # mega doc: many pages (skew tier)
+            texts = [f"Mega page {p} of {doc_id}" for p in range(mega_pages)]
+            pdf = build_pdf_multipage_texts(texts)
+            expected = [("text", t, None) for t in texts]
+            case = "MEGA"
+        elif r < mega_doc_rate + corrupt_rate:
+            case, pdf, expected = cases[rng.randrange(len(cases))]
+            # truncate trailing bytes after %%EOF is harmless; corrupt the
+            # startxref digits instead (recovery-tier)
+            head, sep, tail = pdf.rpartition(b"startxref\n")
+            if sep:
+                nl = tail.find(b"\n")
+                pdf = head + sep + b"00000000" + tail[nl:]
+            case = case + "+corrupt"
+        else:
+            case, pdf, expected = cases[rng.randrange(len(cases))]
+
+        in_spans: list[dict] = []
+        exp_spans: list[dict] = []
+
+        def push_in(kind: str, text: str, media_ref: str | None):
+            in_spans.append(
+                {
+                    "kind": kind,
+                    "text": text,
+                    "media_ref": media_ref,
+                    "offset": len(in_spans),
+                }
+            )
+
+        def push_exp(kind: str, text: str, media_ref: str | None):
+            exp_spans.append(
+                {
+                    "kind": kind,
+                    "text": text,
+                    "media_ref": media_ref,
+                    "offset": len(exp_spans),
+                }
+            )
+
+        interleaved = rng.random() < pct_interleaved
+        if interleaved:
+            pre_text = f"lead-in for {doc_id}"
+            push_in("text", pre_text, None)
+            push_exp("text", pre_text, None)
+        push_in("raw_pdf", encode_raw_payload(pdf), None)
+        for kind, text, media_ref in expected:
+            push_exp(kind, text, media_ref)
+        if interleaved:
+            mref = f"media://img/{zlib.crc32((doc_id + ':m').encode()):012d}"
+            push_in("media", "", mref)
+            push_exp("media", "", mref)
+            post_text = f"tail for {doc_id}"
+            push_in("text", post_text, None)
+            push_exp("text", post_text, None)
+
+        yield (
+            {"doc_id": doc_id, "part_id": part_id, "case": case, "spans": in_spans},
+            {"doc_id": doc_id, "part_id": part_id, "spans": exp_spans},
+        )
+
+
+def hash_bucket(doc_id: str, n: int) -> int:
+    """Deterministic partition bucket (stand-in for Iceberg bucket(doc_id))."""
+    import zlib as _z
+
+    return _z.crc32(doc_id.encode()) % n

@@ -1,0 +1,133 @@
+"""Top-level per-document extraction: raw PDF bytes → ordered spans.
+
+Mirrors the reference's query lifecycle (SURVEY.md §3.1-3.2):
+
+    PdfReader::open → page-tree flatten → per page: font resources →
+    content assembly → ContentParser → stateful interpretation → spans
+
+plus the engine's interleaving contract: input documents arrive as span
+arrays where ``kind='raw_pdf'`` spans carry PDF payloads and
+``kind='text'``/``kind='media'`` spans pass through at their sequence
+position (FIXTURES.md §1.1).
+
+Error policy mirrors ParseOptions tolerant mode (parser/mod.rs:208-324):
+errors become structured results (``error`` + ``mode`` fields), never
+exceptions — a corrupt document must not fail a Spark task.
+"""
+
+from __future__ import annotations
+
+import base64
+
+from .objects import PdfParseError
+from .pages import flatten_page_tree, page_content
+from .reader import EncryptedPdfError, PdfReader
+from .textstate import ExtractionOptions, Interpreter
+from .fonts import extract_page_fonts
+from .content import parse_content
+
+# span tuple: (kind, text, media_ref) — offset assigned at the end
+
+
+class DocResult:
+    __slots__ = ("spans", "n_pages", "error", "mode", "bytes_in")
+
+    def __init__(self):
+        self.spans: list[tuple[str, str, str | None]] = []
+        self.n_pages = 0
+        self.error: str | None = None
+        self.mode = "strict"
+        self.bytes_in = 0
+
+
+def extract_pdf_bytes(
+    data: bytes, options: ExtractionOptions | None = None
+) -> DocResult:
+    """Whole-document extraction (reference: extract_text → per-page loop,
+    text/extraction.rs:640-652). Page order follows the page tree (S11)."""
+    res = DocResult()
+    res.bytes_in = len(data)
+    options = options or ExtractionOptions()
+    try:
+        reader = PdfReader(data)
+    except EncryptedPdfError:
+        res.error = "encrypted"
+        return res
+    except PdfParseError as e:
+        res.error = f"parse:{e}"
+        return res
+    except Exception as e:  # pragma: no cover — absolute backstop
+        res.error = f"internal:{type(e).__name__}:{e}"
+        return res
+    res.mode = reader.mode
+    try:
+        pages = flatten_page_tree(reader)
+    except PdfParseError as e:
+        res.error = f"pages:{e}"
+        return res
+    except Exception as e:  # pragma: no cover
+        res.error = f"internal:{type(e).__name__}:{e}"
+        return res
+    res.n_pages = len(pages)
+    for idx, page in enumerate(pages):
+        try:
+            fonts = extract_page_fonts(page.resources, reader)
+            content = page_content(reader, page)
+            ops = parse_content(content)
+            interp = Interpreter(
+                reader=reader, fonts=fonts, options=options, page_index=idx
+            )
+            interp.run(ops, page.resources)
+            out = interp.finalize()
+            res.spans.extend(out.spans)
+        except Exception as e:
+            # tolerant mode: a bad page degrades, never aborts the document
+            res.error = f"page{idx}:{type(e).__name__}:{e}"
+            continue
+    return res
+
+
+def decode_raw_payload(text: str) -> bytes:
+    """Input-table payload decoding (FIXTURES.md §1.1): latin-1 text, or
+    base85 with the ``b85:`` prefix for true-binary PDFs."""
+    if text.startswith("b85:"):
+        return base64.b85decode(text[4:])
+    return text.encode("latin-1")
+
+
+def extract_document_spans(
+    in_spans: list[tuple[str, str, str | None]],
+    options: ExtractionOptions | None = None,
+) -> tuple[list[tuple[str, str, str | None, int]], dict]:
+    """One interleaved input document → output span sequence + metrics.
+
+    ``in_spans``: ordered (kind, text, media_ref) from the input table.
+    - kind='raw_pdf' → parse + extract, splicing the PDF's span sequence
+    - kind='text'    → passthrough at position
+    - kind='media'   → passthrough at position
+    Returns (spans_with_offset, metrics_dict).
+    """
+    out: list[tuple[str, str, str | None]] = []
+    meta = {"ok": True, "error": None, "mode": "strict", "n_pages": 0, "bytes_in": 0}
+    for kind, text, media_ref in in_spans:
+        if kind == "raw_pdf":
+            data = decode_raw_payload(text or "")
+            r = extract_pdf_bytes(data, options)
+            meta["n_pages"] += r.n_pages
+            meta["bytes_in"] += r.bytes_in
+            if r.mode != "strict":
+                meta["mode"] = r.mode
+            if r.error is not None:
+                meta["ok"] = False
+                meta["error"] = r.error
+            out.extend(r.spans)
+        elif kind == "text":
+            out.append(("text", text or "", None))
+        elif kind == "media":
+            out.append(("media", text or "", media_ref))
+        else:
+            # unknown input kinds pass through untouched (forward compat)
+            out.append((kind, text or "", media_ref))
+    return [
+        (k, t, m, i) for i, (k, t, m) in enumerate(out)
+    ], meta

@@ -1,0 +1,340 @@
+"""Font resource extraction and code→Unicode decoding.
+
+Reimplements (in-UDF, cached per font name per document):
+
+- extract_font_resources:  oxidize-pdf-core/src/text/extraction.rs:1670-1763
+- extract_font_info:       text/extraction_cmap.rs:95-360 (FontInfo struct 44-71,
+  encoding/differences 262-296, ToUnicode 298-307, metrics 309-360,
+  Type0 descendant 312-330)
+- decode_text_with_font chain: extraction_cmap.rs:557-616
+- decode_text acceptance gate + encoding fallback: extraction.rs:1766-1831
+
+Descoped vs the reference (SURVEY.md §2.4 J3): the Adobe CJK CID→Unicode
+collections (cid_to_unicode.rs, ~10k LoC of static tables — would be Spark
+broadcast variables) and embedded TrueType kern tables.
+"""
+
+from __future__ import annotations
+
+from .cmap import CMap, decode_with_cmap
+from .encodings import (
+    decode_macroman_byte,
+    decode_standard_byte,
+    decode_winansi_byte,
+    decode_with_text_encoding,
+    glyph_name_to_unicode,
+)
+from .objects import Name, Ref, Stream
+
+
+class FontInfo:
+    __slots__ = (
+        "name",
+        "font_type",
+        "encoding",
+        "to_unicode",
+        "differences",
+        "descendant_font",
+        "cid_ordering",
+        "first_char",
+        "last_char",
+        "widths",
+        "missing_width",
+    )
+
+    def __init__(self):
+        self.name = "Unknown"
+        self.font_type = ""
+        self.encoding: str | None = None
+        self.to_unicode: CMap | None = None
+        self.differences: dict[int, str] | None = None
+        self.descendant_font: FontInfo | None = None
+        self.cid_ordering: str | None = None
+        self.first_char: int | None = None
+        self.last_char: int | None = None
+        self.widths: list[float] | None = None
+        self.missing_width: float = 500.0  # FontMetrics::default
+
+    @property
+    def is_composite(self) -> bool:
+        return self.font_type == "Type0" or self.descendant_font is not None
+
+
+def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
+    """extraction_cmap.rs:95-360. ``reader`` must expose ``resolve``."""
+    subtype = font_dict.get("Subtype")
+    if not isinstance(subtype, str):
+        return None
+    info = FontInfo()
+    info.font_type = str(subtype)
+    base = font_dict.get("BaseFont")
+    if isinstance(base, str):
+        info.name = str(base)
+
+    cid_sys = font_dict.get("CIDSystemInfo")
+    if isinstance(cid_sys, dict):
+        ordering = cid_sys.get("Ordering")
+        if isinstance(ordering, bytes):
+            try:
+                info.cid_ordering = ordering.decode("utf-8")
+            except UnicodeDecodeError:
+                pass
+        elif isinstance(ordering, str):
+            info.cid_ordering = str(ordering)
+
+    enc = font_dict.get("Encoding")
+    if isinstance(enc, Name) or (isinstance(enc, str) and not isinstance(enc, bytes)):
+        info.encoding = str(enc)
+    elif isinstance(enc, dict):
+        base_enc = enc.get("BaseEncoding")
+        if isinstance(base_enc, str):
+            info.encoding = str(base_enc)
+        diffs = enc.get("Differences")
+        if isinstance(diffs, list):
+            info.differences = _parse_differences(diffs)
+    elif isinstance(enc, Ref):
+        resolved = reader.resolve(enc)
+        if isinstance(resolved, dict):
+            base_enc = resolved.get("BaseEncoding")
+            if isinstance(base_enc, str):
+                info.encoding = str(base_enc)
+            diffs = resolved.get("Differences")
+            if isinstance(diffs, list):
+                info.differences = _parse_differences(diffs)
+        # embedded encoding-CMap streams (non-Identity CID encodings) are
+        # descoped with the CJK tables
+
+    # ToUnicode only honored as an indirect stream (extraction_cmap.rs:298)
+    tu = font_dict.get("ToUnicode")
+    if isinstance(tu, Ref):
+        obj = reader.resolve(tu)
+        if isinstance(obj, Stream):
+            try:
+                info.to_unicode = CMap.parse(obj.decode(resolve=reader.resolve))
+            except Exception:
+                info.to_unicode = None
+
+    # metrics (extraction_cmap.rs:309-360)
+    fc = font_dict.get("FirstChar")
+    if isinstance(fc, int):
+        info.first_char = fc
+    lc = font_dict.get("LastChar")
+    if isinstance(lc, int):
+        info.last_char = lc
+    widths = font_dict.get("Widths")
+    if isinstance(widths, Ref):
+        widths = reader.resolve(widths)
+    if isinstance(widths, list):
+        info.widths = [float(w) if isinstance(w, (int, float)) else 0.0 for w in widths]
+    desc = font_dict.get("FontDescriptor")
+    if isinstance(desc, Ref):
+        desc = reader.resolve(desc)
+    if isinstance(desc, dict):
+        mw = desc.get("MissingWidth")
+        if isinstance(mw, (int, float)):
+            info.missing_width = float(mw)
+
+    if info.font_type == "Type0":
+        desc_fonts = font_dict.get("DescendantFonts")
+        if isinstance(desc_fonts, Ref):
+            desc_fonts = reader.resolve(desc_fonts)
+        if isinstance(desc_fonts, list) and desc_fonts:
+            dd = reader.resolve(desc_fonts[0])
+            if isinstance(dd, dict):
+                info.descendant_font = extract_font_info(dd, reader)
+    return info
+
+
+def _parse_differences(diffs: list) -> dict[int, str]:
+    """/Differences array (extraction_cmap.rs parse_encoding_differences)."""
+    out: dict[int, str] = {}
+    code = 0
+    for item in diffs:
+        if isinstance(item, bool):
+            continue
+        if isinstance(item, int):
+            code = item & 0xFF
+        elif isinstance(item, str):
+            out[code] = str(item)
+            code = (code + 1) & 0xFF
+    return out
+
+
+def extract_page_fonts(resources: dict, reader) -> dict[str, FontInfo]:
+    """Per-page /Font dict → {resource_name: FontInfo}
+    (extraction.rs extract_font_resources:1670-1763). The per-ref object
+    cache lives in ``reader._cache`` so shared font objects parse once."""
+    fonts: dict[str, FontInfo] = {}
+    font_res = resources.get("Font")
+    if isinstance(font_res, Ref):
+        font_res = reader.resolve(font_res)
+    if not isinstance(font_res, dict):
+        return fonts
+    for fname, fobj in font_res.items():
+        fd = reader.resolve(fobj) if isinstance(fobj, Ref) else fobj
+        if isinstance(fd, dict):
+            fi = extract_font_info(fd, reader)
+            if fi is not None:
+                fonts[str(fname)] = fi
+    return fonts
+
+
+# ---------------------------------------------------------------------------
+# Decoding chain
+# ---------------------------------------------------------------------------
+
+
+def decode_text_with_font(text: bytes, info: FontInfo) -> str | None:
+    """extraction_cmap.rs:557-616. Returns None where the reference errors."""
+    if info.to_unicode is not None:
+        return decode_with_cmap(text, info.to_unicode)
+    if info.font_type == "Type0" and info.descendant_font is not None:
+        desc = info.descendant_font
+        if desc.to_unicode is not None:
+            return decode_text_with_font(text, desc)
+        # CJK CID collections descoped; Identity-H/V falls through to the
+        # descendant's encoding-based decode, matching the reference when
+        # no collection table is available.
+        return decode_text_with_font(text, desc)
+    return _decode_with_encoding(text, info)
+
+
+def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
+    """extraction_cmap.rs decode_with_encoding:718-745."""
+    out: list[str] = []
+    diffs = info.differences
+    enc = info.encoding
+    for b in text:
+        if diffs is not None:
+            gname = diffs.get(b)
+            if gname is not None:
+                u = glyph_name_to_unicode(gname)
+                if u is not None:
+                    out.append(u)
+                    continue
+        if enc == "WinAnsiEncoding":
+            out.append(decode_winansi_byte(b))
+        elif enc == "MacRomanEncoding":
+            out.append(decode_macroman_byte(b))
+        elif enc == "StandardEncoding":
+            out.append(decode_standard_byte(b))
+        else:
+            out.append(chr(b))
+    return "".join(out)
+
+
+def sanitize_extracted_text(text: str) -> str:
+    """Issue #116 control-character scrub (extraction.rs:2232-2291):
+    NUL(+ETX) → single space, lone ETX dropped, spaces collapsed,
+    tab/newline/CR preserved, other control chars removed."""
+    if not text:
+        return ""
+    out: list[str] = []
+    last_was_space = False
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "\x00":
+            if i + 1 < n and text[i + 1] == "\x03":
+                i += 1
+            if not last_was_space:
+                out.append(" ")
+                last_was_space = True
+        elif ch == "\x03":
+            pass
+        elif ch in "\t\n\r":
+            out.append(ch)
+            last_was_space = ch == "\t"
+        elif ch == " ":
+            if not last_was_space:
+                out.append(" ")
+                last_was_space = True
+        elif ch < " " or ch == "\x7f":
+            if ord(ch) < 0x20 and ch not in "\t\n\r":
+                pass  # strip ASCII control
+            else:
+                out.append(ch)
+                last_was_space = False
+        else:
+            out.append(ch)
+            last_was_space = False
+        i += 1
+    return "".join(out)
+
+
+def decode_text(text: bytes, font_name: str | None, fonts: dict[str, FontInfo]) -> str:
+    """extraction.rs decode_text:1766-1831: CMap-first with the
+    garbage-rejection gate, then name-pattern encoding fallback."""
+    if font_name:
+        info = fonts.get(font_name)
+        if info is not None:
+            decoded = decode_text_with_font(text, info)
+            if decoded is not None:
+                # acceptance gate (extraction.rs:1777-1780): non-blank and not
+                # all NUL/ASCII-control
+                if decoded.strip() and not all(
+                    ord(c) < 0x20 or ord(c) == 0x7F for c in decoded
+                ):
+                    return sanitize_extracted_text(decoded)
+
+    if font_name:
+        lower = font_name.lower()
+        if "macroman" in lower:
+            enc = "MacRomanEncoding"
+        elif "winansi" in lower:
+            enc = "WinAnsiEncoding"
+        elif "standard" in lower:
+            enc = "StandardEncoding"
+        elif "pdfdoc" in lower:
+            enc = "PdfDocEncoding"
+        elif font_name.startswith(("Times", "Helvetica", "Courier")):
+            enc = "WinAnsiEncoding"
+        else:
+            enc = "PdfDocEncoding"
+    else:
+        enc = "WinAnsiEncoding"
+    return sanitize_extracted_text(decode_with_text_encoding(text, enc))
+
+
+def calculate_text_width_from_codes(
+    codes: bytes, decoded: str, font_size: float, info: FontInfo | None
+) -> float:
+    """extraction.rs:2147-2198: code-indexed widths for simple fonts,
+    char-indexed for composite, 0.5em/code fallback."""
+    if info is not None and info.is_composite:
+        return _calc_width_chars(decoded, font_size, info)
+    if info is not None and info.widths is not None:
+        first = info.first_char if info.first_char is not None else 0
+        last = info.last_char if info.last_char is not None else 255
+        missing = info.missing_width
+        widths = info.widths
+        total = 0.0
+        for b in codes:
+            if first <= b <= last and 0 <= b - first < len(widths):
+                w = widths[b - first]
+            else:
+                w = missing
+            total += w / 1000.0 * font_size
+        return total
+    return len(codes) * font_size * 0.5
+
+
+def _calc_width_chars(decoded: str, font_size: float, info: FontInfo) -> float:
+    """extraction.rs calculate_text_width:2086-2145 (composite path)."""
+    if info.widths is not None:
+        first = info.first_char if info.first_char is not None else 0
+        last = info.last_char if info.last_char is not None else 255
+        missing = info.missing_width
+        widths = info.widths
+        total = 0.0
+        for ch in decoded:
+            code = ord(ch)
+            if first <= code <= last and 0 <= code - first < len(widths):
+                w = widths[code - first]
+            else:
+                w = missing
+            total += w / 1000.0 * font_size
+        return total
+    # reference falls through to 0.5em per decoded char for composite
+    return len(decoded) * font_size * 0.5

@@ -1,0 +1,209 @@
+"""Document reader: header, xref resolution, object fetch, object streams.
+
+Reimplements (in-UDF, per document):
+
+- open + structure scan:      oxidize-pdf-core/src/parser/reader.rs:262-425
+- header parse:               parser/header.rs:1-60
+- object fetch + memoization: reader.rs:564-870
+- indirect /Length + lenient endstream search: reader.rs:880; mod.rs:232-235
+- compressed-object fetch (ObjStm): reader.rs:914-957; object_stream.rs:27-109
+- encryption detection (detect-only, descoped): reader.rs:350-409
+"""
+
+from __future__ import annotations
+
+import re
+
+from .objects import Lexer, Name, PdfParseError, Ref, Stream, parse_object
+from .xref import fill_missing_objects, parse_xref_chain, recover_xref
+
+_HEADER_RE = re.compile(rb"%PDF-(\d+)\.(\d+)")
+
+
+class EncryptedPdfError(PdfParseError):
+    pass
+
+
+class PdfReader:
+    """Single-document reader over an in-memory byte buffer.
+
+    The xref table is a plain dict; the object cache is a per-document dict
+    (document.rs:101-162 cache) — both live and die inside one UDF call.
+    """
+
+    __slots__ = (
+        "data",
+        "version",
+        "xref",
+        "trailer",
+        "mode",
+        "_cache",
+        "_objstm_cache",
+        "_resolving",
+    )
+
+    def __init__(self, data: bytes, lenient: bool = True):
+        self.data = data
+        if not data:
+            raise PdfParseError("empty file")
+        self.version = self._parse_header()
+        self._cache: dict[tuple[int, int], object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
+        self._resolving: set = set()
+        entries, trailer, mode = parse_xref_chain(data, self)
+        # Validate the trailer points somewhere sane; else recovery scan
+        # (reader.rs:341-347 validate; xref.rs:1050 recovery).
+        if "Root" not in trailer:
+            entries, trailer, mode = recover_xref(data)
+        self.xref = entries
+        self.trailer = trailer
+        self.mode = mode
+        if "Encrypt" in trailer:
+            raise EncryptedPdfError("encrypted PDF (detection-only, unsupported)")
+
+    def _parse_header(self) -> tuple[int, int]:
+        """%PDF-x.y within the first 1KB (header.rs:1-60; leading junk ok)."""
+        m = _HEADER_RE.search(self.data[:1024])
+        if not m:
+            raise PdfParseError("missing %PDF header")
+        return (int(m.group(1)), int(m.group(2)))
+
+    # -- object access -----------------------------------------------------
+
+    def resolve(self, value):
+        """Resolve indirect references (possibly chained)."""
+        hops = 0
+        while isinstance(value, Ref) and hops < 32:
+            value = self.get_object(value.num, value.gen)
+            hops += 1
+        return value
+
+    def get_object(self, num: int, gen: int = 0):
+        """xref lookup → seek → parse → cache (reader.rs:564-650)."""
+        key = (num, gen)
+        if key in self._cache:
+            return self._cache[key]
+        if key in self._resolving:
+            return None  # reference cycle — mirror the reference's guard
+        entry = self.xref.get(num)
+        if entry is None:
+            # lenient: late fill from a header scan (xref.rs:1022)
+            fill_missing_objects(self.data, self.xref)
+            entry = self.xref.get(num)
+            if entry is None:
+                return None
+        kind = entry[0]
+        self._resolving.add(key)
+        try:
+            if kind == "f":
+                obj = None
+            elif kind == "n":
+                offset = entry[1]
+                try:
+                    pnum, pgen, obj = self.parse_indirect_object_at(offset)
+                    if pnum != num:
+                        obj = self._rescan_for(num)
+                except PdfParseError:
+                    obj = self._rescan_for(num)
+            elif kind == "c":
+                obj = self._get_compressed_object(num, entry[1], entry[2])
+            else:  # pragma: no cover
+                obj = None
+        finally:
+            self._resolving.discard(key)
+        self._cache[key] = obj
+        return obj
+
+    def _rescan_for(self, num: int):
+        """Wrong/corrupt offset: brute-scan for the object header."""
+        for m in re.finditer(rb"(?m)^\s*%d\s+(\d+)\s+obj\b" % num, self.data):
+            try:
+                _, _, obj = self.parse_indirect_object_at(m.start())
+                return obj
+            except PdfParseError:
+                continue
+        return None
+
+    def parse_indirect_object_at(self, offset: int):
+        """Parse ``N G obj ... endobj`` at a byte offset, including stream
+        payload capture with indirect-/Length resolution and the lenient
+        endstream search (reader.rs:651-870, 880; mod.rs:232-235)."""
+        lexer = Lexer(self.data, offset)
+        t1 = lexer.next_token()
+        t2 = lexer.next_token()
+        t3 = lexer.next_token()
+        if t1[0] != "int" or t2[0] != "int" or t3 != ("kw", "obj"):
+            raise PdfParseError(f"no object header at {offset}")
+        num, gen = t1[1], t2[1]
+        value = parse_object(lexer)
+        tok = lexer.next_token()
+        if tok == ("kw", "stream"):
+            if not isinstance(value, dict):
+                raise PdfParseError("stream keyword after non-dict object")
+            data = self.data
+            pos = lexer.pos
+            # exactly one EOL after 'stream' (spec): \r\n or \n (tolerate \r)
+            if data[pos : pos + 2] == b"\r\n":
+                pos += 2
+            elif pos < len(data) and data[pos] in b"\r\n":
+                pos += 1
+            length = value.get("Length")
+            if isinstance(length, Ref):
+                length = self.resolve(length)
+            raw = None
+            if isinstance(length, int) and length >= 0 and pos + length <= len(data):
+                cand_end = pos + length
+                after = data[cand_end : cand_end + 32].lstrip(b"\r\n \t")
+                if after.startswith(b"endstream"):
+                    raw = data[pos:cand_end]
+            if raw is None:
+                # lenient: declared length wrong/absent — search endstream
+                es = data.find(b"endstream", pos)
+                if es < 0:
+                    raise PdfParseError("unterminated stream")
+                end = es
+                # trim the EOL that precedes endstream
+                if end > pos and data[end - 1] == 0x0A:
+                    end -= 1
+                if end > pos and data[end - 1] == 0x0D:
+                    end -= 1
+                raw = data[pos:end]
+            value = Stream(value, raw)
+            # advance past endstream for completeness
+        return num, gen, value
+
+    # -- object streams ----------------------------------------------------
+
+    def _get_compressed_object(self, num: int, container: int, idx: int):
+        """ObjStm fetch (object_stream.rs:27-109): decode the container once,
+        parse its `N` (obj_num, offset) header pairs, cache every member."""
+        parsed = self._objstm_cache.get(container)
+        if parsed is None:
+            parsed = {}
+            stm = self.get_object(container, 0)
+            if isinstance(stm, Stream):
+                try:
+                    decoded = stm.decode(resolve=self.resolve)
+                    n = int(self.resolve(stm.dict.get("N", 0)) or 0)
+                    first = int(self.resolve(stm.dict.get("First", 0)) or 0)
+                    header = decoded[:first]
+                    pairs = [int(x) for x in re.findall(rb"\d+", header)[: 2 * n]]
+                    for i in range(0, len(pairs) - 1, 2):
+                        onum, ooff = pairs[i], pairs[i + 1]
+                        try:
+                            sub = Lexer(decoded, first + ooff)
+                            parsed[onum] = parse_object(sub)
+                        except PdfParseError:
+                            parsed[onum] = None
+                except (PdfParseError, ValueError):
+                    pass
+            self._objstm_cache[container] = parsed
+        return parsed.get(num)
+
+    # -- document-level helpers ---------------------------------------------
+
+    def catalog(self) -> dict:
+        root = self.resolve(self.trailer.get("Root"))
+        if not isinstance(root, dict):
+            raise PdfParseError("missing /Root catalog")
+        return root

@@ -1,0 +1,273 @@
+"""Cross-reference table parsing: traditional sections, xref streams,
+incremental-update chains, and brute-force recovery.
+
+Reimplements (in-UDF, per document):
+
+- startxref tail scan:         oxidize-pdf-core/src/parser/xref.rs:979-1020
+- traditional xref sections:   xref.rs:750-911 (entry lines 1310-1440)
+- xref streams (PDF 1.5):      xref_stream.rs:61-221 — numpy bulk field decode
+- Prev chain walk + cycle guard + newest-entry-wins merge: xref.rs:495-574
+- hybrid /XRefStm hop:         xref.rs (hybrid-reference files)
+- missing-object scan + full recovery: xref.rs:1022-1265, 115-180
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from .objects import Lexer, Name, PdfParseError, Ref, Stream, parse_object
+
+# Entry kinds: ('n', offset, gen) in-use | ('f', next_free, gen) free
+#            | ('c', container_obj_num, index_in_stream) compressed
+XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
+FLEX_ENTRY_RE = re.compile(rb"(\d+)\s+(\d+)\s+([nf])")
+OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+
+
+class XRefError(PdfParseError):
+    pass
+
+
+def find_xref_offset(data: bytes) -> int | None:
+    """Tail scan for ``startxref`` (xref.rs:979-1020): search the last 1KB
+    first, then the whole buffer."""
+    tail_start = max(0, len(data) - 1024)
+    idx = data.rfind(b"startxref", tail_start)
+    if idx < 0:
+        idx = data.rfind(b"startxref")
+    if idx < 0:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", data[idx : idx + 64])
+    if not m:
+        return None
+    return int(m.group(1))
+
+
+def _parse_traditional_section(data: bytes, offset: int) -> tuple[dict, dict, int]:
+    """One traditional xref section at ``offset`` (xref.rs:750-911).
+
+    Returns (entries, trailer_dict, pos_after). Entries are decoded in bulk:
+    the 20-byte fixed-width lines of each subsection are matched with one
+    compiled regex pass (S4 numpy/regex bulk decode per SURVEY.md §2.1)."""
+    lexer = Lexer(data, offset)
+    tok = lexer.next_token()
+    if tok != ("kw", "xref"):
+        raise XRefError(f"expected 'xref' at {offset}, got {tok}")
+    entries: dict[int, tuple] = {}
+    pos = lexer.pos
+    while True:
+        m = re.compile(rb"\s*(\d+)\s+(\d+)\s*").match(data, pos)
+        if not m:
+            break
+        start_obj, count = int(m.group(1)), int(m.group(2))
+        pos = m.end()
+        # Bulk decode `count` entries. Standard layout is 20 bytes/entry;
+        # fall back to a flexible per-entry regex for sloppy producers
+        # (xref.rs:1359 flexible parse).
+        block = data[pos : pos + 20 * count]
+        matches = XREF_ENTRY_RE.findall(block)
+        if len(matches) == count:
+            pos += 20 * count
+            # trim if last entry used \r\n vs \n etc — recompute end precisely
+            last = XREF_ENTRY_RE.finditer(block)
+            end_rel = 0
+            for mm in last:
+                end_rel = mm.end()
+            pos = pos - (20 * count) + end_rel
+            # consume trailing EOL of final entry
+            while pos < len(data) and data[pos] in b"\r\n ":
+                pos += 1
+            for i, (off_b, gen_b, kind_b) in enumerate(matches):
+                num = start_obj + i
+                entry = (
+                    ("n", int(off_b), int(gen_b))
+                    if kind_b == b"n"
+                    else ("f", int(off_b), int(gen_b))
+                )
+                entries.setdefault(num, entry)
+        else:
+            flex = FLEX_ENTRY_RE.finditer(data, pos)
+            got = 0
+            for mm in flex:
+                if got >= count:
+                    break
+                num = start_obj + got
+                kind = "n" if mm.group(3) == b"n" else "f"
+                entries.setdefault(num, (kind, int(mm.group(1)), int(mm.group(2))))
+                pos = mm.end()
+                got += 1
+            if got < count:
+                break
+    # trailer
+    lexer = Lexer(data, pos)
+    tok = lexer.next_token()
+    trailer: dict = {}
+    if tok == ("kw", "trailer"):
+        trailer = parse_object(lexer)
+        if not isinstance(trailer, dict):
+            trailer = {}
+    else:
+        lexer.push_token(tok)
+    return entries, trailer, lexer.pos
+
+
+def _parse_xref_stream_at(data: bytes, offset: int, reader) -> tuple[dict, dict]:
+    """XRef stream (xref_stream.rs:61-221). ``reader`` supplies stream-object
+    parsing (header + raw data + decode). Returns (entries, trailer=stream dict).
+
+    Field extraction is vectorized: the decoded byte matrix is reshaped to
+    (n_entries, w0+w1+w2) with numpy and each field column-summed big-endian
+    (SURVEY.md S5)."""
+    num, gen, obj = reader.parse_indirect_object_at(offset)
+    if not isinstance(obj, Stream):
+        raise XRefError(f"object at {offset} is not an xref stream")
+    d = obj.dict
+    if str(d.get("Type", "")) != "XRef":
+        # Be lenient: some producers omit /Type; require W to proceed.
+        if "W" not in d:
+            raise XRefError("xref stream missing /Type and /W")
+    decoded = obj.decode(resolve=None)  # xref streams must not have indirect params
+    w = [int(x) for x in d.get("W", [])]
+    if len(w) < 3:
+        raise XRefError(f"bad /W array: {d.get('W')}")
+    size = int(d.get("Size", 0))
+    index = d.get("Index", [0, size])
+    index = [int(x) for x in index]
+    row = sum(w)
+    if row == 0:
+        raise XRefError("zero-width xref stream rows")
+    n_rows = len(decoded) // row
+    mat = np.frombuffer(decoded[: n_rows * row], dtype=np.uint8).reshape(n_rows, row)
+
+    def field(col_start: int, width: int, default: int) -> np.ndarray:
+        if width == 0:
+            return np.full(n_rows, default, dtype=np.int64)
+        cols = mat[:, col_start : col_start + width].astype(np.int64)
+        out = np.zeros(n_rows, dtype=np.int64)
+        for b in range(width):
+            out = (out << 8) | cols[:, b]
+        return out
+
+    types = field(0, w[0], 1)  # missing type field defaults to 1 (in-use)
+    f2 = field(w[0], w[1], 0)
+    f3 = field(w[0] + w[1], w[2], 0)
+
+    entries: dict[int, tuple] = {}
+    r = 0
+    for i in range(0, len(index) - 1, 2):
+        first, count = index[i], index[i + 1]
+        for j in range(count):
+            if r >= n_rows:
+                break
+            num_j = first + j
+            t = types[r]
+            if t == 0:
+                entries.setdefault(num_j, ("f", int(f2[r]), int(f3[r])))
+            elif t == 1:
+                entries.setdefault(num_j, ("n", int(f2[r]), int(f3[r])))
+            elif t == 2:
+                entries.setdefault(num_j, ("c", int(f2[r]), int(f3[r])))
+            r += 1
+    trailer = dict(d)
+    return entries, trailer
+
+
+def parse_xref_chain(data: bytes, reader, start_offset: int | None = None):
+    """Walk the Prev chain, newest entries win (xref.rs:495-574).
+
+    Returns (entries, trailer, mode) where mode is 'strict' or 'recovered'.
+    """
+    if start_offset is None:
+        start_offset = find_xref_offset(data)
+    entries: dict[int, tuple] = {}
+    trailer: dict = {}
+    seen_offsets: set[int] = set()
+    offset = start_offset
+    hops = 0
+    ok = False
+    while offset is not None and 0 <= offset < len(data) and hops < 64:
+        if offset in seen_offsets:
+            break  # cycle guard
+        seen_offsets.add(offset)
+        hops += 1
+        try:
+            if data[offset : offset + 4] == b"xref":
+                sec_entries, sec_trailer, _ = _parse_traditional_section(data, offset)
+            else:
+                sec_entries, sec_trailer = _parse_xref_stream_at(data, offset, reader)
+        except (PdfParseError, ValueError, IndexError):
+            break
+        ok = True
+        for num, entry in sec_entries.items():
+            entries.setdefault(num, entry)  # newest (earliest-walked) wins
+        for k, v in sec_trailer.items():
+            trailer.setdefault(k, v)
+        # Hybrid-reference: /XRefStm points at an xref stream carrying the
+        # compressed-object entries the traditional table can't express.
+        xrefstm = sec_trailer.get("XRefStm")
+        if isinstance(xrefstm, int):
+            try:
+                stm_entries, _ = _parse_xref_stream_at(data, xrefstm, reader)
+                for num, entry in stm_entries.items():
+                    entries.setdefault(num, entry)
+            except (PdfParseError, ValueError, IndexError):
+                pass
+        prev = sec_trailer.get("Prev")
+        offset = int(prev) if isinstance(prev, (int, float)) else None
+    if not ok or not entries:
+        return recover_xref(data)
+    return entries, trailer, "strict"
+
+
+def scan_object_headers(data: bytes) -> dict[int, tuple]:
+    """Brute scan for ``N G obj`` headers (xref.rs:115-180, 1022-1048) —
+    one bulk ``re.finditer`` pass over the whole buffer."""
+    found: dict[int, tuple] = {}
+    for m in OBJ_HEADER_RE.finditer(data):
+        num, gen = int(m.group(1)), int(m.group(2))
+        # later definitions override earlier ones (incremental updates append)
+        found[num] = ("n", m.start(), gen)
+    return found
+
+
+def recover_xref(data: bytes):
+    """Corrupt-file reconstruction (xref.rs:1050-1265): scan every object
+    header, then find a trailer dict (or a catalog object) for /Root."""
+    entries = scan_object_headers(data)
+    trailer: dict = {}
+    # look for the last `trailer` keyword
+    t_idx = data.rfind(b"trailer")
+    while t_idx >= 0:
+        try:
+            lexer = Lexer(data, t_idx + len(b"trailer"))
+            cand = parse_object(lexer)
+            if isinstance(cand, dict) and "Root" in cand:
+                trailer = cand
+                break
+        except PdfParseError:
+            pass
+        t_idx = data.rfind(b"trailer", 0, t_idx)
+    if "Root" not in trailer:
+        # find a /Type /Catalog object among the recovered headers
+        for num, (_, off, gen) in sorted(entries.items()):
+            window = data[off : off + 512]
+            if b"/Catalog" in window:
+                trailer = dict(trailer)
+                trailer["Root"] = Ref(num, gen)
+                break
+    trailer.setdefault("Size", (max(entries) + 1) if entries else 0)
+    return entries, trailer, "recovered"
+
+
+def fill_missing_objects(data: bytes, entries: dict[int, tuple]) -> int:
+    """Hybrid scan fill (xref.rs:1022-1048): add any scanned object header
+    the xref lacks. Returns the number of entries added."""
+    added = 0
+    scanned = scan_object_headers(data)
+    for num, entry in scanned.items():
+        if num not in entries:
+            entries[num] = entry
+            added += 1
+    return added

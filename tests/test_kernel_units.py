@@ -1,0 +1,231 @@
+"""Unit tests for individual in-UDF kernels (SURVEY.md §5 target plan):
+filters round-trip, lexer tokens, content tokenizer, CMap decode, xref decode.
+Plain pandas/python — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from oxidizepdf_spark.corpus import lzw_encode
+from oxidizepdf_spark.kernel import filters
+from oxidizepdf_spark.kernel.cmap import CMap, decode_with_cmap
+from oxidizepdf_spark.kernel.content import parse_content, tokenize
+from oxidizepdf_spark.kernel.objects import Lexer, Name, Ref, parse_object
+from oxidizepdf_spark.kernel.xref import find_xref_offset, scan_object_headers
+
+
+# -- filters (filters.rs parity) ---------------------------------------------
+
+
+def test_flate_roundtrip():
+    data = b"BT (Hello) Tj ET" * 100
+    assert filters.decode_flate(zlib.compress(data)) == data
+
+
+def test_flate_raw_deflate_fallback():
+    data = b"stream data without zlib wrapper"
+    comp = zlib.compressobj(wbits=-15)
+    raw = comp.compress(data) + comp.flush()
+    assert filters.decode_flate(raw) == data
+
+
+def test_flate_corrupt_header_skip():
+    data = b"x" * 200
+    blob = b"\xff\xfe" + zlib.compress(data)
+    assert filters.decode_flate(blob) == data
+
+
+def test_flate_empty_on_total_garbage():
+    assert filters.decode_flate(b"\x00\x01\x02not-deflate") == b""
+
+
+def test_ascii_hex():
+    assert filters.decode_ascii_hex(b"48 65 6C 6C 6F>") == b"Hello"
+    assert filters.decode_ascii_hex(b"48656C6C6F7>") == b"Hello\x70"  # odd pad
+
+
+def test_ascii85():
+    import base64
+
+    payload = base64.a85encode(b"Hello World", adobe=True)
+    assert filters.decode_ascii85(payload) == b"Hello World"
+
+
+def test_lzw_roundtrip():
+    data = b"TOBEORNOTTOBEORTOBEORNOT" * 20
+    assert filters.decode_lzw(lzw_encode(data)) == data
+
+
+def test_lzw_binary_roundtrip():
+    data = bytes(range(256)) * 8
+    assert filters.decode_lzw(lzw_encode(data)) == data
+
+
+def test_run_length():
+    # literal run: n<128 copies n+1 bytes; repeat run: n>128 repeats 257-n
+    encoded = bytes([2]) + b"abc" + bytes([254]) + b"z" + bytes([128])
+    assert filters.decode_run_length(encoded) == b"abc" + b"zzz"
+
+
+def test_png_predictor_up():
+    # Predictor 12 (Up), columns=4: reverse of delta rows
+    rows = [b"\x01\x02\x03\x04", b"\x05\x06\x07\x08"]
+    pred = bytearray()
+    prev = bytes(4)
+    for r in rows:
+        pred.append(2)
+        pred += bytes((r[i] - prev[i]) & 0xFF for i in range(4))
+        prev = r
+    out = filters.apply_predictor(
+        bytes(pred), {"Predictor": 12, "Columns": 4}
+    )
+    assert out == b"".join(rows)
+
+
+def test_filter_chain_order():
+    data = b"chained content"
+    encoded = zlib.compress(data).hex().encode() + b">"
+    out = filters.decode_stream_data(
+        encoded, ["ASCIIHexDecode", "FlateDecode"], None
+    )
+    assert out == data
+
+
+def test_bomb_guard():
+    with pytest.raises(filters.FilterError):
+        filters._check_ratio(10, 10 * 1001)
+
+
+# -- file-structure lexer / object parser (lexer.rs, objects.rs) --------------
+
+
+def test_lexer_octal_overflow():
+    # ISO §7.3.4.2: \777 = 511 & 0xFF
+    lex = Lexer(rb"(\777)")
+    assert lex.next_token() == ("str", bytes([511 & 0xFF]))
+
+
+def test_lexer_name_hex_escape():
+    lex = Lexer(rb"/A#42C")
+    kind, val = lex.next_token()
+    assert kind == "name" and val == "ABC"
+
+
+def test_parse_reference_lookahead():
+    lex = Lexer(b"12 0 R")
+    assert parse_object(lex) == Ref(12, 0)
+    # two ints NOT followed by R stay ints
+    lex = Lexer(b"12 0 7")
+    assert parse_object(lex) == 12
+    assert parse_object(lex) == 0
+    assert parse_object(lex) == 7
+
+
+def test_parse_nested_dict_array():
+    lex = Lexer(b"<< /A [1 2.5 (s) /N true null] /B << /C 3 0 R >> >>")
+    obj = parse_object(lex)
+    assert obj["A"] == [1, 2.5, b"s", Name("N"), True, None]
+    assert obj["B"]["C"] == Ref(3, 0)
+
+
+def test_hex_string_odd_pad():
+    lex = Lexer(b"<48656C6C6F7>")
+    assert lex.next_token() == ("hexstr", b"Hello\x70")
+
+
+# -- content tokenizer/parser (content.rs) ------------------------------------
+
+
+def test_content_tokenize_basics():
+    toks = tokenize(b"BT /F1 12 Tf 100 700 Td (Hi) Tj ET")
+    kinds = [t[0] for t in toks]
+    assert kinds == ["op", "name", "int", "op", "int", "int", "op", "str", "op", "op"]
+
+
+def test_content_nested_string():
+    toks = tokenize(b"(a (b) c) Tj")
+    assert toks[0] == ("str", b"a (b) c")
+
+
+def test_content_inline_image_binary_safe():
+    # EI bytes inside the payload must not terminate early (needs boundary)
+    data = b"BI /W 1 /H 1 ID \x00EIx\x01 EI Q"
+    ops = parse_content(data)
+    assert ops[0][0] == "BI"
+    assert ops[0][2] == b"\x00EIx\x01"
+    assert ops[1] == ("Q",)
+
+
+def test_content_malformed_operator_resync():
+    # Td missing operands must not kill the rest of the stream
+    ops = parse_content(b"BT Td (ok) Tj ET")
+    tags = [o[0] for o in ops]
+    assert tags == ["BT", "Tj", "ET"]
+
+
+def test_content_dquote_operand_order():
+    ops = parse_content(b'1 2 (text) "')
+    assert ops[0] == ('"', 1.0, 2.0, b"text")
+
+
+def test_content_unknown_operator_skipped():
+    ops = parse_content(b"(x) Tj 1 2 zz (y) Tj")
+    # zz unknown → skipped + operands cleared; both Tj survive
+    assert [o[0] for o in ops] == ["Tj", "Tj"]
+
+
+def test_content_bdc_inline_dict():
+    ops = parse_content(b"/P <</MCID 0>> BDC EMC")
+    assert ops[0] == ("BDC", "P", ("dict", {"MCID": 0}))
+
+
+# -- CMap (cmap.rs) ------------------------------------------------------------
+
+
+def test_cmap_bfchar_and_range():
+    cm = CMap.parse(
+        b"1 begincodespacerange <00><FF> endcodespacerange "
+        b"1 beginbfchar <41><0061> endbfchar "
+        b"1 beginbfrange <42><44><0042> endbfrange"
+    )
+    assert decode_with_cmap(b"ABCD", cm) == "aBCD"
+
+
+def test_cmap_bfrange_array_form():
+    cm = CMap.parse(b"1 beginbfrange <41><43> [<0058> <0059> <005A>] endbfrange")
+    assert cm.map(b"A") == b"\x00X"
+    assert cm.map(b"C") == b"\x00Z"
+
+
+def test_cmap_identity_h():
+    cm = CMap.identity_h()
+    assert cm.map(b"\x00A") == b"\x00A"
+    assert cm.map(b"\x01") is None  # wrong width
+
+
+def test_cmap_minified_one_line():
+    # BOE-style minified CMap (issue #272): whitespace-agnostic tokenizer
+    cm = CMap.parse(b"1 begincodespacerange<0000><FFFF>endcodespacerange 1 beginbfchar<0048><0048>endbfchar")
+    assert decode_with_cmap(b"\x00\x48", cm) == "H"
+
+
+def test_cmap_surrogate_pair_dst():
+    cm = CMap.parse(b"1 beginbfchar <41> <D83DDE00> endbfchar")
+    assert decode_with_cmap(b"A", cm) == "\U0001f600"
+
+
+# -- xref helpers ---------------------------------------------------------------
+
+
+def test_find_xref_offset():
+    assert find_xref_offset(b"junk startxref\n12345\n%%EOF") == 12345
+    assert find_xref_offset(b"no marker here") is None
+
+
+def test_scan_object_headers_last_wins():
+    data = b"1 0 obj <<>> endobj ... 1 0 obj <<>> endobj"
+    found = scan_object_headers(data)
+    assert found[1][1] == data.rindex(b"1 0 obj")
