@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full extraction pipeline over an interleaved
+corpus synthesized from sf0.001 documents (lead-in text + raw PDF + media
+spans per doc), returning the flattened span rows.
+
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+family (SURVEY.md §2 + training-data ops); the driver compares each Spark
+result against its DuckDB oracle at sf=0.01.
 """
 
 from __future__ import annotations
@@ -16,23 +18,25 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from oxidizepdf_spark.queries import q_pdf_extract_spans_flat
+
+    return q_pdf_extract_spans_flat(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator family from SURVEY.md §2.
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+    pdf_extract_* queries build synthetic PDFs from the documents table
+    inside Arrow-batched UDFs and run the full kernel parse path; the rest
+    are corpus-level training-data ops (dedup, ANN, text analysis).
     """
-    return {}
+    from oxidizepdf_spark.queries import build_queries
+
+    return build_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-executable ANSI SQL equivalents, keyed identically."""
+    from oxidizepdf_spark.queries import build_oracles
+
+    return build_oracles()

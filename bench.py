@@ -1,0 +1,207 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract + north_rule scaling evidence).
+
+Default mode: runs the headline extraction pipeline plus representative
+training-data queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "extract_pipeline_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": <sf>,
+     "docs_per_sec": <headline throughput>,
+     "scaling": {...only with --scaling...}}
+
+``--scaling`` additionally runs the identical extraction job at two
+parallelism levels (local[N] and local[4N], N = cpus/4) on the identical
+input and reports throughput at both plus
+``efficiency = T(4N) / (4 * T(N))`` — the sandbox evidence for the
+north_rule's two-cluster-size criterion (no real cluster here).
+
+The bench corpus is synthesized deterministically *inside Spark executors*
+(one task generates any slice by index — corpus.gen_doc is keyed by
+(seed, i)), so generation itself scales and the driver never materializes
+the corpus.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def synth_corpus_df(spark, n_docs: int, seed: int = 42, slices: int | None = None):
+    """Distributed deterministic corpus: spark.range → per-index gen_doc."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from oxidizepdf_spark.table_io import DOCS_SCHEMA
+
+    def gen(batches):
+        import pandas as pd
+
+        from oxidizepdf_spark.corpus import all_cases, gen_doc
+
+        cases = all_cases()
+        for b in batches:
+            rows = {"doc_id": [], "part_id": [], "spans": []}
+            for i in b["id"]:
+                in_row, _ = gen_doc(int(i), seed, cases)
+                rows["doc_id"].append(in_row["doc_id"])
+                rows["part_id"].append(in_row["part_id"])
+                rows["spans"].append(in_row["spans"])
+            yield pd.DataFrame(rows)
+
+    rng = spark.range(n_docs, numPartitions=slices or spark.sparkContext.defaultParallelism)
+    return rng.mapInPandas(gen, schema=DOCS_SCHEMA)
+
+
+def stage_corpus(spark, n_docs: int, seed: int = 42) -> str:
+    """Materialize the synthetic corpus to parquet once (untimed setup):
+    the timed job then measures the production shape — columnar scan →
+    salted repartition → Arrow exchange → extraction."""
+    import tempfile
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"oxspark_bench_corpus_{n_docs}_{seed}"
+    )
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        synth_corpus_df(spark, n_docs, seed).write.mode("overwrite").partitionBy(
+            "part_id"
+        ).parquet(path)
+    return path
+
+
+def run_extract_job(spark, n_docs: int, seed: int = 42, staged: bool = True) -> dict:
+    """The headline job: corpus scan → full extraction → aggregate."""
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.pipeline import extract_spans
+
+    if staged:
+        docs = spark.read.parquet(stage_corpus(spark, n_docs, seed))
+    else:
+        docs = synth_corpus_df(spark, n_docs, seed)
+    t0 = time.perf_counter()
+    results = extract_spans(docs)
+    agg = results.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_spans").alias("spans"),
+        F.sum(F.col("ok").cast("long")).alias("ok"),
+        F.sum("bytes_in").alias("bytes_in"),
+    ).collect()[0]
+    elapsed = time.perf_counter() - t0
+    return {
+        "sec": elapsed,
+        "docs": agg["docs"],
+        "docs_per_sec": agg["docs"] / elapsed if elapsed > 0 else 0.0,
+        "spans": agg["spans"],
+        "ok": agg["ok"],
+        "bytes_in": agg["bytes_in"],
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--n-docs", type=int, default=None, help="bench corpus size")
+    ap.add_argument("--scaling", action="store_true", help="also run local[N] vs local[4N]")
+    args = ap.parse_args()
+
+    sf = args.sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_num = float(sf)
+    except ValueError:
+        sf_num = 0.1
+    n_docs = args.n_docs or max(2000, int(200_000 * sf_num))
+
+    from oxidizepdf_spark import queries as Q
+    from oxidizepdf_spark.table_io import get_spark
+
+    timings: dict[str, float] = {}
+    extras: dict = {}
+
+    spark = get_spark(master=f"local[{args.cpus}]", shuffle_partitions=args.cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # headline: full extraction pipeline on the synthetic interleaved corpus
+    # (warm-up run first so JVM/py-worker startup doesn't pollute the number)
+    run_extract_job(spark, min(512, n_docs), seed=1)
+    head = run_extract_job(spark, n_docs, seed=42)
+    timings["extract_pipeline"] = round(head["sec"], 4)
+    extras["docs_per_sec"] = round(head["docs_per_sec"], 2)
+    extras["extract_docs"] = head["docs"]
+    extras["extract_spans"] = int(head["spans"])
+    extras["extract_ok_rate"] = round(head["ok"] / max(head["docs"], 1), 5)
+    extras["extract_mb_in"] = round(head["bytes_in"] / 1e6, 1)
+
+    # representative query suite at the sf dir (oracle-checked elsewhere)
+    suite = {
+        "pdf_roundtrip_flate": Q.build_queries()["pdf_extract_flate"],
+        "pdf_roundtrip_xrefstream": Q.build_queries()["pdf_extract_xrefstream"],
+        "dedup_exact": Q.q_dedup_exact,
+        "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
+        "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,
+        "dedup_simhash": Q.q_dedup_simhash,
+        "ann_cosine_topk": Q.q_ann_cosine_topk,
+        "ann_ivf_topk": Q.q_ann_ivf_topk,
+        "text_token_count": Q.q_text_token_count,
+        "text_quality_score": Q.q_text_quality_score,
+        "doc_fingerprint": Q.q_doc_fingerprint,
+    }
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        df = fn(spark, args.sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        extras.setdefault("rows", {})[name] = n
+
+    spark.stop()
+
+    if args.scaling:
+        n_small = max(4, args.cpus // 4)
+        scale_docs = max(1000, n_docs // 2)
+        legs = {}
+        for label, k in (("N", n_small), ("4N", args.cpus)):
+            s = get_spark(
+                app_name=f"bench-scale-{k}",
+                master=f"local[{k}]",
+                shuffle_partitions=k,
+            )
+            s.sparkContext.setLogLevel("ERROR")
+            run_extract_job(s, 256, seed=2)  # warm
+            r = run_extract_job(s, scale_docs, seed=7)
+            legs[label] = {
+                "cores": k,
+                "sec": round(r["sec"], 4),
+                "docs_per_sec": round(r["docs_per_sec"], 2),
+            }
+            s.stop()
+        eff = legs["4N"]["docs_per_sec"] / (
+            (legs["4N"]["cores"] / legs["N"]["cores"]) * legs["N"]["docs_per_sec"]
+        )
+        extras["scaling"] = {
+            "docs": scale_docs,
+            "N": legs["N"],
+            "4N": legs["4N"],
+            "efficiency": round(eff, 4),
+        }
+
+    out = {
+        "metric": "extract_pipeline_sec",
+        "value": timings["extract_pipeline"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_num,
+    }
+    out.update(extras)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

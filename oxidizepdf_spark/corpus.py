@@ -717,14 +717,42 @@ def generate_corpus(
     corrupt_rate: float = 0.05,
     n_parts: int = 8,
 ):
-    """Yield (input_row, expected_row) dict pairs (FIXTURES.md §5 knobs).
-
-    Deterministic for a given seed. Rows have the authoritative shape:
-    {doc_id, part_id, spans:[{kind,text,media_ref,offset}]}.
-    """
-    rng = random.Random(seed)
+    """Yield (input_row, expected_row) dict pairs (FIXTURES.md §5 knobs)."""
     cases = all_cases()
     for i in range(n_docs):
+        yield gen_doc(
+            i,
+            seed,
+            cases,
+            pct_interleaved=pct_interleaved,
+            mega_doc_rate=mega_doc_rate,
+            mega_pages=mega_pages,
+            corrupt_rate=corrupt_rate,
+            n_parts=n_parts,
+        )
+
+
+def gen_doc(
+    i: int,
+    seed: int,
+    cases=None,
+    pct_interleaved: float = 0.3,
+    mega_doc_rate: float = 0.02,
+    mega_pages: int = 50,
+    corrupt_rate: float = 0.05,
+    n_parts: int = 8,
+):
+    """One deterministic (input_row, expected_row) pair for doc index ``i``.
+
+    Keyed by (seed, i) only — independent of generation order, so corpus
+    synthesis can run distributed (one Spark task generates any slice).
+    Rows have the authoritative shape:
+    {doc_id, part_id, spans:[{kind,text,media_ref,offset}]}.
+    """
+    if cases is None:
+        cases = all_cases()
+    if True:  # keep original body indentation
+        rng = random.Random((seed << 32) ^ i)
         doc_id = f"doc-{i:06d}"
         part_id = hash_bucket(doc_id, n_parts)
         r = rng.random()
@@ -785,7 +813,7 @@ def generate_corpus(
             push_in("text", post_text, None)
             push_exp("text", post_text, None)
 
-        yield (
+        return (
             {"doc_id": doc_id, "part_id": part_id, "case": case, "spans": in_spans},
             {"doc_id": doc_id, "part_id": part_id, "spans": exp_spans},
         )

@@ -232,12 +232,54 @@ def scan_object_headers(data: bytes) -> dict[int, tuple]:
     return found
 
 
+def _parse_object_at_standalone(data: bytes, offset: int):
+    """Parse ``N G obj <value> [stream]`` without a reader (recovery path):
+    indirect /Length falls back to the lenient endstream search."""
+    lexer = Lexer(data, offset)
+    t1 = lexer.next_token()
+    t2 = lexer.next_token()
+    t3 = lexer.next_token()
+    if t1[0] != "int" or t2[0] != "int" or t3 != ("kw", "obj"):
+        raise PdfParseError(f"no object header at {offset}")
+    value = parse_object(lexer)
+    tok = lexer.next_token()
+    if tok == ("kw", "stream") and isinstance(value, dict):
+        pos = lexer.pos
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif pos < len(data) and data[pos] in b"\r\n":
+            pos += 1
+        raw = None
+        length = value.get("Length")
+        if isinstance(length, int) and 0 <= length and pos + length <= len(data):
+            after = data[pos + length : pos + length + 32].lstrip(b"\r\n \t")
+            if after.startswith(b"endstream"):
+                raw = data[pos : pos + length]
+        if raw is None:
+            es = data.find(b"endstream", pos)
+            if es < 0:
+                raise PdfParseError("unterminated stream")
+            end = es
+            if end > pos and data[end - 1] == 0x0A:
+                end -= 1
+            if end > pos and data[end - 1] == 0x0D:
+                end -= 1
+            raw = data[pos:end]
+        value = Stream(value, raw)
+    return t1[1], t2[1], value
+
+
 def recover_xref(data: bytes):
-    """Corrupt-file reconstruction (xref.rs:1050-1265): scan every object
-    header, then find a trailer dict (or a catalog object) for /Root."""
+    """Corrupt-file reconstruction (xref.rs:1050-1265 and
+    recovery/xref_recovery.rs): scan every ``N G obj`` header, then recover
+    /Root from — in order — the last ``trailer`` dict, any xref-stream
+    (/Type /XRef) object's dict, or a /Type /Catalog object. Object-stream
+    (/Type /ObjStm) containers found by the scan are decoded and their
+    members registered as compressed entries so catalogs packed inside an
+    ObjStm (PDF 1.5 files) survive recovery too."""
     entries = scan_object_headers(data)
     trailer: dict = {}
-    # look for the last `trailer` keyword
+    # 1) the last parseable `trailer` keyword dict with /Root
     t_idx = data.rfind(b"trailer")
     while t_idx >= 0:
         try:
@@ -249,13 +291,45 @@ def recover_xref(data: bytes):
         except PdfParseError:
             pass
         t_idx = data.rfind(b"trailer", 0, t_idx)
+
+    # 2) mine scanned objects: xref-stream dicts for /Root, ObjStm members
+    for num, (_, off, gen) in sorted(entries.items()):
+        window = data[off : off + 256]
+        is_xref_stm = b"/XRef" in window
+        is_objstm = b"/ObjStm" in window
+        if not (is_xref_stm or is_objstm):
+            continue
+        try:
+            _, _, obj = _parse_object_at_standalone(data, off)
+        except PdfParseError:
+            continue
+        if not isinstance(obj, Stream):
+            continue
+        d = obj.dict
+        if is_xref_stm and "Root" not in trailer and "Root" in d:
+            for key in ("Root", "Size", "Info", "ID"):
+                if key in d:
+                    trailer.setdefault(key, d[key])
+        if is_objstm:
+            try:
+                decoded = obj.decode(resolve=None)
+                n = int(d.get("N", 0) or 0)
+                first = int(d.get("First", 0) or 0)
+                pairs = [int(x) for x in re.findall(rb"\d+", decoded[:first])[: 2 * n]]
+                for i in range(0, len(pairs) - 1, 2):
+                    entries.setdefault(pairs[i], ("c", num, i // 2))
+            except Exception:
+                pass
+
+    # 3) last resort: a /Type /Catalog object among the recovered headers
     if "Root" not in trailer:
-        # find a /Type /Catalog object among the recovered headers
-        for num, (_, off, gen) in sorted(entries.items()):
-            window = data[off : off + 512]
+        for num, entry in sorted(entries.items()):
+            if entry[0] != "n":
+                continue
+            window = data[entry[1] : entry[1] + 512]
             if b"/Catalog" in window:
                 trailer = dict(trailer)
-                trailer["Root"] = Ref(num, gen)
+                trailer["Root"] = Ref(num, entry[2])
                 break
     trailer.setdefault("Size", (max(entries) + 1) if entries else 0)
     return entries, trailer, "recovered"

@@ -1,0 +1,996 @@
+"""Driver-contract queries: Spark DataFrame implementations + ANSI-SQL
+(DuckDB) oracles over the shared parquet tables.
+
+Two families:
+
+1. **Extraction-path queries** (`pdf_*`): build a synthetic PDF *from the
+   documents table* inside the Arrow-batched UDF, run the full kernel parse
+   path (xref → objects → filters → content ops → text state → spans), and
+   emit values an oracle can recompute from the original text alone. Each
+   variant exercises a different structural layer from SURVEY.md §2:
+   classic xref (S4), Flate/LZW/AsciiHex/chains (F1-F6), xref streams (S5),
+   object streams (S10), multi-page trees (S11), ToUnicode CMaps (T11/J3),
+   and xref recovery (S8). If any layer corrupts a byte, the round-trip
+   breaks and the oracle catches it.
+
+2. **Training-data pipeline ops** over documents/embeddings/events:
+   exact + MinHash-LSH + SimHash + n-gram-Jaccard dedup, brute-force and
+   IVF cosine ANN, language-ID, quality scoring, token counting, winnowing
+   fingerprints, multimodal (binary column) stub features, corpus stats.
+
+Columns are aliased identically in both dialects (driver hashes sorted
+columns). Float outputs are rounded to 6dp on both sides.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# shared text normalization (identical semantics in both dialects)
+# ---------------------------------------------------------------------------
+
+# printable-ASCII filter then space collapse
+NORM_SQL = (
+    "regexp_replace(regexp_replace({col}, '[^\\x20-\\x7E]', '', 'g'), ' +', ' ', 'g')"
+)
+
+
+def norm_col(col: str = "text"):
+    return F.regexp_replace(
+        F.regexp_replace(F.col(col), r"[^\x20-\x7E]", ""), " +", " "
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+WORDS_PER_LINE = 8
+LINES_PER_PAGE = 40
+
+
+# ---------------------------------------------------------------------------
+# extraction-path round-trip queries
+# ---------------------------------------------------------------------------
+
+
+def _wrap_lines(norm: str) -> list[str]:
+    words = norm.split(" ")
+    return [
+        " ".join(words[i : i + WORDS_PER_LINE])
+        for i in range(0, max(len(words), 1), WORDS_PER_LINE)
+    ]
+
+
+_TOUNICODE_ASCII = b"""begincmap
+1 begincodespacerange
+<00> <FF>
+endcodespacerange
+1 beginbfrange
+<20> <7E> <0020>
+endbfrange
+endcmap"""
+
+
+def _build_variant(norm: str, variant: str) -> bytes:
+    """One synthetic PDF per document, structure chosen by ``variant``."""
+    from .corpus import (
+        build_pdf_multipage_texts,
+        build_pdf_with_content_stream,
+        build_pdf_xref_stream,
+        build_text_pdf,
+        _stream_obj,
+        escape_pdf_string,
+    )
+
+    lines = _wrap_lines(norm)
+    if variant in ("classic", "recovery"):
+        pdf = build_text_pdf("\n".join(lines), lines_per_page=LINES_PER_PAGE)
+        if variant == "recovery":
+            head, sep, tail = pdf.rpartition(b"startxref\n")
+            nl = tail.find(b"\n")
+            pdf = head + sep + b"00000000" + tail[nl:]
+        return pdf
+    # single-page content for filter/structure variants
+    parts = [b"BT /F1 12 Tf"]
+    first = True
+    for ln in lines:
+        if first:
+            parts.append(b"100 720 Td (%s) Tj" % escape_pdf_string(ln))
+            first = False
+        else:
+            parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
+    parts.append(b"ET")
+    content = b" ".join(parts)
+    if variant == "flate":
+        return build_pdf_with_content_stream(content, content_filter="FlateDecode")
+    if variant == "lzw":
+        return build_pdf_with_content_stream(content, content_filter="LZWDecode")
+    if variant == "asciihex":
+        return build_pdf_with_content_stream(content, content_filter="ASCIIHexDecode")
+    if variant == "chain":
+        return build_pdf_with_content_stream(content, content_filter="AHx+Fl")
+    if variant == "xrefstream":
+        return build_pdf_xref_stream(content)
+    if variant == "objstm":
+        return build_pdf_xref_stream(content, use_objstm=True)
+    if variant == "tounicode":
+        font = b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom /ToUnicode 8 0 R >>"
+        return build_pdf_with_content_stream(
+            content,
+            font_obj=font,
+            extra_objects={8: _stream_obj(b"", _TOUNICODE_ASCII)},
+        )
+    if variant == "multipage":
+        pages = [
+            "\n".join(lines[i : i + LINES_PER_PAGE])
+            for i in range(0, len(lines), LINES_PER_PAGE)
+        ]
+        return build_pdf_multipage_texts(pages)
+    raise ValueError(variant)
+
+
+def _roundtrip_udf(variant: str):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .kernel.extract import extract_pdf_bytes
+
+        for b in batches:
+            out = {"doc_id": [], "text": [], "n_lines": [], "n_pages": [], "mode": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                pdf = _build_variant(norm, variant)
+                res = extract_pdf_bytes(pdf)
+                extracted = "\n".join(s[1] for s in res.spans if s[0] == "text")
+                out["doc_id"].append(doc_id)
+                out["text"].append(extracted.replace("\n", " "))
+                out["n_lines"].append(
+                    extracted.count("\n") + 1 if extracted or norm == "" else 1
+                )
+                out["n_pages"].append(res.n_pages)
+                out["mode"].append(res.mode)
+            yield pd.DataFrame(out)
+
+    return run
+
+
+def _pdf_roundtrip(variant: str, with_mode: bool = False):
+    cols = "doc_id long, text string, n_lines int, n_pages int, mode string"
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).select(
+            "doc_id", norm_col("text").alias("norm")
+        )
+        out = docs.mapInPandas(_roundtrip_udf(variant), schema=cols)
+        keep = ["doc_id", "text", "n_lines", "n_pages"] + (
+            ["mode"] if with_mode else []
+        )
+        return out.select(*keep)
+
+    return q
+
+
+def _pdf_roundtrip_oracle(variant: str, with_mode: bool = False) -> str:
+    norm = NORM_SQL.format(col="text")
+    n_words = f"len(string_split({norm}, ' '))"
+    n_lines = f"CAST(ceil({n_words} / {WORDS_PER_LINE}.0) AS INT)"
+    if variant in ("classic", "recovery", "multipage"):
+        n_pages = f"CAST(ceil({n_lines} / {LINES_PER_PAGE}.0) AS INT)"
+    else:
+        n_pages = "1"
+    mode = ", 'recovered' AS mode" if with_mode else ""
+    return (
+        f"SELECT doc_id, {norm} AS text, {n_lines} AS n_lines, "
+        f"{n_pages} AS n_pages{mode} FROM documents"
+    )
+
+
+def q_pdf_extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaving contract end-to-end: every 3rd document gets lead-in
+    text + trailing media spans around its raw_pdf span; the output span
+    sequence (kind, text, media_ref, offset) is exact (FIXTURES.md §1.2)."""
+    from .pipeline import extract_spans
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_text_pdf, encode_raw_payload
+
+        for b in batches:
+            rows = {"doc_id": [], "part_id": [], "spans": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                spans = []
+                if doc_id % 3 == 0:
+                    spans.append(
+                        {
+                            "kind": "text",
+                            "text": f"lead-{doc_id}",
+                            "media_ref": None,
+                            "offset": len(spans),
+                        }
+                    )
+                pdf = build_text_pdf(
+                    "\n".join(_wrap_lines(norm)), lines_per_page=LINES_PER_PAGE
+                )
+                spans.append(
+                    {
+                        "kind": "raw_pdf",
+                        "text": encode_raw_payload(pdf),
+                        "media_ref": None,
+                        "offset": len(spans),
+                    }
+                )
+                if doc_id % 3 == 0:
+                    spans.append(
+                        {
+                            "kind": "media",
+                            "text": "",
+                            "media_ref": f"media://img/{doc_id}",
+                            "offset": len(spans),
+                        }
+                    )
+                rows["doc_id"].append(str(doc_id))
+                rows["part_id"].append(int(doc_id) % 8)
+                rows["spans"].append(spans)
+            yield pd.DataFrame(rows)
+
+    input_df = docs.mapInPandas(
+        build,
+        schema="doc_id string, part_id int, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    results = extract_spans(input_df)
+    flat = results.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode("spans").alias("pos", "span"),
+    ).select(
+        "doc_id",
+        F.col("span.kind").alias("kind"),
+        # join multi-line extraction back to one line for oracle comparability
+        F.regexp_replace(F.col("span.text"), "\n", " ").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    return flat
+
+
+ORACLE_SPANS_FLAT = f"""
+WITH n AS (
+  SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents
+)
+SELECT doc_id, 'text' AS kind, 'lead-' || CAST(doc_id AS VARCHAR) AS text,
+       CAST(NULL AS VARCHAR) AS media_ref, 0 AS offset
+FROM n WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, 'text' AS kind, norm AS text, CAST(NULL AS VARCHAR) AS media_ref,
+       CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS offset
+FROM n
+UNION ALL
+SELECT doc_id, 'media' AS kind, '' AS text,
+       'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref, 2 AS offset
+FROM n WHERE doc_id % 3 = 0
+"""
+
+
+# ---------------------------------------------------------------------------
+# deduplication family
+# ---------------------------------------------------------------------------
+
+# shared md5-based 32-bit hash: H(seed, s)
+def _h_spark(seed, s):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), s)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def _h_sql(seed, s: str) -> str:
+    return (
+        f"CAST(CAST(('0x' || substr(md5(CAST({seed} AS VARCHAR) || ':' || {s}), 1, 8)) "
+        f"AS UBIGINT) AS BIGINT)"
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on normalized text (map-side partial agg;
+    at 100TB this is one shuffle on a 32-byte key)."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    return (
+        d.groupBy(F.md5("norm").alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .where(F.col("n_docs") >= 1)
+    )
+
+
+ORACLE_DEDUP_EXACT = f"""
+SELECT md5(norm) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_doc_id
+FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+GROUP BY 1
+"""
+
+SHINGLE_K = 5
+MINHASH_N = 16
+MINHASH_BANDS = 4  # 4 rows per band
+
+
+def _shingles_spark(d: DataFrame) -> DataFrame:
+    """Distinct word-5-gram shingles per doc (SURVEY-level: explode stays
+    columnar; no Python)."""
+    words = F.split(F.col("norm"), " ")
+    n = F.size(words)
+    shingle_idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    shingles = F.transform(
+        shingle_idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K))
+    )
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
+    ).where(F.length("shingle") > 0)
+
+
+_SHINGLES_SQL = f"""
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+{SHINGLE_K - 1}], ' ') AS shingle
+  FROM (
+    SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS w
+    FROM documents
+  ), UNNEST(generate_series(1, greatest(len(w) - {SHINGLE_K - 1}, 1))) AS t(i)
+  WHERE len(array_to_string(w[i:i+{SHINGLE_K - 1}], ' ')) > 0
+"""
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → 16 minhashes → 4 bands × 4 rows →
+    bucket-join on (band, band_hash) → candidate pairs. The join key is the
+    band hash, so the shuffle carries only (doc_id, band_hash) — this is the
+    scale path for near-dup at 10^12 docs (full pairwise is impossible)."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    sh = _shingles_spark(d)
+    mh = sh.groupBy("doc_id").agg(
+        *[
+            F.min(_h_spark(i, F.col("shingle"))).alias(f"h{i}")
+            for i in range(MINHASH_N)
+        ]
+    )
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    bands = []
+    for b in range(MINHASH_BANDS):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        bands.append(
+            mh.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
+                    "band_hash"
+                ),
+            )
+        )
+    allb = bands[0]
+    for b in bands[1:]:
+        allb = allb.unionByName(b)
+    pairs = (
+        allb.alias("a")
+        .join(
+            allb.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def _minhash_sql() -> str:
+    mins = ",\n    ".join(
+        f"MIN({_h_sql(i, 'shingle')}) AS h{i}" for i in range(MINHASH_N)
+    )
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    band_selects = []
+    for b in range(MINHASH_BANDS):
+        cols = " || ',' || ".join(
+            f"CAST(h{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS band_hash FROM mh"
+        )
+    bands = "\nUNION ALL\n".join(band_selects)
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+mh AS (
+  SELECT doc_id,
+    {mins}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+"""
+
+
+SIMHASH_BITS = 16
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document signature: per-word 32-bit hash, per-bit majority
+    vote over all words (with multiplicity), packed to a 16-bit signature."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = d.select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("w")
+    ).where(F.length("w") > 0)
+    hashed = words.select("doc_id", _h_spark(0, F.col("w")).alias("h"))
+    bits = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("sign"),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("sign").alias("vote"))
+    sig = votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
+                F.lit(0)
+            )
+        ).alias("simhash")
+    )
+    return sig
+
+
+ORACLE_SIMHASH = f"""
+WITH words AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+        FROM documents), UNNEST(ws) AS t(w)
+  WHERE len(w) > 0
+),
+hashed AS (SELECT doc_id, {_h_sql(0, 'w')} AS h FROM words),
+bits AS (
+  SELECT doc_id, bit, ((h >> bit) & 1) * 2 - 1 AS sign
+  FROM hashed, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS t(bit)
+),
+votes AS (SELECT doc_id, bit, SUM(sign) AS vote FROM bits GROUP BY doc_id, bit)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+JACCARD_THRESHOLD = 0.8
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle equi-join (the
+    verify stage behind MinHash candidates). Shuffle key = shingle."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    sh = _shingles_spark(d)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(sh.alias("b"), on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
+        .withColumnRenamed("n_sh", "na")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b"), on="doc_b")
+        .withColumnRenamed("n_sh", "nb")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return pairs
+
+
+ORACLE_NGRAM_JACCARD = f"""
+WITH sh AS ({_SHINGLES_SQL}),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN) over embeddings
+# ---------------------------------------------------------------------------
+
+ANN_N_QUERIES = 10
+ANN_TOPK = 5
+IVF_N_CENTROIDS = 8
+
+
+def _cos_spark(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return dot / (na * nb)
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query set against the
+    full embedding table — the exact-baseline for ANN. JVM-side arithmetic
+    via zip_with/aggregate (no Python in the hot path)."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    queries = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+ORACLE_ANN_TOPK = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, e.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_TOPK}
+"""
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: vectors are bucketed to their nearest centroid
+    (centroids = first {IVF_N_CENTROIDS} vectors, broadcast); a query probes
+    only its own bucket. This is the shuffle-avoiding scale path: the
+    cluster assignment is a map-side broadcast join, search joins on
+    centroid_id instead of a cross join."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir)
+    cents = e.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(_cos_spark(F.col("embedding"), F.col("cv")), 6).alias("ccos"),
+        )
+        .withColumn("r", F.row_number().over(w_assign))
+        .where(F.col("r") == 1)
+        .drop("r", "ccos")
+    )
+    queries = assigned.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("centroid_id").alias("qc"),
+    )
+    scored = (
+        assigned.join(
+            F.broadcast(queries),
+            on=[
+                F.col("centroid_id") == F.col("qc"),
+                F.col("vec_id") != F.col("query_id"),
+            ],
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+ORACLE_ANN_IVF = f"""
+WITH c AS (
+  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS cv FROM embeddings
+  WHERE vec_id < {IVF_N_CENTROIDS}
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY ROUND(list_dot_product(e.embedding::DOUBLE[], c.cv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+               c.centroid_id ASC) AS r
+    FROM embeddings e, c
+  ) WHERE r = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, centroid_id AS qc
+  FROM assigned WHERE vec_id < {ANN_N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qv, a.embedding::DOUBLE[]) /
+               (sqrt(list_dot_product(q.qv, q.qv)) *
+                sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))),
+               6) AS cos
+  FROM assigned a JOIN q ON a.centroid_id = q.qc AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_TOPK}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_LANG_STOPWORDS = {
+    "en": ["the", "of", "and", "to", "in"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "los", "que"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "it": ["il", "di", "che", "per", "con"],
+}
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language ID (n-gram heuristic family): count hits per
+    language, argmax with deterministic tie order."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    scores = []
+    for lang, sw in sorted(_LANG_STOPWORDS.items()):
+        arr = F.array(*[F.lit(w) for w in sw])
+        score = F.size(
+            F.filter(words, lambda w: F.array_contains(arr, w))
+        )
+        scores.append((lang, score))
+    struct_arr = F.array(
+        *[
+            F.struct(s.alias("score"), F.lit(lang).alias("lang"))
+            for lang, s in scores
+        ]
+    )
+    best = F.array_max(struct_arr)
+    return d.select(
+        "doc_id",
+        best["lang"].alias("lang_guess"),
+        best["score"].alias("lang_score"),
+    )
+
+
+def _langid_sql() -> str:
+    norm = NORM_SQL.format(col="text")
+    score_exprs = []
+    for lang, sw in sorted(_LANG_STOPWORDS.items()):
+        inlist = ", ".join(f"'{w}'" for w in sw)
+        score_exprs.append(
+            f"len(list_filter(string_split({norm}, ' '), w -> w IN ({inlist}))) AS s_{lang}"
+        )
+    langs = sorted(_LANG_STOPWORDS)
+    # argmax with tie → lexicographically LAST lang among ties, matching
+    # Spark array_max over struct(score, lang)
+    greatest = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{la} = best THEN '{la}'" for la in reversed(langs)
+    ) + " END"
+    return f"""
+WITH scores AS (SELECT doc_id, {", ".join(score_exprs)} FROM documents),
+best AS (SELECT doc_id, {greatest} AS best, * FROM scores)
+SELECT doc_id, {case} AS lang_guess, best AS lang_score FROM best
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation ratios → composite
+    score (training-data filter heuristic)."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n_words = F.size(words)
+    n_chars = F.length("norm")
+    en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
+    n_punct = n_chars - F.length(F.regexp_replace("norm", r"[^\w\s]", ""))
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_chars.alias("n_chars"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stop_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+    )
+    return out.withColumn(
+        "quality",
+        F.round(
+            0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
+            + 0.3 * F.col("stop_ratio")
+            + 0.3 * (1.0 - F.col("punct_ratio")),
+            6,
+        ),
+    )
+
+
+def _quality_sql() -> str:
+    norm = NORM_SQL.format(col="text")
+    inlist = ", ".join(f"'{w}'" for w in _LANG_STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT doc_id, {norm} AS norm, string_split({norm}, ' ') AS ws FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(ws) AS n_words,
+         length(norm) AS n_chars,
+         ROUND(len(list_filter(ws, w -> w IN ({inlist}))) * 1.0 /
+               greatest(len(ws), 1), 6) AS stop_ratio,
+         ROUND((length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g'))) * 1.0 /
+               greatest(length(norm), 1), 6) AS punct_ratio
+  FROM base
+)
+SELECT doc_id, n_words, n_chars, stop_ratio, punct_ratio,
+       ROUND(0.4 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio +
+             0.3 * (1.0 - punct_ratio), 6) AS quality
+FROM m
+"""
+
+
+_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex token classes."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    return d.select(
+        "doc_id",
+        F.size(F.split("norm", " ")).alias("ws_tokens"),
+        F.regexp_count("norm", F.lit(_TOKEN_RE)).alias("bpe_tokens"),
+        F.length("norm").alias("n_chars"),
+    )
+
+
+ORACLE_TOKEN_COUNT = f"""
+SELECT doc_id,
+       len(string_split(norm, ' ')) AS ws_tokens,
+       len(regexp_extract_all(norm, '{_TOKEN_RE}')) AS bpe_tokens,
+       length(norm) AS n_chars
+FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+"""
+
+FP_WINDOW = 4
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints: rolling word-3-gram hashes, min per window of
+    {FP_WINDOW} (Schleimer et al. winnowing) → per-doc distinct fingerprint
+    stats."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
+    g = d.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+    hashed = g.select("doc_id", "pos", _h_spark(0, F.col("gram")).alias("h"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, FP_WINDOW - 1)
+    )
+    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    )
+
+
+ORACLE_FINGERPRINT = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+2], ' ') AS gram
+  FROM (SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS w
+        FROM documents),
+       UNNEST(generate_series(1, greatest(len(w) - 2, 1))) AS t(i)
+),
+hashed AS (SELECT doc_id, pos, {_h_sql(0, 'gram')} AS h FROM g),
+fps AS (
+  SELECT DISTINCT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {FP_WINDOW - 1} FOLLOWING) AS fp
+  FROM hashed
+)
+SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp FROM fps GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal stub + corpus stats
+# ---------------------------------------------------------------------------
+
+
+def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat each document's bytes as an opaque binary
+    media column; 'feature extraction' runs in an Arrow-batched pandas stage
+    (the real decode — image/audio libs — is stubbed per round-1 scope, but
+    the schema, batching, and binary transport are production-shaped)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.encode(norm_col("text"), "UTF-8").alias("media")
+    )
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for b in batches:
+            out = {"doc_id": [], "media_len": [], "media_md5": []}
+            for doc_id, blob in zip(b["doc_id"], b["media"]):
+                data = bytes(blob) if blob is not None else b""
+                out["doc_id"].append(doc_id)
+                out["media_len"].append(len(data))
+                out["media_md5"].append(hashlib.md5(data).hexdigest())
+            yield pd.DataFrame(out)
+
+    return d.mapInPandas(feats, schema="doc_id long, media_len long, media_md5 string")
+
+
+ORACLE_MEDIA_STUB = f"""
+SELECT doc_id, length(norm) AS media_len, md5(norm) AS media_md5
+FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
+"""
+
+
+def q_corpus_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level aggregates (SURVEY.md A6): per event_type counts, value
+    sums, distinct users. (At 10^12 scale distinct→approx_count_distinct;
+    exact here for oracle parity.)"""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+ORACLE_EVENTS_STATS = """
+SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries() -> dict:
+    q = {
+        "pdf_extract_roundtrip": _pdf_roundtrip("classic"),
+        "pdf_extract_flate": _pdf_roundtrip("flate"),
+        "pdf_extract_lzw": _pdf_roundtrip("lzw"),
+        "pdf_extract_asciihex": _pdf_roundtrip("asciihex"),
+        "pdf_extract_filter_chain": _pdf_roundtrip("chain"),
+        "pdf_extract_xrefstream": _pdf_roundtrip("xrefstream"),
+        "pdf_extract_objstm": _pdf_roundtrip("objstm"),
+        "pdf_extract_tounicode": _pdf_roundtrip("tounicode"),
+        "pdf_extract_multipage": _pdf_roundtrip("multipage"),
+        "pdf_extract_recovery": _pdf_roundtrip("recovery", with_mode=True),
+        "pdf_extract_spans_flat": q_pdf_extract_spans_flat,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "text_language_id": q_text_language_id,
+        "text_quality_score": q_text_quality_score,
+        "text_token_count": q_text_token_count,
+        "doc_fingerprint": q_doc_fingerprint,
+        "media_stub_features": q_media_stub_features,
+        "corpus_events_stats": q_corpus_events_stats,
+    }
+    return q
+
+
+def build_oracles() -> dict[str, str]:
+    o = {
+        "pdf_extract_roundtrip": _pdf_roundtrip_oracle("classic"),
+        "pdf_extract_flate": _pdf_roundtrip_oracle("flate"),
+        "pdf_extract_lzw": _pdf_roundtrip_oracle("lzw"),
+        "pdf_extract_asciihex": _pdf_roundtrip_oracle("asciihex"),
+        "pdf_extract_filter_chain": _pdf_roundtrip_oracle("chain"),
+        "pdf_extract_xrefstream": _pdf_roundtrip_oracle("xrefstream"),
+        "pdf_extract_objstm": _pdf_roundtrip_oracle("objstm"),
+        "pdf_extract_tounicode": _pdf_roundtrip_oracle("tounicode"),
+        "pdf_extract_multipage": _pdf_roundtrip_oracle("multipage"),
+        "pdf_extract_recovery": _pdf_roundtrip_oracle("recovery", with_mode=True),
+        "pdf_extract_spans_flat": ORACLE_SPANS_FLAT,
+        "dedup_exact": ORACLE_DEDUP_EXACT,
+        "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_simhash": ORACLE_SIMHASH,
+        "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "ann_cosine_topk": ORACLE_ANN_TOPK,
+        "ann_ivf_topk": ORACLE_ANN_IVF,
+        "text_language_id": _langid_sql(),
+        "text_quality_score": _quality_sql(),
+        "text_token_count": ORACLE_TOKEN_COUNT,
+        "doc_fingerprint": ORACLE_FINGERPRINT,
+        "media_stub_features": ORACLE_MEDIA_STUB,
+        "corpus_events_stats": ORACLE_EVENTS_STATS,
+    }
+    return o

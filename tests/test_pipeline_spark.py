@@ -1,0 +1,139 @@
+"""Spark pipeline tests: end-to-end span equality through mapInPandas,
+skew salting, per-partition metrics, and checkpoint-resume semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidizepdf_spark.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from oxidizepdf_spark.table_io import get_spark
+
+    s = get_spark(app_name="pytest-pipeline", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _docs_df(spark, pairs):
+    from oxidizepdf_spark.table_io import DOCS_SCHEMA
+
+    return spark.createDataFrame(
+        [
+            (
+                r["doc_id"],
+                r["part_id"],
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ],
+            )
+            for r, _ in pairs
+        ],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def test_pipeline_span_equality(spark):
+    from oxidizepdf_spark.pipeline import run_extraction
+
+    pairs = list(generate_corpus(n_docs=60, seed=11))
+    docs = _docs_df(spark, pairs)
+    spans_df, metrics_df = run_extraction(docs, run_id="t")
+    got = {r["doc_id"]: r["spans"] for r in spans_df.collect()}
+    assert len(got) == 60
+    for _, exp in pairs:
+        g = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got[exp["doc_id"]]
+        ]
+        w = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp["spans"]
+        ]
+        assert g == w, exp["doc_id"]
+    m = {r["part_id"]: r for r in metrics_df.collect()}
+    assert sum(r["docs_in"] for r in m.values()) == 60
+    assert all(r["docs_err"] == 0 for r in m.values())
+
+
+def test_error_as_data_not_task_failure(spark):
+    from oxidizepdf_spark.pipeline import extract_spans
+    from oxidizepdf_spark.table_io import DOCS_SCHEMA
+
+    docs = spark.createDataFrame(
+        [
+            ("bad-1", 0, [("raw_pdf", "garbage bytes not a pdf", None, 0)]),
+            ("bad-2", 0, [("raw_pdf", "b85:!!!!invalid", None, 0)]),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    rows = extract_spans(docs).collect()
+    assert len(rows) == 2
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["bad-1"]["ok"] is False
+    assert "parse" in by_id["bad-1"]["error"]
+    assert by_id["bad-2"]["ok"] is False  # b85 decode failure → kernel error
+
+
+def test_resume_anti_join(spark):
+    from oxidizepdf_spark.pipeline import metrics_from_results, resume_filter, run_extraction
+
+    pairs = list(generate_corpus(n_docs=40, seed=3))
+    docs = _docs_df(spark, pairs)
+    # first run over partitions 0-3 only (simulate partial completion)
+    done_docs = docs.where("part_id < 4")
+    _, done_metrics = run_extraction(done_docs, run_id="r1")
+    done_metrics = done_metrics.cache()
+    remaining = resume_filter(docs, done_metrics)
+    rem_parts = {r["part_id"] for r in remaining.select("part_id").distinct().collect()}
+    assert rem_parts == {p for p in range(4, 8)} & {
+        r["part_id"] for r in docs.select("part_id").distinct().collect()
+    }
+    # no doc from a completed partition is recomputed
+    assert remaining.where("part_id < 4").count() == 0
+
+
+def test_salt_by_size_spreads_megas(spark):
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.pipeline import salt_by_size
+    from oxidizepdf_spark.table_io import DOCS_SCHEMA
+
+    # 8 mega docs (3MB payloads) + 80 small ones
+    rows = []
+    for i in range(8):
+        rows.append((f"mega-{i}", 0, [("text", "x" * 3_000_000, None, 0)]))
+    for i in range(80):
+        rows.append((f"small-{i}", 0, [("text", "y", None, 0)]))
+    docs = spark.createDataFrame(rows, schema=DOCS_SCHEMA)
+    salted = salt_by_size(docs, n_partitions=4, mega_threshold_bytes=2_000_000)
+    dist = (
+        salted.withColumn("p", F.spark_partition_id())
+        .where(F.col("doc_id").startswith("mega"))
+        .groupBy("p")
+        .count()
+        .collect()
+    )
+    # megas spread over >1 partition, no partition hoards more than half
+    assert len(dist) >= 2
+    assert max(r["count"] for r in dist) <= 4
+
+
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    from oxidizepdf_spark.pipeline import run_extraction
+    from oxidizepdf_spark.table_io import prune_partitions, read_table, write_table
+
+    pairs = list(generate_corpus(n_docs=30, seed=9))
+    docs = _docs_df(spark, pairs)
+    path = str(tmp_path / "docs_raw")
+    write_table(docs, path, partition_by=("part_id",))
+    back = read_table(spark, path)
+    pruned = prune_partitions(back, [0, 1])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "part_id" in plan
+    assert pruned.select("part_id").distinct().count() <= 2
