@@ -348,16 +348,26 @@ _SHINGLES_SQL = f"""
 """
 
 
+# affine minhash family over one shared md5 base hash: h_i = (A_i*h + B_i) mod M
+# (one md5 per shingle instead of MINHASH_N — 16x cheaper; same family both
+# dialects since the constants are inlined literals)
+_MERSENNE = 2147483647
+_MH_A = [((i * 1103515245 + 12345) % (1 << 30)) | 1 for i in range(MINHASH_N)]
+_MH_B = [(i * 2654435761) % _MERSENNE for i in range(MINHASH_N)]
+
+
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 16 minhashes → 4 bands × 4 rows →
     bucket-join on (band, band_hash) → candidate pairs. The join key is the
     band hash, so the shuffle carries only (doc_id, band_hash) — this is the
     scale path for near-dup at 10^12 docs (full pairwise is impossible)."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    sh = _shingles_spark(d)
+    sh = _shingles_spark(d).withColumn("hb", _h_spark(0, F.col("shingle")))
     mh = sh.groupBy("doc_id").agg(
         *[
-            F.min(_h_spark(i, F.col("shingle"))).alias(f"h{i}")
+            F.min((F.lit(_MH_A[i]) * F.col("hb") + F.lit(_MH_B[i])) % _MERSENNE).alias(
+                f"h{i}"
+            )
             for i in range(MINHASH_N)
         ]
     )
@@ -397,7 +407,8 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     mins = ",\n    ".join(
-        f"MIN({_h_sql(i, 'shingle')}) AS h{i}" for i in range(MINHASH_N)
+        f"MIN(({_MH_A[i]} * hb + {_MH_B[i]}) % {_MERSENNE}) AS h{i}"
+        for i in range(MINHASH_N)
     )
     rows_per_band = MINHASH_N // MINHASH_BANDS
     band_selects = []
@@ -410,7 +421,9 @@ def _minhash_sql() -> str:
         )
     bands = "\nUNION ALL\n".join(band_selects)
     return f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh AS (
+  SELECT doc_id, shingle, {_h_sql(0, 'shingle')} AS hb FROM ({_SHINGLES_SQL})
+),
 mh AS (
   SELECT doc_id,
     {mins}
