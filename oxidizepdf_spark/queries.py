@@ -281,6 +281,103 @@ FROM n WHERE doc_id % 3 = 0
 """
 
 
+def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image XObject reference capture (S14 reference-capture scope,
+    extract_images.rs:195-284): each document becomes a PDF whose content
+    interleaves two text runs around an ``/Im1 Do`` paint; the output span
+    sequence must be text / image(Im1) / text with exact halves."""
+    import math
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import _IMG_OBJ, build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.extract import extract_pdf_bytes
+
+        for b in batches:
+            out = {"doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = norm.split(" ")
+                h = math.ceil(len(words) / 2)
+                first, second = " ".join(words[:h]), " ".join(words[h:])
+                content = (
+                    b"BT /F1 12 Tf 100 700 Td (%s) Tj ET "
+                    b"q 100 0 0 100 50 50 cm /Im1 Do Q "
+                    b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (%s) Tj ET"
+                    % (escape_pdf_string(first), escape_pdf_string(second))
+                )
+                pdf = build_pdf_with_content_stream(
+                    content,
+                    page_extra="/XObject << /Im1 6 0 R >> ",
+                    extra_objects={6: _IMG_OBJ},
+                )
+                res = extract_pdf_bytes(pdf)
+                for off, (kind, text, media_ref) in enumerate(res.spans):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(off)
+                    out["kind"].append(kind)
+                    out["text"].append(text)
+                    out["media_ref"].append(media_ref)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, offset int, kind string, text string, media_ref string",
+    )
+
+
+ORACLE_IMAGES = f"""
+WITH n AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+halves AS (
+  SELECT doc_id,
+         array_to_string(ws[1:CAST(ceil(len(ws)/2.0) AS INT)], ' ') AS first,
+         array_to_string(ws[CAST(ceil(len(ws)/2.0) AS INT)+1:len(ws)], ' ') AS second
+  FROM n
+)
+SELECT doc_id, 0 AS offset, 'text' AS kind, first AS text,
+       CAST(NULL AS VARCHAR) AS media_ref FROM halves
+UNION ALL
+SELECT doc_id, 1, 'image', '', 'Im1' FROM halves
+UNION ALL
+SELECT doc_id, 2, 'text', second, CAST(NULL AS VARCHAR) FROM halves
+WHERE second <> ''
+"""
+
+
+def q_pdf_extract_encrypted_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encryption detection (descoped-to-detect F11, reader.rs:350-409):
+    an /Encrypt trailer entry must yield error='encrypted', never a crash
+    or silent empty output."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_text_pdf
+        from .kernel.extract import extract_pdf_bytes
+
+        for b in batches:
+            out = {"doc_id": [], "error": [], "n_spans": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                pdf = build_text_pdf(norm)
+                pdf = pdf.replace(
+                    b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size", 1
+                )
+                res = extract_pdf_bytes(pdf)
+                out["doc_id"].append(doc_id)
+                out["error"].append(res.error)
+                out["n_spans"].append(len(res.spans))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema="doc_id long, error string, n_spans int")
+
+
+ORACLE_ENCRYPTED = """
+SELECT doc_id, 'encrypted' AS error, 0 AS n_spans FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # deduplication family
 # ---------------------------------------------------------------------------
@@ -946,6 +1043,23 @@ FROM events GROUP BY event_type
 """
 
 
+def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming surface: event-time 1-hour tumbling windows with
+    a watermark, drained via availableNow (see streaming.py). Equal to the
+    batch aggregation by construction — which is exactly what the oracle
+    recomputes."""
+    from .streaming import windowed_event_counts
+
+    return windowed_event_counts(spark, f"{sf_dir}/events.parquet")
+
+
+ORACLE_STREAMING_EVENTS = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -964,6 +1078,8 @@ def build_queries() -> dict:
         "pdf_extract_multipage": _pdf_roundtrip("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip("recovery", with_mode=True),
         "pdf_extract_spans_flat": q_pdf_extract_spans_flat,
+        "pdf_extract_images": q_pdf_extract_images,
+        "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -976,6 +1092,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "media_stub_features": q_media_stub_features,
         "corpus_events_stats": q_corpus_events_stats,
+        "streaming_event_counts": q_streaming_event_counts,
     }
     return q
 
@@ -993,6 +1110,8 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_multipage": _pdf_roundtrip_oracle("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip_oracle("recovery", with_mode=True),
         "pdf_extract_spans_flat": ORACLE_SPANS_FLAT,
+        "pdf_extract_images": ORACLE_IMAGES,
+        "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": ORACLE_SIMHASH,
@@ -1005,5 +1124,6 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "corpus_events_stats": ORACLE_EVENTS_STATS,
+        "streaming_event_counts": ORACLE_STREAMING_EVENTS,
     }
     return o

@@ -1,0 +1,88 @@
+"""Property-based tests (SURVEY.md §5 item 4 — mirrors the reference's
+proptest strategies, tests/proptest_parser.rs:1-60): parsers never raise on
+arbitrary/corrupted input; valid constructs round-trip.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oxidizepdf_spark.corpus import build_pdf_with_content_stream, escape_pdf_string, lzw_encode
+from oxidizepdf_spark.kernel import filters
+from oxidizepdf_spark.kernel.content import parse_content
+from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+from oxidizepdf_spark.kernel.objects import Lexer, PdfParseError, parse_object
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_content_parser_never_raises(data):
+    ops = parse_content(data)
+    assert isinstance(ops, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=512))
+def test_object_lexer_graceful(data):
+    lexer = Lexer(data)
+    try:
+        for _ in range(64):
+            if lexer.next_token()[0] == "eof":
+                break
+    except PdfParseError:
+        pass  # structured failure is allowed; crashes are not
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=256))
+def test_whole_file_extraction_never_raises(data):
+    res = extract_pdf_bytes(b"%PDF-1.4\n" + data)
+    assert res.spans is not None
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=120))
+def test_literal_string_roundtrip(text):
+    """Any printable-ASCII string survives escape → tokenize → decode,
+    modulo the extractor's sanitize (space collapse)."""
+    content = b"BT /F1 12 Tf 100 700 Td (%s) Tj ET" % escape_pdf_string(text)
+    ops = parse_content(content)
+    shows = [o for o in ops if o[0] == "Tj"]
+    assert len(shows) == 1
+    assert shows[0][1] == text.encode("latin-1")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048))
+def test_lzw_roundtrip_property(data):
+    assert filters.decode_lzw(lzw_encode(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=512))
+def test_flate_decoder_never_raises(data):
+    out = filters.decode_flate(data)
+    assert isinstance(out, bytes)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.text(alphabet="abcdefgh ", min_size=1, max_size=60),
+    st.integers(min_value=0, max_value=400),
+)
+def test_corrupt_tail_recovers(text, cut):
+    """Chopping the xref/trailer tail off a valid PDF must still extract
+    via the recovery scan (xref.rs:1050) as long as the objects survive."""
+    content = b"BT /F1 12 Tf 100 700 Td (%s) Tj ET" % escape_pdf_string(text)
+    pdf = build_pdf_with_content_stream(content)
+    xref_at = pdf.rindex(b"xref")
+    cut_at = min(xref_at + cut, len(pdf))
+    res = extract_pdf_bytes(pdf[:cut_at])
+    # never raises; and when the body is intact the text must survive
+    assert res.spans is not None
+    if res.error is None and res.n_pages == 1:
+        joined = "".join(s[1] for s in res.spans if s[0] == "text")
+        from oxidizepdf_spark.kernel.fonts import sanitize_extracted_text
+
+        assert joined == sanitize_extracted_text(text)

@@ -1,0 +1,91 @@
+"""Structured Streaming tests: incremental extraction with exactly-once
+checkpointing, and event-time windowed aggregation."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidizepdf_spark.corpus import generate_corpus
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from oxidizepdf_spark.table_io import get_spark
+
+    s = get_spark(app_name="pytest-streaming", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _write_batch(spark, pairs, path, mode="append"):
+    from oxidizepdf_spark.table_io import DOCS_SCHEMA
+
+    df = spark.createDataFrame(
+        [
+            (
+                r["doc_id"],
+                r["part_id"],
+                [
+                    (s["kind"], s["text"], s["media_ref"], s["offset"])
+                    for s in r["spans"]
+                ],
+            )
+            for r, _ in pairs
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    df.coalesce(1).write.mode(mode).parquet(path)
+
+
+def test_stream_extract_incremental(spark, tmp_path):
+    from oxidizepdf_spark.streaming import stream_extract
+
+    inp = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    pairs = list(generate_corpus(n_docs=20, seed=21))
+    _write_batch(spark, pairs[:10], inp)
+
+    stream_extract(spark, inp, out, ckpt)
+    first = spark.read.parquet(out)
+    assert first.count() == 10
+
+    # land more files → rerun → ONLY the delta is processed (checkpoint)
+    _write_batch(spark, pairs[10:], inp)
+    stream_extract(spark, inp, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 20
+    # no duplicates: doc_ids unique
+    assert result.select("doc_id").distinct().count() == 20
+
+    # span-sequence equality end to end through the stream
+    got = {r["doc_id"]: r["spans"] for r in result.collect()}
+    for _, exp in pairs:
+        g = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in got[exp["doc_id"]]
+        ]
+        w = [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in exp["spans"]
+        ]
+        assert g == w
+
+
+def test_windowed_event_counts_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.streaming import windowed_event_counts
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    streamed = windowed_event_counts(spark, path)
+    batch = (
+        spark.read.parquet(path)
+        .groupBy(
+            F.window("ts", "1 hour")["start"].alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
