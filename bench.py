@@ -110,7 +110,12 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--n-docs", type=int, default=None, help="bench corpus size")
-    ap.add_argument("--scaling", action="store_true", help="also run local[N] vs local[4N]")
+    ap.add_argument(
+        "--scaling",
+        action=argparse.BooleanOptionalAction,
+        default=True,
+        help="run local[N] vs local[4N] scaling legs (north_rule evidence)",
+    )
     args = ap.parse_args()
 
     sf = args.sf_dir.rstrip("/").split("sf")[-1]

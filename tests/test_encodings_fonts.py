@@ -1,0 +1,55 @@
+"""Encoding-path kernel tests: /Differences, WinAnsi high bytes, base
+encodings, font-name fallback selection (extraction.rs:1766-1831,
+extraction_cmap.rs:718-745)."""
+
+from __future__ import annotations
+
+from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+from oxidizepdf_spark.kernel.fonts import FontInfo, decode_text
+from oxidizepdf_spark.kernel.encodings import decode_winansi_byte
+
+
+def test_differences_glyph_names():
+    """Font /Encoding dict with /Differences remaps codes via glyph names."""
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Custom "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding "
+        b"/Differences [65 /bullet /Euro 70 /eacute] >> >>"
+    )
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (ABCF) Tj ET", font_obj=font
+    )
+    res = extract_pdf_bytes(pdf)
+    # A(65)->bullet, B(66)->Euro, C untouched, F(70)->eacute
+    assert res.spans == [("text", "•€Cé", None)]
+
+
+def test_winansi_high_bytes():
+    assert decode_winansi_byte(0x80) == "€"
+    assert decode_winansi_byte(0x93) == "“"
+    assert decode_winansi_byte(0xE9) == "é"  # latin-1 passthrough
+
+
+def test_decode_text_fallback_by_font_name():
+    # no FontInfo: falls back by name pattern (extraction.rs:1799-1819)
+    assert decode_text(b"caf\xe9", "Helvetica", {}) == "café"  # WinAnsi
+    # unknown name → PdfDocEncoding (utf-8 lossy per encoding.rs:164-166)
+    assert decode_text(b"abc", "F1", {}) == "abc"
+
+
+def test_decode_text_cmap_garbage_gate():
+    """A CMap decoding to all-control chars is rejected; fallback applies
+    (extraction.rs:1777-1780)."""
+    from oxidizepdf_spark.kernel.cmap import CMap
+
+    info = FontInfo()
+    info.font_type = "Type1"
+    cm = CMap.parse(b"1 beginbfchar <61> <0001> endbfchar")  # 'a' -> SOH control
+    info.to_unicode = cm
+    out = decode_text(b"a", "F9", {"F9": info})
+    assert out == "a"  # gate rejected the control-only result → PdfDoc fallback
+
+
+def test_macroman_font_name_fallback():
+    assert decode_text(b"\xa5", "MyMacRomanFont", {}) == "•"  # bullet
