@@ -126,16 +126,25 @@ def _extract_batches(
 def extract_spans(
     docs: DataFrame,
     options: ExtractionOptions | None = None,
+    salt: bool = True,
     salt_partitions: int | None = None,
     mega_threshold_bytes: int = 2_000_000,
 ) -> DataFrame:
     """docs_raw → wide result frame (spans + per-doc lineage columns).
 
+    ``salt=False`` skips the size-aware repartition — correct and ~2x
+    faster when the corpus table is already bucketed by doc_id (the
+    production layout: Iceberg ``bucket(doc_id)`` / parquet partitionBy,
+    BENCH.md design notes). Keep the default for ad-hoc unbucketed inputs
+    where one scan partition could hoard the mega-doc tail.
+
     Select ``doc_id, part_id, spans`` for the output table;
     ``metrics_from_results`` aggregates the lineage columns.
     """
     options = options or ExtractionOptions()
-    prepared = salt_by_size(docs, salt_partitions, mega_threshold_bytes)
+    prepared = (
+        salt_by_size(docs, salt_partitions, mega_threshold_bytes) if salt else docs
+    )
     return prepared.mapInPandas(
         lambda it: _extract_batches(it, options), schema=RESULT_SCHEMA
     )
@@ -157,13 +166,16 @@ def salt_by_size(
         "_payload",
         F.expr("aggregate(spans, 0L, (acc, s) -> acc + length(coalesce(s.text, '')))"),
     )
-    small = sized.where(F.col("_payload") <= mega_threshold_bytes).repartition(
-        n_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions))
-    )
-    mega = sized.where(F.col("_payload") > mega_threshold_bytes).repartition(
-        n_partitions
-    )
-    return small.unionByName(mega).drop("_payload")
+    # ONE scan, one shuffle: normal docs salt on hash(doc_id); mega docs use
+    # an independent hash family so their placement decorrelates from the
+    # small-doc layout (two megas only collide by independent 1/N chance,
+    # and the 64-doc Arrow batch cap bounds the damage). A filtered
+    # two-branch union would scan the source twice — fatal at 100 TB.
+    salt = F.when(
+        F.col("_payload") <= mega_threshold_bytes,
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions)),
+    ).otherwise(F.pmod(F.xxhash64(F.lit("mega"), "doc_id"), F.lit(n_partitions)))
+    return sized.repartition(n_partitions, salt).drop("_payload")
 
 
 def metrics_from_results(results: DataFrame, run_id: str) -> DataFrame:
@@ -207,10 +219,11 @@ def run_extraction(
     run_id: str,
     options: ExtractionOptions | None = None,
     done_metrics: DataFrame | None = None,
+    salt: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """Full job: resume-filter → salt → extract → (spans_df, metrics_df)."""
     todo = resume_filter(docs, done_metrics)
-    results = extract_spans(todo, options)
+    results = extract_spans(todo, options, salt=salt)
     spans = results.select("doc_id", "part_id", "spans")
     metrics = metrics_from_results(results, run_id)
     return spans, metrics

@@ -459,14 +459,34 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band hash, so the shuffle carries only (doc_id, band_hash) — this is the
     scale path for near-dup at 10^12 docs (full pairwise is impossible)."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    sh = _shingles_spark(d).withColumn("hb", _h_spark(0, F.col("shingle")))
-    mh = sh.groupBy("doc_id").agg(
+    # array-native minhash: per-row shingle array → base-hash array → 16
+    # array_min affine projections. Map-only (no explode, no shuffle) until
+    # the band bucket-join — the per-document work never leaves the row.
+    words = F.split(F.col("norm"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    shingles = F.array_distinct(
+        F.filter(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K))
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    hb = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("0"), s)), 1, 8), 16, 10).cast(
+            "long"
+        ),
+    )
+    mh = d.select(
+        "doc_id",
         *[
-            F.min((F.lit(_MH_A[i]) * F.col("hb") + F.lit(_MH_B[i])) % _MERSENNE).alias(
-                f"h{i}"
-            )
+            F.array_min(
+                F.transform(hb, lambda x: (F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % _MERSENNE)
+            ).alias(f"h{i}")
             for i in range(MINHASH_N)
-        ]
+        ],
     )
     rows_per_band = MINHASH_N // MINHASH_BANDS
     bands = []
@@ -484,6 +504,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionByName(b)
+    # both sides of the bucket self-join read this relation; persist so the
+    # shingle explode + 16 min-aggregations run once
+    allb = allb.persist()
     pairs = (
         allb.alias("a")
         .join(
@@ -591,7 +614,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join (the
     verify stage behind MinHash candidates). Shuffle key = shingle."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    sh = _shingles_spark(d)
+    # the shingle relation feeds three plan branches (sizes + both join
+    # sides); persist so the regexp+explode runs once, not three times
+    sh = _shingles_spark(d).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

@@ -47,13 +47,14 @@ def get_spark(
     master: str | None = None,
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 64,
+    arrow_batch: int = 256,
 ) -> SparkSession:
     """Session tuned for the extraction workload.
 
-    - Arrow exchange on, small ``maxRecordsPerBatch`` so one Python batch
-      holds a bounded number of (possibly multi-MB) documents (SURVEY.md §4
-      memory ceiling note)
+    - Arrow exchange on; ``maxRecordsPerBatch`` bounds how many (possibly
+      multi-MB) documents one Python batch holds (SURVEY.md §4 memory
+      ceiling). 256 balances per-batch overhead against worst-case batch
+      bytes; drop it for corpora with many multi-MB documents
     - AQE on: runtime coalescing + skew-join mitigation for the corpus-level
       joins (resume anti-join, dedup self-joins)
     """
