@@ -30,7 +30,7 @@ from .content import parse_content
 
 
 class DocResult:
-    __slots__ = ("spans", "n_pages", "error", "mode", "bytes_in")
+    __slots__ = ("spans", "n_pages", "error", "mode", "bytes_in", "page_fragments", "page_texts")
 
     def __init__(self):
         self.spans: list[tuple[str, str, str | None]] = []
@@ -38,6 +38,10 @@ class DocResult:
         self.error: str | None = None
         self.mode = "strict"
         self.bytes_in = 0
+        # per-page positioned fragments + final text (populated when
+        # options.preserve_layout / reconstruct_paragraphs are on)
+        self.page_fragments: list[list] = []
+        self.page_texts: list[str] = []
 
 
 def extract_pdf_bytes(
@@ -80,6 +84,8 @@ def extract_pdf_bytes(
             interp.run(ops, page.resources)
             out = interp.finalize()
             res.spans.extend(out.spans)
+            res.page_fragments.append(out.fragments)
+            res.page_texts.append(out.text)
         except Exception as e:
             # tolerant mode: a bad page degrades, never aborts the document
             res.error = f"page{idx}:{type(e).__name__}:{e}"

@@ -35,7 +35,76 @@ from .fonts import (
     decode_text,
     extract_page_fonts,
 )
+from .layout import LayoutProcessor, TextFragment, parse_font_style
 from .objects import Ref, Stream
+
+
+class _PendingActualText:
+    """PendingActualText (extraction.rs:185-209): suppress per-Tj fragment
+    emission inside an /ActualText scope; flush one canonical fragment on
+    the matching EMC."""
+
+    __slots__ = (
+        "text", "first_x", "first_y", "width", "font_size", "font_name",
+        "is_bold", "is_italic", "color", "stack_depth", "populated",
+    )
+
+    def __init__(self, text: str, font_size: float, font_name, color, stack_depth: int):
+        self.text = text
+        self.first_x = 0.0
+        self.first_y = 0.0
+        self.width = 0.0
+        self.font_size = font_size
+        self.font_name = font_name
+        self.is_bold = False
+        self.is_italic = False
+        self.color = color
+        self.stack_depth = stack_depth
+        self.populated = False
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """UTF-16BE w/ BOM else byte-chars (extraction.rs decode_pdf_string)."""
+    if len(raw) >= 2 and raw[0] == 0xFE and raw[1] == 0xFF:
+        body = raw[2 : len(raw) - ((len(raw) - 2) % 2)]
+        return body.decode("utf-16-be", errors="replace")
+    return "".join(chr(b) for b in raw)
+
+
+def _resolve_props(props, page_properties, reader):
+    """BDC props → (mcid, actual_text) (extraction.rs resolve_props:2013)."""
+    kind, val = props
+    if kind == "dict":
+        d = val
+    elif kind == "ref":
+        if not isinstance(page_properties, dict):
+            return (None, None)
+        entry = page_properties.get(val)
+        if reader is not None and isinstance(entry, Ref):
+            entry = reader.resolve(entry)
+        if not isinstance(entry, dict):
+            return (None, None)
+        d = entry
+    else:  # pragma: no cover
+        return (None, None)
+    mcid = d.get("MCID")
+    mcid = mcid if isinstance(mcid, int) and 0 <= mcid <= 0xFFFFFFFF and not isinstance(mcid, bool) else None
+    at = d.get("ActualText")
+    if isinstance(at, bytes):
+        actual = _decode_pdf_string(at)
+    elif isinstance(at, str):
+        actual = at
+    else:
+        actual = None
+    return (mcid, actual)
+
+
+def _innermost_mc_tag(stack) -> tuple[int | None, str | None]:
+    """extraction.rs:2070-2076."""
+    for e in reversed(stack):
+        if e[2] is not None:
+            return (e[2], e[0])
+    return (None, None)
 
 MAX_XOBJECT_DEPTH = 12
 
@@ -50,6 +119,12 @@ class ExtractionOptions:
         "tj_space_threshold",
         "newline_threshold",
         "include_artifacts",
+        "preserve_layout",
+        "sort_by_position",
+        "detect_columns",
+        "column_threshold",
+        "merge_hyphenated",
+        "reconstruct_paragraphs",
     )
 
     def __init__(
@@ -58,11 +133,23 @@ class ExtractionOptions:
         tj_space_threshold: float = 0.2,
         newline_threshold: float = 10.0,
         include_artifacts: bool = False,
+        preserve_layout: bool = False,
+        sort_by_position: bool = True,
+        detect_columns: bool = False,
+        column_threshold: float = 50.0,
+        merge_hyphenated: bool = True,
+        reconstruct_paragraphs: bool = False,
     ):
         self.space_threshold = space_threshold
         self.tj_space_threshold = tj_space_threshold
         self.newline_threshold = newline_threshold
         self.include_artifacts = include_artifacts
+        self.preserve_layout = preserve_layout
+        self.sort_by_position = sort_by_position
+        self.detect_columns = detect_columns
+        self.column_threshold = column_threshold
+        self.merge_hyphenated = merge_hyphenated
+        self.reconstruct_paragraphs = reconstruct_paragraphs
 
 
 def _mul(a, b):
@@ -90,8 +177,10 @@ class _State:
         "font_size",
         "font_name",
         "render_mode",
-        "saved",
-        "mc_stack",  # list of (tag, is_artifact)
+        "fill_color",
+        "saved",  # list of (ctm, fill_color) — SavedGraphicsState
+        "mc_stack",  # list of [tag, is_artifact, mcid, actual_text]
+        "pending_actualtext",
     )
 
     def __init__(self):
@@ -106,8 +195,10 @@ class _State:
         self.font_size = 0.0
         self.font_name: str | None = None
         self.render_mode = 0
+        self.fill_color = None
         self.saved: list[tuple] = []
-        self.mc_stack: list[tuple[str, bool]] = []
+        self.mc_stack: list[list] = []
+        self.pending_actualtext: "_PendingActualText | None" = None
 
     def origin(self) -> tuple[float, float]:
         """text_origin (extraction.rs:1958): (Tm × CTM)(0,0)."""
@@ -115,17 +206,19 @@ class _State:
         return (m[4], m[5])
 
     def in_artifact(self) -> bool:
-        return any(a for _, a in self.mc_stack)
+        return any(e[1] for e in self.mc_stack)
 
 
 class PageExtraction:
-    """Result of one page: interleaved text/image span segments."""
+    """Result of one page: interleaved text/image span segments, plus the
+    positioned fragments when preserve_layout is on."""
 
-    __slots__ = ("spans", "text")
+    __slots__ = ("spans", "text", "fragments")
 
     def __init__(self):
         self.spans: list[tuple[str, str, str | None]] = []  # (kind, text, media_ref)
         self.text = ""
+        self.fragments: list[TextFragment] = []
 
 
 class Interpreter:
@@ -153,6 +246,7 @@ class Interpreter:
         self._inline_idx = 0
         self._total = 0  # total chars accumulated (extracted_text length)
         self._last_char = ""  # last accumulated char, for ends_with(' ')
+        self.fragments: list[TextFragment] = []
 
     def _append(self, s: str) -> None:
         if s:
@@ -175,8 +269,57 @@ class Interpreter:
 
     def finalize(self) -> PageExtraction:
         self._flush_text()
-        self.out.text = "".join(self.text_parts)
+        extracted = "".join(self.text_parts)
+        opts = self.options
+        # layout_finalize sequence (extraction.rs:750-783)
+        proc = LayoutProcessor(opts, self.fonts)
+        fragments, extracted = proc.finalize(
+            self.fragments,
+            extracted,
+            preserve_layout=opts.preserve_layout,
+            sort_by_position=opts.sort_by_position,
+            reconstruct_paragraphs=opts.reconstruct_paragraphs,
+        )
+        self.out.fragments = fragments
+        self.out.text = extracted
         return self.out
+
+    # -- fragment emission (extraction.rs emit_text_fragment:1875-1956) -----
+
+    def _emit_fragment(self, decoded: str, text_width: float, x: float, y: float) -> None:
+        if not decoded:
+            return
+        st = self.state
+        if not self.options.include_artifacts and st.in_artifact():
+            return
+        is_bold, is_italic = (
+            parse_font_style(st.font_name) if st.font_name else (False, False)
+        )
+        combined = _mul(st.text_matrix, st.ctm)
+        x_scale = (combined[0] * combined[0] + combined[1] * combined[1]) ** 0.5
+        y_scale = (combined[2] * combined[2] + combined[3] * combined[3]) ** 0.5
+        eff_width = text_width * x_scale
+        eff_size = st.font_size * y_scale
+        pending = st.pending_actualtext
+        if pending is not None:
+            if not pending.populated:
+                pending.first_x = x
+                pending.first_y = y
+                pending.font_size = eff_size
+                pending.font_name = st.font_name
+                pending.is_bold = is_bold
+                pending.is_italic = is_italic
+                pending.color = st.fill_color
+                pending.populated = True
+            pending.width += eff_width
+            return
+        mcid, struct_tag = _innermost_mc_tag(st.mc_stack)
+        self.fragments.append(
+            TextFragment(
+                decoded, x, y, eff_width, eff_size, eff_size, st.font_name,
+                is_bold, is_italic, st.fill_color, mcid, struct_tag,
+            )
+        )
 
     # -- text helpers ------------------------------------------------------
 
@@ -200,6 +343,8 @@ class Interpreter:
             self._append(decoded)
         info = self.fonts.get(st.font_name) if st.font_name else None
         width = calculate_text_width_from_codes(text_bytes, decoded, st.font_size, info)
+        if self.options.preserve_layout:
+            self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
         self.last_y = y
         tx = width * st.horizontal_scale / 100.0
@@ -218,6 +363,9 @@ class Interpreter:
                 width = calculate_text_width_from_codes(
                     val, decoded, st.font_size, info
                 )
+                if self.options.preserve_layout:
+                    fx, fy = st.origin()
+                    self._emit_fragment(decoded, width, fx, fy)
                 tx = width * st.horizontal_scale / 100.0
                 st.text_matrix = _mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), st.text_matrix)
             else:  # spacing adjustment
@@ -230,6 +378,15 @@ class Interpreter:
                 ):
                     # implicit-space synthesis, no doubling (extraction.rs:976)
                     self._append(" ")
+                    # synthetic single-space fragment so downstream merges see
+                    # the gap as explicit content (extraction.rs:995-1028);
+                    # suppressed while an ActualText run is pending
+                    if (
+                        self.options.preserve_layout
+                        and st.pending_actualtext is None
+                    ):
+                        sx, sy = st.origin()
+                        self._emit_fragment(" ", tx, sx, sy)
                 st.text_matrix = _mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), st.text_matrix)
 
     def _next_line_show(self, text_bytes: bytes) -> None:
@@ -246,6 +403,8 @@ class Interpreter:
             self._append(decoded)
         info = self.fonts.get(st.font_name) if st.font_name else None
         width = calculate_text_width_from_codes(text_bytes, decoded, st.font_size, info)
+        if self.options.preserve_layout:
+            self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
         self.last_y = y
         tx = width * st.horizontal_scale / 100.0
@@ -285,6 +444,7 @@ class Interpreter:
         xres = xres if isinstance(xres, dict) else None
         st = self.state
         saved_ctm = st.ctm
+        saved_fill = st.fill_color
         saved_stack_len = len(st.saved)
         saved_fonts = self.fonts
         matrix = obj.dict.get("Matrix")
@@ -303,6 +463,7 @@ class Interpreter:
         self.run(ops, xres if xres is not None else resources, depth + 1)
         self.in_text = saved_in_text
         st.ctm = saved_ctm
+        st.fill_color = saved_fill
         del st.saved[saved_stack_len:]
         self.fonts = saved_fonts
 
@@ -363,19 +524,62 @@ class Interpreter:
             elif tag == "cm":
                 st.ctm = _mul((op[1], op[2], op[3], op[4], op[5], op[6]), st.ctm)
             elif tag == "q":
-                st.saved.append(st.ctm)
+                st.saved.append((st.ctm, st.fill_color))
             elif tag == "Q":
                 if st.saved:
-                    st.ctm = st.saved.pop()
+                    st.ctm, st.fill_color = st.saved.pop()
             elif tag == "BMC":
                 parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
-                st.mc_stack.append((op[1], op[1] == "Artifact" or parent_artifact))
+                st.mc_stack.append(
+                    [op[1], op[1] == "Artifact" or parent_artifact, None, None]
+                )
             elif tag == "BDC":
                 parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
-                st.mc_stack.append((op[1], op[1] == "Artifact" or parent_artifact))
+                props = op[2]
+                page_properties = None
+                if isinstance(resources, dict):
+                    pp = resources.get("Properties")
+                    if self.reader is not None and isinstance(pp, Ref):
+                        pp = self.reader.resolve(pp)
+                    page_properties = pp if isinstance(pp, dict) else None
+                mcid, actual_text = _resolve_props(props, page_properties, self.reader)
+                if actual_text is not None:
+                    # open a pending run, flushed on the matching EMC
+                    # (innermost-ActualText-wins, extraction.rs:1256-1272)
+                    st.pending_actualtext = _PendingActualText(
+                        actual_text, st.font_size, st.font_name,
+                        st.fill_color, len(st.mc_stack),
+                    )
+                st.mc_stack.append(
+                    [op[1], op[1] == "Artifact" or parent_artifact, mcid, actual_text]
+                )
             elif tag == "EMC":
+                popped_depth = len(st.mc_stack)
                 if st.mc_stack:
                     st.mc_stack.pop()
+                    pending = st.pending_actualtext
+                    if pending is not None and pending.stack_depth + 1 == popped_depth:
+                        st.pending_actualtext = None
+                        if pending.populated and self.options.preserve_layout:
+                            mcid, struct_tag = _innermost_mc_tag(st.mc_stack)
+                            in_artifact = st.in_artifact()
+                            if not in_artifact or self.options.include_artifacts:
+                                self.fragments.append(
+                                    TextFragment(
+                                        pending.text, pending.first_x,
+                                        pending.first_y, pending.width,
+                                        pending.font_size, pending.font_size,
+                                        pending.font_name, pending.is_bold,
+                                        pending.is_italic, pending.color,
+                                        mcid, struct_tag,
+                                    )
+                                )
+            elif tag == "g":
+                st.fill_color = ("gray", op[1])
+            elif tag == "rg":
+                st.fill_color = ("rgb", op[1], op[2], op[3])
+            elif tag == "k":
+                st.fill_color = ("cmyk", op[1], op[2], op[3], op[4])
             elif tag == "Do":
                 self._paint_xobject(op[1], resources, depth)
             elif tag == "BI":

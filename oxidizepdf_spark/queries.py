@@ -281,6 +281,49 @@ FROM n WHERE doc_id % 3 = 0
 """
 
 
+def q_pdf_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout-reconstruction path (A1-A4, SURVEY.md §2.6): extract with
+    preserve_layout + reconstruct_paragraphs. The builder places lines
+    20pt apart at 12pt (gap 8 < 1.5x median height 12), so each page
+    reconstructs to exactly one paragraph whose text joins the page's
+    lines with newlines — recomputable by the oracle from the raw text."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_text_pdf
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(preserve_layout=True, reconstruct_paragraphs=True)
+        for b in batches:
+            out = {"doc_id": [], "n_paragraphs": [], "text": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                pdf = build_text_pdf(
+                    "\n".join(_wrap_lines(norm)), lines_per_page=LINES_PER_PAGE
+                )
+                res = extract_pdf_bytes(pdf, opts)
+                paras = [f for page in res.page_fragments for f in page]
+                out["doc_id"].append(doc_id)
+                out["n_paragraphs"].append(len(paras))
+                out["text"].append(
+                    "\n".join(p.text for p in paras).replace("\n", " ")
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, n_paragraphs int, text string"
+    )
+
+
+ORACLE_PARAGRAPHS = f"""
+SELECT doc_id,
+       CAST(ceil(ceil(len(string_split({NORM_SQL.format(col='text')}, ' ')) / {WORDS_PER_LINE}.0)
+            / {LINES_PER_PAGE}.0) AS INT) AS n_paragraphs,
+       {NORM_SQL.format(col='text')} AS text
+FROM documents
+"""
+
+
 def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image XObject reference capture (S14 reference-capture scope,
     extract_images.rs:195-284): each document becomes a PDF whose content
@@ -1103,6 +1146,7 @@ def build_queries() -> dict:
         "pdf_extract_multipage": _pdf_roundtrip("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip("recovery", with_mode=True),
         "pdf_extract_spans_flat": q_pdf_extract_spans_flat,
+        "pdf_extract_paragraphs": q_pdf_extract_paragraphs,
         "pdf_extract_images": q_pdf_extract_images,
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
         "dedup_exact": q_dedup_exact,
@@ -1135,6 +1179,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_multipage": _pdf_roundtrip_oracle("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip_oracle("recovery", with_mode=True),
         "pdf_extract_spans_flat": ORACLE_SPANS_FLAT,
+        "pdf_extract_paragraphs": ORACLE_PARAGRAPHS,
         "pdf_extract_images": ORACLE_IMAGES,
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
         "dedup_exact": ORACLE_DEDUP_EXACT,
