@@ -30,15 +30,18 @@ import re
 _MASTER = re.compile(
     rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"  # 0: skippable
     rb"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    # fast path: flat literal string (no nesting/escapes) resolved in-regex;
+    # anything trickier falls through to the lstr scanner
+    rb"|(?P<sstr>\([^()\\]*\))"
     rb"|(?P<lstr>\()"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%;]+)"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<dopen><<)"
     rb"|(?P<dclose>>>)"
     rb"|(?P<hstr><[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
     rb"|(?P<aopen>\[)"
     rb"|(?P<aclose>\])"
-    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<skipd>[;){}])"
-    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%;]+)"
 )
 
 _NAME_HEX = re.compile(rb"#([0-9A-Fa-f]{2})")
@@ -153,6 +156,8 @@ def tokenize(data: bytes) -> list[tuple]:
                 push(("num", float(t)))
             else:
                 push(("int", int(t)))
+        elif kind == "sstr":
+            push(("str", m.group("sstr")[1:-1]))
         elif kind == "op":
             op = m.group("op").decode("latin-1")
             push(("op", op))

@@ -1057,6 +1057,52 @@ SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(fp) AS min_fp FROM fps GROUP BY d
 """
 
 
+CHUNK_WORDS = 64
+CHUNK_STRIDE = 48  # 16-word overlap
+
+
+def q_rag_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking (the reference's downstream consumer, SURVEY.md §3.3 —
+    pipeline/hybrid_chunking.rs re-expressed Spark-first): overlapping
+    64-word windows with a 48-word stride, fully JVM-side (sequence +
+    transform + posexplode, no Python)."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n = F.size(words)
+    n_chunks = 1 + F.greatest(
+        F.ceil((n - CHUNK_WORDS) / float(CHUNK_STRIDE)).cast("int"), F.lit(0)
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * CHUNK_STRIDE + 1, CHUNK_WORDS)
+        ),
+    )
+    return d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")).select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+    )
+
+
+ORACLE_RAG_CHUNKS = f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+nch AS (
+  SELECT doc_id, ws,
+         1 + greatest(CAST(ceil((len(ws) - {CHUNK_WORDS}) / {CHUNK_STRIDE}.0) AS INT), 0) AS n_chunks
+  FROM base
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}], ' ') AS chunk,
+       len(ws[i*{CHUNK_STRIDE}+1 : i*{CHUNK_STRIDE}+{CHUNK_WORDS}]) AS n_tokens
+FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
+"""
+
+
 # ---------------------------------------------------------------------------
 # multimodal stub + corpus stats
 # ---------------------------------------------------------------------------
@@ -1159,6 +1205,7 @@ def build_queries() -> dict:
         "text_quality_score": q_text_quality_score,
         "text_token_count": q_text_token_count,
         "doc_fingerprint": q_doc_fingerprint,
+        "rag_chunk_docs": q_rag_chunk_docs,
         "media_stub_features": q_media_stub_features,
         "corpus_events_stats": q_corpus_events_stats,
         "streaming_event_counts": q_streaming_event_counts,
@@ -1192,6 +1239,7 @@ def build_oracles() -> dict[str, str]:
         "text_quality_score": _quality_sql(),
         "text_token_count": ORACLE_TOKEN_COUNT,
         "doc_fingerprint": ORACLE_FINGERPRINT,
+        "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,
