@@ -97,6 +97,7 @@ class CMap:
         "ranges",
         "single",
         "inherited_predefined",
+        "_uni_memo",
     )
 
     def __init__(self, cmap_type: str = "ToUnicode"):
@@ -107,6 +108,10 @@ class CMap:
         self.ranges: list[tuple[bytes, bytes, bytes]] = []
         self.single: dict[bytes, bytes] = {}
         self.inherited_predefined: str | None = None
+        # per-instance (code → unicode|None) memo: glyph codes repeat
+        # massively within a document, and map()+to_unicode() dominate the
+        # real-PDF decode profile without it
+        self._uni_memo: dict[bytes, str | None] = {}
 
     @classmethod
     def identity_h(cls) -> "CMap":
@@ -260,18 +265,21 @@ def decode_with_cmap(text: bytes, cmap: CMap) -> str:
     out: list[str] = []
     i = 0
     n = len(text)
+    memo = cmap._uni_memo
     while i < n:
         decoded = False
         for ln in range(1, min(4, n - i) + 1):
             code = text[i : i + ln]
-            mapped = cmap.map(code)
-            if mapped is not None:
-                uni = cmap.to_unicode(mapped)
-                if uni is not None:
-                    out.append(uni)
-                    i += ln
-                    decoded = True
-                    break
+            uni = memo.get(code, False)
+            if uni is False:
+                mapped = cmap.map(code)
+                uni = cmap.to_unicode(mapped) if mapped is not None else None
+                memo[code] = uni
+            if uni is not None:
+                out.append(uni)
+                i += ln
+                decoded = True
+                break
         if not decoded:
             i += 1
     return "".join(out)

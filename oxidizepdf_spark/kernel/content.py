@@ -27,9 +27,12 @@ from __future__ import annotations
 
 import re
 
+# Leading whitespace/comments are folded into every token match so the
+# finditer sweep yields exactly one match per token (no separate skip
+# matches — they would double the Python-level iteration count).
 _MASTER = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+"  # 0: skippable
-    rb"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # fused skippable prefix
+    rb"(?:(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
     # fast path: flat literal string (no nesting/escapes) resolved in-regex;
     # anything trickier falls through to the lstr scanner
     rb"|(?P<sstr>\([^()\\]*\))"
@@ -41,7 +44,7 @@ _MASTER = re.compile(
     rb"|(?P<hstr><[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
     rb"|(?P<aopen>\[)"
     rb"|(?P<aclose>\])"
-    rb"|(?P<skipd>[;){}])"
+    rb"|(?P<skipd>[;){}]))"
 )
 
 _NAME_HEX = re.compile(rb"#([0-9A-Fa-f]{2})")
@@ -135,55 +138,66 @@ def _read_inline_image_data(data: bytes, pos: int) -> tuple[bytes, int]:
 def tokenize(data: bytes) -> list[tuple]:
     """Tokenize a content stream; best-effort (keeps tokens on tail errors,
     content.rs:941-960). Token kinds: 'int' 'num' 'str' 'hex' 'name'
-    'arr[' 'arr]' 'dict<<' 'dict>>' 'op' 'inline'."""
+    'arr[' 'arr]' 'dict<<' 'dict>>' 'op' 'inline'.
+
+    Bulk pass: ``finditer`` iterates contiguous token runs at C speed; the
+    iterator is only restarted after the two constructs that move the cursor
+    themselves (nested/escaped literal strings, inline-image payloads) —
+    both rare, so nearly the whole stream tokenizes in one sweep."""
     tokens: list[tuple] = []
     push = tokens.append
     pos = 0
     n = len(data)
-    match = _MASTER.match
     while pos < n:
-        m = match(data, pos)
-        if m is None:
-            pos += 1  # unhandled delimiter byte — skip (content.rs:509-514)
-            continue
-        pos = m.end()
-        kind = m.lastgroup
-        if kind is None:
-            continue  # whitespace/comment run
-        if kind == "num":
-            t = m.group("num")
-            if b"." in t:
-                push(("num", float(t)))
-            else:
-                push(("int", int(t)))
-        elif kind == "sstr":
-            push(("str", m.group("sstr")[1:-1]))
-        elif kind == "op":
-            op = m.group("op").decode("latin-1")
-            push(("op", op))
-            if op == "ID":
-                payload, pos = _read_inline_image_data(data, pos)
-                push(("inline", payload))
-        elif kind == "lstr":
-            s, pos = _read_literal_string(data, pos)
-            push(("str", s))
-        elif kind == "hstr":
-            h = m.group("hstr")[1:-1]
-            clean = bytes(c for c in h if c not in _EOL_WS)
-            if len(clean) % 2:
-                clean += b"0"
-            push(("hex", bytes.fromhex(clean.decode("ascii"))))
-        elif kind == "name":
-            push(("name", _decode_name(m.group("name")[1:])))
-        elif kind == "aopen":
-            push(("arr[", None))
-        elif kind == "aclose":
-            push(("arr]", None))
-        elif kind == "dopen":
-            push(("dict<<", None))
-        elif kind == "dclose":
-            push(("dict>>", None))
-        # 'skipd' delimiters are dropped
+        restart = False
+        last_end = pos
+        for m in _MASTER.finditer(data, pos):
+            # bytes between matches are unhandled delimiters — skipped, same
+            # as the reference (content.rs:509-514)
+            last_end = m.end()
+            kind = m.lastgroup
+            if kind is None:
+                continue  # whitespace/comment run
+            if kind == "num":
+                t = m.group("num")
+                if b"." in t:
+                    push(("num", float(t)))
+                else:
+                    push(("int", int(t)))
+            elif kind == "sstr":
+                push(("str", m.group("sstr")[1:-1]))
+            elif kind == "op":
+                op = m.group("op").decode("latin-1")
+                push(("op", op))
+                if op == "ID":
+                    payload, pos = _read_inline_image_data(data, last_end)
+                    push(("inline", payload))
+                    restart = True
+                    break
+            elif kind == "lstr":
+                s, pos = _read_literal_string(data, last_end)
+                push(("str", s))
+                restart = True
+                break
+            elif kind == "hstr":
+                h = m.group("hstr")[1:-1]
+                clean = bytes(c for c in h if c not in _EOL_WS)
+                if len(clean) % 2:
+                    clean += b"0"
+                push(("hex", bytes.fromhex(clean.decode("ascii"))))
+            elif kind == "name":
+                push(("name", _decode_name(m.group("name")[1:])))
+            elif kind == "aopen":
+                push(("arr[", None))
+            elif kind == "aclose":
+                push(("arr]", None))
+            elif kind == "dopen":
+                push(("dict<<", None))
+            elif kind == "dclose":
+                push(("dict>>", None))
+            # 'skipd' delimiters are dropped
+        if not restart:
+            break
     return tokens
 
 

@@ -1,0 +1,99 @@
+"""Golden real-PDF parity: run the engine on the reference's own fixture
+PDFs (read-only inputs at /root/reference/oxidize-pdf-core/tests/fixtures/)
+and assert the SAME expectations the reference's tests assert on them
+(extraction_boe_identity_h_test.rs, content_tokenizer_hang_test.rs, ...).
+
+These exercise real-world producers: multi-thousand-object files, Identity-H
+CID fonts with ToUnicode CMaps, object streams, DCT images, incremental
+updates — none of which our synthetic builders fully replicate.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+FIXTURES = "/root/reference/oxidize-pdf-core/tests/fixtures"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FIXTURES), reason="reference fixtures unavailable"
+)
+
+
+def _extract(name):
+    with open(os.path.join(FIXTURES, name), "rb") as f:
+        return extract_pdf_bytes(f.read())
+
+
+def _text(res):
+    return "\n".join(s[1] for s in res.spans if s[0] == "text")
+
+
+def test_cold_email_hacks_full_book():
+    res = _extract("Cold_Email_Hacks.pdf")
+    assert res.error is None and res.mode == "strict"
+    assert res.n_pages == 44
+    text = _text(res)
+    # title-page content (PDF uses zero-width joiners between words)
+    flat = text.replace("​", "")
+    assert "Cold Email" in flat.replace("\n", " ")
+    assert "Steli" in flat
+    assert len(text) > 50_000
+
+
+def test_boe_identity_h_decodes_spanish_headings():
+    """extraction_boe_identity_h_test.rs:38-77 — Identity-H + ToUnicode must
+    decode real CIDs, and the pre-fix glyph-index garbage must not appear."""
+    res = _extract("issue_272_boe_sumario_2025_01_15.pdf")
+    assert res.error is None
+    text = _text(res)
+    assert "MINISTERIO" in text
+    assert "DISPOSICIONES" in text
+    assert " 0 , 1 , 6 7" not in text
+
+
+def test_higgs_arxiv_paper():
+    """issue_272 fixture: 38-page physics paper, dense kerned text + 245
+    image XObjects."""
+    res = _extract("issue_272_higgs_arxiv_1207_7214.pdf")
+    assert res.error is None
+    assert res.n_pages == 38
+    text = _text(res)
+    assert "Higgs" in text
+    assert sum(1 for s in res.spans if s[0] == "image") > 100
+
+
+def test_hang_fixtures_terminate():
+    """content_tokenizer_hang_test.rs: these crafted files must terminate
+    quickly rather than hang the tokenizer."""
+    res = _extract("hang_5kb_1page.pdf")
+    assert res.spans is not None
+    res = _extract("hang_4mb_10kpages.pdf")
+    assert res.spans is not None
+
+
+def test_encrypted_fixtures_detected():
+    for name in (
+        "encrypted_rc4_128bit.pdf",
+        "encrypted_aes256_r6_user.pdf",
+        "encrypted_pypdf_aes256_empty.pdf",
+    ):
+        res = _extract(name)
+        assert res.error == "encrypted", name
+
+
+def test_pages_tree_refs():
+    res = _extract("Pages-tree-refs.pdf")
+    assert res.error is None
+    assert res.n_pages == 1
+    assert len(_text(res)) > 0
+
+
+def test_poppler_corpus_samples_graceful():
+    # corrupt/adversarial poppler samples must degrade, never raise
+    for name in ("poppler-67295-0.pdf", "poppler-85140-0.pdf"):
+        res = _extract(name)
+        assert res.spans is not None
