@@ -52,8 +52,9 @@ def extract_pdf_bytes(
     res = DocResult()
     res.bytes_in = len(data)
     options = options or ExtractionOptions()
+    strict = options.error_mode == "strict"
     try:
-        reader = PdfReader(data)
+        reader = PdfReader(data, lenient=not strict)
     except EncryptedPdfError:
         res.error = "encrypted"
         return res
@@ -87,8 +88,13 @@ def extract_pdf_bytes(
             res.page_fragments.append(out.fragments)
             res.page_texts.append(out.text)
         except Exception as e:
-            # tolerant mode: a bad page degrades, never aborts the document
-            res.error = f"page{idx}:{type(e).__name__}:{e}"
+            if strict:
+                # strict tier: a bad page fails the document
+                res.error = f"page{idx}:{type(e).__name__}:{e}"
+                return res
+            if options.error_mode != "skip":
+                # tolerant: degrade, record error-as-data, keep going
+                res.error = f"page{idx}:{type(e).__name__}:{e}"
             continue
     return res
 

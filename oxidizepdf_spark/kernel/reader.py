@@ -37,6 +37,7 @@ class PdfReader:
         "xref",
         "trailer",
         "mode",
+        "lenient",
         "_cache",
         "_objstm_cache",
         "_resolving",
@@ -44,6 +45,7 @@ class PdfReader:
 
     def __init__(self, data: bytes, lenient: bool = True):
         self.data = data
+        self.lenient = lenient
         if not data:
             raise PdfParseError("empty file")
         self.version = self._parse_header()
@@ -51,9 +53,14 @@ class PdfReader:
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._resolving: set = set()
         entries, trailer, mode = parse_xref_chain(data, self)
+        if not lenient and mode != "strict":
+            # strict tier (ParseOptions::strict): no brute-force recovery
+            raise PdfParseError("xref unresolvable (strict mode)")
         # Validate the trailer points somewhere sane; else recovery scan
         # (reader.rs:341-347 validate; xref.rs:1050 recovery).
         if "Root" not in trailer:
+            if not lenient:
+                raise PdfParseError("missing /Root (strict mode)")
             entries, trailer, mode = recover_xref(data)
         self.xref = entries
         self.trailer = trailer
@@ -102,8 +109,14 @@ class PdfReader:
                 try:
                     pnum, pgen, obj = self.parse_indirect_object_at(offset)
                     if pnum != num:
+                        if not self.lenient:
+                            raise PdfParseError(
+                                f"xref offset for obj {num} points at obj {pnum}"
+                            )
                         obj = self._rescan_for(num)
                 except PdfParseError:
+                    if not self.lenient:
+                        raise  # strict tier: structural anomalies propagate
                     obj = self._rescan_for(num)
             elif kind == "c":
                 obj = self._get_compressed_object(num, entry[1], entry[2])
@@ -157,6 +170,10 @@ class PdfReader:
                 if after.startswith(b"endstream"):
                     raw = data[pos:cand_end]
             if raw is None:
+                if not self.lenient:
+                    raise PdfParseError(
+                        "stream /Length mismatch (strict mode)"
+                    )
                 # lenient: declared length wrong/absent — search endstream
                 es = data.find(b"endstream", pos)
                 if es < 0:

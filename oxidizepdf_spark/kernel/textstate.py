@@ -125,6 +125,7 @@ class ExtractionOptions:
         "column_threshold",
         "merge_hyphenated",
         "reconstruct_paragraphs",
+        "error_mode",
     )
 
     def __init__(
@@ -139,6 +140,7 @@ class ExtractionOptions:
         column_threshold: float = 50.0,
         merge_hyphenated: bool = True,
         reconstruct_paragraphs: bool = False,
+        error_mode: str = "tolerant",  # 'strict' | 'tolerant' | 'skip'
     ):
         self.space_threshold = space_threshold
         self.tj_space_threshold = tj_space_threshold
@@ -150,6 +152,12 @@ class ExtractionOptions:
         self.column_threshold = column_threshold
         self.merge_hyphenated = merge_hyphenated
         self.reconstruct_paragraphs = reconstruct_paragraphs
+        # error tiers mirror ParseOptions (parser/mod.rs:208-324):
+        # strict — structural anomalies are errors (no recovery scan, no
+        #          lenient stream lengths, a bad page fails the document)
+        # tolerant — recover what can be recovered, record error-as-data
+        # skip — like tolerant but bad pages are silently skipped
+        self.error_mode = error_mode
 
 
 def _mul(a, b):

@@ -704,6 +704,122 @@ WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= {JACCARD_THRESHOLD}
 """
 
 
+# embedding near-dup: random-hyperplane LSH + exact cosine verify -----------
+
+import random as _random
+
+EMB_DIM = 64
+HP_BITS = 16
+HP_BANDS = 4
+EMB_COS_THRESHOLD = 0.4
+
+_hp_rng = _random.Random(7)
+_HYPERPLANES = [
+    [round(_hp_rng.uniform(-1.0, 1.0), 6) for _ in range(EMB_DIM)]
+    for _ in range(HP_BITS)
+]
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: 16-bit random-hyperplane signatures →
+    4-band LSH bucket join for candidates → exact cosine verify ≥ 0.4.
+    The hyperplanes are deterministic literals shared with the oracle; the
+    candidate join shuffles only (vec_id, band_sig) — the 10^12-scale path
+    (brute-force pairing is quadratic and impossible)."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(_HYPERPLANES):
+        plane_col = F.array(*[F.lit(v) for v in plane])
+        dot = F.aggregate(
+            F.zip_with(emb_d, plane_col, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    signed = e.select("vec_id", "embedding", sig.alias("sig")).persist()
+    bits_per_band = HP_BITS // HP_BANDS
+    bands = None
+    for b in range(HP_BANDS):
+        mask = ((1 << bits_per_band) - 1) << (b * bits_per_band)
+        part = signed.select(
+            "vec_id",
+            F.lit(b).alias("band"),
+            F.expr(f"sig & {mask}").alias("band_sig"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.band_sig") == F.col("b.band_sig"),
+                F.col("a.vec_id") < F.col("b.vec_id"),
+            ],
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = signed.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    eb = signed.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    verified = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(_cos_spark(F.col("va"), F.col("vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= EMB_COS_THRESHOLD)
+    )
+    return verified
+
+
+def _emb_cosine_oracle() -> str:
+    plane_literals = ",\n    ".join(
+        "[" + ", ".join(f"{v}" for v in plane) + "]::DOUBLE[]"
+        for plane in _HYPERPLANES
+    )
+    bits_per_band = HP_BITS // HP_BANDS
+    masks = [((1 << bits_per_band) - 1) << (b * bits_per_band) for b in range(HP_BANDS)]
+    band_sel = "\nUNION ALL\n".join(
+        f"SELECT vec_id, {b} AS band, sig & {m} AS band_sig FROM signed"
+        for b, m in enumerate(masks)
+    )
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, p[{p + 1}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(HP_BITS)
+    )
+    return f"""
+WITH planes AS (SELECT [
+    {plane_literals}
+  ] AS p),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+signed AS (
+  SELECT vec_id, v, {sig_terms} AS sig FROM e, planes
+),
+bands AS (
+{band_sel}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       ROUND(list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+             6) AS cos
+FROM cand
+JOIN signed ea ON ea.vec_id = vec_a
+JOIN signed eb ON eb.vec_id = vec_b
+WHERE list_dot_product(ea.v, eb.v) /
+      (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))
+      >= {EMB_COS_THRESHOLD}
+"""
+
+
 # ---------------------------------------------------------------------------
 # similarity search (ANN) over embeddings
 # ---------------------------------------------------------------------------
@@ -1138,6 +1254,45 @@ FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
 """
 
 
+def q_media_fake_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction through the full binary pipeline
+    (multimodal.extract_media_features over a synthesized media table):
+    the stub 'encoder' is md5-derived so the oracle can recompute every
+    embedding dimension from the source text."""
+    from .multimodal import extract_media_features, synth_media_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
+    feats = extract_media_features(media, dims=4)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "n_bytes",
+        *[
+            F.round(F.element_at("fake_embedding", i + 1).cast("double"), 6).alias(
+                f"e{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
+def _media_fake_emb_oracle() -> str:
+    norm = NORM_SQL.format(col="text")
+    dims = ",\n       ".join(
+        f"ROUND(CAST(('0x' || substr(md5('{i}:' || {norm}), 1, 8)) AS UBIGINT)"
+        f" / 4294967296.0, 6) AS e{i}"
+        for i in range(4)
+    )
+    return f"""
+SELECT doc_id,
+       'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+       length({norm}) AS n_bytes,
+       {dims}
+FROM documents
+"""
+
+
 def q_corpus_events_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level aggregates (SURVEY.md A6): per event_type counts, value
     sums, distinct users. (At 10^12 scale distinct→approx_count_distinct;
@@ -1199,6 +1354,7 @@ def build_queries() -> dict:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_language_id": q_text_language_id,
@@ -1207,6 +1363,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
         "media_stub_features": q_media_stub_features,
+        "media_fake_embeddings": q_media_fake_embeddings,
         "corpus_events_stats": q_corpus_events_stats,
         "streaming_event_counts": q_streaming_event_counts,
     }
@@ -1233,6 +1390,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": ORACLE_SIMHASH,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_embedding_cosine": _emb_cosine_oracle(),
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "text_language_id": _langid_sql(),
@@ -1241,6 +1399,7 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "media_stub_features": ORACLE_MEDIA_STUB,
+        "media_fake_embeddings": _media_fake_emb_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,
     }

@@ -229,3 +229,31 @@ def test_scan_object_headers_last_wins():
     data = b"1 0 obj <<>> endobj ... 1 0 obj <<>> endobj"
     found = scan_object_headers(data)
     assert found[1][1] == data.rindex(b"1 0 obj")
+
+
+# -- error tiers (ParseOptions strict/tolerant/skip, mod.rs:208-324) ----------
+
+
+def test_error_mode_strict_rejects_corrupt_xref():
+    from oxidizepdf_spark.corpus import structural_cases
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    x10 = next(c for c in structural_cases() if c[0] == "X10")[1]
+    tolerant = extract_pdf_bytes(x10)
+    assert tolerant.error is None and tolerant.mode == "recovered"
+    strict = extract_pdf_bytes(x10, ExtractionOptions(error_mode="strict"))
+    assert strict.error is not None and "strict" in strict.error
+
+
+def test_error_mode_strict_rejects_length_mismatch():
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (Hello World) Tj ET", length_delta=-4
+    )
+    assert extract_pdf_bytes(pdf).spans == [("text", "Hello World", None)]
+    strict = extract_pdf_bytes(pdf, ExtractionOptions(error_mode="strict"))
+    assert strict.error is not None

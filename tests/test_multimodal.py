@@ -1,0 +1,79 @@
+"""Multimodal plumbing tests: binary columns, Arrow batch shapes, stubbed
+decode/resize/frame-sample determinism."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from oxidizepdf_spark.table_io import get_spark
+
+    s = get_spark(app_name="pytest-mm", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+def _media(spark):
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.multimodal import synth_media_table
+    from oxidizepdf_spark.queries import norm_col
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", norm_col("text").alias("norm")
+    )
+    return synth_media_table(spark, docs)
+
+
+def test_media_features_schema_and_determinism(spark):
+    from oxidizepdf_spark.multimodal import extract_media_features, fake_embedding
+
+    media = _media(spark)
+    feats = extract_media_features(media)
+    rows = {(r["doc_id"], r["media_ref"]): r for r in feats.collect()}
+    assert len(rows) == media.count()
+    # deterministic: recompute one row's features locally
+    sample = media.where("media_type = 'image'").limit(1).collect()[0]
+    key = (sample["doc_id"], sample["media_ref"])
+    payload = bytes(sample["payload"])
+    assert rows[key]["sha1"] == hashlib.sha1(payload).hexdigest()
+    emb = [round(float(x), 6) for x in rows[key]["fake_embedding"]]
+    assert emb == [round(v, 6) for v in fake_embedding(payload)]
+    assert rows[key]["decoder"] == "stub"
+    assert rows[key]["n_bytes"] == len(payload)
+
+
+def test_frame_sampling_video_rows_only(spark):
+    from oxidizepdf_spark.multimodal import sample_frames
+
+    media = _media(spark)
+    frames = sample_frames(media, every_ms=1000)
+    got = frames.collect()
+    assert all(r["media_ref"].startswith("media://vid/") for r in got)
+    # duration 3000-7000ms at 1000ms stride → 3-7 frames per video
+    by_ref = {}
+    for r in got:
+        by_ref.setdefault(r["media_ref"], []).append(r["frame_idx"])
+    for ref, idxs in by_ref.items():
+        assert sorted(idxs) == list(range(len(idxs)))
+        assert 3 <= len(idxs) <= 7
+
+
+def test_decode_and_resize_stubs_deterministic():
+    from oxidizepdf_spark.multimodal import decode_image_stub, resize_image_stub
+
+    d1 = decode_image_stub(b"payload-bytes", {"width": 10, "height": 20})
+    d2 = decode_image_stub(b"payload-bytes", {"width": 10, "height": 20})
+    assert d1 == d2
+    assert d1["width"] == 10 and d1["height"] == 20
+    # no metadata → dimensions derived deterministically from the bytes
+    d3 = decode_image_stub(b"payload-bytes", None)
+    assert 1 <= d3["width"] <= 1024
+    r1 = resize_image_stub(b"x" * 1000, (32, 32))
+    assert r1 == resize_image_stub(b"x" * 1000, (32, 32))
+    assert r1[:8] == (32).to_bytes(4, "big") + (32).to_bytes(4, "big")
