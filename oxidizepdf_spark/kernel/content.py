@@ -148,52 +148,59 @@ def tokenize(data: bytes) -> list[tuple]:
     push = tokens.append
     pos = 0
     n = len(data)
+    gi = _MASTER.groupindex
+    NUM, SSTR, OP, LSTR, HSTR, NAME = (
+        gi["num"], gi["sstr"], gi["op"], gi["lstr"], gi["hstr"], gi["name"],
+    )
+    AOPEN, ACLOSE, DOPEN, DCLOSE = (
+        gi["aopen"], gi["aclose"], gi["dopen"], gi["dclose"],
+    )
     while pos < n:
         restart = False
-        last_end = pos
         for m in _MASTER.finditer(data, pos):
             # bytes between matches are unhandled delimiters — skipped, same
-            # as the reference (content.rs:509-514)
-            last_end = m.end()
-            kind = m.lastgroup
+            # as the reference (content.rs:509-514). Dispatch on the integer
+            # group index (lastindex): faster than the name lookup, and
+            # m.end() is only needed on the two restart branches.
+            kind = m.lastindex
             if kind is None:
                 continue  # whitespace/comment run
-            if kind == "num":
-                t = m.group("num")
+            if kind == NUM:
+                t = m.group(NUM)
                 if b"." in t:
                     push(("num", float(t)))
                 else:
                     push(("int", int(t)))
-            elif kind == "sstr":
-                push(("str", m.group("sstr")[1:-1]))
-            elif kind == "op":
-                op = m.group("op").decode("latin-1")
+            elif kind == SSTR:
+                push(("str", m.group(SSTR)[1:-1]))
+            elif kind == OP:
+                op = m.group(OP).decode("latin-1")
                 push(("op", op))
                 if op == "ID":
-                    payload, pos = _read_inline_image_data(data, last_end)
+                    payload, pos = _read_inline_image_data(data, m.end())
                     push(("inline", payload))
                     restart = True
                     break
-            elif kind == "lstr":
-                s, pos = _read_literal_string(data, last_end)
+            elif kind == LSTR:
+                s, pos = _read_literal_string(data, m.end())
                 push(("str", s))
                 restart = True
                 break
-            elif kind == "hstr":
-                h = m.group("hstr")[1:-1]
+            elif kind == HSTR:
+                h = m.group(HSTR)[1:-1]
                 clean = bytes(c for c in h if c not in _EOL_WS)
                 if len(clean) % 2:
                     clean += b"0"
                 push(("hex", bytes.fromhex(clean.decode("ascii"))))
-            elif kind == "name":
-                push(("name", _decode_name(m.group("name")[1:])))
-            elif kind == "aopen":
+            elif kind == NAME:
+                push(("name", _decode_name(m.group(NAME)[1:])))
+            elif kind == AOPEN:
                 push(("arr[", None))
-            elif kind == "aclose":
+            elif kind == ACLOSE:
                 push(("arr]", None))
-            elif kind == "dopen":
+            elif kind == DOPEN:
                 push(("dict<<", None))
-            elif kind == "dclose":
+            elif kind == DCLOSE:
                 push(("dict>>", None))
             # 'skipd' delimiters are dropped
         if not restart:
