@@ -192,9 +192,20 @@ def decode_text_with_font(text: bytes, info: FontInfo) -> str | None:
         desc = info.descendant_font
         if desc.to_unicode is not None:
             return decode_text_with_font(text, desc)
-        # CJK CID collections descoped; Identity-H/V falls through to the
-        # descendant's encoding-based decode, matching the reference when
-        # no collection table is available.
+        # CID→Unicode collection path (extraction_cmap.rs:594-611): tables
+        # register at runtime (cid_tables.py — broadcast variables in the
+        # Spark layer); absent tables fall through to the descendant's
+        # encoding decode, same as the reference.
+        from .cid_tables import decode_with_cid_table, from_ordering
+
+        ordering = desc.cid_ordering or info.cid_ordering
+        coll = from_ordering(ordering)
+        if coll is not None:
+            result = decode_with_cid_table(text, coll)
+            if result and not all(
+                ord(c) < 0x20 or ord(c) == 0x7F for c in result
+            ):
+                return result
         return decode_text_with_font(text, desc)
     return _decode_with_encoding(text, info)
 

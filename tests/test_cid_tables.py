@@ -1,0 +1,64 @@
+"""CID-collection mechanism tests (J3 broadcast path, cid_to_unicode.rs)."""
+
+from __future__ import annotations
+
+from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+from oxidizepdf_spark.kernel.cid_tables import (
+    CidCollection,
+    decode_with_cid_table,
+    from_ordering,
+    register_collection,
+)
+from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+
+def test_collection_lookup_and_fffd():
+    coll = CidCollection("TestOrd", {1: ord("你"), 2: ord("好"), 500: ord("!")})
+    assert coll.cid_to_unicode(1) == "你"
+    assert coll.cid_to_unicode(500) == "!"
+    assert coll.cid_to_unicode(3) is None
+    # 2-byte BE walk: known, unknown(→U+FFFD), CID 0 (dropped)
+    text = b"\x00\x01\x00\x03\x00\x00\x00\x02"
+    assert decode_with_cid_table(text, coll) == "你�好"
+
+
+def test_from_ordering_unregistered_is_none():
+    assert from_ordering("NoSuchCollection") is None
+    assert from_ordering(None) is None
+
+
+def test_type0_cid_collection_end_to_end():
+    """Identity-H Type0 font with NO ToUnicode but a registered CID
+    collection for its CIDSystemInfo ordering decodes through the table
+    (extraction_cmap.rs:594-611 path)."""
+    register_collection(
+        CidCollection("PyTestCJK", {0x48: ord("H"), 0x69: ord("i")})
+    )
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Dummy /Encoding /Identity-H "
+        b"/DescendantFonts [9 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Dummy "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (PyTestCJK) "
+        b"/Supplement 0 >> >>"
+    )
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td <00480069> Tj ET",
+        font_obj=font,
+        extra_objects={9: desc},
+    )
+    res = extract_pdf_bytes(pdf)
+    assert res.spans == [("text", "Hi", None)]
+
+
+def test_broadcast_roundtrip_arrays():
+    from oxidizepdf_spark.kernel import cid_tables
+
+    register_collection(CidCollection("BCast", {7: ord("Z")}))
+    payload = {
+        name: (c._cids, c._unis) for name, c in cid_tables._REGISTRY.items()
+    }
+    cid_tables._REGISTRY.pop("BCast")
+    cid_tables.register_from_arrays(payload)
+    assert from_ordering("BCast").cid_to_unicode(7) == "Z"
