@@ -141,7 +141,9 @@ def main() -> None:
         sf_num = float(sf)
     except ValueError:
         sf_num = 0.1
-    n_docs = args.n_docs or max(2000, int(200_000 * sf_num))
+    # headline corpus sized so the 32-core leg runs seconds of kernel work
+    # (fixed scheduler/py-worker overheads otherwise dominate the number)
+    n_docs = args.n_docs or max(2000, int(500_000 * sf_num))
 
     from oxidizepdf_spark import queries as Q
     from oxidizepdf_spark.table_io import get_spark
@@ -193,7 +195,7 @@ def main() -> None:
 
     if args.scaling:
         n_small = max(4, args.cpus // 4)
-        scale_docs = max(1000, n_docs * 3)
+        scale_docs = max(1000, n_docs * 3)  # 4N leg must be compute-bound
         legs = {}
         for label, k in (("N", n_small), ("4N", args.cpus)):
             s = get_spark(
