@@ -33,6 +33,7 @@ def build_pdf_with_content_stream(
     font_obj: bytes | None = None,
     indirect_length: bool = False,
     length_delta: int = 0,
+    info: dict[str, str] | None = None,
 ) -> bytes:
     """Minimal 1-page PDF, /F1 Helvetica, classic xref
     (synthetic_pdf.rs:23-71 layout).
@@ -44,6 +45,8 @@ def build_pdf_with_content_stream(
     (e.g. ``/XObject << /Im1 6 0 R >>`` inside /Resources needs page_extra).
     ``indirect_length``: /Length as ``7 0 R`` with object 7 = the int.
     ``length_delta``: corrupt the declared /Length by this much (X11).
+    ``info``: document-information dictionary (Title/Author/...), written
+    as object 20 and referenced from the trailer /Info key.
     """
     extra_objects = dict(extra_objects or {})
     encoded, filter_clause = _encode_content(content, content_filter)
@@ -81,8 +84,19 @@ def build_pdf_with_content_stream(
         obj(7, b"%d" % declared_len)
     for num, body in sorted(extra_objects.items()):
         obj(num, body)
+    if info:
+        body = b"<< " + b" ".join(
+            b"/%s (%s)" % (k.encode("latin-1"), escape_pdf_string(v))
+            for k, v in sorted(info.items())
+        ) + b" >>"
+        obj(20, body)
 
-    max_obj = max([5] + ([7] if indirect_length else []) + list(extra_objects))
+    max_obj = max(
+        [5]
+        + ([7] if indirect_length else [])
+        + ([20] if info else [])
+        + list(extra_objects)
+    )
     xref_off = len(out)
     out.extend(b"xref\n0 %d\n" % (max_obj + 1))
     out.extend(b"0000000000 65535 f \n")
@@ -90,9 +104,10 @@ def build_pdf_with_content_stream(
         off = offsets.get(num, 0)
         kind = b"n" if num in offsets else b"f"
         out.extend(b"%010d 00000 %s \n" % (off, kind))
+    info_entry = b" /Info 20 0 R" if info else b""
     out.extend(
-        b"trailer\n<< /Size %d /Root 1 0 R >>\nstartxref\n%d\n%%%%EOF\n"
-        % (max_obj + 1, xref_off)
+        b"trailer\n<< /Size %d /Root 1 0 R%s >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max_obj + 1, info_entry, xref_off)
     )
     return bytes(out)
 

@@ -99,6 +99,40 @@ def extract_pdf_bytes(
     return res
 
 
+def extract_metadata(data: bytes) -> dict:
+    """Document metadata (reference: PdfDocument metadata accessors over the
+    trailer /Info dict, document.rs): returns {version, n_pages, title,
+    author, subject, producer, creator, error}. Strings decode per the PDF
+    text-string rules (UTF-16BE BOM else PDFDoc bytes)."""
+    from .textstate import _decode_pdf_string
+
+    out = {
+        "version": None, "n_pages": 0, "title": None, "author": None,
+        "subject": None, "producer": None, "creator": None, "error": None,
+    }
+    try:
+        reader = PdfReader(data)
+        out["version"] = f"{reader.version[0]}.{reader.version[1]}"
+        out["n_pages"] = len(flatten_page_tree(reader))
+        info = reader.resolve(reader.trailer.get("Info"))
+        if isinstance(info, dict):
+            for key, col in (
+                ("Title", "title"), ("Author", "author"),
+                ("Subject", "subject"), ("Producer", "producer"),
+                ("Creator", "creator"),
+            ):
+                v = reader.resolve(info.get(key))
+                if isinstance(v, bytes):
+                    out[col] = _decode_pdf_string(v)
+                elif isinstance(v, str):
+                    out[col] = str(v)
+    except EncryptedPdfError:
+        out["error"] = "encrypted"
+    except PdfParseError as e:
+        out["error"] = f"parse:{e}"
+    return out
+
+
 def decode_raw_payload(text: str) -> bytes:
     """Input-table payload decoding (FIXTURES.md §1.1): latin-1 text, or
     base85 with the ``b85:`` prefix for true-binary PDFs."""

@@ -281,6 +281,52 @@ FROM n WHERE doc_id % 3 = 0
 """
 
 
+def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-information extraction (trailer /Info dict → title/author/
+    producer + version + page count), oracle-recomputable since the builder
+    derives the Info fields from table columns."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "source", norm_col("text").alias("norm")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.extract import extract_metadata
+
+        for b in batches:
+            out = {
+                "doc_id": [], "title": [], "author": [],
+                "version": [], "n_pages": [],
+            }
+            for doc_id, source, norm in zip(b["doc_id"], b["source"], b["norm"]):
+                content = b"BT /F1 12 Tf 100 700 Td (%s) Tj ET" % escape_pdf_string(
+                    norm[:40]
+                )
+                pdf = build_pdf_with_content_stream(
+                    content,
+                    info={"Title": f"Doc {doc_id}", "Author": str(source)},
+                )
+                m = extract_metadata(pdf)
+                out["doc_id"].append(doc_id)
+                out["title"].append(m["title"])
+                out["author"].append(m["author"])
+                out["version"].append(m["version"])
+                out["n_pages"].append(m["n_pages"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, title string, author string, version string, n_pages int",
+    )
+
+
+ORACLE_METADATA = """
+SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, source AS author,
+       '1.4' AS version, 1 AS n_pages
+FROM documents
+"""
+
+
 def q_pdf_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Layout-reconstruction path (A1-A4, SURVEY.md §2.6): extract with
     preserve_layout + reconstruct_paragraphs. The builder places lines
@@ -1347,6 +1393,7 @@ def build_queries() -> dict:
         "pdf_extract_multipage": _pdf_roundtrip("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip("recovery", with_mode=True),
         "pdf_extract_spans_flat": q_pdf_extract_spans_flat,
+        "pdf_extract_metadata": q_pdf_extract_metadata,
         "pdf_extract_paragraphs": q_pdf_extract_paragraphs,
         "pdf_extract_images": q_pdf_extract_images,
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
@@ -1383,6 +1430,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_multipage": _pdf_roundtrip_oracle("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip_oracle("recovery", with_mode=True),
         "pdf_extract_spans_flat": ORACLE_SPANS_FLAT,
+        "pdf_extract_metadata": ORACLE_METADATA,
         "pdf_extract_paragraphs": ORACLE_PARAGRAPHS,
         "pdf_extract_images": ORACLE_IMAGES,
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,

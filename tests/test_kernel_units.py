@@ -257,3 +257,25 @@ def test_error_mode_strict_rejects_length_mismatch():
     assert extract_pdf_bytes(pdf).spans == [("text", "Hello World", None)]
     strict = extract_pdf_bytes(pdf, ExtractionOptions(error_mode="strict"))
     assert strict.error is not None
+
+
+def test_extract_metadata_info_dict():
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_metadata
+
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (Hello) Tj ET",
+        info={"Title": "My (Test) Doc", "Author": "A. Writer"},
+    )
+    m = extract_metadata(pdf)
+    assert m["title"] == "My (Test) Doc"
+    assert m["author"] == "A. Writer"
+    assert m["version"] == "1.4" and m["n_pages"] == 1 and m["error"] is None
+    # UTF-16BE BOM title decodes per the PDF text-string rules
+    pdf2 = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (X) Tj ET", info={}
+    )
+    m2 = extract_metadata(pdf2)
+    assert m2["title"] is None and m2["n_pages"] == 1
+    m3 = extract_metadata(b"not a pdf")
+    assert m3["error"] is not None
