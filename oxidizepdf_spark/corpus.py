@@ -417,6 +417,33 @@ def build_pdf_multipage_texts(page_texts: list[str]) -> bytes:
     return assemble_pdf(objects)
 
 
+def build_html_doc(text: str, with_image: bool = False) -> str:
+    """Wrap ``text`` (one <p> per line) in realistic boilerplate — nav,
+    class-hinted sidebar, header, ad block, link farm, footer, script —
+    so main-content extraction must strip everything but the paragraphs
+    (north_rule: HTML boilerplate strip / DOM heuristics)."""
+    paras = "\n".join(f"<p>{_esc_html(ln)}</p>" for ln in text.split("\n"))
+    img = '<img src="media://img/inline1.png">' if with_image else ""
+    return f"""<!DOCTYPE html><html><head><title>t</title>
+<script>var tracking = true;</script><style>.x{{color:red}}</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>
+<header><h1>Site Title Banner</h1></header>
+<div class="sidebar"><ul><li>Sponsored one</li><li>Sponsored two</li></ul></div>
+<main>
+{paras}
+{img}
+<div class="ad-banner">Great deals click here now</div>
+<p><a href="1">more</a> <a href="2">links</a> <a href="3">nav</a></p>
+</main>
+<footer>copyright footer text here</footer>
+</body></html>"""
+
+
+def _esc_html(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
 # ---------------------------------------------------------------------------
 # case matrix: (case_id, pdf_bytes, expected spans [(kind, text, media_ref)])
 # ---------------------------------------------------------------------------

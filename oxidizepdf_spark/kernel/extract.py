@@ -148,9 +148,10 @@ def extract_document_spans(
     """One interleaved input document → output span sequence + metrics.
 
     ``in_spans``: ordered (kind, text, media_ref) from the input table.
-    - kind='raw_pdf' → parse + extract, splicing the PDF's span sequence
-    - kind='text'    → passthrough at position
-    - kind='media'   → passthrough at position
+    - kind='raw_pdf'  → parse + extract, splicing the PDF's span sequence
+    - kind='raw_html' → boilerplate-strip main-content extraction (html leg)
+    - kind='text'     → passthrough at position
+    - kind='media'    → passthrough at position
     Returns (spans_with_offset, metrics_dict).
     """
     out: list[tuple[str, str, str | None]] = []
@@ -167,6 +168,12 @@ def extract_document_spans(
                 meta["ok"] = False
                 meta["error"] = r.error
             out.extend(r.spans)
+        elif kind == "raw_html":
+            from .html_extract import extract_html_spans
+
+            html_spans = extract_html_spans(text or "")
+            meta["bytes_in"] += len(text or "")
+            out.extend(html_spans)
         elif kind == "text":
             out.append(("text", text or "", None))
         elif kind == "media":

@@ -281,6 +281,45 @@ FROM n WHERE doc_id % 3 = 0
 """
 
 
+def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML leg of the north_rule (boilerplate strip + DOM heuristics):
+    each document's text becomes a realistic page — nav, class-hinted
+    sidebar, header, ad block, link farm, footer, script/style — with the
+    content as <p> blocks plus one in-content image. Extraction must strip
+    every boilerplate element and return exactly the content text (+1
+    image span), which the oracle recomputes from the text column."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_html_doc
+        from .kernel.html_extract import extract_html_spans
+
+        for b in batches:
+            out = {"doc_id": [], "text": [], "n_blocks": [], "n_images": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                html = build_html_doc("\n".join(_wrap_lines(norm)), with_image=True)
+                spans = extract_html_spans(html, min_block_chars=1)
+                texts = [s[1] for s in spans if s[0] == "text"]
+                out["doc_id"].append(doc_id)
+                out["text"].append(" ".join(texts))
+                out["n_blocks"].append(len(texts))
+                out["n_images"].append(sum(1 for s in spans if s[0] == "image"))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, text string, n_blocks int, n_images int"
+    )
+
+
+ORACLE_HTML_ROUNDTRIP = f"""
+SELECT doc_id, {NORM_SQL.format(col='text')} AS text,
+       CAST(ceil(len(string_split({NORM_SQL.format(col='text')}, ' '))
+            / {WORDS_PER_LINE}.0) AS INT) AS n_blocks,
+       1 AS n_images
+FROM documents
+"""
+
+
 def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-information extraction (trailer /Info dict → title/author/
     producer + version + page count), oracle-recomputable since the builder
@@ -1393,6 +1432,7 @@ def build_queries() -> dict:
         "pdf_extract_multipage": _pdf_roundtrip("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip("recovery", with_mode=True),
         "pdf_extract_spans_flat": q_pdf_extract_spans_flat,
+        "html_extract_roundtrip": q_html_extract_roundtrip,
         "pdf_extract_metadata": q_pdf_extract_metadata,
         "pdf_extract_paragraphs": q_pdf_extract_paragraphs,
         "pdf_extract_images": q_pdf_extract_images,
@@ -1430,6 +1470,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_multipage": _pdf_roundtrip_oracle("multipage"),
         "pdf_extract_recovery": _pdf_roundtrip_oracle("recovery", with_mode=True),
         "pdf_extract_spans_flat": ORACLE_SPANS_FLAT,
+        "html_extract_roundtrip": ORACLE_HTML_ROUNDTRIP,
         "pdf_extract_metadata": ORACLE_METADATA,
         "pdf_extract_paragraphs": ORACLE_PARAGRAPHS,
         "pdf_extract_images": ORACLE_IMAGES,
