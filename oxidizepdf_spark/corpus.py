@@ -782,6 +782,7 @@ def gen_doc(
     mega_doc_rate: float = 0.02,
     mega_pages: int = 50,
     corrupt_rate: float = 0.05,
+    html_rate: float = 0.15,
     n_parts: int = 8,
 ):
     """One deterministic (input_row, expected_row) pair for doc index ``i``.
@@ -813,6 +814,21 @@ def gen_doc(
                 nl = tail.find(b"\n")
                 pdf = head + sep + b"00000000" + tail[nl:]
             case = case + "+corrupt"
+        elif r < mega_doc_rate + corrupt_rate + html_rate:
+            # HTML-payload document (north_rule html leg): boilerplate-wrapped
+            # content lines; extraction must return exactly the lines + image
+            lines = [
+                " ".join(
+                    f"w{rng.randrange(100)}word{k}" for k in range(6)
+                )
+                for _ in range(rng.randrange(2, 6))
+            ]
+            html = build_html_doc("\n".join(lines), with_image=True)
+            expected = [("text", ln, None) for ln in lines] + [
+                ("image", "", "media://img/inline1.png")
+            ]
+            case = "HTML"
+            pdf = None
         else:
             case, pdf, expected = cases[rng.randrange(len(cases))]
 
@@ -844,7 +860,10 @@ def gen_doc(
             pre_text = f"lead-in for {doc_id}"
             push_in("text", pre_text, None)
             push_exp("text", pre_text, None)
-        push_in("raw_pdf", encode_raw_payload(pdf), None)
+        if case == "HTML":
+            push_in("raw_html", html, None)
+        else:
+            push_in("raw_pdf", encode_raw_payload(pdf), None)
         for kind, text, media_ref in expected:
             push_exp(kind, text, media_ref)
         if interleaved:

@@ -60,42 +60,57 @@ METRICS_SCHEMA = [
 
 
 def _extract_batches(
-    batches: Iterator[pd.DataFrame], options: ExtractionOptions
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: the outer loop is one Arrow batch of documents;
-    each document's parse stays in-kernel (SURVEY.md §1.2). Tolerant-mode
-    errors surface as columns, never as task failures."""
+    batches, options: ExtractionOptions
+):
+    """mapInArrow kernel: the outer loop is one Arrow RecordBatch of
+    documents; the nested spans column is accessed through its FLAT child
+    arrays (3 string-array conversions per batch instead of a python dict
+    per span — SURVEY.md §1.2 "batched byte-stream passes"). Each
+    document's parse stays in-kernel; tolerant-mode errors surface as
+    columns, never as task failures."""
+    import pyarrow as pa
+
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     task_partition = ctx.partitionId() if ctx is not None else -1
-    for pdf_batch in batches:
+
+    span_struct = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    for batch in batches:
         t0 = time.perf_counter()
-        n = len(pdf_batch)
-        doc_ids = pdf_batch["doc_id"].tolist()
+        n = batch.num_rows
+        names = batch.schema.names
+        doc_ids = batch.column(names.index("doc_id")).to_pylist()
         part_ids = (
-            pdf_batch["part_id"].tolist() if "part_id" in pdf_batch else [0] * n
+            batch.column(names.index("part_id")).to_pylist()
+            if "part_id" in names
+            else [0] * n
         )
-        spans_col = pdf_batch["spans"].tolist()
-        out = {
-            "doc_id": doc_ids,
-            "part_id": part_ids,
-            "spans": [],
-            "ok": [],
-            "mode": [],
-            "error": [],
-            "n_pages": [],
-            "n_spans": [],
-            "bytes_in": [],
-            "wall_ms": [],
-            "task_partition": [task_partition] * n,
-        }
-        for in_spans in spans_col:
+        spans_col = batch.column(names.index("spans"))
+        if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
+            spans_col = spans_col.combine_chunks()
+        list_offsets = spans_col.offsets.to_pylist()
+        base = spans_col.values.offset  # flattened child may carry an offset
+        flat = spans_col.values
+        kinds = flat.field("kind").to_pylist()
+        texts = flat.field("text").to_pylist()
+        refs = flat.field("media_ref").to_pylist()
+
+        ok_c, mode_c, err_c = [], [], []
+        npages_c, nspans_c, bytes_c, wall_c = [], [], [], []
+        out_kind, out_text, out_ref, out_off = [], [], [], []
+        out_offsets = [0]
+        for row in range(n):
+            lo, hi = list_offsets[row] - base, list_offsets[row + 1] - base
+            triples = list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi]))
             t_doc = time.perf_counter()
-            triples = [
-                (s["kind"], s["text"], s["media_ref"])
-                for s in (in_spans if in_spans is not None else [])
-            ]
             try:
                 spans, meta = extract_document_spans(triples, options)
             except Exception as e:  # absolute backstop: error-as-data
@@ -106,21 +121,51 @@ def _extract_batches(
                     "n_pages": 0,
                     "bytes_in": 0,
                 }
-            out["spans"].append(
-                [
-                    {"kind": k, "text": t, "media_ref": m, "offset": o}
-                    for (k, t, m, o) in spans
-                ]
-            )
-            out["ok"].append(bool(meta["ok"]))
-            out["mode"].append(meta["mode"])
-            out["error"].append(meta["error"])
-            out["n_pages"].append(int(meta["n_pages"]))
-            out["n_spans"].append(len(spans))
-            out["bytes_in"].append(int(meta["bytes_in"]))
-            out["wall_ms"].append((time.perf_counter() - t_doc) * 1000.0)
+            for k, t, m, o in spans:
+                out_kind.append(k)
+                out_text.append(t)
+                out_ref.append(m)
+                out_off.append(o)
+            out_offsets.append(len(out_kind))
+            ok_c.append(bool(meta["ok"]))
+            mode_c.append(meta["mode"])
+            err_c.append(meta["error"])
+            npages_c.append(int(meta["n_pages"]))
+            nspans_c.append(len(spans))
+            bytes_c.append(int(meta["bytes_in"]))
+            wall_c.append((time.perf_counter() - t_doc) * 1000.0)
         _ = t0
-        yield pd.DataFrame(out)
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(out_offsets, type=pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(out_kind, type=pa.string()),
+                    pa.array(out_text, type=pa.string()),
+                    pa.array(out_ref, type=pa.string()),
+                    pa.array(out_off, type=pa.int32()),
+                ],
+                fields=list(span_struct),
+            ),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, type=pa.string()),
+                pa.array(part_ids, type=pa.int32()),
+                spans_arr,
+                pa.array(ok_c, type=pa.bool_()),
+                pa.array(mode_c, type=pa.string()),
+                pa.array(err_c, type=pa.string()),
+                pa.array(npages_c, type=pa.int32()),
+                pa.array(nspans_c, type=pa.int32()),
+                pa.array(bytes_c, type=pa.int64()),
+                pa.array(wall_c, type=pa.float64()),
+                pa.array([task_partition] * n, type=pa.int32()),
+            ],
+            names=[
+                "doc_id", "part_id", "spans", "ok", "mode", "error",
+                "n_pages", "n_spans", "bytes_in", "wall_ms", "task_partition",
+            ],
+        )
 
 
 def extract_spans(
@@ -145,7 +190,7 @@ def extract_spans(
     prepared = (
         salt_by_size(docs, salt_partitions, mega_threshold_bytes) if salt else docs
     )
-    return prepared.mapInPandas(
+    return prepared.mapInArrow(
         lambda it: _extract_batches(it, options), schema=RESULT_SCHEMA
     )
 

@@ -48,7 +48,7 @@ def stream_extract(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     docs = reader.parquet(input_path)
-    results = docs.mapInPandas(
+    results = docs.mapInArrow(
         lambda it: _extract_batches(it, opts), schema=RESULT_SCHEMA
     )
     spans = results.select("doc_id", "part_id", "spans", "ok", "mode", "error")
