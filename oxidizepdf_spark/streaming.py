@@ -9,7 +9,7 @@ a restart resumes from the checkpoint without reprocessing (S15/S16 →
 readStream + foreachBatch, SURVEY.md §2.1).
 
 ``stream_extract`` runs the same kernel as the batch pipeline inside the
-stream (mapInPandas works unchanged on streaming DataFrames); Trigger
+stream (mapInArrow works unchanged on streaming DataFrames); Trigger
 ``availableNow`` drains everything pending then stops, which is the batch-
 equivalent semantics a backfill run wants.
 

@@ -97,3 +97,21 @@ def test_poppler_corpus_samples_graceful():
     for name in ("poppler-67295-0.pdf", "poppler-85140-0.pdf"):
         res = _extract(name)
         assert res.spans is not None
+
+
+def test_multilingual_udhr_cjk():
+    """Real CJK PDFs (UN UDHR translations): ToUnicode CMap decode must
+    produce the actual scripts, not glyph indices."""
+    res = _extract("multilingual/udhr_chinese.pdf")
+    text = _text(res)
+    assert "世界人权宣言" in text and res.error is None
+    res = _extract("multilingual/udhr_japanese.pdf")
+    assert "世界人権宣言" in _text(res)
+    res = _extract("multilingual/udhr_korean.pdf")
+    assert "인류" in _text(res)
+
+
+def test_multilingual_arabic_and_hebrew_graceful():
+    for name in ("multilingual/udhr_arabic.pdf", "multilingual/udhr_hebrew.pdf"):
+        res = _extract(name)
+        assert res.error is None and res.n_pages >= 4
