@@ -12,7 +12,7 @@ Reimplements (in-UDF, per document):
 
 from __future__ import annotations
 
-from .objects import Name, PdfParseError, Ref, Stream
+from .objects import Ref, Stream
 from .reader import PdfReader
 
 INHERITABLE = ("Resources", "MediaBox", "CropBox", "Rotate")

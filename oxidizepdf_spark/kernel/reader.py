@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import re
 
-from .objects import Lexer, Name, PdfParseError, Ref, Stream, parse_object
+from .objects import Lexer, PdfParseError, Ref, Stream, parse_object
 from .xref import fill_missing_objects, parse_xref_chain, recover_xref
 
 _HEADER_RE = re.compile(rb"%PDF-(\d+)\.(\d+)")

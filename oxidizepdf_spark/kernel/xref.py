@@ -17,7 +17,7 @@ import re
 
 import numpy as np
 
-from .objects import Lexer, Name, PdfParseError, Ref, Stream, parse_object
+from .objects import Lexer, PdfParseError, Ref, Stream, parse_object
 
 # Entry kinds: ('n', offset, gen) in-use | ('f', next_free, gen) free
 #            | ('c', container_obj_num, index_in_stream) compressed

@@ -17,9 +17,6 @@ Mirrors at corpus scale what the reference's batch module does per-process
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
-
-import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

@@ -13,7 +13,6 @@ from oxidizepdf_spark.corpus import (
     all_cases,
     build_pdf_with_content_stream,
     build_text_pdf,
-    content_cases,
     generate_corpus,
 )
 from oxidizepdf_spark.kernel.extract import (

@@ -19,8 +19,6 @@ def spark():
 
 
 def _media(spark):
-    from pyspark.sql import functions as F
-
     from oxidizepdf_spark.multimodal import synth_media_table
     from oxidizepdf_spark.queries import norm_col
 

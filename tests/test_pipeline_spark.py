@@ -81,7 +81,7 @@ def test_error_as_data_not_task_failure(spark):
 
 
 def test_resume_anti_join(spark):
-    from oxidizepdf_spark.pipeline import metrics_from_results, resume_filter, run_extraction
+    from oxidizepdf_spark.pipeline import resume_filter, run_extraction
 
     pairs = list(generate_corpus(n_docs=40, seed=3))
     docs = _docs_df(spark, pairs)

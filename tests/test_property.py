@@ -12,7 +12,7 @@ from oxidizepdf_spark.corpus import build_pdf_with_content_stream, escape_pdf_st
 from oxidizepdf_spark.kernel import filters
 from oxidizepdf_spark.kernel.content import parse_content
 from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
-from oxidizepdf_spark.kernel.objects import Lexer, PdfParseError, parse_object
+from oxidizepdf_spark.kernel.objects import Lexer, PdfParseError
 
 
 @settings(max_examples=200, deadline=None)
