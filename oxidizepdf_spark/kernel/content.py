@@ -379,21 +379,12 @@ _ZERO_OPERAND = {
 }
 
 
-def parse_operators(tokens: list[tuple]) -> list[tuple]:
-    """Operand-stack → operation list with per-operator resync on errors
-    (content.rs:970-1010). Returns tuples tagged by mnemonic."""
-    ops: list[tuple] = []
-    st: list[tuple] = []
-    i = 0
-    n = len(tokens)
-    while i < n:
-        t = tokens[i]
-        i += 1
-        if t[0] != "op":
-            st.append(t)
-            continue
-        op = t[1]
-        try:
+def _apply_op(op: str, st: list, ops: list) -> None:
+    """Dispatch one operator against the operand stack, appending the parsed
+    operation (content.rs:1007-1306). Raises ContentParseError on operand
+    mismatch / unknown operator; BI/ID/EI are handled by the callers."""
+    if True:
+        if True:
             z = _ZERO_OPERAND.get(op)
             if z is not None:
                 ops.append(z)
@@ -529,19 +520,36 @@ def parse_operators(tokens: list[tuple]) -> list[tuple]:
                 props = _pop_dict_or_name(st)
                 tag = _pop_name(st)
                 ops.append(("DP", tag, props))
-            elif op == "BI":
-                st.clear()
-                params, data, i = _parse_inline_image(tokens, i)
-                ops.append(("BI", params, data))
             elif op == "ID" or op == "EI":
-                # handled inside BI / tokenizer; stray ones are skipped
+                # handled by callers / tokenizer; stray ones are skipped
                 pass
             else:
                 raise ContentParseError(f"unknown operator: {op}")
-        except (ContentParseError, IndexError):
-            # skip malformed operator, resync (content.rs:985-999)
-            st.clear()
+
+
+def parse_operators(tokens: list[tuple]) -> list[tuple]:
+    """Operand-stack → operation list with per-operator resync on errors
+    (content.rs:970-1010). Returns tuples tagged by mnemonic."""
+    ops: list[tuple] = []
+    st: list[tuple] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        i += 1
+        if t[0] != "op":
+            st.append(t)
             continue
+        op = t[1]
+        if op == "BI":
+            st.clear()
+            params, data, i = _parse_inline_image(tokens, i)
+            ops.append(("BI", params, data))
+            continue
+        try:
+            _apply_op(op, st, ops)
+        except (ContentParseError, IndexError):
+            pass  # skip malformed operator, resync (content.rs:985-999)
         st.clear()
     return ops
 
@@ -580,5 +588,109 @@ def _parse_inline_image(tokens: list[tuple], i: int) -> tuple[dict, bytes, int]:
 
 
 def parse_content(data: bytes) -> list[tuple]:
-    """Tokenize + parse one content stream (content.rs parse_content:941)."""
-    return parse_operators(tokenize(data))
+    """One content stream → operation list in a SINGLE fused pass
+    (content.rs parse_content:941): the finditer sweep pushes operands
+    straight onto the operand stack and dispatches operators as they
+    arrive — no intermediate token list. Inline images (BI…ID…EI) run a
+    small in-loop state machine. Semantically identical to
+    ``parse_operators(tokenize(data))`` (property-tested)."""
+    ops: list[tuple] = []
+    st: list[tuple] = []
+    pos = 0
+    n = len(data)
+    gi = _MASTER.groupindex
+    NUM, SSTR, OP, LSTR, HSTR, NAME = (
+        gi["num"], gi["sstr"], gi["op"], gi["lstr"], gi["hstr"], gi["name"],
+    )
+    AOPEN, ACLOSE, DOPEN, DCLOSE = (
+        gi["aopen"], gi["aclose"], gi["dopen"], gi["dclose"],
+    )
+    push = st.append
+    bi_params: dict | None = None  # non-None while inside BI … ID
+    bi_key: str | None = None
+    while pos < n:
+        restart = False
+        for m in _MASTER.finditer(data, pos):
+            kind = m.lastindex
+            if kind is None:
+                continue
+            if kind == NUM:
+                t = m.group(NUM)
+                tok = ("num", float(t)) if b"." in t else ("int", int(t))
+            elif kind == SSTR:
+                tok = ("str", m.group(SSTR)[1:-1])
+            elif kind == OP:
+                op = m.group(OP).decode("latin-1")
+                if bi_params is not None:
+                    if op == "ID":
+                        payload, pos = _read_inline_image_data(data, m.end())
+                        ops.append(("BI", bi_params, payload))
+                        bi_params = None
+                        bi_key = None
+                        restart = True
+                        break
+                    if bi_key is not None:
+                        # keyword value (true/false/null) → None, matching
+                        # _parse_inline_image's non-literal fallback
+                        bi_params[bi_key] = None
+                        bi_key = None
+                    continue
+                if op == "BI":
+                    st.clear()
+                    bi_params = {}
+                    bi_key = None
+                    continue
+                if op == "ID":
+                    # stray ID outside BI: consume payload, discard
+                    _, pos = _read_inline_image_data(data, m.end())
+                    restart = True
+                    break
+                try:
+                    _apply_op(op, st, ops)
+                except (ContentParseError, IndexError):
+                    pass  # resync (content.rs:985-999)
+                st.clear()
+                continue
+            elif kind == LSTR:
+                sdata, pos = _read_literal_string(data, m.end())
+                tok = ("str", sdata)
+                if bi_params is not None:
+                    if bi_key is not None:
+                        bi_params[bi_key] = tok[1]
+                        bi_key = None
+                else:
+                    push(tok)
+                restart = True
+                break
+            elif kind == HSTR:
+                h = m.group(HSTR)[1:-1]
+                clean = bytes(c for c in h if c not in _EOL_WS)
+                if len(clean) % 2:
+                    clean += b"0"
+                tok = ("hex", bytes.fromhex(clean.decode("ascii")))
+            elif kind == NAME:
+                tok = ("name", _decode_name(m.group(NAME)[1:]))
+            elif kind == AOPEN:
+                tok = ("arr[", None)
+            elif kind == ACLOSE:
+                tok = ("arr]", None)
+            elif kind == DOPEN:
+                tok = ("dict<<", None)
+            elif kind == DCLOSE:
+                tok = ("dict>>", None)
+            else:  # skipd delimiters
+                continue
+            if bi_params is not None:
+                # BI parameter collection (content.rs:1563-1621)
+                if tok[0] == "name" and bi_key is None:
+                    bi_key = _INLINE_KEYS.get(tok[1], tok[1])
+                elif bi_key is not None:
+                    bi_params[bi_key] = (
+                        tok[1] if tok[0] in ("int", "num", "name", "str", "hex") else None
+                    )
+                    bi_key = None
+                continue
+            push(tok)
+        if not restart:
+            break
+    return ops

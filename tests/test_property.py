@@ -86,3 +86,13 @@ def test_corrupt_tail_recovers(text, cut):
         from oxidizepdf_spark.kernel.fonts import sanitize_extracted_text
 
         assert joined == sanitize_extracted_text(text)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_fused_parse_matches_two_pass(data):
+    """parse_content's fused single pass must equal the reference-shaped
+    two-pass pipeline (tokenize → parse_operators) on arbitrary bytes."""
+    from oxidizepdf_spark.kernel.content import parse_content, parse_operators, tokenize
+
+    assert parse_content(data) == parse_operators(tokenize(data))
