@@ -1397,6 +1397,53 @@ FROM events GROUP BY event_type
 """
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful sessionization: per-user sessions split at >30min gaps via
+    Spark's session_window (the built-in expression of the stateful
+    gap-detection the reference's text-state machine does per page — here
+    at corpus scale). Oracle = classic gaps-and-islands SQL."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        e.groupBy(
+            "user_id",
+            F.session_window(
+                F.col("ts").cast("timestamp"), f"{SESSION_GAP_MIN} minutes"
+            ).alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_SESSIONIZATION = f"""
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value
+FROM islands GROUP BY user_id, session_id
+"""
+
+
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface: event-time 1-hour tumbling windows with
     a watermark, drained via availableNow (see streaming.py). Equal to the
@@ -1452,6 +1499,7 @@ def build_queries() -> dict:
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
         "corpus_events_stats": q_corpus_events_stats,
+        "events_sessionization": q_events_sessionization,
         "streaming_event_counts": q_streaming_event_counts,
     }
     return q
@@ -1490,6 +1538,7 @@ def build_oracles() -> dict[str, str]:
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,
+        "events_sessionization": ORACLE_SESSIONIZATION,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,
     }
     return o

@@ -64,6 +64,55 @@ def stream_extract(
     return q
 
 
+def stream_dedup_first_seen(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    await_termination: bool = True,
+):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    first-seen-wins deduplication by doc_id across micro-batches. State per
+    key is a single seen-flag; duplicates arriving in ANY later batch are
+    dropped (Spark's built-in dropDuplicates would also work — this is the
+    custom-operator shape for semantics the built-ins can't express, e.g.
+    content-hash canonicalization or versioned upserts)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def dedup(key, pdf_iter, state: GroupState):
+        if state.exists:
+            return iter(())  # key already emitted in an earlier batch
+        first = None
+        for pdf in pdf_iter:
+            if len(pdf) and first is None:
+                first = pdf.iloc[[0]][["doc_id", "part_id"]]
+        state.update((True,))
+        if first is None:  # pragma: no cover
+            return iter(())
+        return iter([first])
+
+    docs = spark.readStream.schema(DOCS_SCHEMA).parquet(input_path)
+    out = docs.groupBy("doc_id").applyInPandasWithState(
+        dedup,
+        outputStructType="doc_id string, part_id int",
+        stateStructType="seen boolean",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def windowed_event_counts(
     spark: SparkSession,
     events_path: str,

@@ -89,3 +89,21 @@ def test_windowed_event_counts_matches_batch(spark):
     )
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_stream_dedup_first_seen_across_batches(spark, tmp_path):
+    from oxidizepdf_spark.streaming import stream_dedup_first_seen
+
+    inp = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    pairs = list(generate_corpus(n_docs=12, seed=5))
+    _write_batch(spark, pairs, inp)
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    assert spark.read.parquet(out).count() == 12
+    # re-deliver the SAME docs in a later batch → stateful dedup drops all
+    _write_batch(spark, pairs, inp)
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    result = spark.read.parquet(out)
+    assert result.count() == 12
+    assert result.select("doc_id").distinct().count() == 12
