@@ -255,6 +255,10 @@ class Interpreter:
         self._total = 0  # total chars accumulated (extracted_text length)
         self._last_char = ""  # last accumulated char, for ends_with(' ')
         self.fragments: list[TextFragment] = []
+        # (font_name, bytes) → decoded memo: real documents repeat a few
+        # hundred distinct runs tens of thousands of times (98%+ hit rate on
+        # the Cold_Email fixture); keyed per fonts-mapping scope
+        self._decode_memo: dict = {}
 
     def _append(self, s: str) -> None:
         if s:
@@ -334,10 +338,19 @@ class Interpreter:
     def _skip_artifact(self) -> bool:
         return not self.options.include_artifacts and self.state.in_artifact()
 
+    def _decode(self, text_bytes: bytes) -> str:
+        key = (self.state.font_name, text_bytes)
+        memo = self._decode_memo
+        d = memo.get(key)
+        if d is None:
+            d = decode_text(text_bytes, self.state.font_name, self.fonts)
+            memo[key] = d
+        return d
+
     def _show_text(self, text_bytes: bytes) -> None:
         """ShowText / Tj (extraction.rs:867-935)."""
         st = self.state
-        decoded = decode_text(text_bytes, st.font_name, self.fonts)
+        decoded = self._decode(text_bytes)
         x, y = st.origin()
         skip = self._skip_artifact()
         if not skip and self._total:
@@ -364,7 +377,7 @@ class Interpreter:
         opts = self.options
         for kind, val in elements:
             if kind == "t":
-                decoded = decode_text(val, st.font_name, self.fonts)
+                decoded = self._decode(val)
                 if not self._skip_artifact():
                     self._append(decoded)
                 info = self.fonts.get(st.font_name) if st.font_name else None
@@ -403,7 +416,7 @@ class Interpreter:
         nm = _mul((1.0, 0.0, 0.0, 1.0, 0.0, -st.leading), st.text_line_matrix)
         st.text_matrix = nm
         st.text_line_matrix = nm
-        decoded = decode_text(text_bytes, st.font_name, self.fonts)
+        decoded = self._decode(text_bytes)
         x, y = st.origin()
         if not self._skip_artifact():
             if self._total:
@@ -462,10 +475,12 @@ class Interpreter:
                 st.ctm = _mul(m, st.ctm)
             except (TypeError, ValueError):
                 pass
+        saved_memo = self._decode_memo
         if xres is not None:
             merged = dict(self.fonts)
             merged.update(extract_page_fonts(xres, reader))
             self.fonts = merged
+            self._decode_memo = {}
         saved_in_text = self.in_text
         self.in_text = False
         self.run(ops, xres if xres is not None else resources, depth + 1)
@@ -474,6 +489,7 @@ class Interpreter:
         st.fill_color = saved_fill
         del st.saved[saved_stack_len:]
         self.fonts = saved_fonts
+        self._decode_memo = saved_memo
 
     # -- main loop -----------------------------------------------------------
 
