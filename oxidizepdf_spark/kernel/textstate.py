@@ -338,19 +338,26 @@ class Interpreter:
     def _skip_artifact(self) -> bool:
         return not self.options.include_artifacts and self.state.in_artifact()
 
-    def _decode(self, text_bytes: bytes) -> str:
+    def _decode(self, text_bytes: bytes):
+        """(decoded, unit_width) for a show run — memoized per fonts scope.
+        Every width path (code-indexed, composite, 0.5em fallback) is linear
+        in font_size, so the memo stores width at font_size=1."""
         key = (self.state.font_name, text_bytes)
         memo = self._decode_memo
-        d = memo.get(key)
-        if d is None:
-            d = decode_text(text_bytes, self.state.font_name, self.fonts)
-            memo[key] = d
-        return d
+        hit = memo.get(key)
+        if hit is None:
+            fname = self.state.font_name
+            d = decode_text(text_bytes, fname, self.fonts)
+            info = self.fonts.get(fname) if fname else None
+            w1 = calculate_text_width_from_codes(text_bytes, d, 1.0, info)
+            hit = (d, w1)
+            memo[key] = hit
+        return hit
 
     def _show_text(self, text_bytes: bytes) -> None:
         """ShowText / Tj (extraction.rs:867-935)."""
         st = self.state
-        decoded = self._decode(text_bytes)
+        decoded, unit_w = self._decode(text_bytes)
         x, y = st.origin()
         skip = self._skip_artifact()
         if not skip and self._total:
@@ -362,8 +369,7 @@ class Interpreter:
                 self._append(" ")
         if not skip:
             self._append(decoded)
-        info = self.fonts.get(st.font_name) if st.font_name else None
-        width = calculate_text_width_from_codes(text_bytes, decoded, st.font_size, info)
+        width = unit_w * st.font_size
         if self.options.preserve_layout:
             self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
@@ -377,13 +383,10 @@ class Interpreter:
         opts = self.options
         for kind, val in elements:
             if kind == "t":
-                decoded = self._decode(val)
+                decoded, unit_w = self._decode(val)
                 if not self._skip_artifact():
                     self._append(decoded)
-                info = self.fonts.get(st.font_name) if st.font_name else None
-                width = calculate_text_width_from_codes(
-                    val, decoded, st.font_size, info
-                )
+                width = unit_w * st.font_size
                 if self.options.preserve_layout:
                     fx, fy = st.origin()
                     self._emit_fragment(decoded, width, fx, fy)
@@ -416,14 +419,13 @@ class Interpreter:
         nm = _mul((1.0, 0.0, 0.0, 1.0, 0.0, -st.leading), st.text_line_matrix)
         st.text_matrix = nm
         st.text_line_matrix = nm
-        decoded = self._decode(text_bytes)
+        decoded, unit_w = self._decode(text_bytes)
         x, y = st.origin()
         if not self._skip_artifact():
             if self._total:
                 self._append("\n")
             self._append(decoded)
-        info = self.fonts.get(st.font_name) if st.font_name else None
-        width = calculate_text_width_from_codes(text_bytes, decoded, st.font_size, info)
+        width = unit_w * st.font_size
         if self.options.preserve_layout:
             self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
