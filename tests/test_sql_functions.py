@@ -1,0 +1,58 @@
+"""SQL function-surface tests: the engine callable from spark.sql."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from oxidizepdf_spark.functions import register_sql_functions
+    from oxidizepdf_spark.table_io import get_spark
+
+    s = get_spark(app_name="pytest-sqlfn", master="local[4]", shuffle_partitions=4)
+    s.sparkContext.setLogLevel("ERROR")
+    register_sql_functions(s)
+    yield s
+    s.stop()
+
+
+def test_sql_extract_text_and_pages(spark):
+    from oxidizepdf_spark.corpus import build_text_pdf
+
+    pdf = build_text_pdf("hello from sql land")
+    df = spark.createDataFrame([("d1", bytearray(pdf)), ("d2", None)], "doc_id string, pdf binary")
+    df.createOrReplaceTempView("corpus")
+    rows = spark.sql(
+        "SELECT doc_id, oxpdf_extract_text(pdf) AS text, oxpdf_page_count(pdf) AS pages "
+        "FROM corpus ORDER BY doc_id"
+    ).collect()
+    assert rows[0]["text"] == "hello from sql land" and rows[0]["pages"] == 1
+    assert rows[1]["text"] is None and rows[1]["pages"] == 0
+
+
+def test_sql_metadata_json(spark):
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (X) Tj ET", info={"Title": "SQL Doc"}
+    )
+    df = spark.createDataFrame([(bytearray(pdf),)], "pdf binary")
+    df.createOrReplaceTempView("one_pdf")
+    meta = json.loads(
+        spark.sql("SELECT oxpdf_metadata_json(pdf) AS m FROM one_pdf").collect()[0]["m"]
+    )
+    assert meta["title"] == "SQL Doc" and meta["n_pages"] == 1
+
+
+def test_sql_html_main_content(spark):
+    from oxidizepdf_spark.corpus import build_html_doc
+
+    df = spark.createDataFrame(
+        [(build_html_doc("clean main body content"),)], "html string"
+    )
+    df.createOrReplaceTempView("pages")
+    row = spark.sql("SELECT oxhtml_main_content(html) AS t FROM pages").collect()[0]
+    assert row["t"] == "clean main body content"
