@@ -279,3 +279,58 @@ def test_extract_metadata_info_dict():
     assert m2["title"] is None and m2["n_pages"] == 1
     m3 = extract_metadata(b"not a pdf")
     assert m3["error"] is not None
+
+
+def test_error_mode_skip_stays_silent():
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    # a PDF whose page /Contents ref points at a missing object: tolerant
+    # records the degradation, skip stays silent, both keep going
+    pdf = build_pdf_with_content_stream(b"BT /F1 12 Tf 100 700 Td (ok) Tj ET")
+    broken = pdf.replace(b"/Contents 5 0 R", b"/Contents 9 0 R", 1)
+    tolerant = extract_pdf_bytes(broken)
+    skip = extract_pdf_bytes(broken, ExtractionOptions(error_mode="skip"))
+    assert tolerant.spans == skip.spans == []
+    assert skip.error is None
+
+
+def test_horizontal_scaling_affects_advance():
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    # Tz 200 doubles the pen advance: with the same Td return the gap check
+    # (dx > 0.3*12 after advance) flips between scaled and unscaled runs
+    content = b"BT /F1 12 Tf 200 Tz 100 700 Td (AB) Tj ET BT /F1 12 Tf 100 690 Td (CD) Tj ET"
+    res = extract_pdf_bytes(build_pdf_with_content_stream(content))
+    # dy=10 not > 10 → no newline; dx = 100 - (100+w) < 0 → no space
+    assert res.spans == [("text", "ABCD", None)]
+
+
+def test_quote_ops_set_spacing_state():
+    from oxidizepdf_spark.kernel.content import parse_content
+    from oxidizepdf_spark.kernel.textstate import Interpreter
+
+    interp = Interpreter()
+    interp.run(parse_content(b'BT /F1 12 Tf 14 TL (a) Tj 3 4 (b) " ET'), None)
+    assert interp.state.word_space == 3.0
+    assert interp.state.char_space == 4.0
+    out = interp.finalize()
+    assert out.text == "a\nb"
+
+
+def test_state_setters_tracked():
+    from oxidizepdf_spark.kernel.content import parse_content
+    from oxidizepdf_spark.kernel.textstate import Interpreter
+
+    interp = Interpreter()
+    interp.run(
+        parse_content(b"BT 2 Tc 3 Tw 150 Tz 5 Ts 1 Tr 0.5 g 0.1 0.2 0.3 rg ET"),
+        None,
+    )
+    st = interp.state
+    assert st.char_space == 2.0 and st.word_space == 3.0
+    assert st.horizontal_scale == 150.0 and st.text_rise == 5.0
+    assert st.render_mode == 1
+    assert st.fill_color == ("rgb", 0.1, 0.2, 0.3)
