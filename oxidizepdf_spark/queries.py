@@ -1191,6 +1191,90 @@ FROM m
 """
 
 
+def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction and
+    top-word frequency fraction — the standard signals for dropping
+    low-quality/templated documents from training corpora."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(words),
+            lambda w: F.size(F.filter(words, lambda x: x == w)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            (n_words - n_distinct) / F.greatest(n_words, F.lit(1)), 6
+        ).alias("dup_word_fraction"),
+        F.round(top_freq / F.greatest(n_words, F.lit(1)), 6).alias(
+            "top_word_fraction"
+        ),
+    )
+
+
+ORACLE_REPETITION = f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+freq AS (
+  SELECT doc_id, w, COUNT(*) AS c
+  FROM base, UNNEST(ws) AS t(w)
+  GROUP BY doc_id, w
+)
+SELECT b.doc_id,
+       len(b.ws) AS n_words,
+       ROUND((len(b.ws) - COUNT(*)) * 1.0 / greatest(len(b.ws), 1), 6)
+         AS dup_word_fraction,
+       ROUND(MAX(f.c) * 1.0 / greatest(len(b.ws), 1), 6) AS top_word_fraction
+FROM base b JOIN freq f ON b.doc_id = f.doc_id
+GROUP BY b.doc_id, len(b.ws)
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass (training-data hygiene): emails/URLs/phone-like runs
+    replaced with typed placeholders, entirely JVM-side regexp_replace."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("norm"), _EMAIL_RE, "<EMAIL>"),
+            _URL_RE,
+            "<URL>",
+        ),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("norm") - F.length(scrubbed)).alias("chars_removed"),
+    )
+
+
+ORACLE_SCRUB_PII = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents),
+s AS (
+  SELECT doc_id, norm,
+         regexp_replace(regexp_replace(regexp_replace(norm,
+             '{_EMAIL_RE}', '<EMAIL>', 'g'),
+             '{_URL_RE}', '<URL>', 'g'),
+             '{_PHONE_RE.replace("'", "''")}', '<PHONE>', 'g') AS scrubbed
+  FROM n
+)
+SELECT doc_id, scrubbed, length(norm) - length(scrubbed) AS chars_removed FROM s
+"""
+
+
 _TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
@@ -1494,6 +1578,8 @@ def build_queries() -> dict:
         "text_language_id": q_text_language_id,
         "text_quality_score": q_text_quality_score,
         "text_token_count": q_text_token_count,
+        "text_repetition_signals": q_text_repetition_signals,
+        "text_scrub_pii": q_text_scrub_pii,
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
         "media_stub_features": q_media_stub_features,
@@ -1533,6 +1619,8 @@ def build_oracles() -> dict[str, str]:
         "text_language_id": _langid_sql(),
         "text_quality_score": _quality_sql(),
         "text_token_count": ORACLE_TOKEN_COUNT,
+        "text_repetition_signals": ORACLE_REPETITION,
+        "text_scrub_pii": ORACLE_SCRUB_PII,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "media_stub_features": ORACLE_MEDIA_STUB,
