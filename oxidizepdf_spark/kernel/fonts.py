@@ -27,6 +27,31 @@ from .encodings import (
 from .objects import Name, Ref, Stream
 
 
+# Adobe predefined encoding-CMap name → Python codec. The byte streams of
+# these encodings ARE the corresponding national-charset encodings (that is
+# what the Adobe CMaps transcode), so Python's bundled CJK codecs decode
+# them without vendoring Adobe's resources (encoding_cmap.rs
+# resolve_predefined vendored_cmap! equivalents).
+_PREDEFINED_CJK_CODECS = {
+    "GBK-EUC-H": "gbk", "GBK-EUC-V": "gbk",
+    "GB-EUC-H": "gb2312", "GB-EUC-V": "gb2312",
+    "GBKp-EUC-H": "gbk", "GBKp-EUC-V": "gbk",
+    "GB18030" : "gb18030",
+    "ETen-B5-H": "big5", "ETen-B5-V": "big5",
+    "B5pc-H": "big5", "B5pc-V": "big5",
+    "90ms-RKSJ-H": "shift_jis", "90ms-RKSJ-V": "shift_jis",
+    "90pv-RKSJ-H": "shift_jis",
+    "EUC-H": "euc-jp", "EUC-V": "euc-jp",
+    "KSC-EUC-H": "euc-kr", "KSC-EUC-V": "euc-kr",
+    "KSCms-UHC-H": "cp949", "KSCms-UHC-V": "cp949",
+    "UniGB-UCS2-H": "utf-16-be", "UniGB-UCS2-V": "utf-16-be",
+    "UniCNS-UCS2-H": "utf-16-be", "UniJIS-UCS2-H": "utf-16-be",
+    "UniKS-UCS2-H": "utf-16-be",
+    "UniGB-UTF16-H": "utf-16-be", "UniJIS-UTF16-H": "utf-16-be",
+    "UniKS-UTF16-H": "utf-16-be", "UniCNS-UTF16-H": "utf-16-be",
+}
+
+
 class FontInfo:
     __slots__ = (
         "name",
@@ -192,6 +217,16 @@ def decode_text_with_font(text: bytes, info: FontInfo) -> str | None:
         desc = info.descendant_font
         if desc.to_unicode is not None:
             return decode_text_with_font(text, desc)
+        # Predefined CJK encoding CMaps (the reference vendors Adobe's CMap
+        # resources, encoding_cmap.rs resolve_predefined) map directly onto
+        # Python's bundled CJK codecs — GBK-EUC-H bytes ARE GBK text, etc.
+        codec = _PREDEFINED_CJK_CODECS.get(info.encoding or "")
+        if codec is not None:
+            decoded = text.decode(codec, errors="replace")
+            if decoded.strip() and not all(
+                ord(c) < 0x20 or ord(c) == 0x7F for c in decoded
+            ):
+                return decoded
         # CID→Unicode collection path (extraction_cmap.rs:594-611): tables
         # register at runtime (cid_tables.py — broadcast variables in the
         # Spark layer); absent tables fall through to the descendant's

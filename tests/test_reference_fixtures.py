@@ -115,3 +115,13 @@ def test_multilingual_arabic_and_hebrew_graceful():
     for name in ("multilingual/udhr_arabic.pdf", "multilingual/udhr_hebrew.pdf"):
         res = _extract(name)
         assert res.error is None and res.n_pages >= 4
+
+
+def test_gbk_euc_h_extracts_real_cjk():
+    """encoding_gbk_euc_h_test.rs:35-43 — GBK-EUC-H Type0 text must decode
+    to real CJK ideographs, not mojibake: the predefined encoding maps onto
+    Python's bundled gbk codec."""
+    res = _extract("issue_272_gbk_euc_h.pdf")
+    text = _text(res)
+    cjk = sum(1 for c in text if "一" <= c <= "鿿")
+    assert cjk >= 10, text[:80]
