@@ -35,7 +35,12 @@ def _fn_extract_text(data: pd.Series) -> pd.Series:
             out.append(None)
             continue
         res = extract_pdf_bytes(bytes(blob))
-        out.append("\n".join(s[1] for s in res.spans if s[0] == "text"))
+        # document text = pages joined with \n (reference extract_text
+        # page loop). Within a page, concatenation of kind='text' spans
+        # equals the page text — do NOT join spans with \n, or documents
+        # with interleaved image spans gain newlines the reference never
+        # produces.
+        out.append("\n".join(res.page_texts))
     return pd.Series(out, dtype=object)
 
 
@@ -68,6 +73,9 @@ def _fn_html_main_content(data: pd.Series) -> pd.Series:
             out.append(None)
             continue
         spans = extract_html_spans(html)
+        # HTML text spans are whole block segments (already stripped, never
+        # split mid-block by an image span), so newline-joining blocks is
+        # the faithful main-content text — unlike the PDF leg above.
         out.append("\n".join(s[1] for s in spans if s[0] == "text"))
     return pd.Series(out, dtype=object)
 

@@ -297,11 +297,9 @@ def sanitize_extracted_text(text: str) -> str:
                 out.append(" ")
                 last_was_space = True
         elif ch < " " or ch == "\x7f":
-            if ord(ch) < 0x20 and ch not in "\t\n\r":
-                pass  # strip ASCII control
-            else:
-                out.append(ch)
-                last_was_space = False
+            # strip ASCII control incl. DEL (extraction.rs:2278 uses
+            # c.is_ascii_control(), which covers 0x00-0x1F and 0x7F)
+            pass
         else:
             out.append(ch)
             last_was_space = False

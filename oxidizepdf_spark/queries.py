@@ -511,6 +511,32 @@ SELECT doc_id, 'encrypted' AS error, 0 AS n_spans FROM documents
 # ---------------------------------------------------------------------------
 
 # shared md5-based 32-bit hash: H(seed, s)
+# --- tracked persist: queries return lazy DataFrames, so cached relations
+# can't be unpersisted inside the query builder. Track them and let the
+# caller (bench.py / tests / long-lived sessions) release after the result
+# is materialized via release_persisted().
+_PERSISTED: list[DataFrame] = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def release_persisted() -> int:
+    """Unpersist every relation cached by query builders since the last
+    call. Call after materializing a query's result in a long-lived
+    session; returns the number of relations released."""
+    n = len(_PERSISTED)
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+        except Exception:
+            pass  # session already stopped
+    return n
+
+
 def _h_spark(seed, s):
     return F.conv(
         F.substring(F.md5(F.concat_ws(":", F.lit(str(seed)), s)), 1, 8), 16, 10
@@ -634,7 +660,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         allb = allb.unionByName(b)
     # both sides of the bucket self-join read this relation; persist so the
     # shingle explode + 16 min-aggregations run once
-    allb = allb.persist()
+    allb = _persist(allb)
     pairs = (
         allb.alias("a")
         .join(
@@ -691,30 +717,34 @@ SIMHASH_BITS = 16
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash document signature: per-word 32-bit hash, per-bit majority
-    vote over all words (with multiplicity), packed to a 16-bit signature."""
+    vote over all words (with multiplicity), packed to a 16-bit signature.
+
+    Array-native like q_dedup_minhash_lsh: the word hashes are computed
+    once into a per-row array column, then each bit's vote is an
+    ``aggregate`` fold over that array — the whole query is map-only
+    (zero shuffle, no 16x explode amplification), so at 10^12 docs the
+    signature computation never leaves the row."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    words = d.select(
-        "doc_id", F.explode(F.split("norm", " ")).alias("w")
-    ).where(F.length("w") > 0)
-    hashed = words.select("doc_id", _h_spark(0, F.col("w")).alias("h"))
-    bits = hashed.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        F.expr("(shiftright(h, bit) & 1) * 2 - 1").alias("sign"),
-    )
-    votes = bits.groupBy("doc_id", "bit").agg(F.sum("sign").alias("vote"))
-    sig = votes.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("vote") > 0, F.expr("shiftleft(1L, bit)")).otherwise(
-                F.lit(0)
-            )
-        ).alias("simhash")
-    )
-    return sig
+    words = F.filter(F.split("norm", " "), lambda w: F.length(w) > 0)
+    hashes = F.transform(words, lambda w: _h_spark(0, w))
+    hashed = d.select("doc_id", hashes.alias("hs"))
+
+    def vote(bit: int):
+        # sum over words of ((h >> bit) & 1) * 2 - 1, with multiplicity
+        return F.aggregate(
+            F.col("hs"),
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = term if sig is None else sig + term
+    return hashed.select("doc_id", sig.alias("simhash"))
 
 
 ORACLE_SIMHASH = f"""
@@ -731,20 +761,37 @@ bits AS (
 ),
 votes AS (SELECT doc_id, bit, SUM(sign) AS vote FROM bits GROUP BY doc_id, bit)
 SELECT doc_id,
-       SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 
 JACCARD_THRESHOLD = 0.8
 
 
+SHINGLE_DF_CAP = 100  # drop shingles appearing in more than this many docs
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle equi-join (the
-    verify stage behind MinHash candidates). Shuffle key = shingle."""
+    verify stage behind MinHash candidates). Shuffle key = shingle.
+
+    Skew guard: shingles with document frequency > SHINGLE_DF_CAP are
+    dropped before the self-join (standard CC-Net-style practice) — one
+    ubiquitous stop-word shingle would otherwise contribute |bucket|^2
+    join rows and dominate the shuffle on a skewed corpus. Jaccard is
+    then over the rare-shingle sets, identically in both dialects."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    # the shingle relation feeds three plan branches (sizes + both join
-    # sides); persist so the regexp+explode runs once, not three times
-    sh = _shingles_spark(d).persist()
+    # the shingle relation feeds four plan branches (df filter, sizes, both
+    # join sides); persist so the regexp+explode runs once
+    sh_all = _persist(_shingles_spark(d))
+    rare = (
+        sh_all.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+    )
+    sh = _persist(sh_all.join(rare, on="shingle"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")
@@ -773,7 +820,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_NGRAM_JACCARD = f"""
-WITH sh AS ({_SHINGLES_SQL}),
+WITH sh_all AS ({_SHINGLES_SQL}),
+rare AS (
+  SELECT shingle FROM sh_all GROUP BY shingle
+  HAVING COUNT(*) <= {SHINGLE_DF_CAP}
+),
+sh AS (SELECT s.doc_id, s.shingle FROM sh_all s JOIN rare r USING (shingle)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -822,7 +874,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
         sig = sig + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-    signed = e.select("vec_id", "embedding", sig.alias("sig")).persist()
+    signed = _persist(e.select("vec_id", "embedding", sig.alias("sig")))
     bits_per_band = HP_BITS // HP_BANDS
     bands = None
     for b in range(HP_BANDS):
@@ -1199,11 +1251,28 @@ def q_text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("norm"), " ")
     n_words = F.size(words)
     n_distinct = F.size(F.array_distinct(words))
-    top_freq = F.array_max(
-        F.transform(
-            F.array_distinct(words),
-            lambda w: F.size(F.filter(words, lambda x: x == w)),
-        )
+    # top word frequency = longest equal-run in the sorted word array:
+    # one O(n log n) sort + a single O(n) fold carrying (prev, run, best).
+    # The previous transform/filter formulation was O(n^2) per row — a
+    # scale hazard on 10^5+-word training documents.
+    top_freq = F.aggregate(
+        F.array_sort(words),
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
     )
     return d.select(
         "doc_id",
@@ -1510,15 +1579,19 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZATION = f"""
 WITH marked AS (
   SELECT user_id, ts, value,
+         event_id,
+         -- >= (not >): Spark's session_window closes a session when the
+         -- next event is gap-or-more away; windows that merely touch do
+         -- NOT merge. Keep the oracle's split predicate identical.
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+                   >= INTERVAL {SESSION_GAP_MIN} MINUTE
               OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events
 ),
 islands AS (
   SELECT user_id, ts, value,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                 ROWS UNBOUNDED PRECEDING) AS session_id
   FROM marked
 )

@@ -15,15 +15,24 @@ sys.path.insert(0, ".")
 
 
 def canon(val):
-    if val is None:
-        return "∅"
+    import numpy as np
+
+    if val is None or (isinstance(val, float) and math.isnan(val)):
+        return "∅" if val is None else "nan"
+    if isinstance(val, np.floating):
+        val = float(val)
+    if isinstance(val, np.integer):
+        val = int(val)
     if isinstance(val, float):
-        if math.isnan(val):
-            return "nan"
-        # tolerate tiny float representation differences
-        return f"{val:.6g}"
+        # tolerate tiny representation differences, but keep the FLOAT
+        # type tag: the driver value-hashes pandas frames, so an integer
+        # column that DuckDB returns as HUGEINT→float64 (e.g. 15132.0)
+        # does NOT match Spark's bigint 15132 — surface that here too.
+        return f"f:{val:.6g}"
     if isinstance(val, bool):
         return str(int(val))
+    if isinstance(val, int):
+        return f"i:{val}"
     return str(val)
 
 
@@ -73,9 +82,11 @@ def main():
             print(f"ok?  {name}: rows-only check, {len(srows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            # fetch through pandas like the driver does, so dtype
+            # degradation (HUGEINT→float64) is visible to the compare
+            odf = con.execute(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:500]}")
