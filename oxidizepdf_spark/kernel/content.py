@@ -26,6 +26,7 @@ mnemonic as tag. Text-showing arrays (TJ) become lists of
 from __future__ import annotations
 
 import re
+from binascii import unhexlify as _unhex
 
 # Leading whitespace/comments are folded into every token match so the
 # finditer sweep yields exactly one match per token (no separate skip
@@ -587,18 +588,371 @@ def _parse_inline_image(tokens: list[tuple], i: int) -> tuple[dict, bytes, int]:
     return params, data, i
 
 
+# ---------------------------------------------------------------------------
+# fused fast parser (the hot loop of the whole engine)
+# ---------------------------------------------------------------------------
+#
+# Real text-heavy PDFs are dominated by the show cycle — on the reference's
+# Cold_Email fixture the operator histogram is Td/Tj 59.6k each and
+# BT/Tf/Tm/ET 31.6k each out of 249.6k total ops. parse_content therefore:
+#
+# 1. fuses the two dominant patterns into single regex matches (macro ops):
+#      M1:  x y Td (flat) Tj     → ("Td",x,y), ("Tj",s) in ONE C-level match
+#      M2:  (flat) Tj            → ("Tj",s)
+#    Anything the macros can't express (escapes, hex strings, TD, arrays)
+#    falls through to the generic token alternatives below them.
+# 2. keeps the operand stack as RAW VALUES (float/int/bytes/str + four
+#    marker sentinels) instead of ("kind", value) tuples — one allocation
+#    per token saved on the ~60% of tokens that are numbers.
+# 3. dispatches operators via a bytes→opcode dict (no .decode per op) with
+#    the branch chain ordered by real-document frequency.
+#
+# Output is tuple-for-tuple identical to parse_operators(tokenize(data)) —
+# pinned by the hypothesis differential test (tests/test_property.py).
+
+_NUMPAT = rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+_WS1 = rb"[\x00\t\n\x0c\r ]"
+_HEXCLS = rb"[0-9A-Fa-f\x00\t\n\x0c\r ]"
+_BOUND = rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%;]|$)"
+
+_MASTER_FAST = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # fused skippable prefix
+    rb"(?:"
+    # M0: BT /f s Tf a b c d e f Tm x y Td (s)|<hex> Tj [ET] — a whole
+    # machine-generated text block in ONE match (prefix 'BT' makes the
+    # alternative nearly free to reject everywhere else)
+    rb"BT" + _WS1 + rb"*"
+    rb"/(?P<b0n>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+"
+    rb"(?P<b0s>" + _NUMPAT + rb")" + _WS1 + rb"+Tf" + _WS1 + rb"+"
+    rb"(?P<b0m1>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m2>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m3>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m4>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m5>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m6>" + _NUMPAT + rb")" + _WS1 + rb"+Tm" + _WS1 + rb"+"
+    rb"(?P<b0x>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<b0y>" + _NUMPAT + rb")" + _WS1 + rb"+Td" + _WS1 + rb"*"
+    rb"(?:\((?P<b0lit>[^()\\]*)\)|<(?P<b0hex>" + _HEXCLS + rb"*)>)"
+    + _WS1 + rb"*Tj" + _BOUND +
+    rb"(?:" + _WS1 + rb"+(?P<b0et>ET)" + _BOUND + rb")?"
+    # M1: x y Td (flat)|<hex> Tj — the dominant show cycle, one match
+    rb"|(?P<m1x>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<m1y>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"Td" + _WS1 + rb"*"
+    rb"(?:\((?P<m1s>[^()\\]*)\)|<(?P<m1h>" + _HEXCLS + rb"*)>)"
+    + _WS1 + rb"*Tj" + _BOUND +
+    # M3: a b c d e f Tm — 7 tokens in one match
+    rb"|(?P<tm1>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<tm2>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<tm3>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<tm4>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<tm5>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<tm6>" + _NUMPAT + rb")" + _WS1 + rb"+Tm" + _BOUND +
+    # M2: (flat)|<hex> Tj
+    rb"|(?:\((?P<m2s>[^()\\]*)\)|<(?P<m2h>" + _HEXCLS + rb"*)>)"
+    + _WS1 + rb"*Tj" + _BOUND +
+    # M4: /name size Tf
+    rb"|/(?P<tfn>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+"
+    rb"(?P<tfs>" + _NUMPAT + rb")" + _WS1 + rb"+Tf" + _BOUND +
+    # generic token alternatives (same order/classes as _MASTER)
+    rb"|(?P<num>" + _NUMPAT + rb")"
+    rb"|(?P<sstr>\([^()\\]*\))"
+    rb"|(?P<lstr>\()"
+    rb"|(?P<op>[^\x00\t\n\x0c\r ()<>\[\]{}/%;]+)"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<dopen><<)"
+    rb"|(?P<dclose>>>)"
+    rb"|(?P<hstr><" + _HEXCLS + rb"*>)"
+    rb"|(?P<aopen>\[)"
+    rb"|(?P<aclose>\])"
+    rb"|(?P<skipd>[;){}]))"
+)
+
+# raw-stack marker sentinels
+_AO = object()  # [
+_AC = object()  # ]
+_DO = object()  # <<
+_DC = object()  # >>
+
+# zero-operand operators keyed by raw bytes → preallocated op tuple
+_ZEROB = {k.encode("latin-1"): v for k, v in _ZERO_OPERAND.items()}
+
+# operand-taking operators → opcode (chain below is ordered by frequency)
+_OPC = {
+    b"Tf": 1, b"Tm": 2, b"Td": 3, b"Tj": 4, b"TJ": 5, b"TL": 6, b"Tc": 7,
+    b"Tw": 8, b"Tz": 9, b"Ts": 10, b"Tr": 11, b"cm": 12, b"gs": 13,
+    b"rg": 14, b"g": 15, b"k": 16, b"Do": 17, b"BMC": 18, b"BDC": 19,
+    b"'": 20, b'"': 21, b"TD": 22, b"w": 23, b"J": 24, b"j": 25, b"M": 26,
+    b"d": 27, b"ri": 28, b"i": 29, b"m": 30, b"l": 31, b"c": 32, b"v": 33,
+    b"y": 34, b"re": 35, b"CS": 36, b"cs": 36, b"sh": 36, b"SC": 37,
+    b"SCN": 37, b"sc": 38, b"scn": 38, b"G": 39, b"RG": 40, b"K": 41,
+    b"MP": 42, b"DP": 43, b"EI": 44,
+}
+
+# name-decode memo: /F1-style names repeat tens of thousands of times
+_NAME_MEMO: dict[bytes, str] = {}
+
+
+def _fnum(v) -> float:
+    c = v.__class__
+    if c is float:
+        return v
+    if c is int:
+        return float(v)
+    raise ContentParseError("expected number operand")
+
+
+def _rname(v) -> str:
+    if v.__class__ is str:
+        return v
+    raise ContentParseError("expected name operand")
+
+
+def _rstring(v) -> bytes:
+    if v.__class__ is bytes:
+        return v
+    raise ContentParseError("expected string operand")
+
+
+def _rarray(st: list) -> list:
+    """Raw-stack mirror of _pop_array: read (not pop) back to the opening
+    marker; stray close markers are skipped."""
+    i = len(st) - 1
+    if i >= 0 and st[i] is _AC:
+        i -= 1
+    out = []
+    while i >= 0:
+        v = st[i]
+        if v is _AO:
+            out.reverse()
+            return out
+        if v is not _AC:
+            out.append(v)
+        i -= 1
+    raise ContentParseError("expected array")
+
+
+def _rvalue(v, st: list):
+    """Raw-stack mirror of _token_to_value (pops nested structures)."""
+    c = v.__class__
+    if c is bytes or c is int or c is float or c is str:
+        return v
+    if v is _AC:
+        items = []
+        while st:
+            nxt = st.pop()
+            if nxt is _AO:
+                items.reverse()
+                return items
+            items.append(_rvalue(nxt, st))
+        raise ContentParseError("unterminated array in props")
+    if v is _DC:
+        nested: dict = {}
+        while st:
+            nxt = st.pop()
+            if nxt is _DO:
+                return nested
+            value = _rvalue(nxt, st)
+            key = st.pop()
+            if key.__class__ is not str:
+                raise ContentParseError("expected name key in nested dict")
+            nested[key] = value
+        raise ContentParseError("unterminated nested dict in props")
+    raise ContentParseError("unexpected token in props")
+
+
+def _rdict_or_name(st: list):
+    """Raw-stack mirror of _pop_dict_or_name (BDC/DP props)."""
+    if not st:
+        raise ContentParseError("expected dict or name operand")
+    v = st.pop()
+    if v.__class__ is str:
+        return ("ref", v)
+    if v is _DC:
+        d: dict = {}
+        while True:
+            if not st:
+                raise ContentParseError("unterminated inline dict")
+            nxt = st.pop()
+            if nxt is _DO:
+                break
+            value = _rvalue(nxt, st)
+            if not st:
+                raise ContentParseError("missing key in inline dict")
+            key = st.pop()
+            if key.__class__ is not str:
+                raise ContentParseError("expected name key in inline dict")
+            d[key] = value
+        return ("dict", d)
+    raise ContentParseError("expected name or inline dict")
+
+
+def _rcolors(st: list) -> list[float]:
+    comps: list[float] = []
+    i = len(st) - 1
+    while i >= 0 and st[i].__class__ in (int, float):
+        comps.append(float(st[i]))
+        i -= 1
+    comps.reverse()
+    return comps
+
+
+_OPTOK = object()  # operator marker for BI macro replay
+
+# module-level group-index constants for the fast regex
+_GI = _MASTER_FAST.groupindex
+_K_B0N, _K_B0S = _GI["b0n"], _GI["b0s"]
+_K_B0M1, _K_B0M6 = _GI["b0m1"], _GI["b0m6"]
+_K_B0X, _K_B0Y = _GI["b0x"], _GI["b0y"]
+_K_B0LIT, _K_B0HEX, _K_B0ET = _GI["b0lit"], _GI["b0hex"], _GI["b0et"]
+_K_M1X, _K_M1Y, _K_M1S, _K_M1H = _GI["m1x"], _GI["m1y"], _GI["m1s"], _GI["m1h"]
+_K_M2S, _K_M2H = _GI["m2s"], _GI["m2h"]
+_K_TM1, _K_TM6 = _GI["tm1"], _GI["tm6"]
+_K_TFN, _K_TFS = _GI["tfn"], _GI["tfs"]
+_K_NUM, _K_SSTR, _K_LSTR, _K_OP = (
+    _GI["num"], _GI["sstr"], _GI["lstr"], _GI["op"],
+)
+_K_HSTR, _K_NAME = _GI["hstr"], _GI["name"]
+_K_AO, _K_AC, _K_DO, _K_DC = (
+    _GI["aopen"], _GI["aclose"], _GI["dopen"], _GI["dclose"],
+)
+# marker group indexes ([, ], <<, >>) — marker tokens inside BI params
+# become None values when a key is pending, same as the token path
+_BI_MARKERS = (_K_AO, _K_AC, _K_DO, _K_DC)
+
+
+def _hexval(h: bytes) -> bytes:
+    clean = h.translate(None, _EOL_WS)
+    if len(clean) % 2:
+        clean += b"0"
+    return _unhex(clean)
+
+
+def _numval(t: bytes):
+    return float(t) if b"." in t else int(t)
+
+
+def _scan_bi(data: bytes, pos: int) -> tuple[dict, bytes, int]:
+    """BI … ID <raw> EI parameter collection (content.rs:1563-1621),
+    token-faithful against the fast regex (macro matches are replayed as
+    their component tokens)."""
+    params: dict = {}
+    key: str | None = None
+    n = len(data)
+
+    def feed(v):
+        nonlocal key
+        if v is _OPTOK:
+            if key is not None:
+                params[key] = None
+                key = None
+        elif key is not None:
+            params[key] = v
+            key = None
+
+    def feed_name(nm: str):
+        nonlocal key
+        if key is None:
+            key = _INLINE_KEYS.get(nm, nm)
+        else:
+            feed(nm)
+
+    while pos < n:
+        restart = False
+        for m in _MASTER_FAST.finditer(data, pos):
+            kind = m.lastindex
+            if kind is None:
+                continue
+            if kind == _K_OP:
+                opb = m.group(_K_OP)
+                if opb == b"ID":
+                    payload, pos = _read_inline_image_data(data, m.end())
+                    return params, payload, pos
+                feed(_OPTOK)
+            elif kind == _K_NUM:
+                feed(_numval(m.group(_K_NUM)))
+            elif kind == _K_SSTR:
+                feed(m.group(_K_SSTR)[1:-1])
+            elif kind == _K_LSTR:
+                v, pos = _read_literal_string(data, m.end())
+                feed(v)
+                restart = True
+                break
+            elif kind == _K_HSTR:
+                feed(_hexval(m.group(_K_HSTR)[1:-1]))
+            elif kind == _K_NAME:
+                feed_name(_decode_name(m.group(_K_NAME)[1:]))
+            elif kind in (_K_B0LIT, _K_B0HEX, _K_B0ET):
+                # replay the whole M0 block token-by-token
+                feed(_OPTOK)  # BT
+                feed_name(_decode_name(m.group(_K_B0N)))
+                feed(_numval(m.group(_K_B0S)))
+                feed(_OPTOK)  # Tf
+                for i in range(_K_B0M1, _K_B0M6 + 1):
+                    feed(_numval(m.group(i)))
+                feed(_OPTOK)  # Tm
+                feed(_numval(m.group(_K_B0X)))
+                feed(_numval(m.group(_K_B0Y)))
+                feed(_OPTOK)  # Td
+                h = m.group(_K_B0HEX)
+                feed(m.group(_K_B0LIT) if h is None else _hexval(h))
+                feed(_OPTOK)  # Tj
+                if kind == _K_B0ET:
+                    feed(_OPTOK)  # ET
+            elif kind == _K_M1S or kind == _K_M1H:
+                feed(_numval(m.group(_K_M1X)))
+                feed(_numval(m.group(_K_M1Y)))
+                feed(_OPTOK)
+                feed(
+                    m.group(_K_M1S)
+                    if kind == _K_M1S
+                    else _hexval(m.group(_K_M1H))
+                )
+                feed(_OPTOK)
+            elif kind == _K_M2S:
+                feed(m.group(_K_M2S))
+                feed(_OPTOK)
+            elif kind == _K_M2H:
+                feed(_hexval(m.group(_K_M2H)))
+                feed(_OPTOK)
+            elif kind == _K_TM6:
+                for i in range(_K_TM1, _K_TM6 + 1):
+                    feed(_numval(m.group(i)))
+                feed(_OPTOK)
+            elif kind == _K_TFS:
+                feed_name(_decode_name(m.group(_K_TFN)))
+                feed(_numval(m.group(_K_TFS)))
+                feed(_OPTOK)
+            elif kind in _BI_MARKERS:
+                feed(None)
+            # skipd: ignored
+        if not restart:
+            break
+    # EOF without ID: token path emits BI with empty payload
+    return params, b"", n
+
+
 def parse_content(data: bytes) -> list[tuple]:
     """One content stream → operation list in a SINGLE fused pass
-    (content.rs parse_content:941): the finditer sweep pushes operands
-    straight onto the operand stack and dispatches operators as they
-    arrive — no intermediate token list. Inline images (BI…ID…EI) run a
-    small in-loop state machine. Semantically identical to
-    ``parse_operators(tokenize(data))`` (property-tested)."""
+    (content.rs parse_content:941): the finditer sweep pushes raw operand
+    values straight onto the operand stack and dispatches operators as they
+    arrive — no intermediate token list, and the two dominant text-show
+    patterns are consumed as single regex matches (see _MASTER_FAST).
+    Semantically identical to ``parse_operators(tokenize(data))``
+    (property-tested)."""
     ops: list[tuple] = []
-    st: list[tuple] = []
+    st: list = []
     pos = 0
     n = len(data)
-    gi = _MASTER.groupindex
+    gi = _MASTER_FAST.groupindex
+    B0N, B0S, B0M1, B0X, B0Y = (
+        gi["b0n"], gi["b0s"], gi["b0m1"], gi["b0x"], gi["b0y"],
+    )
+    B0LIT, B0HEX, B0ET = gi["b0lit"], gi["b0hex"], gi["b0et"]
+    M1X, M1Y, M1S, M1H = gi["m1x"], gi["m1y"], gi["m1s"], gi["m1h"]
+    M2S, M2H = gi["m2s"], gi["m2h"]
+    TM1, TM6 = gi["tm1"], gi["tm6"]
+    TFN, TFS = gi["tfn"], gi["tfs"]
     NUM, SSTR, OP, LSTR, HSTR, NAME = (
         gi["num"], gi["sstr"], gi["op"], gi["lstr"], gi["hstr"], gi["name"],
     )
@@ -606,91 +960,294 @@ def parse_content(data: bytes) -> list[tuple]:
         gi["aopen"], gi["aclose"], gi["dopen"], gi["dclose"],
     )
     push = st.append
-    bi_params: dict | None = None  # non-None while inside BI … ID
-    bi_key: str | None = None
+    emit = ops.append
+    name_memo = _NAME_MEMO
+    T_BT = _ZERO_OPERAND["BT"]
+    T_ET = _ZERO_OPERAND["ET"]
     while pos < n:
         restart = False
-        for m in _MASTER.finditer(data, pos):
+        for m in _MASTER_FAST.finditer(data, pos):
             kind = m.lastindex
             if kind is None:
                 continue
-            if kind == NUM:
+            if kind == B0HEX or kind == B0ET or kind == B0LIT:
+                # M0: whole BT …Tf …Tm …Td …Tj [ET] block in one match
+                if st:
+                    st.clear()
+                g = m.group
+                emit(T_BT)
+                nm = g(B0N)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm)
+                    name_memo[nm] = s
+                emit(("Tf", s, float(g(B0S))))
+                v = g(B0M1, B0M1 + 1, B0M1 + 2, B0M1 + 3, B0M1 + 4, B0M1 + 5)
+                emit((
+                    "Tm", float(v[0]), float(v[1]), float(v[2]),
+                    float(v[3]), float(v[4]), float(v[5]),
+                ))
+                emit(("Td", float(g(B0X)), float(g(B0Y))))
+                h = g(B0HEX)
+                if h is None:
+                    emit(("Tj", g(B0LIT)))
+                else:
+                    clean = h.translate(None, _EOL_WS)
+                    if len(clean) % 2:
+                        clean += b"0"
+                    emit(("Tj", _unhex(clean)))
+                if kind == B0ET:
+                    emit(T_ET)
+            elif kind == M1H:  # x y Td <hex> Tj
+                if st:
+                    st.clear()
+                x, y, h = m.group(M1X, M1Y, M1H)
+                emit(("Td", float(x), float(y)))
+                clean = h.translate(None, _EOL_WS)
+                if len(clean) % 2:
+                    clean += b"0"
+                emit(("Tj", _unhex(clean)))
+            elif kind == M1S:  # x y Td (s) Tj
+                if st:
+                    st.clear()
+                x, y, s = m.group(M1X, M1Y, M1S)
+                emit(("Td", float(x), float(y)))
+                emit(("Tj", s))
+            elif kind == TM6:  # a b c d e f Tm
+                if st:
+                    st.clear()
+                v = m.group(TM1, TM1 + 1, TM1 + 2, TM1 + 3, TM1 + 4, TM6)
+                emit((
+                    "Tm", float(v[0]), float(v[1]), float(v[2]),
+                    float(v[3]), float(v[4]), float(v[5]),
+                ))
+            elif kind == TFS:  # /name size Tf
+                if st:
+                    st.clear()
+                nm, sz = m.group(TFN, TFS)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm)
+                    name_memo[nm] = s
+                emit(("Tf", s, float(sz)))
+            elif kind == M2H:  # <hex> Tj
+                if st:
+                    st.clear()
+                clean = m.group(M2H).translate(None, _EOL_WS)
+                if len(clean) % 2:
+                    clean += b"0"
+                emit(("Tj", _unhex(clean)))
+            elif kind == M2S:  # (s) Tj
+                if st:
+                    st.clear()
+                emit(("Tj", m.group(M2S)))
+            elif kind == NUM:
                 t = m.group(NUM)
-                tok = ("num", float(t)) if b"." in t else ("int", int(t))
+                push(float(t) if b"." in t else int(t))
             elif kind == SSTR:
-                tok = ("str", m.group(SSTR)[1:-1])
+                push(m.group(SSTR)[1:-1])
             elif kind == OP:
-                op = m.group(OP).decode("latin-1")
-                if bi_params is not None:
-                    if op == "ID":
-                        payload, pos = _read_inline_image_data(data, m.end())
-                        ops.append(("BI", bi_params, payload))
-                        bi_params = None
-                        bi_key = None
+                opb = m.group(OP)
+                z = _ZEROB.get(opb)
+                if z is not None:
+                    emit(z)
+                    if st:
+                        st.clear()
+                    continue
+                code = _OPC.get(opb)
+                if code is None:
+                    if opb == b"BI":
+                        st.clear()
+                        params, payload, pos = _scan_bi(data, m.end())
+                        emit(("BI", params, payload))
                         restart = True
                         break
-                    if bi_key is not None:
-                        # keyword value (true/false/null) → None, matching
-                        # _parse_inline_image's non-literal fallback
-                        bi_params[bi_key] = None
-                        bi_key = None
+                    if opb == b"ID":
+                        # stray ID outside BI: consume payload, discard
+                        _, pos = _read_inline_image_data(data, m.end())
+                        restart = True
+                        break
+                    # unknown operator (incl. true/false/null): resync
+                    if st:
+                        st.clear()
                     continue
-                if op == "BI":
-                    st.clear()
-                    bi_params = {}
-                    bi_key = None
-                    continue
-                if op == "ID":
-                    # stray ID outside BI: consume payload, discard
-                    _, pos = _read_inline_image_data(data, m.end())
-                    restart = True
-                    break
                 try:
-                    _apply_op(op, st, ops)
+                    if code == 1:  # Tf
+                        emit(("Tf", _rname(st[-2]), _fnum(st[-1])))
+                    elif code == 2:  # Tm
+                        emit((
+                            "Tm", _fnum(st[-6]), _fnum(st[-5]), _fnum(st[-4]),
+                            _fnum(st[-3]), _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 3:  # Td
+                        emit(("Td", _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 4:  # Tj
+                        emit(("Tj", _rstring(st[-1])))
+                    elif code == 5:  # TJ
+                        arr = _rarray(st)
+                        out = []
+                        for v in arr:
+                            c = v.__class__
+                            if c is bytes:
+                                out.append(("t", v))
+                            elif c is int or c is float:
+                                out.append(("s", float(v)))
+                            else:
+                                raise ContentParseError(
+                                    "invalid element in text array"
+                                )
+                        emit(("TJ", out))
+                    elif code == 6:
+                        emit(("TL", _fnum(st[-1])))
+                    elif code == 7:
+                        emit(("Tc", _fnum(st[-1])))
+                    elif code == 8:
+                        emit(("Tw", _fnum(st[-1])))
+                    elif code == 9:
+                        emit(("Tz", _fnum(st[-1])))
+                    elif code == 10:
+                        emit(("Ts", _fnum(st[-1])))
+                    elif code == 11:  # Tr: strictly integer
+                        v = st[-1]
+                        if v.__class__ is not int:
+                            raise ContentParseError("expected integer operand")
+                        emit(("Tr", v))
+                    elif code == 12:  # cm
+                        emit((
+                            "cm", _fnum(st[-6]), _fnum(st[-5]), _fnum(st[-4]),
+                            _fnum(st[-3]), _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 13:
+                        emit(("gs", _rname(st[-1])))
+                    elif code == 14:
+                        emit(("rg", _fnum(st[-3]), _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 15:
+                        emit(("g", _fnum(st[-1])))
+                    elif code == 16:
+                        emit((
+                            "k", _fnum(st[-4]), _fnum(st[-3]),
+                            _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 17:
+                        emit(("Do", _rname(st[-1])))
+                    elif code == 18:
+                        emit(("BMC", _rname(st[-1])))
+                    elif code == 19:  # BDC
+                        props = _rdict_or_name(st)
+                        emit(("BDC", _rname(st.pop()), props))
+                    elif code == 20:
+                        emit(("'", _rstring(st[-1])))
+                    elif code == 21:  # ": aw ac string (ISO §9.4.3)
+                        emit((
+                            '"', _fnum(st[-3]), _fnum(st[-2]),
+                            _rstring(st[-1]),
+                        ))
+                    elif code == 22:
+                        emit(("TD", _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 23:
+                        emit(("w", _fnum(st[-1])))
+                    elif code == 24:  # J: strictly integer
+                        v = st[-1]
+                        if v.__class__ is not int:
+                            raise ContentParseError("expected integer operand")
+                        emit(("J", v))
+                    elif code == 25:
+                        v = st[-1]
+                        if v.__class__ is not int:
+                            raise ContentParseError("expected integer operand")
+                        emit(("j", v))
+                    elif code == 26:
+                        emit(("M", _fnum(st[-1])))
+                    elif code == 27:  # d: dash array + phase
+                        phase = _fnum(st.pop())
+                        arr = _rarray(st)
+                        pattern = [
+                            float(x) for x in arr
+                            if x.__class__ in (int, float)
+                        ]
+                        emit(("d", pattern, phase))
+                    elif code == 28:
+                        emit(("ri", _rname(st[-1])))
+                    elif code == 29:
+                        emit(("i", _fnum(st[-1])))
+                    elif code == 30:
+                        emit(("m", _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 31:
+                        emit(("l", _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 32:
+                        emit((
+                            "c", _fnum(st[-6]), _fnum(st[-5]), _fnum(st[-4]),
+                            _fnum(st[-3]), _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 33:
+                        emit((
+                            "v", _fnum(st[-4]), _fnum(st[-3]),
+                            _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 34:
+                        emit((
+                            "y", _fnum(st[-4]), _fnum(st[-3]),
+                            _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 35:
+                        emit((
+                            "re", _fnum(st[-4]), _fnum(st[-3]),
+                            _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 36:  # CS/cs/sh keep their own mnemonic
+                        emit((opb.decode("latin-1"), _rname(st[-1])))
+                    elif code == 37:
+                        emit(("SC", _rcolors(st)))
+                    elif code == 38:
+                        emit(("sc", _rcolors(st)))
+                    elif code == 39:
+                        emit(("G", _fnum(st[-1])))
+                    elif code == 40:
+                        emit(("RG", _fnum(st[-3]), _fnum(st[-2]), _fnum(st[-1])))
+                    elif code == 41:
+                        emit((
+                            "K", _fnum(st[-4]), _fnum(st[-3]),
+                            _fnum(st[-2]), _fnum(st[-1]),
+                        ))
+                    elif code == 42:
+                        emit(("MP", _rname(st[-1])))
+                    elif code == 43:  # DP
+                        props = _rdict_or_name(st)
+                        emit(("DP", _rname(st.pop()), props))
+                    # code 44 (EI): stray, emit nothing
                 except (ContentParseError, IndexError):
                     pass  # resync (content.rs:985-999)
-                st.clear()
-                continue
+                if st:
+                    st.clear()
             elif kind == LSTR:
                 sdata, pos = _read_literal_string(data, m.end())
-                tok = ("str", sdata)
-                if bi_params is not None:
-                    if bi_key is not None:
-                        bi_params[bi_key] = tok[1]
-                        bi_key = None
-                else:
-                    push(tok)
+                push(sdata)
                 restart = True
                 break
             elif kind == HSTR:
-                h = m.group(HSTR)[1:-1]
-                clean = bytes(c for c in h if c not in _EOL_WS)
-                if len(clean) % 2:
-                    clean += b"0"
-                tok = ("hex", bytes.fromhex(clean.decode("ascii")))
+                push(_hexval(m.group(HSTR)[1:-1]))
             elif kind == NAME:
-                tok = ("name", _decode_name(m.group(NAME)[1:]))
+                nm = m.group(NAME)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm[1:])
+                    name_memo[nm] = s
+                push(s)
             elif kind == AOPEN:
-                tok = ("arr[", None)
+                push(_AO)
             elif kind == ACLOSE:
-                tok = ("arr]", None)
+                push(_AC)
             elif kind == DOPEN:
-                tok = ("dict<<", None)
+                push(_DO)
             elif kind == DCLOSE:
-                tok = ("dict>>", None)
-            else:  # skipd delimiters
-                continue
-            if bi_params is not None:
-                # BI parameter collection (content.rs:1563-1621)
-                if tok[0] == "name" and bi_key is None:
-                    bi_key = _INLINE_KEYS.get(tok[1], tok[1])
-                elif bi_key is not None:
-                    bi_params[bi_key] = (
-                        tok[1] if tok[0] in ("int", "num", "name", "str", "hex") else None
-                    )
-                    bi_key = None
-                continue
-            push(tok)
+                push(_DC)
+            # skipd delimiters are dropped
         if not restart:
             break
     return ops

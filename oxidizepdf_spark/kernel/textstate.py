@@ -188,6 +188,7 @@ class _State:
         "fill_color",
         "saved",  # list of (ctm, fill_color) — SavedGraphicsState
         "mc_stack",  # list of [tag, is_artifact, mcid, actual_text]
+        "artifact_n",  # count of mc_stack entries with is_artifact=True
         "pending_actualtext",
     )
 
@@ -206,15 +207,21 @@ class _State:
         self.fill_color = None
         self.saved: list[tuple] = []
         self.mc_stack: list[list] = []
+        self.artifact_n = 0
         self.pending_actualtext: "_PendingActualText | None" = None
 
     def origin(self) -> tuple[float, float]:
         """text_origin (extraction.rs:1958): (Tm × CTM)(0,0)."""
-        m = _mul(self.text_matrix, self.ctm)
-        return (m[4], m[5])
+        tm = self.text_matrix
+        ctm = self.ctm
+        # translation row of Tm × CTM, without the full 6-term product
+        return (
+            tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4],
+            tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5],
+        )
 
     def in_artifact(self) -> bool:
-        return any(e[1] for e in self.mc_stack)
+        return self.artifact_n > 0
 
 
 class PageExtraction:
@@ -255,10 +262,12 @@ class Interpreter:
         self._total = 0  # total chars accumulated (extracted_text length)
         self._last_char = ""  # last accumulated char, for ends_with(' ')
         self.fragments: list[TextFragment] = []
-        # (font_name, bytes) → decoded memo: real documents repeat a few
-        # hundred distinct runs tens of thousands of times (98%+ hit rate on
-        # the Cold_Email fixture); keyed per fonts-mapping scope
+        # font_name → {bytes → (decoded, unit_width)} memo: real documents
+        # repeat a few hundred distinct runs tens of thousands of times
+        # (98%+ hit rate on the Cold_Email fixture); keyed per fonts-mapping
+        # scope. Two-level so the hot lookup hashes only the run bytes.
         self._decode_memo: dict = {}
+        self._font_memo: dict = self._decode_memo.setdefault(None, {})
 
     def _append(self, s: str) -> None:
         if s:
@@ -342,60 +351,82 @@ class Interpreter:
         """(decoded, unit_width) for a show run — memoized per fonts scope.
         Every width path (code-indexed, composite, 0.5em fallback) is linear
         in font_size, so the memo stores width at font_size=1."""
-        key = (self.state.font_name, text_bytes)
-        memo = self._decode_memo
-        hit = memo.get(key)
+        hit = self._font_memo.get(text_bytes)
         if hit is None:
             fname = self.state.font_name
             d = decode_text(text_bytes, fname, self.fonts)
             info = self.fonts.get(fname) if fname else None
             w1 = calculate_text_width_from_codes(text_bytes, d, 1.0, info)
             hit = (d, w1)
-            memo[key] = hit
+            self._font_memo[text_bytes] = hit
         return hit
+
+    def _set_font_memo(self, font_name) -> None:
+        fm = self._decode_memo.get(font_name)
+        if fm is None:
+            fm = self._decode_memo[font_name] = {}
+        self._font_memo = fm
 
     def _show_text(self, text_bytes: bytes) -> None:
         """ShowText / Tj (extraction.rs:867-935)."""
         st = self.state
+        opts = self.options
         decoded, unit_w = self._decode(text_bytes)
-        x, y = st.origin()
-        skip = self._skip_artifact()
-        if not skip and self._total:
-            dx = x - self.last_x
-            dy = abs(y - self.last_y)
-            if dy > self.options.newline_threshold:
-                self._append("\n")
-            elif dx > self.options.space_threshold * st.font_size:
-                self._append(" ")
+        # origin = translation row of Tm × CTM (extraction.rs:1958), inlined
+        tm = st.text_matrix
+        ctm = st.ctm
+        x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+        y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+        skip = st.artifact_n > 0 and not opts.include_artifacts
         if not skip:
-            self._append(decoded)
+            parts = self.text_parts
+            if self._total:
+                dy = y - self.last_y
+                if dy > opts.newline_threshold or -dy > opts.newline_threshold:
+                    parts.append("\n")
+                    self._total += 1
+                    self._last_char = "\n"
+                elif x - self.last_x > opts.space_threshold * st.font_size:
+                    parts.append(" ")
+                    self._total += 1
+                    self._last_char = " "
+            if decoded:
+                parts.append(decoded)
+                self._total += len(decoded)
+                self._last_char = decoded[-1]
         width = unit_w * st.font_size
-        if self.options.preserve_layout:
+        if opts.preserve_layout:
             self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
         self.last_y = y
         tx = width * st.horizontal_scale / 100.0
-        st.text_matrix = _mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), st.text_matrix)
+        # translation-advance × Tm, inlined
+        st.text_matrix = (
+            tm[0], tm[1], tm[2], tm[3],
+            tx * tm[0] + tm[4], tx * tm[1] + tm[5],
+        )
 
     def _show_text_array(self, elements: list[tuple]) -> None:
         """ShowTextArray / TJ (extraction.rs:940-1030)."""
         st = self.state
         opts = self.options
+        # artifact state can't change inside a TJ array — hoist the check
+        skip = st.artifact_n > 0 and not opts.include_artifacts
+        layout = opts.preserve_layout
         for kind, val in elements:
             if kind == "t":
                 decoded, unit_w = self._decode(val)
-                if not self._skip_artifact():
+                if not skip:
                     self._append(decoded)
                 width = unit_w * st.font_size
-                if self.options.preserve_layout:
+                if layout:
                     fx, fy = st.origin()
                     self._emit_fragment(decoded, width, fx, fy)
                 tx = width * st.horizontal_scale / 100.0
-                st.text_matrix = _mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), st.text_matrix)
             else:  # spacing adjustment
                 tx = -val / 1000.0 * st.font_size
                 if (
-                    not self._skip_artifact()
+                    not skip
                     and tx > opts.tj_space_threshold * st.font_size
                     and self._total
                     and self._last_char != " "
@@ -405,13 +436,14 @@ class Interpreter:
                     # synthetic single-space fragment so downstream merges see
                     # the gap as explicit content (extraction.rs:995-1028);
                     # suppressed while an ActualText run is pending
-                    if (
-                        self.options.preserve_layout
-                        and st.pending_actualtext is None
-                    ):
+                    if layout and st.pending_actualtext is None:
                         sx, sy = st.origin()
                         self._emit_fragment(" ", tx, sx, sy)
-                st.text_matrix = _mul((1.0, 0.0, 0.0, 1.0, tx, 0.0), st.text_matrix)
+            tm = st.text_matrix
+            st.text_matrix = (
+                tm[0], tm[1], tm[2], tm[3],
+                tx * tm[0] + tm[4], tx * tm[1] + tm[5],
+            )
 
     def _next_line_show(self, text_bytes: bytes) -> None:
         """' operator (extraction.rs:1035-1089): T* then show, '\\n' joined."""
@@ -483,6 +515,7 @@ class Interpreter:
             merged.update(extract_page_fonts(xres, reader))
             self.fonts = merged
             self._decode_memo = {}
+            self._set_font_memo(st.font_name)
         saved_in_text = self.in_text
         self.in_text = False
         self.run(ops, xres if xres is not None else resources, depth + 1)
@@ -492,37 +525,59 @@ class Interpreter:
         del st.saved[saved_stack_len:]
         self.fonts = saved_fonts
         self._decode_memo = saved_memo
+        # font_name deliberately persists across the xobject (reference
+        # behavior) — re-point the hot memo at whatever font is now current
+        self._set_font_memo(st.font_name)
 
     # -- main loop -----------------------------------------------------------
 
     def run(self, ops: list[tuple], resources: dict | None, depth: int = 0) -> None:
         st = self.state
+        # branch chain ordered by real-document frequency (Cold_Email
+        # histogram: Td/Tj 59.6k, BT/Tf/Tm/ET 31.6k each, rest <2k)
         for op in ops:
             tag = op[0]
-            if tag == "BT":
-                self.in_text = True
-                st.text_matrix = IDENTITY
-                st.text_line_matrix = IDENTITY
-            elif tag == "ET":
-                self.in_text = False
-            elif tag == "Tm":
-                m = (op[1], op[2], op[3], op[4], op[5], op[6])
-                st.text_matrix = m
-                st.text_line_matrix = m
-            elif tag == "Td":
-                nm = _mul((1.0, 0.0, 0.0, 1.0, op[1], op[2]), st.text_line_matrix)
-                st.text_matrix = nm
-                st.text_line_matrix = nm
-            elif tag == "T*":
-                nm = _mul((1.0, 0.0, 0.0, 1.0, 0.0, -st.leading), st.text_line_matrix)
+            if tag == "Td":
+                # translation × text_line_matrix, inlined (_mul with the
+                # a=(1,0,0,1,tx,ty) special case)
+                t = st.text_line_matrix
+                nm = (
+                    t[0], t[1], t[2], t[3],
+                    op[1] * t[0] + op[2] * t[2] + t[4],
+                    op[1] * t[1] + op[2] * t[3] + t[5],
+                )
                 st.text_matrix = nm
                 st.text_line_matrix = nm
             elif tag == "Tj":
                 if self.in_text:
                     self._show_text(op[1])
+            elif tag == "Tm":
+                m = (op[1], op[2], op[3], op[4], op[5], op[6])
+                st.text_matrix = m
+                st.text_line_matrix = m
+            elif tag == "Tf":
+                st.font_name = op[1]
+                st.font_size = op[2]
+                self._set_font_memo(op[1])
+            elif tag == "BT":
+                self.in_text = True
+                st.text_matrix = IDENTITY
+                st.text_line_matrix = IDENTITY
+            elif tag == "ET":
+                self.in_text = False
             elif tag == "TJ":
                 if self.in_text:
                     self._show_text_array(op[1])
+            elif tag == "T*":
+                t = st.text_line_matrix
+                lead = st.leading
+                nm = (
+                    t[0], t[1], t[2], t[3],
+                    -lead * t[2] + t[4],
+                    -lead * t[3] + t[5],
+                )
+                st.text_matrix = nm
+                st.text_line_matrix = nm
             elif tag == "'":
                 if self.in_text:
                     self._next_line_show(op[1])
@@ -532,9 +587,6 @@ class Interpreter:
                     st.word_space = op[1]
                     st.char_space = op[2]
                     self._next_line_show(op[3])
-            elif tag == "Tf":
-                st.font_name = op[1]
-                st.font_size = op[2]
             elif tag == "TL":
                 st.leading = op[1]
             elif tag == "Tc":
@@ -556,9 +608,9 @@ class Interpreter:
                     st.ctm, st.fill_color = st.saved.pop()
             elif tag == "BMC":
                 parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
-                st.mc_stack.append(
-                    [op[1], op[1] == "Artifact" or parent_artifact, None, None]
-                )
+                is_art = op[1] == "Artifact" or parent_artifact
+                st.artifact_n += is_art
+                st.mc_stack.append([op[1], is_art, None, None])
             elif tag == "BDC":
                 parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
                 props = op[2]
@@ -576,13 +628,13 @@ class Interpreter:
                         actual_text, st.font_size, st.font_name,
                         st.fill_color, len(st.mc_stack),
                     )
-                st.mc_stack.append(
-                    [op[1], op[1] == "Artifact" or parent_artifact, mcid, actual_text]
-                )
+                is_art = op[1] == "Artifact" or parent_artifact
+                st.artifact_n += is_art
+                st.mc_stack.append([op[1], is_art, mcid, actual_text])
             elif tag == "EMC":
                 popped_depth = len(st.mc_stack)
                 if st.mc_stack:
-                    st.mc_stack.pop()
+                    st.artifact_n -= st.mc_stack.pop()[1]
                     pending = st.pending_actualtext
                     if pending is not None and pending.stack_depth + 1 == popped_depth:
                         st.pending_actualtext = None
