@@ -126,6 +126,8 @@ class ExtractionOptions:
         "merge_hyphenated",
         "reconstruct_paragraphs",
         "error_mode",
+        "reading_order",
+        "reading_order_min_gap",
     )
 
     def __init__(
@@ -141,6 +143,8 @@ class ExtractionOptions:
         merge_hyphenated: bool = True,
         reconstruct_paragraphs: bool = False,
         error_mode: str = "tolerant",  # 'strict' | 'tolerant' | 'skip'
+        reading_order: str = "emission",  # 'emission' | 'simple' | 'xycut'
+        reading_order_min_gap: float = 20.0,
     ):
         self.space_threshold = space_threshold
         self.tj_space_threshold = tj_space_threshold
@@ -158,6 +162,15 @@ class ExtractionOptions:
         # tolerant — recover what can be recovered, record error-as-data
         # skip — like tolerant but bad pages are silently skipped
         self.error_mode = error_mode
+        # reading-order strategy (pipeline/reading_order.rs, selectable via
+        # PartitionConfig in the reference — partition.rs:200-211):
+        # emission — operator order (ReadingOrderStrategy::None)
+        # simple   — Y-chained lines, left-to-right (SimpleReadingOrder)
+        # xycut    — recursive X-Y cut, columns first (XYCutReadingOrder)
+        if reading_order not in ("emission", "simple", "xycut"):
+            raise ValueError(f"unknown reading_order: {reading_order!r}")
+        self.reading_order = reading_order
+        self.reading_order_min_gap = reading_order_min_gap
 
 
 def _mul(a, b):
@@ -268,6 +281,12 @@ class Interpreter:
         # scope. Two-level so the hot lookup hashes only the run bytes.
         self._decode_memo: dict = {}
         self._font_memo: dict = self._decode_memo.setdefault(None, {})
+        # fragments are needed for preserve_layout AND for any non-emission
+        # reading-order strategy (the strategy reorders positioned fragments)
+        self._layout = (
+            self.options.preserve_layout
+            or self.options.reading_order != "emission"
+        )
 
     def _append(self, s: str) -> None:
         if s:
@@ -292,8 +311,32 @@ class Interpreter:
         self._flush_text()
         extracted = "".join(self.text_parts)
         opts = self.options
-        # layout_finalize sequence (extraction.rs:750-783)
         proc = LayoutProcessor(opts, self.fonts)
+        if opts.reading_order != "emission":
+            # strategy mode (reference: partition.rs:200-211 applies the
+            # selected ReadingOrder to the extractor's fragments): reorder
+            # the positioned fragments, rebuild the page text from the
+            # ordered sequence. Span interleaving is inherently an
+            # emission-order notion, so spans become one ordered text span
+            # (+ image spans, emission order preserved among themselves).
+            from .reading_order import simple_reading_order, xycut_reading_order
+
+            if opts.reading_order == "simple":
+                ordered = simple_reading_order(self.fragments)
+            else:
+                ordered = xycut_reading_order(
+                    self.fragments, min_gap=opts.reading_order_min_gap
+                )
+            if ordered:
+                extracted = proc.reconstruct_text_from_fragments(ordered)
+            imgs = [s for s in self.out.spans if s[0] == "image"]
+            self.out.spans = (
+                [("text", extracted, None)] if extracted else []
+            ) + imgs
+            self.out.fragments = ordered
+            self.out.text = extracted
+            return self.out
+        # layout_finalize sequence (extraction.rs:750-783)
         fragments, extracted = proc.finalize(
             self.fragments,
             extracted,
@@ -395,7 +438,7 @@ class Interpreter:
                 self._total += len(decoded)
                 self._last_char = decoded[-1]
         width = unit_w * st.font_size
-        if opts.preserve_layout:
+        if self._layout:
             self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
         self.last_y = y
@@ -412,7 +455,7 @@ class Interpreter:
         opts = self.options
         # artifact state can't change inside a TJ array — hoist the check
         skip = st.artifact_n > 0 and not opts.include_artifacts
-        layout = opts.preserve_layout
+        layout = self._layout
         for kind, val in elements:
             if kind == "t":
                 decoded, unit_w = self._decode(val)
@@ -458,7 +501,7 @@ class Interpreter:
                 self._append("\n")
             self._append(decoded)
         width = unit_w * st.font_size
-        if self.options.preserve_layout:
+        if self._layout:
             self._emit_fragment(decoded, width, x, y)
         self.last_x = x + width
         self.last_y = y
@@ -638,7 +681,7 @@ class Interpreter:
                     pending = st.pending_actualtext
                     if pending is not None and pending.stack_depth + 1 == popped_depth:
                         st.pending_actualtext = None
-                        if pending.populated and self.options.preserve_layout:
+                        if pending.populated and self._layout:
                             mcid, struct_tag = _innermost_mc_tag(st.mc_stack)
                             in_artifact = st.in_artifact()
                             if not in_artifact or self.options.include_artifacts:

@@ -409,6 +409,71 @@ FROM documents
 """
 
 
+COLUMNS_MAX_WORDS = 32
+COLUMNS_WORDS_PER_LINE = 2
+
+
+def q_pdf_extract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order strategy end-to-end (A5, pipeline/reading_order.rs):
+    the builder lays the first 32 words as 2-word lines in TWO columns
+    (first half left at x=72, second half right at x=400) but EMITS them
+    interleaved (L1, R1, L2, R2, …) — emission-order extraction would
+    zipper the columns together. Extracting with reading_order='xycut'
+    must split on the column gap and restore the original logical order,
+    so the oracle is simply the normalized 32-word prefix."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(reading_order="xycut")
+        for b in batches:
+            out = {"doc_id": [], "text": [], "n_lines": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = norm.split(" ")[:COLUMNS_MAX_WORDS]
+                lines = [
+                    " ".join(words[i : i + COLUMNS_WORDS_PER_LINE])
+                    for i in range(0, len(words), COLUMNS_WORDS_PER_LINE)
+                ]
+                half = (len(lines) + 1) // 2
+                parts = [b"BT /F1 12 Tf"]
+                # interleave left/right emission; xycut must un-zipper it
+                for i in range(half):
+                    y = 720 - 20 * i
+                    parts.append(
+                        b"1 0 0 1 72 %d Tm (%s) Tj"
+                        % (y, escape_pdf_string(lines[i]))
+                    )
+                    j = half + i
+                    if j < len(lines):
+                        parts.append(
+                            b"1 0 0 1 400 %d Tm (%s) Tj"
+                            % (y, escape_pdf_string(lines[j]))
+                        )
+                parts.append(b"ET")
+                pdf = build_pdf_with_content_stream(b" ".join(parts))
+                res = extract_pdf_bytes(pdf, opts)
+                out["doc_id"].append(doc_id)
+                out["text"].append(res.page_texts[0].replace("\n", " "))
+                out["n_lines"].append(len(lines))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(run, schema="doc_id long, text string, n_lines int")
+
+
+ORACLE_COLUMNS = f"""
+SELECT doc_id,
+       array_to_string(list_slice(string_split({NORM_SQL.format(col='text')}, ' '),
+                                  1, {COLUMNS_MAX_WORDS}), ' ') AS text,
+       CAST(ceil(least(len(string_split({NORM_SQL.format(col='text')}, ' ')),
+                       {COLUMNS_MAX_WORDS}) / {COLUMNS_WORDS_PER_LINE}.0) AS INT)
+         AS n_lines
+FROM documents
+"""
+
+
 def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image XObject reference capture (S14 reference-capture scope,
     extract_images.rs:195-284): each document becomes a PDF whose content
@@ -1639,6 +1704,7 @@ def build_queries() -> dict:
         "html_extract_roundtrip": q_html_extract_roundtrip,
         "pdf_extract_metadata": q_pdf_extract_metadata,
         "pdf_extract_paragraphs": q_pdf_extract_paragraphs,
+        "pdf_extract_columns": q_pdf_extract_columns,
         "pdf_extract_images": q_pdf_extract_images,
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
         "dedup_exact": q_dedup_exact,
@@ -1680,6 +1746,7 @@ def build_oracles() -> dict[str, str]:
         "html_extract_roundtrip": ORACLE_HTML_ROUNDTRIP,
         "pdf_extract_metadata": ORACLE_METADATA,
         "pdf_extract_paragraphs": ORACLE_PARAGRAPHS,
+        "pdf_extract_columns": ORACLE_COLUMNS,
         "pdf_extract_images": ORACLE_IMAGES,
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
         "dedup_exact": ORACLE_DEDUP_EXACT,
