@@ -417,6 +417,111 @@ def build_pdf_multipage_texts(page_texts: list[str]) -> bytes:
     return assemble_pdf(objects)
 
 
+def build_encrypted_pdf(
+    text: str, method: str = "rc4-128", user_pw: bytes = b"",
+    owner_pw: bytes = b"owner",
+) -> bytes:
+    """One-page PDF encrypted with the standard security handler
+    (fixture-side forward direction of kernel/crypto.py; ISO 32000 §7.6.3,
+    reference: encryption_handler.rs + standard_security.rs).
+
+    ``method``: 'rc4-40' (V1 R2) | 'rc4-128' (V2 R3) | 'aes-128' (V4 R4
+    AESV2). The user password defaults to EMPTY — the class the reader
+    auto-unlocks; pass a non-empty one to build refusal fixtures."""
+    import hashlib
+
+    from .kernel.crypto import (
+        StandardSecurityHandler,
+        aes_cbc_encrypt_nopad,
+        compute_o_r2_r4,
+        compute_u_r2_r4,
+    )
+
+    v, r, length = {
+        "rc4-40": (1, 2, 40),
+        "rc4-128": (2, 3, 128),
+        "aes-128": (4, 4, 128),
+    }[method]
+    n = length // 8
+    p = -4  # all permission bits masked off except reserved
+    file_id = hashlib.md5(b"fixture-id:" + text.encode("utf-8", "replace")).digest()
+    o = compute_o_r2_r4(user_pw, user_pw, r, n) if not owner_pw else \
+        compute_o_r2_r4(owner_pw, user_pw, r, n)
+
+    enc: dict = {"V": v, "R": r, "Length": length, "O": o, "P": p}
+    if v == 4:
+        enc["CF"] = {"StdCF": {"CFM": "AESV2", "Length": 16}}
+        enc["StmF"] = "StdCF"
+        enc["StrF"] = "StdCF"
+    probe = StandardSecurityHandler(enc | {"U": b"\x00" * 32}, file_id)
+    key = probe._derive_key_r2_r4(user_pw)
+    u = compute_u_r2_r4(key, r, file_id)
+    enc["U"] = u
+
+    handler = StandardSecurityHandler(enc, file_id)
+    assert handler.try_empty_password() == (user_pw == b"")
+    handler.key = key
+    handler.unlocked = True
+
+    def enc_stream(data: bytes, num: int, gen: int = 0) -> bytes:
+        if v == 4:  # AESV2: IV || CBC(ciphertext), PKCS#5 pad
+            okey = handler._object_key(num, gen, True)
+            iv = hashlib.md5(b"iv:%d" % num).digest()
+            pad = 16 - (len(data) % 16)
+            return iv + aes_cbc_encrypt_nopad(okey, iv, data + bytes([pad]) * pad)
+        from .kernel.crypto import rc4
+
+        return rc4(handler._object_key(num, gen, False), data)
+
+    lines = text.split("\n") if text else [""]
+    parts = [b"BT /F1 12 Tf"]
+    y = 720
+    first = True
+    for ln in lines:
+        if first:
+            parts.append(b"100 %d Td (%s) Tj" % (y, escape_pdf_string(ln)))
+            first = False
+        else:
+            parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
+    parts.append(b"ET")
+    content = enc_stream(b" ".join(parts), 5)
+
+    cf_clause = (
+        b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+        b" /StmF /StdCF /StrF /StdCF" if v == 4 else b""
+    )
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >>"
+           b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        6: b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
+           b" /O <%s> /U <%s>%s >>"
+           % (v, r, length, p, o.hex().encode(), u.hex().encode(), cf_clause),
+    }
+    out = bytearray(BINARY_MARKER)
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        if not objects[num].endswith(b"\n"):
+            out.extend(b"\n")
+        out.extend(b"endobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for num in range(1, 7):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (file_id.hex().encode(), file_id.hex().encode(), xref_off)
+    )
+    return bytes(out)
+
+
 def build_html_doc(text: str, with_image: bool = False) -> str:
     """Wrap ``text`` (one <p> per line) in realistic boilerplate — nav,
     class-hinted sidebar, header, ad block, link farm, footer, script —

@@ -38,6 +38,7 @@ class PdfReader:
         "trailer",
         "mode",
         "lenient",
+        "decryptor",
         "_cache",
         "_objstm_cache",
         "_resolving",
@@ -46,6 +47,7 @@ class PdfReader:
     def __init__(self, data: bytes, lenient: bool = True):
         self.data = data
         self.lenient = lenient
+        self.decryptor = None
         if not data:
             raise PdfParseError("empty file")
         self.version = self._parse_header()
@@ -66,7 +68,33 @@ class PdfReader:
         self.trailer = trailer
         self.mode = mode
         if "Encrypt" in trailer:
-            raise EncryptedPdfError("encrypted PDF (detection-only, unsupported)")
+            self._setup_decryption()
+
+    def _setup_decryption(self) -> None:
+        """Empty-user-password unlock (reader.rs:350-409 wiring around
+        encryption_handler.rs try_empty_password:482). Password-protected
+        documents keep raising EncryptedPdfError (error-as-data upstream)."""
+        from .crypto import StandardSecurityHandler
+
+        enc = self.resolve(self.trailer.get("Encrypt"))
+        if not isinstance(enc, dict):
+            raise EncryptedPdfError("malformed /Encrypt dictionary")
+        if str(enc.get("Filter", "Standard")) != "Standard":
+            raise EncryptedPdfError(
+                f"unsupported security handler: {enc.get('Filter')}"
+            )
+        ids = self.resolve(self.trailer.get("ID"))
+        file_id = None
+        if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
+            file_id = ids[0]
+        try:
+            handler = StandardSecurityHandler(enc, file_id)
+            unlocked = handler.try_empty_password()
+        except Exception as e:
+            raise EncryptedPdfError(f"encryption setup failed: {e}") from e
+        if not unlocked:
+            raise EncryptedPdfError("encrypted PDF (password required)")
+        self.decryptor = handler
 
     def _parse_header(self) -> tuple[int, int]:
         """%PDF-x.y within the first 1KB (header.rs:1-60; leading junk ok)."""
@@ -185,9 +213,42 @@ class PdfReader:
                 if end > pos and data[end - 1] == 0x0D:
                     end -= 1
                 raw = data[pos:end]
+            dec = self.decryptor
+            if dec is not None:
+                # streams are encrypted except the XRef stream itself and
+                # /Metadata when EncryptMetadata is false (ISO 32000 §7.6.2)
+                t = value.get("Type")
+                tname = str(t) if t is not None else ""
+                if tname != "XRef" and not (
+                    tname == "Metadata" and not dec.encrypt_metadata
+                ):
+                    raw = dec.decrypt_stream(raw, num, gen)
+                self._decrypt_strings(value, num, gen)
             value = Stream(value, raw)
             # advance past endstream for completeness
+        elif self.decryptor is not None:
+            value = self._decrypt_strings(value, num, gen)
         return num, gen, value
+
+    def _decrypt_strings(self, value, num: int, gen: int):
+        """Recursively decrypt string values of a directly-parsed indirect
+        object (Algorithm 1 per-string; the Encrypt dict itself is fetched
+        before the decryptor exists, so its O/U/OE/UE stay raw)."""
+        if isinstance(value, bytes):
+            return self.decryptor.decrypt_string(value, num, gen)
+        if isinstance(value, dict):
+            for k, v in value.items():
+                nv = self._decrypt_strings(v, num, gen)
+                if nv is not v:
+                    value[k] = nv
+            return value
+        if isinstance(value, list):
+            for i, v in enumerate(value):
+                nv = self._decrypt_strings(v, num, gen)
+                if nv is not v:
+                    value[i] = nv
+            return value
+        return value
 
     # -- object streams ----------------------------------------------------
 

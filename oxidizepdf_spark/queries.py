@@ -540,6 +540,50 @@ WHERE second <> ''
 """
 
 
+def _pdf_encrypted_roundtrip(method: str):
+    """Decryption round-trip (F11 full path, encryption_handler.rs +
+    standard_security.rs): each document becomes an EMPTY-user-password
+    encrypted PDF (RC4 or AES-128-CBC per-object keys); extraction must
+    transparently unlock and recover the exact text."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from .corpus import build_encrypted_pdf
+            from .kernel.extract import extract_pdf_bytes
+
+            for b in batches:
+                out = {"doc_id": [], "text": [], "n_lines": [], "unlocked": []}
+                for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                    pdf = build_encrypted_pdf(
+                        "\n".join(_wrap_lines(norm)), method=method
+                    )
+                    res = extract_pdf_bytes(pdf)
+                    text = res.page_texts[0] if res.page_texts else ""
+                    out["doc_id"].append(doc_id)
+                    out["text"].append(text.replace("\n", " "))
+                    out["n_lines"].append(text.count("\n") + 1 if text or norm == "" else 1)
+                    out["unlocked"].append(res.error is None)
+                yield pd.DataFrame(out)
+
+        return docs.mapInPandas(
+            run, schema="doc_id long, text string, n_lines int, unlocked boolean"
+        )
+
+    return q
+
+
+def _pdf_encrypted_roundtrip_oracle() -> str:
+    norm = NORM_SQL.format(col="text")
+    n_words = f"len(string_split({norm}, ' '))"
+    return (
+        f"SELECT doc_id, {norm} AS text, "
+        f"CAST(ceil({n_words} / {WORDS_PER_LINE}.0) AS INT) AS n_lines, "
+        f"TRUE AS unlocked FROM documents"
+    )
+
+
 def q_pdf_extract_encrypted_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encryption detection (descoped-to-detect F11, reader.rs:350-409):
     an /Encrypt trailer entry must yield error='encrypted', never a crash
@@ -1707,6 +1751,8 @@ def build_queries() -> dict:
         "pdf_extract_columns": q_pdf_extract_columns,
         "pdf_extract_images": q_pdf_extract_images,
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
+        "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip("rc4-128"),
+        "pdf_extract_encrypted_aes": _pdf_encrypted_roundtrip("aes-128"),
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -1749,6 +1795,8 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_columns": ORACLE_COLUMNS,
         "pdf_extract_images": ORACLE_IMAGES,
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
+        "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip_oracle(),
+        "pdf_extract_encrypted_aes": _pdf_encrypted_roundtrip_oracle(),
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": ORACLE_SIMHASH,

@@ -75,14 +75,34 @@ def test_hang_fixtures_terminate():
     assert res.spans is not None
 
 
-def test_encrypted_fixtures_detected():
+def test_encrypted_passworded_fixtures_refuse():
+    """Password-protected documents still surface error='encrypted'
+    (empty-password unlock must not regress refusal)."""
     for name in (
-        "encrypted_rc4_128bit.pdf",
+        "encrypted_rc4_128bit.pdf",  # RC4 R3 with a real user password
         "encrypted_aes256_r6_user.pdf",
-        "encrypted_pypdf_aes256_empty.pdf",
+        "encrypted_aes256_r5_user.pdf",
+        "encrypted_pypdf_aes256_user.pdf",
     ):
         res = _extract(name)
         assert res.error == "encrypted", name
+
+
+def test_encrypted_empty_password_fixtures_unlock():
+    """Empty-user-password documents decrypt and extract
+    (encryption_handler.rs try_empty_password:482)."""
+    for name in (
+        "encrypted_aes256_r5_empty_user.pdf",
+        "encrypted_aes256_r6_empty_user.pdf",
+    ):
+        res = _extract(name)
+        assert res.error is None, name
+        assert res.n_pages == 44, name
+        assert "Email" in _text(res), name
+    # pypdf's empty-password fixture is a blank page: unlocks, no text
+    res = _extract("encrypted_pypdf_aes256_empty.pdf")
+    assert res.error is None and res.n_pages == 1
+    assert _text(res) == ""
 
 
 def test_pages_tree_refs():
