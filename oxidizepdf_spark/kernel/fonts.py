@@ -167,6 +167,25 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
             dd = reader.resolve(desc_fonts[0])
             if isinstance(dd, dict):
                 info.descendant_font = extract_font_info(dd, reader)
+
+    # no /Widths on a simple Standard-14 font: use the real Adobe AFM
+    # tables (public Core-14 metrics; the fonts need not embed widths —
+    # ISO 32000-1 §9.6.2.2) instead of the 0.5em guess, so space synthesis
+    # and fragment positions track the actual glyph advances.
+    if (
+        info.widths is None
+        and info.name
+        and info.font_type in ("Type1", "TrueType", "MMType1")
+    ):
+        from .afm_widths import standard14_widths
+
+        std = standard14_widths(info.name)
+        if std is not None:
+            table, default = std
+            info.widths = [float(w) for w in table]
+            info.first_char = 0
+            info.last_char = 255
+            info.missing_width = float(default)
     return info
 
 

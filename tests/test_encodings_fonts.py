@@ -53,3 +53,33 @@ def test_decode_text_cmap_garbage_gate():
 
 def test_macroman_font_name_fallback():
     assert decode_text(b"\xa5", "MyMacRomanFont", {}) == "•"  # bullet
+
+
+def test_standard14_afm_widths_used_without_widths_array():
+    """A Standard-14 font with no /Widths uses real AFM advances
+    (kernel/afm_widths.py), not the 0.5em guess — the space-synthesis
+    decision at a marginal gap proves which table was used:
+    'lili' in Helvetica is 4x222 = 888/1000 em (10.66pt at 12pt); a second
+    show 4pt past its true right edge must synthesize a space. The 0.5em
+    guess (24pt) would put last_x past the second origin and emit none."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    content = (
+        b"BT /F1 12 Tf 100 700 Td (lili) Tj "
+        b"1 0 0 1 114.66 700 Tm (next) Tj ET"
+    )
+    res = extract_pdf_bytes(build_pdf_with_content_stream(content))
+    assert res.page_texts[0] == "lili next"
+
+
+def test_standard14_width_tables_sane():
+    from oxidizepdf_spark.kernel.afm_widths import standard14_widths
+
+    helv, d = standard14_widths("ABCDEF+Helvetica-Oblique")
+    assert helv[32] == 278 and helv[ord("i")] == 222 and helv[ord("W")] == 944
+    times, d = standard14_widths("Times-Roman")
+    assert times[32] == 250 and times[ord("m")] == 778
+    cour, d = standard14_widths("Courier-BoldOblique")
+    assert set(cour) == {600}
+    assert standard14_widths("EmbeddedCustomSans") is None
