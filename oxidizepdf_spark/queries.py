@@ -1732,6 +1732,194 @@ FROM events GROUP BY 1, 2
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# near-dup clusters: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs, each member labeled with its cluster representative
+    (the minimum doc_id reachable). This is the step a real dedup pipeline
+    needs after pair generation — keep one doc per component.
+
+    Implementation: iterative min-label propagation to fixpoint (each
+    round: neighbor-min join + groupBy, i.e. one shuffle keyed by doc_id).
+    Near-dup components have tiny diameters, so this converges in a few
+    rounds; at 10^12 edges you'd switch to the large-star/small-star
+    alternation (Kiveris et al.), which is the same join shape with a
+    star-contraction rule."""
+    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+    edges = _persist(
+        pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
+            pairs.selectExpr("doc_b AS src", "doc_a AS dst")
+        )
+    )
+    labels = _persist(
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .withColumn("label", F.col("doc"))
+    )
+    for _ in range(CC_MAX_ITERS):
+        # candidate label from neighbors, then min with own label
+        nbr = (
+            edges.join(labels, edges.src == labels.doc)
+            .groupBy(F.col("dst").alias("doc"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = _persist(
+            labels.join(nbr, on="doc", how="left")
+            .select(
+                "doc",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), on="doc")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster"))
+
+
+ORACLE_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({{minhash}}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+)
+SELECT doc AS doc_id, MIN(label) AS cluster FROM reach GROUP BY doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-language quota)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 50, "other": 20}  # percent, hash-deterministic
+
+
+def q_corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates decided
+    by a content hash (md5 mod 100), so the sample is reproducible across
+    runs/cluster sizes and requires NO shuffle — the standard way to
+    down-sample dominant languages when mixing a training corpus."""
+    lang = q_text_language_id(spark, sf_dir).select("doc_id", "lang_guess")
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("samp"), F.col("norm"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    joined = d.join(lang, on="doc_id").select(
+        "doc_id", "lang_guess", bucket.alias("bucket")
+    )
+    rate = (
+        F.when(F.col("lang_guess") == "en", F.lit(SAMPLE_RATES["en"]))
+        .otherwise(F.lit(SAMPLE_RATES["other"]))
+    )
+    return joined.select(
+        "doc_id",
+        "lang_guess",
+        "bucket",
+        (F.col("bucket") < rate).alias("keep"),
+    )
+
+
+def _stratified_sample_oracle(langid_sql: str) -> str:
+    norm = NORM_SQL.format(col="text")
+    return f"""
+WITH lang AS ({langid_sql}),
+d AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('samp:' || {norm}), 1, 8)) AS UBIGINT)
+              AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT d.doc_id, lang.lang_guess, d.bucket,
+       d.bucket < (CASE WHEN lang.lang_guess = 'en'
+                        THEN {SAMPLE_RATES['en']}
+                        ELSE {SAMPLE_RATES['other']} END) AS keep
+FROM d JOIN lang ON d.doc_id = lang.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf top terms per document
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K terms by tf-idf: one explode + two aggregations
+    + a per-doc window. The df relation is small (vocabulary-sized) —
+    Catalyst broadcast-joins it back; the only big shuffles are keyed by
+    (doc_id, word) and doc_id."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    n_docs = d.count()
+    words = d.select(
+        "doc_id", F.explode(F.split("norm", " ")).alias("word")
+    ).where(F.length("word") > 0)
+    tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df_rel = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_rel), on="word").select(
+        "doc_id",
+        "word",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("word").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_TOP_K)
+        .select("doc_id", "rank", "word", "tfidf")
+    )
+
+
+ORACLE_TFIDF = f"""
+WITH base AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+        FROM documents), UNNEST(ws) AS t(w)
+  WHERE len(w) > 0
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM base GROUP BY doc_id, word),
+dfr AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word,
+         ROUND(tf.tf * ln(n.n_docs * 1.0 / dfr.df), 6) AS tfidf
+  FROM tf JOIN dfr USING (word) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, word, tfidf,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 def build_queries() -> dict:
     q = {
         "pdf_extract_roundtrip": _pdf_roundtrip("classic"),
@@ -1757,10 +1945,13 @@ def build_queries() -> dict:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_language_id": q_text_language_id,
+        "corpus_stratified_sample": q_corpus_stratified_sample,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
         "text_token_count": q_text_token_count,
         "text_repetition_signals": q_text_repetition_signals,
@@ -1801,10 +1992,13 @@ def build_oracles() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": ORACLE_SIMHASH,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
+        "dedup_clusters": ORACLE_DEDUP_CLUSTERS.format(minhash=_minhash_sql()),
         "dedup_embedding_cosine": _emb_cosine_oracle(),
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF,
         "text_language_id": _langid_sql(),
+        "corpus_stratified_sample": _stratified_sample_oracle(_langid_sql()),
+        "tfidf_top_terms": ORACLE_TFIDF,
         "text_quality_score": _quality_sql(),
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_repetition_signals": ORACLE_REPETITION,
