@@ -611,49 +611,58 @@ def _parse_inline_image(tokens: list[tuple], i: int) -> tuple[dict, bytes, int]:
 # pinned by the hypothesis differential test (tests/test_property.py).
 
 _NUMPAT = rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)"
+# atomic variant for the macro alternatives: numbers are maximal-munch in
+# the tokenizer, so forbidding backtracking into them is semantics-neutral
+# and prevents exponential re-splitting when a macro alternative fails
+_NUMPAT_A = rb"[+-]?(?>\d+\.\d*|\.\d+|\d+)"
 _WS1 = rb"[\x00\t\n\x0c\r ]"
 _HEXCLS = rb"[0-9A-Fa-f\x00\t\n\x0c\r ]"
 _BOUND = rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%;]|$)"
 
 _MASTER_FAST = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # fused skippable prefix
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*)"  # fused skippable prefix (atomic)
     rb"(?:"
     # M0: BT /f s Tf a b c d e f Tm x y Td (s)|<hex> Tj [ET] — a whole
     # machine-generated text block in ONE match (prefix 'BT' makes the
     # alternative nearly free to reject everywhere else)
     rb"BT" + _WS1 + rb"*"
     rb"/(?P<b0n>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+"
-    rb"(?P<b0s>" + _NUMPAT + rb")" + _WS1 + rb"+Tf" + _WS1 + rb"+"
-    rb"(?P<b0m1>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m2>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m3>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m4>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m5>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m6>" + _NUMPAT + rb")" + _WS1 + rb"+Tm" + _WS1 + rb"+"
-    rb"(?P<b0x>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<b0y>" + _NUMPAT + rb")" + _WS1 + rb"+Td" + _WS1 + rb"*"
+    rb"(?P<b0s>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tf" + _WS1 + rb"+"
+    rb"(?P<b0m1>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m2>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m3>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m4>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m5>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0m6>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tm" + _WS1 + rb"+"
+    rb"(?P<b0x>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<b0y>" + _NUMPAT_A + rb")" + _WS1 + rb"+Td" + _WS1 + rb"*"
     rb"(?:\((?P<b0lit>[^()\\]*)\)|<(?P<b0hex>" + _HEXCLS + rb"*)>)"
     + _WS1 + rb"*Tj" + _BOUND +
     rb"(?:" + _WS1 + rb"+(?P<b0et>ET)" + _BOUND + rb")?"
     # M1: x y Td (flat)|<hex> Tj — the dominant show cycle, one match
     rb"|(?P<m1x>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<m1y>" + _NUMPAT + rb")" + _WS1 + rb"+"
+    rb"(?P<m1y>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
     rb"Td" + _WS1 + rb"*"
     rb"(?:\((?P<m1s>[^()\\]*)\)|<(?P<m1h>" + _HEXCLS + rb"*)>)"
     + _WS1 + rb"*Tj" + _BOUND +
     # M3: a b c d e f Tm — 7 tokens in one match
     rb"|(?P<tm1>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<tm2>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<tm3>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<tm4>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<tm5>" + _NUMPAT + rb")" + _WS1 + rb"+"
-    rb"(?P<tm6>" + _NUMPAT + rb")" + _WS1 + rb"+Tm" + _BOUND +
+    rb"(?P<tm2>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<tm3>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<tm4>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<tm5>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
+    rb"(?P<tm6>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tm" + _BOUND +
     # M2: (flat)|<hex> Tj
     rb"|(?:\((?P<m2s>[^()\\]*)\)|<(?P<m2h>" + _HEXCLS + rb"*)>)"
     + _WS1 + rb"*Tj" + _BOUND +
+    # M5: [ flat-strings / hex / numbers ] TJ — a whole flat TJ array in
+    # one match; the body admits only COMPLETE tokens (ws, number, flat
+    # string, hex string), so arrays with names/ops/escapes fall through
+    rb"|\[(?P<tjb>(?>(?:[\x00\t\n\x0c\r ]+|" + _NUMPAT_A +
+    rb"|\([^()\\]*\)|<" + _HEXCLS + rb"*>)*))\]" + _WS1 + rb"*TJ" + _BOUND +
     # M4: /name size Tf
     rb"|/(?P<tfn>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+"
-    rb"(?P<tfs>" + _NUMPAT + rb")" + _WS1 + rb"+Tf" + _BOUND +
+    rb"(?P<tfs>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tf" + _BOUND +
     # generic token alternatives (same order/classes as _MASTER)
     rb"|(?P<num>" + _NUMPAT + rb")"
     rb"|(?P<sstr>\([^()\\]*\))"
@@ -799,6 +808,27 @@ def _rcolors(st: list) -> list[float]:
 
 _OPTOK = object()  # operator marker for BI macro replay
 
+# TJ-array body elements (only reachable on text the M5 body already
+# validated, so the three alternatives are exhaustive)
+_TJ_ELEM = re.compile(
+    rb"\(([^()\\]*)\)|<(" + _HEXCLS + rb"*)>|(" + _NUMPAT + rb")"
+)
+
+
+def _tj_elements(body: bytes) -> list[tuple]:
+    out = []
+    for lit, hx, num in _TJ_ELEM.findall(body):
+        if num:
+            out.append(("s", float(num)))
+        elif hx:
+            out.append(("t", _hexval(hx)))
+        else:
+            # non-empty literal, or the empty-string cases () / <> —
+            # both decode to b"" either way
+            out.append(("t", lit))
+    return out
+
+
 # module-level group-index constants for the fast regex
 _GI = _MASTER_FAST.groupindex
 _K_B0N, _K_B0S = _GI["b0n"], _GI["b0s"]
@@ -807,6 +837,7 @@ _K_B0X, _K_B0Y = _GI["b0x"], _GI["b0y"]
 _K_B0LIT, _K_B0HEX, _K_B0ET = _GI["b0lit"], _GI["b0hex"], _GI["b0et"]
 _K_M1X, _K_M1Y, _K_M1S, _K_M1H = _GI["m1x"], _GI["m1y"], _GI["m1s"], _GI["m1h"]
 _K_M2S, _K_M2H = _GI["m2s"], _GI["m2h"]
+_K_TJB = _GI["tjb"]
 _K_TM1, _K_TM6 = _GI["tm1"], _GI["tm6"]
 _K_TFN, _K_TFS = _GI["tfn"], _GI["tfs"]
 _K_NUM, _K_SSTR, _K_LSTR, _K_OP = (
@@ -915,6 +946,17 @@ def _scan_bi(data: bytes, pos: int) -> tuple[dict, bytes, int]:
             elif kind == _K_M2H:
                 feed(_hexval(m.group(_K_M2H)))
                 feed(_OPTOK)
+            elif kind == _K_TJB:
+                feed(None)  # [ marker
+                for lit, hx, num in _TJ_ELEM.findall(m.group(_K_TJB)):
+                    if num:
+                        feed(_numval(num))
+                    elif hx:
+                        feed(_hexval(hx))
+                    else:
+                        feed(lit)
+                feed(None)  # ] marker
+                feed(_OPTOK)  # TJ
             elif kind == _K_TM6:
                 for i in range(_K_TM1, _K_TM6 + 1):
                     feed(_numval(m.group(i)))
@@ -951,6 +993,7 @@ def parse_content(data: bytes) -> list[tuple]:
     B0LIT, B0HEX, B0ET = gi["b0lit"], gi["b0hex"], gi["b0et"]
     M1X, M1Y, M1S, M1H = gi["m1x"], gi["m1y"], gi["m1s"], gi["m1h"]
     M2S, M2H = gi["m2s"], gi["m2h"]
+    TJB = gi["tjb"]
     TM1, TM6 = gi["tm1"], gi["tm6"]
     TFN, TFS = gi["tfn"], gi["tfs"]
     NUM, SSTR, OP, LSTR, HSTR, NAME = (
@@ -1034,6 +1077,10 @@ def parse_content(data: bytes) -> list[tuple]:
                     s = _decode_name(nm)
                     name_memo[nm] = s
                 emit(("Tf", s, float(sz)))
+            elif kind == TJB:  # [ …strings/numbers… ] TJ
+                if st:
+                    st.clear()
+                emit(("TJ", _tj_elements(m.group(TJB))))
             elif kind == M2H:  # <hex> Tj
                 if st:
                     st.clear()

@@ -456,6 +456,40 @@ class Interpreter:
         # artifact state can't change inside a TJ array — hoist the check
         skip = st.artifact_n > 0 and not opts.include_artifacts
         layout = self._layout
+        if not layout:
+            # fast path: no fragments/origins needed, and the per-element
+            # matrix updates are pure text-space translations — they
+            # compose additively, so apply ONE advance at the end
+            fsize = st.font_size
+            hs = st.horizontal_scale / 100.0
+            thr = opts.tj_space_threshold * fsize
+            tx_total = 0.0
+            for kind, val in elements:
+                if kind == "t":
+                    decoded, unit_w = self._decode(val)
+                    if not skip and decoded:
+                        self.text_parts.append(decoded)
+                        self._total += len(decoded)
+                        self._last_char = decoded[-1]
+                    tx_total += unit_w * fsize * hs
+                else:
+                    tx = -val / 1000.0 * fsize
+                    if (
+                        not skip
+                        and tx > thr
+                        and self._total
+                        and self._last_char != " "
+                    ):
+                        self.text_parts.append(" ")
+                        self._total += 1
+                        self._last_char = " "
+                    tx_total += tx
+            tm = st.text_matrix
+            st.text_matrix = (
+                tm[0], tm[1], tm[2], tm[3],
+                tx_total * tm[0] + tm[4], tx_total * tm[1] + tm[5],
+            )
+            return
         for kind, val in elements:
             if kind == "t":
                 decoded, unit_w = self._decode(val)
