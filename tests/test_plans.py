@@ -72,3 +72,44 @@ def test_events_agg_partial_before_shuffle(spark):
     plan = _plan(q_corpus_events_stats(spark, SF))
     assert "partial" in plan.lower()
     assert "Exchange" in plan
+
+
+def test_simhash_is_map_only(spark):
+    """Array-native simhash must not shuffle: the signature fold happens
+    per-row, so the plan has NO Exchange and no Python eval node."""
+    from oxidizepdf_spark.queries import q_dedup_simhash
+
+    plan = _plan(q_dedup_simhash(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_tfidf_df_relation_broadcasts(spark):
+    """The vocabulary-sized document-frequency relation joins back by
+    broadcast, not a shuffled sort-merge join."""
+    from oxidizepdf_spark.queries import q_tfidf_top_terms
+
+    plan = _plan(q_tfidf_top_terms(spark, SF))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_stratified_sample_no_extra_shuffle(spark):
+    """Hash-bucket sampling adds no aggregation of its own — the only
+    exchange allowed is the doc_id equi-join with the language relation."""
+    from oxidizepdf_spark.queries import q_corpus_stratified_sample
+
+    plan = _plan(q_corpus_stratified_sample(spark, SF))
+    # language-id is map-only, so AQE usually plans the join broadcast;
+    # assert there is no aggregate-induced exchange chain
+    assert "HashAggregate" not in plan, plan
+
+
+def test_ngram_jaccard_df_cap_filter_before_join(spark):
+    """The shingle document-frequency cap must filter BEFORE the self-join
+    (the skew guard is pointless after the pair blowup)."""
+    from oxidizepdf_spark.queries import q_dedup_ngram_jaccard
+
+    plan = _plan(q_dedup_ngram_jaccard(spark, SF))
+    # the df <= cap predicate appears as a Filter over the aggregate that
+    # feeds the join
+    assert "100" in plan and "Filter" in plan
