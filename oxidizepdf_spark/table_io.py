@@ -130,3 +130,31 @@ def prune_partitions(df: DataFrame, part_ids: list[int]) -> DataFrame:
     partition column reaches the scan as PartitionFilters — check with
     ``df.explain('formatted')``."""
     return df.where(F.col("part_id").isin(part_ids))
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str = "doc_id",
+    n_buckets: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed, sorted managed table — the co-located-join layout for
+    relations that are repeatedly joined on the same key at corpus scale
+    (extraction output joined with labels/metadata/dedup verdicts). Two
+    tables bucketed identically on the join key sort-merge-join with NO
+    exchange on either side; at 100 TB that deletes the dominant shuffle.
+    Iceberg's analogue is a bucket(N, col) partition transform — this uses
+    the session-catalog bucketBy so the sandbox (no Iceberg jar) exercises
+    the identical planner behavior."""
+    (
+        df.write.mode(mode)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    return spark.read.table(table_name)

@@ -113,3 +113,36 @@ def test_ngram_jaccard_df_cap_filter_before_join(spark):
     # the df <= cap predicate appears as a Filter over the aggregate that
     # feeds the join
     assert "100" in plan and "Filter" in plan
+
+
+def test_bucketed_join_has_no_exchange(spark):
+    """Two tables bucketed identically on the join key must sort-merge-join
+    with NO shuffle on either side — the co-located layout write_bucketed
+    exists to produce (at 100 TB this deletes the dominant exchange)."""
+    from oxidizepdf_spark.table_io import read_bucketed, write_bucketed
+
+    spark.sql("DROP TABLE IF EXISTS b_left")
+    spark.sql("DROP TABLE IF EXISTS b_right")
+    left = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "id * 2 AS x"
+    )
+    right = spark.range(0, 1000).selectExpr(
+        "CAST(id AS STRING) AS doc_id", "id * 3 AS y"
+    )
+    write_bucketed(left, "b_left", n_buckets=8)
+    write_bucketed(right, "b_right", n_buckets=8)
+    # disable broadcast so the planner must choose SMJ; bucketing removes
+    # the exchanges it would otherwise insert
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = read_bucketed(spark, "b_left").join(
+            read_bucketed(spark, "b_right"), on="doc_id"
+        )
+        plan = _plan(j)
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_left")
+        spark.sql("DROP TABLE IF EXISTS b_right")
