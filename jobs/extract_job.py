@@ -31,6 +31,17 @@ def main() -> None:
     ap.add_argument("--partitions", default=None, help="comma-separated part_ids")
     ap.add_argument("--include-artifacts", action="store_true")
     ap.add_argument("--mega-threshold-bytes", type=int, default=2_000_000)
+    ap.add_argument(
+        "--reading-order",
+        choices=("emission", "simple", "xycut"),
+        default="emission",
+        help="fragment reading-order strategy (xycut for multi-column docs)",
+    )
+    ap.add_argument(
+        "--error-mode",
+        choices=("strict", "tolerant", "skip"),
+        default="tolerant",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,7 +68,11 @@ def main() -> None:
         except Exception:
             done = None  # first run: no metrics table yet
 
-    options = ExtractionOptions(include_artifacts=args.include_artifacts)
+    options = ExtractionOptions(
+        include_artifacts=args.include_artifacts,
+        reading_order=args.reading_order,
+        error_mode=args.error_mode,
+    )
     spans, metrics = run_extraction(
         docs, run_id=args.run_id, options=options, done_metrics=done
     )

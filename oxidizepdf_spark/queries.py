@@ -1710,6 +1710,47 @@ FROM islands GROUP BY user_id, session_id
 """
 
 
+def q_stream_dedup_first_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end
+    (applyInPandasWithState, streaming.py): every document is written
+    TWICE into a file-stream source; first-seen-wins keyed state must
+    emit each doc_id exactly once. The returned relation is the deduped
+    doc_id set — fully oracle-checkable (SELECT doc_id FROM documents)."""
+    import os
+    import tempfile
+
+    from .streaming import stream_dedup_first_seen
+
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    base = tempfile.mkdtemp(prefix="oxspark_sdd_")
+    inp = os.path.join(base, "in")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    rows = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        (F.col("doc_id") % 8).cast("int").alias("part_id"),
+        F.array(
+            F.struct(
+                F.lit("text").alias("kind"),
+                F.col("norm").alias("text"),
+                F.lit(None).cast("string").alias("media_ref"),
+                F.lit(0).alias("offset"),
+            )
+        ).alias("spans"),
+    )
+    rows.write.mode("overwrite").parquet(inp)
+    rows.write.mode("append").parquet(inp)  # duplicate arrivals
+    stream_dedup_first_seen(spark, inp, out, ckpt)
+    # no .distinct(): if the keyed state ever double-emits, the row-count
+    # mismatch against the oracle is exactly the failure signal we want
+    return spark.read.parquet(out).select(
+        F.col("doc_id").cast("long").alias("doc_id")
+    )
+
+
+ORACLE_STREAM_DEDUP = "SELECT doc_id FROM documents"
+
+
 def q_streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming surface: event-time 1-hour tumbling windows with
     a watermark, drained via availableNow (see streaming.py). Equal to the
@@ -1963,6 +2004,7 @@ def build_queries() -> dict:
         "corpus_events_stats": q_corpus_events_stats,
         "events_sessionization": q_events_sessionization,
         "streaming_event_counts": q_streaming_event_counts,
+        "stream_dedup_first_seen": q_stream_dedup_first_seen,
     }
     return q
 
@@ -2010,5 +2052,6 @@ def build_oracles() -> dict[str, str]:
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "events_sessionization": ORACLE_SESSIONIZATION,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,
+        "stream_dedup_first_seen": ORACLE_STREAM_DEDUP,
     }
     return o
