@@ -160,3 +160,40 @@ def test_r6_known_password_validates():
     assert not h.try_empty_password()
     assert h._check_user_r5_r6(b"pypdf_test") is not None
     assert h._check_user_r5_r6(b"wrong") is None
+
+
+# -- property tests -----------------------------------------------------------
+
+
+def test_rc4_involution_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        key=st.binary(min_size=1, max_size=32),
+        data=st.binary(min_size=0, max_size=200),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(key, data):
+        assert rc4(key, rc4(key, data)) == data
+
+    check()
+
+
+def test_aes_cbc_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        key=st.sampled_from([bytes(range(16)), bytes(range(24)), bytes(range(32))]),
+        iv=st.binary(min_size=16, max_size=16),
+        nblocks=st.integers(min_value=1, max_value=8),
+        payload=st.binary(min_size=0, max_size=16),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(key, iv, nblocks, payload):
+        msg = (payload * 16)[: nblocks * 16].ljust(nblocks * 16, b"\x00")
+        ct = aes_cbc_encrypt_nopad(key, iv, msg)
+        assert aes_cbc_decrypt(key, iv + ct, strip_pad=False) == msg
+
+    check()

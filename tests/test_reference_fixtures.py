@@ -145,3 +145,19 @@ def test_gbk_euc_h_extracts_real_cjk():
     text = _text(res)
     cjk = sum(1 for c in text if "一" <= c <= "鿿")
     assert cjk >= 10, text[:80]
+
+
+def test_whole_reference_tree_sweep():
+    """Every PDF anywhere in the reference tree either extracts cleanly or
+    is a genuinely password-protected file — no parse crashes, no silent
+    failures, across the full real-world variety the reference ships."""
+    import glob
+
+    paths = sorted(set(glob.glob("/root/reference/**/*.pdf", recursive=True)))
+    assert len(paths) >= 40
+    failures = []
+    for p in paths:
+        res = extract_pdf_bytes(open(p, "rb").read())
+        if res.error is not None and res.error != "encrypted":
+            failures.append((p, res.error))
+    assert not failures, failures
