@@ -137,3 +137,25 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "part_id" in plan
     assert pruned.select("part_id").distinct().count() <= 2
+
+
+def test_pipeline_determinism_run_twice_exceptall(spark):
+    """SURVEY §5 determinism check: two runs over the identical corpus
+    produce exactly the same exploded span relation (exceptAll empty both
+    directions) — no ordering, salting, or memoization nondeterminism."""
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.pipeline import extract_spans
+
+    pairs = list(generate_corpus(n_docs=40, seed=23))
+    docs = _docs_df(spark, pairs)
+
+    def flat(df):
+        return df.select(
+            "doc_id", F.posexplode("spans").alias("i", "s")
+        ).select("doc_id", "i", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+    a = flat(extract_spans(docs))
+    b = flat(extract_spans(docs))
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
