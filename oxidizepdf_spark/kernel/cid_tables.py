@@ -59,13 +59,51 @@ def register_collection(coll: CidCollection) -> None:
 
 
 def from_ordering(ordering: str | None) -> CidCollection | None:
-    """CidCollection::from_ordering (cid_to_unicode.rs:1-47). Returns None
-    when the collection's table has not been registered — the decode chain
-    then falls through to the descendant's encoding decode, exactly like
-    the reference when a CID has no table entry."""
+    """CidCollection::from_ordering (cid_to_unicode.rs:1-47). On a registry
+    miss, lazily loads the bundled derived table (see tools/
+    gen_cid_unicode.py: Adobe's BSD CMap resources composed with Python's
+    CJK codecs — GB1/Japan1/Korea1). Returns None only when no table
+    exists at all — the decode chain then falls through to the
+    descendant's encoding decode, exactly like the reference when a CID
+    has no table entry."""
     if ordering is None:
         return None
-    return _REGISTRY.get(ordering)
+    coll = _REGISTRY.get(ordering)
+    if coll is None and ordering not in _BUNDLED_TRIED:
+        _BUNDLED_TRIED.add(ordering)
+        coll = _load_bundled(ordering)
+        if coll is not None:
+            _REGISTRY[ordering] = coll
+    return coll
+
+
+_BUNDLED_TRIED: set = set()
+
+
+def _load_bundled(ordering: str) -> CidCollection | None:
+    """Load a derived table shipped in kernel/data/ (generated offline by
+    tools/gen_cid_unicode.py from public BSD-licensed Adobe CMap data)."""
+    import gzip
+    import os
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "data",
+        f"cid_unicode_{ordering.lower()}.txt.gz",
+    )
+    if not os.path.isfile(path):
+        return None
+    pairs: dict[int, int] = {}
+    try:
+        with gzip.open(path, "rt") as f:
+            for line in f:
+                if line.startswith("#"):
+                    continue
+                cid_s, cp_s = line.split()
+                pairs[int(cid_s)] = int(cp_s)
+    except (OSError, ValueError):
+        return None
+    return CidCollection(ordering, pairs)
 
 
 def decode_with_cid_table(text: bytes, coll: CidCollection) -> str:

@@ -62,3 +62,47 @@ def test_broadcast_roundtrip_arrays():
     cid_tables._REGISTRY.pop("BCast")
     cid_tables.register_from_arrays(payload)
     assert from_ordering("BCast").cid_to_unicode(7) == "Z"
+
+
+def test_bundled_tables_load_lazily():
+    """GB1/Japan1/Korea1 derived tables (tools/gen_cid_unicode.py: Adobe's
+    BSD CMap resources composed with Python's CJK codecs) register on
+    first from_ordering miss."""
+    from oxidizepdf_spark.kernel.cid_tables import from_ordering
+
+    g = from_ordering("GB1")
+    assert g is not None and len(g) > 20_000
+    j = from_ordering("Japan1")
+    assert j is not None and len(j) > 7_000
+    # canonical anchor: Adobe-Japan1 CID 843 is HIRAGANA LETTER A
+    assert j.cid_to_unicode(843) == "あ"
+    k = from_ordering("Korea1")
+    assert k is not None and len(k) > 15_000
+    # CNS1 has no bundled source — decode chain falls through as before
+    assert from_ordering("CNS1") is None
+
+
+def test_identity_h_gb1_without_tounicode_decodes():
+    """The fixture class the reference covers with cid_to_unicode.rs
+    (extraction_cmap.rs:650-669): a Type0 Identity-H font whose descendant
+    names a CID collection, NO ToUnicode — CIDs decode through the
+    collection table, not to glyph-index garbage."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /STSong-Light "
+        b"/Encoding /Identity-H /DescendantFonts [8 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /STSong-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 2 >> >>"
+    )
+    content = b"BT /F1 12 Tf 100 700 Td <0B46 1042> Tj ET"
+    pdf = build_pdf_with_content_stream(
+        content, font_obj=font, extra_objects={8: desc}
+    )
+    res = extract_pdf_bytes(pdf)
+    assert res.error is None
+    assert res.page_texts[0] == "你一"  # 你一
