@@ -255,13 +255,34 @@ class CMap:
             return None
 
 
+def _inherited_ordering(cmap: "CMap") -> str | None:
+    """Map an inherited predefined `*-UCS2` parent (set by `usecmap`) to
+    its CID collection ordering (cmap.rs inherited_ordering:408-421).
+    `Adobe-KR-UCS2` is a producer alias for the Korea1 collection."""
+    p = cmap.inherited_predefined
+    if p == "Adobe-GB1-UCS2":
+        return "GB1"
+    if p == "Adobe-CNS1-UCS2":
+        return "CNS1"
+    if p == "Adobe-Japan1-UCS2":
+        return "Japan1"
+    if p in ("Adobe-Korea1-UCS2", "Adobe-KR-UCS2"):
+        return "Korea1"
+    return None
+
+
 def decode_with_cmap(text: bytes, cmap: CMap) -> str:
     """Variable-width code walk (extraction_cmap.rs decode_with_cmap:672-745):
     try 1..4-byte codes at each position; unmapped bytes advance by 1.
 
-    The inherited-`*-UCS2`-collection fallback is descoped with the CJK CID
-    tables (SURVEY.md §2.4 J3 v1 descope) — unmapped codes under a usecmap
-    parent advance 1 byte, same as plain unmapped bytes."""
+    usecmap to a predefined Adobe `*-UCS2` parent: a code the child CMap
+    did not map is treated as a 2-byte CID and resolved via the inherited
+    collection table (extraction_cmap.rs:696-712) — explicit child bf*
+    mappings win; the stride stays 2 bytes whether or not the lookup hits
+    (U+FFFD for unmapped non-zero CIDs, nothing for CID 0)."""
+    from .cid_tables import from_ordering
+
+    coll = from_ordering(_inherited_ordering(cmap))
     out: list[str] = []
     i = 0
     n = len(text)
@@ -281,5 +302,14 @@ def decode_with_cmap(text: bytes, cmap: CMap) -> str:
                 decoded = True
                 break
         if not decoded:
+            if coll is not None and n - i >= 2:
+                cid = (text[i] << 8) | text[i + 1]
+                ch = coll.cid_to_unicode(cid)
+                if ch is not None:
+                    out.append(ch)
+                elif cid > 0:
+                    out.append("�")
+                i += 2
+                continue
             i += 1
     return "".join(out)

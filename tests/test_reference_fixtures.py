@@ -161,3 +161,16 @@ def test_whole_reference_tree_sweep():
         if res.error is not None and res.error != "encrypted":
             failures.append((p, res.error))
     assert not failures, failures
+
+
+def test_korean_usecmap_resolves_real_hangul():
+    """encoding_usecmap_external_test.rs (issue5010): a /ToUnicode CMap
+    that delegates via `/Adobe-Korea1-UCS2 usecmap` must resolve unmapped
+    codes as CIDs through the Korea1 collection — real hangul, zero
+    replacement characters."""
+    res = _extract("issue_272_issue5010_korean_usecmap.pdf")
+    assert res.error is None
+    text = "\n".join(res.page_texts)
+    hangul = sum(1 for c in text if "가" <= c <= "힣")
+    assert hangul > 0, text
+    assert "�" not in text, text
