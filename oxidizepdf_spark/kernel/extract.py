@@ -99,16 +99,45 @@ def extract_pdf_bytes(
     return res
 
 
+_XMP_FIELDS = (
+    # (xmp tag regex, output key) — /Info wins, XMP fills the gaps
+    (rb"<dc:title>.*?<rdf:li[^>]*>(.*?)</rdf:li>", "title"),
+    (rb"<dc:creator>.*?<rdf:li[^>]*>(.*?)</rdf:li>", "author"),
+    (rb"<dc:description>.*?<rdf:li[^>]*>(.*?)</rdf:li>", "subject"),
+    (rb"<pdf:Producer>(.*?)</pdf:Producer>", "producer"),
+    (rb"<xmp:CreatorTool>(.*?)</xmp:CreatorTool>", "creator"),
+)
+
+
+def _parse_xmp(xmp: bytes, out: dict) -> None:
+    """Minimal XMP packet scrape (dc/pdf/xmp namespaces). /Info values take
+    precedence (matching common tooling); XMP fills absent fields."""
+    import re as _re
+
+    for pat, key in _XMP_FIELDS:
+        if out.get(key) is None:
+            m = _re.search(pat, xmp, _re.S)
+            if m:
+                val = m.group(1).strip()
+                if val:
+                    out[key] = val.decode("utf-8", "replace")
+
+
 def extract_metadata(data: bytes) -> dict:
     """Document metadata (reference: PdfDocument metadata accessors over the
-    trailer /Info dict, document.rs): returns {version, n_pages, title,
-    author, subject, producer, creator, error}. Strings decode per the PDF
-    text-string rules (UTF-16BE BOM else PDFDoc bytes)."""
+    trailer /Info dict, document.rs; /Metadata XMP stream decoded like the
+    PDF/A validator's check_metadata path — issue_346 fixtures): returns
+    {version, n_pages, title, author, subject, producer, creator,
+    xmp_present, error}. /Info strings decode per the PDF text-string rules
+    (UTF-16BE BOM else PDFDoc bytes); XMP fills fields /Info lacks. An
+    undecodable /Metadata stream (unsupported filter) degrades to
+    xmp_present=False, never an error (issue_346 semantics)."""
     from .textstate import _decode_pdf_string
 
     out = {
         "version": None, "n_pages": 0, "title": None, "author": None,
-        "subject": None, "producer": None, "creator": None, "error": None,
+        "subject": None, "producer": None, "creator": None,
+        "xmp_present": False, "error": None,
     }
     try:
         reader = PdfReader(data)
@@ -126,6 +155,17 @@ def extract_metadata(data: bytes) -> dict:
                     out[col] = _decode_pdf_string(v)
                 elif isinstance(v, str):
                     out[col] = str(v)
+        try:
+            from .objects import Stream
+
+            md = reader.resolve(reader.catalog().get("Metadata"))
+            if isinstance(md, Stream):
+                xmp = md.decode(resolve=reader.resolve)
+                if b"xpacket" in xmp or b"x:xmpmeta" in xmp:
+                    out["xmp_present"] = True
+                    _parse_xmp(xmp, out)
+        except Exception:
+            pass  # undecodable /Metadata: report absent, never fail
     except EncryptedPdfError:
         out["error"] = "encrypted"
     except PdfParseError as e:

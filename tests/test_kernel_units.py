@@ -334,3 +334,26 @@ def test_state_setters_tracked():
     assert st.horizontal_scale == 150.0 and st.text_rise == 5.0
     assert st.render_mode == 1
     assert st.fill_color == ("rgb", 0.1, 0.2, 0.3)
+
+
+def test_xmp_field_scrape_and_info_precedence():
+    from oxidizepdf_spark.kernel.extract import _parse_xmp
+
+    xmp = (
+        b'<x:xmpmeta><rdf:RDF><rdf:Description>'
+        b'<dc:title><rdf:Alt><rdf:li xml:lang="x-default">My XMP Title'
+        b"</rdf:li></rdf:Alt></dc:title>"
+        b"<dc:creator><rdf:Seq><rdf:li>Jane Author</rdf:li></rdf:Seq>"
+        b"</dc:creator><pdf:Producer>prod-x</pdf:Producer>"
+        b"<xmp:CreatorTool>tool-y</xmp:CreatorTool>"
+        b"</rdf:Description></rdf:RDF></x:xmpmeta>"
+    )
+    out = {
+        "title": None, "author": None, "subject": None,
+        "producer": "info-wins", "creator": None,
+    }
+    _parse_xmp(xmp, out)
+    assert out["title"] == "My XMP Title"
+    assert out["author"] == "Jane Author"
+    assert out["producer"] == "info-wins"  # /Info takes precedence
+    assert out["creator"] == "tool-y"

@@ -174,3 +174,25 @@ def test_korean_usecmap_resolves_real_hangul():
     hangul = sum(1 for c in text if "가" <= c <= "힣")
     assert hangul > 0, text
     assert "�" not in text, text
+
+
+def test_xmp_metadata_decode_parity():
+    """issue_346_pdfa_metadata_decode_test.rs semantics: a Flate-compressed
+    /Metadata stream must behave exactly like the uncompressed one, and an
+    undecodable filter must degrade to xmp_present=False without erroring."""
+    from oxidizepdf_spark.kernel.extract import extract_metadata
+
+    comp = extract_metadata(
+        open(f"{FIXTURES}/issue_346_compressed_xmp.pdf", "rb").read()
+    )
+    unc = extract_metadata(
+        open(f"{FIXTURES}/issue_346_uncompressed_xmp.pdf", "rb").read()
+    )
+    assert comp["xmp_present"] and unc["xmp_present"]
+    assert {k: comp[k] for k in ("title", "author", "xmp_present")} == {
+        k: unc[k] for k in ("title", "author", "xmp_present")
+    }
+    bad = extract_metadata(
+        open(f"{FIXTURES}/issue_346_unsupported_filter_xmp.pdf", "rb").read()
+    )
+    assert bad["error"] is None and bad["xmp_present"] is False
