@@ -196,3 +196,21 @@ def test_xmp_metadata_decode_parity():
         open(f"{FIXTURES}/issue_346_unsupported_filter_xmp.pdf", "rb").read()
     )
     assert bad["error"] is None and bad["xmp_present"] is False
+
+
+def test_bitflip_and_truncation_never_raise():
+    """Error-as-data discipline at the byte level: deterministic single-byte
+    corruptions and truncations of real PDFs must always produce a DocResult
+    (possibly error='...'), never an exception — a corrupt document must
+    never kill a Spark task (ParseOptions tolerant mode)."""
+    for name in ("Pages-tree-refs.pdf", "issue_346_uncompressed_xmp.pdf"):
+        data = open(f"{FIXTURES}/{name}", "rb").read()
+        for i in range(50):
+            pos = (i * 2654435761) % len(data)
+            mutated = bytearray(data)
+            mutated[pos] ^= 0xFF
+            res = extract_pdf_bytes(bytes(mutated))
+            assert res is not None
+        for frac in (0.05, 0.3, 0.6, 0.95):
+            res = extract_pdf_bytes(data[: int(len(data) * frac)])
+            assert res is not None
