@@ -88,6 +88,39 @@ _TOKEN_HEAD = re.compile(
 _NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _KEYWORD_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]+")
 
+# Fast-path master token regex (same technique as content.py): whitespace/
+# comment prefix fused into a single C-level match, one alternative per
+# common token shape. Anything it can't express byte-exactly (lone +/-,
+# nested/escaped strings, malformed hex, '>' errors, brace keywords, junk
+# delimiters) falls through to the byte-wise reference path below, so the
+# observable token stream is identical.
+_OBJ_MASTER = re.compile(
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*)"
+    rb"(?:(?P<num>[+-]?(?>\d+\.\d*|\.\d+|\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<do><<)"
+    rb"|(?P<dc>>>)"
+    rb"|(?P<ao>\[)"
+    rb"|(?P<ac>\])"
+    rb"|(?P<sstr>\([^()\\]*\))"
+    rb"|(?P<lstr>\()"
+    rb"|(?P<hstr><[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
+    rb"|(?P<kw>[A-Za-z'\"*][^\x00\t\n\x0c\r ()<>\[\]{}/%]*))"
+)
+_OGI = _OBJ_MASTER.groupindex
+_OK_NUM, _OK_NAME, _OK_DO, _OK_DC = (
+    _OGI["num"], _OGI["name"], _OGI["do"], _OGI["dc"],
+)
+_OK_AO, _OK_AC, _OK_SSTR, _OK_LSTR, _OK_HSTR, _OK_KW = (
+    _OGI["ao"], _OGI["ac"], _OGI["sstr"], _OGI["lstr"], _OGI["hstr"],
+    _OGI["kw"],
+)
+
+# /Type /Pages /Font /Length … repeat across every document — memoize the
+# raw-bytes → Name decode (capped; cleared wholesale if it ever grows)
+_NAME_MEMO: dict[bytes, "Name"] = {}
+_KW_MEMO: dict[bytes, str] = {}
+
 
 class Lexer:
     """Byte-level tokenizer with pushback (lexer.rs push_token:739)."""
@@ -110,6 +143,86 @@ class Lexer:
     def next_token(self) -> tuple:
         if self._pushback:
             return self._pushback.pop()
+        m = _OBJ_MASTER.match(self.data, self.pos)
+        if m is not None:
+            kind = m.lastindex
+            if kind == _OK_NUM:
+                self.pos = m.end()
+                t = m.group(_OK_NUM)
+                if b"." in t:
+                    return ("real", float(t))
+                return ("int", int(t))
+            if kind == _OK_NAME:
+                self.pos = m.end()
+                raw = m.group(_OK_NAME)
+                nm = _NAME_MEMO.get(raw)
+                if nm is None:
+                    if len(_NAME_MEMO) > 8192:
+                        _NAME_MEMO.clear()
+                    nm = self._decode_name_bytes(raw[1:])
+                    _NAME_MEMO[raw] = nm
+                return ("name", nm)
+            if kind == _OK_DO:
+                self.pos = m.end()
+                return ("dict<<", None)
+            if kind == _OK_DC:
+                self.pos = m.end()
+                return ("dict>>", None)
+            if kind == _OK_AO:
+                self.pos = m.end()
+                return ("arr[", None)
+            if kind == _OK_AC:
+                self.pos = m.end()
+                return ("arr]", None)
+            if kind == _OK_KW:
+                self.pos = m.end()
+                raw = m.group(_OK_KW)
+                kw = _KW_MEMO.get(raw)
+                if kw is None:
+                    if len(_KW_MEMO) > 4096:
+                        _KW_MEMO.clear()
+                    kw = raw.decode("latin-1")
+                    _KW_MEMO[raw] = kw
+                return ("kw", kw)
+            if kind == _OK_SSTR:
+                self.pos = m.end()
+                return ("str", m.group(_OK_SSTR)[1:-1])
+            if kind == _OK_HSTR:
+                self.pos = m.end()
+                digits = bytearray(
+                    c
+                    for c in m.group(_OK_HSTR)[1:-1]
+                    if c not in WHITESPACE
+                )
+                if len(digits) % 2:
+                    digits.append(0x30)
+                return ("hexstr", bytes.fromhex(digits.decode("ascii")))
+            if kind == _OK_LSTR:
+                self.pos = m.end() - 1  # at '('
+                return self._read_literal_string()
+        return self._next_token_slow()
+
+    @staticmethod
+    def _decode_name_bytes(raw: bytes) -> "Name":
+        if b"#" in raw:
+            out = bytearray()
+            i = 0
+            while i < len(raw):
+                if raw[i] == 0x23 and i + 2 < len(raw):
+                    try:
+                        out.append(int(raw[i + 1 : i + 3], 16))
+                        i += 3
+                        continue
+                    except ValueError:
+                        pass
+                out.append(raw[i])
+                i += 1
+            raw = bytes(out)
+        return Name(raw.decode("latin-1"))
+
+    def _next_token_slow(self) -> tuple:
+        """Reference byte-wise path (lexer.rs semantics) — reached only for
+        token shapes the master regex does not cover."""
         data, n = self.data, len(self.data)
         pos = self.pos
         # skip whitespace + comments

@@ -96,3 +96,33 @@ def test_fused_parse_matches_two_pass(data):
     from oxidizepdf_spark.kernel.content import parse_content, parse_operators, tokenize
 
     assert parse_content(data) == parse_operators(tokenize(data))
+
+
+def test_object_lexer_fast_path_equals_slow_path():
+    """The master-regex fast path of the object lexer must produce the
+    byte-identical token stream of the reference byte-wise path on
+    arbitrary input (the fast path falls back to it for anything exotic)."""
+    import random
+
+    from oxidizepdf_spark.kernel import objects as O
+
+    def stream(data, force_slow):
+        lx = O.Lexer(data)
+        out = []
+        while True:
+            try:
+                t = lx._next_token_slow() if force_slow else lx.next_token()
+            except O.PdfParseError as e:
+                out.append(("RAISE", type(e).__name__))
+                return out
+            out.append(t)
+            if t[0] == "eof":
+                return out
+
+    rng = random.Random(1234)
+    alphabet = b"()<>[]{}/%+-.0123456789 \t\r\nabcRdefT#\\z"
+    for _ in range(1500):
+        data = bytes(
+            rng.choice(alphabet) for _ in range(rng.randrange(0, 60))
+        )
+        assert stream(data, False) == stream(data, True), data
