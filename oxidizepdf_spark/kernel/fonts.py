@@ -182,7 +182,9 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
         std = standard14_widths(info.name)
         if std is not None:
             table, default = std
-            info.widths = [float(w) for w in table]
+            # share the module-level tuple — width lookups only index it,
+            # and copying 256 entries per font per page showed in profiles
+            info.widths = table
             info.first_char = 0
             info.last_char = 255
             info.missing_width = float(default)

@@ -121,6 +121,15 @@ _OK_AO, _OK_AC, _OK_SSTR, _OK_LSTR, _OK_HSTR, _OK_KW = (
 _NAME_MEMO: dict[bytes, "Name"] = {}
 _KW_MEMO: dict[bytes, str] = {}
 
+# `gen R` tail of an indirect reference, matched in ONE regex instead of
+# two next_token/push_token round-trips per integer (objects.rs:376-399
+# does the same lookahead token-wise)
+_REF_TAIL = re.compile(
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)*)(\d+)"
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\n]*\n?)+)R"
+    rb"(?![^\x00\t\n\x0c\r ()<>\[\]{}/%])"
+)
+
 
 class Lexer:
     """Byte-level tokenizer with pushback (lexer.rs push_token:739)."""
@@ -391,7 +400,15 @@ def parse_object(lexer: Lexer, depth: int = 0):
         raise PdfParseError("maximum parse depth exceeded")
     kind, val = lexer.next_token()
     if kind == "int":
-        # `n g R` lookahead with 2-token pushback (objects.rs:376-399)
+        # `n g R` lookahead (objects.rs:376-399). Well-formed reference
+        # tails resolve in ONE regex match; anything else goes through the
+        # token-wise dance so error behavior on malformed input is
+        # unchanged.
+        if val >= 0 and not lexer._pushback:
+            m = _REF_TAIL.match(lexer.data, lexer.pos)
+            if m is not None:
+                lexer.pos = m.end()
+                return Ref(val, int(m.group(1)))
         t2 = lexer.next_token()
         if t2[0] == "int" and val >= 0 and t2[1] >= 0:
             t3 = lexer.next_token()
