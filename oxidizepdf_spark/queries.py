@@ -1847,6 +1847,96 @@ SELECT doc AS doc_id, MIN(label) AS cluster FROM reach GROUP BY doc
 """
 
 
+def q_dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end dedup DECISION: candidates (MinHash-LSH) → connected
+    components → keep exactly one representative per near-dup cluster (its
+    min doc_id) and every unclustered doc. This is the relation a training
+    pipeline anti-joins against the corpus — the final artifact of the
+    dedup story, not just its intermediates."""
+    labels = q_dedup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id")
+    return (
+        d.join(labels, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            (
+                F.col("cluster").isNull()
+                | (F.col("cluster") == F.col("doc_id"))
+            ).alias("keep"),
+        )
+    )
+
+
+ORACLE_DEDUP_KEEP = f"""
+WITH RECURSIVE pairs AS ({{minhash}}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+reach (doc, label) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc
+),
+clusters AS (SELECT doc AS doc_id, MIN(label) AS cluster FROM reach GROUP BY doc)
+SELECT d.doc_id,
+       (c.cluster IS NULL OR c.cluster = d.doc_id) AS keep
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+"""
+
+
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy of the normalized text — the classic
+    gibberish/boilerplate detector (low-entropy docs are template spam,
+    near-zero are padding). Shuffles key on (doc_id, char) then doc_id."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    chars = d.select(
+        "doc_id",
+        F.explode(F.split(F.col("norm"), "(?!^)(?=.)")).alias("c"),
+    ).where(F.length("c") > 0)
+    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
+    totals = counts.groupBy("doc_id").agg(F.sum("k").alias("n"))
+    ent = (
+        counts.join(totals, on="doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("k") / F.col("n"))
+                    * F.log2(F.col("k") / F.col("n"))
+                ),
+                6,
+            ).alias("char_entropy")
+        )
+    )
+    # docs whose norm is empty have no char rows: entropy 0 by convention
+    d_all = _docs(spark, sf_dir).select("doc_id")
+    return d_all.join(ent, on="doc_id", how="left").select(
+        "doc_id", F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy")
+    )
+
+
+ORACLE_CHAR_ENTROPY = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents),
+chars AS (
+  SELECT doc_id, c
+  FROM (SELECT doc_id, string_split(norm, '') AS cs FROM n), UNNEST(cs) AS t(c)
+  WHERE len(c) > 0
+),
+counts AS (SELECT doc_id, c, COUNT(*) AS k FROM chars GROUP BY doc_id, c),
+totals AS (SELECT doc_id, SUM(k) AS nn FROM counts GROUP BY doc_id),
+ent AS (
+  SELECT counts.doc_id,
+         ROUND(-SUM((k * 1.0 / nn) * log2(k * 1.0 / nn)), 6) AS char_entropy
+  FROM counts JOIN totals ON counts.doc_id = totals.doc_id
+  GROUP BY counts.doc_id
+)
+SELECT d.doc_id, COALESCE(ent.char_entropy, 0.0) AS char_entropy
+FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic stratified sampling (per-language quota)
 # ---------------------------------------------------------------------------
@@ -1987,6 +2077,7 @@ def build_queries() -> dict:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_list": q_dedup_keep_list,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1994,6 +2085,7 @@ def build_queries() -> dict:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
+        "text_char_entropy": q_text_char_entropy,
         "text_token_count": q_text_token_count,
         "text_repetition_signals": q_text_repetition_signals,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2035,6 +2127,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_simhash": ORACLE_SIMHASH,
         "dedup_ngram_jaccard": ORACLE_NGRAM_JACCARD,
         "dedup_clusters": ORACLE_DEDUP_CLUSTERS.format(minhash=_minhash_sql()),
+        "dedup_keep_list": ORACLE_DEDUP_KEEP.format(minhash=_minhash_sql()),
         "dedup_embedding_cosine": _emb_cosine_oracle(),
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF,
@@ -2042,6 +2135,7 @@ def build_oracles() -> dict[str, str]:
         "corpus_stratified_sample": _stratified_sample_oracle(_langid_sql()),
         "tfidf_top_terms": ORACLE_TFIDF,
         "text_quality_score": _quality_sql(),
+        "text_char_entropy": ORACLE_CHAR_ENTROPY,
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_repetition_signals": ORACLE_REPETITION,
         "text_scrub_pii": ORACLE_SCRUB_PII,
