@@ -96,6 +96,9 @@ class CMap:
         "codespace_ranges",
         "ranges",
         "single",
+        "cid_singles",
+        "cid_ranges",
+        "notdef_ranges",
         "inherited_predefined",
         "_uni_memo",
     )
@@ -107,11 +110,46 @@ class CMap:
         self.codespace_ranges: list[tuple[bytes, bytes]] = []
         self.ranges: list[tuple[bytes, bytes, bytes]] = []
         self.single: dict[bytes, bytes] = {}
+        # encoding-CMap (CMapType 1, code→CID) sections: cidchar/cidrange/
+        # notdefrange (encoding_cmap.rs EncodingCMap)
+        self.cid_singles: dict[bytes, int] = {}
+        self.cid_ranges: list[tuple[bytes, bytes, int]] = []
+        self.notdef_ranges: list[tuple[bytes, bytes, int]] = []
         self.inherited_predefined: str | None = None
         # per-instance (code → unicode|None) memo: glyph codes repeat
         # massively within a document, and map()+to_unicode() dominate the
         # real-PDF decode profile without it
         self._uni_memo: dict[bytes, str | None] = {}
+
+    # -- encoding-CMap (code → CID) surface (encoding_cmap.rs:171-229) ------
+
+    def has_cid_mappings(self) -> bool:
+        return bool(self.cid_singles or self.cid_ranges)
+
+    def code_len_at(self, data: bytes, pos: int) -> int:
+        """Byte width of the code at ``pos`` via the first-byte codespace
+        match (ISO 32000-1 §9.7.6.2); width 1 when nothing matches."""
+        b = data[pos]
+        for lo, hi in self.codespace_ranges:
+            if lo and len(lo) == len(hi) and lo[0] <= b <= hi[0]:
+                return len(lo)
+        return 1
+
+    def map_code_to_cid(self, code: bytes) -> int | None:
+        cid = self.cid_singles.get(code)
+        if cid is not None:
+            return cid
+        for lo, hi, base in self.cid_ranges:
+            if len(code) == len(lo) == len(hi) and lo <= code <= hi:
+                off = int.from_bytes(code, "big") - int.from_bytes(lo, "big")
+                return (base + off) & 0xFFFF
+        return None
+
+    def map_notdef(self, code: bytes) -> int | None:
+        for lo, hi, base in self.notdef_ranges:
+            if len(code) == len(lo) == len(hi) and lo <= code <= hi:
+                return base
+        return None
 
     @classmethod
     def identity_h(cls) -> "CMap":
@@ -202,6 +240,42 @@ class CMap:
                                 _increment_be(cur)
                             i += 3
                             continue
+                    i += 1
+            elif kind == "kw" and val == "begincidchar":
+                # encoding-CMap code → CID singles (encoding_cmap.rs)
+                i += 1
+                while i < n:
+                    if tokens[i] == ("kw", "endcidchar"):
+                        break
+                    if (
+                        tokens[i][0] == "hex"
+                        and i + 1 < n
+                        and tokens[i + 1][0] == "int"
+                    ):
+                        cmap.cid_singles[tokens[i][1]] = tokens[i + 1][1] & 0xFFFF
+                        i += 2
+                        continue
+                    i += 1
+            elif kind == "kw" and val in ("begincidrange", "beginnotdefrange"):
+                end_kw = "endcidrange" if val == "begincidrange" else "endnotdefrange"
+                target = (
+                    cmap.cid_ranges if val == "begincidrange" else cmap.notdef_ranges
+                )
+                i += 1
+                while i < n:
+                    if tokens[i] == ("kw", end_kw):
+                        break
+                    if (
+                        tokens[i][0] == "hex"
+                        and i + 2 < n
+                        and tokens[i + 1][0] == "hex"
+                        and tokens[i + 2][0] == "int"
+                    ):
+                        target.append(
+                            (tokens[i][1], tokens[i + 1][1], tokens[i + 2][1] & 0xFFFF)
+                        )
+                        i += 3
+                        continue
                     i += 1
             i += 1
         return cmap

@@ -61,6 +61,7 @@ class FontInfo:
         "differences",
         "descendant_font",
         "cid_ordering",
+        "encoding_cmap",
         "first_char",
         "last_char",
         "widths",
@@ -74,6 +75,7 @@ class FontInfo:
         self.to_unicode: CMap | None = None
         self.differences: dict[int, str] | None = None
         self.descendant_font: FontInfo | None = None
+        self.encoding_cmap: CMap | None = None  # embedded /Encoding stream (code→CID)
         self.cid_ordering: str | None = None
         self.first_char: int | None = None
         self.last_char: int | None = None
@@ -126,8 +128,18 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
             diffs = resolved.get("Differences")
             if isinstance(diffs, list):
                 info.differences = _parse_differences(diffs)
-        # embedded encoding-CMap streams (non-Identity CID encodings) are
-        # descoped with the CJK tables
+        elif isinstance(resolved, Stream):
+            # embedded encoding-CMap stream (CMapType 1, code→CID):
+            # extract_font_info's Reference→stream.decode→EncodingCMap::parse
+            # branch (extraction_cmap.rs; encoding_embedded_stream_test.rs)
+            try:
+                emb = CMap.parse(resolved.decode(resolve=reader.resolve))
+                if emb.has_cid_mappings():
+                    info.encoding_cmap = emb
+                if emb.name and info.encoding is None:
+                    info.encoding = emb.name
+            except Exception:
+                pass
 
     # ToUnicode only honored as an indirect stream (extraction_cmap.rs:298)
     tu = font_dict.get("ToUnicode")
@@ -238,6 +250,14 @@ def decode_text_with_font(text: bytes, info: FontInfo) -> str | None:
         desc = info.descendant_font
         if desc.to_unicode is not None:
             return decode_text_with_font(text, desc)
+        # Embedded /Encoding CMap stream (code→CID) + CID collection
+        # (extraction_cmap.rs CidEncoding::Cmap → decode_via_encoding_cmap)
+        if info.encoding_cmap is not None:
+            from .cid_tables import from_ordering
+
+            coll = from_ordering(desc.cid_ordering or info.cid_ordering)
+            if coll is not None:
+                return _decode_via_encoding_cmap(text, info.encoding_cmap, coll)
         # Predefined CJK encoding CMaps (the reference vendors Adobe's CMap
         # resources, encoding_cmap.rs resolve_predefined) map directly onto
         # Python's bundled CJK codecs — GBK-EUC-H bytes ARE GBK text, etc.
@@ -264,6 +284,32 @@ def decode_text_with_font(text: bytes, info: FontInfo) -> str | None:
                 return result
         return decode_text_with_font(text, desc)
     return _decode_with_encoding(text, info)
+
+
+def _decode_via_encoding_cmap(text: bytes, enc, coll) -> str:
+    """extraction_cmap.rs decode_via_encoding_cmap:618-645: walk variable-
+    width codes per the CMap codespace; code→CID (with notdef fallback) →
+    collection table; U+FFFD for unmapped codes and unmapped non-zero CIDs,
+    nothing for CID 0."""
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ln = max(1, min(enc.code_len_at(text, i), n - i))
+        code = text[i : i + ln]
+        cid = enc.map_code_to_cid(code)
+        if cid is None:
+            cid = enc.map_notdef(code)
+        if cid is None:
+            out.append("\ufffd")
+        else:
+            ch = coll.cid_to_unicode(cid)
+            if ch is not None:
+                out.append(ch)
+            elif cid > 0:
+                out.append("\ufffd")
+        i += ln
+    return "".join(out)
 
 
 def _decode_with_encoding(text: bytes, info: FontInfo) -> str:

@@ -83,3 +83,77 @@ def test_standard14_width_tables_sane():
     cour, d = standard14_widths("Courier-BoldOblique")
     assert set(cour) == {600}
     assert standard14_widths("EmbeddedCustomSans") is None
+
+
+_EMBEDDED_CMAP = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo 3 dict dup begin
+/Registry (Adobe) def
+/Ordering (GB1) def
+/Supplement 0 def
+end def
+/CMapName /Test-Embedded-H def
+/CMapType 1 def
+1 begincodespacerange
+<0000> <ffff>
+endcodespacerange
+3 begincidchar
+<0001> 4559
+<0002> 3809
+<0003> 1875
+endcidchar
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end
+"""
+
+
+def _type0_pdf(encoding_is_stream: bool):
+    from oxidizepdf_spark.corpus import _stream_obj, build_pdf_with_content_stream
+
+    enc = b"8 0 R" if encoding_is_stream else b"/Identity-H"
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-GB1 /Encoding "
+        + enc
+        + b" /DescendantFonts [9 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Test-GB1 "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (GB1) "
+        b"/Supplement 0 >> /CIDToGIDMap /Identity >>"
+    )
+    extra = {9: desc}
+    if encoding_is_stream:
+        extra[8] = _stream_obj(
+            b"/Type /CMap /CMapName /Test-Embedded-H /CMapType 1",
+            _EMBEDDED_CMAP,
+        )
+    return build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td <000100020003> Tj ET",
+        font_obj=font,
+        extra_objects=extra,
+    )
+
+
+def test_embedded_encoding_stream_maps_codes_to_cid_to_unicode():
+    """encoding_embedded_stream_test.rs: a Type0 /Encoding that is a
+    REFERENCE to a CMapType-1 stream drives code→CID→Unicode end-to-end —
+    codes <0001><0002><0003> remap to GB1 CIDs 4559/3809/1875 → 中我国."""
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    res = extract_pdf_bytes(_type0_pdf(True))
+    assert res.error is None
+    assert res.page_texts[0] == "中我国"
+
+
+def test_identity_h_same_bytes_do_not_produce_cjk():
+    """Contrast case from the same reference test: under /Identity-H the
+    bytes are raw CIDs 1/2/3 — NOT CJK — proving the embedded stream (not a
+    default) produced the ideographs above."""
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    res = extract_pdf_bytes(_type0_pdf(False))
+    cjk = [c for c in res.page_texts[0] if "一" <= c <= "鿿"]
+    assert not cjk, res.page_texts[0]

@@ -112,3 +112,25 @@ def test_b85_payload_roundtrip():
     )
     payload = encode_raw_payload(pdf)
     assert decode_raw_payload(payload) == pdf
+
+
+def test_unbalanced_marked_content_defensive():
+    """extraction_unbalanced_bdc_test.rs (issue #269): extra EMCs are
+    silently dropped; a dangling BDC at EOF still extracts with its MCID
+    attributed — never a crash."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    extra_emc = (
+        b"BT /F1 12 Tf 100 700 Td EMC EMC "
+        b"/P << /MCID 0 >> BDC (hello) Tj EMC EMC ET"
+    )
+    dangling = b"BT /F1 12 Tf 100 700 Td /P << /MCID 0 >> BDC (hello) Tj ET"
+    for content in (extra_emc, dangling):
+        pdf = build_pdf_with_content_stream(content)
+        res = extract_pdf_bytes(pdf, ExtractionOptions(preserve_layout=True))
+        assert res.error is None
+        frs = res.page_fragments[0]
+        hello = [f for f in frs if f.text == "hello"]
+        assert hello and hello[0].mcid == 0
