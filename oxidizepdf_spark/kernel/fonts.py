@@ -9,9 +9,11 @@ Reimplements (in-UDF, cached per font name per document):
 - decode_text_with_font chain: extraction_cmap.rs:557-616
 - decode_text acceptance gate + encoding fallback: extraction.rs:1766-1831
 
-Descoped vs the reference (SURVEY.md §2.4 J3): the Adobe CJK CID→Unicode
-collections (cid_to_unicode.rs, ~10k LoC of static tables — would be Spark
-broadcast variables) and embedded TrueType kern tables.
+Descoped vs the reference (SURVEY.md §2.4 J3): embedded TrueType kern
+tables, and the Adobe-CNS1 CID→Unicode collection (no offline source).
+GB1/Japan1/Korea1 tables are bundled (kernel/data/, derived from Adobe's
+BSD CMap resources × Python codecs); embedded /Encoding CMap streams and
+usecmap *-UCS2 parents are supported.
 """
 
 from __future__ import annotations
