@@ -82,25 +82,41 @@ _BUNDLED_TRIED: set = set()
 
 def _load_bundled(ordering: str) -> CidCollection | None:
     """Load a derived table shipped in kernel/data/ (generated offline by
-    tools/gen_cid_unicode.py from public BSD-licensed Adobe CMap data)."""
-    import gzip
-    import os
+    tools/gen_cid_unicode.py from public BSD-licensed Adobe CMap data).
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        "data",
-        f"cid_unicode_{ordering.lower()}.txt.gz",
-    )
-    if not os.path.isfile(path):
-        return None
+    Reads through importlib.resources so the tables also load when the
+    package ships as a zip via ``spark-submit --py-files`` (plain
+    ``__file__`` paths point inside the archive and os.path would miss)."""
+    import gzip
+
+    fname = f"cid_unicode_{ordering.lower()}.txt.gz"
+    raw: bytes | None = None
+    try:
+        from importlib import resources
+
+        ref = resources.files(__package__) / "data" / fname
+        if ref.is_file():
+            raw = ref.read_bytes()
+    except Exception:
+        raw = None
+    if raw is None:
+        # fallback for exotic loaders
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "data", fname
+        )
+        if not os.path.isfile(path):
+            return None
+        with open(path, "rb") as f:
+            raw = f.read()
     pairs: dict[int, int] = {}
     try:
-        with gzip.open(path, "rt") as f:
-            for line in f:
-                if line.startswith("#"):
-                    continue
-                cid_s, cp_s = line.split()
-                pairs[int(cid_s)] = int(cp_s)
+        for line in gzip.decompress(raw).decode("ascii").splitlines():
+            if line.startswith("#") or not line:
+                continue
+            cid_s, cp_s = line.split()
+            pairs[int(cid_s)] = int(cp_s)
     except (OSError, ValueError):
         return None
     return CidCollection(ordering, pairs)

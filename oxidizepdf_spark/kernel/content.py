@@ -808,6 +808,15 @@ def _rcolors(st: list) -> list[float]:
 
 _OPTOK = object()  # operator marker for BI macro replay
 
+
+class _InlineTok(bytes):
+    """A stray inline-image payload sitting on the operand stack (token
+    path: the ('inline', …) token). Distinct type so no operand pop
+    accepts it — bytes-typed pops must reject it like the token path's
+    kind checks do."""
+
+    __slots__ = ()
+
 # TJ-array body elements (only reachable on text the M5 body already
 # validated, so the three alternatives are exhaustive)
 _TJ_ELEM = re.compile(
@@ -897,6 +906,17 @@ def _scan_bi(data: bytes, pos: int) -> tuple[dict, bytes, int]:
             if kind == _K_OP:
                 opb = m.group(_K_OP)
                 if opb == b"ID":
+                    if key is not None:
+                        # token-path quirk (_parse_inline_image): an ID in
+                        # VALUE position is consumed as the pending key's
+                        # None value, not as the params terminator; the
+                        # tokenizer still swallowed the raw payload, so the
+                        # scan resumes after the EI with data staying b""
+                        params[key] = None
+                        key = None
+                        _, pos = _read_inline_image_data(data, m.end())
+                        restart = True
+                        break
                     payload, pos = _read_inline_image_data(data, m.end())
                     return params, payload, pos
                 feed(_OPTOK)
@@ -1114,8 +1134,13 @@ def parse_content(data: bytes) -> list[tuple]:
                         restart = True
                         break
                     if opb == b"ID":
-                        # stray ID outside BI: consume payload, discard
-                        _, pos = _read_inline_image_data(data, m.end())
+                        # stray ID outside BI — token-path semantics: the
+                        # ID op resyncs (clears the stack), then the
+                        # tokenizer's inline-payload token lands ON the
+                        # stack as an operand no pop accepts
+                        st.clear()
+                        payload, pos = _read_inline_image_data(data, m.end())
+                        push(_InlineTok(payload))
                         restart = True
                         break
                     # unknown operator (incl. true/false/null): resync

@@ -868,11 +868,18 @@ bits AS (
   SELECT doc_id, bit, ((h >> bit) & 1) * 2 - 1 AS sign
   FROM hashed, UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS t(bit)
 ),
-votes AS (SELECT doc_id, bit, SUM(sign) AS vote FROM bits GROUP BY doc_id, bit)
-SELECT doc_id,
-       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
-            AS BIGINT) AS simhash
-FROM votes GROUP BY doc_id
+votes AS (SELECT doc_id, bit, SUM(sign) AS vote FROM bits GROUP BY doc_id, bit),
+sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+-- LEFT JOIN from documents: the array-native Spark side emits simhash=0
+-- for word-less documents (empty/whitespace-only norm), so the oracle
+-- must cover every doc_id too
+SELECT d.doc_id, COALESCE(sig.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sig ON d.doc_id = sig.doc_id
 """
 
 JACCARD_THRESHOLD = 0.8
@@ -1803,7 +1810,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc"))
     )
-    for _ in range(CC_MAX_ITERS):
+    # guaranteed fixpoint: min-label propagation converges within the
+    # longest path length, which is < |V|; CC_MAX_ITERS is only a floor so
+    # tiny graphs don't pay a count() for the bound
+    n_vertices = labels.count()
+    for _ in range(max(CC_MAX_ITERS, n_vertices + 1)):
         # candidate label from neighbors, then min with own label
         nbr = (
             edges.join(labels, edges.src == labels.doc)
