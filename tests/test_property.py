@@ -126,3 +126,65 @@ def test_object_lexer_fast_path_equals_slow_path():
             rng.choice(alphabet) for _ in range(rng.randrange(0, 60))
         )
         assert stream(data, False) == stream(data, True), data
+
+
+def test_fused_parser_adversarial_cases():
+    """Deterministic differential cases for the fused parser, including the
+    stray-ID / BI-value-position-ID divergences a review fuzz once found."""
+    from oxidizepdf_spark.kernel.content import (
+        parse_content,
+        parse_operators,
+        tokenize,
+    )
+
+    cases = [
+        b"(hello) ID xx EI Tj",
+        b"ET q null Tm Tf (a\\)b) ID xx EI Tj re",
+        b"-3.5 ID xx EI sc",
+        b"true /A#42 sc BI /A#42 ID xx EI Td",
+        b"BI /F1 ID xx EI",
+        b"BI /A ID xx EI (t) Tj",
+        b"ID",
+        b"ID x",
+        b"BI ID",
+        b"BI /K ID",
+        b"BI /K /V ID p EI (x) Tj",
+        b"BT /F0 16 Tf 1 0 0 -1 0 2235 Tm 408 0 Td <0003> Tj ET",
+        b"[(a) -120 (b)] TJ",
+        b"[1 + 2] TJ",
+        b"1 2 Td (s) Tj",
+        b"5 Td (a) Tj",
+        b"(x) 1 2 Td (s) Tj",
+        b"[" + b"1 " * 500 + b"] 0 d",
+    ]
+    for c in cases:
+        assert parse_content(c) == parse_operators(tokenize(c)), c
+
+
+def test_fused_parser_id_focused_fuzz():
+    """Random interleavings of BI/ID/EI with operands and show ops — the
+    inline-image state machine is where fused/token paths can drift."""
+    import random
+
+    from oxidizepdf_spark.kernel.content import (
+        parse_content,
+        parse_operators,
+        tokenize,
+    )
+
+    rng = random.Random(99)
+    toks = [
+        b"BI", b"ID", b"EI", b"(a)", b"<41>", b"/K", b"/V", b"5", b"-3.5",
+        b"Tj", b"TJ", b"[", b"]", b"Td", b"sc", b"Tm", b"q", b"null", b"xx",
+    ]
+    for _ in range(1500):
+        c = b" ".join(rng.choice(toks) for _ in range(rng.randrange(0, 14)))
+        try:
+            a = parse_content(c)
+        except Exception as e:
+            a = ("R", type(e).__name__)
+        try:
+            b = parse_operators(tokenize(c))
+        except Exception as e:
+            b = ("R", type(e).__name__)
+        assert a == b, c
