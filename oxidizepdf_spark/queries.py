@@ -1317,21 +1317,30 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = F.array(*[F.lit(w) for w in _LANG_STOPWORDS["en"]])
     stop_hits = F.size(F.filter(words, lambda w: F.array_contains(en, w)))
     n_punct = n_chars - F.length(F.regexp_replace("norm", r"[^\w\s]", ""))
-    out = d.select(
+    # all ratios in integer MILLIONTHS, derived identically in both
+    # dialects: a linear combination of 6dp-rounded doubles lands on exact
+    # decimal ties at the 7th digit, where Spark's and DuckDB's ROUND
+    # disagree (observed at sf0.1). Integer arithmetic + one final /1e6
+    # keeps every intermediate deterministic.
+    s6 = F.round(stop_hits * 1000000.0 / F.greatest(n_words, F.lit(1))).cast(
+        "long"
+    )
+    p6 = F.round(n_punct * 1000000.0 / F.greatest(n_chars, F.lit(1))).cast(
+        "long"
+    )
+    a6 = F.least(
+        n_words.cast("long") * F.lit(10000), F.lit(1000000).cast("long")
+    )
+    q6 = F.round(
+        (4 * a6 + 3 * s6 + 3 * (F.lit(1000000) - p6)) / 10.0
+    ).cast("long")
+    return d.select(
         "doc_id",
         n_words.alias("n_words"),
         n_chars.alias("n_chars"),
-        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stop_ratio"),
-        F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
-    )
-    return out.withColumn(
-        "quality",
-        F.round(
-            0.4 * F.least(F.col("n_words") / 100.0, F.lit(1.0))
-            + 0.3 * F.col("stop_ratio")
-            + 0.3 * (1.0 - F.col("punct_ratio")),
-            6,
-        ),
+        (s6 / 1000000.0).alias("stop_ratio"),
+        (p6 / 1000000.0).alias("punct_ratio"),
+        (q6 / 1000000.0).alias("quality"),
     )
 
 
@@ -1346,15 +1355,18 @@ m AS (
   SELECT doc_id,
          len(ws) AS n_words,
          length(norm) AS n_chars,
-         ROUND(len(list_filter(ws, w -> w IN ({inlist}))) * 1.0 /
-               greatest(len(ws), 1), 6) AS stop_ratio,
-         ROUND((length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g'))) * 1.0 /
-               greatest(length(norm), 1), 6) AS punct_ratio
+         CAST(ROUND(len(list_filter(ws, w -> w IN ({inlist}))) * 1000000.0 /
+                    greatest(len(ws), 1)) AS BIGINT) AS s6,
+         CAST(ROUND((length(norm) - length(regexp_replace(norm, '[^\\w\\s]', '', 'g')))
+                    * 1000000.0 / greatest(length(norm), 1)) AS BIGINT) AS p6,
+         least(CAST(len(ws) AS BIGINT) * 10000, 1000000) AS a6
   FROM base
 )
-SELECT doc_id, n_words, n_chars, stop_ratio, punct_ratio,
-       ROUND(0.4 * least(n_words / 100.0, 1.0) + 0.3 * stop_ratio +
-             0.3 * (1.0 - punct_ratio), 6) AS quality
+SELECT doc_id, n_words, n_chars,
+       s6 / 1000000.0 AS stop_ratio,
+       p6 / 1000000.0 AS punct_ratio,
+       CAST(ROUND((4 * a6 + 3 * s6 + 3 * (1000000 - p6)) / 10.0) AS BIGINT)
+         / 1000000.0 AS quality
 FROM m
 """
 

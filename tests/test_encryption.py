@@ -197,3 +197,20 @@ def test_aes_cbc_roundtrip_property():
         assert aes_cbc_decrypt(key, iv + ct, strip_pad=False) == msg
 
     check()
+
+
+def test_encrypted_reading_order_composes():
+    """Feature composability: decryption and the reading-order strategies
+    must compose through one extraction call — an AES-128 encrypted
+    multi-line document reads identically under every strategy (single
+    column, so all three orders agree)."""
+    from oxidizepdf_spark.corpus import build_encrypted_pdf
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    text = "alpha one\nbeta two\ngamma three"
+    pdf = build_encrypted_pdf(text, method="aes-128")
+    for ro in ("emission", "simple", "xycut"):
+        res = extract_pdf_bytes(pdf, ExtractionOptions(reading_order=ro))
+        assert res.error is None, ro
+        assert res.page_texts[0] == text, (ro, res.page_texts[0])
