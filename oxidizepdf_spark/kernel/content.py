@@ -1323,3 +1323,304 @@ def parse_content(data: bytes) -> list[tuple]:
         if not restart:
             break
     return ops
+
+
+def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
+    """Fused tokenize+parse+INTERPRET in one pass: semantically identical to
+    ``interp.run(parse_content(data), resources, depth)`` (property-pinned
+    by tests), but the operation tuples are never materialized and
+    operators with no extraction effect skip operand parsing entirely —
+    their tuples would be built only to be ignored by run()'s fall-through.
+
+    This is the extraction pipeline's hot path; ``parse_content``/``run``
+    remain the reference pair for the public parser API and the
+    differential tests."""
+    st_i = interp.state
+    stack: list = []
+    push = stack.append
+    pos = 0
+    n = len(data)
+    name_memo = _NAME_MEMO
+    IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    while pos < n:
+        restart = False
+        for m in _MASTER_FAST.finditer(data, pos):
+            kind = m.lastindex
+            if kind is None:
+                continue
+            if kind == _K_B0HEX or kind == _K_B0ET or kind == _K_B0LIT:
+                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block
+                if stack:
+                    stack.clear()
+                g = m.group
+                interp.in_text = True
+                nm = g(_K_B0N)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm)
+                    name_memo[nm] = s
+                st_i.font_name = s
+                st_i.font_size = float(g(_K_B0S))
+                interp._set_font_memo(s)
+                v = g(_K_B0M1, _K_B0M1 + 1, _K_B0M1 + 2, _K_B0M1 + 3,
+                      _K_B0M1 + 4, _K_B0M1 + 5)
+                tm = (
+                    float(v[0]), float(v[1]), float(v[2]),
+                    float(v[3]), float(v[4]), float(v[5]),
+                )
+                x, y = float(g(_K_B0X)), float(g(_K_B0Y))
+                nmat = (
+                    tm[0], tm[1], tm[2], tm[3],
+                    x * tm[0] + y * tm[2] + tm[4],
+                    x * tm[1] + y * tm[3] + tm[5],
+                )
+                st_i.text_matrix = nmat
+                st_i.text_line_matrix = nmat
+                h = g(_K_B0HEX)
+                interp._show_text(g(_K_B0LIT) if h is None else _hexval(h))
+                if kind == _K_B0ET:
+                    interp.in_text = False
+            elif kind == _K_M1H or kind == _K_M1S:  # x y Td (s)|<hex> Tj
+                if stack:
+                    stack.clear()
+                g = m.group
+                x, y = float(g(_K_M1X)), float(g(_K_M1Y))
+                t = st_i.text_line_matrix
+                nmat = (
+                    t[0], t[1], t[2], t[3],
+                    x * t[0] + y * t[2] + t[4],
+                    x * t[1] + y * t[3] + t[5],
+                )
+                st_i.text_matrix = nmat
+                st_i.text_line_matrix = nmat
+                if interp.in_text:
+                    if kind == _K_M1H:
+                        interp._show_text(_hexval(g(_K_M1H)))
+                    else:
+                        interp._show_text(g(_K_M1S))
+            elif kind == _K_TJB:  # [ … ] TJ
+                if stack:
+                    stack.clear()
+                if interp.in_text:
+                    interp._show_text_array(_tj_elements(m.group(_K_TJB)))
+            elif kind == _K_TM6:  # a b c d e f Tm
+                if stack:
+                    stack.clear()
+                v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
+                            _K_TM1 + 4, _K_TM6)
+                tm = (
+                    float(v[0]), float(v[1]), float(v[2]),
+                    float(v[3]), float(v[4]), float(v[5]),
+                )
+                st_i.text_matrix = tm
+                st_i.text_line_matrix = tm
+            elif kind == _K_TFS:  # /name size Tf
+                if stack:
+                    stack.clear()
+                nm, sz = m.group(_K_TFN, _K_TFS)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm)
+                    name_memo[nm] = s
+                st_i.font_name = s
+                st_i.font_size = float(sz)
+                interp._set_font_memo(s)
+            elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
+                if stack:
+                    stack.clear()
+                if interp.in_text:
+                    if kind == _K_M2H:
+                        interp._show_text(_hexval(m.group(_K_M2H)))
+                    else:
+                        interp._show_text(m.group(_K_M2S))
+            elif kind == _K_NUM:
+                t = m.group(_K_NUM)
+                push(float(t) if b"." in t else int(t))
+            elif kind == _K_SSTR:
+                push(m.group(_K_SSTR)[1:-1])
+            elif kind == _K_OP:
+                opb = m.group(_K_OP)
+                try:
+                    if opb == b"Tj":
+                        if interp.in_text:
+                            interp._show_text(_rstring(stack[-1]))
+                    elif opb == b"Td":
+                        x, y = _fnum(stack[-2]), _fnum(stack[-1])
+                        t = st_i.text_line_matrix
+                        nmat = (
+                            t[0], t[1], t[2], t[3],
+                            x * t[0] + y * t[2] + t[4],
+                            x * t[1] + y * t[3] + t[5],
+                        )
+                        st_i.text_matrix = nmat
+                        st_i.text_line_matrix = nmat
+                    elif opb == b"Tm":
+                        tm = (
+                            _fnum(stack[-6]), _fnum(stack[-5]),
+                            _fnum(stack[-4]), _fnum(stack[-3]),
+                            _fnum(stack[-2]), _fnum(stack[-1]),
+                        )
+                        st_i.text_matrix = tm
+                        st_i.text_line_matrix = tm
+                    elif opb == b"Tf":
+                        s = _rname(stack[-2])
+                        sz = _fnum(stack[-1])
+                        st_i.font_name = s
+                        st_i.font_size = sz
+                        interp._set_font_memo(s)
+                    elif opb == b"BT":
+                        interp.in_text = True
+                        st_i.text_matrix = IDENT
+                        st_i.text_line_matrix = IDENT
+                    elif opb == b"ET":
+                        interp.in_text = False
+                    elif opb == b"TJ":
+                        arr = _rarray(stack)
+                        out = []
+                        for v in arr:
+                            c = v.__class__
+                            if c is bytes:
+                                out.append(("t", v))
+                            elif c is int or c is float:
+                                out.append(("s", float(v)))
+                            else:
+                                raise ContentParseError(
+                                    "invalid element in text array"
+                                )
+                        if interp.in_text:
+                            interp._show_text_array(out)
+                    elif opb == b"T*":
+                        t = st_i.text_line_matrix
+                        lead = st_i.leading
+                        nmat = (
+                            t[0], t[1], t[2], t[3],
+                            -lead * t[2] + t[4],
+                            -lead * t[3] + t[5],
+                        )
+                        st_i.text_matrix = nmat
+                        st_i.text_line_matrix = nmat
+                    elif opb == b"'":
+                        v = _rstring(stack[-1])
+                        if interp.in_text:
+                            interp._next_line_show(v)
+                    elif opb == b'"':
+                        v = _rstring(stack[-1])
+                        ac = _fnum(stack[-2])
+                        aw = _fnum(stack[-3])
+                        if interp.in_text:
+                            st_i.word_space = aw
+                            st_i.char_space = ac
+                            interp._next_line_show(v)
+                    elif opb == b"TL":
+                        st_i.leading = _fnum(stack[-1])
+                    elif opb == b"Tc":
+                        st_i.char_space = _fnum(stack[-1])
+                    elif opb == b"Tw":
+                        st_i.word_space = _fnum(stack[-1])
+                    elif opb == b"Tz":
+                        st_i.horizontal_scale = _fnum(stack[-1])
+                    elif opb == b"Ts":
+                        st_i.text_rise = _fnum(stack[-1])
+                    elif opb == b"Tr":
+                        v = stack[-1]
+                        if v.__class__ is not int:
+                            raise ContentParseError("expected integer operand")
+                        st_i.render_mode = v
+                    elif opb == b"cm":
+                        a, b, c, d, e, f = (
+                            _fnum(stack[-6]), _fnum(stack[-5]),
+                            _fnum(stack[-4]), _fnum(stack[-3]),
+                            _fnum(stack[-2]), _fnum(stack[-1]),
+                        )
+                        o = st_i.ctm
+                        st_i.ctm = (
+                            a * o[0] + b * o[2],
+                            a * o[1] + b * o[3],
+                            c * o[0] + d * o[2],
+                            c * o[1] + d * o[3],
+                            e * o[0] + f * o[2] + o[4],
+                            e * o[1] + f * o[3] + o[5],
+                        )
+                    elif opb == b"q":
+                        st_i.saved.append((st_i.ctm, st_i.fill_color))
+                    elif opb == b"Q":
+                        if st_i.saved:
+                            st_i.ctm, st_i.fill_color = st_i.saved.pop()
+                    elif opb == b"g":
+                        st_i.fill_color = ("gray", _fnum(stack[-1]))
+                    elif opb == b"rg":
+                        st_i.fill_color = (
+                            "rgb", _fnum(stack[-3]), _fnum(stack[-2]),
+                            _fnum(stack[-1]),
+                        )
+                    elif opb == b"k":
+                        st_i.fill_color = (
+                            "cmyk", _fnum(stack[-4]), _fnum(stack[-3]),
+                            _fnum(stack[-2]), _fnum(stack[-1]),
+                        )
+                    elif opb == b"Do":
+                        interp._paint_xobject(
+                            _rname(stack[-1]), resources, depth
+                        )
+                    elif opb == b"BMC":
+                        interp._op_bmc(_rname(stack[-1]))
+                    elif opb == b"BDC":
+                        props = _rdict_or_name(stack)
+                        interp._op_bdc(_rname(stack.pop()), props, resources)
+                    elif opb == b"EMC":
+                        interp._op_emc()
+                    elif opb == b"BI":
+                        stack.clear()
+                        _params, _payload, pos = _scan_bi(data, m.end())
+                        interp._emit_image(
+                            f"inline:{interp.page_index}:{interp._inline_idx}"
+                        )
+                        interp._inline_idx += 1
+                        restart = True
+                        break
+                    elif opb == b"ID":
+                        # stray ID: resync + the swallowed payload becomes
+                        # an operand no pop accepts (token-path parity)
+                        stack.clear()
+                        payload, pos = _read_inline_image_data(data, m.end())
+                        push(_InlineTok(payload))
+                        restart = True
+                        break
+                    # every other operator (paths, colors incl. gs/SC/sc,
+                    # TD, dash, clipping, XObject-irrelevant) has NO
+                    # extraction effect: operands are discarded unparsed
+                except (ContentParseError, IndexError):
+                    pass  # resync (content.rs:985-999)
+                if stack:
+                    stack.clear()
+            elif kind == _K_LSTR:
+                sdata, pos = _read_literal_string(data, m.end())
+                push(sdata)
+                restart = True
+                break
+            elif kind == _K_HSTR:
+                push(_hexval(m.group(_K_HSTR)[1:-1]))
+            elif kind == _K_NAME:
+                nm = m.group(_K_NAME)  # includes the leading '/'
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm[1:])
+                    name_memo[nm] = s
+                push(s)
+            elif kind == _K_AO:
+                push(_AO)
+            elif kind == _K_AC:
+                push(_AC)
+            elif kind == _K_DO:
+                push(_DO)
+            elif kind == _K_DC:
+                push(_DC)
+            # skipd delimiters are dropped
+        if not restart:
+            break

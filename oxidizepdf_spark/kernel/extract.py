@@ -24,7 +24,7 @@ from .pages import flatten_page_tree, page_content
 from .reader import EncryptedPdfError, PdfReader
 from .textstate import ExtractionOptions, Interpreter
 from .fonts import extract_page_fonts
-from .content import parse_content
+from .content import parse_and_run
 
 # span tuple: (kind, text, media_ref) — offset assigned at the end
 
@@ -78,11 +78,12 @@ def extract_pdf_bytes(
         try:
             fonts = extract_page_fonts(page.resources, reader)
             content = page_content(reader, page)
-            ops = parse_content(content)
             interp = Interpreter(
                 reader=reader, fonts=fonts, options=options, page_index=idx
             )
-            interp.run(ops, page.resources)
+            # fused tokenize+parse+interpret — identical semantics to
+            # interp.run(parse_content(content), ...) (property-pinned)
+            parse_and_run(interp, content, page.resources)
             out = interp.finalize()
             res.spans.extend(out.spans)
             res.page_fragments.append(out.fragments)

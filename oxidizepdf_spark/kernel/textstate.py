@@ -567,7 +567,6 @@ class Interpreter:
         # Form XObject: implicit q/Q, /Matrix onto CTM, own /Resources fonts
         try:
             data = obj.decode(resolve=reader.resolve)
-            ops = parse_content(data)
         except Exception:
             return
         xres = obj.dict.get("Resources")
@@ -595,7 +594,11 @@ class Interpreter:
             self._set_font_memo(st.font_name)
         saved_in_text = self.in_text
         self.in_text = False
-        self.run(ops, xres if xres is not None else resources, depth + 1)
+        from .content import parse_and_run
+
+        parse_and_run(
+            self, data, xres if xres is not None else resources, depth + 1
+        )
         self.in_text = saved_in_text
         st.ctm = saved_ctm
         st.fill_color = saved_fill
@@ -605,6 +608,59 @@ class Interpreter:
         # font_name deliberately persists across the xobject (reference
         # behavior) — re-point the hot memo at whatever font is now current
         self._set_font_memo(st.font_name)
+
+    # -- marked-content ops (shared by run() and the fused stream path) ------
+
+    def _op_bmc(self, tag: str) -> None:
+        st = self.state
+        parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
+        is_art = tag == "Artifact" or parent_artifact
+        st.artifact_n += is_art
+        st.mc_stack.append([tag, is_art, None, None])
+
+    def _op_bdc(self, tag: str, props, resources) -> None:
+        st = self.state
+        parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
+        page_properties = None
+        if isinstance(resources, dict):
+            pp = resources.get("Properties")
+            if self.reader is not None and isinstance(pp, Ref):
+                pp = self.reader.resolve(pp)
+            page_properties = pp if isinstance(pp, dict) else None
+        mcid, actual_text = _resolve_props(props, page_properties, self.reader)
+        if actual_text is not None:
+            # open a pending run, flushed on the matching EMC
+            # (innermost-ActualText-wins, extraction.rs:1256-1272)
+            st.pending_actualtext = _PendingActualText(
+                actual_text, st.font_size, st.font_name,
+                st.fill_color, len(st.mc_stack),
+            )
+        is_art = tag == "Artifact" or parent_artifact
+        st.artifact_n += is_art
+        st.mc_stack.append([tag, is_art, mcid, actual_text])
+
+    def _op_emc(self) -> None:
+        st = self.state
+        popped_depth = len(st.mc_stack)
+        if st.mc_stack:
+            st.artifact_n -= st.mc_stack.pop()[1]
+            pending = st.pending_actualtext
+            if pending is not None and pending.stack_depth + 1 == popped_depth:
+                st.pending_actualtext = None
+                if pending.populated and self._layout:
+                    mcid, struct_tag = _innermost_mc_tag(st.mc_stack)
+                    in_artifact = st.in_artifact()
+                    if not in_artifact or self.options.include_artifacts:
+                        self.fragments.append(
+                            TextFragment(
+                                pending.text, pending.first_x,
+                                pending.first_y, pending.width,
+                                pending.font_size, pending.font_size,
+                                pending.font_name, pending.is_bold,
+                                pending.is_italic, pending.color,
+                                mcid, struct_tag,
+                            )
+                        )
 
     # -- main loop -----------------------------------------------------------
 
@@ -684,51 +740,11 @@ class Interpreter:
                 if st.saved:
                     st.ctm, st.fill_color = st.saved.pop()
             elif tag == "BMC":
-                parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
-                is_art = op[1] == "Artifact" or parent_artifact
-                st.artifact_n += is_art
-                st.mc_stack.append([op[1], is_art, None, None])
+                self._op_bmc(op[1])
             elif tag == "BDC":
-                parent_artifact = bool(st.mc_stack) and st.mc_stack[-1][1]
-                props = op[2]
-                page_properties = None
-                if isinstance(resources, dict):
-                    pp = resources.get("Properties")
-                    if self.reader is not None and isinstance(pp, Ref):
-                        pp = self.reader.resolve(pp)
-                    page_properties = pp if isinstance(pp, dict) else None
-                mcid, actual_text = _resolve_props(props, page_properties, self.reader)
-                if actual_text is not None:
-                    # open a pending run, flushed on the matching EMC
-                    # (innermost-ActualText-wins, extraction.rs:1256-1272)
-                    st.pending_actualtext = _PendingActualText(
-                        actual_text, st.font_size, st.font_name,
-                        st.fill_color, len(st.mc_stack),
-                    )
-                is_art = op[1] == "Artifact" or parent_artifact
-                st.artifact_n += is_art
-                st.mc_stack.append([op[1], is_art, mcid, actual_text])
+                self._op_bdc(op[1], op[2], resources)
             elif tag == "EMC":
-                popped_depth = len(st.mc_stack)
-                if st.mc_stack:
-                    st.artifact_n -= st.mc_stack.pop()[1]
-                    pending = st.pending_actualtext
-                    if pending is not None and pending.stack_depth + 1 == popped_depth:
-                        st.pending_actualtext = None
-                        if pending.populated and self._layout:
-                            mcid, struct_tag = _innermost_mc_tag(st.mc_stack)
-                            in_artifact = st.in_artifact()
-                            if not in_artifact or self.options.include_artifacts:
-                                self.fragments.append(
-                                    TextFragment(
-                                        pending.text, pending.first_x,
-                                        pending.first_y, pending.width,
-                                        pending.font_size, pending.font_size,
-                                        pending.font_name, pending.is_bold,
-                                        pending.is_italic, pending.color,
-                                        mcid, struct_tag,
-                                    )
-                                )
+                self._op_emc()
             elif tag == "g":
                 st.fill_color = ("gray", op[1])
             elif tag == "rg":

@@ -188,3 +188,98 @@ def test_fused_parser_id_focused_fuzz():
         except Exception as e:
             b = ("R", type(e).__name__)
         assert a == b, c
+
+
+def _interp_snapshot(interp):
+    st = interp.state
+    out = interp.finalize()
+    return (
+        out.spans,
+        out.text,
+        [
+            (f.text, round(f.x, 6), round(f.y, 6), round(f.width, 6), f.mcid,
+             f.struct_tag)
+            for f in out.fragments
+        ],
+        st.text_matrix, st.text_line_matrix, st.ctm, st.leading,
+        st.char_space, st.word_space, st.horizontal_scale, st.font_size,
+        st.font_name, st.render_mode, st.fill_color, len(st.saved),
+        len(st.mc_stack), st.artifact_n, interp.in_text,
+        round(interp.last_x, 6), round(interp.last_y, 6),
+    )
+
+
+def test_fused_interpret_equals_two_pass():
+    """parse_and_run (fused tokenize+parse+interpret, the extraction hot
+    path) must leave the interpreter in EXACTLY the state that
+    run(parse_content(x)) does — spans, text, fragments, matrices, colors,
+    marked-content state — on targeted and random operator streams."""
+    import random
+
+    from oxidizepdf_spark.kernel.content import (
+        _NAME_MEMO,
+        parse_and_run,
+        parse_content,
+    )
+    from oxidizepdf_spark.kernel.textstate import (
+        ExtractionOptions,
+        Interpreter,
+    )
+
+    # shared decode memo: clear so a bug in either path can't be masked by
+    # a correct entry the other path cached earlier in the process
+    _NAME_MEMO.clear()
+
+    def run_both(content, **optkw):
+        a = Interpreter(options=ExtractionOptions(**optkw))
+        parse_and_run(a, content, None)
+        b = Interpreter(options=ExtractionOptions(**optkw))
+        b.run(parse_content(content), None)
+        return _interp_snapshot(a), _interp_snapshot(b)
+
+    cases = [
+        b"BT /F1 12 Tf 100 700 Td (Hi) Tj ET",
+        b"BT /F0 16 Tf 1 0 0 -1 0 2235 Tm 408 0 Td <0003> Tj ET",
+        b"BT /F1 12 Tf [(a) -300 (b)] TJ ET",
+        b"BT /F1 12 Tf 100 700 Td (a) ' (b) ' ET",
+        b'BT /F1 12 Tf 2 3 (x) " ET',
+        b"q 2 0 0 2 5 5 cm BT /F1 10 Tf (s) Tj ET Q",
+        b"/P << /MCID 3 >> BDC BT /F1 9 Tf (m) Tj ET EMC",
+        b"/Artifact BMC BT /F1 9 Tf (h) Tj ET EMC BT /F1 9 Tf (s) Tj ET",
+        b"BT 14 TL /F1 12 Tf (l1) Tj T* (l2) Tj ET",
+        b"BT /F1 12 Tf 1 Tz 50 Tz (z) Tj 3 Tr 0.5 Ts 2 Tc 1 Tw ET",
+        b"0.5 g 1 0 0 rg 0 0 0 1 k BT /F1 8 Tf (c) Tj ET",
+        b"(stray) Tj",
+        b"5 Td (a) Tj",
+        b"(x) 1 2 Td (s) Tj",
+        b"BT /F1 12 Tf (pre) Tj ET BI /W 2 ID \x00\x01 EI (post) Tj",
+        b"(hello) ID xx EI Tj",
+        b"BI /A ID xx EI (t) Tj",
+        b"EMC EMC BT /F1 12 Tf /P << /MCID 0 >> BDC (h) Tj EMC EMC ET",
+        b"1 2 TD (s) Tj",
+        b"[1 2] 0 d (x) Tj",
+        b"true false null Tj",
+    ]
+    for c in cases:
+        for kw in (
+            {},
+            {"preserve_layout": True},
+            {"reading_order": "xycut"},
+            {"include_artifacts": True},
+        ):
+            a, b = run_both(c, **kw)
+            assert a == b, (c, kw)
+
+    rng = random.Random(5)
+    toks = [
+        b"BT", b"ET", b"/F1 12 Tf", b"1 0 0 1 5 7 Tm", b"3 -4 Td", b"(a)",
+        b"(ab) Tj", b"<41> Tj", b"[(a) -300 (b)] TJ", b"T*", b"12 TL",
+        b"' ", b'2 3 (q) "', b"q", b"Q", b"2 0 0 2 0 0 cm", b"0.5 g",
+        b"/P << /MCID 1 >> BDC", b"EMC", b"/Artifact BMC", b"/Im1 Do",
+        b"BI /W 1 ID x EI", b"ID y", b"5 Tz", b"1 Tr", b"null",
+        b"[1 2] 0 d", b"(x)", b"7",
+    ]
+    for _ in range(800):
+        c = b" ".join(rng.choice(toks) for _ in range(rng.randrange(0, 16)))
+        a, b = run_both(c)
+        assert a == b, c
