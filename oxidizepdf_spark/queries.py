@@ -409,6 +409,60 @@ FROM documents
 """
 
 
+def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page operations re-expressed relationally (SURVEY §2.7: the
+    reference's operations/split.rs|merge.rs|reorder.rs become Spark
+    transforms): SPLIT = one output row per page; MERGE is its inverse
+    (groupBy doc_id + collect ordered); REORDER is an ORDER BY over
+    page_idx. The per-page text must equal the builder's page slicing, so
+    the oracle recomputes each page from the word array alone."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_text_pdf
+        from .kernel.extract import extract_pdf_bytes
+
+        for b in batches:
+            out = {"doc_id": [], "page_idx": [], "page_text": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                pdf = build_text_pdf(
+                    "\n".join(_wrap_lines(norm)), lines_per_page=PAGE_OPS_LINES
+                )
+                res = extract_pdf_bytes(pdf)
+                for i, pt in enumerate(res.page_texts):
+                    out["doc_id"].append(doc_id)
+                    out["page_idx"].append(i)
+                    out["page_text"].append(pt.replace("\n", " "))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run, schema="doc_id long, page_idx int, page_text string"
+    )
+
+
+PAGE_OPS_LINES = 4  # lines per page, small so real docs split multi-page
+_WORDS_PER_PAGE = WORDS_PER_LINE * PAGE_OPS_LINES
+
+ORACLE_PAGE_OPS = f"""
+WITH base AS (
+  SELECT doc_id, string_split({NORM_SQL.format(col='text')}, ' ') AS ws
+  FROM documents
+),
+pages AS (
+  SELECT doc_id, ws,
+         CAST(ceil(ceil(len(ws) / {WORDS_PER_LINE}.0) / {PAGE_OPS_LINES}.0)
+              AS INT) AS n_pages
+  FROM base
+)
+SELECT doc_id,
+       CAST(i AS INT) AS page_idx,
+       array_to_string(
+         ws[i * {_WORDS_PER_PAGE} + 1 : least((i + 1) * {_WORDS_PER_PAGE}, len(ws))],
+         ' ') AS page_text
+FROM pages, UNNEST(generate_series(0, n_pages - 1)) AS t(i)
+"""
+
+
 COLUMNS_MAX_WORDS = 32
 COLUMNS_WORDS_PER_LINE = 2
 
@@ -2091,6 +2145,7 @@ def build_queries() -> dict:
         "pdf_extract_metadata": q_pdf_extract_metadata,
         "pdf_extract_paragraphs": q_pdf_extract_paragraphs,
         "pdf_extract_columns": q_pdf_extract_columns,
+        "pdf_page_ops": q_pdf_page_ops,
         "pdf_extract_images": q_pdf_extract_images,
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
         "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip("rc4-128"),
@@ -2141,6 +2196,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_metadata": ORACLE_METADATA,
         "pdf_extract_paragraphs": ORACLE_PARAGRAPHS,
         "pdf_extract_columns": ORACLE_COLUMNS,
+        "pdf_page_ops": ORACLE_PAGE_OPS,
         "pdf_extract_images": ORACLE_IMAGES,
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
         "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip_oracle(),
