@@ -711,6 +711,25 @@ def _fnum(v) -> float:
     raise ContentParseError("expected number operand")
 
 
+def _vnums(stack: list, k: int) -> list | None:
+    """Non-raising variant of k number pops for the fused interpreter:
+    returns the top-k operands as floats, or None when the stack is short
+    or any operand is not a number (== the token path's resync)."""
+    if len(stack) < k:
+        return None
+    out = []
+    for i in range(-k, 0):
+        v = stack[i]
+        c = v.__class__
+        if c is float:
+            out.append(v)
+        elif c is int:
+            out.append(float(v))
+        else:
+            return None
+    return out
+
+
 def _rname(v) -> str:
     if v.__class__ is str:
         return v
@@ -1444,12 +1463,18 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 push(m.group(_K_SSTR)[1:-1])
             elif kind == _K_OP:
                 opb = m.group(_K_OP)
-                try:
-                    if opb == b"Tj":
-                        if interp.in_text:
-                            interp._show_text(_rstring(stack[-1]))
-                    elif opb == b"Td":
-                        x, y = _fnum(stack[-2]), _fnum(stack[-1])
+                # Operand validation is EXPLICIT (no exception flow):
+                # invalid operands skip the op exactly like the token
+                # path's resync, while interpreter ACTIONS run unguarded so
+                # their errors propagate precisely as run() propagates them.
+                if opb == b"Tj":
+                    v = stack[-1] if stack else None
+                    if v.__class__ is bytes and interp.in_text:
+                        interp._show_text(v)
+                elif opb == b"Td":
+                    xy = _vnums(stack, 2)
+                    if xy is not None:
+                        x, y = xy
                         t = st_i.text_line_matrix
                         nmat = (
                             t[0], t[1], t[2], t[3],
@@ -1458,27 +1483,31 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         )
                         st_i.text_matrix = nmat
                         st_i.text_line_matrix = nmat
-                    elif opb == b"Tm":
-                        tm = (
-                            _fnum(stack[-6]), _fnum(stack[-5]),
-                            _fnum(stack[-4]), _fnum(stack[-3]),
-                            _fnum(stack[-2]), _fnum(stack[-1]),
-                        )
+                elif opb == b"Tm":
+                    v6 = _vnums(stack, 6)
+                    if v6 is not None:
+                        tm = tuple(v6)
                         st_i.text_matrix = tm
                         st_i.text_line_matrix = tm
-                    elif opb == b"Tf":
-                        s = _rname(stack[-2])
-                        sz = _fnum(stack[-1])
-                        st_i.font_name = s
-                        st_i.font_size = sz
-                        interp._set_font_memo(s)
-                    elif opb == b"BT":
-                        interp.in_text = True
-                        st_i.text_matrix = IDENT
-                        st_i.text_line_matrix = IDENT
-                    elif opb == b"ET":
-                        interp.in_text = False
-                    elif opb == b"TJ":
+                elif opb == b"Tf":
+                    if (
+                        len(stack) >= 2
+                        and stack[-2].__class__ is str
+                        and stack[-1].__class__ in (int, float)
+                    ):
+                        s_name = stack[-2]
+                        st_i.font_name = s_name
+                        st_i.font_size = float(stack[-1])
+                        interp._set_font_memo(s_name)
+                elif opb == b"BT":
+                    interp.in_text = True
+                    st_i.text_matrix = IDENT
+                    st_i.text_line_matrix = IDENT
+                elif opb == b"ET":
+                    interp.in_text = False
+                elif opb == b"TJ":
+                    out = None
+                    try:  # pure parse: mirror of the token path's resync
                         arr = _rarray(stack)
                         out = []
                         for v in arr:
@@ -1488,54 +1517,65 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                             elif c is int or c is float:
                                 out.append(("s", float(v)))
                             else:
-                                raise ContentParseError(
-                                    "invalid element in text array"
-                                )
-                        if interp.in_text:
-                            interp._show_text_array(out)
-                    elif opb == b"T*":
-                        t = st_i.text_line_matrix
-                        lead = st_i.leading
-                        nmat = (
-                            t[0], t[1], t[2], t[3],
-                            -lead * t[2] + t[4],
-                            -lead * t[3] + t[5],
-                        )
-                        st_i.text_matrix = nmat
-                        st_i.text_line_matrix = nmat
-                    elif opb == b"'":
-                        v = _rstring(stack[-1])
-                        if interp.in_text:
-                            interp._next_line_show(v)
-                    elif opb == b'"':
-                        v = _rstring(stack[-1])
-                        ac = _fnum(stack[-2])
-                        aw = _fnum(stack[-3])
-                        if interp.in_text:
-                            st_i.word_space = aw
-                            st_i.char_space = ac
-                            interp._next_line_show(v)
-                    elif opb == b"TL":
-                        st_i.leading = _fnum(stack[-1])
-                    elif opb == b"Tc":
-                        st_i.char_space = _fnum(stack[-1])
-                    elif opb == b"Tw":
-                        st_i.word_space = _fnum(stack[-1])
-                    elif opb == b"Tz":
-                        st_i.horizontal_scale = _fnum(stack[-1])
-                    elif opb == b"Ts":
-                        st_i.text_rise = _fnum(stack[-1])
-                    elif opb == b"Tr":
-                        v = stack[-1]
-                        if v.__class__ is not int:
-                            raise ContentParseError("expected integer operand")
+                                out = None
+                                break
+                    except ContentParseError:
+                        out = None
+                    if out is not None and interp.in_text:
+                        interp._show_text_array(out)
+                elif opb == b"T*":
+                    t = st_i.text_line_matrix
+                    lead = st_i.leading
+                    nmat = (
+                        t[0], t[1], t[2], t[3],
+                        -lead * t[2] + t[4],
+                        -lead * t[3] + t[5],
+                    )
+                    st_i.text_matrix = nmat
+                    st_i.text_line_matrix = nmat
+                elif opb == b"'":
+                    v = stack[-1] if stack else None
+                    if v.__class__ is bytes and interp.in_text:
+                        interp._next_line_show(v)
+                elif opb == b'"':
+                    ok = (
+                        len(stack) >= 3
+                        and stack[-1].__class__ is bytes
+                        and stack[-2].__class__ in (int, float)
+                        and stack[-3].__class__ in (int, float)
+                    )
+                    if ok and interp.in_text:
+                        st_i.word_space = float(stack[-3])
+                        st_i.char_space = float(stack[-2])
+                        interp._next_line_show(stack[-1])
+                elif opb == b"TL":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.leading = v1[0]
+                elif opb == b"Tc":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.char_space = v1[0]
+                elif opb == b"Tw":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.word_space = v1[0]
+                elif opb == b"Tz":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.horizontal_scale = v1[0]
+                elif opb == b"Ts":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.text_rise = v1[0]
+                elif opb == b"Tr":
+                    v = stack[-1] if stack else None
+                    if v.__class__ is int:
                         st_i.render_mode = v
-                    elif opb == b"cm":
-                        a, b, c, d, e, f = (
-                            _fnum(stack[-6]), _fnum(stack[-5]),
-                            _fnum(stack[-4]), _fnum(stack[-3]),
-                            _fnum(stack[-2]), _fnum(stack[-1]),
-                        )
+                elif opb == b"cm":
+                    v6 = _vnums(stack, 6)
+                    if v6 is not None:
+                        a, b, c, d, e, f = v6
                         o = st_i.ctm
                         st_i.ctm = (
                             a * o[0] + b * o[2],
@@ -1545,56 +1585,65 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                             e * o[0] + f * o[2] + o[4],
                             e * o[1] + f * o[3] + o[5],
                         )
-                    elif opb == b"q":
-                        st_i.saved.append((st_i.ctm, st_i.fill_color))
-                    elif opb == b"Q":
-                        if st_i.saved:
-                            st_i.ctm, st_i.fill_color = st_i.saved.pop()
-                    elif opb == b"g":
-                        st_i.fill_color = ("gray", _fnum(stack[-1]))
-                    elif opb == b"rg":
+                elif opb == b"q":
+                    st_i.saved.append((st_i.ctm, st_i.fill_color))
+                elif opb == b"Q":
+                    if st_i.saved:
+                        st_i.ctm, st_i.fill_color = st_i.saved.pop()
+                elif opb == b"g":
+                    v1 = _vnums(stack, 1)
+                    if v1 is not None:
+                        st_i.fill_color = ("gray", v1[0])
+                elif opb == b"rg":
+                    v3 = _vnums(stack, 3)
+                    if v3 is not None:
+                        st_i.fill_color = ("rgb", v3[0], v3[1], v3[2])
+                elif opb == b"k":
+                    v4 = _vnums(stack, 4)
+                    if v4 is not None:
                         st_i.fill_color = (
-                            "rgb", _fnum(stack[-3]), _fnum(stack[-2]),
-                            _fnum(stack[-1]),
+                            "cmyk", v4[0], v4[1], v4[2], v4[3]
                         )
-                    elif opb == b"k":
-                        st_i.fill_color = (
-                            "cmyk", _fnum(stack[-4]), _fnum(stack[-3]),
-                            _fnum(stack[-2]), _fnum(stack[-1]),
-                        )
-                    elif opb == b"Do":
-                        interp._paint_xobject(
-                            _rname(stack[-1]), resources, depth
-                        )
-                    elif opb == b"BMC":
-                        interp._op_bmc(_rname(stack[-1]))
-                    elif opb == b"BDC":
+                elif opb == b"Do":
+                    v = stack[-1] if stack else None
+                    if v.__class__ is str:
+                        interp._paint_xobject(v, resources, depth)
+                elif opb == b"BMC":
+                    v = stack[-1] if stack else None
+                    if v.__class__ is str:
+                        interp._op_bmc(v)
+                elif opb == b"BDC":
+                    tag = props = None
+                    try:  # pure parse of the props + tag operands
                         props = _rdict_or_name(stack)
-                        interp._op_bdc(_rname(stack.pop()), props, resources)
-                    elif opb == b"EMC":
-                        interp._op_emc()
-                    elif opb == b"BI":
-                        stack.clear()
-                        _params, _payload, pos = _scan_bi(data, m.end())
-                        interp._emit_image(
-                            f"inline:{interp.page_index}:{interp._inline_idx}"
-                        )
-                        interp._inline_idx += 1
-                        restart = True
-                        break
-                    elif opb == b"ID":
-                        # stray ID: resync + the swallowed payload becomes
-                        # an operand no pop accepts (token-path parity)
-                        stack.clear()
-                        payload, pos = _read_inline_image_data(data, m.end())
-                        push(_InlineTok(payload))
-                        restart = True
-                        break
-                    # every other operator (paths, colors incl. gs/SC/sc,
-                    # TD, dash, clipping, XObject-irrelevant) has NO
-                    # extraction effect: operands are discarded unparsed
-                except (ContentParseError, IndexError):
-                    pass  # resync (content.rs:985-999)
+                        t2 = stack.pop()
+                        tag = t2 if t2.__class__ is str else None
+                    except (ContentParseError, IndexError):
+                        tag = None
+                    if tag is not None:
+                        interp._op_bdc(tag, props, resources)
+                elif opb == b"EMC":
+                    interp._op_emc()
+                elif opb == b"BI":
+                    stack.clear()
+                    _params, _payload, pos = _scan_bi(data, m.end())
+                    interp._emit_image(
+                        f"inline:{interp.page_index}:{interp._inline_idx}"
+                    )
+                    interp._inline_idx += 1
+                    restart = True
+                    break
+                elif opb == b"ID":
+                    # stray ID: resync + the swallowed payload becomes
+                    # an operand no pop accepts (token-path parity)
+                    stack.clear()
+                    payload, pos = _read_inline_image_data(data, m.end())
+                    push(_InlineTok(payload))
+                    restart = True
+                    break
+                # every other operator (paths, colors incl. gs/SC/sc,
+                # TD, dash, clipping, XObject-irrelevant) has NO
+                # extraction effect: operands are discarded unparsed
                 if stack:
                     stack.clear()
             elif kind == _K_LSTR:

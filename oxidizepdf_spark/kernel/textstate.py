@@ -28,7 +28,7 @@ Behavioral notes mirrored deliberately:
 
 from __future__ import annotations
 
-from .content import parse_content
+from .content import parse_and_run, parse_content  # noqa: F401 — run() API
 from .fonts import (
     FontInfo,
     calculate_text_width_from_codes,
@@ -594,20 +594,26 @@ class Interpreter:
             self._set_font_memo(st.font_name)
         saved_in_text = self.in_text
         self.in_text = False
-        from .content import parse_and_run
-
-        parse_and_run(
-            self, data, xres if xres is not None else resources, depth + 1
-        )
-        self.in_text = saved_in_text
-        st.ctm = saved_ctm
-        st.fill_color = saved_fill
-        del st.saved[saved_stack_len:]
-        self.fonts = saved_fonts
-        self._decode_memo = saved_memo
-        # font_name deliberately persists across the xobject (reference
-        # behavior) — re-point the hot memo at whatever font is now current
-        self._set_font_memo(st.font_name)
+        try:
+            # a malformed Form XObject is contained to itself: whatever it
+            # managed to emit stays, the failure never aborts the page
+            # (tolerant-mode discipline; the old two-pass code swallowed
+            # parse errors the same way)
+            parse_and_run(
+                self, data, xres if xres is not None else resources, depth + 1
+            )
+        except Exception:
+            pass
+        finally:
+            self.in_text = saved_in_text
+            st.ctm = saved_ctm
+            st.fill_color = saved_fill
+            del st.saved[saved_stack_len:]
+            self.fonts = saved_fonts
+            self._decode_memo = saved_memo
+            # font_name deliberately persists across the xobject (reference
+            # behavior) — re-point the hot memo at the now-current font
+            self._set_font_memo(st.font_name)
 
     # -- marked-content ops (shared by run() and the fused stream path) ------
 

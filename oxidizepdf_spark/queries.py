@@ -1876,11 +1876,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc"))
     )
-    # guaranteed fixpoint: min-label propagation converges within the
-    # longest path length, which is < |V|; CC_MAX_ITERS is only a floor so
-    # tiny graphs don't pay a count() for the bound
-    n_vertices = labels.count()
-    for _ in range(max(CC_MAX_ITERS, n_vertices + 1)):
+    # loop to the proven fixpoint (changed == 0): min-label propagation
+    # converges within the longest path length, so termination is
+    # guaranteed without a precomputed bound; the generous cap below is a
+    # pure runaway backstop, never a truncation point in practice
+    for _ in range(100_000):
         # candidate label from neighbors, then min with own label
         nbr = (
             edges.join(labels, edges.src == labels.doc)
