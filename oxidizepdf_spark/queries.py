@@ -2065,6 +2065,68 @@ FROM d JOIN lang ON d.doc_id = lang.doc_id
 """
 
 
+_URL_HOST_RE = r"https?://([^/\s:]+)"
+
+
+def q_text_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host URL statistics — the relation behind domain blocklists and
+    per-host document caps in web-scale training pipelines. The corpus
+    text carries no URLs, so both dialects append a deterministic
+    hash-skewed set (1-3 URLs per doc over a 20-host universe) and the op
+    extracts hosts back out by regex. One explode keyed by host."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    h1 = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"))
+    h2 = F.concat(F.lit("h"), ((F.col("doc_id") * 7) % 20).cast("string"))
+    aug = F.concat(
+        F.col("norm"),
+        F.lit(" see https://"), h1, F.lit(".example.com/a"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" and https://"), h2, F.lit(".example.com/b")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" plus https://"), h1, F.lit(".example.com/c")),
+        ).otherwise(F.lit("")),
+    )
+    urls = d.select("doc_id", aug.alias("aug")).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"regexp_extract_all(aug, '{_URL_HOST_RE}', 1)")
+        ).alias("host"),
+    )
+    return urls.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+ORACLE_URL_STATS = f"""
+WITH n AS (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents),
+aug AS (
+  SELECT doc_id,
+         norm || ' see https://h' || CAST(doc_id % 20 AS VARCHAR)
+              || '.example.com/a'
+              || CASE WHEN doc_id % 3 = 0
+                      THEN ' and https://h' || CAST((doc_id * 7) % 20 AS VARCHAR)
+                           || '.example.com/b'
+                      ELSE '' END
+              || CASE WHEN doc_id % 5 = 0
+                      THEN ' plus https://h' || CAST(doc_id % 20 AS VARCHAR)
+                           || '.example.com/c'
+                      ELSE '' END AS aug
+  FROM n
+),
+u AS (
+  SELECT doc_id, h AS host
+  FROM (SELECT doc_id, regexp_extract_all(aug, '{_URL_HOST_RE}', 1) AS hs
+        FROM aug), UNNEST(hs) AS t(h)
+)
+SELECT host, COUNT(*) AS n_urls, COUNT(DISTINCT doc_id) AS n_docs
+FROM u GROUP BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # tf-idf top terms per document
 # ---------------------------------------------------------------------------
@@ -2164,6 +2226,7 @@ def build_queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
         "text_char_entropy": q_text_char_entropy,
+        "text_url_stats": q_text_url_stats,
         "text_token_count": q_text_token_count,
         "text_repetition_signals": q_text_repetition_signals,
         "text_scrub_pii": q_text_scrub_pii,
@@ -2215,6 +2278,7 @@ def build_oracles() -> dict[str, str]:
         "tfidf_top_terms": ORACLE_TFIDF,
         "text_quality_score": _quality_sql(),
         "text_char_entropy": ORACLE_CHAR_ENTROPY,
+        "text_url_stats": ORACLE_URL_STATS,
         "text_token_count": ORACLE_TOKEN_COUNT,
         "text_repetition_signals": ORACLE_REPETITION,
         "text_scrub_pii": ORACLE_SCRUB_PII,
