@@ -47,14 +47,18 @@ def get_spark(
     master: str | None = None,
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_batch: int = 256,
+    arrow_batch: int = 4096,
 ) -> SparkSession:
     """Session tuned for the extraction workload.
 
-    - Arrow exchange on; ``maxRecordsPerBatch`` bounds how many (possibly
-      multi-MB) documents one Python batch holds (SURVEY.md §4 memory
-      ceiling). 256 balances per-batch overhead against worst-case batch
-      bytes; drop it for corpora with many multi-MB documents
+    - Arrow exchange on; ``maxRecordsPerBatch`` bounds how many documents
+      one Python batch holds. Batch BYTES are already capped by
+      ``maxPartitionBytes`` (a batch never spans scan partitions), so the
+      record cap only guards the many-small-docs case — measured A/B on
+      the 50k-doc headline: 256 → 18.0k docs/s, 4096 → 21.3k (+18%, the
+      per-batch Python/Arrow fixed costs amortized). Worst case stays
+      ~one decompressed scan partition per in-flight worker; drop the cap
+      for corpora of multi-MB documents with tight executor memory
     - AQE on: runtime coalescing + skew-join mitigation for the corpus-level
       joins (resume anti-join, dedup self-joins)
     """
