@@ -1850,36 +1850,32 @@ FROM events GROUP BY 1, 2
 # near-dup clusters: connected components over candidate pairs
 # ---------------------------------------------------------------------------
 
-CC_MAX_ITERS = 20
-
-
-def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
-    candidate pairs, each member labeled with its cluster representative
-    (the minimum doc_id reachable). This is the step a real dedup pipeline
-    needs after pair generation — keep one doc per component.
-
-    Implementation: iterative min-label propagation to fixpoint (each
-    round: neighbor-min join + groupBy, i.e. one shuffle keyed by doc_id).
-    Near-dup components have tiny diameters, so this converges in a few
-    rounds; at 10^12 edges you'd switch to the large-star/small-star
-    alternation (Kiveris et al.), which is the same join shape with a
-    star-contraction rule."""
-    pairs = q_dedup_minhash_lsh(spark, sf_dir)
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected pair relation
+    ``(doc_a, doc_b)`` → ``(doc_id, cluster)`` with cluster = the minimum
+    reachable doc_id. Iterative min-label propagation to the proven
+    fixpoint (changed == 0); each round is one shuffle keyed by doc_id.
+    Convergence is bounded by the longest path length, so the loop cap is
+    a pure runaway backstop, never a truncation point. At 10^12 edges
+    you'd switch to the large-star/small-star alternation (Kiveris et
+    al.) — same join shape with a star-contraction rule."""
     edges = _persist(
         pairs.selectExpr("doc_a AS src", "doc_b AS dst").unionByName(
             pairs.selectExpr("doc_b AS src", "doc_a AS dst")
         )
     )
-    labels = _persist(
+    # localCheckpoint (not persist) inside the loop: persist caches data but
+    # the LOGICAL plan still nests one join deeper per iteration, and
+    # Catalyst analysis of that lineage grows until the driver OOMs on
+    # long-diameter graphs (observed at ~30 iterations). Checkpointing
+    # truncates the lineage each round — the standard discipline for
+    # iterative DataFrame algorithms.
+    labels = (
         edges.select(F.col("src").alias("doc"))
         .distinct()
         .withColumn("label", F.col("doc"))
+        .localCheckpoint()
     )
-    # loop to the proven fixpoint (changed == 0): min-label propagation
-    # converges within the longest path length, so termination is
-    # guaranteed without a precomputed bound; the generous cap below is a
-    # pure runaway backstop, never a truncation point in practice
     for _ in range(100_000):
         # candidate label from neighbors, then min with own label
         nbr = (
@@ -1887,7 +1883,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("doc"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = _persist(
+        new_labels = (
             labels.join(nbr, on="doc", how="left")
             .select(
                 "doc",
@@ -1895,6 +1891,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -1905,7 +1902,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("doc").alias("doc_id"), F.col("label").alias("cluster"))
+    return labels.select(
+        F.col("doc").alias("doc_id"), F.col("label").alias("cluster")
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs, each member labeled with its cluster representative
+    (the minimum doc_id reachable) — the step a real dedup pipeline needs
+    after pair generation: keep one doc per component."""
+    return connected_components(q_dedup_minhash_lsh(spark, sf_dir))
 
 
 ORACLE_DEDUP_CLUSTERS = f"""

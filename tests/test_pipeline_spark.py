@@ -159,3 +159,27 @@ def test_pipeline_determinism_run_twice_exceptall(spark):
     b = flat(extract_spans(docs))
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_connected_components_long_chain(spark):
+    """A 30-node chain has diameter 29 — the exact topology a fixed
+    iteration cap silently truncated before the fixpoint loop. Every node
+    must label down to the chain head, plus a separate triangle and a
+    2-cycle keep their own representatives."""
+    from oxidizepdf_spark.queries import connected_components, release_persisted
+
+    chain = [(i, i + 1) for i in range(100, 130)]  # 31 nodes, diameter 30
+    tri = [(500, 501), (501, 502), (500, 502)]
+    pair = [(900, 901)]
+    pairs = spark.createDataFrame(
+        chain + tri + pair, "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster"]
+        for r in connected_components(pairs).collect()
+    }
+    release_persisted()
+    assert all(got[i] == 100 for i in range(100, 131))
+    assert got[500] == got[501] == got[502] == 500
+    assert got[900] == got[901] == 900
+    assert len(got) == 36
