@@ -70,8 +70,14 @@ def from_ordering(ordering: str | None) -> CidCollection | None:
         return None
     coll = _REGISTRY.get(ordering)
     if coll is None and ordering not in _BUNDLED_TRIED:
+        try:
+            coll = _load_bundled(ordering)
+        except OSError:
+            # transient read error (fs hiccup under --py-files): do NOT
+            # cache the failure — the next document retries the load
+            return None
+        # confirmed absent/corrupt → permanent miss for this process
         _BUNDLED_TRIED.add(ordering)
-        coll = _load_bundled(ordering)
         if coll is not None:
             _REGISTRY[ordering] = coll
     return coll
@@ -86,7 +92,10 @@ def _load_bundled(ordering: str) -> CidCollection | None:
 
     Reads through importlib.resources so the tables also load when the
     package ships as a zip via ``spark-submit --py-files`` (plain
-    ``__file__`` paths point inside the archive and os.path would miss)."""
+    ``__file__`` paths point inside the archive and os.path would miss).
+
+    Raises OSError on a *transient* read failure (caller retries later);
+    returns None only when the resource is confirmed absent or corrupt."""
     import gzip
 
     fname = f"cid_unicode_{ordering.lower()}.txt.gz"
@@ -95,10 +104,12 @@ def _load_bundled(ordering: str) -> CidCollection | None:
         from importlib import resources
 
         ref = resources.files(__package__) / "data" / fname
-        if ref.is_file():
-            raw = ref.read_bytes()
+        present = ref.is_file()
     except Exception:
-        raw = None
+        ref = None
+        present = False
+    if present:
+        raw = ref.read_bytes()  # OSError here = transient → propagate
     if raw is None:
         # fallback for exotic loaders
         import os
@@ -109,7 +120,7 @@ def _load_bundled(ordering: str) -> CidCollection | None:
         if not os.path.isfile(path):
             return None
         with open(path, "rb") as f:
-            raw = f.read()
+            raw = f.read()  # OSError = transient → propagate
     pairs: dict[int, int] = {}
     try:
         for line in gzip.decompress(raw).decode("ascii").splitlines():

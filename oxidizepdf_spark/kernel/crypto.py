@@ -195,9 +195,13 @@ def _decrypt_blocks(ct: np.ndarray, rks: list[bytes]) -> np.ndarray:
 def aes_cbc_decrypt(key: bytes, data: bytes, strip_pad: bool = True) -> bytes:
     """Decrypt ``IV || ciphertext`` (the PDF stream layout for AESV2/V3).
     CBC decryption is block-parallel: P_i = D(C_i) ^ C_{i-1}."""
+    if len(data) == 16:
+        # IV only — legal encoding of zero-block (empty) plaintext
+        return b""
     if len(data) < 32 or len(data) % 16:
-        # too short / misaligned — tolerate by returning as-is (the
-        # reference's lenient path does the same for malformed streams)
+        # too short / misaligned — tolerate by collapsing to empty (the
+        # reference's lenient path likewise never raises on malformed
+        # stream ciphertext)
         return b""
     iv, ct = data[:16], data[16:]
     blocks = np.frombuffer(ct, dtype=np.uint8).reshape(-1, 16)
@@ -264,7 +268,9 @@ def compute_o_r2_r4(owner_pw: bytes, user_pw: bytes, r: int, n: int) -> bytes:
     h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
     if r >= 3:
         for _ in range(50):
-            h = hashlib.md5(h).digest()
+            # spec: each round hashes the FIRST n BYTES of the previous
+            # output (matters for 40-bit keys where n=5 < 16)
+            h = hashlib.md5(h[:n]).digest()
     key = h[:n]
     o = rc4(key, (user_pw + _PAD)[:32])
     if r >= 3:
@@ -358,6 +364,15 @@ class StandardSecurityHandler:
             u = rc4(bytes(b ^ i for b in key), u)
         return u[:16] == self.u[:16]
 
+    def _derive_owner_key_r2_r4(self, owner_pw: bytes) -> bytes:
+        """Algorithm 3 steps a-d: the RC4 key that encrypts the O entry."""
+        n = max(5, min(self.length // 8, 16))
+        h = hashlib.md5((owner_pw + _PAD)[:32]).digest()
+        if self.r >= 3:
+            for _ in range(50):
+                h = hashlib.md5(h[:n]).digest()
+        return h[:n]
+
     # -- R5/R6 --------------------------------------------------------------
 
     def _check_user_r5_r6(self, password: bytes) -> bytes | None:
@@ -376,17 +391,73 @@ class StandardSecurityHandler:
         fkey = aes_cbc_decrypt_zero_iv_nopad(ikey, self.ue[:32])
         return fkey if len(fkey) == 32 else None
 
+    def _check_owner_r5_r6(self, password: bytes) -> bytes | None:
+        """Algorithm 2.A owner validation (salts from O, U[0:48] as extra
+        hash data); returns the file key or None."""
+        if len(self.o) < 48 or len(self.oe) < 32 or len(self.u) < 48:
+            return None
+        vsalt, ksalt = self.o[32:40], self.o[40:48]
+        udata = self.u[:48]
+        if self.r == 5:
+            if hashlib.sha256(password + vsalt + udata).digest() != self.o[:32]:
+                return None
+            ikey = hashlib.sha256(password + ksalt + udata).digest()
+        else:  # R6
+            if _hash_2b(password, vsalt, udata) != self.o[:32]:
+                return None
+            ikey = _hash_2b(password, ksalt, udata)
+        fkey = aes_cbc_decrypt_zero_iv_nopad(ikey, self.oe[:32])
+        return fkey if len(fkey) == 32 else None
+
     # -- public -------------------------------------------------------------
+
+    def prep_password(self, password: bytes | str) -> bytes:
+        """Caller-supplied password → auth bytes: UTF-8 truncated to 127
+        bytes for R5/R6 (ISO 32000-2 says SASLprep; UTF-8 covers the
+        practical corpus), latin-1 for the legacy R2-R4 handlers
+        (PDFDocEncoding ≈ latin-1 on the printable range)."""
+        if isinstance(password, str):
+            if self.r >= 5:
+                return password.encode("utf-8")[:127]
+            return password.encode("latin-1", "replace")
+        return password[:127] if self.r >= 5 else password
 
     def try_empty_password(self) -> bool:
         """encryption_handler.rs:482 — the corpus-scale common case."""
+        return self.try_password(b"")
+
+    def try_password(self, password: bytes) -> bool:
+        """Authenticate as user OR owner (PasswordProvider semantics,
+        parser/mod.rs:167-169 + encryption_handler.rs authenticate): the
+        user path validates directly; the owner path (Algorithm 7 for
+        R2-R4, Algorithm 2.A owner branch for R5/R6) recovers the same
+        file key, so either password fully unlocks extraction."""
+        if self.unlocked:
+            return True
         if self.r in (2, 3, 4):
-            key = self._derive_key_r2_r4(b"")
+            key = self._derive_key_r2_r4(password)
+            if self._check_user_r2_r4(key):
+                self.key = key
+                self.unlocked = True
+                return True
+            # Algorithm 7: decrypt O with the owner key → padded user
+            # password → authenticate as user ((pw + PAD)[:32] is a no-op
+            # on the already-32-byte recovered value)
+            okey = self._derive_owner_key_r2_r4(password)
+            user_pw = self.o[:32]
+            if self.r == 2:
+                user_pw = rc4(okey, user_pw)
+            else:
+                for i in range(19, -1, -1):
+                    user_pw = rc4(bytes(b ^ i for b in okey), user_pw)
+            key = self._derive_key_r2_r4(user_pw)
             if self._check_user_r2_r4(key):
                 self.key = key
                 self.unlocked = True
         elif self.r in (5, 6):
-            fkey = self._check_user_r5_r6(b"")
+            fkey = self._check_user_r5_r6(password)
+            if fkey is None:
+                fkey = self._check_owner_r5_r6(password)
             if fkey is not None:
                 self.key = fkey
                 self.unlocked = True

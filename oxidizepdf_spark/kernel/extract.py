@@ -54,7 +54,7 @@ def extract_pdf_bytes(
     options = options or ExtractionOptions()
     strict = options.error_mode == "strict"
     try:
-        reader = PdfReader(data, lenient=not strict)
+        reader = PdfReader(data, lenient=not strict, password=options.password)
     except EncryptedPdfError:
         res.error = "encrypted"
         return res

@@ -44,7 +44,12 @@ class PdfReader:
         "_resolving",
     )
 
-    def __init__(self, data: bytes, lenient: bool = True):
+    def __init__(
+        self,
+        data: bytes,
+        lenient: bool = True,
+        password: str | bytes | None = None,
+    ):
         self.data = data
         self.lenient = lenient
         self.decryptor = None
@@ -68,12 +73,14 @@ class PdfReader:
         self.trailer = trailer
         self.mode = mode
         if "Encrypt" in trailer:
-            self._setup_decryption()
+            self._setup_decryption(password)
 
-    def _setup_decryption(self) -> None:
-        """Empty-user-password unlock (reader.rs:350-409 wiring around
-        encryption_handler.rs try_empty_password:482). Password-protected
-        documents keep raising EncryptedPdfError (error-as-data upstream)."""
+    def _setup_decryption(self, password: str | bytes | None = None) -> None:
+        """Unlock: empty user password first (the corpus-scale common case,
+        encryption_handler.rs try_empty_password:482), then the caller-
+        supplied password as user OR owner (PasswordProvider SPI semantics,
+        parser/mod.rs:167-169). Still-locked documents raise
+        EncryptedPdfError (error-as-data upstream)."""
         from .crypto import StandardSecurityHandler
 
         enc = self.resolve(self.trailer.get("Encrypt"))
@@ -90,9 +97,15 @@ class PdfReader:
         try:
             handler = StandardSecurityHandler(enc, file_id)
             unlocked = handler.try_empty_password()
+            if not unlocked and password is not None:
+                unlocked = handler.try_password(
+                    handler.prep_password(password)
+                )
         except Exception as e:
             raise EncryptedPdfError(f"encryption setup failed: {e}") from e
         if not unlocked:
+            if password is not None:
+                raise EncryptedPdfError("encrypted PDF (wrong password)")
             raise EncryptedPdfError("encrypted PDF (password required)")
         self.decryptor = handler
 
@@ -223,7 +236,11 @@ class PdfReader:
                     tname == "Metadata" and not dec.encrypt_metadata
                 ):
                     raw = dec.decrypt_stream(raw, num, gen)
-                self._decrypt_strings(value, num, gen)
+                if tname != "XRef":
+                    # strings in a cross-reference stream dictionary are
+                    # never encrypted (ISO 32000 §7.5.8.2) — e.g. /ID in an
+                    # xref-stream trailer
+                    self._decrypt_strings(value, num, gen)
             value = Stream(value, raw)
             # advance past endstream for completeness
         elif self.decryptor is not None:

@@ -128,6 +128,7 @@ class ExtractionOptions:
         "error_mode",
         "reading_order",
         "reading_order_min_gap",
+        "password",
     )
 
     def __init__(
@@ -145,6 +146,7 @@ class ExtractionOptions:
         error_mode: str = "tolerant",  # 'strict' | 'tolerant' | 'skip'
         reading_order: str = "emission",  # 'emission' | 'simple' | 'xycut'
         reading_order_min_gap: float = 20.0,
+        password: str | None = None,
     ):
         self.space_threshold = space_threshold
         self.tj_space_threshold = tj_space_threshold
@@ -171,6 +173,10 @@ class ExtractionOptions:
             raise ValueError(f"unknown reading_order: {reading_order!r}")
         self.reading_order = reading_order
         self.reading_order_min_gap = reading_order_min_gap
+        # caller-supplied decryption password (PasswordProvider SPI,
+        # parser/mod.rs:167-169): tried as user OR owner after the empty
+        # user password fails; None keeps empty-password-only behavior
+        self.password = password
 
 
 def _mul(a, b):

@@ -638,6 +638,58 @@ def _pdf_encrypted_roundtrip_oracle() -> str:
     )
 
 
+def q_pdf_extract_encrypted_password(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passworded decryption round-trip (PasswordProvider SPI parity,
+    parser/mod.rs:167-169 + encryption_handler.rs): every document gets a
+    doc-specific USER password (the per-doc password-column pattern a
+    corpus pipeline needs), even docs unlock with the user password, odd
+    docs with the OWNER password (Algorithm 7 / 2.A owner branch), and a
+    wrong password must refuse with error-as-data — all three asserted in
+    one relation."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_encrypted_pdf
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        methods = ("rc4-128", "aes-128", "rc4-40")
+        for b in batches:
+            out = {"doc_id": [], "text": [], "unlocked": [], "wrong_refused": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                doc_id = int(doc_id)
+                user_pw = f"pw-{doc_id % 97}"
+                owner_pw = f"ow-{doc_id % 89}"
+                pdf = build_encrypted_pdf(
+                    "\n".join(_wrap_lines(norm)),
+                    method=methods[doc_id % 3],
+                    user_pw=user_pw.encode(),
+                    owner_pw=owner_pw.encode(),
+                )
+                pw = user_pw if doc_id % 2 == 0 else owner_pw
+                res = extract_pdf_bytes(pdf, ExtractionOptions(password=pw))
+                text = res.page_texts[0] if res.page_texts else ""
+                wrong = extract_pdf_bytes(
+                    pdf, ExtractionOptions(password="not-the-password")
+                )
+                out["doc_id"].append(doc_id)
+                out["text"].append(text.replace("\n", " "))
+                out["unlocked"].append(res.error is None)
+                out["wrong_refused"].append(wrong.error == "encrypted")
+            yield pd.DataFrame(out)
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, text string, unlocked boolean, wrong_refused boolean",
+    )
+
+
+ORACLE_ENCRYPTED_PASSWORD = (
+    f"SELECT doc_id, {NORM_SQL.format(col='text')} AS text, "
+    f"TRUE AS unlocked, TRUE AS wrong_refused FROM documents"
+)
+
+
 def q_pdf_extract_encrypted_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encryption detection (descoped-to-detect F11, reader.rs:350-409):
     an /Encrypt trailer entry must yield error='encrypted', never a crash
@@ -736,6 +788,10 @@ GROUP BY 1
 SHINGLE_K = 5
 MINHASH_N = 16
 MINHASH_BANDS = 4  # 4 rows per band
+# max docs per (band, band_hash) bucket entering the candidate self-join —
+# bounds worst-case pair fan-out at CAP^2/2 per bucket (see
+# q_dedup_minhash_lsh docstring)
+LSH_BUCKET_CAP = 50
 
 
 def _shingles_spark(d: DataFrame) -> DataFrame:
@@ -821,8 +877,24 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     allb = bands[0]
     for b in bands[1:]:
         allb = allb.unionByName(b)
+    # BUCKET-SIZE CAP: a web-scale corpus with a huge cluster of
+    # byte-identical docs puts them all in one (band, band_hash) bucket,
+    # and an uncapped self-join produces |bucket|^2 pairs in one task
+    # (100k-doc bucket → 10^10 pairs). Keep the CAP lowest doc_ids per
+    # bucket (deterministic, mirrored in the DuckDB oracle) — the same
+    # discipline as SHINGLE_DF_CAP in q_dedup_ngram_jaccard. Exact
+    # duplicates should be removed by q_dedup_exact BEFORE this stage in
+    # a production pipeline; the cap is the safety net, not the dedup.
+    from pyspark.sql import Window
+
+    bw = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+    allb = (
+        allb.withColumn("rnk", F.row_number().over(bw))
+        .where(F.col("rnk") <= LSH_BUCKET_CAP)
+        .drop("rnk")
+    )
     # both sides of the bucket self-join read this relation; persist so the
-    # shingle explode + 16 min-aggregations run once
+    # shingle explode + 16 min-aggregations + bucket cap run once
     allb = _persist(allb)
     pairs = (
         allb.alias("a")
@@ -866,8 +938,16 @@ mh AS (
     {mins}
   FROM sh GROUP BY doc_id
 ),
-bands AS (
+bands_raw AS (
 {bands}
+),
+bands AS (
+  SELECT doc_id, band, band_hash FROM (
+    SELECT doc_id, band, band_hash,
+           ROW_NUMBER() OVER (PARTITION BY band, band_hash
+                              ORDER BY doc_id) AS rnk
+    FROM bands_raw
+  ) WHERE rnk <= {LSH_BUCKET_CAP}
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
@@ -1973,32 +2053,52 @@ FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
 def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level Shannon entropy of the normalized text — the classic
     gibberish/boilerplate detector (low-entropy docs are template spam,
-    near-zero are padding). Shuffles key on (doc_id, char) then doc_id."""
+    near-zero are padding).
+
+    MAP-ONLY: per-char frequencies come from one array_sort + a single
+    O(n) fold carrying (prev_char, run_length, entropy_sum) — the same
+    idiom as q_text_repetition_signals. The previous formulation exploded
+    one shuffle row PER CHARACTER of the corpus (a ~2x-corpus-size shuffle
+    keyed (doc_id, char) at 100 TB); this plan has zero exchanges."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    chars = d.select(
-        "doc_id",
-        F.explode(F.split(F.col("norm"), "(?!^)(?=.)")).alias("c"),
-    ).where(F.length("c") > 0)
-    counts = chars.groupBy("doc_id", "c").agg(F.count("*").alias("k"))
-    totals = counts.groupBy("doc_id").agg(F.sum("k").alias("n"))
-    ent = (
-        counts.join(totals, on="doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -F.sum(
-                    (F.col("k") / F.col("n"))
-                    * F.log2(F.col("k") / F.col("n"))
-                ),
-                6,
-            ).alias("char_entropy")
+    chars = F.array_sort(
+        F.filter(
+            F.split(F.col("norm"), "(?!^)(?=.)"), lambda c: F.length(c) > 0
         )
     )
-    # docs whose norm is empty have no char rows: entropy 0 by convention
-    d_all = _docs(spark, sf_dir).select("doc_id")
-    return d_all.join(ent, on="doc_id", how="left").select(
-        "doc_id", F.coalesce("char_entropy", F.lit(0.0)).alias("char_entropy")
+    n = F.size(chars).cast("double")
+
+    def term(run):
+        # contribution of a completed equal-run of length `run`
+        # (guarded: log2(0) is NULL in Spark and would poison the sum)
+        return F.when(run > 0, (run / n) * F.log2(run / n)).otherwise(
+            F.lit(0.0)
+        )
+
+    folded = F.aggregate(
+        chars,
+        F.struct(
+            F.lit("\x00").alias("prev"),
+            F.lit(0.0).alias("run"),
+            F.lit(0.0).alias("s"),
+        ),
+        lambda acc, c: F.struct(
+            c.alias("prev"),
+            F.when(c == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1.0))
+            .alias("run"),
+            (
+                acc["s"]
+                + F.when(c == acc["prev"], F.lit(0.0)).otherwise(
+                    term(acc["run"])
+                )
+            ).alias("s"),
+        ),
+        lambda acc: acc["s"] + term(acc["run"]),
     )
+    # empty norm → entropy 0.0 by convention (literal, not -0.0)
+    ent = F.when(n == 0, F.lit(0.0)).otherwise(F.round(-folded, 6))
+    return d.select("doc_id", ent.alias("char_entropy"))
 
 
 ORACLE_CHAR_ENTROPY = f"""
@@ -2149,18 +2249,26 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    n_docs = d.count()
+    # corpus size computed INSIDE the plan (single-row broadcast cross
+    # join, same shape as the DuckDB oracle's `CROSS JOIN n`) — no action
+    # at plan-build time, and the count stays consistent with the scanned
+    # snapshot even if the source table changes before materialization
+    n_rel = d.agg(F.count("*").cast("double").alias("n_docs"))
     words = d.select(
         "doc_id", F.explode(F.split("norm", " ")).alias("word")
     ).where(F.length("word") > 0)
     tf = words.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     df_rel = tf.groupBy("word").agg(F.count("*").alias("df"))
-    scored = tf.join(F.broadcast(df_rel), on="word").select(
-        "doc_id",
-        "word",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(F.broadcast(df_rel), on="word")
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("word").asc()
@@ -2219,6 +2327,7 @@ def build_queries() -> dict:
         "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
         "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip("rc4-128"),
         "pdf_extract_encrypted_aes": _pdf_encrypted_roundtrip("aes-128"),
+        "pdf_extract_encrypted_password": q_pdf_extract_encrypted_password,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2271,6 +2380,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
         "pdf_extract_encrypted_rc4": _pdf_encrypted_roundtrip_oracle(),
         "pdf_extract_encrypted_aes": _pdf_encrypted_roundtrip_oracle(),
+        "pdf_extract_encrypted_password": ORACLE_ENCRYPTED_PASSWORD,
         "dedup_exact": ORACLE_DEDUP_EXACT,
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_simhash": ORACLE_SIMHASH,

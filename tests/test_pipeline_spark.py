@@ -161,6 +161,32 @@ def test_pipeline_determinism_run_twice_exceptall(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_minhash_lsh_bucket_cap(spark, tmp_path):
+    """A 1k-doc byte-identical cluster lands in ONE (band, band_hash)
+    bucket per band; without the cap the self-join emits C(1000,2) ≈ 500k
+    pairs from a single bucket (and |bucket|² at web scale). With
+    LSH_BUCKET_CAP the candidate set is bounded at C(cap, 2) — identical
+    docs share all bands, so each band selects the same cap-lowest
+    doc_ids."""
+    from oxidizepdf_spark.queries import (
+        LSH_BUCKET_CAP,
+        q_dedup_minhash_lsh,
+        release_persisted,
+    )
+
+    text = " ".join(f"w{i % 37}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(i, text, "en", "synthetic", len(text)) for i in range(1000)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf_dir = str(tmp_path)
+    docs.write.mode("overwrite").parquet(f"{sf_dir}/documents.parquet")
+    n_pairs = q_dedup_minhash_lsh(spark, sf_dir).count()
+    release_persisted()
+    expected = LSH_BUCKET_CAP * (LSH_BUCKET_CAP - 1) // 2
+    assert n_pairs == expected
+
+
 def test_connected_components_long_chain(spark):
     """A 30-node chain has diameter 29 — the exact topology a fixed
     iteration cap silently truncated before the fixpoint loop. Every node
