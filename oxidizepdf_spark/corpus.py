@@ -360,6 +360,80 @@ def escape_pdf_string(text: str) -> bytes:
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
 
 
+def build_pdf_multipage_streams(page_streams: list[bytes]) -> bytes:
+    """Multi-page PDF from raw per-page content streams (flat tree, shared
+    /F1 Helvetica resource) — the general form of build_pdf_multipage_texts
+    for builders that control positioning/font size per line."""
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    n = len(page_streams)
+    page_nums = list(range(10, 10 + n))
+    content_nums = list(range(10 + n, 10 + 2 * n))
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    objects[2] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d /Resources << /Font << /F1 4 0 R >> >> >>"
+        % (kids.encode(), n)
+    )
+    for i, stream in enumerate(page_streams):
+        objects[page_nums[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R /MediaBox [0 0 612 792] >>"
+            % content_nums[i]
+        )
+        objects[content_nums[i]] = _stream_obj(b"", stream)
+    return assemble_pdf(objects)
+
+
+# layout constants for build_sectioned_pdf — chosen so the A3/A4 layout
+# passes reconstruct EXACTLY one paragraph element per rendered paragraph:
+# body lines 20pt apart (gap 8 < 1.5*median_height 18 → merge), paragraphs
+# 36pt apart (gap 24 > 18 → break), title separated 48pt (gap 36 > 27 even
+# when a short page's median height is the 18pt title itself)
+SECTION_TITLE_SIZE = 18
+SECTION_BODY_SIZE = 12
+_SECTION_LINE_STEP = 20
+_SECTION_PARA_STEP = 36
+_SECTION_TITLE_GAP = 48
+
+
+def build_sectioned_pdf(
+    sections: list[tuple[str, list[list[str]]]],
+    words_per_line: int = 8,
+) -> bytes:
+    """Document with typed layout structure: one PAGE per section, each a
+    TITLE line (18pt) followed by paragraphs of body lines (12pt). The
+    vertical spacing constants above make the element segmentation
+    deterministic, so oracle queries can recompute the typed elements from
+    the word array alone (reference: pipeline/partition.rs font-ratio title
+    classification over exactly this kind of layout).
+
+    ``sections``: list of (title_text, [paragraph_word_lists])."""
+    pages: list[bytes] = []
+    for title, paragraphs in sections:
+        parts = [
+            b"BT /F1 %d Tf 72 720 Td (%s) Tj ET"
+            % (SECTION_TITLE_SIZE, escape_pdf_string(title))
+        ]
+        y = 720 - _SECTION_TITLE_GAP
+        for para in paragraphs:
+            if not para:
+                continue
+            first = True
+            for j in range(0, len(para), words_per_line):
+                line = " ".join(para[j : j + words_per_line])
+                if not first:
+                    y -= _SECTION_LINE_STEP
+                parts.append(
+                    b"BT /F1 %d Tf 72 %d Td (%s) Tj ET"
+                    % (SECTION_BODY_SIZE, y, escape_pdf_string(line))
+                )
+                first = False
+            y -= _SECTION_PARA_STEP
+        pages.append(b" ".join(parts))
+    return build_pdf_multipage_streams(pages)
+
+
 def build_text_pdf(text: str, lines_per_page: int = 40) -> bytes:
     """Build a PDF whose extraction round-trips ``text`` exactly (used by the
     documents-table oracle queries): each input line is one Tj; lines are

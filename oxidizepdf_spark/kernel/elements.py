@@ -1,0 +1,169 @@
+"""Element-typed document partitioning + hybrid chunking.
+
+Re-expresses the reference's typed-element pipeline over this engine's
+layout output (paragraph-level TextFragments with positions and font
+sizes):
+
+- element classification:  pipeline/partition.rs:438-469 (body font size =
+  most frequent fragment size, smaller wins ties because body text is
+  typically smaller than headings; title when
+  font_size >= body * TITLE_MIN_FONT_RATIO and > body)
+- element model:           pipeline/element.rs (Title/Paragraph subset —
+  the kinds this engine's span contract carries)
+- heading lineage:         pipeline/partition.rs:580-634 assign_heading_paths,
+  flattened to single-level (nearest preceding title); a title's own
+  heading is itself
+- hybrid chunking:         pipeline/hybrid_chunking.rs:205-296 — greedy
+  buffer of adjacent inline elements up to max_tokens, structural elements
+  (titles) always start their own chunk, oversized paragraphs split (the
+  reference splits by sentences; this corpus has no sentence punctuation,
+  so the splitter falls back to max_tokens word windows, which is the
+  reference's own behavior when a "sentence" exceeds max_tokens)
+"""
+
+from __future__ import annotations
+
+TITLE_MIN_FONT_RATIO = 1.3  # partition.rs:61
+
+
+class Element:
+    """Typed document element (pipeline/element.rs subset)."""
+
+    __slots__ = ("kind", "text", "heading", "font_size", "page")
+
+    def __init__(self, kind, text, heading, font_size, page):
+        self.kind = kind  # 'title' | 'paragraph'
+        self.text = text
+        self.heading = heading  # nearest preceding title (self for titles)
+        self.font_size = font_size
+        self.page = page
+
+
+def body_font_size(sizes: list[float]) -> float:
+    """Most frequent font size; ties broken toward the SMALLER size
+    (partition.rs:438-457: body text is typically smaller than headings).
+    Returns 0.0 for an empty document."""
+    if not sizes:
+        return 0.0
+    counts: dict[float, int] = {}
+    for s in sizes:
+        counts[s] = counts.get(s, 0) + 1
+    return min(counts, key=lambda s: (-counts[s], s))
+
+
+def classify_elements(paragraph_fragments) -> list[Element]:
+    """Paragraph-level fragments (layout.py A4 output, reading order) →
+    typed elements with single-level heading lineage."""
+    pairs = [
+        (p, f)
+        for p, f in frags_with_page(paragraph_fragments)
+        if f.text.strip()
+    ]
+    body = body_font_size([f.font_size for _, f in pairs if f.font_size > 0])
+    threshold = body * TITLE_MIN_FONT_RATIO
+    out: list[Element] = []
+    heading: str | None = None
+    for page, f in pairs:
+        is_title = body > 0 and f.font_size >= threshold and f.font_size > body
+        text = f.text.replace("\n", " ")
+        if is_title:
+            heading = text
+            out.append(Element("title", text, text, f.font_size, page))
+        else:
+            out.append(Element("paragraph", text, heading, f.font_size, page))
+    return out
+
+
+def frags_with_page(frags):
+    """Accept either a flat fragment list (page unknown → 0) or a list of
+    (page_index, fragment) pairs."""
+    for f in frags:
+        if isinstance(f, tuple):
+            yield f
+        else:
+            yield (0, f)
+
+
+def classify_pages(page_fragments) -> list[Element]:
+    """Per-page paragraph fragments (DocResult.page_fragments) → one
+    document-ordered element list; body font is computed over the whole
+    document (partition.rs computes it over all unclaimed fragments)."""
+    flat = [
+        (i, f) for i, page in enumerate(page_fragments) for f in page
+    ]
+    return classify_elements(flat)
+
+
+class Chunk:
+    __slots__ = ("kind", "heading", "text", "n_tokens")
+
+    def __init__(self, kind, heading, text, n_tokens):
+        self.kind = kind  # 'title' | 'body'
+        self.heading = heading
+        self.text = text
+        self.n_tokens = n_tokens
+
+
+def _words(text: str) -> list[str]:
+    return [w for w in text.split(" ") if w]
+
+
+def hybrid_chunks(elements: list[Element], max_tokens: int = 64) -> list[Chunk]:
+    """hybrid_chunking.rs:205-296 greedy algorithm:
+
+    - adjacent PARAGRAPH elements merge into one chunk while the running
+      word count stays <= max_tokens (MergePolicy::AnyInlineContent over
+      the kinds this engine emits)
+    - a TITLE is structural: it always flushes the buffer and becomes its
+      own chunk (its heading context is itself)
+    - an oversized paragraph (alone > max_tokens) splits into max_tokens
+      word windows, each its own chunk, all carrying the paragraph's
+      heading context
+    - chunk text joins member elements with a single space (the reference
+      joins with newline and callers flatten; this engine's span contract
+      is already newline-free at this level)
+    """
+    chunks: list[Chunk] = []
+    buf: list[Element] = []
+    buf_tokens = 0
+    buf_heading: str | None = None
+
+    def flush():
+        nonlocal buf, buf_tokens, buf_heading
+        if buf:
+            chunks.append(
+                Chunk(
+                    "body",
+                    buf_heading,
+                    " ".join(e.text for e in buf),
+                    buf_tokens,
+                )
+            )
+            buf = []
+            buf_tokens = 0
+            buf_heading = None
+
+    for el in elements:
+        toks = len(_words(el.text))
+        if el.kind == "title":
+            flush()
+            chunks.append(Chunk("title", el.heading, el.text, toks))
+            continue
+        if buf and buf_tokens + toks <= max_tokens:
+            buf.append(el)
+            buf_tokens += toks
+            continue
+        flush()
+        if toks > max_tokens:
+            ws = _words(el.text)
+            for j in range(0, len(ws), max_tokens):
+                piece = ws[j : j + max_tokens]
+                chunks.append(
+                    Chunk("body", el.heading, " ".join(piece), len(piece))
+                )
+            continue
+        buf = [el]
+        buf_tokens = toks
+        buf_heading = el.heading
+    flush()
+    return chunks

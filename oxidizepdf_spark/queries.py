@@ -1720,6 +1720,124 @@ FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 
 
 # ---------------------------------------------------------------------------
+# element-typed RAG chunking (pipeline/element.rs + partition.rs +
+# hybrid_chunking.rs re-expressed over the engine's layout output)
+# ---------------------------------------------------------------------------
+
+ELEM_SECTION_WORDS = 40  # words per rendered section (one page each)
+ELEM_PARA_WORDS = 20  # section body splits into paragraphs of this size
+ELEM_CHUNK_TOKENS = 64  # hybrid chunker max_tokens (word-count proxy)
+
+
+def q_rag_chunk_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ELEMENT-TYPED chunking, end-to-end through real layout: each doc is
+    rendered as sectioned pages (18pt title + 12pt body paragraphs with
+    deterministic spacing), extracted with preserve_layout +
+    reconstruct_paragraphs, classified into typed elements via the
+    font-ratio rule (partition.rs:438-469), heading lineage attached, then
+    hybrid-chunked (hybrid_chunking.rs: titles are structural chunk
+    boundaries, adjacent paragraphs merge up to max_tokens, headings
+    propagate to every chunk). Unlike the flat sliding window of
+    rag_chunk_docs, chunks here respect the document's STRUCTURE — the
+    oracle recomputes every chunk, kind, and heading from the word array
+    and the builder's layout constants alone.
+
+    Note the zero-word edge: a title with no body text classifies as a
+    paragraph (the classifier's body font IS the title size then), which
+    the oracle mirrors — that is the honest behavior of a relative-size
+    classifier on a single-size document."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from .corpus import build_sectioned_pdf
+        from .kernel.elements import classify_pages, hybrid_chunks
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(
+            preserve_layout=True, reconstruct_paragraphs=True
+        )
+        for b in batches:
+            out = {
+                "doc_id": [], "chunk_id": [], "kind": [],
+                "heading": [], "chunk": [], "n_tokens": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                n_sec = max(1, math.ceil(len(words) / ELEM_SECTION_WORDS))
+                sections = []
+                for i in range(n_sec):
+                    sw = words[
+                        i * ELEM_SECTION_WORDS : (i + 1) * ELEM_SECTION_WORDS
+                    ]
+                    paras = [
+                        p
+                        for p in (sw[:ELEM_PARA_WORDS], sw[ELEM_PARA_WORDS:])
+                        if p
+                    ]
+                    sections.append((f"SECTION {i}", paras))
+                pdf = build_sectioned_pdf(sections)
+                res = extract_pdf_bytes(pdf, opts)
+                elements = classify_pages(res.page_fragments)
+                for cid, ch in enumerate(
+                    hybrid_chunks(elements, ELEM_CHUNK_TOKENS)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_id"].append(cid)
+                    out["kind"].append(ch.kind)
+                    out["heading"].append(ch.heading)
+                    out["chunk"].append(ch.text)
+                    out["n_tokens"].append(ch.n_tokens)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, chunk_id int, kind string, heading string, "
+        "chunk string, n_tokens int",
+    )
+
+
+ORACLE_RAG_ELEMENTS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+),
+sec AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(len(ws) / {ELEM_SECTION_WORDS}.0) AS INT), 1)
+           AS n_sec
+  FROM base
+),
+secs AS (
+  SELECT doc_id, i,
+         ws[i*{ELEM_SECTION_WORDS}+1 : (i+1)*{ELEM_SECTION_WORDS}] AS sw
+  FROM sec, UNNEST(generate_series(0, n_sec - 1)) AS t(i)
+),
+rows AS (
+  SELECT doc_id, i, 0 AS sub,
+         CASE WHEN len(sw) = 0 THEN 'body' ELSE 'title' END AS kind,
+         CASE WHEN len(sw) = 0 THEN NULL
+              ELSE 'SECTION ' || i END AS heading,
+         'SECTION ' || i AS chunk, 2 AS n_tokens
+  FROM secs
+  UNION ALL
+  SELECT doc_id, i, 1, 'body', 'SECTION ' || i,
+         array_to_string(sw, ' '), len(sw)
+  FROM secs WHERE len(sw) > 0
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i, sub) - 1
+            AS INT) AS chunk_id,
+       kind, heading, chunk, n_tokens
+FROM rows
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal stub + corpus stats
 # ---------------------------------------------------------------------------
 
@@ -2348,6 +2466,7 @@ def build_queries() -> dict:
         "text_scrub_pii": q_text_scrub_pii,
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
+        "rag_chunk_elements": q_rag_chunk_elements,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
         "corpus_events_stats": q_corpus_events_stats,
@@ -2401,6 +2520,7 @@ def build_oracles() -> dict[str, str]:
         "text_scrub_pii": ORACLE_SCRUB_PII,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
+        "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,
