@@ -78,8 +78,10 @@ def test_bundled_tables_load_lazily():
     assert j.cid_to_unicode(843) == "あ"
     k = from_ordering("Korea1")
     assert k is not None and len(k) > 15_000
-    # CNS1 has no bundled source — decode chain falls through as before
-    assert from_ordering("CNS1") is None
+    # CNS1 bundled since round 3 (tools/gen_cns1_table.py)
+    c = from_ordering("CNS1")
+    assert c is not None and len(c) > 16_000
+    assert c.cid_to_unicode(661) == "中"
 
 
 def test_identity_h_gb1_without_tounicode_decodes():
@@ -106,3 +108,55 @@ def test_identity_h_gb1_without_tounicode_decodes():
     res = extract_pdf_bytes(pdf)
     assert res.error is None
     assert res.page_texts[0] == "你一"  # 你一
+
+
+def test_identity_h_cns1_without_tounicode_decodes():
+    """Traditional-Chinese Type0 (Adobe-CNS1, the collection the engine
+    lacked through round 2): Identity-H, NO ToUnicode, descendant names
+    CNS1 — CIDs decode via the bundled derived table
+    (tools/gen_cns1_table.py), no glyph-index garbage. CID values are read
+    from the table itself so the test stays valid if the data is
+    regenerated: 中(661) 國(2615) 臺(3837) 灣(4334) in the current data."""
+    import gzip
+
+    from importlib import resources
+
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    inv: dict[int, int] = {}
+    raw = (
+        resources.files("oxidizepdf_spark.kernel") / "data"
+        / "cid_unicode_cns1.txt.gz"
+    ).read_bytes()
+    for line in gzip.decompress(raw).decode("ascii").splitlines():
+        if line.startswith("#") or not line:
+            continue
+        cid_s, cp_s = line.split()
+        inv.setdefault(int(cp_s), int(cid_s))
+    text = "中國臺灣"
+    cids = b"".join(inv[ord(ch)].to_bytes(2, "big") for ch in text)
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /MSung-Light "
+        b"/Encoding /Identity-H /DescendantFonts [8 0 R] >>"
+    )
+    desc = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /MSung-Light "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (CNS1) "
+        b"/Supplement 4 >> >>"
+    )
+    content = b"BT /F1 12 Tf 100 700 Td <%s> Tj ET" % cids.hex().encode()
+    pdf = build_pdf_with_content_stream(
+        content, font_obj=font, extra_objects={8: desc}
+    )
+    res = extract_pdf_bytes(pdf)
+    assert res.error is None
+    assert res.page_texts[0] == text
+    # an unmapped CID (the residual gap, e.g. whatever maps nowhere) must
+    # yield U+FFFD, matching extraction_cmap.rs:646-669 semantics
+    content2 = b"BT /F1 12 Tf 100 700 Td <4AFE> Tj ET"  # CID 19198 > max
+    pdf2 = build_pdf_with_content_stream(
+        content2, font_obj=font, extra_objects={8: desc}
+    )
+    res2 = extract_pdf_bytes(pdf2)
+    assert res2.page_texts[0] == "�"
