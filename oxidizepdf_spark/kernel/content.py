@@ -32,7 +32,11 @@ from binascii import unhexlify as _unhex
 # finditer sweep yields exactly one match per token (no separate skip
 # matches — they would double the Python-level iteration count).
 _MASTER = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"  # fused skippable prefix
+    # fused skippable prefix — ATOMIC: a comment runs to EOL or EOF
+    # (content.rs:539 skip_comment); a backtrackable prefix would give
+    # comment bytes back to the token body and hallucinate tokens out of
+    # comment text (b'%ET q' tokenized as op 'q')
+    rb"(?>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*)"
     rb"(?:(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
     # fast path: flat literal string (no nesting/escapes) resolved in-regex;
     # anything trickier falls through to the lstr scanner
@@ -45,7 +49,11 @@ _MASTER = re.compile(
     rb"|(?P<hstr><[0-9A-Fa-f\x00\t\n\x0c\r ]*>)"
     rb"|(?P<aopen>\[)"
     rb"|(?P<aclose>\])"
-    rb"|(?P<skipd>[;){}]))"
+    rb"|(?P<skipd>[;){}])"
+    # end-of-data: lets the atomic prefix consume a TRAILING comment/ws
+    # run (otherwise the match fails at EOF and finditer re-enters the
+    # comment's interior)
+    rb"|(?P<eod>\Z))"
 )
 
 _NAME_HEX = re.compile(rb"#([0-9A-Fa-f]{2})")
@@ -674,7 +682,9 @@ _MASTER_FAST = re.compile(
     rb"|(?P<hstr><" + _HEXCLS + rb"*>)"
     rb"|(?P<aopen>\[)"
     rb"|(?P<aclose>\])"
-    rb"|(?P<skipd>[;){}]))"
+    rb"|(?P<skipd>[;){}])"
+    # end-of-data alternative, same reason as _MASTER's (trailing comment)
+    rb"|(?P<eod>\Z))"
 )
 
 # raw-stack marker sentinels
@@ -700,6 +710,12 @@ _OPC = {
 
 # name-decode memo: /F1-style names repeat tens of thousands of times
 _NAME_MEMO: dict[bytes, str] = {}
+
+# (A dedicated run-matcher for consecutive M1 cycles was measured here and
+# removed: processing runs in a local-variable sub-loop changed Cold_Email /
+# Higgs / synthetic timings by <2% — the scan is regex-bound (pure
+# finditer over Cold_Email's 2.9MB of content is ~90ms of its ~330ms), so
+# a third copy of the ShowText semantics wasn't worth the duplication.)
 
 
 def _fnum(v) -> float:
@@ -880,11 +896,23 @@ _K_AO, _K_AC, _K_DO, _K_DC = (
 _BI_MARKERS = (_K_AO, _K_AC, _K_DO, _K_DC)
 
 
+_HEX_MEMO: dict[bytes, bytes] = {}
+
+
 def _hexval(h: bytes) -> bytes:
-    clean = h.translate(None, _EOL_WS)
-    if len(clean) % 2:
-        clean += b"0"
-    return _unhex(clean)
+    # hex→bytes is content-independent, and dense documents show the same
+    # few thousand strings tens of thousands of times — memoize globally
+    # (bounded; cleared wholesale like _NAME_MEMO)
+    v = _HEX_MEMO.get(h)
+    if v is None:
+        if len(_HEX_MEMO) > 16384:
+            _HEX_MEMO.clear()
+        clean = h.translate(None, _EOL_WS)
+        if len(clean) % 2:
+            clean += b"0"
+        v = _unhex(clean)
+        _HEX_MEMO[h] = v
+    return v
 
 
 def _numval(t: bytes):
@@ -1361,6 +1389,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     n = len(data)
     name_memo = _NAME_MEMO
     IDENT = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    # hoisted constants for the inline ShowText tail (all fixed per run)
+    _opts = interp.options
+    nl_thr = _opts.newline_threshold
+    sp_thr = _opts.space_threshold
+    inc_art = _opts.include_artifacts
+    fast_show = not interp._layout
+    tb = None  # text bytes pending ShowText, consumed by the loop tail
     while pos < n:
         restart = False
         for m in _MASTER_FAST.finditer(data, pos):
@@ -1398,7 +1433,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 st_i.text_matrix = nmat
                 st_i.text_line_matrix = nmat
                 h = g(_K_B0HEX)
-                interp._show_text(g(_K_B0LIT) if h is None else _hexval(h))
+                tb = g(_K_B0LIT) if h is None else _hexval(h)
                 if kind == _K_B0ET:
                     interp.in_text = False
             elif kind == _K_M1H or kind == _K_M1S:  # x y Td (s)|<hex> Tj
@@ -1415,10 +1450,11 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 st_i.text_matrix = nmat
                 st_i.text_line_matrix = nmat
                 if interp.in_text:
-                    if kind == _K_M1H:
-                        interp._show_text(_hexval(g(_K_M1H)))
-                    else:
-                        interp._show_text(g(_K_M1S))
+                    tb = (
+                        _hexval(g(_K_M1H))
+                        if kind == _K_M1H
+                        else g(_K_M1S)
+                    )
             elif kind == _K_TJB:  # [ … ] TJ
                 if stack:
                     stack.clear()
@@ -1452,10 +1488,11 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 if stack:
                     stack.clear()
                 if interp.in_text:
-                    if kind == _K_M2H:
-                        interp._show_text(_hexval(m.group(_K_M2H)))
-                    else:
-                        interp._show_text(m.group(_K_M2S))
+                    tb = (
+                        _hexval(m.group(_K_M2H))
+                        if kind == _K_M2H
+                        else m.group(_K_M2S)
+                    )
             elif kind == _K_NUM:
                 t = m.group(_K_NUM)
                 push(float(t) if b"." in t else int(t))
@@ -1470,7 +1507,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 if opb == b"Tj":
                     v = stack[-1] if stack else None
                     if v.__class__ is bytes and interp.in_text:
-                        interp._show_text(v)
+                        tb = v
                 elif opb == b"Td":
                     xy = _vnums(stack, 2)
                     if xy is not None:
@@ -1671,5 +1708,48 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
             elif kind == _K_DC:
                 push(_DC)
             # skipd delimiters are dropped
+            if tb is not None:
+                # INLINE ShowText — the reference implementation is
+                # Interpreter._show_text (textstate.py:419); the
+                # parse_and_run == run∘parse_content differential tests pin
+                # the two byte-for-byte equal, incl. full interpreter
+                # state. Inlined because dense documents execute this ~60k
+                # times per doc and the method-call + attribute-load
+                # overhead dominated the kernel profile.
+                if fast_show:
+                    hit = interp._font_memo.get(tb)
+                    if hit is None:
+                        hit = interp._decode(tb)
+                    decoded = hit[0]
+                    tm = st_i.text_matrix
+                    ctm = st_i.ctm
+                    x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+                    y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+                    if not st_i.artifact_n or inc_art:
+                        if interp._total:
+                            dy = y - interp.last_y
+                            if dy > nl_thr or -dy > nl_thr:
+                                interp.text_parts.append("\n")
+                                interp._total += 1
+                                interp._last_char = "\n"
+                            elif x - interp.last_x > sp_thr * st_i.font_size:
+                                interp.text_parts.append(" ")
+                                interp._total += 1
+                                interp._last_char = " "
+                        if decoded:
+                            interp.text_parts.append(decoded)
+                            interp._total += len(decoded)
+                            interp._last_char = decoded[-1]
+                    width = hit[1] * st_i.font_size
+                    interp.last_x = x + width
+                    interp.last_y = y
+                    tx = width * st_i.horizontal_scale / 100.0
+                    st_i.text_matrix = (
+                        tm[0], tm[1], tm[2], tm[3],
+                        tx * tm[0] + tm[4], tx * tm[1] + tm[5],
+                    )
+                else:
+                    interp._show_text(tb)
+                tb = None
         if not restart:
             break

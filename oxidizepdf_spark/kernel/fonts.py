@@ -230,13 +230,31 @@ def extract_page_fonts(resources: dict, reader) -> dict[str, FontInfo]:
         font_res = reader.resolve(font_res)
     if not isinstance(font_res, dict):
         return fonts
+    # document-scoped FontInfo cache: pages routinely share the same font
+    # objects by reference, and re-deriving FontInfo re-parses ToUnicode
+    # CMaps page after page (387 parses for a 44-page doc). FontInfo is
+    # immutable after extract_font_info, so Ref identity is a safe key.
+    cache = getattr(reader, "_fontinfo_cache", None)
     for fname, fobj in font_res.items():
-        fd = reader.resolve(fobj) if isinstance(fobj, Ref) else fobj
-        if isinstance(fd, dict):
-            fi = extract_font_info(fd, reader)
-            if fi is not None:
-                fonts[str(fname)] = fi
+        if isinstance(fobj, Ref) and cache is not None:
+            fi = cache.get(fobj, _FI_MISS)
+            if fi is _FI_MISS:
+                fd = reader.resolve(fobj)
+                fi = (
+                    extract_font_info(fd, reader)
+                    if isinstance(fd, dict)
+                    else None
+                )
+                cache[fobj] = fi
+        else:
+            fd = reader.resolve(fobj) if isinstance(fobj, Ref) else fobj
+            fi = extract_font_info(fd, reader) if isinstance(fd, dict) else None
+        if fi is not None:
+            fonts[str(fname)] = fi
     return fonts
+
+
+_FI_MISS = object()
 
 
 # ---------------------------------------------------------------------------

@@ -42,6 +42,7 @@ class PdfReader:
         "_cache",
         "_objstm_cache",
         "_resolving",
+        "_fontinfo_cache",
     )
 
     def __init__(
@@ -59,6 +60,7 @@ class PdfReader:
         self._cache: dict[tuple[int, int], object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._resolving: set = set()
+        self._fontinfo_cache: dict = {}
         entries, trailer, mode = parse_xref_chain(data, self)
         if not lenient and mode != "strict":
             # strict tier (ParseOptions::strict): no brute-force recovery
