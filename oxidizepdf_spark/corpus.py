@@ -434,6 +434,40 @@ def build_sectioned_pdf(
     return build_pdf_multipage_streams(pages)
 
 
+# grid geometry for build_table_pdf (oracle queries recompute cell
+# positions from these constants)
+TABLE_X0 = 72
+TABLE_Y0 = 700
+TABLE_COL_W = 160
+TABLE_ROW_H = 40
+
+
+def build_table_pdf(cells: list[list[str]]) -> bytes:
+    """One-page PDF with a BORDERED table: stroked m/l grid lines plus one
+    text run per cell (the fixture class text/table_detection.rs targets).
+    ``cells`` is row-major, row 0 at the top."""
+    n_rows = len(cells)
+    n_cols = max(len(r) for r in cells) if cells else 0
+    parts: list[bytes] = []
+    x1 = TABLE_X0 + TABLE_COL_W * n_cols
+    y_bot = TABLE_Y0 - TABLE_ROW_H * n_rows
+    for r in range(n_rows + 1):
+        y = TABLE_Y0 - TABLE_ROW_H * r
+        parts.append(b"%d %d m %d %d l S" % (TABLE_X0, y, x1, y))
+    for c in range(n_cols + 1):
+        x = TABLE_X0 + TABLE_COL_W * c
+        parts.append(b"%d %d m %d %d l S" % (x, TABLE_Y0, x, y_bot))
+    for r, row in enumerate(cells):
+        for c, text in enumerate(row):
+            tx = TABLE_X0 + TABLE_COL_W * c + 8
+            ty = TABLE_Y0 - TABLE_ROW_H * (r + 1) + 15
+            parts.append(
+                b"BT /F1 12 Tf %d %d Td (%s) Tj ET"
+                % (tx, ty, escape_pdf_string(text))
+            )
+    return build_pdf_with_content_stream(b" ".join(parts))
+
+
 def build_text_pdf(text: str, lines_per_page: int = 40) -> bytes:
     """Build a PDF whose extraction round-trips ``text`` exactly (used by the
     documents-table oracle queries): each input line is one Tj; lines are

@@ -1720,6 +1720,94 @@ FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 
 
 # ---------------------------------------------------------------------------
+# bordered-table detection (text/table_detection.rs + graphics/extraction.rs)
+# ---------------------------------------------------------------------------
+
+TABLE_ROWS = 4
+TABLE_COLS = 3
+TABLE_WORD_CLIP = 12  # cell words clipped so centers stay inside cells
+
+
+def q_pdf_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bordered-table detection end-to-end: each document renders a 4x3
+    grid (stroked m/l lines + one text run per cell, cell text drawn from
+    the document's words), extraction yields positioned fragments, the
+    graphics pass extracts vector lines (graphics/extraction.rs), and the
+    detector clusters them into a grid and assigns fragments to cells by
+    center containment (text/table_detection.rs). The oracle recomputes
+    every cell's text from the word array + grid constants — proving cell
+    geometry, line clustering, and text assignment all at once."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_table_pdf
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.pages import flatten_page_tree, page_content
+        from .kernel.reader import PdfReader
+        from .kernel.tables import detect_page_tables
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(preserve_layout=True)
+        for b in batches:
+            out = {
+                "doc_id": [], "row_idx": [], "col_idx": [],
+                "cell_text": [], "n_rows": [], "n_cols": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                nw = len(words)
+                cells = [
+                    [
+                        (
+                            words[(r * TABLE_COLS + c) % nw][:TABLE_WORD_CLIP]
+                            if nw
+                            else "x"
+                        )
+                        for c in range(TABLE_COLS)
+                    ]
+                    for r in range(TABLE_ROWS)
+                ]
+                pdf = build_table_pdf(cells)
+                res = extract_pdf_bytes(pdf, opts)
+                reader = PdfReader(pdf)
+                content = page_content(reader, flatten_page_tree(reader)[0])
+                tables = detect_page_tables(content, res.page_fragments[0])
+                for t in tables:
+                    for cell in t.cells:
+                        out["doc_id"].append(doc_id)
+                        out["row_idx"].append(cell.row)
+                        out["col_idx"].append(cell.column)
+                        out["cell_text"].append(cell.text)
+                        out["n_rows"].append(t.rows)
+                        out["n_cols"].append(t.columns)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, row_idx int, col_idx int, cell_text string, "
+        "n_rows int, n_cols int",
+    )
+
+
+ORACLE_TABLES = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, r AS row_idx, c AS col_idx,
+       CASE WHEN len(ws) = 0 THEN 'x'
+            ELSE substr(ws[((r*{TABLE_COLS} + c) % len(ws)) + 1],
+                        1, {TABLE_WORD_CLIP}) END AS cell_text,
+       {TABLE_ROWS} AS n_rows, {TABLE_COLS} AS n_cols
+FROM base,
+     UNNEST(generate_series(0, {TABLE_ROWS - 1})) AS t(r),
+     UNNEST(generate_series(0, {TABLE_COLS - 1})) AS u(c)
+"""
+
+
+# ---------------------------------------------------------------------------
 # element-typed RAG chunking (pipeline/element.rs + partition.rs +
 # hybrid_chunking.rs re-expressed over the engine's layout output)
 # ---------------------------------------------------------------------------
@@ -2467,6 +2555,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
+        "pdf_extract_tables": q_pdf_extract_tables,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
         "corpus_events_stats": q_corpus_events_stats,
@@ -2521,6 +2610,7 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
+        "pdf_extract_tables": ORACLE_TABLES,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,

@@ -1,0 +1,83 @@
+"""Bordered-table detection (text/table_detection.rs semantics) and the
+vector-graphics pass (graphics/extraction.rs)."""
+
+from __future__ import annotations
+
+from oxidizepdf_spark.corpus import build_table_pdf
+from oxidizepdf_spark.kernel.content import parse_content
+from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+from oxidizepdf_spark.kernel.graphics import extract_graphics
+from oxidizepdf_spark.kernel.pages import flatten_page_tree, page_content
+from oxidizepdf_spark.kernel.reader import PdfReader
+from oxidizepdf_spark.kernel.tables import detect_page_tables, detect_tables
+from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+
+def _detect(cells):
+    pdf = build_table_pdf(cells)
+    res = extract_pdf_bytes(pdf, ExtractionOptions(preserve_layout=True))
+    r = PdfReader(pdf)
+    content = page_content(r, flatten_page_tree(r)[0])
+    return detect_page_tables(content, res.page_fragments[0])
+
+
+def test_grid_table_roundtrip():
+    cells = [["alpha", "beta", "gamma"], ["one", "two", "three"]]
+    tables = _detect(cells)
+    assert len(tables) == 1
+    t = tables[0]
+    assert (t.rows, t.columns) == (2, 3)
+    got = [[t.get_cell(i, j).text for j in range(3)] for i in range(2)]
+    assert got == cells
+
+
+def test_graphics_pass_lines_and_transforms():
+    # m/l + S in a translated CTM; a filled path must NOT contribute
+    # (stroked_only); a diagonal is never counted toward table structure
+    ops = parse_content(
+        b"q 1 0 0 1 10 20 cm 0 0 m 100 0 l S Q "
+        b"0 50 m 100 50 l f "
+        b"0 0 m 100 100 l S "
+        b"5 0 m 5 80 l S 95 0 m 95 80 l S"
+    )
+    g = extract_graphics(ops)
+    assert g.horizontal_count == 1  # only the stroked one, translated
+    h = g.horizontal_lines()[0]
+    assert (h.x1, h.y1, h.x2, h.y2) == (10.0, 20.0, 110.0, 20.0)
+    assert g.vertical_count == 2
+    assert not g.has_table_structure()  # 1 H < 2
+
+
+def test_rectangle_adds_edges_immediately():
+    # extraction.rs:330 quirk: `re` contributes its 4 edges without any
+    # paint operator
+    g = extract_graphics(parse_content(b"10 10 200 100 re"))
+    assert g.horizontal_count == 2 and g.vertical_count == 2
+    assert g.has_table_structure()
+
+
+def test_cluster_tolerance_merges_jittered_lines():
+    # two horizontal borders drawn twice with 1pt jitter (within the 2pt
+    # alignment tolerance) must cluster to single grid lines
+    content = (
+        b"72 700 m 552 700 l S 72 701 m 552 701 l S "
+        b"72 540 m 552 540 l S 72 539 m 552 539 l S "
+        b"72 700 m 72 540 l S 552 700 m 552 540 l S"
+    )
+    g = extract_graphics(parse_content(content))
+    tables = detect_tables(g, [])
+    assert len(tables) == 1
+    assert (tables[0].rows, tables[0].columns) == (1, 1)
+    # cluster means: (700+701)/2 and (540+539)/2
+    assert tables[0].bbox == (72.0, 539.5, 480.0, 161.0)
+
+
+def test_too_few_lines_or_area_rejected():
+    g = extract_graphics(parse_content(b"72 700 m 552 700 l S 72 700 m 72 500 l S"))
+    assert detect_tables(g, []) == []
+    # a full grid but tiny (< 1000 sq pt) is rejected
+    tiny = (
+        b"0 0 m 20 0 l S 0 20 m 20 20 l S "
+        b"0 0 m 0 20 l S 20 0 m 20 20 l S"
+    )
+    assert detect_tables(extract_graphics(parse_content(tiny)), []) == []
