@@ -434,6 +434,30 @@ def build_sectioned_pdf(
     return build_pdf_multipage_streams(pages)
 
 
+def build_scanned_pdf(payload: bytes, n_pages: int = 1) -> bytes:
+    """'Scanned' PDF: pages with ONE full-page image XObject and no text
+    operators at all — the fixture class the OCR SPI targets (text/ocr/).
+    ``payload`` becomes the image's raw stream bytes (stands in for the
+    encoded scan; a real corpus carries DCT/CCITT bytes here)."""
+    pages = []
+    extra: dict[int, bytes] = {}
+    for i in range(n_pages):
+        num = 30 + i
+        extra[num] = (
+            b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+            b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
+            b"stream\n%s\nendstream" % (len(payload), payload)
+        )
+        pages.append(num)
+    if n_pages != 1:
+        raise NotImplementedError("single-page scanned fixture only")
+    return build_pdf_with_content_stream(
+        b"q 612 0 0 792 0 0 cm /Im1 Do Q",
+        page_extra="/XObject << /Im1 30 0 R >>",
+        extra_objects=extra,
+    )
+
+
 # grid geometry for build_table_pdf (oracle queries recompute cell
 # positions from these constants)
 TABLE_X0 = 72

@@ -85,9 +85,14 @@ def extract_pdf_bytes(
             # interp.run(parse_content(content), ...) (property-pinned)
             parse_and_run(interp, content, page.resources)
             out = interp.finalize()
-            res.spans.extend(out.spans)
+            page_spans, page_text = out.spans, out.text
+            if options.ocr_provider is not None:
+                page_spans, page_text = _ocr_page(
+                    reader, page, page_spans, page_text, options.ocr_provider
+                )
+            res.spans.extend(page_spans)
             res.page_fragments.append(out.fragments)
-            res.page_texts.append(out.text)
+            res.page_texts.append(page_text)
         except Exception as e:
             if strict:
                 # strict tier: a bad page fails the document
@@ -98,6 +103,46 @@ def extract_pdf_bytes(
                 res.error = f"page{idx}:{type(e).__name__}:{e}"
             continue
     return res
+
+
+def _ocr_page(reader, page, spans, text, provider):
+    """OCR SPI integration (text/ocr/ mod + tesseract_provider.rs wiring,
+    pipeline: scanned page → provider → text): fires only when the page
+    yielded NO text but has image spans — the scanned-page class. Each
+    named image XObject's raw stream bytes go to ``provider``; returned
+    text becomes a span spliced directly after the image span. Inline
+    images (media_ref 'inline:p:i') carry no fetchable resource and are
+    skipped. A provider error degrades to no-OCR for that image (tolerant
+    mode), never a page failure."""
+    from .objects import Ref, Stream
+
+    if any(k == "text" and t for k, t, _ in spans):
+        return spans, text
+    if not any(k == "image" for k, _, _ in spans):
+        return spans, text
+    xobjects = (page.resources or {}).get("XObject")
+    if isinstance(xobjects, Ref):
+        xobjects = reader.resolve(xobjects)
+    if not isinstance(xobjects, dict):
+        return spans, text
+    out = []
+    ocr_texts = []
+    for span in spans:
+        out.append(span)
+        if span[0] != "image":
+            continue
+        target = xobjects.get(span[2])
+        obj = reader.resolve(target) if isinstance(target, Ref) else target
+        if not isinstance(obj, Stream):
+            continue
+        try:
+            recognized = provider(bytes(obj.raw))
+        except Exception:
+            continue
+        if recognized:
+            out.append(("text", recognized, None))
+            ocr_texts.append(recognized)
+    return out, (text or "\n".join(ocr_texts))
 
 
 _XMP_FIELDS = (

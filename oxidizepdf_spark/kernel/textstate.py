@@ -129,6 +129,7 @@ class ExtractionOptions:
         "reading_order",
         "reading_order_min_gap",
         "password",
+        "ocr_provider",
     )
 
     def __init__(
@@ -147,6 +148,7 @@ class ExtractionOptions:
         reading_order: str = "emission",  # 'emission' | 'simple' | 'xycut'
         reading_order_min_gap: float = 20.0,
         password: str | None = None,
+        ocr_provider=None,
     ):
         self.space_threshold = space_threshold
         self.tj_space_threshold = tj_space_threshold
@@ -177,6 +179,13 @@ class ExtractionOptions:
         # parser/mod.rs:167-169): tried as user OR owner after the empty
         # user password fails; None keeps empty-password-only behavior
         self.password = password
+        # OCR SPI (text/ocr/ OcrProvider, tesseract_provider.rs shape):
+        # callable(image_bytes) -> str, invoked on each image of a page
+        # that yielded NO text (the scanned-page class); the returned text
+        # is spliced after the image span. None = no OCR (default). The
+        # engine passes the image's RAW encoded stream bytes — exactly
+        # what an OCR engine ingests (e.g. JPEG for DCTDecode).
+        self.ocr_provider = ocr_provider
 
 
 def _mul(a, b):

@@ -1719,6 +1719,59 @@ FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 """
 
 
+def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR SPI round-trip (text/ocr/ OcrProvider + tesseract_provider.rs
+    re-expressed as ExtractionOptions(ocr_provider=...)): each document
+    becomes a SCANNED page (one full-page image, zero text operators); a
+    deterministic stand-in provider 'recognizes' the image bytes (the real
+    engine isn't in this sandbox — the SPI contract, span splicing, and
+    image-bytes plumbing are what's under test), and the recognized text
+    must splice into the span sequence after the image span."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_scanned_pdf
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        def provider(image_bytes: bytes) -> str:
+            # deterministic fake OCR: the fixture embeds the page's text
+            # as the image payload, so 'recognition' is a decode
+            return image_bytes.decode("utf-8", "replace")
+
+        opts = ExtractionOptions(ocr_provider=provider)
+        for b in batches:
+            out = {"doc_id": [], "ocr_text": [], "n_images": [], "n_text_spans": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                pdf = build_scanned_pdf((norm or "").encode("utf-8"))
+                res = extract_pdf_bytes(pdf, opts)
+                out["doc_id"].append(doc_id)
+                out["ocr_text"].append(
+                    " ".join(t for k, t, _ in res.spans if k == "text" and t)
+                )
+                out["n_images"].append(
+                    sum(1 for k, _, _ in res.spans if k == "image")
+                )
+                out["n_text_spans"].append(
+                    sum(1 for k, t, _ in res.spans if k == "text" and t)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, ocr_text string, n_images int, n_text_spans int",
+    )
+
+
+ORACLE_OCR = f"""
+SELECT doc_id, {NORM_SQL.format(col='text')} AS ocr_text,
+       1 AS n_images,
+       CASE WHEN length({NORM_SQL.format(col='text')}) > 0
+            THEN 1 ELSE 0 END AS n_text_spans
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # bordered-table detection (text/table_detection.rs + graphics/extraction.rs)
 # ---------------------------------------------------------------------------
@@ -2556,6 +2609,7 @@ def build_queries() -> dict:
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
         "pdf_extract_tables": q_pdf_extract_tables,
+        "pdf_extract_ocr": q_pdf_extract_ocr,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
         "corpus_events_stats": q_corpus_events_stats,
@@ -2611,6 +2665,7 @@ def build_oracles() -> dict[str, str]:
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
         "pdf_extract_tables": ORACLE_TABLES,
+        "pdf_extract_ocr": ORACLE_OCR,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,

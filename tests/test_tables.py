@@ -72,6 +72,32 @@ def test_cluster_tolerance_merges_jittered_lines():
     assert tables[0].bbox == (72.0, 539.5, 480.0, 161.0)
 
 
+def test_ocr_spi_scanned_page():
+    """OCR SPI (text/ocr/ shape): fires only on image-only pages, splices
+    recognized text after the image span, tolerates provider failure, and
+    never touches pages that already have text."""
+    from oxidizepdf_spark.corpus import build_scanned_pdf, build_text_pdf
+
+    pdf = build_scanned_pdf(b"scanned words here")
+    assert extract_pdf_bytes(pdf).spans == [("image", "", "Im1")]
+    res = extract_pdf_bytes(
+        pdf, ExtractionOptions(ocr_provider=lambda b: b.decode("utf-8"))
+    )
+    assert res.spans == [
+        ("image", "", "Im1"), ("text", "scanned words here", None)
+    ]
+    assert res.page_texts == ["scanned words here"]
+    # provider exception degrades to no-OCR, never a page error
+    res2 = extract_pdf_bytes(pdf, ExtractionOptions(ocr_provider=lambda b: 1 / 0))
+    assert res2.error is None and res2.spans == [("image", "", "Im1")]
+    # pages with real text are untouched
+    res3 = extract_pdf_bytes(
+        build_text_pdf("real text"),
+        ExtractionOptions(ocr_provider=lambda b: "WRONG"),
+    )
+    assert res3.spans == [("text", "real text", None)]
+
+
 def test_too_few_lines_or_area_rejected():
     g = extract_graphics(parse_content(b"72 700 m 552 700 l S 72 700 m 72 500 l S"))
     assert detect_tables(g, []) == []
