@@ -74,6 +74,34 @@ def test_events_agg_partial_before_shuffle(spark):
     assert "Exchange" in plan
 
 
+def test_char_entropy_is_map_only(spark):
+    """Round-3 rewrite: per-doc character entropy via array_sort + a single
+    fold — the plan must have NO Exchange (the old per-character explode
+    shuffled ~2x the corpus size) and no Python eval node."""
+    from oxidizepdf_spark.queries import q_text_char_entropy
+
+    plan = _plan(q_text_char_entropy(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_tfidf_count_stays_lazy(spark):
+    """Round-3 fix: building the tf-idf query must not trigger a Spark
+    job (the corpus count is computed inside the plan via a broadcast
+    single-row cross join)."""
+    from oxidizepdf_spark.queries import q_tfidf_top_terms
+
+    # first build warms the session's parquet footer read (a Spark job
+    # that belongs to spark.read, not to the query builder)
+    q_tfidf_top_terms(spark, SF)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    df = q_tfidf_top_terms(spark, SF)
+    after = len(tracker.getJobIdsForGroup() or [])
+    assert after == before, "plan construction ran a Spark job"
+    assert "Broadcast" in _plan(df)
+
+
 def test_simhash_is_map_only(spark):
     """Array-native simhash must not shuffle: the signature fold happens
     per-row, so the plan has NO Exchange and no Python eval node."""
