@@ -187,6 +187,16 @@ class ExtractionOptions:
         # what an OCR engine ingests (e.g. JPEG for DCTDecode).
         self.ocr_provider = ocr_provider
 
+    def with_password(self, password: str | None) -> "ExtractionOptions":
+        """Shallow clone with a different password — the per-document
+        password-column path (pipeline._extract_batches) reuses one base
+        options object and overrides only the credential."""
+        import copy
+
+        o = copy.copy(self)
+        o.password = password
+        return o
+
 
 def _mul(a, b):
     """multiply_matrix (extraction.rs:1964): row-vector convention, a then b."""

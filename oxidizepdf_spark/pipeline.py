@@ -90,6 +90,14 @@ def _extract_batches(
             if "part_id" in names
             else [0] * n
         )
+        # optional per-document password column (PasswordProvider SPI at
+        # corpus scale: a table of known-credential documents carries its
+        # passwords alongside the payload; null = empty/base password)
+        pw_col = (
+            batch.column(names.index("password")).to_pylist()
+            if "password" in names
+            else None
+        )
         spans_col = batch.column(names.index("spans"))
         if isinstance(spans_col, pa.ChunkedArray):  # pragma: no cover
             spans_col = spans_col.combine_chunks()
@@ -108,8 +116,11 @@ def _extract_batches(
             lo, hi = list_offsets[row] - base, list_offsets[row + 1] - base
             triples = list(zip(kinds[lo:hi], texts[lo:hi], refs[lo:hi]))
             t_doc = time.perf_counter()
+            opts_row = options
+            if pw_col is not None and pw_col[row] is not None:
+                opts_row = options.with_password(pw_col[row])
             try:
-                spans, meta = extract_document_spans(triples, options)
+                spans, meta = extract_document_spans(triples, opts_row)
             except Exception as e:  # absolute backstop: error-as-data
                 spans, meta = [], {
                     "ok": False,

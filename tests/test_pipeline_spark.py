@@ -161,6 +161,42 @@ def test_pipeline_determinism_run_twice_exceptall(spark):
     assert b.exceptAll(a).count() == 0
 
 
+def test_per_document_password_column(spark):
+    """A `password` column on the input table unlocks each document with
+    its own credential (PasswordProvider at corpus scale); docs with a
+    wrong/missing password degrade to error='encrypted', never failures."""
+    import base64
+
+    from oxidizepdf_spark.corpus import build_encrypted_pdf
+    from oxidizepdf_spark.pipeline import extract_spans
+
+    def row(doc_id, pw_build, pw_supplied):
+        pdf = build_encrypted_pdf(
+            f"secret {doc_id}", method="aes-128", user_pw=pw_build
+        )
+        payload = "b85:" + base64.b85encode(pdf).decode()
+        return (doc_id, 0, [("raw_pdf", payload, None, 0)], pw_supplied)
+
+    docs = spark.createDataFrame(
+        [
+            row("right-a", b"alpha", "alpha"),
+            row("right-b", b"bravo", "bravo"),
+            row("wrong", b"alpha", "bravo"),
+            row("none", b"alpha", None),
+        ],
+        "doc_id string, part_id int, spans array<struct<kind string, "
+        "text string, media_ref string, offset int>>, password string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in extract_spans(docs, salt=False).collect()
+    }
+    assert got["right-a"]["ok"] and got["right-a"]["spans"][0]["text"] == "secret right-a"
+    assert got["right-b"]["ok"] and got["right-b"]["spans"][0]["text"] == "secret right-b"
+    assert not got["wrong"]["ok"] and got["wrong"]["error"] == "encrypted"
+    assert not got["none"]["ok"] and got["none"]["error"] == "encrypted"
+
+
 def test_minhash_lsh_bucket_cap(spark, tmp_path):
     """A 1k-doc byte-identical cluster lands in ONE (band, band_hash)
     bucket per band; without the cap the self-join emits C(1000,2) ≈ 500k
