@@ -1380,6 +1380,184 @@ SELECT query_id, neighbor_id, cos, rank FROM (
 """
 
 
+IVF_KMEANS_NPROBE = 2
+
+
+def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (cosine, ties → lowest centroid_id):
+    broadcast the tiny centroid relation, keep the per-vector argmax. The
+    distributed k-means E-step — map-side join, one row_number window."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("centroid_id")
+    )
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(_cos_spark(F.col("embedding"), F.col("cv")), 6).alias(
+                "ccos"
+            ),
+        )
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .drop("r", "ccos")
+    )
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with REAL k-means centroids + multi-probe — the production ANN
+    index-build shape (upgrades q_ann_ivf_topk's raw-vector seeds):
+
+    1. seed centroids = first {IVF_N_CENTROIDS} vectors (deterministic),
+    2. one Lloyd refinement, fully distributed: E-step = broadcast argmax
+       assignment; M-step = per-dimension mean via posexplode +
+       groupBy(centroid, dim) — the scale-safe centroid update (NO
+       collect_list of whole buckets, no driver collect); empty clusters
+       keep their seed,
+    3. every vector bucketed to its refined centroid,
+    4. each query probes its {IVF_KMEANS_NPROBE} nearest centroids
+       (multi-probe recovers recall lost at bucket boundaries),
+    5. exact cosine re-rank inside the probed buckets.
+
+    All float reductions round to 6 decimals so the DuckDB oracle can
+    replay the identical iteration."""
+    from pyspark.sql.window import Window
+
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    c0 = e.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "cv"
+        ),
+    )
+    a1 = _assign_to_centroids(e, c0)
+    upd = (
+        a1.select(
+            "centroid_id", F.posexplode("embedding").alias("i", "val")
+        )
+        .groupBy("centroid_id", "i")
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("val"))
+    )
+    c1_new = upd.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "val"))),
+            lambda s: s["val"],
+        ).alias("cv_new")
+    )
+    c1 = _persist(
+        c0.join(c1_new, on="centroid_id", how="left").select(
+            "centroid_id", F.coalesce("cv_new", "cv").alias("cv")
+        )
+    )
+    buckets = _assign_to_centroids(e, c1)
+    qs = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.desc("pcos"), F.asc("centroid_id")
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(c1))
+        .select(
+            "query_id",
+            "qv",
+            "centroid_id",
+            F.round(_cos_spark(F.col("qv"), F.col("cv")), 6).alias("pcos"),
+        )
+        .withColumn("r", F.row_number().over(wp))
+        .where(F.col("r") <= IVF_KMEANS_NPROBE)
+        .select("query_id", "qv", "centroid_id")
+    )
+    scored = (
+        buckets.join(F.broadcast(probes), on="centroid_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= ANN_TOPK)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    def cos(a, b):
+        return (
+            f"ROUND(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), 6)"
+        )
+
+    assign = """
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.centroid_id ASC) AS r
+    FROM e, {cents} c
+  ) WHERE r = 1
+"""
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+c0 AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e
+  WHERE vec_id < {IVF_N_CENTROIDS}
+),
+a1 AS ({assign.format(cos=cos('e.v', 'c.cv'), cents='c0')}),
+upd AS (
+  SELECT centroid_id, i, ROUND(AVG(val), 6) AS val
+  FROM (SELECT centroid_id,
+               unnest(generate_series(1, len(v))) AS i,
+               unnest(v) AS val
+        FROM a1)
+  GROUP BY centroid_id, i
+),
+c1n AS (SELECT centroid_id, list(val ORDER BY i) AS cv_new
+        FROM upd GROUP BY centroid_id),
+c1 AS (
+  SELECT c0.centroid_id, COALESCE(c1n.cv_new, c0.cv) AS cv
+  FROM c0 LEFT JOIN c1n USING (centroid_id)
+),
+b AS ({assign.format(cos=cos('e.v', 'c.cv'), cents='c1')}),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e
+      WHERE vec_id < {ANN_N_QUERIES}),
+probes AS (
+  SELECT query_id, qv, centroid_id FROM (
+    SELECT q.query_id, q.qv, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {cos('q.qv', 'c.cv')} DESC,
+                                       c.centroid_id ASC) AS r
+    FROM q, c1 c
+  ) WHERE r <= {IVF_KMEANS_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, b.vec_id AS neighbor_id,
+         {cos('p.qv', 'b.v')} AS cos
+  FROM b JOIN probes p ON b.centroid_id = p.centroid_id
+  WHERE b.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, cos, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {ANN_TOPK}
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -2596,6 +2774,7 @@ def build_queries() -> dict:
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "text_language_id": q_text_language_id,
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
@@ -2652,6 +2831,7 @@ def build_oracles() -> dict[str, str]:
         "dedup_embedding_cosine": _emb_cosine_oracle(),
         "ann_cosine_topk": ORACLE_ANN_TOPK,
         "ann_ivf_topk": ORACLE_ANN_IVF,
+        "ann_ivf_kmeans_topk": _ivf_kmeans_sql(),
         "text_language_id": _langid_sql(),
         "corpus_stratified_sample": _stratified_sample_oracle(_langid_sql()),
         "tfidf_top_terms": ORACLE_TFIDF,
