@@ -9,8 +9,11 @@ All functions are Arrow-batched pandas UDFs (vectorized transport; the
 per-document kernel runs inside, same as the pipeline). Registered names:
 
 - ``oxpdf_extract_text(binary) -> string``      full-document text
+- ``oxpdf_extract_text_pw(binary, string) -> string``  with a password
 - ``oxpdf_page_count(binary) -> int``           page count (0 on error)
 - ``oxpdf_metadata_json(binary) -> string``     metadata dict as JSON
+- ``oxpdf_tables_json(binary) -> string``       detected bordered tables
+- ``oxpdf_elements_json(binary) -> string``     typed elements (title/para)
 - ``oxhtml_main_content(string) -> string``     HTML boilerplate strip
 
 UDF objects are built lazily (pandas_udf validates against a live session,
@@ -80,14 +83,109 @@ def _fn_html_main_content(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_extract_text_pw(data: pd.Series, pw: pd.Series) -> pd.Series:
+    from .kernel.extract import extract_pdf_bytes
+    from .kernel.textstate import ExtractionOptions
+
+    out = []
+    for blob, password in zip(data, pw):
+        if blob is None:
+            out.append(None)
+            continue
+        res = extract_pdf_bytes(
+            bytes(blob), ExtractionOptions(password=password)
+        )
+        out.append("\n".join(res.page_texts))
+    return pd.Series(out, dtype=object)
+
+
+def _fn_tables_json(data: pd.Series) -> pd.Series:
+    from .kernel.extract import extract_pdf_bytes
+    from .kernel.pages import flatten_page_tree, page_content
+    from .kernel.reader import PdfReader
+    from .kernel.tables import detect_page_tables
+    from .kernel.textstate import ExtractionOptions
+
+    opts = ExtractionOptions(preserve_layout=True)
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            pdf = bytes(blob)
+            res = extract_pdf_bytes(pdf, opts)
+            reader = PdfReader(pdf)
+            pages = flatten_page_tree(reader)
+            tables = []
+            for i, page in enumerate(pages):
+                frags = (
+                    res.page_fragments[i]
+                    if i < len(res.page_fragments)
+                    else []
+                )
+                for t in detect_page_tables(page_content(reader, page), frags):
+                    tables.append(
+                        {
+                            "page": i,
+                            "rows": t.rows,
+                            "cols": t.columns,
+                            "cells": [
+                                [c.row, c.column, c.text] for c in t.cells
+                            ],
+                        }
+                    )
+            out.append(json.dumps(tables, sort_keys=True))
+        except Exception:
+            out.append(json.dumps([]))
+    return pd.Series(out, dtype=object)
+
+
+def _fn_elements_json(data: pd.Series) -> pd.Series:
+    from .kernel.elements import classify_pages
+    from .kernel.extract import extract_pdf_bytes
+    from .kernel.textstate import ExtractionOptions
+
+    opts = ExtractionOptions(
+        preserve_layout=True, reconstruct_paragraphs=True
+    )
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            res = extract_pdf_bytes(bytes(blob), opts)
+            els = classify_pages(res.page_fragments)
+            out.append(
+                json.dumps(
+                    [
+                        {
+                            "kind": e.kind,
+                            "text": e.text,
+                            "heading": e.heading,
+                            "page": e.page,
+                        }
+                        for e in els
+                    ]
+                )
+            )
+        except Exception:
+            out.append(json.dumps([]))
+    return pd.Series(out, dtype=object)
+
+
 def build_udfs() -> dict:
     """Name → pandas UDF, built against the active session."""
     from pyspark.sql.functions import pandas_udf
 
     return {
         "oxpdf_extract_text": pandas_udf(_fn_extract_text, "string"),
+        "oxpdf_extract_text_pw": pandas_udf(_fn_extract_text_pw, "string"),
         "oxpdf_page_count": pandas_udf(_fn_page_count, "int"),
         "oxpdf_metadata_json": pandas_udf(_fn_metadata_json, "string"),
+        "oxpdf_tables_json": pandas_udf(_fn_tables_json, "string"),
+        "oxpdf_elements_json": pandas_udf(_fn_elements_json, "string"),
         "oxhtml_main_content": pandas_udf(_fn_html_main_content, "string"),
     }
 

@@ -47,6 +47,41 @@ def test_sql_metadata_json(spark):
     assert meta["title"] == "SQL Doc" and meta["n_pages"] == 1
 
 
+def test_sql_password_tables_elements(spark):
+    import json as _json
+
+    from oxidizepdf_spark.corpus import (
+        build_encrypted_pdf,
+        build_sectioned_pdf,
+        build_table_pdf,
+    )
+
+    enc = build_encrypted_pdf("vault text", method="aes-128", user_pw=b"k")
+    tab = build_table_pdf([["a", "b"], ["c", "d"]])
+    sec = build_sectioned_pdf([("HEAD", [["body", "words", "here"]])])
+    df = spark.createDataFrame(
+        [(bytearray(enc), bytearray(tab), bytearray(sec))],
+        "enc binary, tab binary, sec binary",
+    )
+    df.createOrReplaceTempView("mixed")
+    row = spark.sql(
+        "SELECT oxpdf_extract_text_pw(enc, 'k') AS t, "
+        "oxpdf_extract_text_pw(enc, 'wrong') AS t_bad, "
+        "oxpdf_tables_json(tab) AS tables, "
+        "oxpdf_elements_json(sec) AS els FROM mixed"
+    ).collect()[0]
+    assert row["t"] == "vault text"
+    assert row["t_bad"] == ""  # wrong password → no pages extracted
+    tables = _json.loads(row["tables"])
+    assert tables[0]["rows"] == 2 and tables[0]["cols"] == 2
+    assert [c[2] for c in tables[0]["cells"]] == ["a", "b", "c", "d"]
+    els = _json.loads(row["els"])
+    assert [(e["kind"], e["text"]) for e in els] == [
+        ("title", "HEAD"), ("paragraph", "body words here"),
+    ]
+    assert els[1]["heading"] == "HEAD"
+
+
 def test_sql_html_main_content(spark):
     from oxidizepdf_spark.corpus import build_html_doc
 
