@@ -466,6 +466,21 @@ TABLE_COL_W = 160
 TABLE_ROW_H = 40
 
 
+def build_borderless_table_pdf(cells: list[list[str]]) -> bytes:
+    """Same cell/text geometry as build_table_pdf, NO grid lines — the
+    alignment-only fixture class for borderless table detection."""
+    parts: list[bytes] = []
+    for r, row in enumerate(cells):
+        for c, text in enumerate(row):
+            tx = TABLE_X0 + TABLE_COL_W * c + 8
+            ty = TABLE_Y0 - TABLE_ROW_H * (r + 1) + 15
+            parts.append(
+                b"BT /F1 12 Tf %d %d Td (%s) Tj ET"
+                % (tx, ty, escape_pdf_string(text))
+            )
+    return build_pdf_with_content_stream(b" ".join(parts))
+
+
 def build_table_pdf(cells: list[list[str]]) -> bytes:
     """One-page PDF with a BORDERED table: stroked m/l grid lines plus one
     text run per cell (the fixture class text/table_detection.rs targets).

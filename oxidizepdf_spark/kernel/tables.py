@@ -110,6 +110,83 @@ def detect_tables(graphics: ExtractedGraphics, fragments) -> list:
     return [DetectedTable(cells, n_rows, n_cols, bbox)]
 
 
+# borderless detection thresholds (this engine's implementation of the
+# reference's declared-but-stubbed detect_borderless config —
+# table_detection.rs:77 + the :283 roadmap comment 'alignment patterns and
+# whitespace analysis')
+BORDERLESS_MIN_COL_HITS = 3  # a column must repeat across >= this many rows
+BORDERLESS_MIN_OCCUPANCY = 0.6  # filled cells / (rows*cols)
+
+
+def detect_borderless_tables(fragments) -> list:
+    """Alignment-based (borderless) table detection: columns are clusters
+    of fragment LEFT EDGES that repeat across rows, rows are clusters of
+    baselines restricted to those columns. Deterministic: the same 2pt
+    tolerance clustering as the bordered path; rejects anything without
+    >= 2 repeating columns, >= 2 multi-column rows, and >= 60% cell
+    occupancy (left-aligned prose has ONE x cluster and dies at the
+    column gate). Row 0 is the top row."""
+    frags = [f for f in fragments if f.text.strip()]
+    if not frags:
+        return []
+    col_means = [
+        m
+        for m in _cluster([f.x for f in frags])
+        if sum(1 for f in frags if abs(f.x - m) <= ALIGNMENT_TOLERANCE)
+        >= BORDERLESS_MIN_COL_HITS
+    ]
+    if len(col_means) < 2:
+        return []
+
+    def col_of(f):
+        for ci, m in enumerate(col_means):
+            if abs(f.x - m) <= ALIGNMENT_TOLERANCE:
+                return ci
+        return None
+
+    members = [(f, col_of(f)) for f in frags]
+    members = [(f, c) for f, c in members if c is not None]
+    row_means = _cluster([f.y for f, _ in members])
+    row_means.sort(reverse=True)  # top row first
+
+    def row_of(f):
+        for ri, m in enumerate(row_means):
+            if abs(f.y - m) <= ALIGNMENT_TOLERANCE:
+                return ri
+        return None
+
+    grid: dict[tuple[int, int], list] = {}
+    for f, c in members:
+        r = row_of(f)
+        if r is not None:
+            grid.setdefault((r, c), []).append(f)
+    # keep rows that span >= 2 columns (single-column lines are prose)
+    kept_rows = sorted(
+        {r for r, _ in grid if len({c for rr, c in grid if rr == r}) >= 2}
+    )
+    if len(kept_rows) < 2:
+        return []
+    row_remap = {r: i for i, r in enumerate(kept_rows)}
+    n_rows, n_cols = len(kept_rows), len(col_means)
+    occupied = sum(1 for (r, _) in grid if r in row_remap)
+    if occupied / (n_rows * n_cols) < BORDERLESS_MIN_OCCUPANCY:
+        return []
+    cells = []
+    for r in kept_rows:
+        for c in range(n_cols):
+            fs = grid.get((r, c), [])
+            y_mean = row_means[r]
+            cell = TableCell(
+                row_remap[r], c, col_means[c], y_mean, 0.0, 0.0
+            )
+            cell.text = " ".join(f.text for f in fs)
+            cells.append(cell)
+    xs = [f.x for f, _ in members]
+    ys = [row_means[r] for r in kept_rows]
+    bbox = (min(xs), min(ys), max(xs) - min(xs), max(ys) - min(ys))
+    return [DetectedTable(cells, n_rows, n_cols, bbox)]
+
+
 def detect_page_tables(content: bytes, fragments) -> list:
     """Convenience: parse a page content stream, extract graphics, detect
     tables against the page's positioned fragments."""

@@ -2038,6 +2038,61 @@ FROM base,
 """
 
 
+def q_pdf_extract_tables_borderless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BORDERLESS table detection (the reference's declared-but-stubbed
+    detect_borderless config, table_detection.rs:77 — implemented here via
+    alignment clustering): the same 4x3 per-document grid as
+    pdf_extract_tables but rendered with NO lines; columns must be
+    recovered purely from repeated left-edge alignment and rows from
+    baseline clusters. Same oracle shape — every cell recomputed from the
+    word array + geometry constants."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_borderless_table_pdf
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.tables import detect_borderless_tables
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(preserve_layout=True)
+        for b in batches:
+            out = {
+                "doc_id": [], "row_idx": [], "col_idx": [],
+                "cell_text": [], "n_rows": [], "n_cols": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                nw = len(words)
+                cells = [
+                    [
+                        (
+                            words[(r * TABLE_COLS + c) % nw][:TABLE_WORD_CLIP]
+                            if nw
+                            else "x"
+                        )
+                        for c in range(TABLE_COLS)
+                    ]
+                    for r in range(TABLE_ROWS)
+                ]
+                pdf = build_borderless_table_pdf(cells)
+                res = extract_pdf_bytes(pdf, opts)
+                for t in detect_borderless_tables(res.page_fragments[0]):
+                    for cell in t.cells:
+                        out["doc_id"].append(doc_id)
+                        out["row_idx"].append(cell.row)
+                        out["col_idx"].append(cell.column)
+                        out["cell_text"].append(cell.text)
+                        out["n_rows"].append(t.rows)
+                        out["n_cols"].append(t.columns)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, row_idx int, col_idx int, cell_text string, "
+        "n_rows int, n_cols int",
+    )
+
+
 # ---------------------------------------------------------------------------
 # element-typed RAG chunking (pipeline/element.rs + partition.rs +
 # hybrid_chunking.rs re-expressed over the engine's layout output)
@@ -2788,6 +2843,7 @@ def build_queries() -> dict:
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
         "pdf_extract_tables": q_pdf_extract_tables,
+        "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_ocr": q_pdf_extract_ocr,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
@@ -2845,6 +2901,7 @@ def build_oracles() -> dict[str, str]:
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
         "pdf_extract_tables": ORACLE_TABLES,
+        "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_ocr": ORACLE_OCR,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),

@@ -72,6 +72,40 @@ def test_cluster_tolerance_merges_jittered_lines():
     assert tables[0].bbox == (72.0, 539.5, 480.0, 161.0)
 
 
+def test_borderless_alignment_detection():
+    """Alignment-only (no lines) grids are recovered from repeated
+    left-edge clusters; prose and title+paragraph layouts (one x cluster)
+    must never classify as tables."""
+    from oxidizepdf_spark.corpus import (
+        build_borderless_table_pdf,
+        build_sectioned_pdf,
+        build_text_pdf,
+    )
+    from oxidizepdf_spark.kernel.tables import detect_borderless_tables
+
+    opts = ExtractionOptions(preserve_layout=True)
+    cells = [["alpha", "beta", "gamma"], ["one", "two", "three"],
+             ["x1", "x2", "x3"], ["p", "q", "r"]]
+    res = extract_pdf_bytes(build_borderless_table_pdf(cells), opts)
+    tables = detect_borderless_tables(res.page_fragments[0])
+    assert len(tables) == 1 and (tables[0].rows, tables[0].columns) == (4, 3)
+    got = [[tables[0].get_cell(i, j).text for j in range(3)] for i in range(4)]
+    assert got == cells
+    # negatives: wrapped prose, and a title+paragraph section layout
+    prose = extract_pdf_bytes(
+        build_text_pdf("\n".join(f"w{i} more text here" for i in range(10))),
+        opts,
+    )
+    assert detect_borderless_tables(prose.page_fragments[0]) == []
+    sec = extract_pdf_bytes(
+        build_sectioned_pdf(
+            [("SECTION 0", [[f"w{i}" for i in range(20)]])]
+        ),
+        opts,
+    )
+    assert detect_borderless_tables(sec.page_fragments[0]) == []
+
+
 def test_ocr_spi_scanned_page():
     """OCR SPI (text/ocr/ shape): fires only on image-only pages, splices
     recognized text after the image span, tolerates provider failure, and
