@@ -1861,22 +1861,29 @@ def q_rag_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-word windows with a 48-word stride, fully JVM-side (sequence +
     transform + posexplode, no Python)."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    return d.select(
+        "doc_id", F.posexplode(_chunk_windows_col()).alias("chunk_id", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+    )
+
+
+def _chunk_windows_col():
+    """Sliding-window chunk array over a `norm` column (shared by the
+    standalone chunk query and the composed training pipeline)."""
     words = F.split(F.col("norm"), " ")
     n = F.size(words)
     n_chunks = 1 + F.greatest(
         F.ceil((n - CHUNK_WORDS) / float(CHUNK_STRIDE)).cast("int"), F.lit(0)
     )
-    chunks = F.transform(
+    return F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.concat_ws(
             " ", F.slice(words, i * CHUNK_STRIDE + 1, CHUNK_WORDS)
         ),
-    )
-    return d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "chunk")).select(
-        "doc_id",
-        "chunk_id",
-        "chunk",
-        F.size(F.split("chunk", " ")).alias("n_tokens"),
     )
 
 
@@ -2208,6 +2215,65 @@ SELECT doc_id,
             AS INT) AS chunk_id,
        kind, heading, chunk, n_tokens
 FROM rows
+"""
+
+
+# ---------------------------------------------------------------------------
+# flagship composite: the end-to-end training-corpus pipeline
+# ---------------------------------------------------------------------------
+
+TRAIN_MIN_QUALITY = 0.5
+
+
+def q_training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data flow a real corpus job runs — quality
+    gate → near-dup keep-list → chunking — as one relational plan:
+
+        quality score (map-only)     ──┐
+        MinHash-LSH → CC → keep-list ──┼─ join → kept documents
+        sliding-window chunks        ──┘       → chunks of kept docs
+
+    Every stage is an already-oracle-checked operator; this query proves
+    they COMPOSE (the joins line up, the decisions agree) and gives users
+    the one-call artifact: training-ready chunks with provenance columns.
+    At scale: quality is map-only, the keep-list's joins are keyed by
+    doc_id, chunks explode only KEPT documents (the filter is pushed
+    before the explode by Catalyst — chunk generation never runs on
+    dropped docs)."""
+    quality = q_text_quality_score(spark, sf_dir).select("doc_id", "quality")
+    keep = q_dedup_keep_list(spark, sf_dir)
+    kept = (
+        quality.join(keep, on="doc_id")
+        .where(F.col("keep") & (F.col("quality") >= TRAIN_MIN_QUALITY))
+        .select("doc_id", "quality")
+    )
+    # chunk generation runs on KEPT documents only — the join sits BELOW
+    # the posexplode by construction, so dropped docs never explode
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    kept_docs = d.join(kept, on="doc_id")
+    return kept_docs.select(
+        "doc_id",
+        "quality",
+        F.posexplode(_chunk_windows_col()).alias("chunk_id", "chunk"),
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        F.size(F.split("chunk", " ")).alias("n_tokens"),
+        "quality",
+    )
+
+
+def _training_pipeline_sql() -> str:
+    return f"""
+WITH qual AS ({_quality_sql()}),
+keepd AS ({ORACLE_DEDUP_KEEP.format(minhash=_minhash_sql())}),
+chunks AS ({ORACLE_RAG_CHUNKS})
+SELECT c.doc_id, c.chunk_id, c.chunk, c.n_tokens, q.quality
+FROM chunks c
+JOIN qual q ON q.doc_id = c.doc_id
+JOIN keepd k ON k.doc_id = c.doc_id
+WHERE k.keep AND q.quality >= {TRAIN_MIN_QUALITY}
 """
 
 
@@ -2842,6 +2908,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
+        "training_corpus_pipeline": q_training_corpus_pipeline,
         "pdf_extract_tables": q_pdf_extract_tables,
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_ocr": q_pdf_extract_ocr,
@@ -2900,6 +2967,7 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
+        "training_corpus_pipeline": _training_pipeline_sql(),
         "pdf_extract_tables": ORACLE_TABLES,
         "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_ocr": ORACLE_OCR,
