@@ -2219,6 +2219,188 @@ FROM rows
 
 
 # ---------------------------------------------------------------------------
+# corpus curation: line-level boilerplate dedup + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+LINE_WORDS = 8  # line proxy = fixed 8-word segments (WORDS_PER_LINE)
+LINE_DF_THRESHOLD = 10  # a 'line' in >= this many docs is boilerplate
+
+
+def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level dedup (the C4/RefinedWeb boilerplate-removal stage):
+    segments repeated across >= LINE_DF_THRESHOLD documents are dropped
+    from every document. Corpus-wide line document-frequency is one
+    aggregation keyed by the line hash; docs reassemble with an order-
+    stable sort_array(collect_list(struct(pos, line))). At 100 TB the
+    line-DF relation is itself huge — production replaces the equi-join
+    with a counting Bloom filter / CMS broadcast; the join keyed on a
+    16-byte hash is the exact fallback shape."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n_lines = F.ceil(F.size(words) / F.lit(LINE_WORDS)).cast("int")
+    lines_arr = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_lines - 1, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", F.slice(words, i * LINE_WORDS + 1, LINE_WORDS)
+        ),
+    )
+    lines = d.select(
+        "doc_id", F.posexplode(lines_arr).alias("pos", "line")
+    ).where(F.length("line") > 0)
+    line_df = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    flagged = lines.join(line_df, on="line").select(
+        "doc_id", "pos", "line", (F.col("df") >= LINE_DF_THRESHOLD).alias("drop")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("drop").cast("int")).alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "drop", "line"))
+                    ),
+                    lambda s: ~s["drop"],
+                ),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    d_all = _docs(spark, sf_dir).select("doc_id")
+    return d_all.join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_dropped", F.lit(0)).alias("n_dropped"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+ORACLE_LINE_DEDUP = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                             w -> len(w) > 0) AS ws
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(ws[i*{LINE_WORDS}+1 : (i+1)*{LINE_WORDS}], ' ') AS line
+  FROM base,
+       UNNEST(generate_series(0,
+         greatest(CAST(ceil(len(ws) / {LINE_WORDS}.0) AS INT) - 1, 0))) AS t(i)
+  WHERE len(ws) > 0
+),
+ldf AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line),
+flagged AS (
+  SELECT l.doc_id, l.pos, l.line, (ldf.df >= {LINE_DF_THRESHOLD}) AS drop
+  FROM lines l JOIN ldf USING (line)
+),
+per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN drop THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         COALESCE(string_agg(CASE WHEN NOT drop THEN line END, ' '
+                             ORDER BY pos), '') AS clean_text
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_dropped, 0) AS n_dropped,
+       COALESCE(p.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+DECONTAM_BENCH_MOD = 100  # docs with doc_id % MOD == RES are 'the benchmark'
+DECONTAM_BENCH_RES = 7
+DECONTAM_PPM_THRESHOLD = 100_000  # >= 10% shingle overlap → contaminated
+
+
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION (the eval-leakage filter every training
+    pipeline runs): a held-out 'benchmark' slice (deterministic stand-in:
+    doc_id % {DECONTAM_BENCH_MOD} == {DECONTAM_BENCH_RES}) contributes a
+    distinct {SHINGLE_K}-gram set; every other document reports how many
+    of its distinct shingles appear in that set and is flagged above a
+    10% overlap ratio (integer ppm — no float compare). The benchmark
+    shingle relation is small → broadcast; at web scale it becomes a Bloom
+    filter on the executors, same join key."""
+    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.split(F.col("norm"), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
+    shingles_arr = F.array_distinct(
+        F.filter(
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K)),
+            ),
+            lambda s: F.length(s) > 0,
+        )
+    )
+    sh = d.select(
+        "doc_id", F.explode(shingles_arr).alias("shingle")
+    )
+    is_bench = (F.col("doc_id") % DECONTAM_BENCH_MOD) == DECONTAM_BENCH_RES
+    bench = sh.where(is_bench).select("shingle").distinct()
+    eval_docs = sh.where(~is_bench)
+    overlap = (
+        eval_docs.join(F.broadcast(bench), on="shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    totals = eval_docs.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles")
+    )
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id")
+        .where(~is_bench)
+        .join(totals, on="doc_id", how="left")
+        .join(overlap, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) * 1_000_000
+                >= F.greatest(
+                    F.coalesce("n_shingles", F.lit(0)), F.lit(1)
+                )
+                * DECONTAM_PPM_THRESHOLD
+            ).alias("contaminated"),
+        )
+    )
+
+
+def _decontam_sql() -> str:
+    return f"""
+WITH sh AS ({_SHINGLES_SQL}),
+bench AS (
+  SELECT DISTINCT shingle FROM sh
+  WHERE doc_id % {DECONTAM_BENCH_MOD} = {DECONTAM_BENCH_RES}
+),
+ev AS (SELECT * FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_RES}),
+ov AS (
+  SELECT ev.doc_id, COUNT(*) AS n_overlap
+  FROM ev JOIN bench USING (shingle) GROUP BY ev.doc_id
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n_shingles, 0) AS n_shingles,
+       COALESCE(o.n_overlap, 0) AS n_overlap,
+       (COALESCE(o.n_overlap, 0) * 1000000 >=
+        greatest(COALESCE(t.n_shingles, 0), 1) * {DECONTAM_PPM_THRESHOLD})
+         AS contaminated
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN ov o ON o.doc_id = d.doc_id
+WHERE d.doc_id % {DECONTAM_BENCH_MOD} <> {DECONTAM_BENCH_RES}
+"""
+
+
+# ---------------------------------------------------------------------------
 # flagship composite: the end-to-end training-corpus pipeline
 # ---------------------------------------------------------------------------
 
@@ -2909,6 +3091,8 @@ def build_queries() -> dict:
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
         "training_corpus_pipeline": q_training_corpus_pipeline,
+        "text_line_dedup": q_text_line_dedup,
+        "text_decontaminate": q_text_decontaminate,
         "pdf_extract_tables": q_pdf_extract_tables,
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_ocr": q_pdf_extract_ocr,
@@ -2968,6 +3152,8 @@ def build_oracles() -> dict[str, str]:
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
         "training_corpus_pipeline": _training_pipeline_sql(),
+        "text_line_dedup": ORACLE_LINE_DEDUP,
+        "text_decontaminate": _decontam_sql(),
         "pdf_extract_tables": ORACLE_TABLES,
         "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_ocr": ORACLE_OCR,
