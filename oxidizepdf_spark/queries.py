@@ -2219,6 +2219,140 @@ FROM rows
 
 
 # ---------------------------------------------------------------------------
+# training-batch preparation: int8 embedding quantization + sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 128  # tokens per packed sequence
+PACK_SHARDS = 8  # packing is shard-local (globally ordered packing
+#                  serializes the corpus through one partition — the
+#                  standard practice is independent shards, exactly this)
+
+
+def q_emb_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric INT8 quantization of the embedding column — the storage
+    format ANN serving actually ships (4x smaller, SIMD-dot-friendly).
+    Per-vector absmax scaling; quantized values via floor(x*127/absmax
+    + 0.5) so both engines round identically (no ROUND-mode ambiguity).
+    Pure JVM array math, map-only, zero shuffle."""
+    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    absmax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    safe = F.greatest(absmax, F.lit(1e-12))
+    q = F.transform(
+        v, lambda x: F.floor(x * 127.0 / safe + 0.5).cast("int")
+    )
+    return e.select(
+        "vec_id",
+        F.round(safe / 127.0, 6).alias("scale"),
+        # CSV canonical form: the driver's value-hash stringifies arrays
+        # engine-specifically (numpy repr vs list repr); a joined string
+        # compares the identical 64 values without a dtype artifact
+        F.concat_ws(
+            ",", F.transform(q, lambda x: x.cast("string"))
+        ).alias("q_csv"),
+    )
+
+
+ORACLE_EMB_INT8 = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+m AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) AS absmax
+  FROM e
+)
+SELECT vec_id,
+       ROUND(absmax / 127.0, 6) AS scale,
+       array_to_string(
+         list_transform(v, x -> CAST(floor(x * 127.0 / absmax + 0.5) AS INT)),
+         ',') AS q_csv
+FROM m
+"""
+
+
+def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENCE PACKING — the final pretraining-batch step: concatenate
+    documents (in doc_id order) into fixed {PACK_SEQ_LEN}-token sequences,
+    GPT-style concat-then-split. Packing is shard-local
+    (doc_id % {PACK_SHARDS}): a single global ordering would serialize
+    100 TB through one partition, while independent shards keep the exact
+    same packing guarantees per shard. Per-doc offsets come from one
+    running-sum window per shard (rows = docs, not tokens); tokens then
+    explode straight to (seq_id, position) with no further shuffle except
+    the final per-sequence assembly."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        F.filter(
+            F.split(norm_col("text"), " "), lambda w: F.length(w) > 0
+        ).alias("ws"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = d.select(
+        "doc_id",
+        "shard",
+        "ws",
+        F.coalesce(F.sum(F.size("ws")).over(w), F.lit(0)).alias("off"),
+    )
+    toks = offs.select(
+        "shard",
+        F.posexplode("ws").alias("pos", "word"),
+        (F.col("off")).alias("off"),
+    ).select(
+        "shard",
+        "word",
+        ((F.col("off") + F.col("pos")) / PACK_SEQ_LEN)
+        .cast("long")
+        .alias("seq_id"),
+        ((F.col("off") + F.col("pos")) % PACK_SEQ_LEN).alias("p"),
+    )
+    return toks.groupBy("shard", "seq_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("p", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("seq_text"),
+    )
+
+
+ORACLE_PACK = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, shard, ws,
+         COALESCE(SUM(len(ws)) OVER (
+           PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM d
+),
+toks AS (
+  SELECT shard, ws[i+1] AS word,
+         CAST(floor((off + i) / {PACK_SEQ_LEN}.0) AS BIGINT) AS seq_id,
+         (off + i) % {PACK_SEQ_LEN} AS p
+  FROM offs, UNNEST(generate_series(0, len(ws) - 1)) AS t(i)
+  WHERE len(ws) > 0
+)
+SELECT shard, seq_id, COUNT(*) AS n_tokens,
+       string_agg(word, ' ' ORDER BY p) AS seq_text
+FROM toks GROUP BY shard, seq_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # corpus curation: line-level boilerplate dedup + benchmark decontamination
 # ---------------------------------------------------------------------------
 
@@ -3093,6 +3227,8 @@ def build_queries() -> dict:
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "text_line_dedup": q_text_line_dedup,
         "text_decontaminate": q_text_decontaminate,
+        "emb_int8_quantize": q_emb_int8_quantize,
+        "corpus_pack_sequences": q_corpus_pack_sequences,
         "pdf_extract_tables": q_pdf_extract_tables,
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_ocr": q_pdf_extract_ocr,
@@ -3154,6 +3290,8 @@ def build_oracles() -> dict[str, str]:
         "training_corpus_pipeline": _training_pipeline_sql(),
         "text_line_dedup": ORACLE_LINE_DEDUP,
         "text_decontaminate": _decontam_sql(),
+        "emb_int8_quantize": ORACLE_EMB_INT8,
+        "corpus_pack_sequences": ORACLE_PACK,
         "pdf_extract_tables": ORACLE_TABLES,
         "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_ocr": ORACLE_OCR,
