@@ -219,6 +219,47 @@ def extract_metadata(data: bytes) -> dict:
     return out
 
 
+def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
+    """Page-annotation extraction (the /Annots surface the reference parses
+    at parser/page_tree.rs:568-578 and exposes via PdfPage.annotations):
+    one dict per annotation with page index, /Subtype, the /A action's
+    /URI (links), and the /Contents text string (text/popup annotations).
+    Corpus pipelines mine these for outbound links and reviewer notes."""
+    from .textstate import _decode_pdf_string
+
+    out: list[dict] = []
+    reader = PdfReader(data, password=password)
+    for idx, page in enumerate(flatten_page_tree(reader)):
+        annots = reader.resolve(page.dict.get("Annots"))
+        if not isinstance(annots, list):
+            continue
+        for ref in annots:
+            a = reader.resolve(ref)
+            if not isinstance(a, dict):
+                continue
+            subtype = a.get("Subtype")
+            uri = None
+            action = reader.resolve(a.get("A"))
+            if isinstance(action, dict):
+                u = reader.resolve(action.get("URI"))
+                if isinstance(u, bytes):
+                    uri = u.decode("latin-1", "replace")
+            contents = reader.resolve(a.get("Contents"))
+            out.append(
+                {
+                    "page_idx": idx,
+                    "subtype": str(subtype) if subtype is not None else None,
+                    "uri": uri,
+                    "contents": (
+                        _decode_pdf_string(contents)
+                        if isinstance(contents, bytes)
+                        else None
+                    ),
+                }
+            )
+    return out
+
+
 def decode_raw_payload(text: str) -> bytes:
     """Input-table payload decoding (FIXTURES.md §1.1): latin-1 text, or
     base85 with the ``b85:`` prefix for true-binary PDFs."""

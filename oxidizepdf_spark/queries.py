@@ -1904,6 +1904,83 @@ FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 """
 
 
+def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annotation extraction round-trip (/Annots surface,
+    parser/page_tree.rs:568-578): each document carries one Link
+    annotation (URI derived from its first word) and one Text annotation
+    (contents = its first {ANNOT_WORDS} words); both must come back
+    exactly, with subtype and page index."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.extract import extract_annotations
+
+        for b in batches:
+            out = {
+                "doc_id": [], "page_idx": [], "subtype": [],
+                "uri": [], "contents": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                first = words[0][:12] if words else "none"
+                note = " ".join(words[:ANNOT_WORDS])
+                uri = f"https://example.com/{first}"
+                link = (
+                    b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
+                    b"/A << /S /URI /URI (%s) >> >>"
+                    % uri.encode("latin-1")
+                )
+                text_a = (
+                    b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] "
+                    b"/Contents (%s) >>" % escape_pdf_string(note)
+                )
+                pdf = build_pdf_with_content_stream(
+                    b"BT /F1 12 Tf 100 700 Td (body) Tj ET",
+                    extra_objects={8: link, 9: text_a},
+                )
+                pdf = pdf.replace(
+                    b"/Contents 5 0 R",
+                    b"/Annots [8 0 R 9 0 R] /Contents 5 0 R",
+                    1,
+                )
+                for a in extract_annotations(pdf):
+                    out["doc_id"].append(doc_id)
+                    out["page_idx"].append(a["page_idx"])
+                    out["subtype"].append(a["subtype"])
+                    out["uri"].append(a["uri"])
+                    out["contents"].append(a["contents"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, page_idx int, subtype string, uri string, "
+        "contents string",
+    )
+
+
+ANNOT_WORDS = 5
+
+ORACLE_ANNOTATIONS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, 0 AS page_idx, 'Link' AS subtype,
+       'https://example.com/' ||
+         CASE WHEN len(ws) = 0 THEN 'none' ELSE substr(ws[1], 1, 12) END
+         AS uri,
+       NULL AS contents
+FROM base
+UNION ALL
+SELECT doc_id, 0, 'Text', NULL,
+       array_to_string(ws[1:{ANNOT_WORDS}], ' ')
+FROM base
+"""
+
+
 def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR SPI round-trip (text/ocr/ OcrProvider + tesseract_provider.rs
     re-expressed as ExtractionOptions(ocr_provider=...)): each document
@@ -3231,6 +3308,7 @@ def build_queries() -> dict:
         "corpus_pack_sequences": q_corpus_pack_sequences,
         "pdf_extract_tables": q_pdf_extract_tables,
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
+        "pdf_extract_annotations": q_pdf_extract_annotations,
         "pdf_extract_ocr": q_pdf_extract_ocr,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
@@ -3294,6 +3372,7 @@ def build_oracles() -> dict[str, str]:
         "corpus_pack_sequences": ORACLE_PACK,
         "pdf_extract_tables": ORACLE_TABLES,
         "pdf_extract_tables_borderless": ORACLE_TABLES,
+        "pdf_extract_annotations": ORACLE_ANNOTATIONS,
         "pdf_extract_ocr": ORACLE_OCR,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
