@@ -669,13 +669,26 @@ def build_encrypted_pdf(
     return bytes(out)
 
 
-def build_html_doc(text: str, with_image: bool = False) -> str:
+def build_html_doc(
+    text: str,
+    with_image: bool = False,
+    extra_links: list[tuple[str, str]] | None = None,
+) -> str:
     """Wrap ``text`` (one <p> per line) in realistic boilerplate — nav,
     class-hinted sidebar, header, ad block, link farm, footer, script —
     so main-content extraction must strip everything but the paragraphs
-    (north_rule: HTML boilerplate strip / DOM heuristics)."""
+    (north_rule: HTML boilerplate strip / DOM heuristics).
+    ``extra_links``: extra in-content anchors appended after the link
+    farm (for the out-link extraction fixtures); None keeps the template
+    byte-identical to its pre-round-3 form."""
     paras = "\n".join(f"<p>{_esc_html(ln)}</p>" for ln in text.split("\n"))
     img = '<img src="media://img/inline1.png">' if with_image else ""
+    if extra_links:
+        anchors = " ".join(
+            f'<a href="{href}">{_esc_html(label)}</a>'
+            for href, label in extra_links
+        )
+        img += f"\n<p>{anchors}</p>"
     return f"""<!DOCTYPE html><html><head><title>t</title>
 <script>var tracking = true;</script><style>.x{{color:red}}</style></head>
 <body>

@@ -72,6 +72,11 @@ class _MainContentParser(HTMLParser):
         self._seg: list[str] = []
         self._seg_link = 0
         self.events: list[tuple] = []  # ('text', raw, link_chars) | ('img', src)
+        # outbound links: EVERY anchor with an href, including nav/footer
+        # boilerplate (crawl pipelines want the full out-link set even
+        # where main-content extraction drops the text)
+        self.links: list[tuple[str, str]] = []  # (href, anchor_text)
+        self._anchor_stack: list[list] = []  # [href, [text parts]]
 
     def _flush(self) -> None:
         if self._seg:
@@ -100,6 +105,7 @@ class _MainContentParser(HTMLParser):
             self._boiler_depth += 1
         if tag == "a":
             self._anchor_depth += 1
+            self._anchor_stack.append([dict(attrs).get("href") or "", []])
 
     def handle_startendtag(self, tag, attrs):
         self.handle_starttag(tag, attrs)
@@ -122,10 +128,18 @@ class _MainContentParser(HTMLParser):
                         self._boiler_depth = max(0, self._boiler_depth - 1)
                     if t == "a":
                         self._anchor_depth = max(0, self._anchor_depth - 1)
+                        if self._anchor_stack:
+                            href, parts = self._anchor_stack.pop()
+                            if href:
+                                self.links.append(
+                                    (href, _WS.sub(" ", "".join(parts)).strip())
+                                )
                 del self._stack[i:]
                 return
 
     def handle_data(self, data):
+        if self._anchor_stack and not self._drop_depth and data:
+            self._anchor_stack[-1][1].append(data)
         if self._drop_depth or self._boiler_depth:
             return
         if not data or data.isspace():
@@ -166,3 +180,17 @@ def extract_html_spans(
             continue
         spans.append(("text", text, None))
     return spans
+
+
+def extract_html_links(html: str) -> list[tuple[str, str]]:
+    """All outbound links of a document as (href, anchor_text) in document
+    order — the crawl-graph surface. Unlike the main-content span path,
+    boilerplate anchors (nav, footers, link farms) ARE included: out-link
+    mining wants the full edge set; script/style content is still dropped."""
+    parser = _MainContentParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass
+    return parser.links

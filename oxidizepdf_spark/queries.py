@@ -1904,6 +1904,87 @@ FROM nch, UNNEST(generate_series(0, n_chunks - 1)) AS t(i)
 """
 
 
+HTML_LINK_WORDS = 3  # doc-derived anchors appended to the fixture template
+# the static anchors every build_html_doc fixture carries (template order)
+_HTML_STATIC_LINKS = [
+    ("/", "Home"), ("/a", "About"), ("/c", "Contact"),
+    ("1", "more"), ("2", "links"), ("3", "nav"),
+]
+
+
+def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-link extraction from the HTML leg (the crawl-graph edge set):
+    every anchor with an href — INCLUDING nav/footer boilerplate, which
+    main-content extraction strips but link mining needs — in document
+    order with its anchor text. Fixtures: the standard boilerplate
+    template plus {HTML_LINK_WORDS} doc-derived anchors; the oracle
+    enumerates the template's static links and recomputes the derived
+    ones from the word array."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_html_doc
+        from .kernel.html_extract import extract_html_links
+
+        for b in batches:
+            out = {"doc_id": [], "link_idx": [], "href": [], "anchor": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                extra = [
+                    (f"https://ex.test/{w[:12]}", w[:12])
+                    for w in words[:HTML_LINK_WORDS]
+                ]
+                html = build_html_doc(norm, extra_links=extra)
+                for i, (href, anchor) in enumerate(
+                    extract_html_links(html)
+                ):
+                    out["doc_id"].append(doc_id)
+                    out["link_idx"].append(i)
+                    out["href"].append(href)
+                    out["anchor"].append(anchor)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, link_idx int, href string, anchor string",
+    )
+
+
+def _html_links_sql() -> str:
+    # document order: the 3 nav anchors, then the doc-derived anchors
+    # (rendered right after the paragraphs), then the 3 link-farm anchors
+    nav = _HTML_STATIC_LINKS[:3]
+    farm = _HTML_STATIC_LINKS[3:]
+    nav_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {i} AS link_idx, '{h}' AS href, '{t}' AS anchor "
+        f"FROM base"
+        for i, (h, t) in enumerate(nav)
+    )
+    farm_rows = "\nUNION ALL\n".join(
+        f"SELECT doc_id, 3 + n_extra + {i}, '{h}', '{t}' FROM base"
+        for i, (h, t) in enumerate(farm)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, ws, least(len(ws), {HTML_LINK_WORDS}) AS n_extra FROM (
+    SELECT doc_id,
+           list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                       w -> len(w) > 0) AS ws
+    FROM documents
+  )
+)
+{nav_rows}
+UNION ALL
+SELECT doc_id, 3 + i,
+       'https://ex.test/' || substr(ws[i+1], 1, 12),
+       substr(ws[i+1], 1, 12)
+FROM base, UNNEST(generate_series(0, n_extra - 1)) AS t(i)
+WHERE n_extra > 0
+UNION ALL
+{farm_rows}
+"""
+
+
 def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotation extraction round-trip (/Annots surface,
     parser/page_tree.rs:568-578): each document carries one Link
@@ -3309,6 +3390,7 @@ def build_queries() -> dict:
         "pdf_extract_tables": q_pdf_extract_tables,
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_annotations": q_pdf_extract_annotations,
+        "html_extract_links": q_html_extract_links,
         "pdf_extract_ocr": q_pdf_extract_ocr,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
@@ -3373,6 +3455,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_tables": ORACLE_TABLES,
         "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_annotations": ORACLE_ANNOTATIONS,
+        "html_extract_links": _html_links_sql(),
         "pdf_extract_ocr": ORACLE_OCR,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),
