@@ -68,3 +68,21 @@ def test_interleaved_contract_raw_html():
         ("image", "", "media://img/inline1.png", 2),
         ("media", "", "media://img/x", 3),
     ]
+
+
+def test_extract_links_edge_cases():
+    from oxidizepdf_spark.kernel.html_extract import extract_html_links
+
+    html = (
+        '<body><a href="/x">one</a>'
+        "<a>no href dropped</a>"
+        '<a href="/y"><b>bold</b> text</a>'
+        '<script><a href="/hidden">nope</a></script>'
+        '<a href="/z">unclosed anchor'
+        "</body>"
+    )
+    links = extract_html_links(html)
+    assert ("/x", "one") in links
+    assert ("/y", "bold text") in links
+    assert all(h != "/hidden" for h, _ in links)
+    assert isinstance(links, list)  # unclosed anchor never crashes
