@@ -335,6 +335,10 @@ def main() -> None:
         "text_token_count": Q.q_text_token_count,
         "text_quality_score": Q.q_text_quality_score,
         "doc_fingerprint": Q.q_doc_fingerprint,
+        # round-3 additions (representative new-op coverage)
+        "ann_ivf_kmeans_topk": Q.q_ann_ivf_kmeans_topk,
+        "text_line_dedup": Q.q_text_line_dedup,
+        "corpus_pack_sequences": Q.q_corpus_pack_sequences,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the
