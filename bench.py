@@ -303,8 +303,9 @@ def main() -> None:
     # window) — the fastest window is the least-contended measurement of
     # the pipeline itself.
     run_extract_job(spark, n_docs, seed=42)
+    run_extract_job(spark, n_docs, seed=42)  # 2nd warm: JIT convergence
     head = None
-    for _ in range(3):
+    for _ in range(4):
         r = run_extract_job(spark, n_docs, seed=42)
         if head is None or r["sec"] < head["sec"]:
             head = r
