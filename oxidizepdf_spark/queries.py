@@ -2062,6 +2062,88 @@ FROM base
 """
 
 
+KV_COLON_PAIRS = 3
+
+
+def q_pdf_extract_keyvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-value extraction (text/structured/keyvalue.rs): each document
+    renders {KV_COLON_PAIRS} 'kN: value' lines plus one spatially-aligned
+    pair (two runs on one baseline with a wide gap); the detector must
+    recover all four with the right pattern class and confidence. Values
+    derive from the word array so the oracle recomputes every pair."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.structured import detect_key_value_pairs
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(preserve_layout=True)
+        for b in batches:
+            out = {
+                "doc_id": [], "pair_idx": [], "key": [], "value": [],
+                "pattern": [], "confidence": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+
+                def wv(i):
+                    return words[i % len(words)][:12] if words else "x"
+
+                parts = []
+                y = 720
+                for i in range(KV_COLON_PAIRS):
+                    parts.append(
+                        b"BT /F1 12 Tf 72 %d Td (k%d: %s) Tj ET"
+                        % (y, i, escape_pdf_string(wv(i)))
+                    )
+                    y -= 20
+                parts.append(b"BT /F1 12 Tf 72 640 Td (label) Tj ET")
+                parts.append(
+                    b"BT /F1 12 Tf 300 640 Td (%s) Tj ET"
+                    % escape_pdf_string(wv(KV_COLON_PAIRS))
+                )
+                pdf = build_pdf_with_content_stream(b" ".join(parts))
+                res = extract_pdf_bytes(pdf, opts)
+                kvs = detect_key_value_pairs(res.page_fragments[0])
+                for i, kv in enumerate(kvs):
+                    out["doc_id"].append(doc_id)
+                    out["pair_idx"].append(i)
+                    out["key"].append(kv.key)
+                    out["value"].append(kv.value)
+                    out["pattern"].append(kv.pattern)
+                    out["confidence"].append(kv.confidence)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, pair_idx int, key string, value string, "
+        "pattern string, confidence double",
+    )
+
+
+ORACLE_KEYVALUES = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id, i AS pair_idx, 'k' || i AS key,
+       CASE WHEN len(ws) = 0 THEN 'x'
+            ELSE substr(ws[(i % len(ws)) + 1], 1, 12) END AS value,
+       'colon' AS pattern, 0.95 AS confidence
+FROM base, UNNEST(generate_series(0, {KV_COLON_PAIRS - 1})) AS t(i)
+UNION ALL
+SELECT doc_id, {KV_COLON_PAIRS}, 'label',
+       CASE WHEN len(ws) = 0 THEN 'x'
+            ELSE substr(ws[({KV_COLON_PAIRS} % len(ws)) + 1], 1, 12) END,
+       'spatial', 0.70
+FROM base
+"""
+
+
 def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OCR SPI round-trip (text/ocr/ OcrProvider + tesseract_provider.rs
     re-expressed as ExtractionOptions(ocr_provider=...)): each document
@@ -3391,6 +3473,7 @@ def build_queries() -> dict:
         "pdf_extract_tables_borderless": q_pdf_extract_tables_borderless,
         "pdf_extract_annotations": q_pdf_extract_annotations,
         "html_extract_links": q_html_extract_links,
+        "pdf_extract_keyvalues": q_pdf_extract_keyvalues,
         "pdf_extract_ocr": q_pdf_extract_ocr,
         "media_stub_features": q_media_stub_features,
         "media_fake_embeddings": q_media_fake_embeddings,
@@ -3456,6 +3539,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_tables_borderless": ORACLE_TABLES,
         "pdf_extract_annotations": ORACLE_ANNOTATIONS,
         "html_extract_links": _html_links_sql(),
+        "pdf_extract_keyvalues": ORACLE_KEYVALUES,
         "pdf_extract_ocr": ORACLE_OCR,
         "media_stub_features": ORACLE_MEDIA_STUB,
         "media_fake_embeddings": _media_fake_emb_oracle(),

@@ -141,3 +141,32 @@ def test_too_few_lines_or_area_rejected():
         b"0 0 m 0 20 l S 20 0 m 20 20 l S"
     )
     assert detect_tables(extract_graphics(parse_content(tiny)), []) == []
+
+
+def test_key_value_detection_strategies():
+    """text/structured/keyvalue.rs: three independent strategies, applied
+    in order, no cross-strategy dedup (a 'K:\\tV' fragment legitimately
+    matches both colon and tabular, exactly like the reference)."""
+    from oxidizepdf_spark.kernel.structured import detect_key_value_pairs
+
+    class F:
+        def __init__(self, text, x=0.0, y=0.0, width=10.0):
+            self.text, self.x, self.y, self.width = text, x, y, width
+
+    kvs = detect_key_value_pairs(
+        [
+            F("Name: Alice", y=100),
+            F("not a pair", y=80),
+            F("Total\t42", y=60),
+            F("left", x=0, y=40, width=30),
+            F("right", x=100, y=40),
+            F("a", x=0, y=20, width=30),
+            F("b", x=35, y=20),  # gap 5 < 20 → NOT spatial
+        ]
+    )
+    got = [(k.pattern, k.key, k.value) for k in kvs]
+    assert got == [
+        ("colon", "Name", "Alice"),
+        ("spatial", "left", "right"),
+        ("tabular", "Total", "42"),
+    ]
