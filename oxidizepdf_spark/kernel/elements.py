@@ -24,6 +24,39 @@ sizes):
 from __future__ import annotations
 
 TITLE_MIN_FONT_RATIO = 1.3  # partition.rs:61
+HEADER_ZONE = 0.05  # partition.rs:62 — top fraction of the page
+FOOTER_ZONE = 0.05  # partition.rs:63 — bottom fraction
+MAX_HEADER_TEXT_LEN = 100  # partition.rs:943 — longer text is body
+PAGE_HEIGHT = 792.0  # US-Letter default (builders' MediaBox)
+
+_BULLETS = ("- ", "• ", "* ", "– ", "— ")
+
+
+def is_list_item(text: str) -> bool:
+    """partition.rs:722-757: bullet prefixes, or '1. '/'2) '/'a. '/'a) '
+    (single digit/lowercase letter, or two digits) followed by a space."""
+    t = text.lstrip()
+    if t.startswith(_BULLETS):
+        return True
+    if len(t) >= 3:
+        c0, c1, c2 = t[0], t[1], t[2]
+        if (
+            (c0.isascii() and (c0.isdigit() or c0.islower()))
+            and c1 in ".)"
+            and c2 == " "
+        ):
+            return True
+        if (
+            len(t) >= 4
+            and c0.isascii()
+            and c0.isdigit()
+            and c1.isascii()
+            and c1.isdigit()
+            and t[2] in ".)"
+            and t[3] == " "
+        ):
+            return True
+    return False
 
 
 class Element:
@@ -51,9 +84,17 @@ def body_font_size(sizes: list[float]) -> float:
     return min(counts, key=lambda s: (-counts[s], s))
 
 
-def classify_elements(paragraph_fragments) -> list[Element]:
+def classify_elements(
+    paragraph_fragments,
+    page_height: float = PAGE_HEIGHT,
+    detect_headers_footers: bool = True,
+) -> list[Element]:
     """Paragraph-level fragments (layout.py A4 output, reading order) →
-    typed elements with single-level heading lineage."""
+    typed elements with single-level heading lineage. Classification order
+    mirrors partition.rs: header/footer ZONES claim first (top/bottom 5%
+    of the page, text ≤ 100 chars — partition.rs:267-300), then the
+    font-ratio title rule, then list-item prefixes (partition.rs:556),
+    else paragraph. Headers/footers never update the heading lineage."""
     pairs = [
         (p, f)
         for p, f in frags_with_page(paragraph_fragments)
@@ -61,14 +102,25 @@ def classify_elements(paragraph_fragments) -> list[Element]:
     ]
     body = body_font_size([f.font_size for _, f in pairs if f.font_size > 0])
     threshold = body * TITLE_MIN_FONT_RATIO
+    header_thr = page_height * (1.0 - HEADER_ZONE)
+    footer_thr = page_height * FOOTER_ZONE
     out: list[Element] = []
     heading: str | None = None
     for page, f in pairs:
-        is_title = body > 0 and f.font_size >= threshold and f.font_size > body
         text = f.text.replace("\n", " ")
+        if detect_headers_footers and len(text) <= MAX_HEADER_TEXT_LEN:
+            if f.y >= header_thr:
+                out.append(Element("header", text, heading, f.font_size, page))
+                continue
+            if f.y + f.height <= footer_thr:
+                out.append(Element("footer", text, heading, f.font_size, page))
+                continue
+        is_title = body > 0 and f.font_size >= threshold and f.font_size > body
         if is_title:
             heading = text
             out.append(Element("title", text, text, f.font_size, page))
+        elif is_list_item(text):
+            out.append(Element("list_item", text, heading, f.font_size, page))
         else:
             out.append(Element("paragraph", text, heading, f.font_size, page))
     return out
@@ -149,6 +201,13 @@ def hybrid_chunks(elements: list[Element], max_tokens: int = 64) -> list[Chunk]:
             flush()
             chunks.append(Chunk("title", el.heading, el.text, toks))
             continue
+        if el.kind in ("header", "footer"):
+            # non-inline (hybrid_chunking.rs:416 is_inline_element):
+            # page furniture never merges — its own chunk, lineage kept
+            flush()
+            chunks.append(Chunk(el.kind, el.heading, el.text, toks))
+            continue
+        # paragraph / list_item: inline content (AnyInlineContent policy)
         if buf and buf_tokens + toks <= max_tokens:
             buf.append(el)
             buf_tokens += toks

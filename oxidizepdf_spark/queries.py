@@ -2458,6 +2458,103 @@ FROM rows
 """
 
 
+def q_rag_chunk_typed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL element-type coverage through the chunker: one page per doc
+    with a page HEADER (top 5% zone), an 18pt TITLE, two bullet LIST
+    ITEMS, a PARAGRAPH, and a page FOOTER (bottom 5% zone). Expected
+    chunks: header (own chunk, page furniture never merges), title
+    (structural), ONE merged body chunk (list items + paragraph are
+    inline under AnyInlineContent), footer — with heading lineage
+    attached everywhere after the title. Mirrors partition.rs zone +
+    is_list_item classification and hybrid_chunking.rs merge policy."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
+        from .kernel.elements import classify_pages, hybrid_chunks
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(
+            preserve_layout=True, reconstruct_paragraphs=True
+        )
+        for b in batches:
+            out = {
+                "doc_id": [], "chunk_id": [], "kind": [],
+                "heading": [], "chunk": [], "n_tokens": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+
+                def wv(i):
+                    return words[i % len(words)][:12] if words else "x"
+
+                para = " ".join(words[2:12])
+                parts = [
+                    b"BT /F1 12 Tf 72 760 Td (PAGE HEADER) Tj ET",
+                    b"BT /F1 18 Tf 72 700 Td (SECTION 0) Tj ET",
+                    b"BT /F1 12 Tf 72 640 Td (- %s) Tj ET"
+                    % escape_pdf_string(wv(0)),
+                    b"BT /F1 12 Tf 72 604 Td (- %s) Tj ET"
+                    % escape_pdf_string(wv(1)),
+                ]
+                if para:
+                    parts.append(
+                        b"BT /F1 12 Tf 72 560 Td (%s) Tj ET"
+                        % escape_pdf_string(para)
+                    )
+                parts.append(b"BT /F1 12 Tf 72 20 Td (page 1) Tj ET")
+                pdf = build_pdf_with_content_stream(b" ".join(parts))
+                res = extract_pdf_bytes(pdf, opts)
+                els = classify_pages(res.page_fragments)
+                for cid, ch in enumerate(hybrid_chunks(els, CHUNK_WORDS)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_id"].append(cid)
+                    out["kind"].append(ch.kind)
+                    out["heading"].append(ch.heading)
+                    out["chunk"].append(ch.text)
+                    out["n_tokens"].append(ch.n_tokens)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, chunk_id int, kind string, heading string, "
+        "chunk string, n_tokens int",
+    )
+
+
+ORACLE_TYPED_PAGE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+),
+vals AS (
+  SELECT doc_id,
+         CASE WHEN len(ws) = 0 THEN 'x'
+              ELSE substr(ws[1], 1, 12) END AS w0,
+         CASE WHEN len(ws) = 0 THEN 'x'
+              ELSE substr(ws[(1 % len(ws)) + 1], 1, 12) END AS w1,
+         array_to_string(ws[3:12], ' ') AS para,
+         len(ws[3:12]) AS n_para
+  FROM base
+)
+SELECT doc_id, 0 AS chunk_id, 'header' AS kind, NULL AS heading,
+       'PAGE HEADER' AS chunk, 2 AS n_tokens FROM vals
+UNION ALL
+SELECT doc_id, 1, 'title', 'SECTION 0', 'SECTION 0', 2 FROM vals
+UNION ALL
+SELECT doc_id, 2, 'body', 'SECTION 0',
+       '- ' || w0 || ' - ' || w1 ||
+         CASE WHEN n_para > 0 THEN ' ' || para ELSE '' END,
+       4 + n_para
+FROM vals
+UNION ALL
+SELECT doc_id, 3, 'footer', 'SECTION 0', 'page 1', 2 FROM vals
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-batch preparation: int8 embedding quantization + sequence packing
 # ---------------------------------------------------------------------------
@@ -3464,6 +3561,7 @@ def build_queries() -> dict:
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
         "rag_chunk_elements": q_rag_chunk_elements,
+        "rag_chunk_typed_page": q_rag_chunk_typed_page,
         "training_corpus_pipeline": q_training_corpus_pipeline,
         "text_line_dedup": q_text_line_dedup,
         "text_decontaminate": q_text_decontaminate,
@@ -3530,6 +3628,7 @@ def build_oracles() -> dict[str, str]:
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
+        "rag_chunk_typed_page": ORACLE_TYPED_PAGE,
         "training_corpus_pipeline": _training_pipeline_sql(),
         "text_line_dedup": ORACLE_LINE_DEDUP,
         "text_decontaminate": _decontam_sql(),

@@ -89,3 +89,47 @@ def test_adjacent_paragraphs_merge_until_budget():
     chunks = hybrid_chunks(els, max_tokens=64)
     # 30+30 fits, +30 would overflow → [60, 30]
     assert [c.n_tokens for c in chunks] == [60, 30]
+
+
+def test_header_footer_zones_and_list_items():
+    """partition.rs parity: top/bottom-5%-zone fragments classify as
+    header/footer (length-capped), bullet/numbered prefixes as list_item;
+    the chunker keeps furniture un-merged and merges inline content."""
+    from oxidizepdf_spark.kernel.elements import Element, is_list_item
+
+    assert is_list_item("- bullet") and is_list_item("• dot")
+    assert is_list_item("1. one") and is_list_item("12) twelve")
+    assert is_list_item("a) alpha") and not is_list_item("A) upper")
+    assert not is_list_item("1.nospace") and not is_list_item("plain text")
+
+    class F:
+        def __init__(self, text, y, size=12.0):
+            self.text, self.y, self.font_size = text, y, size
+            self.height = size
+
+    from oxidizepdf_spark.kernel.elements import classify_elements
+
+    els = classify_elements(
+        [
+            F("running head", 770),
+            F("SECTION", 700, 18.0),
+            F("- item one", 640),
+            F("body paragraph words", 600),
+            F("x" * 150, 780),  # too long for the header zone → body rules
+            F("page 9", 10),
+        ]
+    )
+    kinds = [(e.kind, e.text[:12]) for e in els]
+    assert kinds == [
+        ("header", "running head"),
+        ("title", "SECTION"),
+        ("list_item", "- item one"),
+        ("paragraph", "body paragra"),
+        ("paragraph", "xxxxxxxxxxxx"),
+        ("footer", "page 9"),
+    ]
+    from oxidizepdf_spark.kernel.elements import hybrid_chunks
+
+    chunks = hybrid_chunks(els, max_tokens=64)
+    # header own chunk; title own; list+para+long merge (inline); footer own
+    assert [c.kind for c in chunks] == ["header", "title", "body", "footer"]
