@@ -112,6 +112,18 @@ def test_tfidf_count_stays_lazy(spark):
     assert "Broadcast" in _plan(df)
 
 
+def test_sequence_packing_is_shard_partitioned(spark):
+    """Packing must never serialize the corpus through ONE partition: the
+    running-sum window is keyed by shard, so the plan's exchanges are
+    hash-partitioned — a SinglePartition exchange would be the global-sort
+    anti-pattern this query exists to avoid."""
+    from oxidizepdf_spark.queries import q_corpus_pack_sequences
+
+    plan = _plan(q_corpus_pack_sequences(spark, SF))
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning" in plan
+
+
 def test_simhash_is_map_only(spark):
     """Array-native simhash must not shuffle: the signature fold happens
     per-row, so the plan has NO Exchange and no Python eval node."""
