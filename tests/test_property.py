@@ -278,6 +278,10 @@ def test_fused_interpret_equals_two_pass():
         b"/P << /MCID 1 >> BDC", b"EMC", b"/Artifact BMC", b"/Im1 Do",
         b"BI /W 1 ID x EI", b"ID y", b"5 Tz", b"1 Tr", b"null",
         b"[1 2] 0 d", b"(x)", b"7",
+        # trailing/embedded comments (the round-3 comment-at-EOF fix) and
+        # path operators (the graphics pass shares the op stream)
+        b"% trailing comment Q", b"%c\n", b"10 10 100 50 re", b"S",
+        b"0 0 m 5 5 l",
     ]
     for _ in range(800):
         c = b" ".join(rng.choice(toks) for _ in range(rng.randrange(0, 16)))
