@@ -42,6 +42,13 @@ def main() -> None:
         choices=("strict", "tolerant", "skip"),
         default="tolerant",
     )
+    ap.add_argument(
+        "--password",
+        default=None,
+        help="decryption password tried as user OR owner on every "
+        "encrypted document; a per-document `password` column on the "
+        "input table overrides it row by row",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -72,6 +79,7 @@ def main() -> None:
         include_artifacts=args.include_artifacts,
         reading_order=args.reading_order,
         error_mode=args.error_mode,
+        password=args.password,
     )
     spans, metrics = run_extraction(
         docs, run_id=args.run_id, options=options, done_metrics=done
