@@ -209,10 +209,18 @@ def test_passworded_reference_fixtures_extract_text():
         # owner branch on real files.
         ("encrypted_rc4_40bit.pdf", "user", True),
         ("encrypted_restricted.pdf", "userpass", True),
+        ("encrypted_rc4_128bit.pdf", "test123", True),
+        ("encrypted_rc4_128bit.pdf", "owner123", True),
         ("encrypted_aes256_r5_user.pdf", "user5", True),
         ("encrypted_aes256_r5_user.pdf", "owner5", True),
         ("encrypted_aes256_r6_user.pdf", "user6", True),
         ("encrypted_aes256_r6_user.pdf", "owner6", True),
+        # UNICODE passwords (UTF-8 per ISO 32000-2; exercises hash 2.B
+        # with multi-byte input on both the user and owner branches)
+        ("encrypted_aes256_r5_unicode.pdf", "unicode_contraseña", True),
+        ("encrypted_aes256_r5_unicode.pdf", "owner5_unicode", True),
+        ("encrypted_aes256_r6_unicode.pdf", "café🔒", True),
+        ("encrypted_aes256_r6_unicode.pdf", "owner6_unicode", True),
         ("encrypted_pypdf_aes256_user.pdf", "pypdf_test", False),
     ]
     for name, pw, expect_text in cases:
@@ -231,6 +239,13 @@ def test_passworded_reference_fixtures_extract_text():
         # fixture legitimately uses U+200B ZWSP heavily)
         bad = sum(c == "�" or (ord(c) < 32 and c not in "\n\t\r") for c in text)
         assert bad / len(text) < 0.02, (name, pw, text[:80])
+    # shared KNOWN LIMITATION parity: the pypdf 'Contraseña123' fixture
+    # needs full SASLprep normalization, which the reference itself
+    # documents as unsupported (encryption_cross_validation_test.rs:243)
+    # — both engines refuse it rather than mis-decrypting
+    data = open(f"{FIXDIR}/encrypted_pypdf_aes256_spanish.pdf", "rb").read()
+    res = extract_pdf_bytes(data, ExtractionOptions(password="Contraseña123"))
+    assert res.error == "encrypted"
 
 
 # -- property tests -----------------------------------------------------------
