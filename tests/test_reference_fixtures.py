@@ -214,3 +214,21 @@ def test_bitflip_and_truncation_never_raise():
         for frac in (0.05, 0.3, 0.6, 0.95):
             res = extract_pdf_bytes(data[: int(len(data) * frac)])
             assert res is not None
+
+
+def test_unicode_glyph_mapping_fallback_parity():
+    """test-pdfs/unicode_glyph_mapping_test.pdf selects /F1..F3 while its
+    resources name the fonts Times-Roman/Courier/Helvetica — the missing-
+    font fallback path. The reference's decode_text falls back to
+    PdfDocEncoding, which accepts ONLY the ASCII range (encoding.rs:20),
+    so accented bytes decode to replacement chars there too; ASCII text
+    must still come through. Parity means matching that behavior, not
+    'fixing' it."""
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    data = open("/root/reference/test-pdfs/unicode_glyph_mapping_test.pdf", "rb").read()
+    res = extract_pdf_bytes(data)
+    assert res.error is None and res.n_pages == 1
+    text = "".join(res.page_texts)
+    assert "U n i c o d e" in text.replace("\x00", " ") or "Unicode" in text
+    assert "�" in text  # accents land on the documented ASCII-only fallback
