@@ -325,8 +325,8 @@ def main() -> None:
 
     # representative query suite at the sf dir (oracle-checked elsewhere)
     suite = {
-        "pdf_roundtrip_flate": Q.build_queries()["pdf_extract_flate"],
-        "pdf_roundtrip_xrefstream": Q.build_queries()["pdf_extract_xrefstream"],
+        "pdf_roundtrip_flate": Q._pdf_roundtrip("flate"),
+        "pdf_roundtrip_xrefstream": Q._pdf_roundtrip("xrefstream"),
         "dedup_exact": Q.q_dedup_exact,
         "dedup_minhash_lsh": Q.q_dedup_minhash_lsh,
         "dedup_ngram_jaccard": Q.q_dedup_ngram_jaccard,

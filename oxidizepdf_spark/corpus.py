@@ -564,6 +564,109 @@ def build_pdf_multipage_texts(page_texts: list[str]) -> bytes:
     return assemble_pdf(objects)
 
 
+def build_outline_pdf(sections: list[tuple[str, list[str]]]) -> bytes:
+    """One page per top-level section plus a 2-level /Outlines tree
+    (structure/outline.rs:130 OutlineTree shape: /First//Last//Next//Prev
+    sibling chains, /Parent back-links, /Count, /Dest [page /XYZ ...]):
+    each section item Dest's its own page; its children share that page."""
+    n = len(sections)
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 20 0 R >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    page_nums = list(range(30, 30 + n))
+    content_nums = list(range(30 + n, 30 + 2 * n))
+    kids = " ".join(f"{p} 0 R" for p in page_nums).encode()
+    objects[2] = (
+        b"<< /Type /Pages /Kids [%s] /Count %d "
+        b"/Resources << /Font << /F1 4 0 R >> >> >>" % (kids, n)
+    )
+    item_nums: list[tuple[int, list[int]]] = []
+    num = 50
+    for _, subs in sections:
+        top = num
+        ch = list(range(num + 1, num + 1 + len(subs)))
+        num += 1 + len(subs)
+        item_nums.append((top, ch))
+    total = sum(1 + len(ch) for _, ch in item_nums)
+    objects[20] = b"<< /Type /Outlines /First %d 0 R /Last %d 0 R /Count %d >>" % (
+        item_nums[0][0],
+        item_nums[-1][0],
+        total,
+    )
+    for i, ((title, subs), (top, ch)) in enumerate(zip(sections, item_nums)):
+        objects[page_nums[i]] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R "
+            b"/MediaBox [0 0 612 792] >>" % content_nums[i]
+        )
+        objects[content_nums[i]] = _stream_obj(
+            b"",
+            b"BT /F1 12 Tf 100 720 Td (%s) Tj ET" % escape_pdf_string(title),
+        )
+        dest = b"[%d 0 R /XYZ null null null]" % page_nums[i]
+        parts = [
+            b"/Title (%s)" % escape_pdf_string(title),
+            b"/Parent 20 0 R",
+            b"/Dest " + dest,
+        ]
+        if i > 0:
+            parts.append(b"/Prev %d 0 R" % item_nums[i - 1][0])
+        if i < n - 1:
+            parts.append(b"/Next %d 0 R" % item_nums[i + 1][0])
+        if ch:
+            parts.append(
+                b"/First %d 0 R /Last %d 0 R /Count %d"
+                % (ch[0], ch[-1], len(ch))
+            )
+        objects[top] = b"<< " + b" ".join(parts) + b" >>"
+        for j, (sub, cnum) in enumerate(zip(subs, ch)):
+            sparts = [
+                b"/Title (%s)" % escape_pdf_string(sub),
+                b"/Parent %d 0 R" % top,
+                b"/Dest " + dest,
+            ]
+            if j > 0:
+                sparts.append(b"/Prev %d 0 R" % ch[j - 1])
+            if j < len(ch) - 1:
+                sparts.append(b"/Next %d 0 R" % ch[j + 1])
+            objects[cnum] = b"<< " + b" ".join(sparts) + b" >>"
+    return assemble_pdf(objects)
+
+
+def build_form_pdf(
+    text_value: str, checked: bool, grp_value: str, b_value: str
+) -> bytes:
+    """1-page PDF with a FILLED interactive form (forms/form_data.rs
+    read-side shape): /AcroForm /Fields holds a text field f0, a checkbox
+    f1 (/V as a PDF Name, /Yes or /Off), and a non-terminal parent 'grp'
+    whose kid 'a' INHERITS /FT and /V from the parent while kid 'b'
+    overrides /V — exercising qualified naming (grp.a) and the field
+    attribute-inheritance walk."""
+    objects: dict[int, bytes] = {
+        1: (
+            b"<< /Type /Catalog /Pages 2 0 R "
+            b"/AcroForm << /Fields [50 0 R 51 0 R 52 0 R] >> >>"
+        ),
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> >>"
+        ),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: _stream_obj(b"", b"BT /F1 12 Tf 100 720 Td (form) Tj ET"),
+        50: b"<< /FT /Tx /T (f0) /V (%s) >>" % escape_pdf_string(text_value),
+        51: b"<< /FT /Btn /T (f1) /V /%s >>" % (b"Yes" if checked else b"Off"),
+        52: (
+            b"<< /T (grp) /FT /Tx /V (%s) /Kids [53 0 R 54 0 R] >>"
+            % escape_pdf_string(grp_value)
+        ),
+        53: b"<< /T (a) /Parent 52 0 R >>",
+        54: b"<< /T (b) /Parent 52 0 R /V (%s) >>" % escape_pdf_string(b_value),
+    }
+    return assemble_pdf(objects)
+
+
 def build_encrypted_pdf(
     text: str, method: str = "rc4-128", user_pw: bytes = b"",
     owner_pw: bytes = b"owner",

@@ -88,13 +88,21 @@ def classify_elements(
     paragraph_fragments,
     page_height: float = PAGE_HEIGHT,
     detect_headers_footers: bool = True,
+    known_headings=None,
 ) -> list[Element]:
     """Paragraph-level fragments (layout.py A4 output, reading order) →
     typed elements with single-level heading lineage. Classification order
     mirrors partition.rs: header/footer ZONES claim first (top/bottom 5%
     of the page, text ≤ 100 chars — partition.rs:267-300), then the
     font-ratio title rule, then list-item prefixes (partition.rs:556),
-    else paragraph. Headers/footers never update the heading lineage."""
+    else paragraph. Headers/footers never update the heading lineage.
+
+    ``known_headings``: optional set of AUTHORITATIVE heading strings
+    (outline /Title values from extract_outline — structure/outline.rs
+    carries ground truth where font heuristics only guess): a fragment
+    whose text equals a known heading is a title regardless of font ratio,
+    so outline-bearing PDFs chunk on their real section structure even
+    when headings share the body font size."""
     pairs = [
         (p, f)
         for p, f in frags_with_page(paragraph_fragments)
@@ -115,7 +123,9 @@ def classify_elements(
             if f.y + f.height <= footer_thr:
                 out.append(Element("footer", text, heading, f.font_size, page))
                 continue
-        is_title = body > 0 and f.font_size >= threshold and f.font_size > body
+        is_title = (
+            body > 0 and f.font_size >= threshold and f.font_size > body
+        ) or (known_headings is not None and text in known_headings)
         if is_title:
             heading = text
             out.append(Element("title", text, text, f.font_size, page))
@@ -136,14 +146,14 @@ def frags_with_page(frags):
             yield (0, f)
 
 
-def classify_pages(page_fragments) -> list[Element]:
+def classify_pages(page_fragments, known_headings=None) -> list[Element]:
     """Per-page paragraph fragments (DocResult.page_fragments) → one
     document-ordered element list; body font is computed over the whole
     document (partition.rs computes it over all unclaimed fragments)."""
     flat = [
         (i, f) for i, page in enumerate(page_fragments) for f in page
     ]
-    return classify_elements(flat)
+    return classify_elements(flat, known_headings=known_headings)
 
 
 class Chunk:

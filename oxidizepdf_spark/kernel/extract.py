@@ -219,6 +219,176 @@ def extract_metadata(data: bytes) -> dict:
     return out
 
 
+_OUTLINE_MAX_ITEMS = 10000
+
+
+def _page_ref_index(reader) -> dict:
+    """Map page object Ref → page index in tree order (the mapping
+    outline /Dest arrays and GoTo actions need; document.rs page lookup)."""
+    from .objects import Ref
+
+    index: dict = {}
+    seen: set = set()
+
+    def walk(ref_or_node, depth: int):
+        if depth > 64:
+            return
+        node = reader.resolve(ref_or_node)
+        if not isinstance(node, dict):
+            return
+        node_type = str(node.get("Type", ""))
+        if node_type == "Page" or ("Kids" not in node and "Contents" in node):
+            if isinstance(ref_or_node, Ref):
+                index.setdefault(ref_or_node, len(index))
+            return
+        kids = reader.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in kids:
+                marker = kid if isinstance(kid, Ref) else id(kid)
+                if marker in seen:
+                    continue
+                seen.add(marker)
+                walk(kid, depth + 1)
+
+    walk(reader.catalog().get("Pages"), 0)
+    return index
+
+
+def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
+    """Document outline / bookmarks (structure/outline.rs:130 OutlineTree):
+    pre-order walk of the catalog /Outlines tree via /First-/Next sibling
+    chains, emitting one dict per item with its pre-order position, nesting
+    level, decoded /Title, and destination page index (from /Dest arrays or
+    GoTo /A actions). Bookmarks are the highest-quality heading lineage a
+    RAG chunker can get — the reference's OutlineTree is exactly this walk.
+    Cycle + size guards keep hostile trees bounded."""
+    from .objects import Ref
+    from .textstate import _decode_pdf_string
+
+    reader = PdfReader(data, password=password)
+    page_index = _page_ref_index(reader)
+    out: list[dict] = []
+    seen: set = set()
+
+    def dest_page(item: dict):
+        dest = reader.resolve(item.get("Dest"))
+        if dest is None:
+            action = reader.resolve(item.get("A"))
+            if isinstance(action, dict) and str(action.get("S", "")) == "GoTo":
+                dest = reader.resolve(action.get("D"))
+        if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
+            return page_index.get(dest[0])
+        return None
+
+    def walk(ref, level: int):
+        while ref is not None and len(out) < _OUTLINE_MAX_ITEMS:
+            marker = ref if isinstance(ref, Ref) else id(ref)
+            if marker in seen:
+                return  # cycle guard
+            seen.add(marker)
+            item = reader.resolve(ref)
+            if not isinstance(item, dict):
+                return
+            title = item.get("Title")
+            out.append(
+                {
+                    "ord": len(out),
+                    "level": level,
+                    "title": (
+                        _decode_pdf_string(title)
+                        if isinstance(title, bytes)
+                        else (str(title) if title is not None else None)
+                    ),
+                    "page_idx": dest_page(item),
+                }
+            )
+            first = item.get("First")
+            if first is not None:
+                walk(first, level + 1)
+            ref = item.get("Next")
+
+    root = reader.resolve(reader.catalog().get("Outlines"))
+    if isinstance(root, dict):
+        walk(root.get("First"), 0)
+    return out
+
+
+def extract_form_fields(data: bytes, password: str | None = None) -> list[dict]:
+    """AcroForm field VALUES (forms/form_data.rs read-side: the /AcroForm
+    → /Fields walk with /T qualified naming, /FT and /V attribute
+    inheritance from non-terminal parents to kids): one dict per terminal
+    field with its fully-qualified name (parent.T '.' child.T), field type,
+    and decoded value. Text-field /V strings decode per PDF text-string
+    rules; checkbox//radio /V Names surface as their bare name ('Yes',
+    'Off'). Filled government/enterprise forms carry their payload here,
+    invisible to content-stream extraction."""
+    from .objects import Ref
+    from .textstate import _decode_pdf_string
+
+    reader = PdfReader(data, password=password)
+    acro = reader.resolve(reader.catalog().get("AcroForm"))
+    out: list[dict] = []
+    if not isinstance(acro, dict):
+        return out
+    fields = reader.resolve(acro.get("Fields"))
+    if not isinstance(fields, list):
+        return out
+
+    def decode_value(v):
+        v = reader.resolve(v)
+        if isinstance(v, bytes):
+            return _decode_pdf_string(v)
+        if v is None:
+            return None
+        return str(v)
+
+    seen: set = set()
+
+    def walk(ref, prefix: str, inherited_ft, inherited_v, depth: int):
+        if depth > 32 or len(out) > _OUTLINE_MAX_ITEMS:
+            return
+        marker = ref if isinstance(ref, Ref) else id(ref)
+        if marker in seen:
+            return
+        seen.add(marker)
+        node = reader.resolve(ref)
+        if not isinstance(node, dict):
+            return
+        t = node.get("T")
+        name = (
+            _decode_pdf_string(t)
+            if isinstance(t, bytes)
+            else (str(t) if t is not None else None)
+        )
+        qual = f"{prefix}.{name}" if (prefix and name) else (name or prefix)
+        ft = node.get("FT", inherited_ft)
+        v = node.get("V") if "V" in node else inherited_v
+        kids = reader.resolve(node.get("Kids"))
+        # non-terminal iff some kid carries its own /T (kids without /T
+        # are widget annotations of THIS field, not child fields)
+        child_fields = []
+        if isinstance(kids, list):
+            for k in kids:
+                kd = reader.resolve(k)
+                if isinstance(kd, dict) and kd.get("T") is not None:
+                    child_fields.append(k)
+        if child_fields:
+            for k in child_fields:
+                walk(k, qual, ft, v, depth + 1)
+        else:
+            out.append(
+                {
+                    "name": qual,
+                    "ftype": str(ft) if ft is not None else None,
+                    "value": decode_value(v),
+                }
+            )
+
+    for f in fields:
+        walk(f, "", None, None, 0)
+    return out
+
+
 def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
     """Page-annotation extraction (the /Annots surface the reference parses
     at parser/page_tree.rs:568-578 and exposes via PdfPage.annotations):

@@ -1,0 +1,154 @@
+"""Outline/bookmark and AcroForm field-value extraction (VERDICT r3 next
+#3/#4: structure/outline.rs:130 OutlineTree semantics + forms/form_data.rs
+read-side field walk), plus outline-as-authoritative-headings wiring into
+the element classifier."""
+
+from oxidizepdf_spark.corpus import (
+    assemble_pdf,
+    build_form_pdf,
+    build_outline_pdf,
+    _stream_obj,
+)
+from oxidizepdf_spark.kernel.extract import (
+    extract_form_fields,
+    extract_outline,
+    extract_pdf_bytes,
+)
+
+
+def test_outline_preorder_levels_titles_pages():
+    pdf = build_outline_pdf(
+        [
+            ("Intro", ["Scope", "Terms"]),
+            ("Methods", ["Data", "Model"]),
+            ("Results", ["Tables", "Plots"]),
+        ]
+    )
+    items = extract_outline(pdf)
+    assert [(i["ord"], i["level"], i["title"], i["page_idx"]) for i in items] == [
+        (0, 0, "Intro", 0),
+        (1, 1, "Scope", 0),
+        (2, 1, "Terms", 0),
+        (3, 0, "Methods", 1),
+        (4, 1, "Data", 1),
+        (5, 1, "Model", 1),
+        (6, 0, "Results", 2),
+        (7, 1, "Tables", 2),
+        (8, 1, "Plots", 2),
+    ]
+
+
+def test_outline_goto_action_dest():
+    """Items carrying /A GoTo actions (no /Dest) resolve the same page."""
+    pdf = build_outline_pdf([("Only", [])])
+    # rewrite the item: /Dest [...] → /A << /Type /Action /S /GoTo /D [...] >>
+    pdf = pdf.replace(
+        b"/Dest [30 0 R /XYZ null null null]",
+        b"/A << /Type /Action /S /GoTo /D [30 0 R /XYZ null null null] >>",
+    )
+    # classic xref offsets are now stale; the reader's recovery scan
+    # (S8) must still find the objects
+    items = extract_outline(pdf)
+    assert [(i["title"], i["page_idx"]) for i in items] == [("Only", 0)]
+
+
+def test_outline_cycle_guard_terminates():
+    """A /Next pointing back at the first sibling must not loop."""
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 20 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+        5: _stream_obj(b"", b"BT ET"),
+        20: b"<< /Type /Outlines /First 21 0 R /Last 22 0 R /Count 2 >>",
+        21: b"<< /Title (a) /Parent 20 0 R /Next 22 0 R >>",
+        22: b"<< /Title (b) /Parent 20 0 R /Prev 21 0 R /Next 21 0 R >>",
+    }
+    items = extract_outline(assemble_pdf(objects))
+    assert [i["title"] for i in items] == ["a", "b"]
+
+
+def test_outline_absent_is_empty():
+    from oxidizepdf_spark.corpus import build_text_pdf
+
+    assert extract_outline(build_text_pdf("hello")) == []
+
+
+def test_outline_utf16_title_decodes():
+    pdf = build_outline_pdf([("placeholder", [])])
+    pdf = pdf.replace(
+        b"/Title (placeholder)",
+        b"/Title (\xfe\xff\x00C\x00a\x00f\x00\xe9)",  # UTF-16BE "Café"
+    )
+    items = extract_outline(pdf)
+    assert items[0]["title"] == "Café"
+
+
+def test_form_fields_terminal_walk_and_inheritance():
+    pdf = build_form_pdf(
+        text_value="hello", checked=True, grp_value="inherited", b_value="own"
+    )
+    fields = extract_form_fields(pdf)
+    assert [(f["name"], f["ftype"], f["value"]) for f in fields] == [
+        ("f0", "Tx", "hello"),
+        ("f1", "Btn", "Yes"),
+        ("grp.a", "Tx", "inherited"),  # /FT and /V inherited from parent
+        ("grp.b", "Tx", "own"),  # kid's own /V overrides
+    ]
+
+
+def test_form_checkbox_off():
+    fields = extract_form_fields(
+        build_form_pdf("x", checked=False, grp_value="g", b_value="b")
+    )
+    assert dict((f["name"], f["value"]) for f in fields)["f1"] == "Off"
+
+
+def test_form_absent_acroform_is_empty():
+    from oxidizepdf_spark.corpus import build_text_pdf
+
+    assert extract_form_fields(build_text_pdf("no form here")) == []
+
+
+def test_form_extraction_does_not_disturb_content_text():
+    """Form payload lives outside the content stream; span extraction and
+    the field walk are independent views of the same bytes."""
+    pdf = build_form_pdf("v0", True, "v1", "v2")
+    res = extract_pdf_bytes(pdf)
+    assert res.error is None
+    assert "form" in "".join(t for k, t, _ in res.spans if k == "text")
+    assert len(extract_form_fields(pdf)) == 4
+
+
+def test_outline_headings_override_font_heuristic():
+    """classify_elements(known_headings=...): outline titles classify as
+    'title' even when every fragment shares one font size (the case where
+    the font-ratio rule is blind — VERDICT r3 'What's missing' #1)."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.elements import classify_pages
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    # 40pt gaps: each line is its own paragraph; single 12pt font throughout
+    content = (
+        b"BT /F1 12 Tf 100 700 Td (Section One) Tj"
+        b" 0 -40 Td (body words here) Tj"
+        b" 0 -40 Td (Section Two) Tj"
+        b" 0 -40 Td (more body text) Tj ET"
+    )
+    res = extract_pdf_bytes(
+        build_pdf_with_content_stream(content),
+        ExtractionOptions(preserve_layout=True, reconstruct_paragraphs=True),
+    )
+    assert res.error is None
+    without = classify_pages(res.page_fragments)
+    assert all(e.kind != "title" for e in without)  # single font size: blind
+    with_outline = classify_pages(
+        res.page_fragments,
+        known_headings={"Section One", "Section Two"},
+    )
+    kinds = {e.text: e.kind for e in with_outline}
+    assert kinds["Section One"] == "title"
+    assert kinds["Section Two"] == "title"
+    # body paragraphs inherit the nearest preceding outline heading
+    headings = {e.text: e.heading for e in with_outline}
+    assert headings["body words here"] == "Section One"
+    assert headings["more body text"] == "Section Two"

@@ -29,7 +29,9 @@ def test_roundtrip_scan_prunes_columns(spark):
     not be read (ReadSchema shows the pruned projection)."""
     from oxidizepdf_spark.queries import build_queries
 
-    df = build_queries()["pdf_extract_flate"](spark, SF)
+    from oxidizepdf_spark.queries import _pdf_roundtrip
+
+    df = _pdf_roundtrip("flate")(spark, SF)
     plan = _plan(df)
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan, plan
