@@ -1396,6 +1396,24 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     inc_art = _opts.include_artifacts
     fast_show = not interp._layout
     tb = None  # text bytes pending ShowText, consumed by the loop tail
+    # HOT STATE AS LOCALS: the inline ShowText tail runs ~60k times per
+    # dense document; keeping the running counters in locals removes ~10
+    # attribute loads/stores per show. Invariant: before ANY interpreter
+    # out-call that can read or advance them (_show_text_array,
+    # _next_line_show, _paint_xobject, marked-content ops, _show_text)
+    # the locals are written back, and re-read after. text_parts is
+    # identity-stable (only __init__ assigns it), so its binding and
+    # bound append need no sync; font_memo re-binds after _set_font_memo.
+    l_total = interp._total
+    l_lastx = interp.last_x
+    l_lasty = interp.last_y
+    l_lastc = interp._last_char
+    tp_append = interp.text_parts.append
+    font_memo = interp._font_memo
+    # per-invocation (= per fonts scope) decoded block-header memo
+    hdr_memo: dict = {}
+    hex_get = _HEX_MEMO.get  # 99% of hex show strings repeat (527 unique
+    #                          of 59.6k on Cold_Email) — inline the memo
     while pos < n:
         restart = False
         for m in _MASTER_FAST.finditer(data, pos):
@@ -1403,44 +1421,69 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
             if kind is None:
                 continue
             if kind == _K_B0HEX or kind == _K_B0ET or kind == _K_B0LIT:
-                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block
+                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block —
+                # all 12 operand groups in ONE C-level fetch; the (font,
+                # size, matrix) HEADER repeats heavily in machine-generated
+                # documents (Cold_Email: 31.5k blocks, 1.9k unique headers)
+                # so its decoded form — font string, parsed floats, and the
+                # font's run-memo dict — memoizes per page scope
                 if stack:
                     stack.clear()
-                g = m.group
                 interp.in_text = True
-                nm = g(_K_B0N)
-                s = name_memo.get(nm)
-                if s is None:
-                    if len(name_memo) > 8192:
-                        name_memo.clear()
-                    s = _decode_name(nm)
-                    name_memo[nm] = s
-                st_i.font_name = s
-                st_i.font_size = float(g(_K_B0S))
-                interp._set_font_memo(s)
-                v = g(_K_B0M1, _K_B0M1 + 1, _K_B0M1 + 2, _K_B0M1 + 3,
-                      _K_B0M1 + 4, _K_B0M1 + 5)
-                tm = (
-                    float(v[0]), float(v[1]), float(v[2]),
-                    float(v[3]), float(v[4]), float(v[5]),
+                v = m.group(
+                    _K_B0N, _K_B0S, _K_B0M1, _K_B0M1 + 1, _K_B0M1 + 2,
+                    _K_B0M1 + 3, _K_B0M1 + 4, _K_B0M1 + 5, _K_B0X, _K_B0Y,
+                    _K_B0HEX, _K_B0LIT,
                 )
-                x, y = float(g(_K_B0X)), float(g(_K_B0Y))
+                hk = v[:8]
+                e = hdr_memo.get(hk)
+                if e is None:
+                    nm, sz, m1, m2, m3, m4, m5, m6 = hk
+                    s = name_memo.get(nm)
+                    if s is None:
+                        if len(name_memo) > 8192:
+                            name_memo.clear()
+                        s = _decode_name(nm)
+                        name_memo[nm] = s
+                    if s is not st_i.font_name:
+                        st_i.font_name = s
+                        interp._set_font_memo(s)
+                        font_memo = interp._font_memo
+                    e = (
+                        s, float(sz), float(m1), float(m2), float(m3),
+                        float(m4), float(m5), float(m6), font_memo,
+                    )
+                    hdr_memo[hk] = e
+                else:
+                    s = e[0]
+                    if s is not st_i.font_name:
+                        st_i.font_name = s
+                        font_memo = e[8]
+                        interp._font_memo = font_memo
+                st_i.font_size = e[1]
+                a1, a2, a3, a4 = e[2], e[3], e[4], e[5]
+                x, y = float(v[8]), float(v[9])
                 nmat = (
-                    tm[0], tm[1], tm[2], tm[3],
-                    x * tm[0] + y * tm[2] + tm[4],
-                    x * tm[1] + y * tm[3] + tm[5],
+                    a1, a2, a3, a4,
+                    x * a1 + y * a3 + e[6],
+                    x * a2 + y * a4 + e[7],
                 )
                 st_i.text_matrix = nmat
                 st_i.text_line_matrix = nmat
-                h = g(_K_B0HEX)
-                tb = g(_K_B0LIT) if h is None else _hexval(h)
+                h = v[10]
+                if h is None:
+                    tb = v[11]
+                else:
+                    tb = hex_get(h)
+                    if tb is None:
+                        tb = _hexval(h)
                 if kind == _K_B0ET:
                     interp.in_text = False
             elif kind == _K_M1H or kind == _K_M1S:  # x y Td (s)|<hex> Tj
                 if stack:
                     stack.clear()
-                g = m.group
-                x, y = float(g(_K_M1X)), float(g(_K_M1Y))
+                gx, gy, gs, gh = m.group(_K_M1X, _K_M1Y, _K_M1S, _K_M1H)
+                x, y = float(gx), float(gy)
                 t = st_i.text_line_matrix
                 nmat = (
                     t[0], t[1], t[2], t[3],
@@ -1450,49 +1493,25 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 st_i.text_matrix = nmat
                 st_i.text_line_matrix = nmat
                 if interp.in_text:
-                    tb = (
-                        _hexval(g(_K_M1H))
-                        if kind == _K_M1H
-                        else g(_K_M1S)
-                    )
+                    if kind == _K_M1H:
+                        tb = hex_get(gh)
+                        if tb is None:
+                            tb = _hexval(gh)
+                    else:
+                        tb = gs
             elif kind == _K_TJB:  # [ … ] TJ
                 if stack:
                     stack.clear()
                 if interp.in_text:
+                    interp._total = l_total
+                    interp.last_x = l_lastx
+                    interp.last_y = l_lasty
+                    interp._last_char = l_lastc
                     interp._show_text_array(_tj_elements(m.group(_K_TJB)))
-            elif kind == _K_TM6:  # a b c d e f Tm
-                if stack:
-                    stack.clear()
-                v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
-                            _K_TM1 + 4, _K_TM6)
-                tm = (
-                    float(v[0]), float(v[1]), float(v[2]),
-                    float(v[3]), float(v[4]), float(v[5]),
-                )
-                st_i.text_matrix = tm
-                st_i.text_line_matrix = tm
-            elif kind == _K_TFS:  # /name size Tf
-                if stack:
-                    stack.clear()
-                nm, sz = m.group(_K_TFN, _K_TFS)
-                s = name_memo.get(nm)
-                if s is None:
-                    if len(name_memo) > 8192:
-                        name_memo.clear()
-                    s = _decode_name(nm)
-                    name_memo[nm] = s
-                st_i.font_name = s
-                st_i.font_size = float(sz)
-                interp._set_font_memo(s)
-            elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
-                if stack:
-                    stack.clear()
-                if interp.in_text:
-                    tb = (
-                        _hexval(m.group(_K_M2H))
-                        if kind == _K_M2H
-                        else m.group(_K_M2S)
-                    )
+                    l_total = interp._total
+                    l_lastx = interp.last_x
+                    l_lasty = interp.last_y
+                    l_lastc = interp._last_char
             elif kind == _K_NUM:
                 t = m.group(_K_NUM)
                 push(float(t) if b"." in t else int(t))
@@ -1536,6 +1555,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         st_i.font_name = s_name
                         st_i.font_size = float(stack[-1])
                         interp._set_font_memo(s_name)
+                        font_memo = interp._font_memo
                 elif opb == b"BT":
                     interp.in_text = True
                     st_i.text_matrix = IDENT
@@ -1559,7 +1579,15 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     except ContentParseError:
                         out = None
                     if out is not None and interp.in_text:
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
                         interp._show_text_array(out)
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
                 elif opb == b"T*":
                     t = st_i.text_line_matrix
                     lead = st_i.leading
@@ -1573,7 +1601,15 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 elif opb == b"'":
                     v = stack[-1] if stack else None
                     if v.__class__ is bytes and interp.in_text:
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
                         interp._next_line_show(v)
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
                 elif opb == b'"':
                     ok = (
                         len(stack) >= 3
@@ -1584,7 +1620,15 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if ok and interp.in_text:
                         st_i.word_space = float(stack[-3])
                         st_i.char_space = float(stack[-2])
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
                         interp._next_line_show(stack[-1])
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
                 elif opb == b"TL":
                     v1 = _vnums(stack, 1)
                     if v1 is not None:
@@ -1644,7 +1688,16 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 elif opb == b"Do":
                     v = stack[-1] if stack else None
                     if v.__class__ is str:
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
                         interp._paint_xobject(v, resources, depth)
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
+                        font_memo = interp._font_memo
                 elif opb == b"BMC":
                     v = stack[-1] if stack else None
                     if v.__class__ is str:
@@ -1658,9 +1711,25 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     except (ContentParseError, IndexError):
                         tag = None
                     if tag is not None:
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
                         interp._op_bdc(tag, props, resources)
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
                 elif opb == b"EMC":
+                    interp._total = l_total
+                    interp.last_x = l_lastx
+                    interp.last_y = l_lasty
+                    interp._last_char = l_lastc
                     interp._op_emc()
+                    l_total = interp._total
+                    l_lastx = interp.last_x
+                    l_lasty = interp.last_y
+                    l_lastc = interp._last_char
                 elif opb == b"BI":
                     stack.clear()
                     _params, _payload, pos = _scan_bi(data, m.end())
@@ -1683,6 +1752,40 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 # extraction effect: operands are discarded unparsed
                 if stack:
                     stack.clear()
+            elif kind == _K_TM6:  # a b c d e f Tm
+                if stack:
+                    stack.clear()
+                v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
+                            _K_TM1 + 4, _K_TM6)
+                tm = (
+                    float(v[0]), float(v[1]), float(v[2]),
+                    float(v[3]), float(v[4]), float(v[5]),
+                )
+                st_i.text_matrix = tm
+                st_i.text_line_matrix = tm
+            elif kind == _K_TFS:  # /name size Tf
+                if stack:
+                    stack.clear()
+                nm, sz = m.group(_K_TFN, _K_TFS)
+                s = name_memo.get(nm)
+                if s is None:
+                    if len(name_memo) > 8192:
+                        name_memo.clear()
+                    s = _decode_name(nm)
+                    name_memo[nm] = s
+                st_i.font_name = s
+                st_i.font_size = float(sz)
+                interp._set_font_memo(s)
+                font_memo = interp._font_memo
+            elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
+                if stack:
+                    stack.clear()
+                if interp.in_text:
+                    tb = (
+                        _hexval(m.group(_K_M2H))
+                        if kind == _K_M2H
+                        else m.group(_K_M2S)
+                    )
             elif kind == _K_LSTR:
                 sdata, pos = _read_literal_string(data, m.end())
                 push(sdata)
@@ -1717,7 +1820,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 # times per doc and the method-call + attribute-load
                 # overhead dominated the kernel profile.
                 if fast_show:
-                    hit = interp._font_memo.get(tb)
+                    hit = font_memo.get(tb)
                     if hit is None:
                         hit = interp._decode(tb)
                     decoded = hit[0]
@@ -1726,30 +1829,42 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
                     y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
                     if not st_i.artifact_n or inc_art:
-                        if interp._total:
-                            dy = y - interp.last_y
+                        if l_total:
+                            dy = y - l_lasty
                             if dy > nl_thr or -dy > nl_thr:
-                                interp.text_parts.append("\n")
-                                interp._total += 1
-                                interp._last_char = "\n"
-                            elif x - interp.last_x > sp_thr * st_i.font_size:
-                                interp.text_parts.append(" ")
-                                interp._total += 1
-                                interp._last_char = " "
+                                tp_append("\n")
+                                l_total += 1
+                                l_lastc = "\n"
+                            elif x - l_lastx > sp_thr * st_i.font_size:
+                                tp_append(" ")
+                                l_total += 1
+                                l_lastc = " "
                         if decoded:
-                            interp.text_parts.append(decoded)
-                            interp._total += len(decoded)
-                            interp._last_char = decoded[-1]
+                            tp_append(decoded)
+                            l_total += len(decoded)
+                            l_lastc = decoded[-1]
                     width = hit[1] * st_i.font_size
-                    interp.last_x = x + width
-                    interp.last_y = y
+                    l_lastx = x + width
+                    l_lasty = y
                     tx = width * st_i.horizontal_scale / 100.0
                     st_i.text_matrix = (
                         tm[0], tm[1], tm[2], tm[3],
                         tx * tm[0] + tm[4], tx * tm[1] + tm[5],
                     )
                 else:
+                    interp._total = l_total
+                    interp.last_x = l_lastx
+                    interp.last_y = l_lasty
+                    interp._last_char = l_lastc
                     interp._show_text(tb)
+                    l_total = interp._total
+                    l_lastx = interp.last_x
+                    l_lasty = interp.last_y
+                    l_lastc = interp._last_char
                 tb = None
         if not restart:
             break
+    interp._total = l_total
+    interp.last_x = l_lastx
+    interp.last_y = l_lasty
+    interp._last_char = l_lastc

@@ -409,23 +409,28 @@ def decode_text(text: bytes, font_name: str | None, fonts: dict[str, FontInfo]) 
                 ):
                     return sanitize_extracted_text(decoded)
 
-    if font_name:
-        lower = font_name.lower()
-        if "macroman" in lower:
-            enc = "MacRomanEncoding"
-        elif "winansi" in lower:
-            enc = "WinAnsiEncoding"
-        elif "standard" in lower:
-            enc = "StandardEncoding"
-        elif "pdfdoc" in lower:
-            enc = "PdfDocEncoding"
-        elif font_name.startswith(("Times", "Helvetica", "Courier")):
-            enc = "WinAnsiEncoding"
-        else:
-            enc = "PdfDocEncoding"
-    else:
-        enc = "WinAnsiEncoding"
+    enc = fallback_encoding(font_name)
     return sanitize_extracted_text(decode_with_text_encoding(text, enc))
+
+
+def fallback_encoding(font_name: str | None) -> str:
+    """The name-derived fallback encoding decode_text uses when no font
+    info applies or the CMap decode is rejected (extraction.rs:1783-1808).
+    Exposed so the decode memo can key on the fallback CLASS."""
+    if not font_name:
+        return "WinAnsiEncoding"
+    lower = font_name.lower()
+    if "macroman" in lower:
+        return "MacRomanEncoding"
+    if "winansi" in lower:
+        return "WinAnsiEncoding"
+    if "standard" in lower:
+        return "StandardEncoding"
+    if "pdfdoc" in lower:
+        return "PdfDocEncoding"
+    if font_name.startswith(("Times", "Helvetica", "Courier")):
+        return "WinAnsiEncoding"
+    return "PdfDocEncoding"
 
 
 def calculate_text_width_from_codes(

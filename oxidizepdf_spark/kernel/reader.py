@@ -43,6 +43,7 @@ class PdfReader:
         "_objstm_cache",
         "_resolving",
         "_fontinfo_cache",
+        "_span_decode_memo",
     )
 
     def __init__(
@@ -61,6 +62,9 @@ class PdfReader:
         self._objstm_cache: dict[int, dict[int, object]] = {}
         self._resolving: set = set()
         self._fontinfo_cache: dict = {}
+        # document-scoped (FontInfo, fallback_class) → {run → (text, w)}
+        # decode memo (textstate.Interpreter._memo_for)
+        self._span_decode_memo: dict = {}
         entries, trailer, mode = parse_xref_chain(data, self)
         if not lenient and mode != "strict":
             # strict tier (ParseOptions::strict): no brute-force recovery

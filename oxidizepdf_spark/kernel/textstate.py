@@ -34,6 +34,7 @@ from .fonts import (
     calculate_text_width_from_codes,
     decode_text,
     extract_page_fonts,
+    fallback_encoding as _fallback_enc_class,
 )
 from .layout import LayoutProcessor, TextFragment, parse_font_style
 from .objects import Ref, Stream
@@ -300,12 +301,25 @@ class Interpreter:
         self._total = 0  # total chars accumulated (extracted_text length)
         self._last_char = ""  # last accumulated char, for ends_with(' ')
         self.fragments: list[TextFragment] = []
-        # font_name → {bytes → (decoded, unit_width)} memo: real documents
+        # {memo_key → {bytes → (decoded, unit_width)}} memo: real documents
         # repeat a few hundred distinct runs tens of thousands of times
-        # (98%+ hit rate on the Cold_Email fixture); keyed per fonts-mapping
-        # scope. Two-level so the hot lookup hashes only the run bytes.
-        self._decode_memo: dict = {}
-        self._font_memo: dict = self._decode_memo.setdefault(None, {})
+        # (98%+ hit rate on the Cold_Email fixture). Two-level so the hot
+        # lookup hashes only the run bytes.
+        #
+        # DOCUMENT-scoped (stored on the reader): the decode of a byte run
+        # depends only on the resolved FontInfo (identity-stable per reader
+        # via _fontinfo_cache) plus the name-derived fallback-encoding
+        # class, NOT on which page or fonts-mapping referenced it — so the
+        # key is (FontInfo, fallback_class) and a 44-page book decodes each
+        # distinct run once instead of once per page (the round-4 kernel
+        # lever; was per-Interpreter = per-page).
+        self._decode_memo = (
+            reader._span_decode_memo if reader is not None else {}
+        )
+        # per-fonts-scope name → run-memo cache (names resolve to different
+        # FontInfos in different scopes; reset on XObject font merges)
+        self._fm_by_name: dict = {}
+        self._font_memo: dict = self._memo_for(None)
         # fragments are needed for preserve_layout AND for any non-emission
         # reading-order strategy (the strategy reorders positioned fragments)
         self._layout = (
@@ -429,10 +443,27 @@ class Interpreter:
             self._font_memo[text_bytes] = hit
         return hit
 
-    def _set_font_memo(self, font_name) -> None:
-        fm = self._decode_memo.get(font_name)
+    def _memo_for(self, font_name) -> dict:
+        """Run-memo dict for ``font_name`` in the CURRENT fonts scope,
+        keyed document-wide by what decode actually depends on: the
+        resolved FontInfo identity when present, else the name-derived
+        fallback-encoding class (decode_text's rejection fallback also
+        uses that class, so two names sharing a FontInfo but mapping to
+        different fallback encodings get separate buckets)."""
+        info = self.fonts.get(font_name) if font_name else None
+        # the FontInfo object itself is the key (identity hash; the memo
+        # holds a reference, so no id-reuse hazard)
+        key = (info, _fallback_enc_class(font_name))
+        dm = self._decode_memo
+        fm = dm.get(key)
         if fm is None:
-            fm = self._decode_memo[font_name] = {}
+            fm = dm[key] = {}
+        return fm
+
+    def _set_font_memo(self, font_name) -> None:
+        fm = self._fm_by_name.get(font_name)
+        if fm is None:
+            fm = self._fm_by_name[font_name] = self._memo_for(font_name)
         self._font_memo = fm
 
     def _show_text(self, text_bytes: bytes) -> None:
@@ -610,12 +641,15 @@ class Interpreter:
                 st.ctm = _mul(m, st.ctm)
             except (TypeError, ValueError):
                 pass
-        saved_memo = self._decode_memo
+        saved_fm_names = self._fm_by_name
         if xres is not None:
             merged = dict(self.fonts)
             merged.update(extract_page_fonts(xres, reader))
             self.fonts = merged
-            self._decode_memo = {}
+            # names may resolve to different FontInfos inside the XObject
+            # scope; the document-level run memo itself stays valid (keyed
+            # by FontInfo, not name)
+            self._fm_by_name = {}
             self._set_font_memo(st.font_name)
         saved_in_text = self.in_text
         self.in_text = False
@@ -635,7 +669,7 @@ class Interpreter:
             st.fill_color = saved_fill
             del st.saved[saved_stack_len:]
             self.fonts = saved_fonts
-            self._decode_memo = saved_memo
+            self._fm_by_name = saved_fm_names
             # font_name deliberately persists across the xobject (reference
             # behavior) — re-point the hot memo at the now-current font
             self._set_font_memo(st.font_name)
