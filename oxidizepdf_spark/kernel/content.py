@@ -1414,6 +1414,17 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     hdr_memo: dict = {}
     hex_get = _HEX_MEMO.get  # 99% of hex show strings repeat (527 unique
     #                          of 59.6k on Cold_Email) — inline the memo
+    # more hot-state locals (same write-back discipline as the counters):
+    # CTM identity flag — text-only pages never leave the identity CTM, so
+    # the per-show origin collapses to (tm[4], tm[5]); font size and
+    # horizontal scale change only at Tf/Tz/Do sites; artifact skip flag
+    # changes only at marked-content ops and Do
+    l_ctm = st_i.ctm
+    ctm_ident = l_ctm == IDENT
+    l_fs = st_i.font_size
+    l_hs = st_i.horizontal_scale
+    l_noart = not st_i.artifact_n or inc_art
+    tmloc = st_i.text_matrix
     while pos < n:
         restart = False
         for m in _MASTER_FAST.finditer(data, pos):
@@ -1460,7 +1471,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         st_i.font_name = s
                         font_memo = e[8]
                         interp._font_memo = font_memo
-                st_i.font_size = e[1]
+                st_i.font_size = l_fs = e[1]
                 a1, a2, a3, a4 = e[2], e[3], e[4], e[5]
                 x, y = float(v[8]), float(v[9])
                 nmat = (
@@ -1468,8 +1479,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     x * a1 + y * a3 + e[6],
                     x * a2 + y * a4 + e[7],
                 )
-                st_i.text_matrix = nmat
-                st_i.text_line_matrix = nmat
+                st_i.text_matrix = st_i.text_line_matrix = tmloc = nmat
                 h = v[10]
                 if h is None:
                     tb = v[11]
@@ -1490,8 +1500,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     x * t[0] + y * t[2] + t[4],
                     x * t[1] + y * t[3] + t[5],
                 )
-                st_i.text_matrix = nmat
-                st_i.text_line_matrix = nmat
+                st_i.text_matrix = st_i.text_line_matrix = tmloc = nmat
                 if interp.in_text:
                     if kind == _K_M1H:
                         tb = hex_get(gh)
@@ -1527,6 +1536,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     v = stack[-1] if stack else None
                     if v.__class__ is bytes and interp.in_text:
                         tb = v
+                        tmloc = st_i.text_matrix
                 elif opb == b"Td":
                     xy = _vnums(stack, 2)
                     if xy is not None:
@@ -1553,7 +1563,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     ):
                         s_name = stack[-2]
                         st_i.font_name = s_name
-                        st_i.font_size = float(stack[-1])
+                        st_i.font_size = l_fs = float(stack[-1])
                         interp._set_font_memo(s_name)
                         font_memo = interp._font_memo
                 elif opb == b"BT":
@@ -1644,7 +1654,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 elif opb == b"Tz":
                     v1 = _vnums(stack, 1)
                     if v1 is not None:
-                        st_i.horizontal_scale = v1[0]
+                        st_i.horizontal_scale = l_hs = v1[0]
                 elif opb == b"Ts":
                     v1 = _vnums(stack, 1)
                     if v1 is not None:
@@ -1658,7 +1668,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if v6 is not None:
                         a, b, c, d, e, f = v6
                         o = st_i.ctm
-                        st_i.ctm = (
+                        st_i.ctm = l_ctm = (
                             a * o[0] + b * o[2],
                             a * o[1] + b * o[3],
                             c * o[0] + d * o[2],
@@ -1666,11 +1676,14 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                             e * o[0] + f * o[2] + o[4],
                             e * o[1] + f * o[3] + o[5],
                         )
+                        ctm_ident = l_ctm == IDENT
                 elif opb == b"q":
                     st_i.saved.append((st_i.ctm, st_i.fill_color))
                 elif opb == b"Q":
                     if st_i.saved:
                         st_i.ctm, st_i.fill_color = st_i.saved.pop()
+                        l_ctm = st_i.ctm
+                        ctm_ident = l_ctm == IDENT
                 elif opb == b"g":
                     v1 = _vnums(stack, 1)
                     if v1 is not None:
@@ -1698,10 +1711,16 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
                         font_memo = interp._font_memo
+                        l_ctm = st_i.ctm
+                        ctm_ident = l_ctm == IDENT
+                        l_fs = st_i.font_size
+                        l_hs = st_i.horizontal_scale
+                        l_noart = not st_i.artifact_n or inc_art
                 elif opb == b"BMC":
                     v = stack[-1] if stack else None
                     if v.__class__ is str:
                         interp._op_bmc(v)
+                        l_noart = not st_i.artifact_n or inc_art
                 elif opb == b"BDC":
                     tag = props = None
                     try:  # pure parse of the props + tag operands
@@ -1716,6 +1735,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         interp.last_y = l_lasty
                         interp._last_char = l_lastc
                         interp._op_bdc(tag, props, resources)
+                        l_noart = not st_i.artifact_n or inc_art
                         l_total = interp._total
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
@@ -1726,6 +1746,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     interp.last_y = l_lasty
                     interp._last_char = l_lastc
                     interp._op_emc()
+                    l_noart = not st_i.artifact_n or inc_art
                     l_total = interp._total
                     l_lastx = interp.last_x
                     l_lasty = interp.last_y
@@ -1774,7 +1795,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     s = _decode_name(nm)
                     name_memo[nm] = s
                 st_i.font_name = s
-                st_i.font_size = float(sz)
+                st_i.font_size = l_fs = float(sz)
                 interp._set_font_memo(s)
                 font_memo = interp._font_memo
             elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
@@ -1786,6 +1807,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         if kind == _K_M2H
                         else m.group(_K_M2S)
                     )
+                    tmloc = st_i.text_matrix
             elif kind == _K_LSTR:
                 sdata, pos = _read_literal_string(data, m.end())
                 push(sdata)
@@ -1824,18 +1846,22 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if hit is None:
                         hit = interp._decode(tb)
                     decoded = hit[0]
-                    tm = st_i.text_matrix
-                    ctm = st_i.ctm
-                    x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
-                    y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
-                    if not st_i.artifact_n or inc_art:
+                    tm = tmloc
+                    if ctm_ident:
+                        x = tm[4]
+                        y = tm[5]
+                    else:
+                        ctm = l_ctm
+                        x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
+                        y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+                    if l_noart:
                         if l_total:
                             dy = y - l_lasty
                             if dy > nl_thr or -dy > nl_thr:
                                 tp_append("\n")
                                 l_total += 1
                                 l_lastc = "\n"
-                            elif x - l_lastx > sp_thr * st_i.font_size:
+                            elif x - l_lastx > sp_thr * l_fs:
                                 tp_append(" ")
                                 l_total += 1
                                 l_lastc = " "
@@ -1843,10 +1869,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                             tp_append(decoded)
                             l_total += len(decoded)
                             l_lastc = decoded[-1]
-                    width = hit[1] * st_i.font_size
+                    width = hit[1] * l_fs
                     l_lastx = x + width
                     l_lasty = y
-                    tx = width * st_i.horizontal_scale / 100.0
+                    tx = width if l_hs == 100.0 else width * l_hs / 100.0
                     st_i.text_matrix = (
                         tm[0], tm[1], tm[2], tm[3],
                         tx * tm[0] + tm[4], tx * tm[1] + tm[5],
