@@ -74,12 +74,20 @@ def extract_pdf_bytes(
         res.error = f"internal:{type(e).__name__}:{e}"
         return res
     res.n_pages = len(pages)
+    struct_orders = (
+        structure_mcid_order(reader)
+        if options.reading_order == "structure"
+        else None
+    )
     for idx, page in enumerate(pages):
         try:
             fonts = extract_page_fonts(page.resources, reader)
             content = page_content(reader, page)
             interp = Interpreter(
-                reader=reader, fonts=fonts, options=options, page_index=idx
+                reader=reader, fonts=fonts, options=options, page_index=idx,
+                struct_order=(
+                    struct_orders.get(idx) if struct_orders is not None else None
+                ),
             )
             # fused tokenize+parse+interpret — identical semantics to
             # interp.run(parse_content(content), ...) (property-pinned)
@@ -252,6 +260,55 @@ def _page_ref_index(reader) -> dict:
 
     walk(reader.catalog().get("Pages"), 0)
     return index
+
+
+def structure_mcid_order(reader) -> dict[int, list[int]]:
+    """Tagged-PDF reading order (structure/tagged.rs + marked_content.rs):
+    pre-order walk of /StructTreeRoot's /K tree collecting MCIDs per page
+    — the author-declared content order. Handles all three /K shapes:
+    integer MCID (page from the element's inherited /Pg), MCR dicts
+    (<< /Type /MCR /Pg ... /MCID n >>), and nested element dicts/arrays.
+    Returns {page_index: [mcid, ...]} in document order; Ref cycle guard
+    (plain ints are never marked — CPython interns small ints)."""
+    from .objects import Ref
+
+    idx_map = _page_ref_index(reader)
+    orders: dict[int, list[int]] = {}
+    root = reader.resolve(reader.catalog().get("StructTreeRoot"))
+    if not isinstance(root, dict):
+        return orders
+    seen: set = set()
+
+    def walk(node, inherited_pg, depth: int):
+        if depth > 64 or node is None:
+            return
+        if isinstance(node, Ref):
+            if node in seen:
+                return
+            seen.add(node)
+            node = reader.resolve(node)
+        if isinstance(node, list):
+            for item in node:
+                walk(item, inherited_pg, depth + 1)
+            return
+        if isinstance(node, int) and not isinstance(node, bool):
+            pi = idx_map.get(inherited_pg)
+            if pi is not None:
+                orders.setdefault(pi, []).append(node)
+            return
+        if not isinstance(node, dict):
+            return
+        pg = node.get("Pg", inherited_pg)
+        if "MCID" in node:  # marked-content reference
+            mc = node.get("MCID")
+            pi = idx_map.get(pg)
+            if pi is not None and isinstance(mc, int) and not isinstance(mc, bool):
+                orders.setdefault(pi, []).append(mc)
+            return
+        walk(node.get("K"), pg, depth + 1)
+
+    walk(root.get("K"), None, 0)
+    return orders
 
 
 def extract_outline(data: bytes, password: str | None = None) -> list[dict]:

@@ -169,10 +169,12 @@ class ExtractionOptions:
         self.error_mode = error_mode
         # reading-order strategy (pipeline/reading_order.rs, selectable via
         # PartitionConfig in the reference — partition.rs:200-211):
-        # emission — operator order (ReadingOrderStrategy::None)
-        # simple   — Y-chained lines, left-to-right (SimpleReadingOrder)
-        # xycut    — recursive X-Y cut, columns first (XYCutReadingOrder)
-        if reading_order not in ("emission", "simple", "xycut"):
+        # emission  — operator order (ReadingOrderStrategy::None)
+        # simple    — Y-chained lines, left-to-right (SimpleReadingOrder)
+        # xycut     — recursive X-Y cut, columns first (XYCutReadingOrder)
+        # structure — tagged-PDF /StructTreeRoot MCID order where present
+        #             (structure/tagged.rs ground truth), simple fallback
+        if reading_order not in ("emission", "simple", "xycut", "structure"):
             raise ValueError(f"unknown reading_order: {reading_order!r}")
         self.reading_order = reading_order
         self.reading_order_min_gap = reading_order_min_gap
@@ -285,11 +287,15 @@ class Interpreter:
         fonts: dict[str, FontInfo] | None = None,
         options: ExtractionOptions | None = None,
         page_index: int = 0,
+        struct_order: list[int] | None = None,
     ):
         self.reader = reader
         self.fonts: dict[str, FontInfo] = fonts or {}
         self.options = options or ExtractionOptions()
         self.page_index = page_index
+        # this page's MCID sequence from the structure tree (pre-computed
+        # by extract.structure_mcid_order when reading_order='structure')
+        self.struct_order = struct_order
         self.state = _State()
         self.in_text = False
         self.last_x = 0.0
@@ -346,6 +352,26 @@ class Interpreter:
         self._flush_text()
         self.out.spans.append(("image", "", media_ref))
 
+    def _structure_order(self):
+        """Order fragments by the structure tree's MCID sequence
+        (structure/tagged.rs: the author-declared reading order beats any
+        geometric heuristic where the document is tagged). Fragments whose
+        MCID appears in the sequence sort by its first position (stable —
+        emission order within one marked-content scope); untagged
+        fragments append after in emission order. An untagged page (no
+        struct info) falls back to SimpleReadingOrder."""
+        from .reading_order import simple_reading_order
+
+        if not self.struct_order:
+            return simple_reading_order(self.fragments)
+        pos: dict[int, int] = {}
+        for i, mc in enumerate(self.struct_order):
+            pos.setdefault(mc, i)
+        tagged = [f for f in self.fragments if f.mcid in pos]
+        untagged = [f for f in self.fragments if f.mcid not in pos]
+        tagged.sort(key=lambda f: pos[f.mcid])
+        return tagged + untagged
+
     def finalize(self) -> PageExtraction:
         self._flush_text()
         extracted = "".join(self.text_parts)
@@ -362,6 +388,8 @@ class Interpreter:
 
             if opts.reading_order == "simple":
                 ordered = simple_reading_order(self.fragments)
+            elif opts.reading_order == "structure":
+                ordered = self._structure_order()
             else:
                 ordered = xycut_reading_order(
                     self.fragments, min_gap=opts.reading_order_min_gap
