@@ -34,6 +34,7 @@ def build_pdf_with_content_stream(
     indirect_length: bool = False,
     length_delta: int = 0,
     info: dict[str, str] | None = None,
+    xmp: dict[str, str] | None = None,
 ) -> bytes:
     """Minimal 1-page PDF, /F1 Helvetica, classic xref
     (synthetic_pdf.rs:23-71 layout).
@@ -47,6 +48,9 @@ def build_pdf_with_content_stream(
     ``length_delta``: corrupt the declared /Length by this much (X11).
     ``info``: document-information dictionary (Title/Author/...), written
     as object 20 and referenced from the trailer /Info key.
+    ``xmp``: metadata written as an uncompressed XMP packet stream
+    (object 21, catalog /Metadata) with dc:/pdf:/xmp: tags — keys
+    title/author/subject/producer/creator.
     """
     extra_objects = dict(extra_objects or {})
     encoded, filter_clause = _encode_content(content, content_filter)
@@ -63,7 +67,12 @@ def build_pdf_with_content_stream(
             out.extend(b"\n")
         out.extend(b"endobj\n")
 
-    obj(1, b"<< /Type /Catalog /Pages 2 0 R >>")
+    obj(
+        1,
+        b"<< /Type /Catalog /Pages 2 0 R /Metadata 21 0 R >>"
+        if xmp
+        else b"<< /Type /Catalog /Pages 2 0 R >>",
+    )
     obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     resources = b"<< /Font << /F1 4 0 R >> " + page_extra.encode("latin-1") + b">>"
     obj(
@@ -90,11 +99,14 @@ def build_pdf_with_content_stream(
             for k, v in sorted(info.items())
         ) + b" >>"
         obj(20, body)
+    if xmp:
+        obj(21, _stream_obj(b"/Type /Metadata /Subtype /XML", _xmp_packet(xmp)))
 
     max_obj = max(
         [5]
         + ([7] if indirect_length else [])
         + ([20] if info else [])
+        + ([21] if xmp else [])
         + list(extra_objects)
     )
     xref_off = len(out)
@@ -358,6 +370,49 @@ def escape_pdf_string(text: str) -> bytes:
     """Escape for a PDF literal string; latin-1-safe payload."""
     raw = text.encode("latin-1", errors="replace")
     return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def _xmp_packet(fields: dict[str, str]) -> bytes:
+    """Minimal well-formed XMP packet (metadata/xmp.rs packet shape):
+    dc:title/creator/description as rdf:li lists, pdf:Producer and
+    xmp:CreatorTool as simple elements."""
+    import html as _html
+
+    def esc(v: str) -> str:
+        return _html.escape(v, quote=False)
+
+    parts = ['<?xpacket begin="\ufeff" id="W5M0MpCehiHzreSzNTczkc9d"?>',
+             "<x:xmpmeta xmlns:x='adobe:ns:meta/'><rdf:RDF "
+             "xmlns:rdf='http://www.w3.org/1999/02/22-rdf-syntax-ns#' "
+             "xmlns:dc='http://purl.org/dc/elements/1.1/' "
+             "xmlns:pdf='http://ns.adobe.com/pdf/1.3/' "
+             "xmlns:xmp='http://ns.adobe.com/xap/1.0/'>"
+             "<rdf:Description rdf:about=''>"]
+    if "title" in fields:
+        parts.append(
+            f"<dc:title><rdf:Alt><rdf:li xml:lang='x-default'>"
+            f"{esc(fields['title'])}</rdf:li></rdf:Alt></dc:title>"
+        )
+    if "author" in fields:
+        parts.append(
+            f"<dc:creator><rdf:Seq><rdf:li>{esc(fields['author'])}"
+            f"</rdf:li></rdf:Seq></dc:creator>"
+        )
+    if "subject" in fields:
+        parts.append(
+            f"<dc:description><rdf:Alt><rdf:li xml:lang='x-default'>"
+            f"{esc(fields['subject'])}</rdf:li></rdf:Alt></dc:description>"
+        )
+    if "producer" in fields:
+        parts.append(f"<pdf:Producer>{esc(fields['producer'])}</pdf:Producer>")
+    if "creator" in fields:
+        parts.append(
+            f"<xmp:CreatorTool>{esc(fields['creator'])}</xmp:CreatorTool>"
+        )
+    parts.append(
+        "</rdf:Description></rdf:RDF></x:xmpmeta><?xpacket end='w'?>"
+    )
+    return "".join(parts).encode("utf-8")
 
 
 def build_pdf_multipage_streams(page_streams: list[bytes]) -> bytes:

@@ -404,9 +404,11 @@ FROM documents
 
 
 def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document-information extraction (trailer /Info dict → title/author/
-    producer + version + page count), oracle-recomputable since the builder
-    derives the Info fields from table columns."""
+    """Document-information extraction: EVEN doc_ids carry Title/Author in
+    the trailer /Info dict, ODD doc_ids carry them ONLY in an XMP packet
+    (/Metadata stream, metadata/xmp.rs semantics) — both must surface the
+    same fields, proving the /Info read AND the XMP scrape + precedence
+    merge in one oracle-recomputable relation."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", "source", norm_col("text").alias("norm")
     )
@@ -418,33 +420,39 @@ def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             out = {
                 "doc_id": [], "title": [], "author": [],
-                "version": [], "n_pages": [],
+                "version": [], "n_pages": [], "via_xmp": [],
             }
             for doc_id, source, norm in zip(b["doc_id"], b["source"], b["norm"]):
                 content = b"BT /F1 12 Tf 100 700 Td (%s) Tj ET" % escape_pdf_string(
                     norm[:40]
                 )
-                pdf = build_pdf_with_content_stream(
-                    content,
-                    info={"Title": f"Doc {doc_id}", "Author": str(source)},
-                )
+                fields = {"title": f"Doc {doc_id}", "author": str(source)}
+                if int(doc_id) % 2 == 0:
+                    pdf = build_pdf_with_content_stream(
+                        content,
+                        info={"Title": fields["title"], "Author": fields["author"]},
+                    )
+                else:
+                    pdf = build_pdf_with_content_stream(content, xmp=fields)
                 m = extract_metadata(pdf)
                 out["doc_id"].append(doc_id)
                 out["title"].append(m["title"])
                 out["author"].append(m["author"])
                 out["version"].append(m["version"])
                 out["n_pages"].append(m["n_pages"])
+                out["via_xmp"].append(bool(m["xmp_present"]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, title string, author string, version string, n_pages int",
+        schema="doc_id long, title string, author string, version string, "
+        "n_pages int, via_xmp boolean",
     )
 
 
 ORACLE_METADATA = """
 SELECT doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, source AS author,
-       '1.4' AS version, 1 AS n_pages
+       '1.4' AS version, 1 AS n_pages, doc_id % 2 = 1 AS via_xmp
 FROM documents
 """
 
