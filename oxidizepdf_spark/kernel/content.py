@@ -634,6 +634,7 @@ _MASTER_FAST = re.compile(
     # machine-generated text block in ONE match (prefix 'BT' makes the
     # alternative nearly free to reject everywhere else)
     rb"BT" + _WS1 + rb"*"
+    rb"(?P<b0h>"
     rb"/(?P<b0n>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+"
     rb"(?P<b0s>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tf" + _WS1 + rb"+"
     rb"(?P<b0m1>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
@@ -641,7 +642,8 @@ _MASTER_FAST = re.compile(
     rb"(?P<b0m3>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
     rb"(?P<b0m4>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
     rb"(?P<b0m5>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
-    rb"(?P<b0m6>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tm" + _WS1 + rb"+"
+    rb"(?P<b0m6>" + _NUMPAT_A + rb")" + _WS1 + rb"+Tm"
+    rb")" + _WS1 + rb"+"
     rb"(?P<b0x>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
     rb"(?P<b0y>" + _NUMPAT_A + rb")" + _WS1 + rb"+Td" + _WS1 + rb"*"
     rb"(?:\((?P<b0lit>[^()\\]*)\)|<(?P<b0hex>" + _HEXCLS + rb"*)>)"
@@ -873,8 +875,21 @@ def _tj_elements(body: bytes) -> list[tuple]:
     return out
 
 
+# header re-parser for hdr_memo misses (a few thousand per dense doc)
+_B0_HDR_RE = re.compile(
+    rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)" + _WS1 + rb"+("
+    + _NUMPAT_A + rb")" + _WS1 + rb"+Tf" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1
+    + rb"+(" + _NUMPAT_A + rb")" + _WS1 + rb"+Tm"
+)
+
 # module-level group-index constants for the fast regex
 _GI = _MASTER_FAST.groupindex
+_K_B0H = _GI["b0h"]
 _K_B0N, _K_B0S = _GI["b0n"], _GI["b0s"]
 _K_B0M1, _K_B0M6 = _GI["b0m1"], _GI["b0m6"]
 _K_B0X, _K_B0Y = _GI["b0x"], _GI["b0y"]
@@ -897,6 +912,10 @@ _BI_MARKERS = (_K_AO, _K_AC, _K_DO, _K_DC)
 
 
 _HEX_MEMO: dict[bytes, bytes] = {}
+
+# show-cycle coordinate bytes → float memo (Td y-deltas repeat almost
+# totally in machine-generated documents; bounded, cleared wholesale)
+_NUM_MEMO: dict[bytes, float] = {}
 
 
 def _hexval(h: bytes) -> bytes:
@@ -1414,6 +1433,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     hdr_memo: dict = {}
     hex_get = _HEX_MEMO.get  # 99% of hex show strings repeat (527 unique
     #                          of 59.6k on Cold_Email) — inline the memo
+    num_memo = _NUM_MEMO  # coordinate bytes→float memo (y repeats ~100%)
     # more hot-state locals (same write-back discipline as the counters):
     # CTM identity flag — text-only pages never leave the identity CTM, so
     # the per-show origin collapses to (tm[4], tm[5]); font size and
@@ -1431,25 +1451,26 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
             kind = m.lastindex
             if kind is None:
                 continue
-            if kind == _K_B0HEX or kind == _K_B0ET or kind == _K_B0LIT:
-                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block —
-                # all 12 operand groups in ONE C-level fetch; the (font,
-                # size, matrix) HEADER repeats heavily in machine-generated
-                # documents (Cold_Email: 31.5k blocks, 1.9k unique headers)
-                # so its decoded form — font string, parsed floats, and the
-                # font's run-memo dict — memoizes per page scope
+            if kind <= _K_B0ET:
+                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block (the
+                # B0 alternative's possible lastindexes — b0lit/b0hex/b0et
+                # — are the lowest group numbers, so ONE compare routes the
+                # dominant kind). The raw header BYTES (one C-captured
+                # slice) key the per-page header memo: machine-generated
+                # documents repeat a few thousand headers tens of
+                # thousands of times (Cold_Email: 31.5k blocks, 1.9k
+                # unique), so font string, parsed floats, and the font's
+                # run-memo resolve in a single bytes-hash dict hit
                 if stack:
                     stack.clear()
                 interp.in_text = True
-                v = m.group(
-                    _K_B0N, _K_B0S, _K_B0M1, _K_B0M1 + 1, _K_B0M1 + 2,
-                    _K_B0M1 + 3, _K_B0M1 + 4, _K_B0M1 + 5, _K_B0X, _K_B0Y,
-                    _K_B0HEX, _K_B0LIT,
+                hk, gx, gy, h, lit = m.group(
+                    _K_B0H, _K_B0X, _K_B0Y, _K_B0HEX, _K_B0LIT
                 )
-                hk = v[:8]
                 e = hdr_memo.get(hk)
                 if e is None:
-                    nm, sz, m1, m2, m3, m4, m5, m6 = hk
+                    hm = _B0_HDR_RE.match(hk)
+                    nm = hm.group(1)
                     s = name_memo.get(nm)
                     if s is None:
                         if len(name_memo) > 8192:
@@ -1461,8 +1482,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         interp._set_font_memo(s)
                         font_memo = interp._font_memo
                     e = (
-                        s, float(sz), float(m1), float(m2), float(m3),
-                        float(m4), float(m5), float(m6), font_memo,
+                        s, float(hm.group(2)), float(hm.group(3)),
+                        float(hm.group(4)), float(hm.group(5)),
+                        float(hm.group(6)), float(hm.group(7)),
+                        float(hm.group(8)), font_memo,
                     )
                     hdr_memo[hk] = e
                 else:
@@ -1473,27 +1496,40 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         interp._font_memo = font_memo
                 st_i.font_size = l_fs = e[1]
                 a1, a2, a3, a4 = e[2], e[3], e[4], e[5]
-                x, y = float(v[8]), float(v[9])
+                x = num_memo.get(gx)
+                if x is None:
+                    if len(num_memo) > 16384:
+                        num_memo.clear()
+                    x = num_memo[gx] = float(gx)
+                y = num_memo.get(gy)
+                if y is None:
+                    y = num_memo[gy] = float(gy)
                 nmat = (
                     a1, a2, a3, a4,
                     x * a1 + y * a3 + e[6],
                     x * a2 + y * a4 + e[7],
                 )
                 st_i.text_matrix = st_i.text_line_matrix = tmloc = nmat
-                h = v[10]
                 if h is None:
-                    tb = v[11]
+                    tb = lit
                 else:
                     tb = hex_get(h)
                     if tb is None:
                         tb = _hexval(h)
                 if kind == _K_B0ET:
                     interp.in_text = False
-            elif kind == _K_M1H or kind == _K_M1S:  # x y Td (s)|<hex> Tj
+            elif kind <= _K_M1H:  # x y Td (s)|<hex> Tj (m1s|m1h)
                 if stack:
                     stack.clear()
                 gx, gy, gs, gh = m.group(_K_M1X, _K_M1Y, _K_M1S, _K_M1H)
-                x, y = float(gx), float(gy)
+                x = num_memo.get(gx)
+                if x is None:
+                    if len(num_memo) > 16384:
+                        num_memo.clear()
+                    x = num_memo[gx] = float(gx)
+                y = num_memo.get(gy)
+                if y is None:
+                    y = num_memo[gy] = float(gy)
                 t = st_i.text_line_matrix
                 nmat = (
                     t[0], t[1], t[2], t[3],
