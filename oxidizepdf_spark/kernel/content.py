@@ -1444,7 +1444,15 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     l_fs = st_i.font_size
     l_hs = st_i.horizontal_scale
     l_noart = not st_i.artifact_n or inc_art
-    tmloc = st_i.text_matrix
+    # text/line matrices as SCALARS: every op that writes them (Tm, Td,
+    # T*, BT, fused blocks, show advance) keeps a..d identical between
+    # the two matrices, so six shared coefficients + two translation
+    # pairs carry the full state; tuples materialize only at out-call
+    # write-backs. Saves ~2 tuple allocs + stores per show cycle.
+    _t = st_i.text_line_matrix
+    la1, la2, la3, la4, lt4, lt5 = _t[0], _t[1], _t[2], _t[3], _t[4], _t[5]
+    _t = st_i.text_matrix
+    tt4, tt5 = _t[4], _t[5]
     while pos < n:
         restart = False
         for m in _MASTER_FAST.finditer(data, pos):
@@ -1495,7 +1503,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         font_memo = e[8]
                         interp._font_memo = font_memo
                 st_i.font_size = l_fs = e[1]
-                a1, a2, a3, a4 = e[2], e[3], e[4], e[5]
+                la1, la2, la3, la4 = e[2], e[3], e[4], e[5]
                 x = num_memo.get(gx)
                 if x is None:
                     if len(num_memo) > 16384:
@@ -1504,12 +1512,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 y = num_memo.get(gy)
                 if y is None:
                     y = num_memo[gy] = float(gy)
-                nmat = (
-                    a1, a2, a3, a4,
-                    x * a1 + y * a3 + e[6],
-                    x * a2 + y * a4 + e[7],
-                )
-                st_i.text_matrix = st_i.text_line_matrix = tmloc = nmat
+                lt4 = x * la1 + y * la3 + e[6]
+                lt5 = x * la2 + y * la4 + e[7]
+                tt4 = lt4
+                tt5 = lt5
                 if h is None:
                     tb = lit
                 else:
@@ -1530,13 +1536,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 y = num_memo.get(gy)
                 if y is None:
                     y = num_memo[gy] = float(gy)
-                t = st_i.text_line_matrix
-                nmat = (
-                    t[0], t[1], t[2], t[3],
-                    x * t[0] + y * t[2] + t[4],
-                    x * t[1] + y * t[3] + t[5],
-                )
-                st_i.text_matrix = st_i.text_line_matrix = tmloc = nmat
+                lt4 = x * la1 + y * la3 + lt4
+                lt5 = x * la2 + y * la4 + lt5
+                tt4 = lt4
+                tt5 = lt5
                 if interp.in_text:
                     if kind == _K_M1H:
                         tb = hex_get(gh)
@@ -1548,6 +1551,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 if stack:
                     stack.clear()
                 if interp.in_text:
+                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                     interp._total = l_total
                     interp.last_x = l_lastx
                     interp.last_y = l_lasty
@@ -1557,6 +1562,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     l_lastx = interp.last_x
                     l_lasty = interp.last_y
                     l_lastc = interp._last_char
+                    _t = st_i.text_line_matrix
+                    la1, la2, la3, la4, lt4, lt5 = (
+                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                    )
+                    _t = st_i.text_matrix
+                    tt4 = _t[4]
+                    tt5 = _t[5]
             elif kind == _K_NUM:
                 t = m.group(_K_NUM)
                 push(float(t) if b"." in t else int(t))
@@ -1572,25 +1584,20 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     v = stack[-1] if stack else None
                     if v.__class__ is bytes and interp.in_text:
                         tb = v
-                        tmloc = st_i.text_matrix
                 elif opb == b"Td":
                     xy = _vnums(stack, 2)
                     if xy is not None:
                         x, y = xy
-                        t = st_i.text_line_matrix
-                        nmat = (
-                            t[0], t[1], t[2], t[3],
-                            x * t[0] + y * t[2] + t[4],
-                            x * t[1] + y * t[3] + t[5],
-                        )
-                        st_i.text_matrix = nmat
-                        st_i.text_line_matrix = nmat
+                        lt4 = x * la1 + y * la3 + lt4
+                        lt5 = x * la2 + y * la4 + lt5
+                        tt4 = lt4
+                        tt5 = lt5
                 elif opb == b"Tm":
                     v6 = _vnums(stack, 6)
                     if v6 is not None:
-                        tm = tuple(v6)
-                        st_i.text_matrix = tm
-                        st_i.text_line_matrix = tm
+                        la1, la2, la3, la4, lt4, lt5 = v6
+                        tt4 = lt4
+                        tt5 = lt5
                 elif opb == b"Tf":
                     if (
                         len(stack) >= 2
@@ -1604,8 +1611,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         font_memo = interp._font_memo
                 elif opb == b"BT":
                     interp.in_text = True
-                    st_i.text_matrix = IDENT
-                    st_i.text_line_matrix = IDENT
+                    la1, la2, la3, la4 = 1.0, 0.0, 0.0, 1.0
+                    lt4 = lt5 = tt4 = tt5 = 0.0
                 elif opb == b"ET":
                     interp.in_text = False
                 elif opb == b"TJ":
@@ -1625,6 +1632,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     except ContentParseError:
                         out = None
                     if out is not None and interp.in_text:
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1634,19 +1643,24 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
                 elif opb == b"T*":
-                    t = st_i.text_line_matrix
                     lead = st_i.leading
-                    nmat = (
-                        t[0], t[1], t[2], t[3],
-                        -lead * t[2] + t[4],
-                        -lead * t[3] + t[5],
-                    )
-                    st_i.text_matrix = nmat
-                    st_i.text_line_matrix = nmat
+                    lt4 = -lead * la3 + lt4
+                    lt5 = -lead * la4 + lt5
+                    tt4 = lt4
+                    tt5 = lt5
                 elif opb == b"'":
                     v = stack[-1] if stack else None
                     if v.__class__ is bytes and interp.in_text:
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1656,6 +1670,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
                 elif opb == b'"':
                     ok = (
                         len(stack) >= 3
@@ -1666,6 +1687,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if ok and interp.in_text:
                         st_i.word_space = float(stack[-3])
                         st_i.char_space = float(stack[-2])
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1675,6 +1698,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
                 elif opb == b"TL":
                     v1 = _vnums(stack, 1)
                     if v1 is not None:
@@ -1737,6 +1767,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 elif opb == b"Do":
                     v = stack[-1] if stack else None
                     if v.__class__ is str:
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1746,6 +1778,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
                         font_memo = interp._font_memo
                         l_ctm = st_i.ctm
                         ctm_ident = l_ctm == IDENT
@@ -1766,6 +1805,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     except (ContentParseError, IndexError):
                         tag = None
                     if tag is not None:
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1776,7 +1817,16 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
                         l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
                 elif opb == b"EMC":
+                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                     interp._total = l_total
                     interp.last_x = l_lastx
                     interp.last_y = l_lasty
@@ -1787,6 +1837,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     l_lastx = interp.last_x
                     l_lasty = interp.last_y
                     l_lastc = interp._last_char
+                    _t = st_i.text_line_matrix
+                    la1, la2, la3, la4, lt4, lt5 = (
+                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                    )
+                    _t = st_i.text_matrix
+                    tt4 = _t[4]
+                    tt5 = _t[5]
                 elif opb == b"BI":
                     stack.clear()
                     _params, _payload, pos = _scan_bi(data, m.end())
@@ -1814,12 +1871,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     stack.clear()
                 v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
                             _K_TM1 + 4, _K_TM6)
-                tm = (
-                    float(v[0]), float(v[1]), float(v[2]),
-                    float(v[3]), float(v[4]), float(v[5]),
-                )
-                st_i.text_matrix = tm
-                st_i.text_line_matrix = tm
+                la1, la2, la3 = float(v[0]), float(v[1]), float(v[2])
+                la4, lt4, lt5 = float(v[3]), float(v[4]), float(v[5])
+                tt4 = lt4
+                tt5 = lt5
             elif kind == _K_TFS:  # /name size Tf
                 if stack:
                     stack.clear()
@@ -1843,7 +1898,6 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         if kind == _K_M2H
                         else m.group(_K_M2S)
                     )
-                    tmloc = st_i.text_matrix
             elif kind == _K_LSTR:
                 sdata, pos = _read_literal_string(data, m.end())
                 push(sdata)
@@ -1882,14 +1936,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if hit is None:
                         hit = interp._decode(tb)
                     decoded = hit[0]
-                    tm = tmloc
                     if ctm_ident:
-                        x = tm[4]
-                        y = tm[5]
+                        x = tt4
+                        y = tt5
                     else:
                         ctm = l_ctm
-                        x = tm[4] * ctm[0] + tm[5] * ctm[2] + ctm[4]
-                        y = tm[4] * ctm[1] + tm[5] * ctm[3] + ctm[5]
+                        x = tt4 * ctm[0] + tt5 * ctm[2] + ctm[4]
+                        y = tt4 * ctm[1] + tt5 * ctm[3] + ctm[5]
                     if l_noart:
                         if l_total:
                             dy = y - l_lasty
@@ -1909,11 +1962,11 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     l_lastx = x + width
                     l_lasty = y
                     tx = width if l_hs == 100.0 else width * l_hs / 100.0
-                    st_i.text_matrix = (
-                        tm[0], tm[1], tm[2], tm[3],
-                        tx * tm[0] + tm[4], tx * tm[1] + tm[5],
-                    )
+                    tt4 = tx * la1 + tt4
+                    tt5 = tx * la2 + tt5
                 else:
+                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                     interp._total = l_total
                     interp.last_x = l_lastx
                     interp.last_y = l_lasty
@@ -1923,9 +1976,18 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     l_lastx = interp.last_x
                     l_lasty = interp.last_y
                     l_lastc = interp._last_char
+                    _t = st_i.text_line_matrix
+                    la1, la2, la3, la4, lt4, lt5 = (
+                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                    )
+                    _t = st_i.text_matrix
+                    tt4 = _t[4]
+                    tt5 = _t[5]
                 tb = None
         if not restart:
             break
+    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
     interp._total = l_total
     interp.last_x = l_lastx
     interp.last_y = l_lasty
