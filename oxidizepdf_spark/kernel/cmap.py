@@ -101,6 +101,7 @@ class CMap:
         "notdef_ranges",
         "inherited_predefined",
         "_uni_memo",
+        "_coll_cache",
     )
 
     def __init__(self, cmap_type: str = "ToUnicode"):
@@ -120,6 +121,7 @@ class CMap:
         # massively within a document, and map()+to_unicode() dominate the
         # real-PDF decode profile without it
         self._uni_memo: dict[bytes, str | None] = {}
+        self._coll_cache = False  # resolved CID collection (False = unset)
 
     # -- encoding-CMap (code → CID) surface (encoding_cmap.rs:171-229) ------
 
@@ -354,9 +356,11 @@ def decode_with_cmap(text: bytes, cmap: CMap) -> str:
     collection table (extraction_cmap.rs:696-712) — explicit child bf*
     mappings win; the stride stays 2 bytes whether or not the lookup hits
     (U+FFFD for unmapped non-zero CIDs, nothing for CID 0)."""
-    from .cid_tables import from_ordering
+    coll = cmap._coll_cache
+    if coll is False:
+        from .cid_tables import from_ordering
 
-    coll = from_ordering(_inherited_ordering(cmap))
+        coll = cmap._coll_cache = from_ordering(_inherited_ordering(cmap))
     out: list[str] = []
     i = 0
     n = len(text)

@@ -370,6 +370,35 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
     return out
 
 
+def extract_elements(data: bytes, options: ExtractionOptions | None = None):
+    """Typed document elements with OUTLINE-INFORMED headings
+    (pipeline/partition.rs classification + structure/outline.rs lineage):
+    layout extraction, then element classification where the document's
+    /Outlines titles — when present — are authoritative headings, so
+    outline-bearing PDFs chunk on their real section structure even when
+    headings share the body font size. Returns (elements, DocResult)."""
+    from .elements import classify_pages
+
+    opts = options or ExtractionOptions(
+        preserve_layout=True, reconstruct_paragraphs=True
+    )
+    res = extract_pdf_bytes(data, opts)
+    if res.error is not None and not res.page_fragments:
+        return [], res
+    try:
+        titles = {
+            item["title"]
+            for item in extract_outline(data, password=opts.password)
+            if item["title"]
+        }
+    except Exception:
+        titles = set()
+    return (
+        classify_pages(res.page_fragments, known_headings=titles or None),
+        res,
+    )
+
+
 def extract_form_fields(data: bytes, password: str | None = None) -> list[dict]:
     """AcroForm field VALUES (forms/form_data.rs read-side: the /AcroForm
     → /Fields walk with /T qualified naming, /FT and /V attribute

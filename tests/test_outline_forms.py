@@ -119,6 +119,23 @@ def test_form_extraction_does_not_disturb_content_text():
     assert len(extract_form_fields(pdf)) == 4
 
 
+def test_extract_elements_uses_outline_headings_end_to_end():
+    """extract_elements on an outline-bearing PDF: page text matches the
+    outline titles (single font size — font heuristic blind), so the
+    outline is the only heading signal and must win."""
+    from oxidizepdf_spark.kernel.extract import extract_elements
+
+    pdf = build_outline_pdf(
+        [("Chapter A", ["s1"]), ("Chapter B", ["s2"]), ("Chapter C", [])]
+    )
+    elements, res = extract_elements(pdf)
+    assert res.error is None
+    kinds = {e.text: e.kind for e in elements}
+    assert kinds["Chapter A"] == "title"
+    assert kinds["Chapter B"] == "title"
+    assert kinds["Chapter C"] == "title"
+
+
 def test_outline_headings_override_font_heuristic():
     """classify_elements(known_headings=...): outline titles classify as
     'title' even when every fragment shares one font size (the case where
