@@ -649,12 +649,13 @@ _MASTER_FAST = re.compile(
     rb"(?:\((?P<b0lit>[^()\\]*)\)|<(?P<b0hex>" + _HEXCLS + rb"*)>)"
     + _WS1 + rb"*Tj" + _BOUND +
     rb"(?:" + _WS1 + rb"+(?P<b0et>ET)" + _BOUND + rb")?"
-    # M1: x y Td (flat)|<hex> Tj — the dominant show cycle, one match
+    # M1: x y Td (flat)|<hex> Tj [ET] — the dominant show cycle, one match
     rb"|(?P<m1x>" + _NUMPAT + rb")" + _WS1 + rb"+"
     rb"(?P<m1y>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
     rb"Td" + _WS1 + rb"*"
     rb"(?:\((?P<m1s>[^()\\]*)\)|<(?P<m1h>" + _HEXCLS + rb"*)>)"
     + _WS1 + rb"*Tj" + _BOUND +
+    rb"(?:" + _WS1 + rb"+(?P<m1et>ET)" + _BOUND + rb")?" +
     # M3: a b c d e f Tm — 7 tokens in one match
     rb"|(?P<tm1>" + _NUMPAT + rb")" + _WS1 + rb"+"
     rb"(?P<tm2>" + _NUMPAT_A + rb")" + _WS1 + rb"+"
@@ -895,6 +896,7 @@ _K_B0M1, _K_B0M6 = _GI["b0m1"], _GI["b0m6"]
 _K_B0X, _K_B0Y = _GI["b0x"], _GI["b0y"]
 _K_B0LIT, _K_B0HEX, _K_B0ET = _GI["b0lit"], _GI["b0hex"], _GI["b0et"]
 _K_M1X, _K_M1Y, _K_M1S, _K_M1H = _GI["m1x"], _GI["m1y"], _GI["m1s"], _GI["m1h"]
+_K_M1ET = _GI["m1et"]
 _K_M2S, _K_M2H = _GI["m2s"], _GI["m2h"]
 _K_TJB = _GI["tjb"]
 _K_TM1, _K_TM6 = _GI["tm1"], _GI["tm6"]
@@ -1016,16 +1018,15 @@ def _scan_bi(data: bytes, pos: int) -> tuple[dict, bytes, int]:
                 feed(_OPTOK)  # Tj
                 if kind == _K_B0ET:
                     feed(_OPTOK)  # ET
-            elif kind == _K_M1S or kind == _K_M1H:
+            elif kind == _K_M1S or kind == _K_M1H or kind == _K_M1ET:
                 feed(_numval(m.group(_K_M1X)))
                 feed(_numval(m.group(_K_M1Y)))
                 feed(_OPTOK)
-                feed(
-                    m.group(_K_M1S)
-                    if kind == _K_M1S
-                    else _hexval(m.group(_K_M1H))
-                )
+                h = m.group(_K_M1H)
+                feed(m.group(_K_M1S) if h is None else _hexval(h))
                 feed(_OPTOK)
+                if kind == _K_M1ET:
+                    feed(_OPTOK)  # ET
             elif kind == _K_M2S:
                 feed(m.group(_K_M2S))
                 feed(_OPTOK)
@@ -1078,6 +1079,7 @@ def parse_content(data: bytes) -> list[tuple]:
     )
     B0LIT, B0HEX, B0ET = gi["b0lit"], gi["b0hex"], gi["b0et"]
     M1X, M1Y, M1S, M1H = gi["m1x"], gi["m1y"], gi["m1s"], gi["m1h"]
+    M1ET = gi["m1et"]
     M2S, M2H = gi["m2s"], gi["m2h"]
     TJB = gi["tjb"]
     TM1, TM6 = gi["tm1"], gi["tm6"]
@@ -1129,21 +1131,21 @@ def parse_content(data: bytes) -> list[tuple]:
                     emit(("Tj", _unhex(clean)))
                 if kind == B0ET:
                     emit(T_ET)
-            elif kind == M1H:  # x y Td <hex> Tj
+            elif kind == M1H or kind == M1S or kind == M1ET:
+                # x y Td (s)|<hex> Tj [ET]
                 if st:
                     st.clear()
-                x, y, h = m.group(M1X, M1Y, M1H)
+                x, y, lit, h = m.group(M1X, M1Y, M1S, M1H)
                 emit(("Td", float(x), float(y)))
-                clean = h.translate(None, _EOL_WS)
-                if len(clean) % 2:
-                    clean += b"0"
-                emit(("Tj", _unhex(clean)))
-            elif kind == M1S:  # x y Td (s) Tj
-                if st:
-                    st.clear()
-                x, y, s = m.group(M1X, M1Y, M1S)
-                emit(("Td", float(x), float(y)))
-                emit(("Tj", s))
+                if h is not None:
+                    clean = h.translate(None, _EOL_WS)
+                    if len(clean) % 2:
+                        clean += b"0"
+                    emit(("Tj", _unhex(clean)))
+                else:
+                    emit(("Tj", lit))
+                if kind == M1ET:
+                    emit(T_ET)
             elif kind == TM6:  # a b c d e f Tm
                 if st:
                     st.clear()
@@ -1524,7 +1526,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         tb = _hexval(h)
                 if kind == _K_B0ET:
                     interp.in_text = False
-            elif kind <= _K_M1H:  # x y Td (s)|<hex> Tj (m1s|m1h)
+            elif kind <= _K_M1ET:  # x y Td (s)|<hex> Tj [ET]
                 if stack:
                     stack.clear()
                 gx, gy, gs, gh = m.group(_K_M1X, _K_M1Y, _K_M1S, _K_M1H)
@@ -1541,12 +1543,19 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 tt4 = lt4
                 tt5 = lt5
                 if interp.in_text:
-                    if kind == _K_M1H:
+                    if gh is not None:
                         tb = hex_get(gh)
                         if tb is None:
                             tb = _hexval(gh)
                     else:
                         tb = gs
+                    if kind == _K_M1ET:
+                        # fused trailing ET: the show still renders (tb is
+                        # processed by the loop tail before the flag is read
+                        # again), then text mode closes
+                        interp.in_text = False
+                elif kind == _K_M1ET:
+                    interp.in_text = False
             elif kind == _K_TJB:  # [ … ] TJ
                 if stack:
                     stack.clear()
