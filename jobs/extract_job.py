@@ -33,9 +33,11 @@ def main() -> None:
     ap.add_argument("--mega-threshold-bytes", type=int, default=2_000_000)
     ap.add_argument(
         "--reading-order",
-        choices=("emission", "simple", "xycut"),
+        choices=("emission", "simple", "xycut", "structure"),
         default="emission",
-        help="fragment reading-order strategy (xycut for multi-column docs)",
+        help="fragment reading-order strategy (xycut for multi-column "
+        "docs; structure follows the tagged-PDF /StructTreeRoot MCID "
+        "order where present, simple fallback)",
     )
     ap.add_argument(
         "--error-mode",
