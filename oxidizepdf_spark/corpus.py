@@ -722,6 +722,30 @@ def build_form_pdf(
     return assemble_pdf(objects)
 
 
+def build_invoice_pdf(
+    vendor: str, invoice_no: str, date: str, total: str
+) -> bytes:
+    """1-page invoice-shaped PDF: vendor line (no colon), then colon-keyed
+    fields 40pt apart so each line is its own layout fragment and the
+    colon keyvalue pass sees one pair per line."""
+    lines = [
+        vendor,
+        f"Invoice Number: {invoice_no}",
+        f"Date: {date}",
+        f"Total: {total}",
+    ]
+    parts = [b"BT /F1 12 Tf"]
+    first = True
+    for ln in lines:
+        if first:
+            parts.append(b"100 720 Td (%s) Tj" % escape_pdf_string(ln))
+            first = False
+        else:
+            parts.append(b"0 -40 Td (%s) Tj" % escape_pdf_string(ln))
+    parts.append(b"ET")
+    return build_pdf_with_content_stream(b" ".join(parts))
+
+
 def build_encrypted_pdf(
     text: str, method: str = "rc4-128", user_pw: bytes = b"",
     owner_pw: bytes = b"owner",

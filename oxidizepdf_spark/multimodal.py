@@ -49,7 +49,7 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURES_SCHEMA = (
     "doc_id string, media_ref string, media_type string, n_bytes long, "
-    "sha1 string, fake_embedding array<float>, decoder string"
+    "sha1 string, md5 string, fake_embedding array<float>, decoder string"
 )
 
 FRAME_SCHEMA = (
@@ -104,6 +104,7 @@ def extract_media_features(media: DataFrame, dims: int = 8) -> DataFrame:
                 "media_type": [],
                 "n_bytes": [],
                 "sha1": [],
+                "md5": [],
                 "fake_embedding": [],
                 "decoder": [],
             }
@@ -114,6 +115,7 @@ def extract_media_features(media: DataFrame, dims: int = 8) -> DataFrame:
                 out["media_type"].append(row.media_type)
                 out["n_bytes"].append(len(payload))
                 out["sha1"].append(hashlib.sha1(payload).hexdigest())
+                out["md5"].append(hashlib.md5(payload).hexdigest())
                 out["fake_embedding"].append(fake_embedding(payload, dims))
                 out["decoder"].append(decoder)
             yield pd.DataFrame(out)

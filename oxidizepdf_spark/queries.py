@@ -3432,6 +3432,113 @@ FROM (SELECT doc_id, {NORM_SQL.format(col='text')} AS norm FROM documents)
 """
 
 
+def q_pdf_extract_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invoice vertical (text/invoice/ re-expressed over the shared
+    keyvalue + layout operators, kernel/invoice.py): every document
+    becomes an invoice with deterministic fields — vendor w(0),
+    number INV-doc_id, date 2024-MM-DD from doc_id, total from integer
+    cents — and the extractor must recover all four via pattern-keyed
+    keyvalue matching plus first-colon-less-line vendor detection."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_invoice_pdf
+        from .kernel.invoice import extract_invoice
+
+        for b in batches:
+            out = {
+                "doc_id": [], "vendor": [], "invoice_no": [],
+                "inv_date": [], "total": [], "n_pairs": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                doc_id = int(doc_id)
+                words = [w for w in (norm or "").split(" ") if w]
+                vendor = words[0] if words else "x"
+                cents = doc_id % 9999
+                pdf = build_invoice_pdf(
+                    vendor=vendor,
+                    invoice_no=f"INV-{doc_id}",
+                    date=f"2024-{doc_id % 12 + 1:02d}-{doc_id % 28 + 1:02d}",
+                    total=f"{cents // 100}.{cents % 100:02d}",
+                )
+                inv = extract_invoice(pdf)
+                out["doc_id"].append(doc_id)
+                out["vendor"].append(inv.vendor)
+                out["invoice_no"].append(inv.invoice_number)
+                out["inv_date"].append(inv.invoice_date)
+                out["total"].append(inv.total)
+                out["n_pairs"].append(inv.n_pairs)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, vendor string, invoice_no string, "
+        "inv_date string, total string, n_pairs int",
+    )
+
+
+ORACLE_INVOICE = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(ws) = 0 THEN 'x' ELSE ws[1] END AS vendor,
+       'INV-' || CAST(doc_id AS VARCHAR) AS invoice_no,
+       '2024-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+               || '-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+         AS inv_date,
+       CAST((doc_id % 9999) // 100 AS VARCHAR) || '.'
+         || lpad(CAST((doc_id % 9999) % 100 AS VARCHAR), 2, '0') AS total,
+       3 AS n_pairs
+FROM base
+"""
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated multimodal driver row: binary transport features
+    (byte length + content md5 — the dedup hash a media pipeline keys on)
+    AND the md5-derived fake embeddings, all from ONE Arrow-batched pass
+    over the synthesized media table (multimodal.extract_media_features).
+    Replaces the separate stub-features and fake-embeddings entries."""
+    from .multimodal import extract_media_features, synth_media_table
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
+    feats = extract_media_features(media, dims=4)
+    return feats.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "media_ref",
+        "n_bytes",
+        F.col("md5").alias("media_md5"),
+        *[
+            F.round(F.element_at("fake_embedding", i + 1).cast("double"), 6).alias(
+                f"e{i}"
+            )
+            for i in range(4)
+        ],
+    )
+
+
+def _media_features_oracle() -> str:
+    norm = NORM_SQL.format(col="text")
+    dims = ",\n       ".join(
+        f"ROUND(CAST(('0x' || substr(md5('{i}:' || {norm}), 1, 8)) AS UBIGINT)"
+        f" / 4294967296.0, 6) AS e{i}"
+        for i in range(4)
+    )
+    return f"""
+SELECT doc_id,
+       'media://img/' || CAST(doc_id AS VARCHAR) AS media_ref,
+       length({norm}) AS n_bytes,
+       md5({norm}) AS media_md5,
+       {dims}
+FROM documents
+"""
+
+
 def q_media_fake_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction through the full binary pipeline
     (multimodal.extract_media_features over a synthesized media table):
@@ -4148,8 +4255,8 @@ def build_queries() -> dict:
         "pdf_extract_ocr": q_pdf_extract_ocr,
         "pdf_extract_outline": q_pdf_extract_outline,
         "pdf_extract_form_fields": q_pdf_extract_form_fields,
-        "media_stub_features": q_media_stub_features,
-        "media_fake_embeddings": q_media_fake_embeddings,
+        "pdf_extract_invoice": q_pdf_extract_invoice,
+        "media_features": q_media_features,
         "corpus_events_stats": q_corpus_events_stats,
         "events_sessionization": q_events_sessionization,
         "streaming_event_counts": q_streaming_event_counts,
@@ -4211,8 +4318,8 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_ocr": ORACLE_OCR,
         "pdf_extract_outline": ORACLE_OUTLINE,
         "pdf_extract_form_fields": ORACLE_FORM_FIELDS,
-        "media_stub_features": ORACLE_MEDIA_STUB,
-        "media_fake_embeddings": _media_fake_emb_oracle(),
+        "pdf_extract_invoice": ORACLE_INVOICE,
+        "media_features": _media_features_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "events_sessionization": ORACLE_SESSIONIZATION,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,

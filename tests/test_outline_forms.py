@@ -169,3 +169,48 @@ def test_outline_headings_override_font_heuristic():
     headings = {e.text: e.heading for e in with_outline}
     assert headings["body words here"] == "Section One"
     assert headings["more body text"] == "Section Two"
+
+
+def test_invoice_field_extraction():
+    from oxidizepdf_spark.corpus import build_invoice_pdf
+    from oxidizepdf_spark.kernel.invoice import extract_invoice
+
+    inv = extract_invoice(
+        build_invoice_pdf("Acme Corp", "INV-7", "2024-02-03", "99.10")
+    )
+    assert inv.vendor == "Acme Corp"
+    assert inv.invoice_number == "INV-7"
+    assert inv.invoice_date == "2024-02-03"
+    assert inv.total == "99.10"
+    assert inv.n_pairs == 3
+
+
+def test_invoice_key_variants_and_missing_fields():
+    """'Invoice #' and 'Amount Due' key spellings match; a document with
+    no total stays None instead of mis-assigning."""
+    from oxidizepdf_spark.corpus import (
+        build_pdf_with_content_stream,
+        escape_pdf_string,
+    )
+    from oxidizepdf_spark.kernel.invoice import extract_invoice
+
+    lines = ["MegaVendor Ltd", "Invoice #: A-1", "Amount Due: 12.00"]
+    parts = [b"BT /F1 12 Tf 100 720 Td (%s) Tj" % escape_pdf_string(lines[0])]
+    for ln in lines[1:]:
+        parts.append(b"0 -40 Td (%s) Tj" % escape_pdf_string(ln))
+    parts.append(b"ET")
+    inv = extract_invoice(build_pdf_with_content_stream(b" ".join(parts)))
+    assert inv.invoice_number == "A-1"
+    assert inv.total == "12.00"
+    assert inv.invoice_date is None
+    assert inv.vendor == "MegaVendor Ltd"
+
+
+def test_invoice_plain_text_is_not_an_invoice():
+    from oxidizepdf_spark.corpus import build_text_pdf
+    from oxidizepdf_spark.kernel.invoice import extract_invoice
+
+    inv = extract_invoice(build_text_pdf("just some words here"))
+    assert inv.invoice_number is None
+    assert inv.total is None
+    assert inv.vendor == "just some words here"
