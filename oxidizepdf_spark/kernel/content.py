@@ -1446,6 +1446,8 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     l_fs = st_i.font_size
     l_hs = st_i.horizontal_scale
     l_noart = not st_i.artifact_n or inc_art
+    l_sp = sp_thr * st_i.font_size  # space threshold in glyph units
+    in_text = interp.in_text
     # text/line matrices as SCALARS: every op that writes them (Tm, Td,
     # T*, BT, fused blocks, show advance) keeps a..d identical between
     # the two matrices, so six shared coefficients + two translation
@@ -1473,7 +1475,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 # run-memo resolve in a single bytes-hash dict hit
                 if stack:
                     stack.clear()
-                interp.in_text = True
+                in_text = True
                 hk, gx, gy, h, lit = m.group(
                     _K_B0H, _K_B0X, _K_B0Y, _K_B0HEX, _K_B0LIT
                 )
@@ -1504,7 +1506,10 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         st_i.font_name = s
                         font_memo = e[8]
                         interp._font_memo = font_memo
-                st_i.font_size = l_fs = e[1]
+                fs_new = e[1]
+                if fs_new is not l_fs:
+                    st_i.font_size = l_fs = fs_new
+                    l_sp = sp_thr * l_fs
                 la1, la2, la3, la4 = e[2], e[3], e[4], e[5]
                 x = num_memo.get(gx)
                 if x is None:
@@ -1525,7 +1530,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if tb is None:
                         tb = _hexval(h)
                 if kind == _K_B0ET:
-                    interp.in_text = False
+                    in_text = False
             elif kind <= _K_M1ET:  # x y Td (s)|<hex> Tj [ET]
                 if stack:
                     stack.clear()
@@ -1542,24 +1547,22 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 lt5 = x * la2 + y * la4 + lt5
                 tt4 = lt4
                 tt5 = lt5
-                if interp.in_text:
+                if in_text:
                     if gh is not None:
                         tb = hex_get(gh)
                         if tb is None:
                             tb = _hexval(gh)
                     else:
                         tb = gs
-                    if kind == _K_M1ET:
-                        # fused trailing ET: the show still renders (tb is
-                        # processed by the loop tail before the flag is read
-                        # again), then text mode closes
-                        interp.in_text = False
-                elif kind == _K_M1ET:
-                    interp.in_text = False
+                if kind == _K_M1ET:
+                    # fused trailing ET: the show still renders (tb is
+                    # processed by the loop tail before the flag is read
+                    # again), then text mode closes
+                    in_text = False
             elif kind == _K_TJB:  # [ … ] TJ
                 if stack:
                     stack.clear()
-                if interp.in_text:
+                if in_text:
                     st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
                     st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                     interp._total = l_total
@@ -1591,7 +1594,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                 # their errors propagate precisely as run() propagates them.
                 if opb == b"Tj":
                     v = stack[-1] if stack else None
-                    if v.__class__ is bytes and interp.in_text:
+                    if v.__class__ is bytes and in_text:
                         tb = v
                 elif opb == b"Td":
                     xy = _vnums(stack, 2)
@@ -1616,14 +1619,15 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         s_name = stack[-2]
                         st_i.font_name = s_name
                         st_i.font_size = l_fs = float(stack[-1])
+                        l_sp = sp_thr * l_fs
                         interp._set_font_memo(s_name)
                         font_memo = interp._font_memo
                 elif opb == b"BT":
-                    interp.in_text = True
+                    in_text = True
                     la1, la2, la3, la4 = 1.0, 0.0, 0.0, 1.0
                     lt4 = lt5 = tt4 = tt5 = 0.0
                 elif opb == b"ET":
-                    interp.in_text = False
+                    in_text = False
                 elif opb == b"TJ":
                     out = None
                     try:  # pure parse: mirror of the token path's resync
@@ -1640,7 +1644,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                                 break
                     except ContentParseError:
                         out = None
-                    if out is not None and interp.in_text:
+                    if out is not None and in_text:
                         st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
                         st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
@@ -1667,7 +1671,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     tt5 = lt5
                 elif opb == b"'":
                     v = stack[-1] if stack else None
-                    if v.__class__ is bytes and interp.in_text:
+                    if v.__class__ is bytes and in_text:
                         st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
                         st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
@@ -1693,7 +1697,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         and stack[-2].__class__ in (int, float)
                         and stack[-3].__class__ in (int, float)
                     )
-                    if ok and interp.in_text:
+                    if ok and in_text:
                         st_i.word_space = float(stack[-3])
                         st_i.char_space = float(stack[-2])
                         st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
@@ -1778,6 +1782,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     if v.__class__ is str:
                         st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
                         st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                        interp.in_text = in_text
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
@@ -1795,9 +1800,11 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         tt4 = _t[4]
                         tt5 = _t[5]
                         font_memo = interp._font_memo
+                        in_text = interp.in_text
                         l_ctm = st_i.ctm
                         ctm_ident = l_ctm == IDENT
                         l_fs = st_i.font_size
+                        l_sp = sp_thr * l_fs
                         l_hs = st_i.horizontal_scale
                         l_noart = not st_i.artifact_n or inc_art
                 elif opb == b"BMC":
@@ -1896,12 +1903,13 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                     name_memo[nm] = s
                 st_i.font_name = s
                 st_i.font_size = l_fs = float(sz)
+                l_sp = sp_thr * l_fs
                 interp._set_font_memo(s)
                 font_memo = interp._font_memo
             elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
                 if stack:
                     stack.clear()
-                if interp.in_text:
+                if in_text:
                     tb = (
                         _hexval(m.group(_K_M2H))
                         if kind == _K_M2H
@@ -1959,7 +1967,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                                 tp_append("\n")
                                 l_total += 1
                                 l_lastc = "\n"
-                            elif x - l_lastx > sp_thr * l_fs:
+                            elif x - l_lastx > l_sp:
                                 tp_append(" ")
                                 l_total += 1
                                 l_lastc = " "
@@ -1997,6 +2005,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
             break
     st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
     st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+    interp.in_text = in_text
     interp._total = l_total
     interp.last_x = l_lastx
     interp.last_y = l_lasty
