@@ -326,6 +326,42 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
     page_index = _page_ref_index(reader)
     out: list[dict] = []
     seen: set = set()
+    named: list = []  # lazy [dict] — name → dest value
+
+    def named_dests() -> dict:
+        """Named-destination map, built on first use: catalog /Dests dict
+        (PDF 1.1) plus the /Names → /Dests name tree (document.rs named
+        destination resolution — real arXiv/LaTeX outlines point at
+        'section.N' names, not direct arrays)."""
+        if named:
+            return named[0]
+        table: dict = {}
+        catalog = reader.catalog()
+        legacy = reader.resolve(catalog.get("Dests"))
+        if isinstance(legacy, dict):
+            for k, v in legacy.items():
+                table[k.encode("latin-1") if isinstance(k, str) else k] = v
+
+        def walk_tree(node, depth: int):
+            node = reader.resolve(node)
+            if not isinstance(node, dict) or depth > 64:
+                return
+            pairs = reader.resolve(node.get("Names"))
+            if isinstance(pairs, list):
+                for i in range(0, len(pairs) - 1, 2):
+                    k = reader.resolve(pairs[i])
+                    if isinstance(k, bytes):
+                        table[k] = pairs[i + 1]
+            kids = reader.resolve(node.get("Kids"))
+            if isinstance(kids, list):
+                for kid in kids:
+                    walk_tree(kid, depth + 1)
+
+        names = reader.resolve(catalog.get("Names"))
+        if isinstance(names, dict):
+            walk_tree(names.get("Dests"), 0)
+        named.append(table)
+        return table
 
     def dest_page(item: dict):
         dest = reader.resolve(item.get("Dest"))
@@ -333,6 +369,11 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             action = reader.resolve(item.get("A"))
             if isinstance(action, dict) and str(action.get("S", "")) == "GoTo":
                 dest = reader.resolve(action.get("D"))
+        if isinstance(dest, (bytes, str)):  # named destination
+            key = dest.encode("latin-1") if isinstance(dest, str) else dest
+            dest = reader.resolve(named_dests().get(key))
+            if isinstance(dest, dict):  # << /D [...] >> wrapper form
+                dest = reader.resolve(dest.get("D"))
         if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
             return page_index.get(dest[0])
         return None
@@ -408,7 +449,7 @@ def extract_form_fields(data: bytes, password: str | None = None) -> list[dict]:
     rules; checkbox//radio /V Names surface as their bare name ('Yes',
     'Off'). Filled government/enterprise forms carry their payload here,
     invisible to content-stream extraction."""
-    from .objects import Ref
+    from .objects import Ref, Stream
     from .textstate import _decode_pdf_string
 
     reader = PdfReader(data, password=password)
@@ -424,8 +465,17 @@ def extract_form_fields(data: bytes, password: str | None = None) -> list[dict]:
         v = reader.resolve(v)
         if isinstance(v, bytes):
             return _decode_pdf_string(v)
-        if v is None:
+        if v is None or isinstance(v, (dict, Stream)):
+            # structured values (e.g. /Sig signature dictionaries) carry
+            # no text payload — the field row keeps its type, value None
             return None
+        if isinstance(v, list):
+            # multi-select choice fields: joined selected options
+            parts = [
+                _decode_pdf_string(x) if isinstance(x, bytes) else str(x)
+                for x in (reader.resolve(i) for i in v)
+            ]
+            return "; ".join(p for p in parts if p)
         return str(v)
 
     seen: set = set()

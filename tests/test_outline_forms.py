@@ -214,3 +214,61 @@ def test_invoice_plain_text_is_not_an_invoice():
     assert inv.invoice_number is None
     assert inv.total is None
     assert inv.vendor == "just some words here"
+
+
+def test_outline_named_destination_resolution():
+    """Real-world outlines (arXiv/LaTeX) point at NAMED destinations via
+    the catalog /Names → /Dests name tree; page indexes must resolve
+    through the tree (verified on the Higgs fixture: 31 items)."""
+    data = open(
+        "/root/reference/oxidize-pdf-core/tests/fixtures/"
+        "issue_272_higgs_arxiv_1207_7214.pdf",
+        "rb",
+    ).read()
+    items = extract_outline(data)
+    assert len(items) == 31
+    assert items[0]["title"] == "1 Introduction"
+    pages = [i["page_idx"] for i in items]
+    assert all(p is not None for p in pages), pages
+    # section pages are monotonically non-decreasing in a paper
+    assert pages == sorted(pages)
+
+
+def test_outline_named_destination_synthetic():
+    """Synthetic name-tree fixture: /Dest (name) resolving through
+    /Names → /Dests → /Names pairs, including the << /D [...] >> form."""
+    objects = {
+        1: (
+            b"<< /Type /Catalog /Pages 2 0 R /Outlines 20 0 R "
+            b"/Names << /Dests 40 0 R >> >>"
+        ),
+        2: b"<< /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+        5: _stream_obj(b"", b"BT ET"),
+        6: b"<< /Type /Page /Parent 2 0 R /Contents 7 0 R /MediaBox [0 0 612 792] >>",
+        7: _stream_obj(b"", b"BT ET"),
+        20: b"<< /Type /Outlines /First 21 0 R /Last 22 0 R /Count 2 >>",
+        21: b"<< /Title (one) /Parent 20 0 R /Dest (sec.1) /Next 22 0 R >>",
+        22: b"<< /Title (two) /Parent 20 0 R /Prev 21 0 R /Dest (sec.2) >>",
+        40: (
+            b"<< /Names [(sec.1) [3 0 R /XYZ null null null] "
+            b"(sec.2) << /D [6 0 R /Fit] >>] >>"
+        ),
+    }
+    items = extract_outline(assemble_pdf(objects))
+    assert [(i["title"], i["page_idx"]) for i in items] == [
+        ("one", 0),
+        ("two", 1),
+    ]
+
+
+def test_form_signature_value_is_none_not_stringified():
+    """A /Sig field's dictionary value has no text payload; the row keeps
+    ftype 'Sig' with value None (verified on the BOE fixture)."""
+    data = open(
+        "/root/reference/oxidize-pdf-core/tests/fixtures/"
+        "issue_272_boe_sumario_2025_01_15.pdf",
+        "rb",
+    ).read()
+    fields = extract_form_fields(data)
+    assert fields == [{"name": "Signature1", "ftype": "Sig", "value": None}]
