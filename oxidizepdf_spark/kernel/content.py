@@ -1457,201 +1457,547 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     la1, la2, la3, la4, lt4, lt5 = _t[0], _t[1], _t[2], _t[3], _t[4], _t[5]
     _t = st_i.text_matrix
     tt4, tt5 = _t[4], _t[5]
-    while pos < n:
-        restart = False
-        for m in _MASTER_FAST.finditer(data, pos):
-            kind = m.lastindex
-            if kind is None:
-                continue
-            if kind <= _K_B0ET:
-                # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block (the
-                # B0 alternative's possible lastindexes — b0lit/b0hex/b0et
-                # — are the lowest group numbers, so ONE compare routes the
-                # dominant kind). The raw header BYTES (one C-captured
-                # slice) key the per-page header memo: machine-generated
-                # documents repeat a few thousand headers tens of
-                # thousands of times (Cold_Email: 31.5k blocks, 1.9k
-                # unique), so font string, parsed floats, and the font's
-                # run-memo resolve in a single bytes-hash dict hit
-                if stack:
-                    stack.clear()
-                in_text = True
-                hk, gx, gy, h, lit = m.group(
-                    _K_B0H, _K_B0X, _K_B0Y, _K_B0HEX, _K_B0LIT
-                )
-                e = hdr_memo.get(hk)
-                if e is None:
-                    hm = _B0_HDR_RE.match(hk)
-                    nm = hm.group(1)
+    # try/finally: an exception escaping mid-loop (e.g. inside a Form
+    # XObject, swallowed by _paint_xobject) must still flush the hot-state
+    # locals back to the interpreter, or the tolerant-failure path diverges
+    # from the pinned run-after-parse_content semantics.
+    try:
+        while pos < n:
+            restart = False
+            for m in _MASTER_FAST.finditer(data, pos):
+                kind = m.lastindex
+                if kind is None:
+                    continue
+                if kind <= _K_B0ET:
+                    # whole BT /f s Tf a..f Tm x y Td <s> Tj [ET] block (the
+                    # B0 alternative's possible lastindexes — b0lit/b0hex/b0et
+                    # — are the lowest group numbers, so ONE compare routes the
+                    # dominant kind). The raw header BYTES (one C-captured
+                    # slice) key the per-page header memo: machine-generated
+                    # documents repeat a few thousand headers tens of
+                    # thousands of times (Cold_Email: 31.5k blocks, 1.9k
+                    # unique), so font string, parsed floats, and the font's
+                    # run-memo resolve in a single bytes-hash dict hit
+                    if stack:
+                        stack.clear()
+                    in_text = True
+                    hk, gx, gy, h, lit = m.group(
+                        _K_B0H, _K_B0X, _K_B0Y, _K_B0HEX, _K_B0LIT
+                    )
+                    e = hdr_memo.get(hk)
+                    if e is None:
+                        hm = _B0_HDR_RE.match(hk)
+                        nm = hm.group(1)
+                        s = name_memo.get(nm)
+                        if s is None:
+                            if len(name_memo) > 8192:
+                                name_memo.clear()
+                            s = _decode_name(nm)
+                            name_memo[nm] = s
+                        if s is not st_i.font_name:
+                            st_i.font_name = s
+                            interp._set_font_memo(s)
+                            font_memo = interp._font_memo
+                        e = (
+                            s, float(hm.group(2)), float(hm.group(3)),
+                            float(hm.group(4)), float(hm.group(5)),
+                            float(hm.group(6)), float(hm.group(7)),
+                            float(hm.group(8)), font_memo,
+                        )
+                        hdr_memo[hk] = e
+                    else:
+                        s = e[0]
+                        if s is not st_i.font_name:
+                            st_i.font_name = s
+                            font_memo = e[8]
+                            interp._font_memo = font_memo
+                    fs_new = e[1]
+                    if fs_new is not l_fs:
+                        st_i.font_size = l_fs = fs_new
+                        l_sp = sp_thr * l_fs
+                    la1, la2, la3, la4 = e[2], e[3], e[4], e[5]
+                    x = num_memo.get(gx)
+                    if x is None:
+                        if len(num_memo) > 16384:
+                            num_memo.clear()
+                        x = num_memo[gx] = float(gx)
+                    y = num_memo.get(gy)
+                    if y is None:
+                        if len(num_memo) > 16384:
+                            num_memo.clear()
+                        y = num_memo[gy] = float(gy)
+                    lt4 = x * la1 + y * la3 + e[6]
+                    lt5 = x * la2 + y * la4 + e[7]
+                    tt4 = lt4
+                    tt5 = lt5
+                    if h is None:
+                        tb = lit
+                    else:
+                        tb = hex_get(h)
+                        if tb is None:
+                            tb = _hexval(h)
+                    if kind == _K_B0ET:
+                        in_text = False
+                elif kind <= _K_M1ET:  # x y Td (s)|<hex> Tj [ET]
+                    if stack:
+                        stack.clear()
+                    gx, gy, gs, gh = m.group(_K_M1X, _K_M1Y, _K_M1S, _K_M1H)
+                    x = num_memo.get(gx)
+                    if x is None:
+                        if len(num_memo) > 16384:
+                            num_memo.clear()
+                        x = num_memo[gx] = float(gx)
+                    y = num_memo.get(gy)
+                    if y is None:
+                        if len(num_memo) > 16384:
+                            num_memo.clear()
+                        y = num_memo[gy] = float(gy)
+                    lt4 = x * la1 + y * la3 + lt4
+                    lt5 = x * la2 + y * la4 + lt5
+                    tt4 = lt4
+                    tt5 = lt5
+                    if in_text:
+                        if gh is not None:
+                            tb = hex_get(gh)
+                            if tb is None:
+                                tb = _hexval(gh)
+                        else:
+                            tb = gs
+                    if kind == _K_M1ET:
+                        # fused trailing ET: the show still renders (tb is
+                        # processed by the loop tail before the flag is read
+                        # again), then text mode closes
+                        in_text = False
+                elif kind == _K_TJB:  # [ … ] TJ
+                    if stack:
+                        stack.clear()
+                    if in_text:
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
+                        interp._show_text_array(_tj_elements(m.group(_K_TJB)))
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
+                elif kind == _K_NUM:
+                    t = m.group(_K_NUM)
+                    push(float(t) if b"." in t else int(t))
+                elif kind == _K_SSTR:
+                    push(m.group(_K_SSTR)[1:-1])
+                elif kind == _K_OP:
+                    opb = m.group(_K_OP)
+                    # Operand validation is EXPLICIT (no exception flow):
+                    # invalid operands skip the op exactly like the token
+                    # path's resync, while interpreter ACTIONS run unguarded so
+                    # their errors propagate precisely as run() propagates them.
+                    if opb == b"Tj":
+                        v = stack[-1] if stack else None
+                        if v.__class__ is bytes and in_text:
+                            tb = v
+                    elif opb == b"Td":
+                        xy = _vnums(stack, 2)
+                        if xy is not None:
+                            x, y = xy
+                            lt4 = x * la1 + y * la3 + lt4
+                            lt5 = x * la2 + y * la4 + lt5
+                            tt4 = lt4
+                            tt5 = lt5
+                    elif opb == b"Tm":
+                        v6 = _vnums(stack, 6)
+                        if v6 is not None:
+                            la1, la2, la3, la4, lt4, lt5 = v6
+                            tt4 = lt4
+                            tt5 = lt5
+                    elif opb == b"Tf":
+                        if (
+                            len(stack) >= 2
+                            and stack[-2].__class__ is str
+                            and stack[-1].__class__ in (int, float)
+                        ):
+                            s_name = stack[-2]
+                            st_i.font_name = s_name
+                            st_i.font_size = l_fs = float(stack[-1])
+                            l_sp = sp_thr * l_fs
+                            interp._set_font_memo(s_name)
+                            font_memo = interp._font_memo
+                    elif opb == b"BT":
+                        in_text = True
+                        la1, la2, la3, la4 = 1.0, 0.0, 0.0, 1.0
+                        lt4 = lt5 = tt4 = tt5 = 0.0
+                    elif opb == b"ET":
+                        in_text = False
+                    elif opb == b"TJ":
+                        out = None
+                        try:  # pure parse: mirror of the token path's resync
+                            arr = _rarray(stack)
+                            out = []
+                            for v in arr:
+                                c = v.__class__
+                                if c is bytes:
+                                    out.append(("t", v))
+                                elif c is int or c is float:
+                                    out.append(("s", float(v)))
+                                else:
+                                    out = None
+                                    break
+                        except ContentParseError:
+                            out = None
+                        if out is not None and in_text:
+                            st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                            st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                            interp._total = l_total
+                            interp.last_x = l_lastx
+                            interp.last_y = l_lasty
+                            interp._last_char = l_lastc
+                            interp._show_text_array(out)
+                            l_total = interp._total
+                            l_lastx = interp.last_x
+                            l_lasty = interp.last_y
+                            l_lastc = interp._last_char
+                            _t = st_i.text_line_matrix
+                            la1, la2, la3, la4, lt4, lt5 = (
+                                _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                            )
+                            _t = st_i.text_matrix
+                            tt4 = _t[4]
+                            tt5 = _t[5]
+                    elif opb == b"T*":
+                        lead = st_i.leading
+                        lt4 = -lead * la3 + lt4
+                        lt5 = -lead * la4 + lt5
+                        tt4 = lt4
+                        tt5 = lt5
+                    elif opb == b"'":
+                        v = stack[-1] if stack else None
+                        if v.__class__ is bytes and in_text:
+                            st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                            st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                            interp._total = l_total
+                            interp.last_x = l_lastx
+                            interp.last_y = l_lasty
+                            interp._last_char = l_lastc
+                            interp._next_line_show(v)
+                            l_total = interp._total
+                            l_lastx = interp.last_x
+                            l_lasty = interp.last_y
+                            l_lastc = interp._last_char
+                            _t = st_i.text_line_matrix
+                            la1, la2, la3, la4, lt4, lt5 = (
+                                _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                            )
+                            _t = st_i.text_matrix
+                            tt4 = _t[4]
+                            tt5 = _t[5]
+                    elif opb == b'"':
+                        ok = (
+                            len(stack) >= 3
+                            and stack[-1].__class__ is bytes
+                            and stack[-2].__class__ in (int, float)
+                            and stack[-3].__class__ in (int, float)
+                        )
+                        if ok and in_text:
+                            st_i.word_space = float(stack[-3])
+                            st_i.char_space = float(stack[-2])
+                            st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                            st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                            interp._total = l_total
+                            interp.last_x = l_lastx
+                            interp.last_y = l_lasty
+                            interp._last_char = l_lastc
+                            interp._next_line_show(stack[-1])
+                            l_total = interp._total
+                            l_lastx = interp.last_x
+                            l_lasty = interp.last_y
+                            l_lastc = interp._last_char
+                            _t = st_i.text_line_matrix
+                            la1, la2, la3, la4, lt4, lt5 = (
+                                _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                            )
+                            _t = st_i.text_matrix
+                            tt4 = _t[4]
+                            tt5 = _t[5]
+                    elif opb == b"TL":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.leading = v1[0]
+                    elif opb == b"Tc":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.char_space = v1[0]
+                    elif opb == b"Tw":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.word_space = v1[0]
+                    elif opb == b"Tz":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.horizontal_scale = l_hs = v1[0]
+                    elif opb == b"Ts":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.text_rise = v1[0]
+                    elif opb == b"Tr":
+                        v = stack[-1] if stack else None
+                        if v.__class__ is int:
+                            st_i.render_mode = v
+                    elif opb == b"cm":
+                        v6 = _vnums(stack, 6)
+                        if v6 is not None:
+                            a, b, c, d, e, f = v6
+                            o = st_i.ctm
+                            st_i.ctm = l_ctm = (
+                                a * o[0] + b * o[2],
+                                a * o[1] + b * o[3],
+                                c * o[0] + d * o[2],
+                                c * o[1] + d * o[3],
+                                e * o[0] + f * o[2] + o[4],
+                                e * o[1] + f * o[3] + o[5],
+                            )
+                            ctm_ident = l_ctm == IDENT
+                    elif opb == b"q":
+                        st_i.saved.append((st_i.ctm, st_i.fill_color))
+                    elif opb == b"Q":
+                        if st_i.saved:
+                            st_i.ctm, st_i.fill_color = st_i.saved.pop()
+                            l_ctm = st_i.ctm
+                            ctm_ident = l_ctm == IDENT
+                    elif opb == b"g":
+                        v1 = _vnums(stack, 1)
+                        if v1 is not None:
+                            st_i.fill_color = ("gray", v1[0])
+                    elif opb == b"rg":
+                        v3 = _vnums(stack, 3)
+                        if v3 is not None:
+                            st_i.fill_color = ("rgb", v3[0], v3[1], v3[2])
+                    elif opb == b"k":
+                        v4 = _vnums(stack, 4)
+                        if v4 is not None:
+                            st_i.fill_color = (
+                                "cmyk", v4[0], v4[1], v4[2], v4[3]
+                            )
+                    elif opb == b"Do":
+                        v = stack[-1] if stack else None
+                        if v.__class__ is str:
+                            st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                            st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                            interp.in_text = in_text
+                            interp._total = l_total
+                            interp.last_x = l_lastx
+                            interp.last_y = l_lasty
+                            interp._last_char = l_lastc
+                            interp._paint_xobject(v, resources, depth)
+                            l_total = interp._total
+                            l_lastx = interp.last_x
+                            l_lasty = interp.last_y
+                            l_lastc = interp._last_char
+                            _t = st_i.text_line_matrix
+                            la1, la2, la3, la4, lt4, lt5 = (
+                                _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                            )
+                            _t = st_i.text_matrix
+                            tt4 = _t[4]
+                            tt5 = _t[5]
+                            font_memo = interp._font_memo
+                            in_text = interp.in_text
+                            l_ctm = st_i.ctm
+                            ctm_ident = l_ctm == IDENT
+                            l_fs = st_i.font_size
+                            l_sp = sp_thr * l_fs
+                            l_hs = st_i.horizontal_scale
+                            l_noart = not st_i.artifact_n or inc_art
+                    elif opb == b"BMC":
+                        v = stack[-1] if stack else None
+                        if v.__class__ is str:
+                            interp._op_bmc(v)
+                            l_noart = not st_i.artifact_n or inc_art
+                    elif opb == b"BDC":
+                        tag = props = None
+                        try:  # pure parse of the props + tag operands
+                            props = _rdict_or_name(stack)
+                            t2 = stack.pop()
+                            tag = t2 if t2.__class__ is str else None
+                        except (ContentParseError, IndexError):
+                            tag = None
+                        if tag is not None:
+                            st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                            st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                            interp._total = l_total
+                            interp.last_x = l_lastx
+                            interp.last_y = l_lasty
+                            interp._last_char = l_lastc
+                            interp._op_bdc(tag, props, resources)
+                            l_noart = not st_i.artifact_n or inc_art
+                            l_total = interp._total
+                            l_lastx = interp.last_x
+                            l_lasty = interp.last_y
+                            l_lastc = interp._last_char
+                            _t = st_i.text_line_matrix
+                            la1, la2, la3, la4, lt4, lt5 = (
+                                _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                            )
+                            _t = st_i.text_matrix
+                            tt4 = _t[4]
+                            tt5 = _t[5]
+                    elif opb == b"EMC":
+                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+                        interp._total = l_total
+                        interp.last_x = l_lastx
+                        interp.last_y = l_lasty
+                        interp._last_char = l_lastc
+                        interp._op_emc()
+                        l_noart = not st_i.artifact_n or inc_art
+                        l_total = interp._total
+                        l_lastx = interp.last_x
+                        l_lasty = interp.last_y
+                        l_lastc = interp._last_char
+                        _t = st_i.text_line_matrix
+                        la1, la2, la3, la4, lt4, lt5 = (
+                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
+                        )
+                        _t = st_i.text_matrix
+                        tt4 = _t[4]
+                        tt5 = _t[5]
+                    elif opb == b"BI":
+                        stack.clear()
+                        _params, _payload, pos = _scan_bi(data, m.end())
+                        interp._emit_image(
+                            f"inline:{interp.page_index}:{interp._inline_idx}"
+                        )
+                        interp._inline_idx += 1
+                        restart = True
+                        break
+                    elif opb == b"ID":
+                        # stray ID: resync + the swallowed payload becomes
+                        # an operand no pop accepts (token-path parity)
+                        stack.clear()
+                        payload, pos = _read_inline_image_data(data, m.end())
+                        push(_InlineTok(payload))
+                        restart = True
+                        break
+                    # every other operator (paths, colors incl. gs/SC/sc,
+                    # TD, dash, clipping, XObject-irrelevant) has NO
+                    # extraction effect: operands are discarded unparsed
+                    if stack:
+                        stack.clear()
+                elif kind == _K_TM6:  # a b c d e f Tm
+                    if stack:
+                        stack.clear()
+                    v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
+                                _K_TM1 + 4, _K_TM6)
+                    la1, la2, la3 = float(v[0]), float(v[1]), float(v[2])
+                    la4, lt4, lt5 = float(v[3]), float(v[4]), float(v[5])
+                    tt4 = lt4
+                    tt5 = lt5
+                elif kind == _K_TFS:  # /name size Tf
+                    if stack:
+                        stack.clear()
+                    nm, sz = m.group(_K_TFN, _K_TFS)
                     s = name_memo.get(nm)
                     if s is None:
                         if len(name_memo) > 8192:
                             name_memo.clear()
                         s = _decode_name(nm)
                         name_memo[nm] = s
-                    if s is not st_i.font_name:
-                        st_i.font_name = s
-                        interp._set_font_memo(s)
-                        font_memo = interp._font_memo
-                    e = (
-                        s, float(hm.group(2)), float(hm.group(3)),
-                        float(hm.group(4)), float(hm.group(5)),
-                        float(hm.group(6)), float(hm.group(7)),
-                        float(hm.group(8)), font_memo,
-                    )
-                    hdr_memo[hk] = e
-                else:
-                    s = e[0]
-                    if s is not st_i.font_name:
-                        st_i.font_name = s
-                        font_memo = e[8]
-                        interp._font_memo = font_memo
-                fs_new = e[1]
-                if fs_new is not l_fs:
-                    st_i.font_size = l_fs = fs_new
+                    st_i.font_name = s
+                    st_i.font_size = l_fs = float(sz)
                     l_sp = sp_thr * l_fs
-                la1, la2, la3, la4 = e[2], e[3], e[4], e[5]
-                x = num_memo.get(gx)
-                if x is None:
-                    if len(num_memo) > 16384:
-                        num_memo.clear()
-                    x = num_memo[gx] = float(gx)
-                y = num_memo.get(gy)
-                if y is None:
-                    y = num_memo[gy] = float(gy)
-                lt4 = x * la1 + y * la3 + e[6]
-                lt5 = x * la2 + y * la4 + e[7]
-                tt4 = lt4
-                tt5 = lt5
-                if h is None:
-                    tb = lit
-                else:
-                    tb = hex_get(h)
-                    if tb is None:
-                        tb = _hexval(h)
-                if kind == _K_B0ET:
-                    in_text = False
-            elif kind <= _K_M1ET:  # x y Td (s)|<hex> Tj [ET]
-                if stack:
-                    stack.clear()
-                gx, gy, gs, gh = m.group(_K_M1X, _K_M1Y, _K_M1S, _K_M1H)
-                x = num_memo.get(gx)
-                if x is None:
-                    if len(num_memo) > 16384:
-                        num_memo.clear()
-                    x = num_memo[gx] = float(gx)
-                y = num_memo.get(gy)
-                if y is None:
-                    y = num_memo[gy] = float(gy)
-                lt4 = x * la1 + y * la3 + lt4
-                lt5 = x * la2 + y * la4 + lt5
-                tt4 = lt4
-                tt5 = lt5
-                if in_text:
-                    if gh is not None:
-                        tb = hex_get(gh)
-                        if tb is None:
-                            tb = _hexval(gh)
+                    interp._set_font_memo(s)
+                    font_memo = interp._font_memo
+                elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
+                    if stack:
+                        stack.clear()
+                    if in_text:
+                        tb = (
+                            _hexval(m.group(_K_M2H))
+                            if kind == _K_M2H
+                            else m.group(_K_M2S)
+                        )
+                elif kind == _K_LSTR:
+                    sdata, pos = _read_literal_string(data, m.end())
+                    push(sdata)
+                    restart = True
+                    break
+                elif kind == _K_HSTR:
+                    push(_hexval(m.group(_K_HSTR)[1:-1]))
+                elif kind == _K_NAME:
+                    nm = m.group(_K_NAME)  # includes the leading '/'
+                    s = name_memo.get(nm)
+                    if s is None:
+                        if len(name_memo) > 8192:
+                            name_memo.clear()
+                        s = _decode_name(nm[1:])
+                        name_memo[nm] = s
+                    push(s)
+                elif kind == _K_AO:
+                    push(_AO)
+                elif kind == _K_AC:
+                    push(_AC)
+                elif kind == _K_DO:
+                    push(_DO)
+                elif kind == _K_DC:
+                    push(_DC)
+                # skipd delimiters are dropped
+                if tb is not None:
+                    # INLINE ShowText — the reference implementation is
+                    # Interpreter._show_text (textstate.py:419); the
+                    # parse_and_run == run∘parse_content differential tests pin
+                    # the two byte-for-byte equal, incl. full interpreter
+                    # state. Inlined because dense documents execute this ~60k
+                    # times per doc and the method-call + attribute-load
+                    # overhead dominated the kernel profile.
+                    if fast_show:
+                        hit = font_memo.get(tb)
+                        if hit is None:
+                            hit = interp._decode(tb)
+                        decoded = hit[0]
+                        if ctm_ident:
+                            x = tt4
+                            y = tt5
+                        else:
+                            ctm = l_ctm
+                            x = tt4 * ctm[0] + tt5 * ctm[2] + ctm[4]
+                            y = tt4 * ctm[1] + tt5 * ctm[3] + ctm[5]
+                        if l_noart:
+                            if l_total:
+                                dy = y - l_lasty
+                                if dy > nl_thr or -dy > nl_thr:
+                                    tp_append("\n")
+                                    l_total += 1
+                                    l_lastc = "\n"
+                                elif x - l_lastx > l_sp:
+                                    tp_append(" ")
+                                    l_total += 1
+                                    l_lastc = " "
+                            if decoded:
+                                tp_append(decoded)
+                                l_total += len(decoded)
+                                l_lastc = decoded[-1]
+                        width = hit[1] * l_fs
+                        l_lastx = x + width
+                        l_lasty = y
+                        tx = width if l_hs == 100.0 else width * l_hs / 100.0
+                        tt4 = tx * la1 + tt4
+                        tt5 = tx * la2 + tt5
                     else:
-                        tb = gs
-                if kind == _K_M1ET:
-                    # fused trailing ET: the show still renders (tb is
-                    # processed by the loop tail before the flag is read
-                    # again), then text mode closes
-                    in_text = False
-            elif kind == _K_TJB:  # [ … ] TJ
-                if stack:
-                    stack.clear()
-                if in_text:
-                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                    interp._total = l_total
-                    interp.last_x = l_lastx
-                    interp.last_y = l_lasty
-                    interp._last_char = l_lastc
-                    interp._show_text_array(_tj_elements(m.group(_K_TJB)))
-                    l_total = interp._total
-                    l_lastx = interp.last_x
-                    l_lasty = interp.last_y
-                    l_lastc = interp._last_char
-                    _t = st_i.text_line_matrix
-                    la1, la2, la3, la4, lt4, lt5 = (
-                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                    )
-                    _t = st_i.text_matrix
-                    tt4 = _t[4]
-                    tt5 = _t[5]
-            elif kind == _K_NUM:
-                t = m.group(_K_NUM)
-                push(float(t) if b"." in t else int(t))
-            elif kind == _K_SSTR:
-                push(m.group(_K_SSTR)[1:-1])
-            elif kind == _K_OP:
-                opb = m.group(_K_OP)
-                # Operand validation is EXPLICIT (no exception flow):
-                # invalid operands skip the op exactly like the token
-                # path's resync, while interpreter ACTIONS run unguarded so
-                # their errors propagate precisely as run() propagates them.
-                if opb == b"Tj":
-                    v = stack[-1] if stack else None
-                    if v.__class__ is bytes and in_text:
-                        tb = v
-                elif opb == b"Td":
-                    xy = _vnums(stack, 2)
-                    if xy is not None:
-                        x, y = xy
-                        lt4 = x * la1 + y * la3 + lt4
-                        lt5 = x * la2 + y * la4 + lt5
-                        tt4 = lt4
-                        tt5 = lt5
-                elif opb == b"Tm":
-                    v6 = _vnums(stack, 6)
-                    if v6 is not None:
-                        la1, la2, la3, la4, lt4, lt5 = v6
-                        tt4 = lt4
-                        tt5 = lt5
-                elif opb == b"Tf":
-                    if (
-                        len(stack) >= 2
-                        and stack[-2].__class__ is str
-                        and stack[-1].__class__ in (int, float)
-                    ):
-                        s_name = stack[-2]
-                        st_i.font_name = s_name
-                        st_i.font_size = l_fs = float(stack[-1])
-                        l_sp = sp_thr * l_fs
-                        interp._set_font_memo(s_name)
-                        font_memo = interp._font_memo
-                elif opb == b"BT":
-                    in_text = True
-                    la1, la2, la3, la4 = 1.0, 0.0, 0.0, 1.0
-                    lt4 = lt5 = tt4 = tt5 = 0.0
-                elif opb == b"ET":
-                    in_text = False
-                elif opb == b"TJ":
-                    out = None
-                    try:  # pure parse: mirror of the token path's resync
-                        arr = _rarray(stack)
-                        out = []
-                        for v in arr:
-                            c = v.__class__
-                            if c is bytes:
-                                out.append(("t", v))
-                            elif c is int or c is float:
-                                out.append(("s", float(v)))
-                            else:
-                                out = None
-                                break
-                    except ContentParseError:
-                        out = None
-                    if out is not None and in_text:
                         st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
                         st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
                         interp._total = l_total
                         interp.last_x = l_lastx
                         interp.last_y = l_lasty
                         interp._last_char = l_lastc
-                        interp._show_text_array(out)
+                        interp._show_text(tb)
                         l_total = interp._total
                         l_lastx = interp.last_x
                         l_lasty = interp.last_y
@@ -1663,350 +2009,14 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
                         _t = st_i.text_matrix
                         tt4 = _t[4]
                         tt5 = _t[5]
-                elif opb == b"T*":
-                    lead = st_i.leading
-                    lt4 = -lead * la3 + lt4
-                    lt5 = -lead * la4 + lt5
-                    tt4 = lt4
-                    tt5 = lt5
-                elif opb == b"'":
-                    v = stack[-1] if stack else None
-                    if v.__class__ is bytes and in_text:
-                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                        interp._total = l_total
-                        interp.last_x = l_lastx
-                        interp.last_y = l_lasty
-                        interp._last_char = l_lastc
-                        interp._next_line_show(v)
-                        l_total = interp._total
-                        l_lastx = interp.last_x
-                        l_lasty = interp.last_y
-                        l_lastc = interp._last_char
-                        _t = st_i.text_line_matrix
-                        la1, la2, la3, la4, lt4, lt5 = (
-                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                        )
-                        _t = st_i.text_matrix
-                        tt4 = _t[4]
-                        tt5 = _t[5]
-                elif opb == b'"':
-                    ok = (
-                        len(stack) >= 3
-                        and stack[-1].__class__ is bytes
-                        and stack[-2].__class__ in (int, float)
-                        and stack[-3].__class__ in (int, float)
-                    )
-                    if ok and in_text:
-                        st_i.word_space = float(stack[-3])
-                        st_i.char_space = float(stack[-2])
-                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                        interp._total = l_total
-                        interp.last_x = l_lastx
-                        interp.last_y = l_lasty
-                        interp._last_char = l_lastc
-                        interp._next_line_show(stack[-1])
-                        l_total = interp._total
-                        l_lastx = interp.last_x
-                        l_lasty = interp.last_y
-                        l_lastc = interp._last_char
-                        _t = st_i.text_line_matrix
-                        la1, la2, la3, la4, lt4, lt5 = (
-                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                        )
-                        _t = st_i.text_matrix
-                        tt4 = _t[4]
-                        tt5 = _t[5]
-                elif opb == b"TL":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.leading = v1[0]
-                elif opb == b"Tc":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.char_space = v1[0]
-                elif opb == b"Tw":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.word_space = v1[0]
-                elif opb == b"Tz":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.horizontal_scale = l_hs = v1[0]
-                elif opb == b"Ts":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.text_rise = v1[0]
-                elif opb == b"Tr":
-                    v = stack[-1] if stack else None
-                    if v.__class__ is int:
-                        st_i.render_mode = v
-                elif opb == b"cm":
-                    v6 = _vnums(stack, 6)
-                    if v6 is not None:
-                        a, b, c, d, e, f = v6
-                        o = st_i.ctm
-                        st_i.ctm = l_ctm = (
-                            a * o[0] + b * o[2],
-                            a * o[1] + b * o[3],
-                            c * o[0] + d * o[2],
-                            c * o[1] + d * o[3],
-                            e * o[0] + f * o[2] + o[4],
-                            e * o[1] + f * o[3] + o[5],
-                        )
-                        ctm_ident = l_ctm == IDENT
-                elif opb == b"q":
-                    st_i.saved.append((st_i.ctm, st_i.fill_color))
-                elif opb == b"Q":
-                    if st_i.saved:
-                        st_i.ctm, st_i.fill_color = st_i.saved.pop()
-                        l_ctm = st_i.ctm
-                        ctm_ident = l_ctm == IDENT
-                elif opb == b"g":
-                    v1 = _vnums(stack, 1)
-                    if v1 is not None:
-                        st_i.fill_color = ("gray", v1[0])
-                elif opb == b"rg":
-                    v3 = _vnums(stack, 3)
-                    if v3 is not None:
-                        st_i.fill_color = ("rgb", v3[0], v3[1], v3[2])
-                elif opb == b"k":
-                    v4 = _vnums(stack, 4)
-                    if v4 is not None:
-                        st_i.fill_color = (
-                            "cmyk", v4[0], v4[1], v4[2], v4[3]
-                        )
-                elif opb == b"Do":
-                    v = stack[-1] if stack else None
-                    if v.__class__ is str:
-                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                        interp.in_text = in_text
-                        interp._total = l_total
-                        interp.last_x = l_lastx
-                        interp.last_y = l_lasty
-                        interp._last_char = l_lastc
-                        interp._paint_xobject(v, resources, depth)
-                        l_total = interp._total
-                        l_lastx = interp.last_x
-                        l_lasty = interp.last_y
-                        l_lastc = interp._last_char
-                        _t = st_i.text_line_matrix
-                        la1, la2, la3, la4, lt4, lt5 = (
-                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                        )
-                        _t = st_i.text_matrix
-                        tt4 = _t[4]
-                        tt5 = _t[5]
-                        font_memo = interp._font_memo
-                        in_text = interp.in_text
-                        l_ctm = st_i.ctm
-                        ctm_ident = l_ctm == IDENT
-                        l_fs = st_i.font_size
-                        l_sp = sp_thr * l_fs
-                        l_hs = st_i.horizontal_scale
-                        l_noart = not st_i.artifact_n or inc_art
-                elif opb == b"BMC":
-                    v = stack[-1] if stack else None
-                    if v.__class__ is str:
-                        interp._op_bmc(v)
-                        l_noart = not st_i.artifact_n or inc_art
-                elif opb == b"BDC":
-                    tag = props = None
-                    try:  # pure parse of the props + tag operands
-                        props = _rdict_or_name(stack)
-                        t2 = stack.pop()
-                        tag = t2 if t2.__class__ is str else None
-                    except (ContentParseError, IndexError):
-                        tag = None
-                    if tag is not None:
-                        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                        interp._total = l_total
-                        interp.last_x = l_lastx
-                        interp.last_y = l_lasty
-                        interp._last_char = l_lastc
-                        interp._op_bdc(tag, props, resources)
-                        l_noart = not st_i.artifact_n or inc_art
-                        l_total = interp._total
-                        l_lastx = interp.last_x
-                        l_lasty = interp.last_y
-                        l_lastc = interp._last_char
-                        _t = st_i.text_line_matrix
-                        la1, la2, la3, la4, lt4, lt5 = (
-                            _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                        )
-                        _t = st_i.text_matrix
-                        tt4 = _t[4]
-                        tt5 = _t[5]
-                elif opb == b"EMC":
-                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                    interp._total = l_total
-                    interp.last_x = l_lastx
-                    interp.last_y = l_lasty
-                    interp._last_char = l_lastc
-                    interp._op_emc()
-                    l_noart = not st_i.artifact_n or inc_art
-                    l_total = interp._total
-                    l_lastx = interp.last_x
-                    l_lasty = interp.last_y
-                    l_lastc = interp._last_char
-                    _t = st_i.text_line_matrix
-                    la1, la2, la3, la4, lt4, lt5 = (
-                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                    )
-                    _t = st_i.text_matrix
-                    tt4 = _t[4]
-                    tt5 = _t[5]
-                elif opb == b"BI":
-                    stack.clear()
-                    _params, _payload, pos = _scan_bi(data, m.end())
-                    interp._emit_image(
-                        f"inline:{interp.page_index}:{interp._inline_idx}"
-                    )
-                    interp._inline_idx += 1
-                    restart = True
-                    break
-                elif opb == b"ID":
-                    # stray ID: resync + the swallowed payload becomes
-                    # an operand no pop accepts (token-path parity)
-                    stack.clear()
-                    payload, pos = _read_inline_image_data(data, m.end())
-                    push(_InlineTok(payload))
-                    restart = True
-                    break
-                # every other operator (paths, colors incl. gs/SC/sc,
-                # TD, dash, clipping, XObject-irrelevant) has NO
-                # extraction effect: operands are discarded unparsed
-                if stack:
-                    stack.clear()
-            elif kind == _K_TM6:  # a b c d e f Tm
-                if stack:
-                    stack.clear()
-                v = m.group(_K_TM1, _K_TM1 + 1, _K_TM1 + 2, _K_TM1 + 3,
-                            _K_TM1 + 4, _K_TM6)
-                la1, la2, la3 = float(v[0]), float(v[1]), float(v[2])
-                la4, lt4, lt5 = float(v[3]), float(v[4]), float(v[5])
-                tt4 = lt4
-                tt5 = lt5
-            elif kind == _K_TFS:  # /name size Tf
-                if stack:
-                    stack.clear()
-                nm, sz = m.group(_K_TFN, _K_TFS)
-                s = name_memo.get(nm)
-                if s is None:
-                    if len(name_memo) > 8192:
-                        name_memo.clear()
-                    s = _decode_name(nm)
-                    name_memo[nm] = s
-                st_i.font_name = s
-                st_i.font_size = l_fs = float(sz)
-                l_sp = sp_thr * l_fs
-                interp._set_font_memo(s)
-                font_memo = interp._font_memo
-            elif kind == _K_M2H or kind == _K_M2S:  # (s)|<hex> Tj
-                if stack:
-                    stack.clear()
-                if in_text:
-                    tb = (
-                        _hexval(m.group(_K_M2H))
-                        if kind == _K_M2H
-                        else m.group(_K_M2S)
-                    )
-            elif kind == _K_LSTR:
-                sdata, pos = _read_literal_string(data, m.end())
-                push(sdata)
-                restart = True
+                    tb = None
+            if not restart:
                 break
-            elif kind == _K_HSTR:
-                push(_hexval(m.group(_K_HSTR)[1:-1]))
-            elif kind == _K_NAME:
-                nm = m.group(_K_NAME)  # includes the leading '/'
-                s = name_memo.get(nm)
-                if s is None:
-                    if len(name_memo) > 8192:
-                        name_memo.clear()
-                    s = _decode_name(nm[1:])
-                    name_memo[nm] = s
-                push(s)
-            elif kind == _K_AO:
-                push(_AO)
-            elif kind == _K_AC:
-                push(_AC)
-            elif kind == _K_DO:
-                push(_DO)
-            elif kind == _K_DC:
-                push(_DC)
-            # skipd delimiters are dropped
-            if tb is not None:
-                # INLINE ShowText — the reference implementation is
-                # Interpreter._show_text (textstate.py:419); the
-                # parse_and_run == run∘parse_content differential tests pin
-                # the two byte-for-byte equal, incl. full interpreter
-                # state. Inlined because dense documents execute this ~60k
-                # times per doc and the method-call + attribute-load
-                # overhead dominated the kernel profile.
-                if fast_show:
-                    hit = font_memo.get(tb)
-                    if hit is None:
-                        hit = interp._decode(tb)
-                    decoded = hit[0]
-                    if ctm_ident:
-                        x = tt4
-                        y = tt5
-                    else:
-                        ctm = l_ctm
-                        x = tt4 * ctm[0] + tt5 * ctm[2] + ctm[4]
-                        y = tt4 * ctm[1] + tt5 * ctm[3] + ctm[5]
-                    if l_noart:
-                        if l_total:
-                            dy = y - l_lasty
-                            if dy > nl_thr or -dy > nl_thr:
-                                tp_append("\n")
-                                l_total += 1
-                                l_lastc = "\n"
-                            elif x - l_lastx > l_sp:
-                                tp_append(" ")
-                                l_total += 1
-                                l_lastc = " "
-                        if decoded:
-                            tp_append(decoded)
-                            l_total += len(decoded)
-                            l_lastc = decoded[-1]
-                    width = hit[1] * l_fs
-                    l_lastx = x + width
-                    l_lasty = y
-                    tx = width if l_hs == 100.0 else width * l_hs / 100.0
-                    tt4 = tx * la1 + tt4
-                    tt5 = tx * la2 + tt5
-                else:
-                    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-                    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-                    interp._total = l_total
-                    interp.last_x = l_lastx
-                    interp.last_y = l_lasty
-                    interp._last_char = l_lastc
-                    interp._show_text(tb)
-                    l_total = interp._total
-                    l_lastx = interp.last_x
-                    l_lasty = interp.last_y
-                    l_lastc = interp._last_char
-                    _t = st_i.text_line_matrix
-                    la1, la2, la3, la4, lt4, lt5 = (
-                        _t[0], _t[1], _t[2], _t[3], _t[4], _t[5],
-                    )
-                    _t = st_i.text_matrix
-                    tt4 = _t[4]
-                    tt5 = _t[5]
-                tb = None
-        if not restart:
-            break
-    st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
-    st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
-    interp.in_text = in_text
-    interp._total = l_total
-    interp.last_x = l_lastx
-    interp.last_y = l_lasty
-    interp._last_char = l_lastc
+    finally:
+        st_i.text_matrix = (la1, la2, la3, la4, tt4, tt5)
+        st_i.text_line_matrix = (la1, la2, la3, la4, lt4, lt5)
+        interp.in_text = in_text
+        interp._total = l_total
+        interp.last_x = l_lastx
+        interp.last_y = l_lasty
+        interp._last_char = l_lastc

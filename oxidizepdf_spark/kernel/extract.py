@@ -237,6 +237,8 @@ def _page_ref_index(reader) -> dict:
 
     index: dict = {}
     seen: set = set()
+    count = [0]  # every page leaf advances the counter, Ref or inline dict,
+    # so numbering stays aligned with flatten_page_tree (which keeps both)
 
     def walk(ref_or_node, depth: int):
         if depth > 64:
@@ -247,7 +249,8 @@ def _page_ref_index(reader) -> dict:
         node_type = str(node.get("Type", ""))
         if node_type == "Page" or ("Kids" not in node and "Contents" in node):
             if isinstance(ref_or_node, Ref):
-                index.setdefault(ref_or_node, len(index))
+                index.setdefault(ref_or_node, count[0])
+            count[0] += 1
             return
         kids = reader.resolve(node.get("Kids"))
         if isinstance(kids, list):
@@ -342,7 +345,13 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             for k, v in legacy.items():
                 table[k.encode("latin-1") if isinstance(k, str) else k] = v
 
+        tree_seen: set = set()
+
         def walk_tree(node, depth: int):
+            if isinstance(node, Ref):
+                if node in tree_seen:
+                    return
+                tree_seen.add(node)
             node = reader.resolve(node)
             if not isinstance(node, dict) or depth > 64:
                 return

@@ -272,3 +272,36 @@ def test_form_signature_value_is_none_not_stringified():
     ).read()
     fields = extract_form_fields(data)
     assert fields == [{"name": "Signature1", "ftype": "Sig", "value": None}]
+
+
+def test_page_index_counts_inline_dict_page_leaves():
+    """A page leaf that is an inline dict in /Kids (not a Ref) still occupies
+    a page index in flatten_page_tree; _page_ref_index must advance its
+    counter for it so outlines pointing at LATER Ref pages stay aligned
+    (ADVICE r4 #1)."""
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>",
+        2: (
+            b"<< /Type /Pages /Count 3 /Kids [10 0 R "
+            b"<< /Type /Page /Parent 2 0 R /Contents 20 0 R "
+            b"/MediaBox [0 0 612 792] >> 12 0 R] >>"
+        ),
+        10: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 20 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        ),
+        12: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 20 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        ),
+        20: _stream_obj(b"", b"BT /F1 12 Tf 72 700 Td (x) Tj ET"),
+        5: b"<< /Type /Outlines /First 6 0 R /Last 6 0 R /Count 1 >>",
+        6: (
+            b"<< /Title (last) /Parent 5 0 R /Dest [12 0 R /Fit] >>"
+        ),
+    }
+    pdf = assemble_pdf(objects)
+    doc = extract_pdf_bytes(pdf)
+    assert doc.n_pages == 3
+    items = extract_outline(pdf)
+    assert [(i["title"], i["page_idx"]) for i in items] == [("last", 2)]
