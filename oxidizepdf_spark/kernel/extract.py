@@ -534,12 +534,76 @@ def extract_form_fields(data: bytes, password: str | None = None) -> list[dict]:
     return out
 
 
+#: Text-markup subtypes whose /QuadPoints cover page text (ISO Table 169;
+#: reference annotations/markup.rs:87-146 MarkupType + annotation_type.rs:476).
+_TEXT_MARKUP_SUBTYPES = frozenset(
+    {"Highlight", "Underline", "StrikeOut", "Squiggly"}
+)
+
+
+def _quad_bboxes(quad_points: list[float]) -> list[tuple]:
+    """Each 8-float group is one quadrilateral (markup.rs:42-56 writes them
+    counterclockwise from lower-left); collapse each to its axis-aligned
+    bbox — text-markup quads are axis-aligned rectangles in practice."""
+    boxes = []
+    for i in range(0, len(quad_points) - 7, 8):
+        xs = quad_points[i:i + 8:2]
+        ys = quad_points[i + 1:i + 8:2]
+        boxes.append((min(xs), min(ys), max(xs), max(ys)))
+    return boxes
+
+
+def _raw_page_fragments(reader, page, idx: int) -> list:
+    """Positioned pre-merge fragments for one page (the emission-order runs
+    with device-space x/y/width/height) — the geometry markup QuadPoints
+    resolve against. Errors degrade to no-fragments (annotation rows still
+    emit, covered_text just stays None)."""
+    try:
+        fonts = extract_page_fonts(page.resources, reader)
+        content = page_content(reader, page)
+        interp = Interpreter(
+            reader=reader,
+            fonts=fonts,
+            options=ExtractionOptions(preserve_layout=True),
+            page_index=idx,
+        )
+        parse_and_run(interp, content, page.resources)
+        return list(interp.fragments)
+    except Exception:
+        return []
+
+
+def _covered_text(fragments: list, boxes: list[tuple]) -> str | None:
+    """Resolve markup quads to the text they cover: a fragment belongs to
+    the markup if its center point falls inside any quad bbox; hits are
+    re-serialized in reading order (top-down, then left-right). This is the
+    read-side completion of the reference's write-side QuadPoints model
+    (markup.rs: quads are authored FROM the covered text's rects)."""
+    hits = []
+    for f in fragments:
+        cx = f.x + f.width / 2.0
+        cy = f.y + f.height / 2.0
+        for (x0, y0, x1, y1) in boxes:
+            if x0 <= cx <= x1 and y0 <= cy <= y1:
+                hits.append(f)
+                break
+    if not hits:
+        return None
+    hits.sort(key=lambda f: (-round(f.y, 1), f.x))
+    return " ".join(f.text for f in hits if f.text)
+
+
 def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
     """Page-annotation extraction (the /Annots surface the reference parses
     at parser/page_tree.rs:568-578 and exposes via PdfPage.annotations):
     one dict per annotation with page index, /Subtype, the /A action's
-    /URI (links), and the /Contents text string (text/popup annotations).
-    Corpus pipelines mine these for outbound links and reviewer notes."""
+    /URI (links), the /Contents text string, plus markup geometry
+    (annotations/markup.rs:87-190, geometric.rs): /Rect, /QuadPoints quad
+    count, /T author, and — for Highlight/Underline/StrikeOut/Squiggly —
+    the page text the quads cover, resolved via the extractor's positioned
+    fragment bboxes. Highlighted spans are prime supervision data in
+    review-corpus mining; without covered_text the highlight's target is
+    unrecoverable downstream."""
     from .textstate import _decode_pdf_string
 
     out: list[dict] = []
@@ -548,11 +612,13 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
         annots = reader.resolve(page.dict.get("Annots"))
         if not isinstance(annots, list):
             continue
+        fragments = None  # lazy: only pages carrying text markup pay for it
         for ref in annots:
             a = reader.resolve(ref)
             if not isinstance(a, dict):
                 continue
             subtype = a.get("Subtype")
+            subtype_s = str(subtype) if subtype is not None else None
             uri = None
             action = reader.resolve(a.get("A"))
             if isinstance(action, dict):
@@ -560,16 +626,44 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
                 if isinstance(u, bytes):
                     uri = u.decode("latin-1", "replace")
             contents = reader.resolve(a.get("Contents"))
+            rect = reader.resolve(a.get("Rect"))
+            rect_f = None
+            if isinstance(rect, list) and len(rect) == 4:
+                try:
+                    rect_f = [float(reader.resolve(v)) for v in rect]
+                except (TypeError, ValueError):
+                    rect_f = None
+            author = reader.resolve(a.get("T"))
+            quads = reader.resolve(a.get("QuadPoints"))
+            quads_f: list[float] | None = None
+            if isinstance(quads, list) and len(quads) >= 8:
+                try:
+                    quads_f = [float(reader.resolve(v)) for v in quads]
+                except (TypeError, ValueError):
+                    quads_f = None
+            covered = None
+            if quads_f and subtype_s in _TEXT_MARKUP_SUBTYPES:
+                if fragments is None:
+                    fragments = _raw_page_fragments(reader, page, idx)
+                covered = _covered_text(fragments, _quad_bboxes(quads_f))
             out.append(
                 {
                     "page_idx": idx,
-                    "subtype": str(subtype) if subtype is not None else None,
+                    "subtype": subtype_s,
                     "uri": uri,
                     "contents": (
                         _decode_pdf_string(contents)
                         if isinstance(contents, bytes)
                         else None
                     ),
+                    "rect": rect_f,
+                    "author": (
+                        _decode_pdf_string(author)
+                        if isinstance(author, bytes)
+                        else None
+                    ),
+                    "n_quads": len(quads_f) // 8 if quads_f else 0,
+                    "covered_text": covered,
                 }
             )
     return out

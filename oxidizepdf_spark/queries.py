@@ -2222,25 +2222,42 @@ UNION ALL
 
 def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Annotation extraction round-trip (/Annots surface,
-    parser/page_tree.rs:568-578): each document carries one Link
-    annotation (URI derived from its first word) and one Text annotation
-    (contents = its first {ANNOT_WORDS} words); both must come back
-    exactly, with subtype and page index."""
+    parser/page_tree.rs:568-578 + markup geometry,
+    annotations/markup.rs:87-190): each document carries one Link
+    annotation (URI derived from its first word), one Text annotation
+    (contents = its first {ANNOT_WORDS} words), and one Highlight whose
+    /QuadPoints cover exactly the 2nd and 3rd of four fixed-position body
+    words — the extractor must return subtype/page/uri/contents plus
+    /Rect, /T author, quad count, and the quad-covered page text resolved
+    through the positioned fragment bboxes."""
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
         from .kernel.extract import extract_annotations
 
+        cols = [
+            "page_idx", "subtype", "uri", "contents", "rect", "author",
+            "n_quads", "covered_text",
+        ]
         for b in batches:
-            out = {
-                "doc_id": [], "page_idx": [], "subtype": [],
-                "uri": [], "contents": [],
-            }
+            out = {c: [] for c in ["doc_id", *cols]}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
                 first = words[0][:12] if words else "none"
                 note = " ".join(words[:ANNOT_WORDS])
+                # four fixed-anchor body words at x=100+100i (12pt, y=700):
+                # quad x-range [195, 395] covers the CENTers of words 1-2
+                # for any word width <= 190pt, excludes words 0 and 3
+                body4 = [
+                    (words[i][:12] if len(words) > i else f"w{i}")
+                    for i in range(4)
+                ]
+                ops = b"BT /F1 12 Tf " + b" ".join(
+                    b"1 0 0 1 %d 700 Tm (%s) Tj"
+                    % (100 + 100 * i, escape_pdf_string(w))
+                    for i, w in enumerate(body4)
+                ) + b" ET"
                 uri = f"https://example.com/{first}"
                 link = (
                     b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
@@ -2251,27 +2268,36 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] "
                     b"/Contents (%s) >>" % escape_pdf_string(note)
                 )
+                hl = (
+                    b"<< /Type /Annot /Subtype /Highlight "
+                    b"/Rect [195 695 395 715] /T (rev-%d) "
+                    b"/QuadPoints [195 695 395 695 395 715 195 715] >>"
+                    % (doc_id % 5)
+                )
                 pdf = build_pdf_with_content_stream(
-                    b"BT /F1 12 Tf 100 700 Td (body) Tj ET",
-                    extra_objects={8: link, 9: text_a},
+                    ops, extra_objects={8: link, 9: text_a, 10: hl},
                 )
                 pdf = pdf.replace(
                     b"/Contents 5 0 R",
-                    b"/Annots [8 0 R 9 0 R] /Contents 5 0 R",
+                    b"/Annots [8 0 R 9 0 R 10 0 R] /Contents 5 0 R",
                     1,
                 )
                 for a in extract_annotations(pdf):
                     out["doc_id"].append(doc_id)
-                    out["page_idx"].append(a["page_idx"])
-                    out["subtype"].append(a["subtype"])
-                    out["uri"].append(a["uri"])
-                    out["contents"].append(a["contents"])
+                    out["rect"].append(
+                        ",".join(str(int(v)) for v in a["rect"])
+                        if a["rect"] else None
+                    )
+                    for c in cols:
+                        if c != "rect":
+                            out[c].append(a[c])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
         schema="doc_id long, page_idx int, subtype string, uri string, "
-        "contents string",
+        "contents string, rect string, author string, n_quads int, "
+        "covered_text string",
     )
 
 
@@ -2288,11 +2314,20 @@ SELECT doc_id, 0 AS page_idx, 'Link' AS subtype,
        'https://example.com/' ||
          CASE WHEN len(ws) = 0 THEN 'none' ELSE substr(ws[1], 1, 12) END
          AS uri,
-       NULL AS contents
+       NULL AS contents, '0,0,100,20' AS rect, NULL AS author,
+       0 AS n_quads, NULL AS covered_text
 FROM base
 UNION ALL
 SELECT doc_id, 0, 'Text', NULL,
-       array_to_string(ws[1:{ANNOT_WORDS}], ' ')
+       array_to_string(ws[1:{ANNOT_WORDS}], ' '),
+       '0,30,100,50', NULL, 0, NULL
+FROM base
+UNION ALL
+SELECT doc_id, 0, 'Highlight', NULL, NULL,
+       '195,695,395,715', 'rev-' || (doc_id % 5), 1,
+       (CASE WHEN len(ws) > 1 THEN substr(ws[2], 1, 12) ELSE 'w1' END)
+       || ' ' ||
+       (CASE WHEN len(ws) > 2 THEN substr(ws[3], 1, 12) ELSE 'w2' END)
 FROM base
 """
 

@@ -305,3 +305,54 @@ def test_page_index_counts_inline_dict_page_leaves():
     assert doc.n_pages == 3
     items = extract_outline(pdf)
     assert [(i["title"], i["page_idx"]) for i in items] == [("last", 2)]
+
+
+def test_markup_annotation_geometry_and_covered_text():
+    """Markup geometry (annotations/markup.rs:87-190): /Rect, /T author,
+    quad count, and QuadPoints→covered-text resolution through fragment
+    bboxes — the highlight covers exactly the two middle words."""
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    words = ["alpha", "bravo", "charlie", "delta"]
+    ops = (
+        b"BT /F1 12 Tf "
+        + b" ".join(
+            b"1 0 0 1 %d 700 Tm (%s) Tj" % (100 + 100 * i, w.encode())
+            for i, w in enumerate(words)
+        )
+        + b" ET"
+    )
+    hl = (
+        b"<< /Type /Annot /Subtype /Highlight /Rect [195 695 395 715] "
+        b"/T (rev1) /QuadPoints [195 695 395 695 395 715 195 715] >>"
+    )
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+
+    pdf = build_pdf_with_content_stream(ops, extra_objects={8: hl})
+    pdf = pdf.replace(b"/Contents 5 0 R", b"/Annots [8 0 R] /Contents 5 0 R", 1)
+    (a,) = extract_annotations(pdf)
+    assert a["subtype"] == "Highlight"
+    assert a["rect"] == [195.0, 695.0, 395.0, 715.0]
+    assert a["author"] == "rev1"
+    assert a["n_quads"] == 1
+    assert a["covered_text"] == "bravo charlie"
+
+
+def test_non_markup_annotation_has_no_covered_text():
+    """A Link's /Rect round-trips but QuadPoints resolution only fires for
+    text-markup subtypes (ISO Table 169 classes)."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    link = (
+        b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
+        b"/A << /S /URI /URI (https://x.test/) >> >>"
+    )
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (body) Tj ET", extra_objects={8: link}
+    )
+    pdf = pdf.replace(b"/Contents 5 0 R", b"/Annots [8 0 R] /Contents 5 0 R", 1)
+    (a,) = extract_annotations(pdf)
+    assert a["uri"] == "https://x.test/"
+    assert a["rect"] == [0.0, 0.0, 100.0, 20.0]
+    assert a["n_quads"] == 0 and a["covered_text"] is None
