@@ -35,6 +35,7 @@ def build_pdf_with_content_stream(
     length_delta: int = 0,
     info: dict[str, str] | None = None,
     xmp: dict[str, str] | None = None,
+    page_labels_nums: bytes | None = None,
 ) -> bytes:
     """Minimal 1-page PDF, /F1 Helvetica, classic xref
     (synthetic_pdf.rs:23-71 layout).
@@ -67,12 +68,13 @@ def build_pdf_with_content_stream(
             out.extend(b"\n")
         out.extend(b"endobj\n")
 
-    obj(
-        1,
-        b"<< /Type /Catalog /Pages 2 0 R /Metadata 21 0 R >>"
-        if xmp
-        else b"<< /Type /Catalog /Pages 2 0 R >>",
-    )
+    catalog = b"<< /Type /Catalog /Pages 2 0 R"
+    if xmp:
+        catalog += b" /Metadata 21 0 R"
+    if page_labels_nums is not None:
+        # §12.4.2 number tree, flat form: /PageLabels << /Nums [...] >>
+        catalog += b" /PageLabels << /Nums [" + page_labels_nums + b"] >>"
+    obj(1, catalog + b" >>")
     obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     resources = b"<< /Font << /F1 4 0 R >> " + page_extra.encode("latin-1") + b">>"
     obj(
@@ -562,11 +564,16 @@ def build_table_pdf(cells: list[list[str]]) -> bytes:
     return build_pdf_with_content_stream(b" ".join(parts))
 
 
-def build_text_pdf(text: str, lines_per_page: int = 40) -> bytes:
+def build_text_pdf(
+    text: str,
+    lines_per_page: int = 40,
+    page_labels_nums: bytes | None = None,
+) -> bytes:
     """Build a PDF whose extraction round-trips ``text`` exactly (used by the
     documents-table oracle queries): each input line is one Tj; lines are
     placed 20pt apart (> newline_threshold 10 → '\\n' re-synthesis); pages
-    of ``lines_per_page`` lines each."""
+    of ``lines_per_page`` lines each. ``page_labels_nums``: raw /Nums array
+    body for a catalog /PageLabels number tree (§12.4.2)."""
     lines = text.split("\n") if text else [""]
     if len(lines) <= lines_per_page:
         parts = []
@@ -580,17 +587,27 @@ def build_text_pdf(text: str, lines_per_page: int = 40) -> bytes:
             else:
                 parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
         parts.append(b"ET")
-        return build_pdf_with_content_stream(b" ".join(parts))
+        return build_pdf_with_content_stream(
+            b" ".join(parts), page_labels_nums=page_labels_nums
+        )
     pages = []
     for i in range(0, len(lines), lines_per_page):
         pages.append("\n".join(lines[i : i + lines_per_page]))
-    return build_pdf_multipage_texts(pages)
+    return build_pdf_multipage_texts(pages, page_labels_nums=page_labels_nums)
 
 
-def build_pdf_multipage_texts(page_texts: list[str]) -> bytes:
+def build_pdf_multipage_texts(
+    page_texts: list[str], page_labels_nums: bytes | None = None
+) -> bytes:
     """Multi-line pages variant of build_pdf_multipage (flat tree)."""
+    catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
+    if page_labels_nums is not None:
+        catalog = (
+            b"<< /Type /Catalog /Pages 2 0 R /PageLabels << /Nums ["
+            + page_labels_nums + b"] >> >>"
+        )
     objects: dict[int, bytes] = {
-        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        1: catalog,
         4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     }
     n = len(page_texts)

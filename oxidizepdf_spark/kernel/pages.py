@@ -99,3 +99,122 @@ def _safe_decode(reader: PdfReader, stm: Stream) -> bytes:
         return stm.decode(resolve=reader.resolve)
     except Exception:
         return b""
+
+
+# -- page labels (ISO 32000-1 §12.4.2; reference page_labels/page_label.rs +
+#    page_label_tree.rs) ----------------------------------------------------
+
+_ROMAN = (
+    (1000, "m"), (900, "cm"), (500, "d"), (400, "cd"), (100, "c"),
+    (90, "xc"), (50, "l"), (40, "xl"), (10, "x"), (9, "ix"), (5, "v"),
+    (4, "iv"), (1, "i"),
+)
+
+
+def _to_roman(num: int) -> str:
+    """page_label.rs:189-219 (lowercase; uppercase via .upper())."""
+    if num <= 0:
+        return ""
+    out = []
+    for value, numeral in _ROMAN:
+        while num >= value:
+            out.append(numeral)
+            num -= value
+    return "".join(out)
+
+
+def _to_letters(num: int, uppercase: bool) -> str:
+    """A..Z, AA..ZZ bijective base-26 (page_label.rs:223-242)."""
+    if num <= 0:
+        return ""
+    out = []
+    base = ord("A") if uppercase else ord("a")
+    while num > 0:
+        out.append(chr(base + (num - 1) % 26))
+        num = (num - 1) // 26
+    return "".join(reversed(out))
+
+
+def _format_label(style: str | None, prefix: str, number: int) -> str:
+    """PageLabelStyle::format (page_label.rs:48-56) + prefix concat
+    (format_label, page_label.rs:128-149). Style None → prefix only."""
+    if style == "D":
+        body = str(number)
+    elif style == "R":
+        body = _to_roman(number).upper()
+    elif style == "r":
+        body = _to_roman(number)
+    elif style == "A":
+        body = _to_letters(number, True)
+    elif style == "a":
+        body = _to_letters(number, False)
+    else:
+        body = ""
+    return prefix + body
+
+
+def page_labels(reader: PdfReader, n_pages: int) -> list[str]:
+    """Per-page display label from the catalog /PageLabels number tree
+    (page_label_tree.rs:28-48 get_label + :74-150 from_dict; §12.4.2
+    Table 159: /S style D/R/r/A/a, /P prefix, /St range start). Supports
+    both the flat /Nums form and /Kids-nested number-tree nodes. Pages
+    before the first range (or with no /PageLabels at all) default to the
+    ordinal string (get_all_labels, page_label_tree.rs:50-55)."""
+    from .textstate import _decode_pdf_string
+
+    ranges: list[tuple[int, str | None, str, int]] = []
+
+    def collect(node, depth: int, seen: set):
+        if isinstance(node, Ref):
+            if node in seen:
+                return
+            seen.add(node)
+        node = reader.resolve(node)
+        if not isinstance(node, dict) or depth > MAX_TREE_DEPTH:
+            return
+        nums = reader.resolve(node.get("Nums"))
+        if isinstance(nums, list):
+            for i in range(0, len(nums) - 1, 2):
+                start = reader.resolve(nums[i])
+                spec = reader.resolve(nums[i + 1])
+                if not isinstance(start, int) or isinstance(start, bool):
+                    continue
+                if not isinstance(spec, dict):
+                    continue
+                style = spec.get("S")
+                style = str(style) if style is not None else None
+                prefix = spec.get("P")
+                prefix = (
+                    _decode_pdf_string(prefix)
+                    if isinstance(prefix, bytes)
+                    else ""
+                )
+                st = reader.resolve(spec.get("St"))
+                st = st if isinstance(st, int) and not isinstance(st, bool) else 1
+                ranges.append((start, style, prefix, max(st, 1)))
+        kids = reader.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for kid in kids:
+                collect(kid, depth + 1, seen)
+
+    try:
+        root = reader.catalog().get("PageLabels")
+    except Exception:
+        root = None
+    if root is not None:
+        collect(root, 0, set())
+    ranges.sort(key=lambda r: r[0])
+    out: list[str] = []
+    for i in range(n_pages):
+        applicable = None
+        for r in ranges:
+            if r[0] <= i:
+                applicable = r
+            else:
+                break
+        if applicable is None:
+            out.append(str(i + 1))
+        else:
+            start, style, prefix, st = applicable
+            out.append(_format_label(style, prefix, st + (i - start)))
+    return out

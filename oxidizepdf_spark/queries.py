@@ -506,28 +506,44 @@ def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     transforms): SPLIT = one output row per page; MERGE is its inverse
     (groupBy doc_id + collect ordered); REORDER is an ORDER BY over
     page_idx. The per-page text must equal the builder's page slicing, so
-    the oracle recomputes each page from the word array alone."""
+    the oracle recomputes each page from the word array alone. Each PDF
+    also carries a /PageLabels number tree (page_labels/page_label.rs:48
+    styles + page_label_tree.rs:28 lookup): front matter is lowercase
+    roman (i, ii), the rest 'P-'-prefixed decimal restarting at /St 1 —
+    the page_label column must reproduce the §12.4.2 formatting."""
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
         from .kernel.extract import extract_pdf_bytes
+        from .kernel.pages import page_labels
+        from .kernel.reader import PdfReader
 
+        nums = b"0 << /S /r >> 2 << /S /D /P (P-) /St 1 >>"
         for b in batches:
-            out = {"doc_id": [], "page_idx": [], "page_text": []}
+            out = {
+                "doc_id": [], "page_idx": [], "page_text": [],
+                "page_label": [],
+            }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 pdf = build_text_pdf(
-                    "\n".join(_wrap_lines(norm)), lines_per_page=PAGE_OPS_LINES
+                    "\n".join(_wrap_lines(norm)),
+                    lines_per_page=PAGE_OPS_LINES,
+                    page_labels_nums=nums,
                 )
                 res = extract_pdf_bytes(pdf)
+                labels = page_labels(PdfReader(pdf), len(res.page_texts))
                 for i, pt in enumerate(res.page_texts):
                     out["doc_id"].append(doc_id)
                     out["page_idx"].append(i)
                     out["page_text"].append(pt.replace("\n", " "))
+                    out["page_label"].append(labels[i])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
-        run, schema="doc_id long, page_idx int, page_text string"
+        run,
+        schema="doc_id long, page_idx int, page_text string, "
+        "page_label string",
     )
 
 
@@ -549,7 +565,9 @@ SELECT doc_id,
        CAST(i AS INT) AS page_idx,
        array_to_string(
          ws[i * {_WORDS_PER_PAGE} + 1 : least((i + 1) * {_WORDS_PER_PAGE}, len(ws))],
-         ' ') AS page_text
+         ' ') AS page_text,
+       CASE WHEN i = 0 THEN 'i' WHEN i = 1 THEN 'ii'
+            ELSE 'P-' || CAST(i - 1 AS VARCHAR) END AS page_label
 FROM pages, UNNEST(generate_series(0, n_pages - 1)) AS t(i)
 """
 

@@ -356,3 +356,50 @@ def test_non_markup_annotation_has_no_covered_text():
     assert a["uri"] == "https://x.test/"
     assert a["rect"] == [0.0, 0.0, 100.0, 20.0]
     assert a["n_quads"] == 0 and a["covered_text"] is None
+
+
+def test_page_labels_styles_prefix_start_and_default():
+    """/PageLabels number tree (§12.4.2 Table 159; page_label.rs styles,
+    page_label_tree.rs get_label): roman front matter, prefixed decimal
+    with /St, uppercase-letter appendix; pages with no applicable range
+    default to the ordinal string."""
+    from oxidizepdf_spark.corpus import build_pdf_multipage_texts
+    from oxidizepdf_spark.kernel.pages import page_labels
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    nums = (
+        b"0 << /S /r >> 2 << /S /D /P (P-) /St 5 >> "
+        b"5 << /S /A >> 7 << /P (blank) >>"
+    )
+    pdf = build_pdf_multipage_texts(
+        [f"page {i}" for i in range(8)], page_labels_nums=nums
+    )
+    labels = page_labels(PdfReader(pdf), 8)
+    assert labels == ["i", "ii", "P-5", "P-6", "P-7", "A", "B", "blank"]
+    # no /PageLabels at all → ordinal default (get_all_labels fallback)
+    plain = build_pdf_multipage_texts(["a", "b"])
+    assert page_labels(PdfReader(plain), 2) == ["1", "2"]
+
+
+def test_page_labels_kids_nested_number_tree():
+    """The number tree's general form nests ranges under /Kids nodes
+    (page_label_tree.rs handles the flat form; the kernel also walks
+    intermediate nodes, which real books use)."""
+    from oxidizepdf_spark.corpus import assemble_pdf, _stream_obj
+    from oxidizepdf_spark.kernel.pages import page_labels
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /PageLabels << /Kids [30 0 R 31 0 R] >> >>",
+        2: b"<< /Type /Pages /Count 4 /Kids [10 0 R 11 0 R 12 0 R 13 0 R] >>",
+        30: b"<< /Limits [0 1] /Nums [0 << /S /r >>] >>",
+        31: b"<< /Limits [2 3] /Nums [2 << /S /D /P (x) >>] >>",
+        20: _stream_obj(b"", b"BT /F1 12 Tf 72 700 Td (t) Tj ET"),
+    }
+    for n in (10, 11, 12, 13):
+        objects[n] = (
+            b"<< /Type /Page /Parent 2 0 R /Contents 20 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        )
+    pdf = assemble_pdf(objects)
+    assert page_labels(PdfReader(pdf), 4) == ["i", "ii", "x1", "x2"]
