@@ -1349,3 +1349,56 @@ def hash_bucket(doc_id: str, n: int) -> int:
     import zlib as _z
 
     return _z.crc32(doc_id.encode()) % n
+
+
+def build_composition_pdf(payload: bytes) -> bytes:
+    """Three-page page-composition fixture (operations/page_analysis.rs
+    PageType contract): page 0 is a full-page scanned image (image_ratio
+    1.0 → Scanned), page 1 is dense text in a small MediaBox (text_ratio
+    ~0.79 → Text), page 2 mixes one small text line with a 50x50pt image
+    in a 200x200 page (both ratios low → Mixed). ``payload`` becomes the
+    scan image's stream bytes so the OCR SPI path composes."""
+    img0 = (
+        b"<< /Type /XObject /Subtype /Image /Width 612 /Height 792 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length %d >>\n"
+        b"stream\n%s\nendstream" % (len(payload), payload)
+    )
+    img2 = (
+        b"<< /Type /XObject /Subtype /Image /Width 10 /Height 10 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Length 3 >>\n"
+        b"stream\nxyz\nendstream"
+    )
+    objects: dict[int, bytes] = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: (
+            b"<< /Type /Pages /Count 3 /Kids [10 0 R 11 0 R 12 0 R] "
+            b"/Resources << /Font << /F1 4 0 R >> >> >>"
+        ),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        10: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /XObject << /Im1 30 0 R >> >> /Contents 20 0 R >>"
+        ),
+        11: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 120 50] "
+            b"/Contents 21 0 R >>"
+        ),
+        12: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 200 200] "
+            b"/Resources << /Font << /F1 4 0 R >> "
+            b"/XObject << /Im2 31 0 R >> >> /Contents 22 0 R >>"
+        ),
+        20: _stream_obj(b"", b"q 612 0 0 792 0 0 cm /Im1 Do Q"),
+        21: _stream_obj(
+            b"",
+            b"BT /F1 24 Tf 5 8 Td (abcdefgh) Tj 0 24 Td (abcdefgh) Tj ET",
+        ),
+        22: _stream_obj(
+            b"",
+            b"BT /F1 12 Tf 10 150 Td (abcdefgh) Tj ET "
+            b"q 50 0 0 50 100 20 cm /Im2 Do Q",
+        ),
+        30: img0,
+        31: img2,
+    }
+    return assemble_pdf(objects)

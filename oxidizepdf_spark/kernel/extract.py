@@ -720,3 +720,97 @@ def extract_document_spans(
     return [
         (k, t, m, i) for i, (k, t, m) in enumerate(out)
     ], meta
+
+
+# -- page-composition analysis (operations/page_analysis.rs) ----------------
+
+#: Classification thresholds (page_analysis.rs:149-160 AnalysisOptions
+#: defaults + :2012-2019 determine_page_type).
+ANALYSIS_MIN_FRAGMENT_CHARS = 3
+SCANNED_IMAGE_RATIO = 0.8
+SCANNED_MAX_TEXT_RATIO = 0.1
+TEXT_RATIO_THRESHOLD = 0.7
+TEXT_MAX_IMAGE_RATIO = 0.2
+
+
+def analyze_page_composition(
+    data: bytes, password: str | None = None
+) -> list[dict]:
+    """Per-page content-composition analysis (PageContentAnalyzer,
+    operations/page_analysis.rs:254-299 analyze_page + :2012-2019
+    determine_page_type): text area from positioned fragment bboxes
+    (fragments with >= 3 trimmed chars, analyze_text_content :1859-1888),
+    image area from image paints, ratios against the /MediaBox area, and
+    the Scanned / Text / Mixed classification — the router a corpus
+    pipeline uses to send pages to OCR vs native extraction.
+
+    Deviation from the reference, documented: the reference approximates
+    image area with the XObject's PIXEL dimensions (analyze_image_content
+    :1891-1990 — pixels are not points) and assumes inline/Do images cover
+    the whole page; here each paint contributes its true placed user-space
+    area |det CTM| (§8.3.4 unit-square image space), which the
+    interpreter records at paint time.
+
+    Errors degrade per page: a failing page emits page_type 'error' with
+    zero ratios (error-as-data, never an exception)."""
+    out: list[dict] = []
+    reader = PdfReader(data, password=password)
+    for idx, page in enumerate(flatten_page_tree(reader)):
+        mb = page.media_box
+        try:
+            x0, y0, x1, y1 = (float(v) for v in mb)
+            page_area = abs((x1 - x0) * (y1 - y0))
+        except (TypeError, ValueError):
+            page_area = 612.0 * 792.0
+        if page_area <= 0:
+            page_area = 612.0 * 792.0
+        try:
+            fonts = extract_page_fonts(page.resources, reader)
+            content = page_content(reader, page)
+            interp = Interpreter(
+                reader=reader,
+                fonts=fonts,
+                options=ExtractionOptions(preserve_layout=True),
+                page_index=idx,
+            )
+            parse_and_run(interp, content, page.resources)
+            frags = [
+                f
+                for f in interp.fragments
+                if len(f.text.strip()) >= ANALYSIS_MIN_FRAGMENT_CHARS
+            ]
+            text_area = sum(f.width * f.height for f in frags)
+            char_count = sum(len(f.text) for f in interp.fragments)
+            image_area = sum(interp.image_areas)
+            image_count = len(interp.image_areas)
+        except Exception:
+            out.append(
+                {
+                    "page_idx": idx, "page_type": "error",
+                    "text_ratio": 0.0, "image_ratio": 0.0,
+                    "blank_ratio": 1.0, "text_fragments": 0,
+                    "image_count": 0, "char_count": 0,
+                }
+            )
+            continue
+        text_ratio = text_area / page_area
+        image_ratio = image_area / page_area
+        if image_ratio > SCANNED_IMAGE_RATIO and text_ratio < SCANNED_MAX_TEXT_RATIO:
+            page_type = "scanned"
+        elif text_ratio > TEXT_RATIO_THRESHOLD and image_ratio < TEXT_MAX_IMAGE_RATIO:
+            page_type = "text"
+        else:
+            page_type = "mixed"
+        out.append(
+            {
+                "page_idx": idx,
+                "page_type": page_type,
+                "text_ratio": text_ratio,
+                "image_ratio": image_ratio,
+                "blank_ratio": max(0.0, 1.0 - text_ratio - image_ratio),
+                "text_fragments": len(frags),
+                "image_count": image_count,
+                "char_count": char_count,
+            }
+        )
+    return out

@@ -304,6 +304,7 @@ class Interpreter:
         self.out = PageExtraction()
         self._flushed_len = 0  # chars of text already flushed into spans
         self._inline_idx = 0
+        self.image_areas: list[float] = []  # |det CTM| per image paint
         self._total = 0  # total chars accumulated (extracted_text length)
         self._last_char = ""  # last accumulated char, for ends_with(' ')
         self.fragments: list[TextFragment] = []
@@ -351,6 +352,13 @@ class Interpreter:
     def _emit_image(self, media_ref: str) -> None:
         self._flush_text()
         self.out.spans.append(("image", "", media_ref))
+        # placed image area in user space: the image paints into the CTM
+        # image of the unit square (§8.3.4), area = |det CTM|. Feeds the
+        # page-composition analyzer (operations/page_analysis.rs contract);
+        # st.ctm is always current here (cm/q/Q write it through in the
+        # fused loop too).
+        m = self.state.ctm
+        self.image_areas.append(abs(m[0] * m[3] - m[1] * m[2]))
 
     def _structure_order(self):
         """Order fragments by the structure tree's MCID sequence

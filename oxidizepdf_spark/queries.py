@@ -2439,12 +2439,20 @@ def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic stand-in provider 'recognizes' the image bytes (the real
     engine isn't in this sandbox — the SPI contract, span splicing, and
     image-bytes plumbing are what's under test), and the recognized text
-    must splice into the span sequence after the image span."""
+    must splice into the span sequence after the image span.
+
+    Extended with page-composition analysis (operations/page_analysis.rs
+    PageContentAnalyzer): each document also builds a 3-page fixture whose
+    pages are by construction Scanned / Text / Mixed (full-page image;
+    dense text in a small MediaBox; a small line plus a 50x50 image) — one
+    output row per page with the analyzer's classification and counts; the
+    OCR round-trip columns ride on the page-0 row (the scanned class is
+    exactly the OCR trigger)."""
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .corpus import build_scanned_pdf
-        from .kernel.extract import extract_pdf_bytes
+        from .corpus import build_composition_pdf, build_scanned_pdf
+        from .kernel.extract import analyze_page_composition, extract_pdf_bytes
         from .kernel.textstate import ExtractionOptions
 
         def provider(image_bytes: bytes) -> str:
@@ -2453,35 +2461,61 @@ def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
             return image_bytes.decode("utf-8", "replace")
 
         opts = ExtractionOptions(ocr_provider=provider)
+        cols = [
+            "doc_id", "page_idx", "page_type", "image_count",
+            "text_fragments", "ocr_text", "n_images", "n_text_spans",
+        ]
         for b in batches:
-            out = {"doc_id": [], "ocr_text": [], "n_images": [], "n_text_spans": []}
+            out = {c: [] for c in cols}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 pdf = build_scanned_pdf((norm or "").encode("utf-8"))
                 res = extract_pdf_bytes(pdf, opts)
-                out["doc_id"].append(doc_id)
-                out["ocr_text"].append(
-                    " ".join(t for k, t, _ in res.spans if k == "text" and t)
+                comp = analyze_page_composition(
+                    build_composition_pdf((norm or "").encode("utf-8"))
                 )
-                out["n_images"].append(
-                    sum(1 for k, _, _ in res.spans if k == "image")
+                # doc-level OCR columns repeat on every page row (NULL
+                # ints would promote to float64 in pandas and hash-mismatch
+                # the oracle — the known NULL-vs-NaN trap)
+                ocr_text = " ".join(
+                    t for k, t, _ in res.spans if k == "text" and t
                 )
-                out["n_text_spans"].append(
-                    sum(1 for k, t, _ in res.spans if k == "text" and t)
+                n_images = sum(1 for k, _, _ in res.spans if k == "image")
+                n_text = sum(
+                    1 for k, t, _ in res.spans if k == "text" and t
                 )
+                for row in comp:
+                    out["doc_id"].append(doc_id)
+                    out["page_idx"].append(row["page_idx"])
+                    out["page_type"].append(row["page_type"])
+                    out["image_count"].append(row["image_count"])
+                    out["text_fragments"].append(row["text_fragments"])
+                    out["ocr_text"].append(ocr_text)
+                    out["n_images"].append(n_images)
+                    out["n_text_spans"].append(n_text)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, ocr_text string, n_images int, n_text_spans int",
+        schema="doc_id long, page_idx int, page_type string, "
+        "image_count int, text_fragments int, ocr_text string, "
+        "n_images int, n_text_spans int",
     )
 
 
 ORACLE_OCR = f"""
-SELECT doc_id, {NORM_SQL.format(col='text')} AS ocr_text,
-       1 AS n_images,
-       CASE WHEN length({NORM_SQL.format(col='text')}) > 0
-            THEN 1 ELSE 0 END AS n_text_spans
-FROM documents
+WITH ocr AS (
+  SELECT doc_id, {NORM_SQL.format(col='text')} AS ocr_text,
+         1 AS n_images,
+         CASE WHEN length({NORM_SQL.format(col='text')}) > 0
+              THEN 1 ELSE 0 END AS n_text_spans
+  FROM documents
+)
+SELECT doc_id, 0 AS page_idx, 'scanned' AS page_type, 1 AS image_count,
+       0 AS text_fragments, ocr_text, n_images, n_text_spans FROM ocr
+UNION ALL
+SELECT doc_id, 1, 'text', 0, 2, ocr_text, n_images, n_text_spans FROM ocr
+UNION ALL
+SELECT doc_id, 2, 'mixed', 1, 1, ocr_text, n_images, n_text_spans FROM ocr
 """
 
 

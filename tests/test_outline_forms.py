@@ -403,3 +403,23 @@ def test_page_labels_kids_nested_number_tree():
         )
     pdf = assemble_pdf(objects)
     assert page_labels(PdfReader(pdf), 4) == ["i", "ii", "x1", "x2"]
+
+
+def test_page_composition_three_classes():
+    """Page-composition analysis (operations/page_analysis.rs:254
+    analyze_page + :2012 determine_page_type): the 3-page fixture
+    classifies Scanned / Text / Mixed by construction, with placed
+    |det CTM| image areas (not pixel dims) and >=3-char fragment areas."""
+    from oxidizepdf_spark.corpus import build_composition_pdf
+    from oxidizepdf_spark.kernel.extract import analyze_page_composition
+
+    rows = analyze_page_composition(build_composition_pdf(b"payload"))
+    assert [r["page_type"] for r in rows] == ["scanned", "text", "mixed"]
+    assert rows[0]["image_ratio"] == 1.0 and rows[0]["text_ratio"] == 0.0
+    assert rows[1]["text_ratio"] > 0.7 and rows[1]["image_count"] == 0
+    assert 0.0 < rows[2]["image_ratio"] < 0.2
+    assert rows[2]["text_fragments"] == 1 and rows[2]["char_count"] == 8
+    assert all(
+        abs(r["text_ratio"] + r["image_ratio"] + r["blank_ratio"] - 1.0) < 1e-9
+        for r in rows
+    )
