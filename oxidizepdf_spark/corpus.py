@@ -675,7 +675,9 @@ def build_outline_pdf(sections: list[tuple[str, list[str]]]) -> bytes:
             b"",
             b"BT /F1 12 Tf 100 720 Td (%s) Tj ET" % escape_pdf_string(title),
         )
-        dest = b"[%d 0 R /XYZ null null null]" % page_nums[i]
+        # top items carry a full /XYZ (left top zoom), children a /FitH top
+        # (structure/destination.rs:7-29 fit types exercised end-to-end)
+        dest = b"[%d 0 R /XYZ 72 %d 1.5]" % (page_nums[i], 720 - 10 * i)
         parts = [
             b"/Title (%s)" % escape_pdf_string(title),
             b"/Parent 20 0 R",
@@ -695,7 +697,7 @@ def build_outline_pdf(sections: list[tuple[str, list[str]]]) -> bytes:
             sparts = [
                 b"/Title (%s)" % escape_pdf_string(sub),
                 b"/Parent %d 0 R" % top,
-                b"/Dest " + dest,
+                b"/Dest [%d 0 R /FitH %d]" % (page_nums[i], 700 - 10 * j),
             ]
             if j > 0:
                 sparts.append(b"/Prev %d 0 R" % ch[j - 1])

@@ -372,7 +372,18 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
         named.append(table)
         return table
 
-    def dest_page(item: dict):
+    def _num(v):
+        v = reader.resolve(v)
+        if isinstance(v, (int, float)) and not isinstance(v, bool):
+            return float(v)
+        return None  # PDF null → "current value unchanged" (§12.3.2)
+
+    def dest_info(item: dict):
+        """(page_idx, fit_type, x, y, zoom) from the /Dest array
+        (structure/destination.rs:7-29 DestinationType; §12.3.2 Table 151):
+        XYZ carries left/top/zoom; FitH/FitBH a top; FitV/FitBV a left;
+        FitR left,bottom,right,top (x/y surface its left/top corner);
+        Fit/FitB carry nothing."""
         dest = reader.resolve(item.get("Dest"))
         if dest is None:
             action = reader.resolve(item.get("A"))
@@ -383,9 +394,26 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             dest = reader.resolve(named_dests().get(key))
             if isinstance(dest, dict):  # << /D [...] >> wrapper form
                 dest = reader.resolve(dest.get("D"))
-        if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
-            return page_index.get(dest[0])
-        return None
+        none = (None, None, None, None, None)
+        if not (isinstance(dest, list) and dest and isinstance(dest[0], Ref)):
+            return none
+        page_idx = page_index.get(dest[0])
+        fit = str(dest[1]) if len(dest) > 1 and dest[1] is not None else None
+        x = y = zoom = None
+        if fit == "XYZ":
+            x = _num(dest[2]) if len(dest) > 2 else None
+            y = _num(dest[3]) if len(dest) > 3 else None
+            zoom = _num(dest[4]) if len(dest) > 4 else None
+        elif fit in ("FitH", "FitBH"):
+            y = _num(dest[2]) if len(dest) > 2 else None
+        elif fit in ("FitV", "FitBV"):
+            x = _num(dest[2]) if len(dest) > 2 else None
+        elif fit == "FitR":
+            x = _num(dest[2]) if len(dest) > 2 else None
+            y = _num(dest[5]) if len(dest) > 5 else None
+        elif fit not in ("Fit", "FitB", None):
+            fit = None  # unknown fit name: keep the page, drop the detail
+        return page_idx, fit, x, y, zoom
 
     def walk(ref, level: int):
         while ref is not None and len(out) < _OUTLINE_MAX_ITEMS:
@@ -397,6 +425,7 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             if not isinstance(item, dict):
                 return
             title = item.get("Title")
+            page_idx, fit, x, y, zoom = dest_info(item)
             out.append(
                 {
                     "ord": len(out),
@@ -406,7 +435,11 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
                         if isinstance(title, bytes)
                         else (str(title) if title is not None else None)
                     ),
-                    "page_idx": dest_page(item),
+                    "page_idx": page_idx,
+                    "fit_type": fit,
+                    "dest_x": x,
+                    "dest_y": y,
+                    "dest_zoom": zoom,
                 }
             )
             first = item.get("First")

@@ -2539,7 +2539,8 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             out = {
                 "doc_id": [], "ord": [], "level": [],
-                "title": [], "page_idx": [],
+                "title": [], "page_idx": [], "fit_type": [],
+                "dest_x": [], "dest_y": [], "dest_zoom": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
@@ -2565,11 +2566,21 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["level"].append(item["level"])
                     out["title"].append(item["title"])
                     out["page_idx"].append(item["page_idx"])
+                    out["fit_type"].append(item["fit_type"])
+                    # total encoding for the recorded relation: an
+                    # unspecified coordinate (PDF null) becomes -1.0 on
+                    # BOTH sides — NULL doubles hash None-vs-NaN across
+                    # Spark/DuckDB (the dedup_components COALESCE lesson)
+                    for c in ("dest_x", "dest_y", "dest_zoom"):
+                        v = item[c]
+                        out[c].append(-1.0 if v is None else v)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, ord int, level int, title string, page_idx int",
+        schema="doc_id long, ord int, level int, title string, "
+        "page_idx int, fit_type string, dest_x double, dest_y double, "
+        "dest_zoom double",
     )
 
 
@@ -2592,7 +2603,14 @@ SELECT doc_id,
               CASE WHEN len(ws) = 0 THEN 'x'
                    ELSE ws[((i * 3 + j) % len(ws)) + 1] END
        END AS title,
-       i AS page_idx
+       i AS page_idx,
+       CASE WHEN j = 0 THEN 'XYZ' ELSE 'FitH' END AS fit_type,
+       CASE WHEN j = 0 THEN CAST(72 AS DOUBLE)
+            ELSE CAST(-1 AS DOUBLE) END AS dest_x,
+       CAST(CASE WHEN j = 0 THEN 720 - 10 * i
+                 ELSE 700 - 10 * (j - 1) END AS DOUBLE) AS dest_y,
+       CASE WHEN j = 0 THEN CAST(1.5 AS DOUBLE)
+            ELSE CAST(-1 AS DOUBLE) END AS dest_zoom
 FROM base,
      UNNEST(generate_series(0, {OUTLINE_TOPS - 1})) AS t(i),
      UNNEST(generate_series(0, {OUTLINE_KIDS})) AS u(j)

@@ -423,3 +423,49 @@ def test_page_composition_three_classes():
         abs(r["text_ratio"] + r["image_ratio"] + r["blank_ratio"] - 1.0) < 1e-9
         for r in rows
     )
+
+
+def test_outline_destination_fit_detail():
+    """Destination detail (structure/destination.rs:7-29; §12.3.2 Table
+    151): /XYZ carries left/top/zoom, /FitH a top, /Fit nothing, /FitR
+    surfaces its left/top corner; PDF null components stay None."""
+    from oxidizepdf_spark.corpus import assemble_pdf, _stream_obj
+    from oxidizepdf_spark.kernel.extract import extract_outline
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>",
+        2: b"<< /Type /Pages /Count 1 /Kids [10 0 R] >>",
+        10: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 20 0 R "
+            b"/MediaBox [0 0 612 792] >>"
+        ),
+        20: _stream_obj(b"", b"BT /F1 12 Tf 72 700 Td (x) Tj ET"),
+        5: b"<< /Type /Outlines /First 6 0 R /Last 9 0 R /Count 4 >>",
+        6: (
+            b"<< /Title (a) /Parent 5 0 R /Next 7 0 R "
+            b"/Dest [10 0 R /XYZ 10 null 2] >>"
+        ),
+        7: (
+            b"<< /Title (b) /Parent 5 0 R /Prev 6 0 R /Next 8 0 R "
+            b"/Dest [10 0 R /FitH 640] >>"
+        ),
+        8: (
+            b"<< /Title (c) /Parent 5 0 R /Prev 7 0 R /Next 9 0 R "
+            b"/Dest [10 0 R /Fit] >>"
+        ),
+        9: (
+            b"<< /Title (d) /Parent 5 0 R /Prev 8 0 R "
+            b"/Dest [10 0 R /FitR 50 60 300 400] >>"
+        ),
+    }
+    items = extract_outline(assemble_pdf(objects))
+    got = [
+        (i["title"], i["fit_type"], i["dest_x"], i["dest_y"], i["dest_zoom"])
+        for i in items
+    ]
+    assert got == [
+        ("a", "XYZ", 10.0, None, 2.0),
+        ("b", "FitH", None, 640.0, None),
+        ("c", "Fit", None, None, None),
+        ("d", "FitR", 50.0, 400.0, None),
+    ]
