@@ -1,0 +1,1674 @@
+/* C fast path for the content-stream interpreter loop.
+ *
+ * This is a line-for-line transcription of parse_and_run's fused
+ * tokenize+parse+interpret loop (content.py) into C with the CPython API,
+ * active only in fast-show mode (no layout fragments).  Semantics are
+ * pinned by the same differential tests that pin the Python loop against
+ * run(parse_content(data)): the scanner reproduces _MASTER_FAST's generic
+ * token classes (the macro alternatives are pure-Python speed devices —
+ * macro == generic-token semantics is itself pinned), the operator
+ * handlers mirror the Python branches one-for-one, and everything the C
+ * loop cannot express natively (XObject paint, marked-content props,
+ * inline-image scan, cold run decode) calls back into the SAME Python
+ * methods with the SAME state write-back/read-back discipline the Python
+ * loop uses around those calls.
+ *
+ * Reference lineage (same as the Python loop): oxidize-pdf-core
+ * content.rs operator semantics + extraction.rs show-text math.
+ */
+#define PY_SSIZE_T_CLEAN
+#include <Python.h>
+#include <string.h>
+#include <stdlib.h>
+
+/* ---- module-level objects installed by setup() ------------------------- */
+static PyObject *g_AO, *g_AC, *g_DO, *g_DC;  /* marker singletons */
+static PyObject *g_name_memo;                /* content._NAME_MEMO */
+static PyObject *g_decode_name;              /* content._decode_name */
+static PyObject *g_inline_tok;               /* content._InlineTok */
+static PyObject *g_hexval;                   /* content._hexval (error parity) */
+static PyObject *g_bi_helper;                /* content._c_bi */
+static PyObject *g_bdc_helper;               /* content._c_bdc */
+static PyObject *g_nl, *g_sp, *g_empty;      /* "\n", " ", "" */
+static PyObject *g_gray, *g_rgb, *g_cmyk;    /* color space tags */
+
+/* interned attribute names */
+static PyObject *a_state, *a_options, *a_in_text, *a_total, *a_last_x,
+    *a_last_y, *a_last_char, *a_text_parts, *a_font_memo, *a_decode,
+    *a_set_font_memo, *a_paint_xobject, *a_op_bmc, *a_op_emc,
+    *a_next_line_show, *a_text_matrix, *a_text_line_matrix, *a_ctm,
+    *a_leading, *a_char_space, *a_word_space, *a_horizontal_scale,
+    *a_text_rise, *a_font_size, *a_font_name, *a_render_mode,
+    *a_fill_color, *a_saved, *a_artifact_n, *a_newline_threshold,
+    *a_space_threshold, *a_tj_space_threshold, *a_include_artifacts;
+
+/* ---- operand stack ------------------------------------------------------ */
+enum { V_NUM = 0, V_STR = 1, V_NAME = 2, V_MARK = 3, V_OBJ = 4 };
+
+typedef struct {
+    unsigned char tag;
+    unsigned char is_int;
+    unsigned char ival_ok;
+    double num;
+    long long ival;
+    const unsigned char *ptr;  /* V_STR view / V_NUM token text */
+    Py_ssize_t len;
+    PyObject *obj;  /* owned: V_NAME str, V_OBJ, V_STR owned bytes, V_MARK */
+} Val;
+
+typedef struct {
+    PyObject *interp, *st, *opts, *data_obj, *resources;
+    const unsigned char *data;
+    Py_ssize_t n;
+    int depth;
+    double nl_thr, sp_thr, tj_thr;
+    int inc_art;
+    /* hot state (the Python loop's locals) */
+    double la1, la2, la3, la4, lt4, lt5, tt4, tt5;
+    double ctm[6];
+    int ctm_ident;
+    double fs, hs, l_sp;
+    int in_text, noart;
+    long long total;
+    double lastx, lasty;
+    Py_UCS4 lastc; /* 0 == "" */
+    PyObject *text_parts, *font_memo, *saved, *fill_color, *decode_meth;
+    Val *stk;
+    Py_ssize_t sp, cap;
+} Ctx;
+
+static int stack_push(Ctx *c, Val v)
+{
+    if (c->sp >= c->cap) {
+        Py_ssize_t ncap = c->cap ? c->cap * 2 : 64;
+        Val *ns = (Val *)realloc(c->stk, ncap * sizeof(Val));
+        if (!ns) {
+            Py_XDECREF(v.obj);
+            PyErr_NoMemory();
+            return -1;
+        }
+        c->stk = ns;
+        c->cap = ncap;
+    }
+    c->stk[c->sp++] = v;
+    return 0;
+}
+
+static void stack_clear(Ctx *c)
+{
+    while (c->sp > 0)
+        Py_XDECREF(c->stk[--c->sp].obj);
+}
+
+/* ---- small helpers ------------------------------------------------------ */
+static int get_f(PyObject *o, PyObject *name, double *out)
+{
+    PyObject *v = PyObject_GetAttr(o, name);
+    if (!v)
+        return -1;
+    double d = PyFloat_AsDouble(v);
+    Py_DECREF(v);
+    if (d == -1.0 && PyErr_Occurred())
+        return -1;
+    *out = d;
+    return 0;
+}
+
+static int set_f(PyObject *o, PyObject *name, double v)
+{
+    PyObject *f = PyFloat_FromDouble(v);
+    if (!f)
+        return -1;
+    int r = PyObject_SetAttr(o, name, f);
+    Py_DECREF(f);
+    return r;
+}
+
+static PyObject *tuple6(double a, double b, double cc, double d, double e,
+                        double f)
+{
+    PyObject *t = PyTuple_New(6);
+    if (!t)
+        return NULL;
+    double v[6] = {a, b, cc, d, e, f};
+    for (int i = 0; i < 6; i++) {
+        PyObject *x = PyFloat_FromDouble(v[i]);
+        if (!x) {
+            Py_DECREF(t);
+            return NULL;
+        }
+        PyTuple_SET_ITEM(t, i, x);
+    }
+    return t;
+}
+
+static int read_mat6(PyObject *o, PyObject *name, double out[6])
+{
+    PyObject *t = PyObject_GetAttr(o, name);
+    if (!t)
+        return -1;
+    if (!PyTuple_Check(t) || PyTuple_GET_SIZE(t) != 6) {
+        Py_DECREF(t);
+        PyErr_SetString(PyExc_TypeError, "matrix is not a 6-tuple");
+        return -1;
+    }
+    for (int i = 0; i < 6; i++) {
+        out[i] = PyFloat_AsDouble(PyTuple_GET_ITEM(t, i));
+        if (out[i] == -1.0 && PyErr_Occurred()) {
+            Py_DECREF(t);
+            return -1;
+        }
+    }
+    Py_DECREF(t);
+    return 0;
+}
+
+static int set_matrices(Ctx *c)
+{
+    PyObject *tm = tuple6(c->la1, c->la2, c->la3, c->la4, c->tt4, c->tt5);
+    if (!tm)
+        return -1;
+    int r = PyObject_SetAttr(c->st, a_text_matrix, tm);
+    Py_DECREF(tm);
+    if (r < 0)
+        return -1;
+    PyObject *tlm = tuple6(c->la1, c->la2, c->la3, c->la4, c->lt4, c->lt5);
+    if (!tlm)
+        return -1;
+    r = PyObject_SetAttr(c->st, a_text_line_matrix, tlm);
+    Py_DECREF(tlm);
+    return r;
+}
+
+static PyObject *lastc_obj(Ctx *c)
+{
+    if (c->lastc == 0) {
+        Py_INCREF(g_empty);
+        return g_empty;
+    }
+    if (c->lastc == '\n') {
+        Py_INCREF(g_nl);
+        return g_nl;
+    }
+    if (c->lastc == ' ') {
+        Py_INCREF(g_sp);
+        return g_sp;
+    }
+    return PyUnicode_FromOrdinal((int)c->lastc);
+}
+
+static int sync_counters_out(Ctx *c)
+{
+    PyObject *t = PyLong_FromLongLong(c->total);
+    if (!t)
+        return -1;
+    int r = PyObject_SetAttr(c->interp, a_total, t);
+    Py_DECREF(t);
+    if (r < 0)
+        return -1;
+    if (set_f(c->interp, a_last_x, c->lastx) < 0)
+        return -1;
+    if (set_f(c->interp, a_last_y, c->lasty) < 0)
+        return -1;
+    PyObject *lc = lastc_obj(c);
+    if (!lc)
+        return -1;
+    r = PyObject_SetAttr(c->interp, a_last_char, lc);
+    Py_DECREF(lc);
+    return r;
+}
+
+static int sync_out(Ctx *c) /* matrices + counters (the pre-call sync) */
+{
+    if (set_matrices(c) < 0)
+        return -1;
+    return sync_counters_out(c);
+}
+
+static int read_lastc(Ctx *c)
+{
+    PyObject *lc = PyObject_GetAttr(c->interp, a_last_char);
+    if (!lc)
+        return -1;
+    if (!PyUnicode_Check(lc)) {
+        Py_DECREF(lc);
+        PyErr_SetString(PyExc_TypeError, "_last_char not a str");
+        return -1;
+    }
+    Py_ssize_t l = PyUnicode_GET_LENGTH(lc);
+    c->lastc = l ? PyUnicode_ReadChar(lc, l - 1) : 0;
+    Py_DECREF(lc);
+    return 0;
+}
+
+static int resync_in(Ctx *c) /* counters + matrices (the post-call re-read) */
+{
+    PyObject *t = PyObject_GetAttr(c->interp, a_total);
+    if (!t)
+        return -1;
+    c->total = PyLong_AsLongLong(t);
+    Py_DECREF(t);
+    if (c->total == -1 && PyErr_Occurred())
+        return -1;
+    if (get_f(c->interp, a_last_x, &c->lastx) < 0)
+        return -1;
+    if (get_f(c->interp, a_last_y, &c->lasty) < 0)
+        return -1;
+    if (read_lastc(c) < 0)
+        return -1;
+    double m[6];
+    if (read_mat6(c->st, a_text_line_matrix, m) < 0)
+        return -1;
+    c->la1 = m[0];
+    c->la2 = m[1];
+    c->la3 = m[2];
+    c->la4 = m[3];
+    c->lt4 = m[4];
+    c->lt5 = m[5];
+    if (read_mat6(c->st, a_text_matrix, m) < 0)
+        return -1;
+    c->tt4 = m[4];
+    c->tt5 = m[5];
+    return 0;
+}
+
+static int read_noart(Ctx *c)
+{
+    PyObject *an = PyObject_GetAttr(c->st, a_artifact_n);
+    if (!an)
+        return -1;
+    long v = PyLong_AsLong(an);
+    Py_DECREF(an);
+    if (v == -1 && PyErr_Occurred())
+        return -1;
+    c->noart = (v == 0) || c->inc_art;
+    return 0;
+}
+
+static void update_ctm_ident(Ctx *c)
+{
+    c->ctm_ident = (c->ctm[0] == 1.0 && c->ctm[1] == 0.0 &&
+                    c->ctm[2] == 0.0 && c->ctm[3] == 1.0 &&
+                    c->ctm[4] == 0.0 && c->ctm[5] == 0.0);
+}
+
+/* ---- show text (transcription of the inline tail, fast_show branch) ---- */
+static int do_show(Ctx *c, const unsigned char *p, Py_ssize_t len,
+                   PyObject *owned)
+{
+    PyObject *key;
+    if (owned) {
+        key = owned;
+        Py_INCREF(key);
+    } else {
+        key = PyBytes_FromStringAndSize((const char *)p, len);
+        if (!key)
+            return -1;
+    }
+    PyObject *hit = PyDict_GetItemWithError(c->font_memo, key); /* borrowed */
+    if (hit) {
+        Py_INCREF(hit);
+    } else {
+        if (PyErr_Occurred()) {
+            Py_DECREF(key);
+            return -1;
+        }
+        hit = PyObject_CallOneArg(c->decode_meth, key);
+        if (!hit) {
+            Py_DECREF(key);
+            return -1;
+        }
+    }
+    Py_DECREF(key);
+    if (!PyTuple_Check(hit) || PyTuple_GET_SIZE(hit) != 2) {
+        Py_DECREF(hit);
+        PyErr_SetString(PyExc_TypeError, "decode memo entry not a pair");
+        return -1;
+    }
+    PyObject *decoded = PyTuple_GET_ITEM(hit, 0);
+    double unit_w = PyFloat_AsDouble(PyTuple_GET_ITEM(hit, 1));
+    if (unit_w == -1.0 && PyErr_Occurred()) {
+        Py_DECREF(hit);
+        return -1;
+    }
+    double x, y;
+    if (c->ctm_ident) {
+        x = c->tt4;
+        y = c->tt5;
+    } else {
+        x = c->tt4 * c->ctm[0] + c->tt5 * c->ctm[2] + c->ctm[4];
+        y = c->tt4 * c->ctm[1] + c->tt5 * c->ctm[3] + c->ctm[5];
+    }
+    if (c->noart) {
+        if (c->total) {
+            double dy = y - c->lasty;
+            if (dy > c->nl_thr || -dy > c->nl_thr) {
+                if (PyList_Append(c->text_parts, g_nl) < 0) {
+                    Py_DECREF(hit);
+                    return -1;
+                }
+                c->total += 1;
+                c->lastc = '\n';
+            } else if (x - c->lastx > c->l_sp) {
+                if (PyList_Append(c->text_parts, g_sp) < 0) {
+                    Py_DECREF(hit);
+                    return -1;
+                }
+                c->total += 1;
+                c->lastc = ' ';
+            }
+        }
+        Py_ssize_t dlen = PyUnicode_GET_LENGTH(decoded);
+        if (dlen) {
+            if (PyList_Append(c->text_parts, decoded) < 0) {
+                Py_DECREF(hit);
+                return -1;
+            }
+            c->total += dlen;
+            c->lastc = PyUnicode_ReadChar(decoded, dlen - 1);
+        }
+    }
+    double width = unit_w * c->fs;
+    c->lastx = x + width;
+    c->lasty = y;
+    double tx = (c->hs == 100.0) ? width : width * c->hs / 100.0;
+    c->tt4 = tx * c->la1 + c->tt4;
+    c->tt5 = tx * c->la2 + c->tt5;
+    Py_DECREF(hit);
+    return 0;
+}
+
+/* ---- _hexval parity ----------------------------------------------------- */
+static int hex_digit(unsigned char ch)
+{
+    if (ch >= '0' && ch <= '9')
+        return ch - '0';
+    if (ch >= 'A' && ch <= 'F')
+        return ch - 'A' + 10;
+    if (ch >= 'a' && ch <= 'f')
+        return ch - 'a' + 10;
+    return -1;
+}
+
+/* decode the inner hex bytes [p, p+len) per _hexval; returns owned PyBytes
+ * or NULL with the Python _hexval's exact exception (called for parity). */
+static PyObject *hexval_c(Ctx *c, const unsigned char *p, Py_ssize_t len)
+{
+    char small[256];
+    char *buf = len <= (Py_ssize_t)sizeof(small)
+                    ? small
+                    : (char *)malloc((size_t)len ? (size_t)len : 1);
+    if (!buf)
+        return PyErr_NoMemory();
+    Py_ssize_t m = 0;
+    int bad = 0;
+    for (Py_ssize_t i = 0; i < len; i++) {
+        unsigned char ch = p[i];
+        if (ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n' || ch == 0x0c)
+            continue; /* _EOL_WS removal; NUL is NOT removed (parity) */
+        if (hex_digit(ch) < 0)
+            bad = 1;
+        buf[m++] = (char)ch;
+    }
+    if (bad) {
+        if (buf != small)
+            free(buf);
+        /* exact exception parity: raise through the Python _hexval */
+        PyObject *arg =
+            PyBytes_FromStringAndSize((const char *)p, len);
+        if (!arg)
+            return NULL;
+        PyObject *r = PyObject_CallOneArg(g_hexval, arg);
+        Py_DECREF(arg);
+        return r; /* normally NULL with binascii.Error set */
+    }
+    PyObject *out = PyBytes_FromStringAndSize(NULL, (m + 1) / 2);
+    if (!out) {
+        if (buf != small)
+            free(buf);
+        return NULL;
+    }
+    unsigned char *o = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < m; i += 2) {
+        int hi = hex_digit((unsigned char)buf[i]);
+        int lo = (i + 1 < m) ? hex_digit((unsigned char)buf[i + 1]) : 0;
+        o[i / 2] = (unsigned char)((hi << 4) | lo);
+    }
+    if (buf != small)
+        free(buf);
+    return out;
+}
+
+/* ---- literal string reader (parity with _read_literal_string) ----------- */
+static PyObject *read_literal(Ctx *c, Py_ssize_t *pos)
+{
+    const unsigned char *d = c->data;
+    Py_ssize_t n = c->n, i = *pos;
+    Py_ssize_t cap = 64, m = 0;
+    unsigned char *buf = (unsigned char *)malloc(cap);
+    if (!buf)
+        return PyErr_NoMemory();
+    int depth = 1;
+    while (i < n && depth > 0) {
+        unsigned char ch = d[i++];
+        unsigned char outc;
+        if (ch == 0x5c) { /* backslash */
+            if (i >= n)
+                break;
+            unsigned char e = d[i++];
+            if (e == 'n')
+                outc = 0x0a;
+            else if (e == 'r')
+                outc = 0x0d;
+            else if (e == 't')
+                outc = 0x09;
+            else if (e == 'b')
+                outc = 0x08;
+            else if (e == 'f')
+                outc = 0x0c;
+            else if (e == '(' || e == ')' || e == 0x5c)
+                outc = e;
+            else if (e >= '0' && e <= '7') {
+                int val = e - '0', cnt = 1;
+                while (cnt < 3 && i < n && d[i] >= '0' && d[i] <= '7') {
+                    val = val * 8 + (d[i] - '0');
+                    i++;
+                    cnt++;
+                }
+                outc = (unsigned char)(val & 0xff);
+            } else
+                outc = e;
+        } else if (ch == '(') {
+            depth++;
+            outc = ch;
+        } else if (ch == ')') {
+            depth--;
+            if (depth <= 0)
+                break;
+            outc = ch;
+        } else
+            outc = ch;
+        if (m >= cap) {
+            cap *= 2;
+            unsigned char *nb = (unsigned char *)realloc(buf, cap);
+            if (!nb) {
+                free(buf);
+                return PyErr_NoMemory();
+            }
+            buf = nb;
+        }
+        buf[m++] = outc;
+    }
+    *pos = i;
+    PyObject *out = PyBytes_FromStringAndSize((const char *)buf, m);
+    free(buf);
+    return out;
+}
+
+/* ---- inline image data reader (parity with _read_inline_image_data) ---- */
+static int is_eol_ws(unsigned char ch)
+{
+    return ch == ' ' || ch == '\t' || ch == '\r' || ch == '\n' || ch == 0x0c;
+}
+
+static PyObject *read_inline_data(Ctx *c, Py_ssize_t *pos)
+{
+    const unsigned char *d = c->data;
+    Py_ssize_t n = c->n, p = *pos;
+    if (p < n && (d[p] == ' ' || d[p] == '\n' || d[p] == '\r' || d[p] == '\t')) {
+        unsigned char ch = d[p];
+        p++;
+        if (ch == 0x0d && p < n && d[p] == 0x0a)
+            p++;
+    }
+    Py_ssize_t start = p, i = p;
+    while (i + 1 < n) {
+        int preceded = (i == start) || is_eol_ws(d[i - 1]);
+        if (preceded && d[i] == 'E' && d[i + 1] == 'I') {
+            Py_ssize_t after = i + 2;
+            unsigned char na = after < n ? d[after] : ' ';
+            if (after >= n || na == ' ' || na == '\t' || na == '\r' ||
+                na == '\n' || na == 0x0c || na == '/' || na == '<' ||
+                na == '(' || na == '[' || na == '%') {
+                Py_ssize_t end = i;
+                if (end > start && is_eol_ws(d[end - 1]))
+                    end--;
+                *pos = after;
+                return PyBytes_FromStringAndSize((const char *)(d + start),
+                                                 end - start);
+            }
+        }
+        i++;
+    }
+    *pos = n;
+    return PyBytes_FromStringAndSize((const char *)(d + start), n - start);
+}
+
+/* ---- name decode via _NAME_MEMO (keys include the leading '/') --------- */
+static PyObject *decode_name_memo(const unsigned char *p, Py_ssize_t len)
+{
+    /* p/len = name WITHOUT the slash; memo key = b'/'+inner (the token
+     * path's keyspace; the no-slash Tf keys coexist harmlessly) */
+    PyObject *key = PyBytes_FromStringAndSize(NULL, len + 1);
+    if (!key)
+        return NULL;
+    char *kb = PyBytes_AS_STRING(key);
+    kb[0] = '/';
+    memcpy(kb + 1, p, (size_t)len);
+    PyObject *s = PyDict_GetItemWithError(g_name_memo, key);
+    if (s) {
+        Py_INCREF(s);
+        Py_DECREF(key);
+        return s;
+    }
+    if (PyErr_Occurred()) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    if (PyDict_GET_SIZE(g_name_memo) > 8192)
+        PyDict_Clear(g_name_memo);
+    PyObject *inner = PyBytes_FromStringAndSize((const char *)p, len);
+    if (!inner) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    s = PyObject_CallOneArg(g_decode_name, inner);
+    Py_DECREF(inner);
+    if (!s) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    if (PyDict_SetItem(g_name_memo, key, s) < 0) {
+        Py_DECREF(key);
+        Py_DECREF(s);
+        return NULL;
+    }
+    Py_DECREF(key);
+    return s;
+}
+
+/* ---- number scan (parity with _NUMPAT) ---------------------------------- */
+/* returns token length (>0) or 0 if no number starts at p */
+static Py_ssize_t scan_number(const unsigned char *p, Py_ssize_t avail,
+                              int *is_int)
+{
+    Py_ssize_t i = 0;
+    if (i < avail && (p[i] == '+' || p[i] == '-'))
+        i++;
+    Py_ssize_t ds = i;
+    while (i < avail && p[i] >= '0' && p[i] <= '9')
+        i++;
+    if (i > ds) { /* \d+ then optional .\d* */
+        if (i < avail && p[i] == '.') {
+            i++;
+            while (i < avail && p[i] >= '0' && p[i] <= '9')
+                i++;
+            *is_int = 0;
+        } else
+            *is_int = 1;
+        return i;
+    }
+    if (i < avail && p[i] == '.') { /* \.\d+ */
+        i++;
+        Py_ssize_t fs = i;
+        while (i < avail && p[i] >= '0' && p[i] <= '9')
+            i++;
+        if (i > fs) {
+            *is_int = 0;
+            return i;
+        }
+    }
+    return 0;
+}
+
+static double parse_double(const unsigned char *p, Py_ssize_t len)
+{
+    char small[64];
+    if (len < (Py_ssize_t)sizeof(small)) {
+        memcpy(small, p, (size_t)len);
+        small[len] = 0;
+        return strtod(small, NULL);
+    }
+    char *buf = (char *)malloc((size_t)len + 1);
+    if (!buf)
+        return 0.0; /* overflow-length numbers: best effort */
+    memcpy(buf, p, (size_t)len);
+    buf[len] = 0;
+    double v = strtod(buf, NULL);
+    free(buf);
+    return v;
+}
+
+/* materialize a Val into a fresh Python object (for helper calls) */
+static PyObject *val_to_obj(Val *v)
+{
+    switch (v->tag) {
+    case V_NUM:
+        if (v->is_int) {
+            if (v->ival_ok)
+                return PyLong_FromLongLong(v->ival);
+            /* huge integer literal: exact via PyLong_FromString */
+            {
+                char *buf = (char *)malloc((size_t)v->len + 1);
+                if (!buf)
+                    return PyErr_NoMemory();
+                memcpy(buf, v->ptr, (size_t)v->len);
+                buf[v->len] = 0;
+                PyObject *r = PyLong_FromString(buf, NULL, 10);
+                free(buf);
+                return r;
+            }
+        }
+        return PyFloat_FromDouble(v->num);
+    case V_STR:
+        if (v->obj) {
+            Py_INCREF(v->obj);
+            return v->obj;
+        }
+        return PyBytes_FromStringAndSize((const char *)v->ptr, v->len);
+    case V_NAME:
+    case V_MARK:
+    case V_OBJ:
+        Py_INCREF(v->obj);
+        return v->obj;
+    }
+    PyErr_SetString(PyExc_RuntimeError, "bad val tag");
+    return NULL;
+}
+
+/* pop top-k numbers as doubles (mirror of _vnums: NUM tags only) */
+static int vnums(Ctx *c, int k, double *out)
+{
+    if (c->sp < k)
+        return 0;
+    for (int i = 0; i < k; i++) {
+        Val *v = &c->stk[c->sp - k + i];
+        if (v->tag != V_NUM)
+            return 0;
+        out[i] = v->num;
+    }
+    return 1;
+}
+
+/* ---- TJ array execution (mirror _rarray + _show_text_array fast path) -- */
+static int exec_tj(Ctx *c)
+{
+    /* find the array span on the stack: from top, optional AC, then
+     * elements (skipping stray ACs) down to an AO; all elements must be
+     * STR or NUM else the op is skipped (Python: out=None). */
+    Py_ssize_t i = c->sp - 1;
+    if (i >= 0 && c->stk[i].tag == V_MARK && c->stk[i].obj == g_AC)
+        i--;
+    Py_ssize_t lo = -1;
+    for (Py_ssize_t j = i; j >= 0; j--) {
+        Val *v = &c->stk[j];
+        if (v->tag == V_MARK) {
+            if (v->obj == g_AO) {
+                lo = j;
+                break;
+            }
+            if (v->obj == g_AC)
+                continue; /* stray close markers skipped */
+            return 1; /* DO/DC marker → parse error → skip */
+        }
+        if (v->tag != V_STR && v->tag != V_NUM)
+            return 1; /* invalid element → skip */
+    }
+    if (lo < 0)
+        return 1; /* no opening marker → parse error → skip */
+    if (!c->in_text)
+        return 1;
+    /* fast-path _show_text_array over elements lo+1..i (textstate.py:551) */
+    int skip = !c->noart;
+    double fsize = c->fs;
+    double hs = c->hs / 100.0;
+    double thr = c->tj_thr * fsize;
+    double tx_total = 0.0;
+    for (Py_ssize_t j = lo + 1; j <= i; j++) {
+        Val *v = &c->stk[j];
+        if (v->tag == V_MARK)
+            continue; /* stray AC inside span */
+        if (v->tag == V_STR) {
+            PyObject *key;
+            if (v->obj) {
+                key = v->obj;
+                Py_INCREF(key);
+            } else {
+                key = PyBytes_FromStringAndSize((const char *)v->ptr, v->len);
+                if (!key)
+                    return -1;
+            }
+            PyObject *hit = PyDict_GetItemWithError(c->font_memo, key);
+            if (hit) {
+                Py_INCREF(hit);
+            } else {
+                if (PyErr_Occurred()) {
+                    Py_DECREF(key);
+                    return -1;
+                }
+                hit = PyObject_CallOneArg(c->decode_meth, key);
+                if (!hit) {
+                    Py_DECREF(key);
+                    return -1;
+                }
+            }
+            Py_DECREF(key);
+            PyObject *decoded = PyTuple_GET_ITEM(hit, 0);
+            double unit_w = PyFloat_AsDouble(PyTuple_GET_ITEM(hit, 1));
+            if (unit_w == -1.0 && PyErr_Occurred()) {
+                Py_DECREF(hit);
+                return -1;
+            }
+            Py_ssize_t dlen = PyUnicode_GET_LENGTH(decoded);
+            if (!skip && dlen) {
+                if (PyList_Append(c->text_parts, decoded) < 0) {
+                    Py_DECREF(hit);
+                    return -1;
+                }
+                c->total += dlen;
+                c->lastc = PyUnicode_ReadChar(decoded, dlen - 1);
+            }
+            tx_total += unit_w * fsize * hs;
+            Py_DECREF(hit);
+        } else { /* number */
+            double tx = -v->num / 1000.0 * fsize;
+            if (!skip && tx > thr && c->total && c->lastc != ' ') {
+                if (PyList_Append(c->text_parts, g_sp) < 0)
+                    return -1;
+                c->total += 1;
+                c->lastc = ' ';
+            }
+            tx_total += tx;
+        }
+    }
+    c->tt4 = tx_total * c->la1 + c->tt4;
+    c->tt5 = tx_total * c->la2 + c->tt5;
+    return 1;
+}
+
+/* call a 1-arg interp method by attr name, discard result */
+static int call_method1(Ctx *c, PyObject *meth_name, PyObject *arg)
+{
+    PyObject *m = PyObject_GetAttr(c->interp, meth_name);
+    if (!m)
+        return -1;
+    PyObject *r = PyObject_CallOneArg(m, arg);
+    Py_DECREF(m);
+    if (!r)
+        return -1;
+    Py_DECREF(r);
+    return 0;
+}
+
+static int refresh_font_memo(Ctx *c)
+{
+    PyObject *fm = PyObject_GetAttr(c->interp, a_font_memo);
+    if (!fm)
+        return -1;
+    Py_DECREF(c->font_memo);
+    c->font_memo = fm;
+    return 0;
+}
+
+/* after Do: the full re-read block (content.py Do branch) */
+static int resync_after_do(Ctx *c)
+{
+    if (resync_in(c) < 0)
+        return -1;
+    if (refresh_font_memo(c) < 0)
+        return -1;
+    PyObject *it = PyObject_GetAttr(c->interp, a_in_text);
+    if (!it)
+        return -1;
+    c->in_text = PyObject_IsTrue(it);
+    Py_DECREF(it);
+    if (c->in_text < 0)
+        return -1;
+    if (read_mat6(c->st, a_ctm, c->ctm) < 0)
+        return -1;
+    update_ctm_ident(c);
+    if (get_f(c->st, a_font_size, &c->fs) < 0)
+        return -1;
+    c->l_sp = c->sp_thr * c->fs;
+    if (get_f(c->st, a_horizontal_scale, &c->hs) < 0)
+        return -1;
+    if (read_noart(c) < 0)
+        return -1;
+    /* fill_color / saved may have been restored */
+    PyObject *fc = PyObject_GetAttr(c->st, a_fill_color);
+    if (!fc)
+        return -1;
+    Py_DECREF(c->fill_color);
+    c->fill_color = fc;
+    return 0;
+}
+
+/* ======================================================================== */
+static PyObject *run_page(PyObject *self, PyObject *args)
+{
+    Ctx cx;
+    Ctx *c = &cx;
+    memset(c, 0, sizeof(Ctx));
+    int depth;
+    if (!PyArg_ParseTuple(args, "OOOi", &c->interp, &c->data_obj,
+                          &c->resources, &depth))
+        return NULL;
+    c->depth = depth;
+    if (!PyBytes_Check(c->data_obj)) {
+        PyErr_SetString(PyExc_TypeError, "data must be bytes");
+        return NULL;
+    }
+    c->data = (const unsigned char *)PyBytes_AS_STRING(c->data_obj);
+    c->n = PyBytes_GET_SIZE(c->data_obj);
+
+    /* ---- entry state read (mirror of the Python loop prologue) ---- */
+    c->st = PyObject_GetAttr(c->interp, a_state);
+    if (!c->st)
+        return NULL;
+    c->opts = PyObject_GetAttr(c->interp, a_options);
+    if (!c->opts)
+        goto fail_early;
+    if (get_f(c->opts, a_newline_threshold, &c->nl_thr) < 0)
+        goto fail_early;
+    if (get_f(c->opts, a_space_threshold, &c->sp_thr) < 0)
+        goto fail_early;
+    if (get_f(c->opts, a_tj_space_threshold, &c->tj_thr) < 0)
+        goto fail_early;
+    {
+        PyObject *ia = PyObject_GetAttr(c->opts, a_include_artifacts);
+        if (!ia)
+            goto fail_early;
+        c->inc_art = PyObject_IsTrue(ia);
+        Py_DECREF(ia);
+        if (c->inc_art < 0)
+            goto fail_early;
+    }
+    {
+        PyObject *it = PyObject_GetAttr(c->interp, a_in_text);
+        if (!it)
+            goto fail_early;
+        c->in_text = PyObject_IsTrue(it);
+        Py_DECREF(it);
+        if (c->in_text < 0)
+            goto fail_early;
+        PyObject *t = PyObject_GetAttr(c->interp, a_total);
+        if (!t)
+            goto fail_early;
+        c->total = PyLong_AsLongLong(t);
+        Py_DECREF(t);
+        if (c->total == -1 && PyErr_Occurred())
+            goto fail_early;
+        if (get_f(c->interp, a_last_x, &c->lastx) < 0)
+            goto fail_early;
+        if (get_f(c->interp, a_last_y, &c->lasty) < 0)
+            goto fail_early;
+        if (read_lastc(c) < 0)
+            goto fail_early;
+    }
+    c->text_parts = PyObject_GetAttr(c->interp, a_text_parts);
+    if (!c->text_parts || !PyList_Check(c->text_parts))
+        goto fail_early;
+    c->font_memo = PyObject_GetAttr(c->interp, a_font_memo);
+    if (!c->font_memo)
+        goto fail_early;
+    c->decode_meth = PyObject_GetAttr(c->interp, a_decode);
+    if (!c->decode_meth)
+        goto fail_early;
+    c->saved = PyObject_GetAttr(c->st, a_saved);
+    if (!c->saved || !PyList_Check(c->saved))
+        goto fail_early;
+    c->fill_color = PyObject_GetAttr(c->st, a_fill_color);
+    if (!c->fill_color)
+        goto fail_early;
+    {
+        double m[6];
+        if (read_mat6(c->st, a_text_line_matrix, m) < 0)
+            goto fail_early;
+        c->la1 = m[0];
+        c->la2 = m[1];
+        c->la3 = m[2];
+        c->la4 = m[3];
+        c->lt4 = m[4];
+        c->lt5 = m[5];
+        if (read_mat6(c->st, a_text_matrix, m) < 0)
+            goto fail_early;
+        c->tt4 = m[4];
+        c->tt5 = m[5];
+    }
+    if (read_mat6(c->st, a_ctm, c->ctm) < 0)
+        goto fail_early;
+    update_ctm_ident(c);
+    if (get_f(c->st, a_font_size, &c->fs) < 0)
+        goto fail_early;
+    if (get_f(c->st, a_horizontal_scale, &c->hs) < 0)
+        goto fail_early;
+    c->l_sp = c->sp_thr * c->fs;
+    if (read_noart(c) < 0)
+        goto fail_early;
+
+    /* ---- the scan loop ---- */
+    {
+        const unsigned char *d = c->data;
+        Py_ssize_t n = c->n;
+        Py_ssize_t pos = 0;
+        while (pos < n) {
+            /* skippable prefix: whitespace runs + comments */
+            unsigned char ch = d[pos];
+            if (ch == 0 || ch == '\t' || ch == '\n' || ch == 0x0c ||
+                ch == '\r' || ch == ' ') {
+                pos++;
+                continue;
+            }
+            if (ch == '%') {
+                pos++;
+                while (pos < n && d[pos] != '\r' && d[pos] != '\n')
+                    pos++;
+                continue;
+            }
+            /* token classification (generic _MASTER_FAST classes) */
+            if (ch == '(') {
+                /* flat string or full literal scan */
+                Py_ssize_t j = pos + 1;
+                while (j < n && d[j] != '(' && d[j] != ')' && d[j] != 0x5c)
+                    j++;
+                if (j < n && d[j] == ')') {
+                    Val v = {V_STR, 0, 0, 0.0, 0, d + pos + 1, j - pos - 1,
+                             NULL};
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos = j + 1;
+                } else {
+                    Py_ssize_t np = pos + 1;
+                    PyObject *sb = read_literal(c, &np);
+                    if (!sb)
+                        goto fail;
+                    Val v = {V_STR, 0, 0, 0.0, 0,
+                             (const unsigned char *)PyBytes_AS_STRING(sb),
+                             PyBytes_GET_SIZE(sb), sb};
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos = np;
+                }
+                continue;
+            }
+            if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' ||
+                ch == '.') {
+                int is_int = 0;
+                Py_ssize_t tl = scan_number(d + pos, n - pos, &is_int);
+                if (tl > 0) {
+                    Val v;
+                    v.tag = V_NUM;
+                    v.is_int = (unsigned char)is_int;
+                    v.ptr = d + pos;
+                    v.len = tl;
+                    v.obj = NULL;
+                    v.num = parse_double(d + pos, tl);
+                    v.ival_ok = 0;
+                    v.ival = 0;
+                    if (is_int && tl <= 18) {
+                        long long iv = 0;
+                        Py_ssize_t k = 0;
+                        int neg = 0;
+                        if (d[pos] == '+' || d[pos] == '-') {
+                            neg = d[pos] == '-';
+                            k = 1;
+                        }
+                        for (; k < tl; k++)
+                            iv = iv * 10 + (d[pos + k] - '0');
+                        v.ival = neg ? -iv : iv;
+                        v.ival_ok = 1;
+                    }
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos += tl;
+                    continue;
+                }
+                /* fall through: +/-/. alone start an op token */
+            }
+            if (ch == '/') {
+                Py_ssize_t j = pos + 1;
+                while (j < n) {
+                    unsigned char x = d[j];
+                    if (x == 0 || x == '\t' || x == '\n' || x == 0x0c ||
+                        x == '\r' || x == ' ' || x == '(' || x == ')' ||
+                        x == '<' || x == '>' || x == '[' || x == ']' ||
+                        x == '{' || x == '}' || x == '/' || x == '%')
+                        break;
+                    j++;
+                }
+                PyObject *s = decode_name_memo(d + pos + 1, j - pos - 1);
+                if (!s)
+                    goto fail;
+                Val v = {V_NAME, 0, 0, 0.0, 0, NULL, 0, s};
+                if (stack_push(c, v) < 0)
+                    goto fail;
+                pos = j;
+                continue;
+            }
+            if (ch == '<') {
+                if (pos + 1 < n && d[pos + 1] == '<') {
+                    Val v = {V_MARK, 0, 0, 0.0, 0, NULL, 0, g_DO};
+                    Py_INCREF(g_DO);
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos += 2;
+                    continue;
+                }
+                Py_ssize_t j = pos + 1;
+                while (j < n) {
+                    unsigned char x = d[j];
+                    if ((x >= '0' && x <= '9') || (x >= 'A' && x <= 'F') ||
+                        (x >= 'a' && x <= 'f') || x == 0 || x == '\t' ||
+                        x == '\n' || x == 0x0c || x == '\r' || x == ' ')
+                        j++;
+                    else
+                        break;
+                }
+                if (j < n && d[j] == '>') {
+                    PyObject *hb = hexval_c(c, d + pos + 1, j - pos - 1);
+                    if (!hb)
+                        goto fail;
+                    Val v = {V_STR, 0, 0, 0.0, 0,
+                             (const unsigned char *)PyBytes_AS_STRING(hb),
+                             PyBytes_GET_SIZE(hb), hb};
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos = j + 1;
+                } else {
+                    pos++; /* unmatched '<': finditer skips one byte */
+                }
+                continue;
+            }
+            if (ch == '>') {
+                if (pos + 1 < n && d[pos + 1] == '>') {
+                    Val v = {V_MARK, 0, 0, 0.0, 0, NULL, 0, g_DC};
+                    Py_INCREF(g_DC);
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos += 2;
+                } else
+                    pos++; /* lone '>' unmatched */
+                continue;
+            }
+            if (ch == '[') {
+                Val v = {V_MARK, 0, 0, 0.0, 0, NULL, 0, g_AO};
+                Py_INCREF(g_AO);
+                if (stack_push(c, v) < 0)
+                    goto fail;
+                pos++;
+                continue;
+            }
+            if (ch == ']') {
+                Val v = {V_MARK, 0, 0, 0.0, 0, NULL, 0, g_AC};
+                Py_INCREF(g_AC);
+                if (stack_push(c, v) < 0)
+                    goto fail;
+                pos++;
+                continue;
+            }
+            if (ch == ';' || ch == ')' || ch == '{' || ch == '}') {
+                pos++; /* skipd: dropped */
+                continue;
+            }
+            /* operator token: [^ws ( ) < > [ ] { } / % ;]+ */
+            {
+                Py_ssize_t j = pos;
+                while (j < n) {
+                    unsigned char x = d[j];
+                    if (x == 0 || x == '\t' || x == '\n' || x == 0x0c ||
+                        x == '\r' || x == ' ' || x == '(' || x == ')' ||
+                        x == '<' || x == '>' || x == '[' || x == ']' ||
+                        x == '{' || x == '}' || x == '/' || x == '%' ||
+                        x == ';')
+                        break;
+                    j++;
+                }
+                const unsigned char *op = d + pos;
+                Py_ssize_t ol = j - pos;
+                pos = j;
+                /* pending show bytes (consumed after the stack clear) */
+                const unsigned char *tbp = NULL;
+                Py_ssize_t tbl = 0;
+                PyObject *tbo = NULL;
+
+                if (ol == 2 && op[0] == 'T' && op[1] == 'j') {
+                    if (c->sp > 0 && c->stk[c->sp - 1].tag == V_STR &&
+                        c->in_text) {
+                        Val *v = &c->stk[c->sp - 1];
+                        tbp = v->ptr;
+                        tbl = v->len;
+                        tbo = v->obj;
+                        Py_XINCREF(tbo);
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'd') {
+                    double xy[2];
+                    if (vnums(c, 2, xy)) {
+                        c->lt4 = xy[0] * c->la1 + xy[1] * c->la3 + c->lt4;
+                        c->lt5 = xy[0] * c->la2 + xy[1] * c->la4 + c->lt5;
+                        c->tt4 = c->lt4;
+                        c->tt5 = c->lt5;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'm') {
+                    double v6[6];
+                    if (vnums(c, 6, v6)) {
+                        c->la1 = v6[0];
+                        c->la2 = v6[1];
+                        c->la3 = v6[2];
+                        c->la4 = v6[3];
+                        c->lt4 = v6[4];
+                        c->lt5 = v6[5];
+                        c->tt4 = c->lt4;
+                        c->tt5 = c->lt5;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'f') {
+                    if (c->sp >= 2 && c->stk[c->sp - 2].tag == V_NAME &&
+                        c->stk[c->sp - 1].tag == V_NUM) {
+                        PyObject *s = c->stk[c->sp - 2].obj;
+                        double sz = c->stk[c->sp - 1].num;
+                        if (PyObject_SetAttr(c->st, a_font_name, s) < 0)
+                            goto fail;
+                        if (set_f(c->st, a_font_size, sz) < 0)
+                            goto fail;
+                        c->fs = sz;
+                        c->l_sp = c->sp_thr * c->fs;
+                        if (call_method1(c, a_set_font_memo, s) < 0)
+                            goto fail;
+                        if (refresh_font_memo(c) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'B' && op[1] == 'T') {
+                    c->in_text = 1;
+                    c->la1 = 1.0;
+                    c->la2 = 0.0;
+                    c->la3 = 0.0;
+                    c->la4 = 1.0;
+                    c->lt4 = c->lt5 = c->tt4 = c->tt5 = 0.0;
+                } else if (ol == 2 && op[0] == 'E' && op[1] == 'T') {
+                    c->in_text = 0;
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'J') {
+                    if (exec_tj(c) < 0)
+                        goto fail;
+                } else if (ol == 2 && op[0] == 'T' && op[1] == '*') {
+                    double lead;
+                    if (get_f(c->st, a_leading, &lead) < 0)
+                        goto fail;
+                    c->lt4 = -lead * c->la3 + c->lt4;
+                    c->lt5 = -lead * c->la4 + c->lt5;
+                    c->tt4 = c->lt4;
+                    c->tt5 = c->lt5;
+                } else if (ol == 1 && (op[0] == '\'' || op[0] == '"')) {
+                    int ok;
+                    if (op[0] == '\'')
+                        ok = c->sp > 0 && c->stk[c->sp - 1].tag == V_STR;
+                    else
+                        ok = c->sp >= 3 &&
+                             c->stk[c->sp - 1].tag == V_STR &&
+                             c->stk[c->sp - 2].tag == V_NUM &&
+                             c->stk[c->sp - 3].tag == V_NUM;
+                    if (ok && c->in_text) {
+                        if (op[0] == '"') {
+                            if (set_f(c->st, a_word_space,
+                                      c->stk[c->sp - 3].num) < 0)
+                                goto fail;
+                            if (set_f(c->st, a_char_space,
+                                      c->stk[c->sp - 2].num) < 0)
+                                goto fail;
+                        }
+                        Val *v = &c->stk[c->sp - 1];
+                        PyObject *sb = val_to_obj(v);
+                        if (!sb)
+                            goto fail;
+                        if (sync_out(c) < 0) {
+                            Py_DECREF(sb);
+                            goto fail;
+                        }
+                        int r = call_method1(c, a_next_line_show, sb);
+                        Py_DECREF(sb);
+                        if (r < 0)
+                            goto fail;
+                        if (resync_in(c) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'L') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        if (set_f(c->st, a_leading, v1[0]) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'c') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        if (set_f(c->st, a_char_space, v1[0]) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'w') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        if (set_f(c->st, a_word_space, v1[0]) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'z') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        if (set_f(c->st, a_horizontal_scale, v1[0]) < 0)
+                            goto fail;
+                        c->hs = v1[0];
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 's') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        if (set_f(c->st, a_text_rise, v1[0]) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'T' && op[1] == 'r') {
+                    if (c->sp > 0 && c->stk[c->sp - 1].tag == V_NUM &&
+                        c->stk[c->sp - 1].is_int) {
+                        Val *v = &c->stk[c->sp - 1];
+                        PyObject *iv = val_to_obj(v);
+                        if (!iv)
+                            goto fail;
+                        int r = PyObject_SetAttr(c->st, a_render_mode, iv);
+                        Py_DECREF(iv);
+                        if (r < 0)
+                            goto fail;
+                    }
+                } else if (ol == 2 && op[0] == 'c' && op[1] == 'm') {
+                    double v6[6];
+                    if (vnums(c, 6, v6)) {
+                        double o0 = c->ctm[0], o1 = c->ctm[1], o2 = c->ctm[2],
+                               o3 = c->ctm[3], o4 = c->ctm[4], o5 = c->ctm[5];
+                        double nc[6];
+                        nc[0] = v6[0] * o0 + v6[1] * o2;
+                        nc[1] = v6[0] * o1 + v6[1] * o3;
+                        nc[2] = v6[2] * o0 + v6[3] * o2;
+                        nc[3] = v6[2] * o1 + v6[3] * o3;
+                        nc[4] = v6[4] * o0 + v6[5] * o2 + o4;
+                        nc[5] = v6[4] * o1 + v6[5] * o3 + o5;
+                        memcpy(c->ctm, nc, sizeof(nc));
+                        update_ctm_ident(c);
+                        PyObject *t = tuple6(nc[0], nc[1], nc[2], nc[3],
+                                             nc[4], nc[5]);
+                        if (!t)
+                            goto fail;
+                        int r = PyObject_SetAttr(c->st, a_ctm, t);
+                        Py_DECREF(t);
+                        if (r < 0)
+                            goto fail;
+                    }
+                } else if (ol == 1 && op[0] == 'q') {
+                    PyObject *ct = tuple6(c->ctm[0], c->ctm[1], c->ctm[2],
+                                          c->ctm[3], c->ctm[4], c->ctm[5]);
+                    if (!ct)
+                        goto fail;
+                    PyObject *pair = PyTuple_Pack(2, ct, c->fill_color);
+                    Py_DECREF(ct);
+                    if (!pair)
+                        goto fail;
+                    int r = PyList_Append(c->saved, pair);
+                    Py_DECREF(pair);
+                    if (r < 0)
+                        goto fail;
+                } else if (ol == 1 && op[0] == 'Q') {
+                    Py_ssize_t sl = PyList_GET_SIZE(c->saved);
+                    if (sl > 0) {
+                        PyObject *pair = PyList_GET_ITEM(c->saved, sl - 1);
+                        Py_INCREF(pair);
+                        if (PyList_SetSlice(c->saved, sl - 1, sl, NULL) < 0) {
+                            Py_DECREF(pair);
+                            goto fail;
+                        }
+                        PyObject *ct = PyTuple_GET_ITEM(pair, 0);
+                        PyObject *fc = PyTuple_GET_ITEM(pair, 1);
+                        if (PyObject_SetAttr(c->st, a_ctm, ct) < 0 ||
+                            PyObject_SetAttr(c->st, a_fill_color, fc) < 0) {
+                            Py_DECREF(pair);
+                            goto fail;
+                        }
+                        for (int i2 = 0; i2 < 6; i2++) {
+                            c->ctm[i2] =
+                                PyFloat_AsDouble(PyTuple_GET_ITEM(ct, i2));
+                            if (c->ctm[i2] == -1.0 && PyErr_Occurred()) {
+                                Py_DECREF(pair);
+                                goto fail;
+                            }
+                        }
+                        update_ctm_ident(c);
+                        Py_INCREF(fc);
+                        Py_DECREF(c->fill_color);
+                        c->fill_color = fc;
+                        Py_DECREF(pair);
+                    }
+                } else if (ol == 1 && op[0] == 'g') {
+                    double v1[1];
+                    if (vnums(c, 1, v1)) {
+                        PyObject *f = PyFloat_FromDouble(v1[0]);
+                        if (!f)
+                            goto fail;
+                        PyObject *t = PyTuple_Pack(2, g_gray, f);
+                        Py_DECREF(f);
+                        if (!t)
+                            goto fail;
+                        int r = PyObject_SetAttr(c->st, a_fill_color, t);
+                        if (r < 0) {
+                            Py_DECREF(t);
+                            goto fail;
+                        }
+                        Py_DECREF(c->fill_color);
+                        c->fill_color = t;
+                    }
+                } else if (ol == 2 && op[0] == 'r' && op[1] == 'g') {
+                    double v3[3];
+                    if (vnums(c, 3, v3)) {
+                        PyObject *t = Py_BuildValue("(Oddd)", g_rgb, v3[0],
+                                                    v3[1], v3[2]);
+                        if (!t)
+                            goto fail;
+                        int r = PyObject_SetAttr(c->st, a_fill_color, t);
+                        if (r < 0) {
+                            Py_DECREF(t);
+                            goto fail;
+                        }
+                        Py_DECREF(c->fill_color);
+                        c->fill_color = t;
+                    }
+                } else if (ol == 1 && op[0] == 'k') {
+                    double v4[4];
+                    if (vnums(c, 4, v4)) {
+                        PyObject *t = Py_BuildValue("(Odddd)", g_cmyk, v4[0],
+                                                    v4[1], v4[2], v4[3]);
+                        if (!t)
+                            goto fail;
+                        int r = PyObject_SetAttr(c->st, a_fill_color, t);
+                        if (r < 0) {
+                            Py_DECREF(t);
+                            goto fail;
+                        }
+                        Py_DECREF(c->fill_color);
+                        c->fill_color = t;
+                    }
+                } else if (ol == 2 && op[0] == 'D' && op[1] == 'o') {
+                    if (c->sp > 0 && c->stk[c->sp - 1].tag == V_NAME) {
+                        PyObject *nm = c->stk[c->sp - 1].obj;
+                        Py_INCREF(nm);
+                        if (sync_out(c) < 0) {
+                            Py_DECREF(nm);
+                            goto fail;
+                        }
+                        PyObject *itv = c->in_text ? Py_True : Py_False;
+                        if (PyObject_SetAttr(c->interp, a_in_text, itv) < 0) {
+                            Py_DECREF(nm);
+                            goto fail;
+                        }
+                        PyObject *m =
+                            PyObject_GetAttr(c->interp, a_paint_xobject);
+                        if (!m) {
+                            Py_DECREF(nm);
+                            goto fail;
+                        }
+                        PyObject *dep = PyLong_FromLong(c->depth);
+                        if (!dep) {
+                            Py_DECREF(m);
+                            Py_DECREF(nm);
+                            goto fail;
+                        }
+                        PyObject *r = PyObject_CallFunctionObjArgs(
+                            m, nm, c->resources, dep, NULL);
+                        Py_DECREF(dep);
+                        Py_DECREF(m);
+                        Py_DECREF(nm);
+                        if (!r)
+                            goto fail;
+                        Py_DECREF(r);
+                        if (resync_after_do(c) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 3 && op[0] == 'B' && op[1] == 'M' &&
+                           op[2] == 'C') {
+                    if (c->sp > 0 && c->stk[c->sp - 1].tag == V_NAME) {
+                        if (call_method1(c, a_op_bmc,
+                                         c->stk[c->sp - 1].obj) < 0)
+                            goto fail;
+                        if (read_noart(c) < 0)
+                            goto fail;
+                    }
+                } else if (ol == 3 && op[0] == 'B' && op[1] == 'D' &&
+                           op[2] == 'C') {
+                    /* materialize the stack and delegate the props parse +
+                     * _op_bdc call (with the Python branch's sync) */
+                    PyObject *lst = PyList_New(c->sp);
+                    if (!lst)
+                        goto fail;
+                    for (Py_ssize_t i2 = 0; i2 < c->sp; i2++) {
+                        PyObject *o = val_to_obj(&c->stk[i2]);
+                        if (!o) {
+                            Py_DECREF(lst);
+                            goto fail;
+                        }
+                        PyList_SET_ITEM(lst, i2, o);
+                    }
+                    if (sync_out(c) < 0) {
+                        Py_DECREF(lst);
+                        goto fail;
+                    }
+                    PyObject *r = PyObject_CallFunctionObjArgs(
+                        g_bdc_helper, c->interp, lst, c->resources, NULL);
+                    Py_DECREF(lst);
+                    if (!r)
+                        goto fail;
+                    Py_DECREF(r);
+                    if (read_noart(c) < 0)
+                        goto fail;
+                    if (resync_in(c) < 0)
+                        goto fail;
+                } else if (ol == 3 && op[0] == 'E' && op[1] == 'M' &&
+                           op[2] == 'C') {
+                    if (sync_out(c) < 0)
+                        goto fail;
+                    PyObject *m = PyObject_GetAttr(c->interp, a_op_emc);
+                    if (!m)
+                        goto fail;
+                    PyObject *r = PyObject_CallNoArgs(m);
+                    Py_DECREF(m);
+                    if (!r)
+                        goto fail;
+                    Py_DECREF(r);
+                    if (read_noart(c) < 0)
+                        goto fail;
+                    if (resync_in(c) < 0)
+                        goto fail;
+                } else if (ol == 2 && op[0] == 'B' && op[1] == 'I') {
+                    stack_clear(c);
+                    PyObject *pp = PyLong_FromSsize_t(pos);
+                    if (!pp)
+                        goto fail;
+                    PyObject *r = PyObject_CallFunctionObjArgs(
+                        g_bi_helper, c->interp, c->data_obj, pp, NULL);
+                    Py_DECREF(pp);
+                    if (!r)
+                        goto fail;
+                    Py_ssize_t np = PyLong_AsSsize_t(r);
+                    Py_DECREF(r);
+                    if (np == -1 && PyErr_Occurred())
+                        goto fail;
+                    pos = np;
+                    continue; /* restart: no stack clear tail, no show */
+                } else if (ol == 2 && op[0] == 'I' && op[1] == 'D') {
+                    /* stray ID: resync; swallowed payload becomes an operand
+                     * no pop accepts (_InlineTok) */
+                    stack_clear(c);
+                    Py_ssize_t np = pos;
+                    PyObject *payload = read_inline_data(c, &np);
+                    if (!payload)
+                        goto fail;
+                    PyObject *tok =
+                        PyObject_CallOneArg(g_inline_tok, payload);
+                    Py_DECREF(payload);
+                    if (!tok)
+                        goto fail;
+                    Val v = {V_OBJ, 0, 0, 0.0, 0, NULL, 0, tok};
+                    if (stack_push(c, v) < 0)
+                        goto fail;
+                    pos = np;
+                    continue;
+                }
+                /* every other operator: operands discarded unparsed */
+                stack_clear(c);
+                if (tbp != NULL || tbo != NULL) {
+                    int r = do_show(c, tbp, tbl, tbo);
+                    Py_XDECREF(tbo);
+                    if (r < 0)
+                        goto fail;
+                }
+                continue;
+            }
+        }
+    }
+
+    /* ---- finally: flush hot state back (mirror of the Python finally) -- */
+    if (set_matrices(c) < 0)
+        goto fail_nosync;
+    {
+        PyObject *itv = c->in_text ? Py_True : Py_False;
+        if (PyObject_SetAttr(c->interp, a_in_text, itv) < 0)
+            goto fail_nosync;
+    }
+    if (sync_counters_out(c) < 0)
+        goto fail_nosync;
+    stack_clear(c);
+    free(c->stk);
+    Py_DECREF(c->st);
+    Py_DECREF(c->opts);
+    Py_DECREF(c->text_parts);
+    Py_DECREF(c->font_memo);
+    Py_DECREF(c->decode_meth);
+    Py_DECREF(c->saved);
+    Py_DECREF(c->fill_color);
+    Py_RETURN_NONE;
+
+fail:
+    /* exception path: the Python loop's try/finally still writes the hot
+     * state back — mirror that, preserving the in-flight exception */
+    {
+        PyObject *et, *ev, *tb;
+        PyErr_Fetch(&et, &ev, &tb);
+        set_matrices(c);
+        PyObject *itv = c->in_text ? Py_True : Py_False;
+        PyObject_SetAttr(c->interp, a_in_text, itv);
+        sync_counters_out(c);
+        PyErr_Restore(et, ev, tb);
+    }
+fail_nosync:
+    stack_clear(c);
+    free(c->stk);
+    Py_XDECREF(c->st);
+    Py_XDECREF(c->opts);
+    Py_XDECREF(c->text_parts);
+    Py_XDECREF(c->font_memo);
+    Py_XDECREF(c->decode_meth);
+    Py_XDECREF(c->saved);
+    Py_XDECREF(c->fill_color);
+    return NULL;
+
+fail_early:
+    Py_XDECREF(c->st);
+    Py_XDECREF(c->opts);
+    Py_XDECREF(c->text_parts);
+    Py_XDECREF(c->font_memo);
+    Py_XDECREF(c->decode_meth);
+    Py_XDECREF(c->saved);
+    Py_XDECREF(c->fill_color);
+    return NULL;
+}
+
+/* ---- setup -------------------------------------------------------------- */
+static PyObject *setup(PyObject *self, PyObject *args)
+{
+    PyObject *markers;
+    if (!PyArg_ParseTuple(args, "OOOOOOO", &markers, &g_name_memo,
+                          &g_decode_name, &g_inline_tok, &g_hexval,
+                          &g_bi_helper, &g_bdc_helper))
+        return NULL;
+    if (!PyTuple_Check(markers) || PyTuple_GET_SIZE(markers) != 4) {
+        PyErr_SetString(PyExc_TypeError, "markers must be a 4-tuple");
+        return NULL;
+    }
+    g_AO = PyTuple_GET_ITEM(markers, 0);
+    g_AC = PyTuple_GET_ITEM(markers, 1);
+    g_DO = PyTuple_GET_ITEM(markers, 2);
+    g_DC = PyTuple_GET_ITEM(markers, 3);
+    Py_INCREF(g_AO);
+    Py_INCREF(g_AC);
+    Py_INCREF(g_DO);
+    Py_INCREF(g_DC);
+    Py_INCREF(g_name_memo);
+    Py_INCREF(g_decode_name);
+    Py_INCREF(g_inline_tok);
+    Py_INCREF(g_hexval);
+    Py_INCREF(g_bi_helper);
+    Py_INCREF(g_bdc_helper);
+    Py_RETURN_NONE;
+}
+
+static PyMethodDef methods[] = {
+    {"setup", setup, METH_VARARGS, "install shared objects"},
+    {"run_page", run_page, METH_VARARGS,
+     "run the fast content loop; None on completion"},
+    {NULL, NULL, 0, NULL},
+};
+
+static struct PyModuleDef moduledef = {
+    PyModuleDef_HEAD_INIT, "oxpdf_cscan", NULL, -1, methods,
+};
+
+PyMODINIT_FUNC PyInit_oxpdf_cscan(void)
+{
+#define IN(var, s)                                                            \
+    do {                                                                      \
+        var = PyUnicode_InternFromString(s);                                  \
+        if (!var)                                                             \
+            return NULL;                                                      \
+    } while (0)
+    IN(a_state, "state");
+    IN(a_options, "options");
+    IN(a_in_text, "in_text");
+    IN(a_total, "_total");
+    IN(a_last_x, "last_x");
+    IN(a_last_y, "last_y");
+    IN(a_last_char, "_last_char");
+    IN(a_text_parts, "text_parts");
+    IN(a_font_memo, "_font_memo");
+    IN(a_decode, "_decode");
+    IN(a_set_font_memo, "_set_font_memo");
+    IN(a_paint_xobject, "_paint_xobject");
+    IN(a_op_bmc, "_op_bmc");
+    IN(a_op_emc, "_op_emc");
+    IN(a_next_line_show, "_next_line_show");
+    IN(a_text_matrix, "text_matrix");
+    IN(a_text_line_matrix, "text_line_matrix");
+    IN(a_ctm, "ctm");
+    IN(a_leading, "leading");
+    IN(a_char_space, "char_space");
+    IN(a_word_space, "word_space");
+    IN(a_horizontal_scale, "horizontal_scale");
+    IN(a_text_rise, "text_rise");
+    IN(a_font_size, "font_size");
+    IN(a_font_name, "font_name");
+    IN(a_render_mode, "render_mode");
+    IN(a_fill_color, "fill_color");
+    IN(a_saved, "saved");
+    IN(a_artifact_n, "artifact_n");
+    IN(a_newline_threshold, "newline_threshold");
+    IN(a_space_threshold, "space_threshold");
+    IN(a_tj_space_threshold, "tj_space_threshold");
+    IN(a_include_artifacts, "include_artifacts");
+#undef IN
+    g_nl = PyUnicode_InternFromString("\n");
+    g_sp = PyUnicode_InternFromString(" ");
+    g_empty = PyUnicode_InternFromString("");
+    g_gray = PyUnicode_InternFromString("gray");
+    g_rgb = PyUnicode_InternFromString("rgb");
+    g_cmyk = PyUnicode_InternFromString("cmyk");
+    if (!g_nl || !g_sp || !g_empty || !g_gray || !g_rgb || !g_cmyk)
+        return NULL;
+    return PyModule_Create(&moduledef);
+}

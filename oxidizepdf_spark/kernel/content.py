@@ -1394,6 +1394,18 @@ def parse_content(data: bytes) -> list[tuple]:
 
 
 def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
+    """Fused tokenize+parse+interpret dispatcher: the C fast path
+    (_cscan.c, compiled lazily by cbuild.py) when available and the page
+    runs in fast-show mode (no layout fragments), else the pure-Python
+    fused loop below. Both are pinned against run(parse_content(data)) by
+    the differential tests; OXPDF_NO_CKERNEL=1 forces pure Python."""
+    if _CSCAN is not None and not interp._layout:
+        _CSCAN.run_page(interp, data, resources, depth)
+        return
+    _parse_and_run_py(interp, data, resources, depth)
+
+
+def _parse_and_run_py(interp, data: bytes, resources, depth: int = 0) -> None:
     """Fused tokenize+parse+INTERPRET in one pass: semantically identical to
     ``interp.run(parse_content(data), resources, depth)`` (property-pinned
     by tests), but the operation tuples are never materialized and
@@ -2020,3 +2032,51 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
         interp.last_x = l_lastx
         interp.last_y = l_lasty
         interp._last_char = l_lastc
+
+
+# ---------------------------------------------------------------------------
+# C fast path (see _cscan.c + cbuild.py): helpers the C loop calls back into
+# ---------------------------------------------------------------------------
+
+
+def _c_bi(interp, data: bytes, pos: int) -> int:
+    """BI branch body for the C loop (mirror of the Python BI branch):
+    parameter scan + inline-image span emission; returns the resume pos."""
+    _params, _payload, pos = _scan_bi(data, pos)
+    interp._emit_image(f"inline:{interp.page_index}:{interp._inline_idx}")
+    interp._inline_idx += 1
+    return pos
+
+
+def _c_bdc(interp, stacklist: list, resources) -> None:
+    """BDC branch body for the C loop (mirror of the Python BDC branch):
+    pure parse of props + tag off a materialized operand stack, then
+    _op_bdc — the C caller handles the state sync around this call."""
+    tag = props = None
+    try:
+        props = _rdict_or_name(stacklist)
+        t2 = stacklist.pop()
+        tag = t2 if t2.__class__ is str else None
+    except (ContentParseError, IndexError):
+        tag = None
+    if tag is not None:
+        interp._op_bdc(tag, props, resources)
+
+
+def _load_cscan():
+    from .cbuild import load_cscan
+
+    mod = load_cscan()
+    if mod is None:
+        return None
+    try:
+        mod.setup(
+            (_AO, _AC, _DO, _DC), _NAME_MEMO, _decode_name, _InlineTok,
+            _hexval, _c_bi, _c_bdc,
+        )
+    except Exception:
+        return None
+    return mod
+
+
+_CSCAN = _load_cscan()

@@ -1,0 +1,168 @@
+"""C fast path vs pure-Python fused loop: full-output differential.
+
+The C extension (_cscan.c) transcribes _parse_and_run_py; these tests pin
+the two byte-for-byte equal — spans, page text, error strings, and final
+interpreter state — over the whole synthetic corpus catalog, the builder
+fixtures, and adversarial content streams. Skipped when the toolchain
+can't build the extension (the engine then runs pure Python anyway)."""
+
+from __future__ import annotations
+
+import pytest
+
+from oxidizepdf_spark.kernel import content as C
+
+pytestmark = pytest.mark.skipif(
+    C._CSCAN is None, reason="C extension unavailable (no toolchain)"
+)
+
+
+def _both_paths(fn):
+    """Run fn() with the C path active, then forced-off; return both."""
+    with_c = fn()
+    saved = C._CSCAN
+    C._CSCAN = None
+    try:
+        without_c = fn()
+    finally:
+        C._CSCAN = saved
+    return with_c, without_c
+
+
+def _extract_all(data: bytes):
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    res = extract_pdf_bytes(data)
+    return (res.spans, res.n_pages, res.error, res.mode)
+
+
+def test_differential_full_corpus_catalog():
+    from oxidizepdf_spark.corpus import generate_corpus
+    from oxidizepdf_spark.kernel.extract import extract_document_spans
+
+    rows = list(generate_corpus(n_docs=400, seed=99))
+
+    def run():
+        out = []
+        for in_row, _ in rows:
+            spans, meta = extract_document_spans(
+                [(s["kind"], s["text"], s["media_ref"]) for s in in_row["spans"]]
+            )
+            out.append((in_row["case"], spans, meta["ok"], meta.get("error")))
+        return out
+
+    got_c, got_py = _both_paths(run)
+    assert got_c == got_py
+
+
+def test_differential_interpreter_state():
+    """Beyond output spans: the FULL final interpreter state must match
+    (matrices, counters, graphics stack, fonts scope) on dense streams."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.content import parse_and_run, _parse_and_run_py
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions, Interpreter
+
+    streams = [
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (ab) Tj 0 -14 Td (cd) Tj ET",
+        b"BT /F1 9 Tf 14 TL (x) Tj T* (y) Tj (z) ' 2 3 (w) \" ET",
+        b"q 2 0 0 2 10 10 cm BT /F1 12 Tf (s) Tj ET Q BT (t) Tj ET",
+        b"BT [ (a) -250 (b) 12.5 (c) ] TJ ET",
+        b"BT /F1 12 Tf 50 Tz (wide) Tj 100 Tz (norm) Tj ET",
+        b"/Art BMC BT /F1 10 Tf (hidden) Tj ET EMC BT (vis) Tj ET",
+        b"/P << /MCID 4 >> BDC BT (m) Tj ET EMC",
+        b"BT <4142> Tj [ <43> -100 (D) ] TJ ET",
+        b"1 0 0 RG 0.5 g 0 0 1 rg 0 1 0 0 k BT (c) Tj ET",
+        b"BT /F1 12 Tf 1 2.5 Td 3 Tr -4 Ts .5 Tc 1 Tw (q) Tj ET",
+        b"BT (\\110\\151) Tj (par(en)s) Tj ET",
+        b"2 J 1 j [] 0 d 10 M BT (after) Tj ET % comment\nBT (x) Tj ET",
+        b"BT (dangling",
+        b"[ (a) /Bad (b) ] TJ BT (ok) Tj ET",
+        b"5 3 Td (no-bt) Tj",
+        b"BT 1 0 0 1 0 0 Tm >> ] } ; (odd) Tj ET",
+        b"BT 99999999999999999999 0 Td (big) Tj ET",
+        b"BT /F1 12. Tf +.5 -0.0 Td (n) Tj ET",
+    ]
+
+    for stream in streams:
+        finals = []
+        for use_c in (True, False):
+            interp = Interpreter(options=ExtractionOptions())
+            if use_c:
+                parse_and_run(interp, stream, {})
+            else:
+                _parse_and_run_py(interp, stream, {})
+            out = interp.finalize()
+            st = interp.state
+            finals.append(
+                (
+                    out.spans, out.text,
+                    st.text_matrix, st.text_line_matrix, st.ctm,
+                    st.leading, st.char_space, st.word_space,
+                    st.horizontal_scale, st.text_rise, st.font_size,
+                    st.font_name, st.render_mode, st.fill_color,
+                    st.saved, st.artifact_n,
+                    interp._total, interp.last_x, interp.last_y,
+                    interp._last_char, interp.in_text,
+                )
+            )
+        assert finals[0] == finals[1], stream
+
+
+def test_differential_real_fixtures():
+    import os
+
+    paths = [
+        "/root/reference/test-pdfs/Cold_Email_Hacks.pdf",
+        "/root/reference/oxidize-pdf-core/tests/fixtures/"
+        "issue_272_higgs_arxiv_1207_7214.pdf",
+    ]
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        data = open(p, "rb").read()
+        got_c, got_py = _both_paths(lambda: _extract_all(data))
+        assert got_c == got_py, p
+
+
+def test_differential_hypothesis_streams():
+    """Adversarial token soup through both paths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oxidizepdf_spark.kernel.content import _parse_and_run_py, parse_and_run
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions, Interpreter
+
+    token = st.sampled_from(
+        [b"BT", b"ET", b"Tj", b"TJ", b"Td", b"TD", b"Tm", b"Tf", b"T*",
+         b"'", b'"', b"TL", b"Tz", b"q", b"Q", b"cm", b"Do", b"BMC",
+         b"BDC", b"EMC", b"BI", b"ID", b"EI", b"/F1", b"/Artifact", b"(a)",
+         b"(b c)", b"<4142>", b"<<", b">>", b"[", b"]", b"12", b"-3.5",
+         b".5", b"(es\\(c)", b"%cmt", b"re", b"f", b"5", b"7.2"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=40))
+    def check(tokens):
+        stream = b" ".join(tokens)
+        finals = []
+        for use_c in (True, False):
+            interp = Interpreter(options=ExtractionOptions())
+            try:
+                if use_c:
+                    parse_and_run(interp, stream, {})
+                else:
+                    _parse_and_run_py(interp, stream, {})
+                err = None
+            except Exception as e:
+                err = f"{type(e).__name__}:{e}"
+            out = interp.finalize()
+            st_i = interp.state
+            finals.append(
+                (err, out.spans, out.text, st_i.text_matrix,
+                 st_i.text_line_matrix, st_i.ctm, st_i.artifact_n,
+                 interp._total, interp.last_x, interp.last_y,
+                 interp._last_char, interp.in_text)
+            )
+        assert finals[0] == finals[1], stream
+
+    check()
