@@ -753,16 +753,23 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     with RC4-128, odd with AES-128-CBC; both must transparently unlock
     and recover the exact text. Replaces the two single-method registry
     entries so each cipher family keeps a recorded driver row within the
-    driver's 50-entry recording cap."""
+    driver's 50-entry recording cap.
+
+    Also carries the former pdf_extract_encrypted_detect row (registry
+    space freed for text_exact_substring_dedup): a PDF whose trailer
+    names an unusable /Encrypt must yield error='encrypted' with zero
+    spans (reader.rs:350-409 detection tier), recorded as the
+    detect_error/detect_n_spans columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .corpus import build_encrypted_pdf
+        from .corpus import build_encrypted_pdf, build_text_pdf
         from .kernel.extract import extract_pdf_bytes
 
         for b in batches:
             out = {
                 "doc_id": [], "method": [], "text": [],
                 "n_lines": [], "unlocked": [],
+                "detect_error": [], "detect_n_spans": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 method = "rc4-128" if int(doc_id) % 2 == 0 else "aes-128"
@@ -771,6 +778,10 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 res = extract_pdf_bytes(pdf)
                 text = res.page_texts[0] if res.page_texts else ""
+                bogus = build_text_pdf(norm).replace(
+                    b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size", 1
+                )
+                det = extract_pdf_bytes(bogus)
                 out["doc_id"].append(doc_id)
                 out["method"].append(method)
                 out["text"].append(text.replace("\n", " "))
@@ -778,13 +789,15 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     text.count("\n") + 1 if text or norm == "" else 1
                 )
                 out["unlocked"].append(res.error is None)
+                out["detect_error"].append(det.error)
+                out["detect_n_spans"].append(len(det.spans))
             yield pd.DataFrame(out)
 
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
     return docs.mapInPandas(
         run,
         schema="doc_id long, method string, text string, n_lines int, "
-        "unlocked boolean",
+        "unlocked boolean, detect_error string, detect_n_spans int",
     )
 
 
@@ -796,7 +809,8 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'rc4-128' ELSE 'aes-128' END AS method,
        {norm} AS text,
        CAST(ceil({n_words} / {WORDS_PER_LINE}.0) AS INT) AS n_lines,
-       TRUE AS unlocked
+       TRUE AS unlocked,
+       'encrypted' AS detect_error, 0 AS detect_n_spans
 FROM documents
 """
 
@@ -851,37 +865,6 @@ ORACLE_ENCRYPTED_PASSWORD = (
     f"SELECT doc_id, {NORM_SQL.format(col='text')} AS text, "
     f"TRUE AS unlocked, TRUE AS wrong_refused FROM documents"
 )
-
-
-def q_pdf_extract_encrypted_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Encryption detection (descoped-to-detect F11, reader.rs:350-409):
-    an /Encrypt trailer entry must yield error='encrypted', never a crash
-    or silent empty output."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .corpus import build_text_pdf
-        from .kernel.extract import extract_pdf_bytes
-
-        for b in batches:
-            out = {"doc_id": [], "error": [], "n_spans": []}
-            for doc_id, norm in zip(b["doc_id"], b["norm"]):
-                pdf = build_text_pdf(norm)
-                pdf = pdf.replace(
-                    b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size", 1
-                )
-                res = extract_pdf_bytes(pdf)
-                out["doc_id"].append(doc_id)
-                out["error"].append(res.error)
-                out["n_spans"].append(len(res.spans))
-            yield pd.DataFrame(out)
-
-    return docs.mapInPandas(run, schema="doc_id long, error string, n_spans int")
-
-
-ORACLE_ENCRYPTED = """
-SELECT doc_id, 'encrypted' AS error, 0 AS n_spans FROM documents
-"""
 
 
 # ---------------------------------------------------------------------------
@@ -3355,6 +3338,154 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+SUBSTR_W = 12  # sliding window width in words (production: ~50 tokens)
+
+
+def q_text_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup reporting (the Lee et al. 2022 'Deduplicating
+    Training Data' stage, the standard complement to MinHash): every
+    {SUBSTR_W}-word sliding window (stride 1) is hashed; a window whose
+    hash occurs in >= 2 DISTINCT documents is cross-document duplicated
+    text. Per document, the op reports the window count and the word
+    positions covered by the interval UNION of duplicated windows — the
+    mass an exact-substring pass would cut.
+
+    Scale shape (100 TB): stride-1 shingling is the same posexplode →
+    hash → groupBy-DF shape as dedup_ngram_jaccard; the dup-gram relation
+    joins back on the 32-byte hash (one shuffle), and the interval union
+    is a per-doc window function — per-doc keys, no skew. Production
+    replaces the dup-gram equi-join with a Bloom-filter broadcast exactly
+    like text_line_dedup's documented upgrade; a true suffix-array pass
+    (byte-level, cross-boundary) is the single-node-per-shard alternative
+    the paper used. Window width 50 at production; {SUBSTR_W} here so the
+    small-vocabulary synthetic corpus exercises real collisions.
+
+    Within-document repeats are deliberately excluded (COUNT(DISTINCT
+    doc_id) >= 2): the op targets cross-document contamination; intra-doc
+    repetition is text_stats' repetition signal."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    words = F.filter(F.split(F.col("norm"), " "), lambda w: F.length(w) > 0)
+    base = docs.select(
+        "doc_id", words.alias("ws"), F.size(words).alias("n")
+    )
+    w = F.lit(SUBSTR_W)
+    wins = (
+        base.where(F.col("n") >= w)
+        .select(
+            "doc_id", "ws",
+            F.posexplode(F.sequence(F.lit(0), F.col("n") - w)).alias("_p", "i"),
+        )
+        .select(
+            "doc_id", "i",
+            F.md5(
+                F.concat_ws(
+                    " ", F.slice(F.col("ws"), F.col("i") + 1, SUBSTR_W)
+                )
+            ).alias("gram"),
+        )
+    )
+    wins = _persist(wins)  # scanned twice: DF aggregation + join-back
+    dup = (
+        wins.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 2)
+        .select("gram")
+    )
+    dupw = wins.join(dup, "gram").select("doc_id", "i")
+    win_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = dupw.withColumn(
+        "prev_end", F.max(F.col("i") + w).over(win_prev)
+    ).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_end").isNull() | (F.col("i") > F.col("prev_end")), 1
+        ).otherwise(0),
+    )
+    win_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn(
+        "island", F.sum("new_island").over(win_run)
+    )
+    cov = islands.groupBy("doc_id", "island").agg(
+        (F.max(F.col("i") + w) - F.min("i")).alias("cov_len"),
+        F.count("*").alias("nw"),
+    )
+    per_doc = cov.groupBy("doc_id").agg(
+        F.sum("nw").alias("dup_windows"),
+        F.sum("cov_len").alias("dup_word_count"),
+    )
+    return (
+        base.select("doc_id", F.col("n").cast("int").alias("n_words"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_words",
+            F.coalesce("dup_windows", F.lit(0)).alias("dup_windows"),
+            F.coalesce("dup_word_count", F.lit(0)).alias("dup_word_count"),
+        )
+    )
+
+
+ORACLE_EXACT_SUBSTRING = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+),
+docs AS (SELECT doc_id, len(ws) AS n, ws FROM base),
+wins AS (
+  SELECT doc_id, i,
+         md5(array_to_string(ws[i+1 : i+{SUBSTR_W}], ' ')) AS gram
+  FROM docs, UNNEST(generate_series(0, n - {SUBSTR_W})) AS t(i)
+  WHERE n >= {SUBSTR_W}
+),
+dup AS (
+  SELECT gram FROM wins GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+),
+dw AS (SELECT w.doc_id, w.i FROM wins w JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, i,
+         CASE WHEN max(i + {SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR i > max(i + {SUBSTR_W}) OVER (
+                PARTITION BY doc_id ORDER BY i
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS st
+  FROM dw
+),
+isl2 AS (
+  SELECT doc_id, i,
+         SUM(st) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM isl
+),
+cov AS (
+  SELECT doc_id, island, MAX(i) + {SUBSTR_W} - MIN(i) AS cov_len,
+         COUNT(*) AS nw
+  FROM isl2 GROUP BY doc_id, island
+),
+agg AS (
+  SELECT doc_id, CAST(SUM(nw) AS BIGINT) AS dup_windows,
+         CAST(SUM(cov_len) AS BIGINT) AS dup_word_count
+  FROM cov GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(d.n AS INT) AS n_words,
+       COALESCE(a.dup_windows, 0) AS dup_windows,
+       COALESCE(a.dup_word_count, 0) AS dup_word_count
+FROM docs d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 DECONTAM_BENCH_MOD = 100  # docs with doc_id % MOD == RES are 'the benchmark'
 DECONTAM_BENCH_RES = 7
 DECONTAM_PPM_THRESHOLD = 100_000  # >= 10% shingle overlap → contaminated
@@ -4324,7 +4455,7 @@ def build_queries() -> dict:
         "pdf_extract_columns": q_pdf_extract_columns,
         "pdf_page_ops": q_pdf_page_ops,
         "pdf_extract_images": q_pdf_extract_images,
-        "pdf_extract_encrypted_detect": q_pdf_extract_encrypted_detect,
+        "text_exact_substring_dedup": q_text_exact_substring_dedup,
         "pdf_extract_encrypted": q_pdf_extract_encrypted,
         "pdf_extract_encrypted_password": q_pdf_extract_encrypted_password,
         "dedup_exact": q_dedup_exact,
@@ -4381,7 +4512,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_columns": ORACLE_COLUMNS,
         "pdf_page_ops": ORACLE_PAGE_OPS,
         "pdf_extract_images": ORACLE_IMAGES,
-        "pdf_extract_encrypted_detect": ORACLE_ENCRYPTED,
+        "text_exact_substring_dedup": ORACLE_EXACT_SUBSTRING,
         "pdf_extract_encrypted": _pdf_encrypted_merged_oracle(),
         "pdf_extract_encrypted_password": ORACLE_ENCRYPTED_PASSWORD,
         "dedup_exact": ORACLE_DEDUP_EXACT,

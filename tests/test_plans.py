@@ -240,3 +240,17 @@ def test_simhash_pairs_feed_connected_components(spark):
     for doc, cluster in by_doc.items():
         assert cluster <= doc
         assert by_doc[cluster] == cluster
+
+
+def test_exact_substring_dedup_plan_shape(spark):
+    """Exact-substring dedup (Lee et al. shape): the dup-gram relation
+    joins back by equi-join on the gram hash — never a cartesian — and
+    the shingle relation is computed once (persisted, InMemoryTableScan
+    on both consumers)."""
+    from oxidizepdf_spark.queries import q_text_exact_substring_dedup, release_persisted
+
+    df = q_text_exact_substring_dedup(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+    release_persisted()
