@@ -141,23 +141,29 @@ def _build_variant(norm: str, variant: str) -> bytes:
     raise ValueError(variant)
 
 
+def _roundtrip_row(norm: str, variant: str) -> tuple:
+    """Shared per-document roundtrip body (single-variant bench factories
+    AND the consolidated variants query — one implementation, no drift)."""
+    from .kernel.extract import extract_pdf_bytes
+
+    pdf = _build_variant(norm, variant)
+    res = extract_pdf_bytes(pdf)
+    extracted = "\n".join(s[1] for s in res.spans if s[0] == "text")
+    n_lines = extracted.count("\n") + 1 if extracted or norm == "" else 1
+    return extracted.replace("\n", " "), n_lines, res.n_pages, res.mode
+
+
 def _roundtrip_udf(variant: str):
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .kernel.extract import extract_pdf_bytes
-
         for b in batches:
             out = {"doc_id": [], "text": [], "n_lines": [], "n_pages": [], "mode": []}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
-                pdf = _build_variant(norm, variant)
-                res = extract_pdf_bytes(pdf)
-                extracted = "\n".join(s[1] for s in res.spans if s[0] == "text")
+                text, n_lines, n_pages, mode = _roundtrip_row(norm, variant)
                 out["doc_id"].append(doc_id)
-                out["text"].append(extracted.replace("\n", " "))
-                out["n_lines"].append(
-                    extracted.count("\n") + 1 if extracted or norm == "" else 1
-                )
-                out["n_pages"].append(res.n_pages)
-                out["mode"].append(res.mode)
+                out["text"].append(text)
+                out["n_lines"].append(n_lines)
+                out["n_pages"].append(n_pages)
+                out["mode"].append(mode)
             yield pd.DataFrame(out)
 
     return run
@@ -228,8 +234,6 @@ def q_pdf_extract_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .kernel.extract import extract_pdf_bytes
-
         for b in batches:
             out = {
                 "doc_id": [], "variant": [], "text": [],
@@ -237,19 +241,13 @@ def q_pdf_extract_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 variant = _VARIANT_CYCLE[int(doc_id) % 10]
-                pdf = _build_variant(norm, variant)
-                res = extract_pdf_bytes(pdf)
-                extracted = "\n".join(
-                    s[1] for s in res.spans if s[0] == "text"
-                )
+                text, n_lines, n_pages, mode = _roundtrip_row(norm, variant)
                 out["doc_id"].append(doc_id)
                 out["variant"].append(variant)
-                out["text"].append(extracted.replace("\n", " "))
-                out["n_lines"].append(
-                    extracted.count("\n") + 1 if extracted or norm == "" else 1
-                )
-                out["n_pages"].append(res.n_pages)
-                out["mode"].append(res.mode)
+                out["text"].append(text)
+                out["n_lines"].append(n_lines)
+                out["n_pages"].append(n_pages)
+                out["mode"].append(mode)
             yield pd.DataFrame(out)
 
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
