@@ -37,12 +37,25 @@ def load_cscan():
     failure — callers fall back to the pure-Python loop."""
     if os.environ.get("OXPDF_NO_CKERNEL"):
         return None
-    src = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_cscan.c")
+    # importlib.resources reads the source even when the package ships as a
+    # zip (spark-submit --py-files oxidizepdf_spark.zip) — a plain
+    # __file__-relative open() would fail there and silently lose the fast
+    # path on every executor.
     try:
-        with open(src, "rb") as f:
-            source = f.read()
-    except OSError:
-        return None
+        from importlib import resources
+
+        source = (
+            resources.files("oxidizepdf_spark.kernel") / "_cscan.c"
+        ).read_bytes()
+    except Exception:
+        try:
+            src = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "_cscan.c"
+            )
+            with open(src, "rb") as f:
+                source = f.read()
+        except OSError:
+            return None
     tag = hashlib.sha256(
         source + sys.version.encode() + sys.executable.encode()
     ).hexdigest()[:16]
@@ -53,11 +66,19 @@ def load_cscan():
             os.makedirs(cache, exist_ok=True)
             include = sysconfig.get_paths()["include"]
             cc = os.environ.get("CC", "gcc")
+            # compile from a cache-local copy of the source: the package
+            # may be a zip with no on-disk .c path for gcc to read
+            csrc = os.path.join(cache, f"_cscan-{tag}.c")
+            if not os.path.exists(csrc):
+                tmp_c = csrc + f".tmp.{os.getpid()}"
+                with open(tmp_c, "wb") as f:
+                    f.write(source)
+                os.replace(tmp_c, csrc)
             tmp = so_path + f".tmp.{os.getpid()}"
             proc = subprocess.run(
                 [
                     cc, "-O2", "-fPIC", "-shared", "-fno-strict-aliasing",
-                    f"-I{include}", src, "-o", tmp,
+                    f"-I{include}", csrc, "-o", tmp,
                 ],
                 capture_output=True,
                 timeout=120,
