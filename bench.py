@@ -385,6 +385,8 @@ def main() -> None:
         "ann_ivf_kmeans_topk": Q.q_ann_ivf_kmeans_topk,
         "text_line_dedup": Q.q_text_line_dedup,
         "corpus_pack_sequences": Q.q_corpus_pack_sequences,
+        # round-5 addition (Lee et al. exact-substring stage)
+        "text_exact_substring_dedup": Q.q_text_exact_substring_dedup,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the
