@@ -786,6 +786,219 @@ static int exec_tj(Ctx *c)
     return 1;
 }
 
+/* ---- macro-shape lookaheads ---------------------------------------------
+ * The Python loop's fused alternatives (M1/M2/B0 string-show, M5 flat-TJ)
+ * defer string decoding behind the in_text gate, while the generic token
+ * path decodes hex strings EAGERLY at push (raising on bad digits even
+ * outside a text block).  The C scanner must make the same alternative
+ * choice the regex makes, or error behavior diverges on bad hex:
+ *   <bad> Tj          → M2: no decode outside text, raise inside
+ *   [ <bad> ] TJ      → M5 (flat body): same gate
+ *   [ <bad> /X ] TJ   → generic (body not flat): eager raise at push
+ *   <bad>             → generic: eager raise
+ */
+static int is_ws1(unsigned char ch)
+{
+    return ch == 0 || ch == '\t' || ch == '\n' || ch == 0x0c ||
+           ch == '\r' || ch == ' ';
+}
+
+static int is_bound(unsigned char ch)
+{
+    return is_ws1(ch) || ch == '(' || ch == ')' || ch == '<' || ch == '>' ||
+           ch == '[' || ch == ']' || ch == '{' || ch == '}' || ch == '/' ||
+           ch == '%' || ch == ';';
+}
+
+/* from k: _WS1* then 'Tj' then _BOUND; returns pos after 'Tj' or -1 */
+static Py_ssize_t tj_lookahead(const unsigned char *d, Py_ssize_t n,
+                               Py_ssize_t k)
+{
+    while (k < n && is_ws1(d[k]))
+        k++;
+    if (k + 1 < n && d[k] == 'T' && d[k + 1] == 'j' &&
+        (k + 2 >= n || is_bound(d[k + 2])))
+        return k + 2;
+    return -1;
+}
+
+typedef struct {
+    unsigned char is_num;
+    unsigned char is_hex;
+    double num;
+    const unsigned char *ptr;
+    Py_ssize_t len;
+} TjEl;
+
+/* M5 flat-TJ body match from `k` (just after '['); fills els (malloc'd,
+ * caller frees), sets *endpos past 'TJ'. Returns count >= 0 on match,
+ * -1 when the body is not flat (caller falls back to the generic AO
+ * token), -2 on malloc failure. */
+static Py_ssize_t flat_tj_scan(const unsigned char *d, Py_ssize_t n,
+                               Py_ssize_t k, TjEl **els_out,
+                               Py_ssize_t *endpos)
+{
+    Py_ssize_t cap = 16, cnt = 0;
+    TjEl *els = (TjEl *)malloc(cap * sizeof(TjEl));
+    if (!els)
+        return -2;
+    for (;;) {
+        while (k < n && is_ws1(d[k]))
+            k++;
+        if (k >= n)
+            goto nomatch;
+        unsigned char ch = d[k];
+        if (ch == ']') {
+            k++;
+            break;
+        }
+        TjEl el;
+        memset(&el, 0, sizeof(el));
+        if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
+            int is_int = 0;
+            Py_ssize_t tl = scan_number(d + k, n - k, &is_int);
+            if (tl <= 0)
+                goto nomatch;
+            el.is_num = 1;
+            el.num = parse_double(d + k, tl);
+            k += tl;
+        } else if (ch == '(') {
+            Py_ssize_t j = k + 1;
+            while (j < n && d[j] != '(' && d[j] != ')' && d[j] != 0x5c)
+                j++;
+            if (j >= n || d[j] != ')')
+                goto nomatch;
+            el.ptr = d + k + 1;
+            el.len = j - k - 1;
+            k = j + 1;
+        } else if (ch == '<') {
+            Py_ssize_t j = k + 1;
+            while (j < n) {
+                unsigned char x = d[j];
+                if ((x >= '0' && x <= '9') || (x >= 'A' && x <= 'F') ||
+                    (x >= 'a' && x <= 'f') || is_ws1(x))
+                    j++;
+                else
+                    break;
+            }
+            if (j >= n || d[j] != '>')
+                goto nomatch;
+            el.is_hex = 1;
+            el.ptr = d + k + 1;
+            el.len = j - k - 1;
+            k = j + 1;
+        } else
+            goto nomatch;
+        if (cnt >= cap) {
+            cap *= 2;
+            TjEl *ne = (TjEl *)realloc(els, cap * sizeof(TjEl));
+            if (!ne) {
+                free(els);
+                return -2;
+            }
+            els = ne;
+        }
+        els[cnt++] = el;
+    }
+    while (k < n && is_ws1(d[k]))
+        k++;
+    if (!(k + 1 < n && d[k] == 'T' && d[k + 1] == 'J' &&
+          (k + 2 >= n || is_bound(d[k + 2]))))
+        goto nomatch;
+    *els_out = els;
+    *endpos = k + 2;
+    return cnt;
+nomatch:
+    free(els);
+    return -1;
+}
+
+/* execute a flat TJ (mirror of the M5 branch: _tj_elements decodes ALL
+ * strings first — a bad hex raises before any state change — then
+ * _show_text_array's fast path runs). Caller checked in_text. */
+static int flat_tj_show(Ctx *c, TjEl *els, Py_ssize_t cnt)
+{
+    /* pass 1: materialize string bytes (the _tj_elements pass) */
+    PyObject **keys = NULL;
+    if (cnt) {
+        keys = (PyObject **)calloc((size_t)cnt, sizeof(PyObject *));
+        if (!keys) {
+            PyErr_NoMemory();
+            return -1;
+        }
+    }
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        if (els[i].is_num)
+            continue;
+        PyObject *k = els[i].is_hex
+                          ? hexval_c(c, els[i].ptr, els[i].len)
+                          : PyBytes_FromStringAndSize((const char *)els[i].ptr,
+                                                      els[i].len);
+        if (!k) {
+            for (Py_ssize_t j2 = 0; j2 < i; j2++)
+                Py_XDECREF(keys[j2]);
+            free(keys);
+            return -1;
+        }
+        keys[i] = k;
+    }
+    /* pass 2: the _show_text_array fast path */
+    int skip = !c->noart;
+    double fsize = c->fs;
+    double hs = c->hs / 100.0;
+    double thr = c->tj_thr * fsize;
+    double tx_total = 0.0;
+    int rc = -1;
+    for (Py_ssize_t i = 0; i < cnt; i++) {
+        if (els[i].is_num) {
+            double tx = -els[i].num / 1000.0 * fsize;
+            if (!skip && tx > thr && c->total && c->lastc != ' ') {
+                if (PyList_Append(c->text_parts, g_sp) < 0)
+                    goto done;
+                c->total += 1;
+                c->lastc = ' ';
+            }
+            tx_total += tx;
+            continue;
+        }
+        PyObject *hit = PyDict_GetItemWithError(c->font_memo, keys[i]);
+        if (hit) {
+            Py_INCREF(hit);
+        } else {
+            if (PyErr_Occurred())
+                goto done;
+            hit = PyObject_CallOneArg(c->decode_meth, keys[i]);
+            if (!hit)
+                goto done;
+        }
+        PyObject *decoded = PyTuple_GET_ITEM(hit, 0);
+        double unit_w = PyFloat_AsDouble(PyTuple_GET_ITEM(hit, 1));
+        if (unit_w == -1.0 && PyErr_Occurred()) {
+            Py_DECREF(hit);
+            goto done;
+        }
+        Py_ssize_t dlen = PyUnicode_GET_LENGTH(decoded);
+        if (!skip && dlen) {
+            if (PyList_Append(c->text_parts, decoded) < 0) {
+                Py_DECREF(hit);
+                goto done;
+            }
+            c->total += dlen;
+            c->lastc = PyUnicode_ReadChar(decoded, dlen - 1);
+        }
+        tx_total += unit_w * fsize * hs;
+        Py_DECREF(hit);
+    }
+    c->tt4 = tx_total * c->la1 + c->tt4;
+    c->tt5 = tx_total * c->la2 + c->tt5;
+    rc = 0;
+done:
+    for (Py_ssize_t i = 0; i < cnt; i++)
+        Py_XDECREF(keys[i]);
+    free(keys);
+    return rc;
+}
+
 /* call a 1-arg interp method by attr name, discard result */
 static int call_method1(Ctx *c, PyObject *meth_name, PyObject *arg)
 {
@@ -972,6 +1185,17 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                 while (j < n && d[j] != '(' && d[j] != ')' && d[j] != 0x5c)
                     j++;
                 if (j < n && d[j] == ')') {
+                    Py_ssize_t after = tj_lookahead(d, n, j + 1);
+                    if (after >= 0) {
+                        /* M2/M1/B0 show shape: (flat) Tj */
+                        stack_clear(c);
+                        if (c->in_text) {
+                            if (do_show(c, d + pos + 1, j - pos - 1, NULL) < 0)
+                                goto fail;
+                        }
+                        pos = after;
+                        continue;
+                    }
                     Val v = {V_STR, 0, 0, 0.0, 0, d + pos + 1, j - pos - 1,
                              NULL};
                     if (stack_push(c, v) < 0)
@@ -1065,6 +1289,24 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                         break;
                 }
                 if (j < n && d[j] == '>') {
+                    Py_ssize_t after = tj_lookahead(d, n, j + 1);
+                    if (after >= 0) {
+                        /* M2/M1/B0 show shape: <hex> Tj — decode only
+                         * behind the in_text gate (macro semantics) */
+                        stack_clear(c);
+                        if (c->in_text) {
+                            PyObject *hb =
+                                hexval_c(c, d + pos + 1, j - pos - 1);
+                            if (!hb)
+                                goto fail;
+                            int r = do_show(c, NULL, 0, hb);
+                            Py_DECREF(hb);
+                            if (r < 0)
+                                goto fail;
+                        }
+                        pos = after;
+                        continue;
+                    }
                     PyObject *hb = hexval_c(c, d + pos + 1, j - pos - 1);
                     if (!hb)
                         goto fail;
@@ -1091,6 +1333,25 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                 continue;
             }
             if (ch == '[') {
+                TjEl *els = NULL;
+                Py_ssize_t endpos = 0;
+                Py_ssize_t cnt = flat_tj_scan(d, n, pos + 1, &els, &endpos);
+                if (cnt == -2) {
+                    PyErr_NoMemory();
+                    goto fail;
+                }
+                if (cnt >= 0) {
+                    /* M5 flat-TJ shape: [ ... ] TJ */
+                    stack_clear(c);
+                    int r = 0;
+                    if (c->in_text)
+                        r = flat_tj_show(c, els, cnt);
+                    free(els);
+                    if (r < 0)
+                        goto fail;
+                    pos = endpos;
+                    continue;
+                }
                 Val v = {V_MARK, 0, 0, 0.0, 0, NULL, 0, g_AO};
                 Py_INCREF(g_AO);
                 if (stack_push(c, v) < 0)

@@ -81,21 +81,32 @@ def test_differential_interpreter_state():
         b"BT 1 0 0 1 0 0 Tm >> ] } ; (odd) Tj ET",
         b"BT 99999999999999999999 0 Td (big) Tj ET",
         b"BT /F1 12. Tf +.5 -0.0 Td (n) Tj ET",
+        # macro-shape gate parity: bad hex defers behind in_text in the
+        # M2/M5 shapes, raises eagerly in generic contexts
+        b"<4\x001> Tj",
+        b"[ <4\x001> ] TJ",
+        b"[ <4\x001> /X ] TJ",
+        b"BT [ <4142> -300 <> () 12.5 ] TJ ET",
+        b"[ 12 ( unclosed",
     ]
 
     for stream in streams:
         finals = []
         for use_c in (True, False):
             interp = Interpreter(options=ExtractionOptions())
-            if use_c:
-                parse_and_run(interp, stream, {})
-            else:
-                _parse_and_run_py(interp, stream, {})
+            try:
+                if use_c:
+                    parse_and_run(interp, stream, {})
+                else:
+                    _parse_and_run_py(interp, stream, {})
+                err = None
+            except Exception as e:
+                err = f"{type(e).__name__}:{e}"
             out = interp.finalize()
             st = interp.state
             finals.append(
                 (
-                    out.spans, out.text,
+                    err, out.spans, out.text,
                     st.text_matrix, st.text_line_matrix, st.ctm,
                     st.leading, st.char_space, st.word_space,
                     st.horizontal_scale, st.text_rise, st.font_size,
@@ -137,7 +148,8 @@ def test_differential_hypothesis_streams():
          b"'", b'"', b"TL", b"Tz", b"q", b"Q", b"cm", b"Do", b"BMC",
          b"BDC", b"EMC", b"BI", b"ID", b"EI", b"/F1", b"/Artifact", b"(a)",
          b"(b c)", b"<4142>", b"<<", b">>", b"[", b"]", b"12", b"-3.5",
-         b".5", b"(es\\(c)", b"%cmt", b"re", b"f", b"5", b"7.2"]
+         b".5", b"(es\\(c)", b"%cmt", b"re", b"f", b"5", b"7.2",
+         b"<4\x001>", b"<zz>", b"Tjx", b"TJx"]
     )
 
     @settings(max_examples=300, deadline=None)
