@@ -1841,6 +1841,584 @@ fail_early:
     return NULL;
 }
 
+/* ========================================================================
+ * Indirect-object fast parse (objects.py Lexer + parse_object + the
+ * reader's `N G obj … [stream]` header walk, reader.py:187).
+ *
+ * Happy-path only: ANY shape this parser is not byte-certain about —
+ * malformed hex, lone '>', '{'/'}', unexpected keywords, oversized
+ * integers, depth overflows — returns a BAIL (Python result None) and the
+ * caller re-parses from the same offset with the pure-Python path, whose
+ * error behavior is the contract. Encrypted documents skip this path
+ * entirely (the wrapper checks the decryptor).
+ * ======================================================================== */
+
+static PyObject *g_ref_cls;          /* objects.Ref */
+static PyObject *g_obj_name_memo;    /* objects._NAME_MEMO */
+static PyObject *g_decode_name_obj;  /* Lexer._decode_name_bytes */
+
+typedef struct {
+    const unsigned char *d;
+    Py_ssize_t n, pos;
+    int bail; /* set → return None, caller falls back to Python */
+} OLex;
+
+#define OBJ_MAX_DEPTH 128 /* objects.MAX_PARSE_DEPTH */
+
+static void o_skip(OLex *o)
+{
+    const unsigned char *d = o->d;
+    Py_ssize_t n = o->n, p = o->pos;
+    for (;;) {
+        while (p < n && is_ws1(d[p]))
+            p++;
+        if (p < n && d[p] == '%') { /* object-land comments end at \n only */
+            while (p < n && d[p] != '\n')
+                p++;
+            if (p < n)
+                p++;
+            continue;
+        }
+        break;
+    }
+    o->pos = p;
+}
+
+/* name token after '/': raw (incl. slash) keys objects._NAME_MEMO */
+static PyObject *o_name(OLex *o)
+{
+    const unsigned char *d = o->d;
+    Py_ssize_t n = o->n, p = o->pos + 1, start = o->pos;
+    while (p < n && !is_ws1(d[p]) && !is_bound(d[p]))
+        p++;
+    /* is_bound == ws + delimiters; '/' itself is a delimiter (name ends) */
+    PyObject *key =
+        PyBytes_FromStringAndSize((const char *)(d + start), p - start);
+    if (!key)
+        return NULL;
+    o->pos = p;
+    PyObject *nm = PyDict_GetItemWithError(g_obj_name_memo, key);
+    if (nm) {
+        Py_INCREF(nm);
+        Py_DECREF(key);
+        return nm;
+    }
+    if (PyErr_Occurred()) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    if (PyDict_GET_SIZE(g_obj_name_memo) > 8192)
+        PyDict_Clear(g_obj_name_memo);
+    PyObject *inner =
+        PyBytes_FromStringAndSize((const char *)(d + start + 1), p - start - 1);
+    if (!inner) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    nm = PyObject_CallOneArg(g_decode_name_obj, inner);
+    Py_DECREF(inner);
+    if (!nm) {
+        Py_DECREF(key);
+        return NULL;
+    }
+    if (PyDict_SetItem(g_obj_name_memo, key, nm) < 0) {
+        Py_DECREF(key);
+        Py_DECREF(nm);
+        return NULL;
+    }
+    Py_DECREF(key);
+    return nm;
+}
+
+/* literal string (objects.Lexer._read_literal_string — same escape rules
+ * as the content reader) */
+static PyObject *o_literal(OLex *o)
+{
+    Py_ssize_t p = o->pos + 1;
+    Ctx dummy;
+    dummy.data = o->d;
+    dummy.n = o->n;
+    PyObject *r = read_literal(&dummy, &p);
+    o->pos = p;
+    return r;
+}
+
+/* hex string per the SLOW reader (_read_hex_string): EOF-terminates,
+ * invalid char → bail (Python raises PdfParseError) */
+static PyObject *o_hex(OLex *o)
+{
+    const unsigned char *d = o->d;
+    Py_ssize_t n = o->n, p = o->pos + 1;
+    char small[256];
+    Py_ssize_t cap = sizeof(small), m = 0;
+    char *buf = small;
+    while (p < n) {
+        unsigned char ch = d[p];
+        if (ch == '>') {
+            p++;
+            break;
+        }
+        if (hex_digit(ch) >= 0) {
+            if (m >= cap) {
+                Py_ssize_t nc = cap * 2;
+                char *nb = (char *)malloc((size_t)nc);
+                if (!nb) {
+                    if (buf != small)
+                        free(buf);
+                    return PyErr_NoMemory();
+                }
+                memcpy(nb, buf, (size_t)m);
+                if (buf != small)
+                    free(buf);
+                buf = nb;
+                cap = nc;
+            }
+            buf[m++] = (char)ch;
+        } else if (!is_ws1(ch)) {
+            if (buf != small)
+                free(buf);
+            o->bail = 1;
+            return NULL;
+        }
+        p++;
+    }
+    o->pos = p;
+    PyObject *out = PyBytes_FromStringAndSize(NULL, (m + 1) / 2);
+    if (!out) {
+        if (buf != small)
+            free(buf);
+        return NULL;
+    }
+    unsigned char *ob = (unsigned char *)PyBytes_AS_STRING(out);
+    for (Py_ssize_t i = 0; i < m; i += 2) {
+        int hi = hex_digit((unsigned char)buf[i]);
+        int lo = (i + 1 < m) ? hex_digit((unsigned char)buf[i + 1]) : 0;
+        ob[i / 2] = (unsigned char)((hi << 4) | lo);
+    }
+    if (buf != small)
+        free(buf);
+    return out;
+}
+
+/* integer token starting at pos (already classified); 0 on bail */
+static int o_int(OLex *o, long long *out, int *neg_sign)
+{
+    int is_int = 0;
+    Py_ssize_t tl = scan_number(o->d + o->pos, o->n - o->pos, &is_int);
+    if (tl <= 0 || !is_int || tl > 18) {
+        o->bail = 1;
+        return 0;
+    }
+    const unsigned char *p = o->d + o->pos;
+    long long v = 0;
+    Py_ssize_t k = 0;
+    int neg = 0;
+    if (p[0] == '+' || p[0] == '-') {
+        neg = p[0] == '-';
+        k = 1;
+    }
+    for (; k < tl; k++)
+        v = v * 10 + (p[k] - '0');
+    *out = neg ? -v : v;
+    if (neg_sign)
+        *neg_sign = neg;
+    o->pos += tl;
+    return 1;
+}
+
+static PyObject *o_value(OLex *o, int depth);
+
+/* classify the token starting at o->pos (after o_skip) WITHOUT consuming:
+ * 1 = the lexer would produce a token without raising, 0 = it could raise
+ * or recurse unpredictably (lone '>', invalid hex, ')', lone sign) — the
+ * reference-lookahead dance reads tokens it may then push back, so their
+ * ERROR behavior leaks even for non-refs. */
+static int o_peek_ok(OLex *o)
+{
+    const unsigned char *d = o->d;
+    Py_ssize_t n = o->n, p = o->pos;
+    if (p >= n)
+        return 1; /* eof token */
+    unsigned char ch = d[p];
+    if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
+        int ii = 0;
+        return scan_number(d + p, n - p, &ii) > 0 ? 1 : 0;
+    }
+    if (ch == '/' || ch == '(' || ch == '[' || ch == ']' || ch == '{' ||
+        ch == '}')
+        return 1; /* name/string/markers/brace-kw never raise */
+    if (ch == '<') {
+        if (p + 1 < n && d[p + 1] == '<')
+            return 1;
+        p++;
+        while (p < n) {
+            unsigned char x = d[p];
+            if (x == '>')
+                return 1;
+            if (hex_digit(x) < 0 && !is_ws1(x))
+                return 0; /* _read_hex_string raises */
+            p++;
+        }
+        return 1; /* EOF-terminated hex: slow reader tolerates */
+    }
+    if (ch == '>')
+        return (p + 1 < n && d[p + 1] == '>') ? 1 : 0;
+    if (ch == ')')
+        return 0; /* silent-skip + recursion: conservative */
+    return 1; /* keyword run */
+}
+
+/* skip ONE raw token (the dict junk-key tolerance path: non-name tokens
+ * between dict entries are discarded token-wise, not value-wise) */
+static int o_skip_token(OLex *o)
+{
+    o_skip(o);
+    if (o->pos >= o->n) {
+        o->bail = 1; /* EOF inside dict → Python raises */
+        return 0;
+    }
+    const unsigned char *d = o->d;
+    unsigned char ch = d[o->pos];
+    if (ch == '[' || ch == ']') {
+        o->pos++;
+        return 1;
+    }
+    if (ch == '<') {
+        if (o->pos + 1 < o->n && d[o->pos + 1] == '<') {
+            o->pos += 2;
+            return 1;
+        }
+        PyObject *h = o_hex(o);
+        if (!h)
+            return 0;
+        Py_DECREF(h);
+        return 1;
+    }
+    if (ch == '(') {
+        PyObject *s = o_literal(o);
+        if (!s)
+            return 0;
+        Py_DECREF(s);
+        return 1;
+    }
+    if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
+        int is_int = 0;
+        Py_ssize_t tl = scan_number(o->d + o->pos, o->n - o->pos, &is_int);
+        if (tl > 0) {
+            o->pos += tl;
+            return 1;
+        }
+        /* lone +/-/.: the slow lexer skips the byte and recurses into the
+         * NEXT token, which can itself raise — bail */
+        o->bail = 1;
+        return 0;
+    }
+    /* '>' alone, '{', '}', junk delimiters, keywords: bail — the Python
+     * path's behavior (raise / silent skip / kw) decides */
+    if (!is_bound(ch) || ch == '/') {
+        if (ch == '/') {
+            PyObject *nm = o_name(o);
+            if (!nm)
+                return 0;
+            Py_DECREF(nm);
+            return 1;
+        }
+        /* keyword run */
+        Py_ssize_t p = o->pos;
+        while (p < o->n && !is_ws1(d[p]) && !is_bound(d[p]))
+            p++;
+        o->pos = p;
+        return 1;
+    }
+    o->bail = 1;
+    return 0;
+}
+
+static PyObject *o_value(OLex *o, int depth)
+{
+    if (depth > OBJ_MAX_DEPTH) {
+        o->bail = 1;
+        return NULL;
+    }
+    o_skip(o);
+    if (o->pos >= o->n) {
+        o->bail = 1;
+        return NULL;
+    }
+    const unsigned char *d = o->d;
+    Py_ssize_t n = o->n;
+    unsigned char ch = d[o->pos];
+    if ((ch >= '0' && ch <= '9') || ch == '+' || ch == '-' || ch == '.') {
+        int is_int = 0;
+        Py_ssize_t tl = scan_number(d + o->pos, n - o->pos, &is_int);
+        if (tl <= 0) {
+            o->bail = 1; /* lone +/-/. → slow-path garbage handling */
+            return NULL;
+        }
+        if (!is_int) {
+            double v = parse_double(d + o->pos, tl);
+            o->pos += tl;
+            return PyFloat_FromDouble(v);
+        }
+        long long val;
+        o->pos -= 0;
+        {
+            Py_ssize_t save0 = o->pos;
+            if (!o_int(o, &val, NULL)) {
+                o->pos = save0;
+                return NULL; /* bail set (huge int) */
+            }
+        }
+        /* `n g R` reference lookahead (parse_object:402-419). The Python
+         * token-wise dance READS up to two more tokens and pushes the
+         * non-matching ones back — so a following token the lexer would
+         * RAISE on (lone '>', bad hex) raises even when no Ref forms;
+         * mirror by validating peeks and bailing on the uncertain ones. */
+        if (val >= 0) {
+            Py_ssize_t save = o->pos;
+            o_skip(o);
+            int is_int2 = 0;
+            Py_ssize_t tl2 =
+                scan_number(d + o->pos, n - o->pos, &is_int2);
+            if (tl2 > 0 && is_int2 && tl2 > 18) {
+                /* huge generation: Python may build Ref(val, bigint) or
+                 * raise later — let Python decide */
+                o->bail = 1;
+                return NULL;
+            }
+            if (tl2 > 0 && is_int2) {
+                long long gen;
+                int neg = 0;
+                if (!o_int(o, &gen, &neg)) {
+                    o->pos = save;
+                    return NULL; /* bail already set */
+                }
+                if (gen >= 0) {
+                    Py_ssize_t save2 = o->pos;
+                    o_skip(o);
+                    Py_ssize_t p = o->pos;
+                    if (p < n && d[p] == 'R' &&
+                        (p + 1 >= n ||
+                         is_ws1(d[p + 1]) || is_bound(d[p + 1]))) {
+                        o->pos = p + 1;
+                        return PyObject_CallFunction(
+                            g_ref_cls, "LL", val, gen);
+                    }
+                    /* t3 is read then pushed back: its lexing must not
+                     * raise */
+                    if (!o_peek_ok(o)) {
+                        o->bail = 1;
+                        return NULL;
+                    }
+                    o->pos = save2;
+                    o->pos = save;
+                } else
+                    o->pos = save; /* negative gen: t3 never read */
+            } else {
+                /* t2 is read then pushed back: validate its lexing */
+                if (!o_peek_ok(o)) {
+                    o->bail = 1;
+                    return NULL;
+                }
+                o->pos = save;
+            }
+        }
+        return PyLong_FromLongLong(val);
+    }
+    if (ch == '/')
+        return o_name(o);
+    if (ch == '(')
+        return o_literal(o);
+    if (ch == '<') {
+        if (o->pos + 1 < n && d[o->pos + 1] == '<') {
+            o->pos += 2;
+            PyObject *dict = PyDict_New();
+            if (!dict)
+                return NULL;
+            for (;;) {
+                o_skip(o);
+                if (o->pos >= n) {
+                    o->bail = 1; /* unterminated dict → Python raises */
+                    Py_DECREF(dict);
+                    return NULL;
+                }
+                unsigned char kc = d[o->pos];
+                if (kc == '>' && o->pos + 1 < n && d[o->pos + 1] == '>') {
+                    o->pos += 2;
+                    return dict;
+                }
+                if (kc != '/') {
+                    /* junk key tolerance: discard ONE token */
+                    if (!o_skip_token(o)) {
+                        Py_DECREF(dict);
+                        return NULL;
+                    }
+                    continue;
+                }
+                PyObject *nm = o_name(o);
+                if (!nm) {
+                    Py_DECREF(dict);
+                    return NULL;
+                }
+                PyObject *keystr = PyObject_Str(nm); /* str(Name) key */
+                Py_DECREF(nm);
+                if (!keystr) {
+                    Py_DECREF(dict);
+                    return NULL;
+                }
+                PyObject *v = o_value(o, depth + 1);
+                if (!v) {
+                    Py_DECREF(keystr);
+                    Py_DECREF(dict);
+                    return NULL;
+                }
+                int r = PyDict_SetItem(dict, keystr, v);
+                Py_DECREF(keystr);
+                Py_DECREF(v);
+                if (r < 0) {
+                    Py_DECREF(dict);
+                    return NULL;
+                }
+            }
+        }
+        return o_hex(o);
+    }
+    if (ch == '[') {
+        o->pos++;
+        PyObject *arr = PyList_New(0);
+        if (!arr)
+            return NULL;
+        for (;;) {
+            o_skip(o);
+            if (o->pos >= n) {
+                o->bail = 1; /* unterminated array → Python raises */
+                Py_DECREF(arr);
+                return NULL;
+            }
+            if (d[o->pos] == ']') {
+                o->pos++;
+                return arr;
+            }
+            PyObject *v = o_value(o, depth + 1);
+            if (!v) {
+                Py_DECREF(arr);
+                return NULL;
+            }
+            int r = PyList_Append(arr, v);
+            Py_DECREF(v);
+            if (r < 0) {
+                Py_DECREF(arr);
+                return NULL;
+            }
+        }
+    }
+    /* keyword (true/false/null); anything else → bail */
+    if (!is_bound(ch)) {
+        Py_ssize_t p = o->pos;
+        while (p < n && !is_ws1(d[p]) && !is_bound(d[p]))
+            p++;
+        Py_ssize_t kl = p - o->pos;
+        const unsigned char *kp = d + o->pos;
+        if (kl == 4 && memcmp(kp, "true", 4) == 0) {
+            o->pos = p;
+            Py_RETURN_TRUE;
+        }
+        if (kl == 5 && memcmp(kp, "false", 5) == 0) {
+            o->pos = p;
+            Py_RETURN_FALSE;
+        }
+        if (kl == 4 && memcmp(kp, "null", 4) == 0) {
+            o->pos = p;
+            Py_RETURN_NONE;
+        }
+    }
+    o->bail = 1; /* unexpected token/keyword/')'/'>' → Python path decides */
+    return NULL;
+}
+
+static PyObject *parse_indirect(PyObject *self, PyObject *args)
+{
+    PyObject *data_obj;
+    Py_ssize_t offset;
+    if (!PyArg_ParseTuple(args, "On", &data_obj, &offset))
+        return NULL;
+    if (!PyBytes_Check(data_obj)) {
+        PyErr_SetString(PyExc_TypeError, "data must be bytes");
+        return NULL;
+    }
+    OLex o;
+    o.d = (const unsigned char *)PyBytes_AS_STRING(data_obj);
+    o.n = PyBytes_GET_SIZE(data_obj);
+    o.pos = offset >= 0 ? offset : 0;
+    o.bail = 0;
+    long long num, gen;
+    o_skip(&o);
+    if (o.pos >= o.n || !((o.d[o.pos] >= '0' && o.d[o.pos] <= '9') ||
+                          o.d[o.pos] == '+' || o.d[o.pos] == '-'))
+        Py_RETURN_NONE; /* no header → Python raises its exact error */
+    if (!o_int(&o, &num, NULL))
+        goto maybe_bail;
+    o_skip(&o);
+    if (!(o.pos < o.n && ((o.d[o.pos] >= '0' && o.d[o.pos] <= '9') ||
+                          o.d[o.pos] == '+' || o.d[o.pos] == '-')))
+        Py_RETURN_NONE;
+    if (!o_int(&o, &gen, NULL))
+        goto maybe_bail;
+    o_skip(&o);
+    if (!(o.pos + 2 < o.n && memcmp(o.d + o.pos, "obj", 3) == 0 &&
+          (o.pos + 3 >= o.n ||
+           is_ws1(o.d[o.pos + 3]) || is_bound(o.d[o.pos + 3]))))
+        Py_RETURN_NONE;
+    o.pos += 3;
+    {
+        PyObject *value = o_value(&o, 0);
+        if (!value)
+            goto maybe_bail;
+        /* post-value token: Python consumes exactly one token here and
+         * only `stream` matters — but its next_token can RAISE (lone '>',
+         * invalid hex), so the peek must validate like the lexer: bail on
+         * anything uncertain instead of silently succeeding. */
+        o_skip(&o);
+        int has_stream = 0;
+        if (o.pos < o.n) {
+            unsigned char pc = o.d[o.pos];
+            int numlike = (pc >= '0' && pc <= '9') || pc == '+' ||
+                          pc == '-' || pc == '.';
+            if (!numlike && (pc == '/' || (!is_ws1(pc) && !is_bound(pc)))) {
+                Py_ssize_t p = o.pos + (pc == '/' ? 1 : 0);
+                while (p < o.n && !is_ws1(o.d[p]) && !is_bound(o.d[p]))
+                    p++;
+                if (pc != '/' && p - o.pos == 6 &&
+                    memcmp(o.d + o.pos, "stream", 6) == 0) {
+                    has_stream = 1;
+                    o.pos = p;
+                    if (!PyDict_Check(value)) {
+                        /* "stream keyword after non-dict object" */
+                        Py_DECREF(value);
+                        Py_RETURN_NONE;
+                    }
+                }
+                /* other keyword/name (endobj, …): harmless, pos unused */
+            } else {
+                /* delimiter-led token: validate it the lexer's way; a
+                 * token the lexer would raise on → bail to Python */
+                if (!o_skip_token(&o)) {
+                    Py_DECREF(value);
+                    goto maybe_bail;
+                }
+            }
+        }
+        PyObject *r = Py_BuildValue("(LLOin)", num, gen, value,
+                                    has_stream, o.pos);
+        Py_DECREF(value);
+        return r;
+    }
+maybe_bail:
+    if (o.bail && !PyErr_Occurred())
+        Py_RETURN_NONE;
+    return NULL; /* real exception (memory, callback failure) */
+}
+
 /* ---- setup -------------------------------------------------------------- */
 static PyObject *setup(PyObject *self, PyObject *args)
 {
@@ -1870,10 +2448,25 @@ static PyObject *setup(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+static PyObject *setup_obj(PyObject *self, PyObject *args)
+{
+    if (!PyArg_ParseTuple(args, "OOO", &g_ref_cls, &g_obj_name_memo,
+                          &g_decode_name_obj))
+        return NULL;
+    Py_INCREF(g_ref_cls);
+    Py_INCREF(g_obj_name_memo);
+    Py_INCREF(g_decode_name_obj);
+    Py_RETURN_NONE;
+}
+
 static PyMethodDef methods[] = {
     {"setup", setup, METH_VARARGS, "install shared objects"},
+    {"setup_obj", setup_obj, METH_VARARGS,
+     "install object-parser shared objects"},
     {"run_page", run_page, METH_VARARGS,
      "run the fast content loop; None on completion"},
+    {"parse_indirect", parse_indirect, METH_VARARGS,
+     "fast `N G obj value [stream]` parse; None = fall back to Python"},
     {NULL, NULL, 0, NULL},
 };
 

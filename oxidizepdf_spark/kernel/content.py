@@ -2074,6 +2074,11 @@ def _load_cscan():
             (_AO, _AC, _DO, _DC), _NAME_MEMO, _decode_name, _InlineTok,
             _hexval, _c_bi, _c_bdc,
         )
+        from . import objects as _objmod
+
+        mod.setup_obj(
+            _objmod.Ref, _objmod._NAME_MEMO, _objmod.Lexer._decode_name_bytes
+        )
     except Exception:
         return None
     return mod

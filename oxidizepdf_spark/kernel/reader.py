@@ -187,7 +187,74 @@ class PdfReader:
     def parse_indirect_object_at(self, offset: int):
         """Parse ``N G obj ... endobj`` at a byte offset, including stream
         payload capture with indirect-/Length resolution and the lenient
-        endstream search (reader.rs:651-870, 880; mod.rs:232-235)."""
+        endstream search (reader.rs:651-870, 880; mod.rs:232-235).
+
+        Fast path: the C object parser (kernel/_cscan.c parse_indirect)
+        handles the happy-path grammar and returns None on ANYTHING it is
+        not byte-certain about, in which case this method re-parses from
+        the same offset with the pure-Python lexer, whose error behavior
+        is the contract. Encrypted documents always take the Python path
+        (string decryption walks the parsed value)."""
+        if _CPARSE is not None and self.decryptor is None:
+            r = _CPARSE(self.data, offset)
+            if r is not None:
+                num, gen, value, has_stream, pos = r
+                if not has_stream:
+                    return num, gen, value
+                return num, gen, self._capture_stream(value, pos, num, gen)
+        return self._parse_indirect_object_at_py(offset)
+
+    def _capture_stream(self, value: dict, pos: int, num: int, gen: int):
+        """Stream payload capture after the ``stream`` keyword at ``pos``
+        (shared by the C and Python parse paths)."""
+        data = self.data
+        # exactly one EOL after 'stream' (spec): \r\n or \n (tolerate \r)
+        if data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        elif pos < len(data) and data[pos] in b"\r\n":
+            pos += 1
+        length = value.get("Length")
+        if isinstance(length, Ref):
+            length = self.resolve(length)
+        raw = None
+        if isinstance(length, int) and length >= 0 and pos + length <= len(data):
+            cand_end = pos + length
+            after = data[cand_end : cand_end + 32].lstrip(b"\r\n \t")
+            if after.startswith(b"endstream"):
+                raw = data[pos:cand_end]
+        if raw is None:
+            if not self.lenient:
+                raise PdfParseError("stream /Length mismatch (strict mode)")
+            # lenient: declared length wrong/absent — search endstream
+            es = data.find(b"endstream", pos)
+            if es < 0:
+                raise PdfParseError("unterminated stream")
+            end = es
+            # trim the EOL that precedes endstream
+            if end > pos and data[end - 1] == 0x0A:
+                end -= 1
+            if end > pos and data[end - 1] == 0x0D:
+                end -= 1
+            raw = data[pos:end]
+        dec = self.decryptor
+        if dec is not None:
+            # streams are encrypted except the XRef stream itself and
+            # /Metadata when EncryptMetadata is false (ISO 32000 §7.6.2)
+            t = value.get("Type")
+            tname = str(t) if t is not None else ""
+            if tname != "XRef" and not (
+                tname == "Metadata" and not dec.encrypt_metadata
+            ):
+                raw = dec.decrypt_stream(raw, num, gen)
+            if tname != "XRef":
+                # strings in a cross-reference stream dictionary are
+                # never encrypted (ISO 32000 §7.5.8.2) — e.g. /ID in an
+                # xref-stream trailer
+                self._decrypt_strings(value, num, gen)
+        return Stream(value, raw)
+
+    def _parse_indirect_object_at_py(self, offset: int):
+        """Reference pure-Python parse (the error-behavior contract)."""
         lexer = Lexer(self.data, offset)
         t1 = lexer.next_token()
         t2 = lexer.next_token()
@@ -200,55 +267,7 @@ class PdfReader:
         if tok == ("kw", "stream"):
             if not isinstance(value, dict):
                 raise PdfParseError("stream keyword after non-dict object")
-            data = self.data
-            pos = lexer.pos
-            # exactly one EOL after 'stream' (spec): \r\n or \n (tolerate \r)
-            if data[pos : pos + 2] == b"\r\n":
-                pos += 2
-            elif pos < len(data) and data[pos] in b"\r\n":
-                pos += 1
-            length = value.get("Length")
-            if isinstance(length, Ref):
-                length = self.resolve(length)
-            raw = None
-            if isinstance(length, int) and length >= 0 and pos + length <= len(data):
-                cand_end = pos + length
-                after = data[cand_end : cand_end + 32].lstrip(b"\r\n \t")
-                if after.startswith(b"endstream"):
-                    raw = data[pos:cand_end]
-            if raw is None:
-                if not self.lenient:
-                    raise PdfParseError(
-                        "stream /Length mismatch (strict mode)"
-                    )
-                # lenient: declared length wrong/absent — search endstream
-                es = data.find(b"endstream", pos)
-                if es < 0:
-                    raise PdfParseError("unterminated stream")
-                end = es
-                # trim the EOL that precedes endstream
-                if end > pos and data[end - 1] == 0x0A:
-                    end -= 1
-                if end > pos and data[end - 1] == 0x0D:
-                    end -= 1
-                raw = data[pos:end]
-            dec = self.decryptor
-            if dec is not None:
-                # streams are encrypted except the XRef stream itself and
-                # /Metadata when EncryptMetadata is false (ISO 32000 §7.6.2)
-                t = value.get("Type")
-                tname = str(t) if t is not None else ""
-                if tname != "XRef" and not (
-                    tname == "Metadata" and not dec.encrypt_metadata
-                ):
-                    raw = dec.decrypt_stream(raw, num, gen)
-                if tname != "XRef":
-                    # strings in a cross-reference stream dictionary are
-                    # never encrypted (ISO 32000 §7.5.8.2) — e.g. /ID in an
-                    # xref-stream trailer
-                    self._decrypt_strings(value, num, gen)
-            value = Stream(value, raw)
-            # advance past endstream for completeness
+            value = self._capture_stream(value, lexer.pos, num, gen)
         elif self.decryptor is not None:
             value = self._decrypt_strings(value, num, gen)
         return num, gen, value
@@ -308,3 +327,19 @@ class PdfReader:
         if not isinstance(root, dict):
             raise PdfParseError("missing /Root catalog")
         return root
+
+
+def _load_cparse():
+    """Bind the C object parser (kernel/_cscan.c parse_indirect) when the
+    extension built; None → pure-Python parsing everywhere."""
+    try:
+        from .content import _CSCAN
+
+        if _CSCAN is not None:
+            return _CSCAN.parse_indirect
+    except Exception:
+        pass
+    return None
+
+
+_CPARSE = _load_cparse()

@@ -18,14 +18,19 @@ pytestmark = pytest.mark.skipif(
 
 
 def _both_paths(fn):
-    """Run fn() with the C path active, then forced-off; return both."""
+    """Run fn() with the C paths active, then forced-off; return both."""
+    from oxidizepdf_spark.kernel import reader as R
+
     with_c = fn()
     saved = C._CSCAN
+    saved_p = R._CPARSE
     C._CSCAN = None
+    R._CPARSE = None
     try:
         without_c = fn()
     finally:
         C._CSCAN = saved
+        R._CPARSE = saved_p
     return with_c, without_c
 
 
@@ -178,3 +183,96 @@ def test_differential_hypothesis_streams():
         assert finals[0] == finals[1], stream
 
     check()
+
+
+def test_differential_object_parser_real_fixtures():
+    """C parse_indirect vs the pure-Python object parser, object by object,
+    over both real fixtures: identical (num, gen, value) for every xref
+    entry, incl. streams (dict + raw payload)."""
+    from oxidizepdf_spark.kernel import reader as R
+    from oxidizepdf_spark.kernel.objects import Stream
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    for path in (
+        "/root/reference/test-pdfs/Cold_Email_Hacks.pdf",
+        "/root/reference/oxidize-pdf-core/tests/fixtures/"
+        "issue_272_higgs_arxiv_1207_7214.pdf",
+    ):
+        data = open(path, "rb").read()
+        rdr = PdfReader(data)
+        checked = 0
+        for num, entry in list(rdr.xref.items()):
+            if entry[0] != "n":
+                continue
+            offset = entry[1]
+            c_res = None
+            py_res = None
+            c_err = py_err = None
+            try:
+                assert R._CPARSE is not None
+                c_raw = R._CPARSE(data, offset)
+                if c_raw is None:
+                    continue  # C bailed: Python path is authoritative anyway
+                cn, cg, cv, has_stream, pos = c_raw
+                if has_stream:
+                    cv = rdr._capture_stream(cv, pos, cn, cg)
+                c_res = (cn, cg, cv)
+            except Exception as e:
+                c_err = f"{type(e).__name__}"
+            try:
+                py_res = rdr._parse_indirect_object_at_py(offset)
+            except Exception as e:
+                py_err = f"{type(e).__name__}"
+            assert c_err == py_err, (path, num)
+            if c_res is None:
+                continue
+
+            def canon(v):
+                if isinstance(v, Stream):
+                    return ("STREAM", canon(v.dict), v.raw)
+                if isinstance(v, dict):
+                    return tuple(sorted((k, canon(x)) for k, x in v.items()))
+                if isinstance(v, list):
+                    return tuple(canon(x) for x in v)
+                return (type(v).__name__, v)
+
+            assert canon(c_res[2]) == canon(py_res[2]), (path, num)
+            assert c_res[:2] == py_res[:2], (path, num)
+            checked += 1
+        assert checked > 50, path
+
+
+def test_differential_object_parser_synthetic():
+    """Object-grammar soup: C parse vs Python parse on adversarial bodies
+    (refs, signed gens, nested dicts, junk keys, hex, comments, escapes)."""
+    from oxidizepdf_spark.kernel import reader as R
+    from oxidizepdf_spark.kernel.objects import Lexer, parse_object
+
+    bodies = [
+        b"<< /A 5 0 R /B [1 2 3] /C (s\\(t) /D <4142> /E true /F null >>",
+        b"[1 +2 -3 4.5 .5 5. /N (x) <0A> [nested [deep]] <<>>]",
+        b"<< /K 5 +3 R /L 5 -3 R /M 5 3 Robj >>",
+        b"<< 5 /Junk (skip) /Real 7 >>",
+        b"<< /A % comment\n 5 >>",
+        b"5 3 R",
+        b"<< /Empty <> /Odd <414> >>",
+        b"(with (nested) parens \\053)",
+        b"<< /N [0 0 R 1 65535 R] >>",
+        b"true", b"false", b"null", b"-0 3 R",
+        b"<</A<</B<</C 1>>>>>>",
+    ]
+    for body in bodies:
+        blob = b"7 0 obj " + body + b" endobj"
+        c_raw = R._CPARSE(blob, 0) if R._CPARSE else None
+        lexer = Lexer(blob, 0)
+        lexer.next_token(); lexer.next_token(); lexer.next_token()
+        try:
+            py_val = parse_object(lexer)
+            py_err = None
+        except Exception as e:
+            py_val, py_err = None, type(e).__name__
+        if c_raw is None:
+            continue  # bail → Python authoritative
+        assert py_err is None, body
+        assert c_raw[0] == 7 and c_raw[1] == 0
+        assert repr(c_raw[2]) == repr(py_val), body
