@@ -1578,8 +1578,27 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                             Py_DECREF(pair);
                             goto fail;
                         }
+                        /* entries are (ctm, fill_color) 2-tuples; anything
+                         * else (external mutation of st.saved, a future
+                         * format change) must raise, not segfault */
+                        if (!PyTuple_Check(pair) ||
+                            PyTuple_GET_SIZE(pair) != 2) {
+                            PyErr_SetString(
+                                PyExc_TypeError,
+                                "saved graphics entry is not a "
+                                "(ctm, fill_color) 2-tuple");
+                            Py_DECREF(pair);
+                            goto fail;
+                        }
                         PyObject *ct = PyTuple_GET_ITEM(pair, 0);
                         PyObject *fc = PyTuple_GET_ITEM(pair, 1);
+                        if (!PyTuple_Check(ct) || PyTuple_GET_SIZE(ct) != 6) {
+                            PyErr_SetString(
+                                PyExc_TypeError,
+                                "saved ctm is not a 6-tuple");
+                            Py_DECREF(pair);
+                            goto fail;
+                        }
                         if (PyObject_SetAttr(c->st, a_ctm, ct) < 0 ||
                             PyObject_SetAttr(c->st, a_fill_color, fc) < 0) {
                             Py_DECREF(pair);
@@ -2420,42 +2439,50 @@ maybe_bail:
 }
 
 /* ---- setup -------------------------------------------------------------- */
+/* Replace a module global: incref the new value, release the previously
+ * installed one (setup may be called more than once if content.py is
+ * imported under two module identities, e.g. a zip deployment). */
+static void install_global(PyObject **slot, PyObject *value)
+{
+    Py_INCREF(value);
+    Py_XDECREF(*slot);
+    *slot = value;
+}
+
 static PyObject *setup(PyObject *self, PyObject *args)
 {
-    PyObject *markers;
-    if (!PyArg_ParseTuple(args, "OOOOOOO", &markers, &g_name_memo,
-                          &g_decode_name, &g_inline_tok, &g_hexval,
-                          &g_bi_helper, &g_bdc_helper))
+    PyObject *markers, *name_memo, *decode_name, *inline_tok, *hexval,
+        *bi_helper, *bdc_helper;
+    if (!PyArg_ParseTuple(args, "OOOOOOO", &markers, &name_memo,
+                          &decode_name, &inline_tok, &hexval,
+                          &bi_helper, &bdc_helper))
         return NULL;
     if (!PyTuple_Check(markers) || PyTuple_GET_SIZE(markers) != 4) {
         PyErr_SetString(PyExc_TypeError, "markers must be a 4-tuple");
         return NULL;
     }
-    g_AO = PyTuple_GET_ITEM(markers, 0);
-    g_AC = PyTuple_GET_ITEM(markers, 1);
-    g_DO = PyTuple_GET_ITEM(markers, 2);
-    g_DC = PyTuple_GET_ITEM(markers, 3);
-    Py_INCREF(g_AO);
-    Py_INCREF(g_AC);
-    Py_INCREF(g_DO);
-    Py_INCREF(g_DC);
-    Py_INCREF(g_name_memo);
-    Py_INCREF(g_decode_name);
-    Py_INCREF(g_inline_tok);
-    Py_INCREF(g_hexval);
-    Py_INCREF(g_bi_helper);
-    Py_INCREF(g_bdc_helper);
+    install_global(&g_AO, PyTuple_GET_ITEM(markers, 0));
+    install_global(&g_AC, PyTuple_GET_ITEM(markers, 1));
+    install_global(&g_DO, PyTuple_GET_ITEM(markers, 2));
+    install_global(&g_DC, PyTuple_GET_ITEM(markers, 3));
+    install_global(&g_name_memo, name_memo);
+    install_global(&g_decode_name, decode_name);
+    install_global(&g_inline_tok, inline_tok);
+    install_global(&g_hexval, hexval);
+    install_global(&g_bi_helper, bi_helper);
+    install_global(&g_bdc_helper, bdc_helper);
     Py_RETURN_NONE;
 }
 
 static PyObject *setup_obj(PyObject *self, PyObject *args)
 {
-    if (!PyArg_ParseTuple(args, "OOO", &g_ref_cls, &g_obj_name_memo,
-                          &g_decode_name_obj))
+    PyObject *ref_cls, *obj_name_memo, *decode_name_obj;
+    if (!PyArg_ParseTuple(args, "OOO", &ref_cls, &obj_name_memo,
+                          &decode_name_obj))
         return NULL;
-    Py_INCREF(g_ref_cls);
-    Py_INCREF(g_obj_name_memo);
-    Py_INCREF(g_decode_name_obj);
+    install_global(&g_ref_cls, ref_cls);
+    install_global(&g_obj_name_memo, obj_name_memo);
+    install_global(&g_decode_name_obj, decode_name_obj);
     Py_RETURN_NONE;
 }
 

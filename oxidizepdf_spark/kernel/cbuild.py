@@ -32,6 +32,16 @@ def _cache_dir() -> str:
     return os.path.join(base, "oxidizepdf_spark")
 
 
+def _write_failed_sentinel(path: str) -> None:
+    try:
+        tmp = path + f".tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write("compile failed\n")
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
 def load_cscan():
     """Compile (if needed) and import the _cscan extension; None on any
     failure — callers fall back to the pure-Python loop."""
@@ -61,7 +71,14 @@ def load_cscan():
     ).hexdigest()[:16]
     cache = _cache_dir()
     so_path = os.path.join(cache, f"_cscan-{tag}.so")
+    # negative cache: without it, every new Python process on a host with a
+    # broken toolchain re-runs the gcc attempt (up to the 120s timeout)
+    # before degrading — a sentinel makes the failure a one-time cost per
+    # host; the source-hash tag invalidates it on the next kernel change
+    failed_path = os.path.join(cache, f"_cscan-{tag}.failed")
     if not os.path.exists(so_path):
+        if os.path.exists(failed_path):
+            return None
         try:
             os.makedirs(cache, exist_ok=True)
             include = sysconfig.get_paths()["include"]
@@ -84,9 +101,11 @@ def load_cscan():
                 timeout=120,
             )
             if proc.returncode != 0:
+                _write_failed_sentinel(failed_path)
                 return None
             os.replace(tmp, so_path)  # atomic vs concurrent executors
         except Exception:
+            _write_failed_sentinel(failed_path)
             return None
     try:
         import importlib.util
