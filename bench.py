@@ -414,15 +414,23 @@ def main() -> None:
 
     n_small = max(4, args.cpus // 4)
     scale_docs = max(1000, n_docs * 3)  # 4N leg must be compute-bound
+    # The saturated 8→32 pair gets its OWN corpus, scaled with core count
+    # (VERDICT r5 #1): at 150k docs the 32-core leg finishes in ~3s and
+    # measures Spark's per-job fixed costs (scan setup, scheduling, Arrow
+    # worker spin-up), not scaling — r5 recorded 0.618 on a job whose
+    # soak-scale twin runs at 1.0+. 4x the corpus keeps BOTH saturated
+    # legs >=15s, the same compute-bound regime the 2→8 pair runs in.
+    sat_docs = scale_docs * 4
     if args.scaling:
-        # pre-stage the scaling corpus with the full-width session (untimed
-        # setup; the pinned N-core leg shouldn't pay the one-off write)
+        # pre-stage the scaling corpora with the full-width session (untimed
+        # setup; the pinned N-core legs shouldn't pay the one-off writes)
         stage_corpus(spark, scale_docs, seed=7)
+        stage_corpus(spark, sat_docs, seed=7)
     spark.stop()
 
     if args.scaling:
-        def run_leg(k: int, warm: int, timed: int) -> dict:
-            r = _pinned_leg(k, scale_docs, seed=7, warm=warm, timed=timed)
+        def run_leg(k: int, warm: int, timed: int, docs: int) -> dict:
+            r = _pinned_leg(k, docs, seed=7, warm=warm, timed=timed)
             if r is None:
                 # fallback: in-process unpinned leg (taskset unavailable)
                 s = get_spark(
@@ -432,10 +440,10 @@ def main() -> None:
                 )
                 s.sparkContext.setLogLevel("ERROR")
                 for _ in range(warm):
-                    run_extract_job(s, scale_docs, seed=7)
+                    run_extract_job(s, docs, seed=7)
                 best = None
                 for _ in range(timed):
-                    rr = run_extract_job(s, scale_docs, seed=7)
+                    rr = run_extract_job(s, docs, seed=7)
                     if best is None or rr["docs_per_sec"] > best["docs_per_sec"]:
                         best = rr
                 s.stop()
@@ -461,11 +469,14 @@ def main() -> None:
         # isolates what the rule actually asks: does the PIPELINE scale
         # when you quadruple its cores? The saturated 8→32 pair is
         # reported alongside, with the measured host ceiling for context.
-        leg2 = run_leg(2, warm=1, timed=2)  # 2-core runs are long; JIT
-        leg8 = run_leg(8, warm=2, timed=3)  # converges within the warms
-        leg32 = run_leg(args.cpus, warm=2, timed=3)
+        leg2 = run_leg(2, warm=1, timed=2, docs=scale_docs)  # long; JIT
+        leg8 = run_leg(8, warm=2, timed=3, docs=scale_docs)  # converges
+        # saturated pair on its own 4x corpus: both legs stay >=15s so the
+        # ratio measures scaling, not per-job fixed-cost amortization
+        leg8_sat = run_leg(8, warm=1, timed=2, docs=sat_docs)  # ~30s runs
+        leg32 = run_leg(args.cpus, warm=2, timed=3, docs=sat_docs)
         eff_primary = pair_eff(leg2, leg8)
-        eff_sat = pair_eff(leg8, leg32)
+        eff_sat = pair_eff(leg8_sat, leg32)
         # Pure-CPU spin control (zero Spark, zero memory traffic): the
         # host's own scaling ceiling at each concurrency pair.
         spin_primary = _host_spin_ceiling(2, 8)
@@ -479,7 +490,8 @@ def main() -> None:
             "efficiency": round(eff_primary, 4),
             "host_spin_ceiling": round(spin_primary, 4),
             "saturated_pair": {
-                "N": leg8,
+                "docs": sat_docs,
+                "N": leg8_sat,
                 "4N": leg32,
                 "efficiency": round(eff_sat, 4),
                 "host_spin_ceiling": round(spin_sat, 4),

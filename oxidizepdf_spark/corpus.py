@@ -694,10 +694,20 @@ def build_outline_pdf(sections: list[tuple[str, list[str]]]) -> bytes:
             )
         objects[top] = b"<< " + b" ".join(parts) + b" >>"
         for j, (sub, cnum) in enumerate(zip(subs, ch)):
+            # the LAST child of each section uses /FitR with a full
+            # rectangle (structure/destination.rs FitR carries 4 coords;
+            # top bound matches FitH's y so dest_y stays uniform);
+            # earlier children keep /FitH
+            if j == len(subs) - 1:
+                dest_c = b"[%d 0 R /FitR 50 600 400 %d]" % (
+                    page_nums[i], 700 - 10 * j,
+                )
+            else:
+                dest_c = b"[%d 0 R /FitH %d]" % (page_nums[i], 700 - 10 * j)
             sparts = [
                 b"/Title (%s)" % escape_pdf_string(sub),
                 b"/Parent %d 0 R" % top,
-                b"/Dest [%d 0 R /FitH %d]" % (page_nums[i], 700 - 10 * j),
+                b"/Dest " + dest_c,
             ]
             if j > 0:
                 sparts.append(b"/Prev %d 0 R" % ch[j - 1])

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import base64
 
-from .objects import PdfParseError
+from .objects import PdfParseError, Ref
 from .pages import flatten_page_tree, page_content
 from .reader import EncryptedPdfError, PdfReader
 from .textstate import ExtractionOptions, Interpreter
@@ -230,6 +230,13 @@ def extract_metadata(data: bytes) -> dict:
 _OUTLINE_MAX_ITEMS = 10000
 
 
+def _fmt_coord(v: float) -> str:
+    """Canonical coordinate formatting for rect strings: integral values
+    print as ints ('50' not '50.0') so fixture oracles can build the same
+    string with plain SQL concatenation."""
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
 def _page_ref_index(reader) -> dict:
     """Map page object Ref → page index in tree order (the mapping
     outline /Dest arrays and GoTo actions need; document.rs page lookup)."""
@@ -379,10 +386,12 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
         return None  # PDF null → "current value unchanged" (§12.3.2)
 
     def dest_info(item: dict):
-        """(page_idx, fit_type, x, y, zoom) from the /Dest array
+        """(page_idx, fit_type, x, y, zoom, rect) from the /Dest array
         (structure/destination.rs:7-29 DestinationType; §12.3.2 Table 151):
         XYZ carries left/top/zoom; FitH/FitBH a top; FitV/FitBV a left;
-        FitR left,bottom,right,top (x/y surface its left/top corner);
+        FitR left,bottom,right,top (x/y surface its left/top corner AND
+        the full rectangle comes back as the 'l,b,r,t' rect string —
+        structure/destination.rs FitR carries all four coords);
         Fit/FitB carry nothing."""
         dest = reader.resolve(item.get("Dest"))
         if dest is None:
@@ -394,12 +403,12 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             dest = reader.resolve(named_dests().get(key))
             if isinstance(dest, dict):  # << /D [...] >> wrapper form
                 dest = reader.resolve(dest.get("D"))
-        none = (None, None, None, None, None)
+        none = (None, None, None, None, None, None)
         if not (isinstance(dest, list) and dest and isinstance(dest[0], Ref)):
             return none
         page_idx = page_index.get(dest[0])
         fit = str(dest[1]) if len(dest) > 1 and dest[1] is not None else None
-        x = y = zoom = None
+        x = y = zoom = rect = None
         if fit == "XYZ":
             x = _num(dest[2]) if len(dest) > 2 else None
             y = _num(dest[3]) if len(dest) > 3 else None
@@ -411,9 +420,14 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
         elif fit == "FitR":
             x = _num(dest[2]) if len(dest) > 2 else None
             y = _num(dest[5]) if len(dest) > 5 else None
+            coords = [
+                _num(dest[i]) if len(dest) > i else None for i in (2, 3, 4, 5)
+            ]
+            if all(c is not None for c in coords):
+                rect = ",".join(_fmt_coord(c) for c in coords)
         elif fit not in ("Fit", "FitB", None):
             fit = None  # unknown fit name: keep the page, drop the detail
-        return page_idx, fit, x, y, zoom
+        return page_idx, fit, x, y, zoom, rect
 
     def walk(ref, level: int):
         while ref is not None and len(out) < _OUTLINE_MAX_ITEMS:
@@ -425,7 +439,7 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
             if not isinstance(item, dict):
                 return
             title = item.get("Title")
-            page_idx, fit, x, y, zoom = dest_info(item)
+            page_idx, fit, x, y, zoom, rect = dest_info(item)
             out.append(
                 {
                     "ord": len(out),
@@ -440,6 +454,7 @@ def extract_outline(data: bytes, password: str | None = None) -> list[dict]:
                     "dest_x": x,
                     "dest_y": y,
                     "dest_zoom": zoom,
+                    "dest_rect": rect,
                 }
             )
             first = item.get("First")
@@ -636,7 +651,15 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
     the page text the quads cover, resolved via the extractor's positioned
     fragment bboxes. Highlighted spans are prime supervision data in
     review-corpus mining; without covered_text the highlight's target is
-    unrecoverable downstream."""
+    unrecoverable downstream.
+
+    Popup linkage (annotations/popup.rs:1-374, §12.5.6.14): a /Popup
+    annotation is the presentation window of its parent markup annotation
+    (linked forward via the parent's /Popup ref and backward via the
+    popup's /Parent) — it is folded into the PARENT's row as
+    popup_open/popup_rect rather than emitted standalone, which is what a
+    review-thread miner wants (one row per comment, not per window).
+    Orphan popups (no resolvable in-page parent) still get their own row."""
     from .textstate import _decode_pdf_string
 
     out: list[dict] = []
@@ -645,10 +668,49 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
         annots = reader.resolve(page.dict.get("Annots"))
         if not isinstance(annots, list):
             continue
-        fragments = None  # lazy: only pages carrying text markup pay for it
+        # pass 1: resolve the page's annots and link popups to parents.
+        # Keys are the annots-array Refs (hashable NamedTuples); inline
+        # (non-ref) dict entries key by identity and can't be popup
+        # targets (a /Popup or /Parent is always an indirect ref).
+        entries: list[tuple[object, dict]] = []
+        popup_keys: set = set()
         for ref in annots:
             a = reader.resolve(ref)
             if not isinstance(a, dict):
+                continue
+            key = ref if isinstance(ref, Ref) else id(a)
+            entries.append((key, a))
+            if str(a.get("Subtype", "")) == "Popup":
+                popup_keys.add(key)
+        entry_keys = {k for k, _ in entries}
+        popup_of: dict = {}   # parent key -> popup dict
+        consumed: set = set()  # popup keys folded into a parent row
+        for key, a in entries:
+            if key in popup_keys:
+                continue
+            p = a.get("Popup")
+            if isinstance(p, Ref):
+                pr = reader.resolve(p)
+                if isinstance(pr, dict):
+                    popup_of[key] = pr
+                    if p in popup_keys:
+                        consumed.add(p)
+        for key, a in entries:
+            # back-link only: popup carries /Parent but the parent has no
+            # /Popup (seen in the wild from incremental-update editors)
+            if key not in popup_keys or key in consumed:
+                continue
+            par = a.get("Parent")
+            if (
+                isinstance(par, Ref)
+                and par in entry_keys
+                and par not in popup_of
+            ):
+                popup_of[par] = a
+                consumed.add(key)
+        fragments = None  # lazy: only pages carrying text markup pay for it
+        for key, a in entries:
+            if key in consumed:
                 continue
             subtype = a.get("Subtype")
             subtype_s = str(subtype) if subtype is not None else None
@@ -679,6 +741,20 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
                 if fragments is None:
                     fragments = _raw_page_fragments(reader, page, idx)
                 covered = _covered_text(fragments, _quad_bboxes(quads_f))
+            popup = popup_of.get(key)
+            popup_open = None
+            popup_rect = None
+            if popup is not None:
+                op = reader.resolve(popup.get("Open"))
+                popup_open = op if isinstance(op, bool) else False
+                pr_rect = reader.resolve(popup.get("Rect"))
+                if isinstance(pr_rect, list) and len(pr_rect) == 4:
+                    try:
+                        popup_rect = [
+                            float(reader.resolve(v)) for v in pr_rect
+                        ]
+                    except (TypeError, ValueError):
+                        popup_rect = None
             out.append(
                 {
                     "page_idx": idx,
@@ -697,6 +773,8 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
                     ),
                     "n_quads": len(quads_f) // 8 if quads_f else 0,
                     "covered_text": covered,
+                    "popup_open": popup_open,
+                    "popup_rect": popup_rect,
                 }
             )
     return out

@@ -2228,7 +2228,11 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     /QuadPoints cover exactly the 2nd and 3rd of four fixed-position body
     words — the extractor must return subtype/page/uri/contents plus
     /Rect, /T author, quad count, and the quad-covered page text resolved
-    through the positioned fragment bboxes."""
+    through the positioned fragment bboxes. The Text annotation also
+    carries a /Popup window (annotations/popup.rs: /Popup ↔ /Parent
+    linkage, /Open state, own /Rect) that the extractor must FOLD into
+    the parent's row (popup_open encoded -1 none / 0 closed / 1 open)
+    rather than emit standalone — 3 rows per doc, not 4."""
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -2240,7 +2244,7 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_quads", "covered_text",
         ]
         for b in batches:
-            out = {c: [] for c in ["doc_id", *cols]}
+            out = {c: [] for c in ["doc_id", *cols, "popup_open", "popup_rect"]}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
                 first = words[0][:12] if words else "none"
@@ -2265,7 +2269,12 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 text_a = (
                     b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] "
-                    b"/Contents (%s) >>" % escape_pdf_string(note)
+                    b"/Contents (%s) /Popup 11 0 R >>" % escape_pdf_string(note)
+                )
+                popup = (
+                    b"<< /Type /Annot /Subtype /Popup /Rect "
+                    b"[400 695 560 795] /Parent 9 0 R /Open %s >>"
+                    % (b"true" if doc_id % 2 == 0 else b"false")
                 )
                 hl = (
                     b"<< /Type /Annot /Subtype /Highlight "
@@ -2274,11 +2283,11 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     % (doc_id % 5)
                 )
                 pdf = build_pdf_with_content_stream(
-                    ops, extra_objects={8: link, 9: text_a, 10: hl},
+                    ops, extra_objects={8: link, 9: text_a, 10: hl, 11: popup},
                 )
                 pdf = pdf.replace(
                     b"/Contents 5 0 R",
-                    b"/Annots [8 0 R 9 0 R 10 0 R] /Contents 5 0 R",
+                    b"/Annots [8 0 R 9 0 R 10 0 R 11 0 R] /Contents 5 0 R",
                     1,
                 )
                 for a in extract_annotations(pdf):
@@ -2286,6 +2295,16 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out["rect"].append(
                         ",".join(str(int(v)) for v in a["rect"])
                         if a["rect"] else None
+                    )
+                    # total encodings for the recorded relation (the
+                    # outline dest lesson: NULL numerics hash
+                    # None-vs-NaN across Spark/DuckDB)
+                    out["popup_open"].append(
+                        -1 if a["popup_open"] is None else int(a["popup_open"])
+                    )
+                    out["popup_rect"].append(
+                        ",".join(str(int(v)) for v in a["popup_rect"])
+                        if a["popup_rect"] else None
                     )
                     for c in cols:
                         if c != "rect":
@@ -2296,7 +2315,7 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, page_idx int, subtype string, uri string, "
         "contents string, rect string, author string, n_quads int, "
-        "covered_text string",
+        "covered_text string, popup_open int, popup_rect string",
     )
 
 
@@ -2314,19 +2333,22 @@ SELECT doc_id, 0 AS page_idx, 'Link' AS subtype,
          CASE WHEN len(ws) = 0 THEN 'none' ELSE substr(ws[1], 1, 12) END
          AS uri,
        NULL AS contents, '0,0,100,20' AS rect, NULL AS author,
-       0 AS n_quads, NULL AS covered_text
+       0 AS n_quads, NULL AS covered_text,
+       -1 AS popup_open, NULL AS popup_rect
 FROM base
 UNION ALL
 SELECT doc_id, 0, 'Text', NULL,
        array_to_string(ws[1:{ANNOT_WORDS}], ' '),
-       '0,30,100,50', NULL, 0, NULL
+       '0,30,100,50', NULL, 0, NULL,
+       CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END, '400,695,560,795'
 FROM base
 UNION ALL
 SELECT doc_id, 0, 'Highlight', NULL, NULL,
        '195,695,395,715', 'rev-' || (doc_id % 5), 1,
        (CASE WHEN len(ws) > 1 THEN substr(ws[2], 1, 12) ELSE 'w1' END)
        || ' ' ||
-       (CASE WHEN len(ws) > 2 THEN substr(ws[3], 1, 12) ELSE 'w2' END)
+       (CASE WHEN len(ws) > 2 THEN substr(ws[3], 1, 12) ELSE 'w2' END),
+       -1, NULL
 FROM base
 """
 
@@ -2522,6 +2544,7 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "doc_id": [], "ord": [], "level": [],
                 "title": [], "page_idx": [], "fit_type": [],
                 "dest_x": [], "dest_y": [], "dest_zoom": [],
+                "dest_rect": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
@@ -2555,13 +2578,14 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for c in ("dest_x", "dest_y", "dest_zoom"):
                         v = item[c]
                         out[c].append(-1.0 if v is None else v)
+                    out["dest_rect"].append(item["dest_rect"])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
         schema="doc_id long, ord int, level int, title string, "
         "page_idx int, fit_type string, dest_x double, dest_y double, "
-        "dest_zoom double",
+        "dest_zoom double, dest_rect string",
     )
 
 
@@ -2585,13 +2609,19 @@ SELECT doc_id,
                    ELSE ws[((i * 3 + j) % len(ws)) + 1] END
        END AS title,
        i AS page_idx,
-       CASE WHEN j = 0 THEN 'XYZ' ELSE 'FitH' END AS fit_type,
+       CASE WHEN j = 0 THEN 'XYZ'
+            WHEN j = {OUTLINE_KIDS} THEN 'FitR'
+            ELSE 'FitH' END AS fit_type,
        CASE WHEN j = 0 THEN CAST(72 AS DOUBLE)
+            WHEN j = {OUTLINE_KIDS} THEN CAST(50 AS DOUBLE)
             ELSE CAST(-1 AS DOUBLE) END AS dest_x,
        CAST(CASE WHEN j = 0 THEN 720 - 10 * i
                  ELSE 700 - 10 * (j - 1) END AS DOUBLE) AS dest_y,
        CASE WHEN j = 0 THEN CAST(1.5 AS DOUBLE)
-            ELSE CAST(-1 AS DOUBLE) END AS dest_zoom
+            ELSE CAST(-1 AS DOUBLE) END AS dest_zoom,
+       CASE WHEN j = {OUTLINE_KIDS}
+            THEN '50,600,400,' || (700 - 10 * (j - 1))
+            ELSE NULL END AS dest_rect
 FROM base,
      UNNEST(generate_series(0, {OUTLINE_TOPS - 1})) AS t(i),
      UNNEST(generate_series(0, {OUTLINE_KIDS})) AS u(j)

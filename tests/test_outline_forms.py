@@ -469,3 +469,92 @@ def test_outline_destination_fit_detail():
         ("c", "Fit", None, None, None),
         ("d", "FitR", 50.0, 400.0, None),
     ]
+
+
+def test_fitr_dest_full_rect():
+    """FitR surfaces the FULL rectangle as 'l,b,r,t' (dest_rect), not just
+    the left/top corner (structure/destination.rs FitR four coords); other
+    fit types leave dest_rect None."""
+    from oxidizepdf_spark.corpus import assemble_pdf
+    from oxidizepdf_spark.kernel.extract import extract_outline
+
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R /Outlines 5 0 R >>",
+        2: b"<< /Type /Pages /Kids [10 0 R] /Count 1 >>",
+        10: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>",
+        5: b"<< /Type /Outlines /First 6 0 R /Last 7 0 R /Count 2 >>",
+        6: (
+            b"<< /Title (r) /Parent 5 0 R /Next 7 0 R "
+            b"/Dest [10 0 R /FitR 50 60 300.5 400] >>"
+        ),
+        7: b"<< /Title (h) /Parent 5 0 R /Dest [10 0 R /FitH 640] >>",
+    }
+    items = extract_outline(assemble_pdf(objects))
+    assert [(i["title"], i["dest_rect"]) for i in items] == [
+        ("r", "50,60,300.5,400"),
+        ("h", None),
+    ]
+
+
+def test_popup_folds_into_parent_row():
+    """/Popup ↔ /Parent linkage (annotations/popup.rs): the popup window
+    is folded into its parent markup annotation's row (popup_open,
+    popup_rect) and NOT emitted standalone."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    text_a = (
+        b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] "
+        b"/Contents (note) /Popup 9 0 R >>"
+    )
+    popup = (
+        b"<< /Type /Annot /Subtype /Popup /Rect [400 695 560 795] "
+        b"/Parent 8 0 R /Open true >>"
+    )
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (body) Tj ET",
+        extra_objects={8: text_a, 9: popup},
+    )
+    pdf = pdf.replace(
+        b"/Contents 5 0 R", b"/Annots [8 0 R 9 0 R] /Contents 5 0 R", 1
+    )
+    (a,) = extract_annotations(pdf)
+    assert a["subtype"] == "Text"
+    assert a["popup_open"] is True
+    assert a["popup_rect"] == [400.0, 695.0, 560.0, 795.0]
+
+
+def test_popup_backlink_only_and_orphan():
+    """A popup whose parent lacks /Popup still folds via its own /Parent
+    back-link; a popup with no resolvable in-page parent keeps its own
+    row (subtype Popup) so nothing silently disappears."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    # back-link only: Text has no /Popup, popup carries /Parent 8 0 R
+    text_a = b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] /Contents (n) >>"
+    popup = (
+        b"<< /Type /Annot /Subtype /Popup /Rect [1 2 3 4] "
+        b"/Parent 8 0 R /Open false >>"
+    )
+    # orphan: /Parent points outside the page's annot list
+    orphan = (
+        b"<< /Type /Annot /Subtype /Popup /Rect [5 6 7 8] "
+        b"/Parent 99 0 R >>"
+    )
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (body) Tj ET",
+        extra_objects={8: text_a, 9: popup, 10: orphan},
+    )
+    pdf = pdf.replace(
+        b"/Contents 5 0 R",
+        b"/Annots [8 0 R 9 0 R 10 0 R] /Contents 5 0 R",
+        1,
+    )
+    rows = extract_annotations(pdf)
+    by_subtype = {a["subtype"]: a for a in rows}
+    assert set(by_subtype) == {"Text", "Popup"}
+    assert by_subtype["Text"]["popup_open"] is False
+    assert by_subtype["Text"]["popup_rect"] == [1.0, 2.0, 3.0, 4.0]
+    assert by_subtype["Popup"]["rect"] == [5.0, 6.0, 7.0, 8.0]
+    assert by_subtype["Popup"]["popup_open"] is None
