@@ -418,9 +418,11 @@ def main() -> None:
     # (VERDICT r5 #1): at 150k docs the 32-core leg finishes in ~3s and
     # measures Spark's per-job fixed costs (scan setup, scheduling, Arrow
     # worker spin-up), not scaling — r5 recorded 0.618 on a job whose
-    # soak-scale twin runs at 1.0+. 4x the corpus keeps BOTH saturated
-    # legs >=15s, the same compute-bound regime the 2→8 pair runs in.
-    sat_docs = scale_docs * 4
+    # soak-scale twin runs at 1.0+. 6x the corpus keeps BOTH saturated
+    # legs well into the compute-bound regime the 2→8 pair runs in
+    # (validated: at 4x the 32-core leg ran 9.3s and normalized
+    # efficiency recovered 0.618 → 0.815; 6x adds margin).
+    sat_docs = scale_docs * 6
     if args.scaling:
         # pre-stage the scaling corpora with the full-width session (untimed
         # setup; the pinned N-core legs shouldn't pay the one-off writes)

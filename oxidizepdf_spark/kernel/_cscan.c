@@ -2,7 +2,11 @@
  *
  * This is a line-for-line transcription of parse_and_run's fused
  * tokenize+parse+interpret loop (content.py) into C with the CPython API,
- * active only in fast-show mode (no layout fragments).  Semantics are
+ * covering fast-show mode AND (since round 6) layout mode — positioned
+ * TextFragment emission mirroring Interpreter._emit_fragment, with the
+ * ActualText pending branch delegated to interp._pending_absorb and the
+ * marked-content environment re-read after every callback that can move
+ * it.  Semantics are
  * pinned by the same differential tests that pin the Python loop against
  * run(parse_content(data)): the scanner reproduces _MASTER_FAST's generic
  * token classes (the macro alternatives are pure-Python speed devices —
@@ -20,6 +24,7 @@
 #include <Python.h>
 #include <string.h>
 #include <stdlib.h>
+#include <math.h>
 
 /* ---- module-level objects installed by setup() ------------------------- */
 static PyObject *g_AO, *g_AC, *g_DO, *g_DC;  /* marker singletons */
@@ -31,6 +36,11 @@ static PyObject *g_bi_helper;                /* content._c_bi */
 static PyObject *g_bdc_helper;               /* content._c_bdc */
 static PyObject *g_nl, *g_sp, *g_empty;      /* "\n", " ", "" */
 static PyObject *g_gray, *g_rgb, *g_cmyk;    /* color space tags */
+/* layout stage (setup_layout): fragment emission for preserve_layout /
+ * reading-order pages — NULL until installed */
+static PyObject *g_frag_cls;    /* layout.TextFragment */
+static PyObject *g_font_style;  /* layout.parse_font_style */
+static PyObject *g_frag_env;    /* content._c_frag_env */
 
 /* interned attribute names */
 static PyObject *a_state, *a_options, *a_in_text, *a_total, *a_last_x,
@@ -40,7 +50,8 @@ static PyObject *a_state, *a_options, *a_in_text, *a_total, *a_last_x,
     *a_leading, *a_char_space, *a_word_space, *a_horizontal_scale,
     *a_text_rise, *a_font_size, *a_font_name, *a_render_mode,
     *a_fill_color, *a_saved, *a_artifact_n, *a_newline_threshold,
-    *a_space_threshold, *a_tj_space_threshold, *a_include_artifacts;
+    *a_space_threshold, *a_tj_space_threshold, *a_include_artifacts,
+    *a_layout, *a_fragments, *a_pending_absorb;
 
 /* ---- operand stack ------------------------------------------------------ */
 enum { V_NUM = 0, V_STR = 1, V_NAME = 2, V_MARK = 3, V_OBJ = 4 };
@@ -73,6 +84,18 @@ typedef struct {
     double lastx, lasty;
     Py_UCS4 lastc; /* 0 == "" */
     PyObject *text_parts, *font_memo, *saved, *fill_color, *decode_meth;
+    /* layout stage (only populated when c->layout): fragment emission
+     * state — everything Interpreter._emit_fragment reads, cached with
+     * the same write-back/re-read discipline as the counters */
+    int layout;
+    PyObject *fragments;   /* interp.fragments (owned) */
+    PyObject *font_name;   /* st.font_name (owned; may be Py_None) */
+    int fbold, fital;      /* parse_font_style(font_name) memo */
+    PyObject *cur_mcid;    /* _innermost_mc_tag(st.mc_stack) (owned) */
+    PyObject *cur_tag;     /* ... (owned) */
+    PyObject *pending;     /* st.pending_actualtext (owned; may be None) */
+    double xsc, ysc;       /* Tm×CTM x/y scale (lazy, scale_dirty) */
+    int scale_dirty;
     Val *stk;
     Py_ssize_t sp, cap;
 } Ctx;
@@ -290,6 +313,166 @@ static void update_ctm_ident(Ctx *c)
     c->ctm_ident = (c->ctm[0] == 1.0 && c->ctm[1] == 0.0 &&
                     c->ctm[2] == 0.0 && c->ctm[3] == 1.0 &&
                     c->ctm[4] == 0.0 && c->ctm[5] == 0.0);
+}
+
+/* ---- layout stage: fragment emission (Interpreter._emit_fragment) ------ */
+
+/* text-space origin: translation row of Tm × CTM (state.origin()) */
+static void origin_xy(Ctx *c, double *x, double *y)
+{
+    if (c->ctm_ident) {
+        *x = c->tt4;
+        *y = c->tt5;
+    } else {
+        *x = c->tt4 * c->ctm[0] + c->tt5 * c->ctm[2] + c->ctm[4];
+        *y = c->tt4 * c->ctm[1] + c->tt5 * c->ctm[3] + c->ctm[5];
+    }
+}
+
+/* lazy Tm×CTM scale factors (_emit_fragment's combined matrix): a..d of
+ * the text matrix change only at Tm/BT, the CTM at cm/Q/Do — shows only
+ * translate, so the scales are loop-invariant between those sites */
+static void ensure_scales(Ctx *c)
+{
+    if (!c->scale_dirty)
+        return;
+    double c0 = c->la1 * c->ctm[0] + c->la2 * c->ctm[2];
+    double c1 = c->la1 * c->ctm[1] + c->la2 * c->ctm[3];
+    double c2 = c->la3 * c->ctm[0] + c->la4 * c->ctm[2];
+    double c3 = c->la3 * c->ctm[1] + c->la4 * c->ctm[3];
+    c->xsc = sqrt(c0 * c0 + c1 * c1);
+    c->ysc = sqrt(c2 * c2 + c3 * c3);
+    c->scale_dirty = 0;
+}
+
+/* re-read (mcid, struct_tag, pending_actualtext) via content._c_frag_env —
+ * after any callback that can touch mc_stack or the ActualText pending
+ * (BMC/BDC/EMC/Do) and at entry */
+static int refresh_frag_env(Ctx *c)
+{
+    PyObject *r = PyObject_CallOneArg(g_frag_env, c->interp);
+    if (!r)
+        return -1;
+    if (!PyTuple_Check(r) || PyTuple_GET_SIZE(r) != 3) {
+        Py_DECREF(r);
+        PyErr_SetString(PyExc_TypeError, "frag env not a 3-tuple");
+        return -1;
+    }
+    PyObject *mcid = PyTuple_GET_ITEM(r, 0);
+    PyObject *tag = PyTuple_GET_ITEM(r, 1);
+    PyObject *pend = PyTuple_GET_ITEM(r, 2);
+    Py_INCREF(mcid);
+    Py_INCREF(tag);
+    Py_INCREF(pend);
+    Py_XDECREF(c->cur_mcid);
+    Py_XDECREF(c->cur_tag);
+    Py_XDECREF(c->pending);
+    c->cur_mcid = mcid;
+    c->cur_tag = tag;
+    c->pending = pend;
+    Py_DECREF(r);
+    return 0;
+}
+
+/* re-read st.font_name + its parse_font_style memo — at entry, Tf, and
+ * after Do (a Form XObject's Tf persists past the restore) */
+static int refresh_font_style(Ctx *c)
+{
+    PyObject *fn = PyObject_GetAttr(c->st, a_font_name);
+    if (!fn)
+        return -1;
+    Py_XDECREF(c->font_name);
+    c->font_name = fn;
+    c->fbold = 0;
+    c->fital = 0;
+    if (fn != Py_None) {
+        PyObject *r = PyObject_CallOneArg(g_font_style, fn);
+        if (!r)
+            return -1;
+        if (!PyTuple_Check(r) || PyTuple_GET_SIZE(r) != 2) {
+            Py_DECREF(r);
+            PyErr_SetString(PyExc_TypeError, "font style not a pair");
+            return -1;
+        }
+        c->fbold = PyObject_IsTrue(PyTuple_GET_ITEM(r, 0));
+        c->fital = PyObject_IsTrue(PyTuple_GET_ITEM(r, 1));
+        Py_DECREF(r);
+        if (c->fbold < 0 || c->fital < 0)
+            return -1;
+    }
+    return 0;
+}
+
+/* Interpreter._emit_fragment transcription: empty/artifact gates, then
+ * either the pending-ActualText absorb (delegated — it reads live state)
+ * or a TextFragment appended to interp.fragments.  The caller guarantees
+ * c->layout. */
+static int emit_fragment(Ctx *c, PyObject *decoded, double width, double x,
+                         double y)
+{
+    if (PyUnicode_GET_LENGTH(decoded) == 0)
+        return 0;
+    if (!c->noart)
+        return 0;
+    ensure_scales(c);
+    double eff_w = width * c->xsc;
+    double eff_s = c->fs * c->ysc;
+    if (c->pending != Py_None) {
+        /* absorb into the pending accumulator: state attrs are current
+         * (write-through discipline), so the helper reads them itself */
+        PyObject *m = PyObject_GetAttr(c->interp, a_pending_absorb);
+        if (!m)
+            return -1;
+        PyObject *args[4];
+        args[0] = PyFloat_FromDouble(x);
+        args[1] = PyFloat_FromDouble(y);
+        args[2] = PyFloat_FromDouble(eff_s);
+        args[3] = PyFloat_FromDouble(eff_w);
+        if (!args[0] || !args[1] || !args[2] || !args[3]) {
+            Py_XDECREF(args[0]);
+            Py_XDECREF(args[1]);
+            Py_XDECREF(args[2]);
+            Py_XDECREF(args[3]);
+            Py_DECREF(m);
+            return -1;
+        }
+        PyObject *r = PyObject_Vectorcall(m, args, 4, NULL);
+        Py_DECREF(args[0]);
+        Py_DECREF(args[1]);
+        Py_DECREF(args[2]);
+        Py_DECREF(args[3]);
+        Py_DECREF(m);
+        if (!r)
+            return -1;
+        Py_DECREF(r);
+        return 0;
+    }
+    PyObject *fx = PyFloat_FromDouble(x);
+    PyObject *fy = PyFloat_FromDouble(y);
+    PyObject *fw = PyFloat_FromDouble(eff_w);
+    PyObject *fs = PyFloat_FromDouble(eff_s);
+    if (!fx || !fy || !fw || !fs) {
+        Py_XDECREF(fx);
+        Py_XDECREF(fy);
+        Py_XDECREF(fw);
+        Py_XDECREF(fs);
+        return -1;
+    }
+    PyObject *args[12] = {
+        decoded, fx, fy, fw, fs, fs, c->font_name,
+        c->fbold ? Py_True : Py_False, c->fital ? Py_True : Py_False,
+        c->fill_color, c->cur_mcid, c->cur_tag,
+    };
+    PyObject *frag = PyObject_Vectorcall(g_frag_cls, args, 12, NULL);
+    Py_DECREF(fx);
+    Py_DECREF(fy);
+    Py_DECREF(fw);
+    Py_DECREF(fs);
+    if (!frag)
+        return -1;
+    int rc = PyList_Append(c->fragments, frag);
+    Py_DECREF(frag);
+    return rc;
 }
 
 /* ---- show text (transcription of the inline tail, fast_show branch) ---- */
@@ -2542,6 +2725,9 @@ PyMODINIT_FUNC PyInit_oxpdf_cscan(void)
     IN(a_space_threshold, "space_threshold");
     IN(a_tj_space_threshold, "tj_space_threshold");
     IN(a_include_artifacts, "include_artifacts");
+    IN(a_layout, "_layout");
+    IN(a_fragments, "fragments");
+    IN(a_pending_absorb, "_pending_absorb");
 #undef IN
     g_nl = PyUnicode_InternFromString("\n");
     g_sp = PyUnicode_InternFromString(" ");

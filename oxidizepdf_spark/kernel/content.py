@@ -1399,7 +1399,7 @@ def parse_and_run(interp, data: bytes, resources, depth: int = 0) -> None:
     runs in fast-show mode (no layout fragments), else the pure-Python
     fused loop below. Both are pinned against run(parse_content(data)) by
     the differential tests; OXPDF_NO_CKERNEL=1 forces pure Python."""
-    if _CSCAN is not None and not interp._layout:
+    if _CSCAN is not None and (not interp._layout or _CSCAN.layout_ready):
         _CSCAN.run_page(interp, data, resources, depth)
         return
     _parse_and_run_py(interp, data, resources, depth)
@@ -2063,7 +2063,20 @@ def _c_bdc(interp, stacklist: list, resources) -> None:
         interp._op_bdc(tag, props, resources)
 
 
+def _c_frag_env(interp):
+    """Fragment-environment snapshot for the C layout path: the values a
+    fragment emission needs that only change at marked-content /
+    XObject boundaries — re-read after each such callback."""
+    from .textstate import _innermost_mc_tag
+
+    st = interp.state
+    mcid, tag = _innermost_mc_tag(st.mc_stack)
+    return (mcid, tag, st.pending_actualtext)
+
+
 def _load_cscan():
+    import os as _os
+
     from .cbuild import load_cscan
 
     mod = load_cscan()
@@ -2079,6 +2092,15 @@ def _load_cscan():
         mod.setup_obj(
             _objmod.Ref, _objmod._NAME_MEMO, _objmod.Lexer._decode_name_bytes
         )
+        # layout-mode fragment emission (optional second stage: its own
+        # kill switch so the C fast-show path survives a layout-only
+        # problem; pure-Python layout remains the behavior authority)
+        mod.layout_ready = False
+        if not _os.environ.get("OXPDF_NO_CLAYOUT"):
+            from .layout import TextFragment, parse_font_style
+
+            mod.setup_layout(TextFragment, parse_font_style, _c_frag_env)
+            mod.layout_ready = True
     except Exception:
         return None
     return mod

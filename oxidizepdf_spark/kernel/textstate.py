@@ -460,6 +460,33 @@ class Interpreter:
             )
         )
 
+    def _pending_absorb(self, x: float, y: float, eff_size: float,
+                        eff_width: float) -> None:
+        """C-path helper: absorb one show run into the pending ActualText
+        accumulator — the pending branch of ``_emit_fragment`` with the
+        effective geometry precomputed by the C loop (which reads
+        font/color state straight off ``self.state``, already synced by
+        the caller's write-through discipline)."""
+        st = self.state
+        pending = st.pending_actualtext
+        if pending is None:
+            return
+        if not pending.populated:
+            is_bold, is_italic = (
+                parse_font_style(st.font_name)
+                if st.font_name
+                else (False, False)
+            )
+            pending.first_x = x
+            pending.first_y = y
+            pending.font_size = eff_size
+            pending.font_name = st.font_name
+            pending.is_bold = is_bold
+            pending.is_italic = is_italic
+            pending.color = st.fill_color
+            pending.populated = True
+        pending.width += eff_width
+
     # -- text helpers ------------------------------------------------------
 
     def _skip_artifact(self) -> bool:
