@@ -22,6 +22,7 @@
  */
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
+#include <structmember.h>
 #include <string.h>
 #include <stdlib.h>
 #include <math.h>
@@ -315,18 +316,176 @@ static void update_ctm_ident(Ctx *c)
                     c->ctm[4] == 0.0 && c->ctm[5] == 0.0);
 }
 
+/* ---- CFrag: C-native positioned text run ------------------------------- *
+ * Attribute-compatible with layout.TextFragment (same 12 fields, same
+ * construction order) but built by PyObject_New with direct member
+ * writes: ~10x cheaper than calling the Python class per show run, which
+ * matters at ~3 fragments/word on TJ-kerned documents.  Python layout
+ * passes read the members transparently (T_* descriptors); the pure-
+ * Python engine keeps producing TextFragment — consumers duck-type. */
+
+typedef struct {
+    PyObject_HEAD
+    PyObject *text, *font_name, *color, *mcid, *struct_tag;
+    double x, y, width, height, font_size;
+    char is_bold, is_italic;
+} CFrag;
+
+static PyTypeObject CFragType; /* forward */
+
+static void CFrag_dealloc(CFrag *self)
+{
+    Py_XDECREF(self->text);
+    Py_XDECREF(self->font_name);
+    Py_XDECREF(self->color);
+    Py_XDECREF(self->mcid);
+    Py_XDECREF(self->struct_tag);
+    Py_TYPE(self)->tp_free((PyObject *)self);
+}
+
+static PyMemberDef CFrag_members[] = {
+    {"text", T_OBJECT_EX, offsetof(CFrag, text), 0, NULL},
+    {"x", T_DOUBLE, offsetof(CFrag, x), 0, NULL},
+    {"y", T_DOUBLE, offsetof(CFrag, y), 0, NULL},
+    {"width", T_DOUBLE, offsetof(CFrag, width), 0, NULL},
+    {"height", T_DOUBLE, offsetof(CFrag, height), 0, NULL},
+    {"font_size", T_DOUBLE, offsetof(CFrag, font_size), 0, NULL},
+    {"font_name", T_OBJECT_EX, offsetof(CFrag, font_name), 0, NULL},
+    {"is_bold", T_BOOL, offsetof(CFrag, is_bold), 0, NULL},
+    {"is_italic", T_BOOL, offsetof(CFrag, is_italic), 0, NULL},
+    {"color", T_OBJECT_EX, offsetof(CFrag, color), 0, NULL},
+    {"mcid", T_OBJECT_EX, offsetof(CFrag, mcid), 0, NULL},
+    {"struct_tag", T_OBJECT_EX, offsetof(CFrag, struct_tag), 0, NULL},
+    {NULL, 0, 0, 0, NULL},
+};
+
+static int CFrag_init(CFrag *self, PyObject *args, PyObject *kwds)
+{
+    static char *kwlist[] = {
+        "text", "x", "y", "width", "height", "font_size", "font_name",
+        "is_bold", "is_italic", "color", "mcid", "struct_tag", NULL,
+    };
+    PyObject *text, *font_name = Py_None, *color = Py_None,
+        *mcid = Py_None, *struct_tag = Py_None;
+    double x = 0.0, y = 0.0, width = 0.0, height = 0.0, font_size = 0.0;
+    int is_bold = 0, is_italic = 0;
+    if (!PyArg_ParseTupleAndKeywords(
+            args, kwds, "O|dddddOppOOO", kwlist, &text, &x, &y, &width,
+            &height, &font_size, &font_name, &is_bold, &is_italic, &color,
+            &mcid, &struct_tag))
+        return -1;
+    Py_INCREF(text);
+    Py_INCREF(font_name);
+    Py_INCREF(color);
+    Py_INCREF(mcid);
+    Py_INCREF(struct_tag);
+    Py_XDECREF(self->text);
+    Py_XDECREF(self->font_name);
+    Py_XDECREF(self->color);
+    Py_XDECREF(self->mcid);
+    Py_XDECREF(self->struct_tag);
+    self->text = text;
+    self->font_name = font_name;
+    self->color = color;
+    self->mcid = mcid;
+    self->struct_tag = struct_tag;
+    self->x = x;
+    self->y = y;
+    self->width = width;
+    self->height = height;
+    self->font_size = font_size;
+    self->is_bold = (char)is_bold;
+    self->is_italic = (char)is_italic;
+    return 0;
+}
+
+/* fresh CFrag with all object fields NULL-safe-initialized; caller fills */
+static CFrag *cfrag_alloc(void)
+{
+    CFrag *f = PyObject_New(CFrag, &CFragType);
+    if (!f)
+        return NULL;
+    f->text = NULL;
+    f->font_name = NULL;
+    f->color = NULL;
+    f->mcid = NULL;
+    f->struct_tag = NULL;
+    f->x = f->y = f->width = f->height = f->font_size = 0.0;
+    f->is_bold = f->is_italic = 0;
+    return f;
+}
+
+static PyObject *CFrag_clone(CFrag *self, PyObject *ignored)
+{
+    CFrag *f = cfrag_alloc();
+    if (!f)
+        return NULL;
+    Py_XINCREF(self->text);
+    Py_XINCREF(self->font_name);
+    Py_XINCREF(self->color);
+    Py_XINCREF(self->mcid);
+    Py_XINCREF(self->struct_tag);
+    f->text = self->text;
+    f->font_name = self->font_name;
+    f->color = self->color;
+    f->mcid = self->mcid;
+    f->struct_tag = self->struct_tag;
+    f->x = self->x;
+    f->y = self->y;
+    f->width = self->width;
+    f->height = self->height;
+    f->font_size = self->font_size;
+    f->is_bold = self->is_bold;
+    f->is_italic = self->is_italic;
+    return (PyObject *)f;
+}
+
+static PyObject *CFrag_repr(CFrag *self)
+{
+    PyObject *fx = PyFloat_FromDouble(self->x);
+    PyObject *fy = PyFloat_FromDouble(self->y);
+    PyObject *fw = PyFloat_FromDouble(self->width);
+    PyObject *r = NULL;
+    if (fx && fy && fw)
+        r = PyUnicode_FromFormat(
+            "TextFragment(%R @ %S,%S w=%S)",
+            self->text ? self->text : Py_None, fx, fy, fw);
+    Py_XDECREF(fx);
+    Py_XDECREF(fy);
+    Py_XDECREF(fw);
+    return r;
+}
+
+static PyMethodDef CFrag_methods[] = {
+    {"clone", (PyCFunction)CFrag_clone, METH_NOARGS, "copy the fragment"},
+    {NULL, NULL, 0, NULL},
+};
+
+static PyTypeObject CFragType = {
+    PyVarObject_HEAD_INIT(NULL, 0)
+    .tp_name = "oxpdf_cscan.CFrag",
+    .tp_basicsize = sizeof(CFrag),
+    .tp_dealloc = (destructor)CFrag_dealloc,
+    .tp_repr = (reprfunc)CFrag_repr,
+    .tp_flags = Py_TPFLAGS_DEFAULT,
+    .tp_doc = "C-native TextFragment (attribute-compatible)",
+    .tp_methods = CFrag_methods,
+    .tp_members = CFrag_members,
+    .tp_init = (initproc)CFrag_init,
+    .tp_new = PyType_GenericNew,
+};
+
 /* ---- layout stage: fragment emission (Interpreter._emit_fragment) ------ */
 
-/* text-space origin: translation row of Tm × CTM (state.origin()) */
+/* text-space origin: translation row of Tm × CTM (state.origin()).
+ * ALWAYS the full expression — the identity-CTM shortcut used by the
+ * fast-show synthesis is equal except for the SIGN of a zero origin
+ * (-0.0*1.0 stays -0.0, but -0.0 + 0.0 is +0.0), and fragments expose
+ * x/y directly where last_x only ever adds them. */
 static void origin_xy(Ctx *c, double *x, double *y)
 {
-    if (c->ctm_ident) {
-        *x = c->tt4;
-        *y = c->tt5;
-    } else {
-        *x = c->tt4 * c->ctm[0] + c->tt5 * c->ctm[2] + c->ctm[4];
-        *y = c->tt4 * c->ctm[1] + c->tt5 * c->ctm[3] + c->ctm[5];
-    }
+    *x = c->tt4 * c->ctm[0] + c->tt5 * c->ctm[2] + c->ctm[4];
+    *y = c->tt4 * c->ctm[1] + c->tt5 * c->ctm[3] + c->ctm[5];
 }
 
 /* lazy Tm×CTM scale factors (_emit_fragment's combined matrix): a..d of
@@ -447,30 +606,27 @@ static int emit_fragment(Ctx *c, PyObject *decoded, double width, double x,
         Py_DECREF(r);
         return 0;
     }
-    PyObject *fx = PyFloat_FromDouble(x);
-    PyObject *fy = PyFloat_FromDouble(y);
-    PyObject *fw = PyFloat_FromDouble(eff_w);
-    PyObject *fs = PyFloat_FromDouble(eff_s);
-    if (!fx || !fy || !fw || !fs) {
-        Py_XDECREF(fx);
-        Py_XDECREF(fy);
-        Py_XDECREF(fw);
-        Py_XDECREF(fs);
-        return -1;
-    }
-    PyObject *args[12] = {
-        decoded, fx, fy, fw, fs, fs, c->font_name,
-        c->fbold ? Py_True : Py_False, c->fital ? Py_True : Py_False,
-        c->fill_color, c->cur_mcid, c->cur_tag,
-    };
-    PyObject *frag = PyObject_Vectorcall(g_frag_cls, args, 12, NULL);
-    Py_DECREF(fx);
-    Py_DECREF(fy);
-    Py_DECREF(fw);
-    Py_DECREF(fs);
+    CFrag *frag = cfrag_alloc();
     if (!frag)
         return -1;
-    int rc = PyList_Append(c->fragments, frag);
+    Py_INCREF(decoded);
+    Py_INCREF(c->font_name);
+    Py_INCREF(c->fill_color);
+    Py_INCREF(c->cur_mcid);
+    Py_INCREF(c->cur_tag);
+    frag->text = decoded;
+    frag->font_name = c->font_name;
+    frag->color = c->fill_color;
+    frag->mcid = c->cur_mcid;
+    frag->struct_tag = c->cur_tag;
+    frag->x = x;
+    frag->y = y;
+    frag->width = eff_w;
+    frag->height = eff_s;
+    frag->font_size = eff_s;
+    frag->is_bold = (char)c->fbold;
+    frag->is_italic = (char)c->fital;
+    int rc = PyList_Append(c->fragments, (PyObject *)frag);
     Py_DECREF(frag);
     return rc;
 }
@@ -515,7 +671,9 @@ static int do_show(Ctx *c, const unsigned char *p, Py_ssize_t len,
         return -1;
     }
     double x, y;
-    if (c->ctm_ident) {
+    if (c->ctm_ident && !c->layout) {
+        /* fast-show only: x/y feed last_x/last_y additively, where the
+         * -0.0-vs-+0.0 shortcut difference cannot surface */
         x = c->tt4;
         y = c->tt5;
     } else {
@@ -552,6 +710,10 @@ static int do_show(Ctx *c, const unsigned char *p, Py_ssize_t len,
         }
     }
     double width = unit_w * c->fs;
+    if (c->layout && emit_fragment(c, decoded, width, x, y) < 0) {
+        Py_DECREF(hit);
+        return -1;
+    }
     c->lastx = x + width;
     c->lasty = y;
     double tx = (c->hs == 100.0) ? width : width * c->hs / 100.0;
@@ -901,6 +1063,87 @@ static int exec_tj(Ctx *c)
         return 1; /* no opening marker → parse error → skip */
     if (!c->in_text)
         return 1;
+    if (c->layout) {
+        /* layout-path _show_text_array: per-element advance + origins +
+         * fragments (textstate.py:585) */
+        double fsize = c->fs;
+        double thr = c->tj_thr * fsize;
+        int skip_l = !c->noart;
+        for (Py_ssize_t j = lo + 1; j <= i; j++) {
+            Val *v = &c->stk[j];
+            if (v->tag == V_MARK)
+                continue;
+            double tx;
+            if (v->tag == V_STR) {
+                PyObject *key;
+                if (v->obj) {
+                    key = v->obj;
+                    Py_INCREF(key);
+                } else {
+                    key = PyBytes_FromStringAndSize((const char *)v->ptr,
+                                                    v->len);
+                    if (!key)
+                        return -1;
+                }
+                PyObject *hit = PyDict_GetItemWithError(c->font_memo, key);
+                if (hit) {
+                    Py_INCREF(hit);
+                } else {
+                    if (PyErr_Occurred()) {
+                        Py_DECREF(key);
+                        return -1;
+                    }
+                    hit = PyObject_CallOneArg(c->decode_meth, key);
+                    if (!hit) {
+                        Py_DECREF(key);
+                        return -1;
+                    }
+                }
+                Py_DECREF(key);
+                PyObject *decoded = PyTuple_GET_ITEM(hit, 0);
+                double unit_w = PyFloat_AsDouble(PyTuple_GET_ITEM(hit, 1));
+                if (unit_w == -1.0 && PyErr_Occurred()) {
+                    Py_DECREF(hit);
+                    return -1;
+                }
+                Py_ssize_t dlen = PyUnicode_GET_LENGTH(decoded);
+                if (!skip_l && dlen) {
+                    if (PyList_Append(c->text_parts, decoded) < 0) {
+                        Py_DECREF(hit);
+                        return -1;
+                    }
+                    c->total += dlen;
+                    c->lastc = PyUnicode_ReadChar(decoded, dlen - 1);
+                }
+                double width = unit_w * fsize;
+                double fx, fy;
+                origin_xy(c, &fx, &fy);
+                if (emit_fragment(c, decoded, width, fx, fy) < 0) {
+                    Py_DECREF(hit);
+                    return -1;
+                }
+                tx = width * c->hs / 100.0;
+                Py_DECREF(hit);
+            } else { /* number */
+                tx = -v->num / 1000.0 * fsize;
+                if (!skip_l && tx > thr && c->total && c->lastc != ' ') {
+                    if (PyList_Append(c->text_parts, g_sp) < 0)
+                        return -1;
+                    c->total += 1;
+                    c->lastc = ' ';
+                    if (c->pending == Py_None) {
+                        double sx, sy;
+                        origin_xy(c, &sx, &sy);
+                        if (emit_fragment(c, g_sp, tx, sx, sy) < 0)
+                            return -1;
+                    }
+                }
+            }
+            c->tt4 = tx * c->la1 + c->tt4;
+            c->tt5 = tx * c->la2 + c->tt5;
+        }
+        return 1;
+    }
     /* fast-path _show_text_array over elements lo+1..i (textstate.py:551) */
     int skip = !c->noart;
     double fsize = c->fs;
@@ -1125,13 +1368,74 @@ static int flat_tj_show(Ctx *c, TjEl *els, Py_ssize_t cnt)
         }
         keys[i] = k;
     }
-    /* pass 2: the _show_text_array fast path */
     int skip = !c->noart;
     double fsize = c->fs;
     double hs = c->hs / 100.0;
     double thr = c->tj_thr * fsize;
     double tx_total = 0.0;
     int rc = -1;
+    if (c->layout) {
+        /* pass 2 (layout): per-element advance + origins + fragments
+         * (textstate.py:585) */
+        for (Py_ssize_t i = 0; i < cnt; i++) {
+            double tx;
+            if (els[i].is_num) {
+                tx = -els[i].num / 1000.0 * fsize;
+                if (!skip && tx > thr && c->total && c->lastc != ' ') {
+                    if (PyList_Append(c->text_parts, g_sp) < 0)
+                        goto done;
+                    c->total += 1;
+                    c->lastc = ' ';
+                    if (c->pending == Py_None) {
+                        double sx, sy;
+                        origin_xy(c, &sx, &sy);
+                        if (emit_fragment(c, g_sp, tx, sx, sy) < 0)
+                            goto done;
+                    }
+                }
+            } else {
+                PyObject *hit = PyDict_GetItemWithError(c->font_memo, keys[i]);
+                if (hit) {
+                    Py_INCREF(hit);
+                } else {
+                    if (PyErr_Occurred())
+                        goto done;
+                    hit = PyObject_CallOneArg(c->decode_meth, keys[i]);
+                    if (!hit)
+                        goto done;
+                }
+                PyObject *decoded = PyTuple_GET_ITEM(hit, 0);
+                double unit_w = PyFloat_AsDouble(PyTuple_GET_ITEM(hit, 1));
+                if (unit_w == -1.0 && PyErr_Occurred()) {
+                    Py_DECREF(hit);
+                    goto done;
+                }
+                Py_ssize_t dlen = PyUnicode_GET_LENGTH(decoded);
+                if (!skip && dlen) {
+                    if (PyList_Append(c->text_parts, decoded) < 0) {
+                        Py_DECREF(hit);
+                        goto done;
+                    }
+                    c->total += dlen;
+                    c->lastc = PyUnicode_ReadChar(decoded, dlen - 1);
+                }
+                double width = unit_w * fsize;
+                double fx, fy;
+                origin_xy(c, &fx, &fy);
+                if (emit_fragment(c, decoded, width, fx, fy) < 0) {
+                    Py_DECREF(hit);
+                    goto done;
+                }
+                tx = width * c->hs / 100.0;
+                Py_DECREF(hit);
+            }
+            c->tt4 = tx * c->la1 + c->tt4;
+            c->tt5 = tx * c->la2 + c->tt5;
+        }
+        rc = 0;
+        goto done;
+    }
+    /* pass 2: the _show_text_array fast path */
     for (Py_ssize_t i = 0; i < cnt; i++) {
         if (els[i].is_num) {
             double tx = -els[i].num / 1000.0 * fsize;
@@ -1236,6 +1540,15 @@ static int resync_after_do(Ctx *c)
         return -1;
     Py_DECREF(c->fill_color);
     c->fill_color = fc;
+    if (c->layout) {
+        /* a Form XObject's Tf persists past the restore; mc stack /
+         * pending may have moved inside nested streams; CTM restored */
+        if (refresh_font_style(c) < 0)
+            return -1;
+        if (refresh_frag_env(c) < 0)
+            return -1;
+        c->scale_dirty = 1;
+    }
     return 0;
 }
 
@@ -1341,6 +1654,37 @@ static PyObject *run_page(PyObject *self, PyObject *args)
     c->l_sp = c->sp_thr * c->fs;
     if (read_noart(c) < 0)
         goto fail_early;
+    {
+        /* layout stage: active only when the interpreter wants fragments
+         * AND setup_layout installed the helpers */
+        PyObject *lo = PyObject_GetAttr(c->interp, a_layout);
+        if (!lo)
+            goto fail_early;
+        c->layout = PyObject_IsTrue(lo);
+        Py_DECREF(lo);
+        if (c->layout < 0)
+            goto fail_early;
+        if (c->layout && !g_frag_cls) {
+            PyErr_SetString(PyExc_RuntimeError,
+                            "layout mode requires setup_layout");
+            goto fail_early;
+        }
+        if (c->layout) {
+            c->fragments = PyObject_GetAttr(c->interp, a_fragments);
+            if (!c->fragments)
+                goto fail_early;
+            if (!PyList_Check(c->fragments)) {
+                PyErr_SetString(PyExc_TypeError,
+                                "interp.fragments is not a list");
+                goto fail_early;
+            }
+            if (refresh_font_style(c) < 0)
+                goto fail_early;
+            if (refresh_frag_env(c) < 0)
+                goto fail_early;
+            c->scale_dirty = 1;
+        }
+    }
 
     /* ---- the scan loop ---- */
     {
@@ -1603,6 +1947,7 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                         c->lt5 = v6[5];
                         c->tt4 = c->lt4;
                         c->tt5 = c->lt5;
+                        c->scale_dirty = 1;
                     }
                 } else if (ol == 2 && op[0] == 'T' && op[1] == 'f') {
                     if (c->sp >= 2 && c->stk[c->sp - 2].tag == V_NAME &&
@@ -1619,6 +1964,8 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                             goto fail;
                         if (refresh_font_memo(c) < 0)
                             goto fail;
+                        if (c->layout && refresh_font_style(c) < 0)
+                            goto fail;
                     }
                 } else if (ol == 2 && op[0] == 'B' && op[1] == 'T') {
                     c->in_text = 1;
@@ -1627,6 +1974,7 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                     c->la3 = 0.0;
                     c->la4 = 1.0;
                     c->lt4 = c->lt5 = c->tt4 = c->tt5 = 0.0;
+                    c->scale_dirty = 1;
                 } else if (ol == 2 && op[0] == 'E' && op[1] == 'T') {
                     c->in_text = 0;
                 } else if (ol == 2 && op[0] == 'T' && op[1] == 'J') {
@@ -1730,6 +2078,7 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                         nc[5] = v6[4] * o1 + v6[5] * o3 + o5;
                         memcpy(c->ctm, nc, sizeof(nc));
                         update_ctm_ident(c);
+                        c->scale_dirty = 1;
                         PyObject *t = tuple6(nc[0], nc[1], nc[2], nc[3],
                                              nc[4], nc[5]);
                         if (!t)
@@ -1796,6 +2145,7 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                             }
                         }
                         update_ctm_ident(c);
+                        c->scale_dirty = 1;
                         Py_INCREF(fc);
                         Py_DECREF(c->fill_color);
                         c->fill_color = fc;
@@ -1893,6 +2243,8 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                             goto fail;
                         if (read_noart(c) < 0)
                             goto fail;
+                        if (c->layout && refresh_frag_env(c) < 0)
+                            goto fail;
                     }
                 } else if (ol == 3 && op[0] == 'B' && op[1] == 'D' &&
                            op[2] == 'C') {
@@ -1923,6 +2275,8 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                         goto fail;
                     if (resync_in(c) < 0)
                         goto fail;
+                    if (c->layout && refresh_frag_env(c) < 0)
+                        goto fail;
                 } else if (ol == 3 && op[0] == 'E' && op[1] == 'M' &&
                            op[2] == 'C') {
                     if (sync_out(c) < 0)
@@ -1938,6 +2292,8 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                     if (read_noart(c) < 0)
                         goto fail;
                     if (resync_in(c) < 0)
+                        goto fail;
+                    if (c->layout && refresh_frag_env(c) < 0)
                         goto fail;
                 } else if (ol == 2 && op[0] == 'B' && op[1] == 'I') {
                     stack_clear(c);
@@ -2006,6 +2362,11 @@ static PyObject *run_page(PyObject *self, PyObject *args)
     Py_DECREF(c->decode_meth);
     Py_DECREF(c->saved);
     Py_DECREF(c->fill_color);
+    Py_XDECREF(c->fragments);
+    Py_XDECREF(c->font_name);
+    Py_XDECREF(c->cur_mcid);
+    Py_XDECREF(c->cur_tag);
+    Py_XDECREF(c->pending);
     Py_RETURN_NONE;
 
 fail:
@@ -2030,6 +2391,11 @@ fail_nosync:
     Py_XDECREF(c->decode_meth);
     Py_XDECREF(c->saved);
     Py_XDECREF(c->fill_color);
+    Py_XDECREF(c->fragments);
+    Py_XDECREF(c->font_name);
+    Py_XDECREF(c->cur_mcid);
+    Py_XDECREF(c->cur_tag);
+    Py_XDECREF(c->pending);
     return NULL;
 
 fail_early:
@@ -2040,6 +2406,11 @@ fail_early:
     Py_XDECREF(c->decode_meth);
     Py_XDECREF(c->saved);
     Py_XDECREF(c->fill_color);
+    Py_XDECREF(c->fragments);
+    Py_XDECREF(c->font_name);
+    Py_XDECREF(c->cur_mcid);
+    Py_XDECREF(c->cur_tag);
+    Py_XDECREF(c->pending);
     return NULL;
 }
 
@@ -2669,10 +3040,274 @@ static PyObject *setup_obj(PyObject *self, PyObject *args)
     Py_RETURN_NONE;
 }
 
+static PyObject *setup_layout(PyObject *self, PyObject *args)
+{
+    PyObject *frag_cls, *font_style, *frag_env;
+    if (!PyArg_ParseTuple(args, "OOO", &frag_cls, &font_style, &frag_env))
+        return NULL;
+    install_global(&g_frag_cls, frag_cls);
+    install_global(&g_font_style, font_style);
+    install_global(&g_frag_env, frag_env);
+    Py_RETURN_NONE;
+}
+
+/* ---- merge_close: C transcription of LayoutProcessor.merge_close_fragments
+ * (layout.py, extraction.rs:1598-1669 lineage).  Kerning-artifact merge:
+ * a linear pass over emission-ordered fragments gluing runs on the same
+ * baseline with sub-half-space gaps.  Fast path requires every element
+ * to be a CFrag (the C interpreter's output) — anything else returns
+ * None and the caller runs the pure-Python authority.  The per-fragment
+ * space-gap threshold is delegated to the Python callable (it reads the
+ * page's font metrics) with a last-(font,size) memo — consecutive
+ * fragments almost always share a font. */
+static PyObject *merge_close(PyObject *self, PyObject *args)
+{
+    PyObject *list, *gap_cb;
+    int reconstruct;
+    if (!PyArg_ParseTuple(args, "OpO", &list, &reconstruct, &gap_cb))
+        return NULL;
+    if (!PyList_Check(list))
+        Py_RETURN_NONE;
+    Py_ssize_t n = PyList_GET_SIZE(list);
+    PyObject *out = PyList_New(0);
+    if (!out)
+        return NULL;
+    if (n == 0)
+        return out;
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (Py_TYPE(PyList_GET_ITEM(list, i)) != &CFragType) {
+            Py_DECREF(out);
+            Py_RETURN_NONE; /* bail: pure-Python fragments */
+        }
+
+    PyObject *pieces = PyList_New(0); /* current segment's text runs */
+    if (!pieces) {
+        Py_DECREF(out);
+        return NULL;
+    }
+    CFrag *head = (CFrag *)PyList_GET_ITEM(list, 0);
+    if (PyList_Append(pieces, head->text) < 0)
+        goto fail;
+    double cx = head->x, cy = head->y, cw = head->width;
+    double cfs = head->font_size;
+    /* last-(font_name identity, font_size) gap-threshold memo */
+    PyObject *memo_fn = NULL;
+    double memo_fs = 0.0, memo_thr = 0.0;
+    int memo_ok = 0;
+
+    for (Py_ssize_t i = 1; i < n; i++) {
+        CFrag *f = (CFrag *)PyList_GET_ITEM(list, i);
+        double y_diff = fabs(cy - f->y);
+        double x_gap = f->x - (cx + cw);
+        double y_tol;
+        if (reconstruct) {
+            double base =
+                0.5 * (cfs < f->font_size ? cfs : f->font_size);
+            y_tol = base > 0.0 ? base : 1.0;
+        } else
+            y_tol = 1.0;
+        int should_merge = 0;
+        if (y_diff < y_tol && x_gap >= 0.0 &&
+            x_gap < f->font_size * 0.5) {
+            int eq = PyObject_RichCompareBool(head->mcid, f->mcid, Py_EQ);
+            if (eq < 0)
+                goto fail;
+            should_merge = eq;
+        }
+        if (should_merge) {
+            double thr;
+            if (memo_ok && memo_fn == f->font_name &&
+                memo_fs == f->font_size) {
+                thr = memo_thr;
+            } else {
+                PyObject *r = PyObject_CallOneArg(gap_cb, (PyObject *)f);
+                if (!r)
+                    goto fail;
+                thr = PyFloat_AsDouble(r);
+                Py_DECREF(r);
+                if (thr == -1.0 && PyErr_Occurred())
+                    goto fail;
+                memo_fn = f->font_name;
+                memo_fs = f->font_size;
+                memo_thr = thr;
+                memo_ok = 1;
+            }
+            if (x_gap > thr) {
+                if (PyList_Append(pieces, g_sp) < 0)
+                    goto fail;
+            }
+            if (PyList_Append(pieces, f->text) < 0)
+                goto fail;
+            cw = (f->x + f->width) - cx;
+        } else {
+            /* flush the segment as one merged fragment */
+            CFrag *m = cfrag_alloc();
+            if (!m)
+                goto fail;
+            PyObject *txt;
+            if (PyList_GET_SIZE(pieces) == 1) {
+                txt = PyList_GET_ITEM(pieces, 0);
+                Py_INCREF(txt);
+            } else {
+                txt = PyUnicode_Join(g_empty, pieces);
+                if (!txt) {
+                    Py_DECREF(m);
+                    goto fail;
+                }
+            }
+            m->text = txt;
+            Py_XINCREF(head->font_name);
+            Py_XINCREF(head->color);
+            Py_XINCREF(head->mcid);
+            Py_XINCREF(head->struct_tag);
+            m->font_name = head->font_name;
+            m->color = head->color;
+            m->mcid = head->mcid;
+            m->struct_tag = head->struct_tag;
+            m->x = cx;
+            m->y = cy;
+            m->width = cw;
+            m->height = head->height;
+            m->font_size = head->font_size;
+            m->is_bold = head->is_bold;
+            m->is_italic = head->is_italic;
+            int rc = PyList_Append(out, (PyObject *)m);
+            Py_DECREF(m);
+            if (rc < 0)
+                goto fail;
+            head = f;
+            if (PyList_SetSlice(pieces, 0, PyList_GET_SIZE(pieces), NULL) < 0)
+                goto fail;
+            if (PyList_Append(pieces, f->text) < 0)
+                goto fail;
+            cx = f->x;
+            cy = f->y;
+            cw = f->width;
+            cfs = f->font_size;
+        }
+    }
+    {
+        CFrag *m = cfrag_alloc();
+        if (!m)
+            goto fail;
+        PyObject *txt;
+        if (PyList_GET_SIZE(pieces) == 1) {
+            txt = PyList_GET_ITEM(pieces, 0);
+            Py_INCREF(txt);
+        } else {
+            txt = PyUnicode_Join(g_empty, pieces);
+            if (!txt) {
+                Py_DECREF(m);
+                goto fail;
+            }
+        }
+        m->text = txt;
+        Py_XINCREF(head->font_name);
+        Py_XINCREF(head->color);
+        Py_XINCREF(head->mcid);
+        Py_XINCREF(head->struct_tag);
+        m->font_name = head->font_name;
+        m->color = head->color;
+        m->mcid = head->mcid;
+        m->struct_tag = head->struct_tag;
+        m->x = cx;
+        m->y = cy;
+        m->width = cw;
+        m->height = head->height;
+        m->font_size = head->font_size;
+        m->is_bold = head->is_bold;
+        m->is_italic = head->is_italic;
+        int rc = PyList_Append(out, (PyObject *)m);
+        Py_DECREF(m);
+        if (rc < 0)
+            goto fail;
+    }
+    Py_DECREF(pieces);
+    return out;
+fail:
+    Py_DECREF(pieces);
+    Py_DECREF(out);
+    return NULL;
+}
+
+/* ---- reconstruct_text: C transcription of the post-merge text rebuild
+ * (LayoutProcessor.reconstruct_text_from_fragments' loop body,
+ * extraction.rs:1558-1596).  Takes the ALREADY-MERGED fragment list;
+ * bails (None) on any non-CFrag element. */
+static PyObject *reconstruct_text(PyObject *self, PyObject *args)
+{
+    PyObject *list;
+    double nl_thr, sp_thr;
+    int merge_hyph;
+    if (!PyArg_ParseTuple(args, "Oddp", &list, &nl_thr, &sp_thr,
+                          &merge_hyph))
+        return NULL;
+    if (!PyList_Check(list))
+        Py_RETURN_NONE;
+    Py_ssize_t n = PyList_GET_SIZE(list);
+    for (Py_ssize_t i = 0; i < n; i++)
+        if (Py_TYPE(PyList_GET_ITEM(list, i)) != &CFragType)
+            Py_RETURN_NONE;
+    PyObject *parts = PyList_New(0);
+    if (!parts)
+        return NULL;
+    double last_y = INFINITY, last_x = 0.0;
+    int last_hyphen = 0;
+    for (Py_ssize_t i = 0; i < n; i++) {
+        CFrag *f = (CFrag *)PyList_GET_ITEM(list, i);
+        double y_diff = fabs(last_y - f->y);
+        Py_ssize_t np = PyList_GET_SIZE(parts);
+        if (np && y_diff > nl_thr) {
+            if (merge_hyph && last_hyphen) {
+                PyObject *last = PyList_GET_ITEM(parts, np - 1);
+                Py_ssize_t ll = PyUnicode_GET_LENGTH(last);
+                if (ll > 0 &&
+                    PyUnicode_READ_CHAR(last, ll - 1) == '-') {
+                    PyObject *trim = PyUnicode_Substring(last, 0, ll - 1);
+                    if (!trim)
+                        goto fail;
+                    if (PyList_SetItem(parts, np - 1, trim) < 0)
+                        goto fail; /* SetItem stole trim */
+                }
+            } else {
+                if (PyList_Append(parts, g_nl) < 0)
+                    goto fail;
+            }
+        } else if (np) {
+            double x_gap = f->x - last_x;
+            if (x_gap > sp_thr * f->font_size) {
+                if (PyList_Append(parts, g_sp) < 0)
+                    goto fail;
+            }
+        }
+        if (PyList_Append(parts, f->text) < 0)
+            goto fail;
+        Py_ssize_t tl = PyUnicode_GET_LENGTH(f->text);
+        last_hyphen = tl > 0 && PyUnicode_READ_CHAR(f->text, tl - 1) == '-';
+        last_y = f->y;
+        last_x = f->x + f->width;
+    }
+    {
+        PyObject *joined = PyUnicode_Join(g_empty, parts);
+        Py_DECREF(parts);
+        return joined;
+    }
+fail:
+    Py_DECREF(parts);
+    return NULL;
+}
+
 static PyMethodDef methods[] = {
     {"setup", setup, METH_VARARGS, "install shared objects"},
     {"setup_obj", setup_obj, METH_VARARGS,
      "install object-parser shared objects"},
+    {"setup_layout", setup_layout, METH_VARARGS,
+     "install layout-stage helpers (TextFragment, parse_font_style, "
+     "frag env)"},
+    {"merge_close", merge_close, METH_VARARGS,
+     "merge_close_fragments fast path over CFrag lists; None = bail"},
+    {"reconstruct_text", reconstruct_text, METH_VARARGS,
+     "post-merge text rebuild over CFrag lists; None = bail"},
     {"run_page", run_page, METH_VARARGS,
      "run the fast content loop; None on completion"},
     {"parse_indirect", parse_indirect, METH_VARARGS,
@@ -2737,5 +3372,16 @@ PyMODINIT_FUNC PyInit_oxpdf_cscan(void)
     g_cmyk = PyUnicode_InternFromString("cmyk");
     if (!g_nl || !g_sp || !g_empty || !g_gray || !g_rgb || !g_cmyk)
         return NULL;
-    return PyModule_Create(&moduledef);
+    if (PyType_Ready(&CFragType) < 0)
+        return NULL;
+    PyObject *mod = PyModule_Create(&moduledef);
+    if (!mod)
+        return NULL;
+    Py_INCREF(&CFragType);
+    if (PyModule_AddObject(mod, "CFrag", (PyObject *)&CFragType) < 0) {
+        Py_DECREF(&CFragType);
+        Py_DECREF(mod);
+        return NULL;
+    }
+    return mod;
 }

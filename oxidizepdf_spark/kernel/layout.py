@@ -80,6 +80,15 @@ class TextFragment:
         return f"TextFragment({self.text!r} @ {self.x},{self.y} w={self.width})"
 
 
+def _cscan_mod():
+    """The loaded C kernel (or None) — lazy import to avoid the
+    layout ↔ content module cycle (content's setup imports TextFragment
+    from here)."""
+    from .content import _CSCAN
+
+    return _CSCAN
+
+
 def parse_font_style(font_name: str) -> tuple[bool, bool]:
     """extraction.rs:293-330."""
     lower = font_name.lower()
@@ -204,9 +213,22 @@ class LayoutProcessor:
     def merge_close_fragments(
         self, fragments: list[TextFragment]
     ) -> list[TextFragment]:
-        """Kerning-artifact merge (extraction.rs:1598-1669)."""
+        """Kerning-artifact merge (extraction.rs:1598-1669). When the C
+        kernel produced the fragments (CFrag), the linear pass runs in C
+        (merge_close, _cscan.c) with this method's pure-Python body as
+        the pinned authority (test_cscan_differential); any non-CFrag
+        element bails to Python."""
         if not fragments:
             return []
+        ck = _cscan_mod()
+        if ck is not None:
+            out = ck.merge_close(
+                fragments,
+                bool(self.options.reconstruct_paragraphs),
+                self.space_gap_threshold,
+            )
+            if out is not None:
+                return out
         merged: list[TextFragment] = []
         current = fragments[0].clone()
         for frag in fragments[1:]:
@@ -362,8 +384,20 @@ class LayoutProcessor:
     def reconstruct_text_from_fragments(
         self, fragments: list[TextFragment]
     ) -> str:
-        """extraction.rs:1558-1596."""
+        """extraction.rs:1558-1596. The rebuild loop runs in C over CFrag
+        lists (reconstruct_text, _cscan.c); the Python body below is the
+        pinned authority."""
         merged = self.merge_close_fragments(fragments)
+        ck = _cscan_mod()
+        if ck is not None:
+            r = ck.reconstruct_text(
+                merged,
+                self.options.newline_threshold,
+                self.options.space_threshold,
+                bool(self.options.merge_hyphenated),
+            )
+            if r is not None:
+                return r
         parts: list[str] = []
         last_y = math.inf
         last_x = 0.0

@@ -276,3 +276,233 @@ def test_differential_object_parser_synthetic():
         assert py_err is None, body
         assert c_raw[0] == 7 and c_raw[1] == 0
         assert repr(c_raw[2]) == repr(py_val), body
+
+
+def _frag_key(f):
+    """Bit-strict fragment fingerprint (repr distinguishes -0.0 / 0.0)."""
+    return (
+        f.text, repr(f.x), repr(f.y), repr(f.width), repr(f.height),
+        repr(f.font_size), f.font_name, f.is_bold, f.is_italic, f.color,
+        f.mcid, f.struct_tag,
+    )
+
+
+def test_differential_layout_fragments():
+    """Layout-mode C path vs pure-Python: raw emitted fragments, the
+    layout-processed fragments, page text, and final state must all
+    match field-for-field — including ActualText absorption, artifact
+    suppression, marked-content tags, scaled CTMs, and negative-zero
+    origins (the fast-show identity shortcut would flip -0.0 to +0.0)."""
+    from oxidizepdf_spark.kernel.content import _parse_and_run_py, parse_and_run
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions, Interpreter
+
+    streams = [
+        b"BT /F1 12 Tf 1 0 0 1 72 700 Tm (ab) Tj 0 -14 Td (cd) Tj ET",
+        b"BT /F1 9 Tf 14 TL (x) Tj T* (y) Tj (z) ' 2 3 (w) \" ET",
+        b"q 2 0 0 2 10 10 cm BT /F1 12 Tf (s) Tj ET Q BT (t) Tj ET",
+        b"BT /F1 12 Tf [ (a) -250 (b) 12.5 (c) ] TJ ET",
+        b"BT /F1 12 Tf 50 Tz (wide) Tj 100 Tz (norm) Tj ET",
+        b"/Artifact BMC BT /F1 10 Tf (hidden) Tj ET EMC BT (vis) Tj ET",
+        b"/P << /MCID 4 >> BDC BT /F1 12 Tf (m) Tj ET EMC",
+        b"BT /F1 12 Tf <4142> Tj [ <43> -100 (D) ] TJ ET",
+        b"/Span << /ActualText (AT) >> BDC BT /F1 12 Tf (x) Tj "
+        b"[ (y) -400 (z) ] TJ ET EMC BT (after) Tj ET",
+        b"/Span << /ActualText (OUT) >> BDC /Artifact BMC BT /F1 10 Tf "
+        b"(gone) Tj ET EMC EMC",
+        b"BT /F1-Bold 12 Tf (b) Tj /F2-Italic 10 Tf (i) Tj ET",
+        b"BT /F1 12 Tf -0 0 Td (negzero) Tj ET",
+        b"q 3 0 0 3 5 5 cm BT /F1 12 Tf 2 0 0 2 10 20 Tm (sc) Tj "
+        b"[ (t) -200 (u) ] TJ ET Q",
+        b"BT /F1 12 Tf 1 2 3 4 5 6 Tm (skew) Tj ET",
+        b"BT (dangling",
+        b"BT /F1 12 Tf (one) Tj ET /P << /MCID 7 >> BDC BT (two) Tj "
+        b"[ (three) -999 (four) ] TJ ET EMC",
+    ]
+    for reading_order in ("emission", "simple"):
+        for stream in streams:
+            finals = []
+            for use_c in (True, False):
+                opts = ExtractionOptions(
+                    preserve_layout=True, reading_order=reading_order
+                )
+                interp = Interpreter(options=opts)
+                try:
+                    if use_c:
+                        parse_and_run(interp, stream, {})
+                    else:
+                        _parse_and_run_py(interp, stream, {})
+                    err = None
+                except Exception as e:
+                    err = f"{type(e).__name__}:{e}"
+                raw = [_frag_key(f) for f in interp.fragments]
+                out = interp.finalize()
+                finals.append(
+                    (
+                        err, raw, [_frag_key(f) for f in out.fragments],
+                        out.text, out.spans,
+                        interp.state.text_matrix, interp.state.ctm,
+                        interp._total, interp.last_x, interp.last_y,
+                    )
+                )
+            assert finals[0] == finals[1], (reading_order, stream)
+
+
+def test_differential_layout_real_fixtures():
+    """Full documents through the layout path on both engines: Cold_Email
+    + Higgs with preserve_layout and with reading_order='simple'."""
+    import os
+
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    paths = [
+        "/root/reference/test-pdfs/Cold_Email_Hacks.pdf",
+        "/root/reference/oxidize-pdf-core/tests/fixtures/"
+        "issue_272_higgs_arxiv_1207_7214.pdf",
+    ]
+    for p in paths:
+        if not os.path.exists(p):
+            continue
+        data = open(p, "rb").read()
+        for kwargs in (
+            {"preserve_layout": True},
+            {"reading_order": "simple"},
+        ):
+            def run():
+                res = extract_pdf_bytes(
+                    data, options=ExtractionOptions(**kwargs)
+                )
+                return (res.spans, res.n_pages, res.error, res.mode)
+
+            got_c, got_py = _both_paths(run)
+            assert got_c == got_py, (p, kwargs)
+
+
+def test_differential_layout_hypothesis():
+    """Adversarial token soup through both paths in layout mode —
+    fragments compared bit-strict."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oxidizepdf_spark.kernel.content import _parse_and_run_py, parse_and_run
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions, Interpreter
+
+    token = st.sampled_from(
+        [b"BT", b"ET", b"Tj", b"TJ", b"Td", b"TD", b"Tm", b"Tf", b"T*",
+         b"'", b'"', b"TL", b"Tz", b"q", b"Q", b"cm", b"BMC", b"BDC",
+         b"EMC", b"/F1", b"/Artifact", b"/Span", b"<<", b">>",
+         b"/ActualText", b"(AT)", b"(a)", b"(b c)", b"<4142>", b"[", b"]",
+         b"12", b"-3.5", b".5", b"-0", b"%cmt", b"2", b"0", b"1",
+         b"<4\x001>", b"(es\\(c)"]
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=30))
+    def check(tokens):
+        stream = b" ".join(tokens)
+        finals = []
+        for use_c in (True, False):
+            interp = Interpreter(
+                options=ExtractionOptions(preserve_layout=True)
+            )
+            try:
+                if use_c:
+                    parse_and_run(interp, stream, {})
+                else:
+                    _parse_and_run_py(interp, stream, {})
+                err = None
+            except Exception as e:
+                err = f"{type(e).__name__}:{e}"
+            raw = [_frag_key(f) for f in interp.fragments]
+            out = interp.finalize()
+            finals.append((err, raw, out.text, out.spans, interp._total))
+        assert finals[0] == finals[1], stream
+
+    check()
+
+
+def test_differential_merge_and_reconstruct_fuzz():
+    """C merge_close + reconstruct_text vs the pure-Python LayoutProcessor
+    bodies over randomized CFrag lists (same values mirrored into
+    TextFragment for the Python run), covering hyphen merges, mcid
+    boundaries, gap thresholds, and reconstruct_paragraphs tolerance."""
+    import random
+
+    from oxidizepdf_spark.kernel import content as CC
+    from oxidizepdf_spark.kernel.layout import LayoutProcessor, TextFragment
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    ck = CC._CSCAN
+    rng = random.Random(20260817)
+    texts = ["a", "bc", "word-", "x y", "", "-", "Zz", "kern"]
+    fonts = [None, "F1", "F2-Bold"]
+    for trial in range(200):
+        n = rng.randrange(0, 12)
+        vals = []
+        x = 0.0
+        y = 700.0
+        for _ in range(n):
+            if rng.random() < 0.3:
+                y -= rng.choice([0.0, 0.4, 1.2, 14.0])
+            if rng.random() < 0.5:
+                x += rng.choice([-2.0, 0.0, 1.0, 2.5, 8.0, 40.0])
+            w = rng.choice([4.0, 10.0, 18.0])
+            fsz = rng.choice([8.0, 12.0])
+            vals.append(
+                (
+                    rng.choice(texts), x, y, w, fsz, fsz,
+                    rng.choice(fonts), False, False, None,
+                    rng.choice([None, 1, 2]), rng.choice([None, "P"]),
+                )
+            )
+            x += w
+        cfrags = [ck.CFrag(*v) for v in vals]
+        pyfrags = [TextFragment(*v) for v in vals]
+        for recon_paras in (False, True):
+            opts = ExtractionOptions(
+                preserve_layout=True, reconstruct_paragraphs=recon_paras
+            )
+            proc = LayoutProcessor(opts)
+            got_c = [
+                _frag_key(f)
+                for f in ck.merge_close(
+                    cfrags, recon_paras, proc.space_gap_threshold
+                )
+            ]
+            # pure-Python authority (C bails on TextFragment input)
+            got_py = [_frag_key(f) for f in proc.merge_close_fragments(pyfrags)]
+            assert got_c == got_py, (trial, recon_paras, vals)
+            text_c = proc.reconstruct_text_from_fragments(cfrags)
+            text_py = proc.reconstruct_text_from_fragments(pyfrags)
+            assert text_c == text_py, (trial, recon_paras, vals)
+
+
+def test_differential_reconstruct_hyphen_merge():
+    """merge_hyphenated line joins through the C reconstruct path vs
+    Python: a trailing hyphen at a newline boundary is trimmed and the
+    lines fuse without a separator."""
+    from oxidizepdf_spark.kernel import content as CC
+    from oxidizepdf_spark.kernel.layout import LayoutProcessor, TextFragment
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    ck = CC._CSCAN
+    vals = [
+        ("hyphen-", 100.0, 700.0, 40.0, 12.0, 12.0, "F1", False, False,
+         None, None, None),
+        ("ated", 72.0, 686.0, 25.0, 12.0, 12.0, "F1", False, False,
+         None, None, None),
+        ("next", 72.0, 660.0, 25.0, 12.0, 12.0, "F1", False, False,
+         None, None, None),
+    ]
+    for merge_hyph, want in ((True, "hyphenated\nnext"), (False, "hyphen-\nated\nnext")):
+        opts = ExtractionOptions(
+            preserve_layout=True, merge_hyphenated=merge_hyph
+        )
+        proc = LayoutProcessor(opts)
+        text_c = proc.reconstruct_text_from_fragments(
+            [ck.CFrag(*v) for v in vals]
+        )
+        text_py = proc.reconstruct_text_from_fragments(
+            [TextFragment(*v) for v in vals]
+        )
+        assert text_c == text_py == want, (merge_hyph, text_c, text_py)

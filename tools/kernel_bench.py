@@ -50,10 +50,23 @@ def main() -> None:
         extract_pdf_bytes,
     )
 
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
     out = {}
     for name, path in (("cold_email_sec", COLD), ("higgs_sec", HIGGS)):
         data = open(path, "rb").read()
         out[name] = round(best_of(lambda: extract_pdf_bytes(data), args.reps), 4)
+        # layout mode (positioned fragments): the path tables/elements/
+        # annotations covered_text/reading-order queries pay
+        out[name.replace("_sec", "_layout_sec")] = round(
+            best_of(
+                lambda: extract_pdf_bytes(
+                    data, options=ExtractionOptions(preserve_layout=True)
+                ),
+                args.reps,
+            ),
+            4,
+        )
 
     pairs = list(generate_corpus(n_docs=3000, seed=42))
     triples = [
