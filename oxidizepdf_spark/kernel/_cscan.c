@@ -24,7 +24,9 @@
 #include <Python.h>
 #include <structmember.h>
 #include <string.h>
+#include <strings.h>
 #include <stdlib.h>
+#include <ctype.h>
 #include <math.h>
 
 /* ---- module-level objects installed by setup() ------------------------- */
@@ -2992,6 +2994,1423 @@ maybe_bail:
     return NULL; /* real exception (memory, callback failure) */
 }
 
+/* ========================================================================
+ * HTML fast path: a transcription of CPython 3.11 html/parser.py's
+ * HTMLParser (convert_charrefs=True, whole-document feed+close) FUSED
+ * with html_extract._MainContentParser's consumer logic.  Operates on
+ * the document's UTF-8 bytes (all markup delimiters are ASCII; multi-
+ * byte sequences never contain ASCII bytes, so byte positions are safe
+ * segment boundaries).  ANY construct the transcription is not certain
+ * about — marked sections, non-ASCII tag/attr names, undecodable
+ * chunks — sets h->bail and the caller re-runs the pure-Python path,
+ * which remains the behavior authority (differential-pinned, same
+ * discipline as parse_indirect).
+ * ======================================================================== */
+
+static PyObject *g_unescape;     /* html.unescape */
+static PyObject *g_ws_collapse;  /* html_extract helper: _WS.sub(' ',s).strip() */
+static PyObject *g_boiler_value; /* html_extract helper: hint match on value */
+static PyObject *g_ev_text, *g_ev_img; /* event kind strings */
+static PyObject *g_lt_str;             /* "<" */
+
+/* memmem replacement for the two-byte needle case (portable) */
+static const unsigned char *h_find2(const unsigned char *hay, size_t n,
+                                    unsigned char a, unsigned char b)
+{
+    const unsigned char *p = hay, *end = hay + n;
+    while (p + 1 < end) {
+        p = (const unsigned char *)memchr(p, a, (size_t)(end - p - 1));
+        if (!p)
+            return NULL;
+        if (p[1] == b)
+            return p;
+        p++;
+    }
+    return NULL;
+}
+
+/* one unicode char at byte pos: *clen = byte length; returns codepoint or
+ * -1 on malformed UTF-8 (caller bails) */
+static long u8_char_at(const unsigned char *d, Py_ssize_t n, Py_ssize_t pos,
+                       int *clen)
+{
+    unsigned char b = d[pos];
+    if (b < 0x80) {
+        *clen = 1;
+        return b;
+    }
+    if ((b & 0xe0) == 0xc0 && pos + 1 < n) {
+        *clen = 2;
+        return ((long)(b & 0x1f) << 6) | (d[pos + 1] & 0x3f);
+    }
+    if ((b & 0xf0) == 0xe0 && pos + 2 < n) {
+        *clen = 3;
+        return ((long)(b & 0x0f) << 12) | ((long)(d[pos + 1] & 0x3f) << 6) |
+               (d[pos + 2] & 0x3f);
+    }
+    if ((b & 0xf8) == 0xf0 && pos + 3 < n) {
+        *clen = 4;
+        return ((long)(b & 0x07) << 18) | ((long)(d[pos + 1] & 0x3f) << 12) |
+               ((long)(d[pos + 2] & 0x3f) << 6) | (d[pos + 3] & 0x3f);
+    }
+    *clen = 1;
+    return -1;
+}
+
+/* is the char AT byte pos a regex-\s char (Py_UNICODE_ISSPACE — the same
+ * predicate re's unicode \s uses)? *clen = its byte length */
+static int u8_isspace_at(const unsigned char *d, Py_ssize_t n,
+                         Py_ssize_t pos, int *clen, int *bad)
+{
+    long cp = u8_char_at(d, n, pos, clen);
+    if (cp < 0) {
+        *bad = 1;
+        return 0;
+    }
+    return Py_UNICODE_ISSPACE((Py_UCS4)cp);
+}
+
+/* byte length of the char ENDING at byte index end-1 (walk back over
+ * continuation bytes); returns start index */
+static Py_ssize_t u8_char_start_before(const unsigned char *d,
+                                       Py_ssize_t end)
+{
+    Py_ssize_t s = end - 1;
+    while (s > 0 && (d[s] & 0xc0) == 0x80)
+        s--;
+    return s;
+}
+
+typedef struct {
+    PyObject *tag;      /* lowercased tag str (owned) */
+    unsigned char drops, boils, is_a;
+} HElem;
+
+typedef struct {
+    const unsigned char *d;
+    Py_ssize_t n;
+    HElem *stack;
+    Py_ssize_t sp, cap;
+    int drop_depth, boiler_depth, anchor_depth;
+    PyObject *seg;       /* list of str */
+    long long seg_link;
+    PyObject *events;    /* list of ("text", raw, link) | ("img", src) */
+    PyObject *links;     /* list of (href, text) */
+    PyObject *anchors;   /* list of [href, parts-list] */
+    PyObject *cdata;     /* lowercased cdata elem (script/style) or NULL */
+    int bail;
+} H;
+
+/* tag-name byte: [^\t\n\r\f />\x00] */
+static int h_namebyte(unsigned char b)
+{
+    return !(b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d ||
+             b == ' ' || b == '/' || b == '>' || b == 0x00);
+}
+
+static int h_push(H *h, PyObject *tag, int drops, int boils, int is_a)
+{
+    if (h->sp >= h->cap) {
+        Py_ssize_t nc = h->cap ? h->cap * 2 : 32;
+        HElem *ns = (HElem *)realloc(h->stack, nc * sizeof(HElem));
+        if (!ns) {
+            PyErr_NoMemory();
+            return -1;
+        }
+        h->stack = ns;
+        h->cap = nc;
+    }
+    Py_INCREF(tag);
+    h->stack[h->sp].tag = tag;
+    h->stack[h->sp].drops = (unsigned char)drops;
+    h->stack[h->sp].boils = (unsigned char)boils;
+    h->stack[h->sp].is_a = (unsigned char)is_a;
+    h->sp++;
+    return 0;
+}
+
+static const char *const H_DROP[] = {
+    "script", "style", "template", "noscript", "svg", "head", NULL,
+};
+static const char *const H_BOILER_TAGS[] = {
+    "nav", "header", "footer", "aside", "form", "button", NULL,
+};
+static const char *const H_BLOCK[] = {
+    "p", "div", "section", "article", "main", "body", "li", "td", "th",
+    "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
+    "figcaption", "ul", "ol", "table", "tr", NULL,
+};
+static const char *const H_VOID[] = {
+    "br", "hr", "img", "meta", "link", "input", "wbr", "source", NULL,
+};
+/* _BOILER_HINT plain-substring needles (the \bad\b case is special) */
+static const char *const H_HINT[] = {
+    "nav", "menu", "sidebar", "side-bar", "footer", "header", "banner",
+    "breadcrumb", "ads", "advert", "cookie", "consent", "popup", "modal",
+    "share", "social", "comment", "related", "promo", "subscribe",
+    "newsletter", NULL,
+};
+
+static int h_in_set(PyObject *tag, const char *const set[])
+{
+    const char *t = PyUnicode_AsUTF8(tag);
+    if (!t)
+        return -1;
+    for (int i = 0; set[i]; i++)
+        if (strcmp(t, set[i]) == 0)
+            return 1;
+    return 0;
+}
+
+/* _BOILER_HINT.search(value) — IGNORECASE substring alternation plus
+ * \bad\b.  ASCII-only fast path; any byte >= 0x80 delegates to the
+ * Python helper (unicode word-boundary semantics for \b). */
+static int h_hint_match(H *h, PyObject *value)
+{
+    Py_ssize_t vn;
+    const char *vs = PyUnicode_AsUTF8AndSize(value, &vn);
+    if (!vs)
+        return -1;
+    for (Py_ssize_t i = 0; i < vn; i++)
+        if ((unsigned char)vs[i] >= 0x80) {
+            PyObject *r = PyObject_CallOneArg(g_boiler_value, value);
+            if (!r)
+                return -1;
+            int t = PyObject_IsTrue(r);
+            Py_DECREF(r);
+            return t;
+        }
+    /* lowercase copy (ASCII) */
+    char buf_small[256];
+    char *low = vn < (Py_ssize_t)sizeof(buf_small)
+                    ? buf_small
+                    : (char *)malloc((size_t)vn + 1);
+    if (!low) {
+        PyErr_NoMemory();
+        return -1;
+    }
+    for (Py_ssize_t i = 0; i < vn; i++) {
+        char ch = vs[i];
+        low[i] = (ch >= 'A' && ch <= 'Z') ? ch + 32 : ch;
+    }
+    low[vn] = 0;
+    int hit = 0;
+    for (int i = 0; H_HINT[i]; i++)
+        if (strstr(low, H_HINT[i])) {
+            hit = 1;
+            break;
+        }
+    if (!hit) {
+        /* \bad\b: 'ad' not flanked by [a-zA-Z0-9_] */
+        for (const char *p = low; (p = strstr(p, "ad")) != NULL; p++) {
+            int lb = p == low ||
+                     !(isalnum((unsigned char)p[-1]) || p[-1] == '_');
+            char after = p[2];
+            int rb = after == 0 ||
+                     !(isalnum((unsigned char)after) || after == '_');
+            if (lb && rb) {
+                hit = 1;
+                break;
+            }
+        }
+    }
+    if (low != buf_small)
+        free(low);
+    return hit;
+}
+
+/* regex-\s collapsed-and-stripped LENGTH of a str (the seg_link counter:
+ * len(_WS.sub(' ', data).strip())) */
+static long long h_collapsed_len(PyObject *s)
+{
+    Py_ssize_t len = PyUnicode_GET_LENGTH(s);
+    int kind = PyUnicode_KIND(s);
+    const void *data = PyUnicode_DATA(s);
+    long long count = 0;
+    int in_space = 0, started = 0;
+    long long pending_space = 0;
+    for (Py_ssize_t i = 0; i < len; i++) {
+        Py_UCS4 ch = PyUnicode_READ(kind, data, i);
+        if (Py_UNICODE_ISSPACE(ch)) {
+            if (started && !in_space)
+                pending_space = 1;
+            in_space = 1;
+        } else {
+            count += pending_space + 1;
+            pending_space = 0;
+            in_space = 0;
+            started = 1;
+        }
+    }
+    return count;
+}
+
+static int h_flush(H *h)
+{
+    if (PyList_GET_SIZE(h->seg) == 0)
+        return 0;
+    PyObject *txt = PyList_GET_SIZE(h->seg) == 1
+                        ? Py_NewRef(PyList_GET_ITEM(h->seg, 0))
+                        : PyUnicode_Join(g_empty, h->seg);
+    if (!txt)
+        return -1;
+    PyObject *ev = Py_BuildValue("(OOL)", g_ev_text, txt, h->seg_link);
+    Py_DECREF(txt);
+    if (!ev)
+        return -1;
+    int rc = PyList_Append(h->events, ev);
+    Py_DECREF(ev);
+    if (rc < 0)
+        return -1;
+    if (PyList_SetSlice(h->seg, 0, PyList_GET_SIZE(h->seg), NULL) < 0)
+        return -1;
+    h->seg_link = 0;
+    return 0;
+}
+
+/* handle_data(txt) — the consumer body */
+static int h_data(H *h, PyObject *txt)
+{
+    Py_ssize_t tlen = PyUnicode_GET_LENGTH(txt);
+    if (PyList_GET_SIZE(h->anchors) && !h->drop_depth && tlen) {
+        PyObject *top = PyList_GET_ITEM(h->anchors,
+                                        PyList_GET_SIZE(h->anchors) - 1);
+        if (PyList_Append(PyList_GET_ITEM(top, 1), txt) < 0)
+            return -1;
+    }
+    if (h->drop_depth || h->boiler_depth)
+        return 0;
+    if (!tlen)
+        return 0;
+    {
+        /* data.isspace() — all-space strings are skipped */
+        int kind = PyUnicode_KIND(txt);
+        const void *data = PyUnicode_DATA(txt);
+        int allspace = 1;
+        for (Py_ssize_t i = 0; i < tlen; i++)
+            if (!Py_UNICODE_ISSPACE(PyUnicode_READ(kind, data, i))) {
+                allspace = 0;
+                break;
+            }
+        if (allspace)
+            return 0;
+    }
+    if (PyList_Append(h->seg, txt) < 0)
+        return -1;
+    if (h->anchor_depth)
+        h->seg_link += h_collapsed_len(txt);
+    return 0;
+}
+
+/* close one anchor: pop the top [href, parts], record the link */
+static int h_close_anchor(H *h)
+{
+    Py_ssize_t an = PyList_GET_SIZE(h->anchors);
+    if (h->anchor_depth > 0)
+        h->anchor_depth--;
+    if (!an)
+        return 0;
+    PyObject *top = PyList_GET_ITEM(h->anchors, an - 1); /* borrowed */
+    Py_INCREF(top);
+    if (PyList_SetSlice(h->anchors, an - 1, an, NULL) < 0) {
+        Py_DECREF(top);
+        return -1;
+    }
+    PyObject *href = PyList_GET_ITEM(top, 0);
+    if (PyUnicode_GET_LENGTH(href)) {
+        PyObject *joined = PyUnicode_Join(g_empty, PyList_GET_ITEM(top, 1));
+        if (!joined) {
+            Py_DECREF(top);
+            return -1;
+        }
+        PyObject *coll = PyObject_CallOneArg(g_ws_collapse, joined);
+        Py_DECREF(joined);
+        if (!coll) {
+            Py_DECREF(top);
+            return -1;
+        }
+        PyObject *pair = PyTuple_Pack(2, href, coll);
+        Py_DECREF(coll);
+        if (!pair) {
+            Py_DECREF(top);
+            return -1;
+        }
+        int rc = PyList_Append(h->links, pair);
+        Py_DECREF(pair);
+        if (rc < 0) {
+            Py_DECREF(top);
+            return -1;
+        }
+    }
+    Py_DECREF(top);
+    return 0;
+}
+
+/* handle_starttag(tag, attrs) — consumer body; src/href = last-seen attr
+ * values (dict(attrs).get semantics), hint_hit = any class/id/role value
+ * matching _BOILER_HINT */
+static int h_start(H *h, PyObject *tag, PyObject *src, PyObject *href,
+                   int hint_hit)
+{
+    int v = h_in_set(tag, H_VOID);
+    if (v < 0)
+        return -1;
+    const char *t = PyUnicode_AsUTF8(tag);
+    if (!t)
+        return -1;
+    if (v) {
+        if (strcmp(t, "img") == 0 && !h->drop_depth && !h->boiler_depth) {
+            if (h_flush(h) < 0)
+                return -1;
+            if (src && PyUnicode_GET_LENGTH(src)) {
+                PyObject *ev = PyTuple_Pack(2, g_ev_img, src);
+                if (!ev)
+                    return -1;
+                int rc = PyList_Append(h->events, ev);
+                Py_DECREF(ev);
+                if (rc < 0)
+                    return -1;
+            }
+        } else if (strcmp(t, "br") == 0) {
+            if (h_flush(h) < 0)
+                return -1;
+        }
+        return 0;
+    }
+    int drops = h_in_set(tag, H_DROP);
+    if (drops < 0)
+        return -1;
+    int boils = 0;
+    if (!drops) {
+        boils = h_in_set(tag, H_BOILER_TAGS);
+        if (boils < 0)
+            return -1;
+        if (!boils)
+            boils = hint_hit;
+    }
+    int blk = h_in_set(tag, H_BLOCK);
+    if (blk < 0)
+        return -1;
+    if (blk || boils || drops) {
+        if (h_flush(h) < 0)
+            return -1;
+    }
+    int is_a = strcmp(t, "a") == 0;
+    if (h_push(h, tag, drops, boils, is_a) < 0)
+        return -1;
+    if (drops)
+        h->drop_depth++;
+    if (boils)
+        h->boiler_depth++;
+    if (is_a) {
+        h->anchor_depth++;
+        PyObject *hv = (href && PyUnicode_GET_LENGTH(href)) ? href : g_empty;
+        PyObject *parts = PyList_New(0);
+        if (!parts)
+            return -1;
+        PyObject *entry = PyList_New(2);
+        if (!entry) {
+            Py_DECREF(parts);
+            return -1;
+        }
+        Py_INCREF(hv);
+        PyList_SET_ITEM(entry, 0, hv);
+        PyList_SET_ITEM(entry, 1, parts);
+        int rc = PyList_Append(h->anchors, entry);
+        Py_DECREF(entry);
+        if (rc < 0)
+            return -1;
+    }
+    return 0;
+}
+
+/* handle_endtag(tag) */
+static int h_endtag(H *h, PyObject *tag)
+{
+    int v = h_in_set(tag, H_VOID);
+    if (v < 0)
+        return -1;
+    if (v)
+        return 0;
+    for (Py_ssize_t i = h->sp - 1; i >= 0; i--) {
+        int eq = PyUnicode_Compare(h->stack[i].tag, tag);
+        if (eq == -1 && PyErr_Occurred())
+            return -1;
+        if (eq != 0)
+            continue;
+        int blk = h_in_set(tag, H_BLOCK);
+        if (blk < 0)
+            return -1;
+        if (blk || h->stack[i].boils) {
+            if (h_flush(h) < 0)
+                return -1;
+        }
+        for (Py_ssize_t k = i; k < h->sp; k++) {
+            if (h->stack[k].drops && h->drop_depth > 0)
+                h->drop_depth--;
+            if (h->stack[k].boils && h->boiler_depth > 0)
+                h->boiler_depth--;
+            if (h->stack[k].is_a) {
+                if (h_close_anchor(h) < 0)
+                    return -1;
+            }
+        }
+        for (Py_ssize_t k = i; k < h->sp; k++)
+            Py_DECREF(h->stack[k].tag);
+        h->sp = i;
+        return 0;
+    }
+    return 0;
+}
+
+/* ---- HTML tokenizer (html/parser.py transcription) --------------------- */
+
+/* decode a byte range to str, optionally applying html.unescape (the
+ * convert_charrefs data path).  unescape short-circuits on '&'-free
+ * chunks, so only chunks containing '&' pay the Python call. */
+static PyObject *h_chunk(H *h, Py_ssize_t i, Py_ssize_t j, int unescape)
+{
+    if (i >= j)
+        return Py_NewRef(g_empty);
+    PyObject *s =
+        PyUnicode_DecodeUTF8((const char *)h->d + i, j - i, "strict");
+    if (!s) {
+        PyErr_Clear();
+        h->bail = 1; /* should be impossible: source was a valid str */
+        return NULL;
+    }
+    if (unescape && memchr(h->d + i, '&', (size_t)(j - i))) {
+        PyObject *r = PyObject_CallOneArg(g_unescape, s);
+        Py_DECREF(s);
+        return r;
+    }
+    return s;
+}
+
+static int h_data_range(H *h, Py_ssize_t i, Py_ssize_t j, int unescape)
+{
+    PyObject *s = h_chunk(h, i, j, unescape);
+    if (!s)
+        return -1;
+    int rc = h_data(h, s);
+    Py_DECREF(s);
+    return rc;
+}
+
+/* skip regex-\s chars (unicode) from pos; -1 byte budget on malformed */
+static Py_ssize_t h_skip_uws(H *h, Py_ssize_t pos)
+{
+    while (pos < h->n) {
+        int cl, bad = 0;
+        if (!u8_isspace_at(h->d, h->n, pos, &cl, &bad)) {
+            if (bad)
+                h->bail = 1;
+            break;
+        }
+        pos += cl;
+    }
+    return pos;
+}
+
+/* (?:\s|/(?!>))* */
+static Py_ssize_t h_skip_ws_slash(H *h, Py_ssize_t pos)
+{
+    while (pos < h->n) {
+        if (h->d[pos] == '/') {
+            if (pos + 1 < h->n && h->d[pos + 1] == '>')
+                break;
+            pos++;
+            continue;
+        }
+        int cl, bad = 0;
+        if (!u8_isspace_at(h->d, h->n, pos, &cl, &bad)) {
+            if (bad)
+                h->bail = 1;
+            break;
+        }
+        pos += cl;
+    }
+    return pos;
+}
+
+/* lowercased ASCII str from a byte range; bails on non-ASCII (parity
+ * with str.lower() would need unicode case mapping) */
+static PyObject *h_lower_name(H *h, Py_ssize_t s, Py_ssize_t e)
+{
+    for (Py_ssize_t i = s; i < e; i++)
+        if (h->d[i] >= 0x80) {
+            h->bail = 1;
+            return NULL;
+        }
+    char small[64];
+    char *buf = (e - s) < (Py_ssize_t)sizeof(small)
+                    ? small
+                    : (char *)malloc((size_t)(e - s));
+    if (!buf) {
+        PyErr_NoMemory();
+        return NULL;
+    }
+    for (Py_ssize_t i = s; i < e; i++) {
+        char ch = (char)h->d[i];
+        buf[i - s] = (ch >= 'A' && ch <= 'Z') ? ch + 32 : ch;
+    }
+    PyObject *r = PyUnicode_FromStringAndSize(buf, e - s);
+    if (buf != small)
+        free(buf);
+    return r;
+}
+
+/* check_for_whole_start_tag: locatestarttagend_tolerant scan + the
+ * branch ladder.  Returns endpos, or -1 (incomplete / bail set). */
+static Py_ssize_t h_check_whole_start(H *h, Py_ssize_t i)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    Py_ssize_t p = i + 2; /* '<' + leading alpha (caller verified) */
+    while (p < n && h_namebyte(d[p]))
+        p++;
+    /* optional group: [\s/]* then attr-units (no gap between units —
+     * each unit's own trailing run separates them) */
+    for (;;) { /* [\s/]* */
+        if (p >= n)
+            break;
+        if (d[p] == '/') {
+            p++;
+            continue;
+        }
+        int cl, bad = 0;
+        if (!u8_isspace_at(d, n, p, &cl, &bad)) {
+            if (bad) {
+                h->bail = 1;
+                return -1;
+            }
+            break;
+        }
+        p += cl;
+    }
+    for (;;) { /* attr units */
+        if (p >= n)
+            break;
+        /* lookbehind (?<=['"\s/]) */
+        Py_ssize_t ps = u8_char_start_before(d, p);
+        int cl2;
+        long pc = u8_char_at(d, n, ps, &cl2);
+        if (pc < 0) {
+            h->bail = 1;
+            return -1;
+        }
+        if (!(pc == '\'' || pc == '"' || pc == '/' ||
+              Py_UNICODE_ISSPACE((Py_UCS4)pc)))
+            break;
+        /* attr-name first char [^\s/>] */
+        if (d[p] == '/' || d[p] == '>')
+            break;
+        {
+            int cl, bad = 0;
+            if (u8_isspace_at(d, n, p, &cl, &bad))
+                break;
+            if (bad) {
+                h->bail = 1;
+                return -1;
+            }
+            p += cl;
+        }
+        for (;;) { /* [^\s/=>]* */
+            if (p >= n)
+                break;
+            unsigned char b = d[p];
+            if (b == '/' || b == '=' || b == '>')
+                break;
+            int cl, bad = 0;
+            if (u8_isspace_at(d, n, p, &cl, &bad))
+                break;
+            if (bad) {
+                h->bail = 1;
+                return -1;
+            }
+            p += cl;
+        }
+        /* optional (?:\s*=+\s* value \s*)? — with sre's backtracking on
+         * an unterminated quote: give back one \s*₂ char (bare empty
+         * value), else one '=' (bare value starting at '='), else the
+         * whole group is empty */
+        {
+            Py_ssize_t q = p;
+            Py_ssize_t e1 = h_skip_uws(h, q);
+            if (h->bail)
+                return -1;
+            if (e1 < n && d[e1] == '=') {
+                Py_ssize_t e2 = e1;
+                while (e2 < n && d[e2] == '=')
+                    e2++;
+                Py_ssize_t e3 = h_skip_uws(h, e2);
+                if (h->bail)
+                    return -1;
+                int okval = 1;
+                Py_ssize_t v = e3;
+                if (v < n && (d[v] == '\'' || d[v] == '"')) {
+                    unsigned char qc = d[v];
+                    const unsigned char *e = (const unsigned char *)memchr(
+                        d + v + 1, qc, (size_t)(n - v - 1));
+                    if (e)
+                        v = (e - d) + 1;
+                    else if (e3 > e2) {
+                        /* bare empty value one \s char back */
+                        v = u8_char_start_before(d, e3);
+                    } else if (e2 - e1 >= 2) {
+                        /* bare value from the last '=' */
+                        v = e2 - 1;
+                        while (v < n && d[v] != '>') {
+                            int cl, bad = 0;
+                            if (u8_isspace_at(d, n, v, &cl, &bad))
+                                break;
+                            if (bad) {
+                                h->bail = 1;
+                                return -1;
+                            }
+                            v += cl;
+                        }
+                    } else
+                        okval = 0;
+                } else { /* bare (?!['"])[^>\s]* — possibly empty */
+                    while (v < n && d[v] != '>') {
+                        int cl, bad = 0;
+                        if (u8_isspace_at(d, n, v, &cl, &bad))
+                            break;
+                        if (bad) {
+                            h->bail = 1;
+                            return -1;
+                        }
+                        v += cl;
+                    }
+                }
+                if (okval) {
+                    v = h_skip_uws(h, v); /* \s* inside the group */
+                    if (h->bail)
+                        return -1;
+                    p = v;
+                }
+                /* !okval: the whole optional group matches empty; p = q */
+            }
+        }
+        p = h_skip_ws_slash(h, p); /* unit trailing */
+        if (h->bail)
+            return -1;
+    }
+    Py_ssize_t j = h_skip_uws(h, p); /* final \s* */
+    if (h->bail)
+        return -1;
+    if (j < n && d[j] == '>')
+        return j + 1;
+    if (j < n && d[j] == '/') {
+        if (j + 1 < n && d[j + 1] == '>')
+            return j + 2;
+        return -1; /* lone '/': buffer boundary */
+    }
+    if (j >= n)
+        return -1; /* end of input */
+    {
+        unsigned char nb = d[j];
+        if ((nb >= 'a' && nb <= 'z') || (nb >= 'A' && nb <= 'Z') ||
+            nb == '=' || nb == '/')
+            return -1; /* end of input in or before attribute value */
+    }
+    if (j > i)
+        return j;
+    return i + 1;
+}
+
+/* str.strip() of a byte range equal to ">" or "/>" ? 0 no, 1 ">", 2 "/>" */
+static int h_stripped_end(H *h, Py_ssize_t s, Py_ssize_t e)
+{
+    while (s < e) {
+        int cl, bad = 0;
+        if (!u8_isspace_at(h->d, h->n > e ? e : h->n, s, &cl, &bad)) {
+            if (bad) {
+                h->bail = 1;
+                return -1;
+            }
+            break;
+        }
+        s += cl;
+    }
+    while (e > s) {
+        Py_ssize_t cs = u8_char_start_before(h->d, e);
+        int cl, bad = 0;
+        if (!u8_isspace_at(h->d, h->n, cs, &cl, &bad)) {
+            if (bad) {
+                h->bail = 1;
+                return -1;
+            }
+            break;
+        }
+        e = cs;
+    }
+    if (e - s == 1 && h->d[s] == '>')
+        return 1;
+    if (e - s == 2 && h->d[s] == '/' && h->d[s + 1] == '>')
+        return 2;
+    return 0;
+}
+
+/* parse_starttag(i): returns endpos or -1 (incomplete/bail/error).
+ * Real Python exceptions leave an error set with return -1 and h->bail
+ * unset — callers must distinguish. */
+static Py_ssize_t h_parse_starttag(H *h, Py_ssize_t i)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    Py_ssize_t endpos = h_check_whole_start(h, i);
+    if (endpos < 0)
+        return -1;
+    /* tagfind_tolerant at i+1 */
+    Py_ssize_t name_s = i + 1;
+    Py_ssize_t k = name_s + 1;
+    while (k < n && h_namebyte(d[k]))
+        k++;
+    PyObject *tag = h_lower_name(h, name_s, k);
+    if (!tag)
+        return -1;
+    k = h_skip_ws_slash(h, k);
+    if (h->bail) {
+        Py_DECREF(tag);
+        return -1;
+    }
+    PyObject *src = NULL, *href = NULL;
+    int hint = 0;
+    int failed = 0;
+    while (k < endpos) {
+        /* attrfind_tolerant.match(rawdata, k) */
+        Py_ssize_t ps = u8_char_start_before(d, k);
+        int cl0;
+        long pc = u8_char_at(d, n, ps, &cl0);
+        if (pc < 0) {
+            h->bail = 1;
+            failed = 1;
+            break;
+        }
+        if (!(pc == '\'' || pc == '"' || pc == '/' ||
+              Py_UNICODE_ISSPACE((Py_UCS4)pc)))
+            break;
+        if (k >= n)
+            break;
+        Py_ssize_t an_s = k;
+        {
+            int cl, bad = 0;
+            if (d[k] == '/' || d[k] == '>')
+                break;
+            if (u8_isspace_at(d, n, k, &cl, &bad))
+                break;
+            if (bad) {
+                h->bail = 1;
+                failed = 1;
+                break;
+            }
+            k += cl;
+        }
+        while (k < n) {
+            unsigned char b = d[k];
+            if (b == '/' || b == '=' || b == '>')
+                break;
+            int cl, bad = 0;
+            if (u8_isspace_at(h->d, n, k, &cl, &bad))
+                break;
+            if (bad) {
+                h->bail = 1;
+                failed = 1;
+                break;
+            }
+            k += cl;
+        }
+        if (failed)
+            break;
+        Py_ssize_t an_e = k;
+        /* optional value: (\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))? */
+        Py_ssize_t val_s = -1, val_e = -1;
+        int has_rest = 0, quoted = 0;
+        {
+            Py_ssize_t e1 = h_skip_uws(h, k);
+            if (h->bail) {
+                failed = 1;
+                break;
+            }
+            if (e1 < n && d[e1] == '=') {
+                Py_ssize_t e2 = e1;
+                while (e2 < n && d[e2] == '=')
+                    e2++;
+                Py_ssize_t e3 = h_skip_uws(h, e2);
+                if (h->bail) {
+                    failed = 1;
+                    break;
+                }
+                int okval = 1;
+                Py_ssize_t v = e3, ve = e3;
+                int bare_from = -1;
+                if (v < n && (d[v] == '\'' || d[v] == '"')) {
+                    unsigned char qch = d[v];
+                    const unsigned char *e = (const unsigned char *)memchr(
+                        d + v + 1, qch, (size_t)(n - v - 1));
+                    if (e) {
+                        quoted = 1;
+                        val_s = v + 1;
+                        val_e = (e - d);
+                        ve = val_e + 1;
+                    } else if (e3 > e2) {
+                        /* sre backtrack: give back one \s char → bare
+                         * empty value */
+                        Py_ssize_t bp = u8_char_start_before(d, e3);
+                        val_s = bp;
+                        val_e = bp;
+                        ve = bp;
+                    } else if (e2 - e1 >= 2) {
+                        /* give back one '=' → bare value from it */
+                        bare_from = (int)1;
+                        v = e2 - 1;
+                        val_s = v;
+                        while (v < n && d[v] != '>') {
+                            int cl, bad = 0;
+                            if (u8_isspace_at(d, n, v, &cl, &bad))
+                                break;
+                            if (bad) {
+                                h->bail = 1;
+                                failed = 1;
+                                break;
+                            }
+                            v += cl;
+                        }
+                        if (failed)
+                            break;
+                        val_e = v;
+                        ve = v;
+                    } else
+                        okval = 0;
+                } else {
+                    val_s = v;
+                    while (v < n && d[v] != '>') {
+                        int cl, bad = 0;
+                        if (u8_isspace_at(d, n, v, &cl, &bad))
+                            break;
+                        if (bad) {
+                            h->bail = 1;
+                            failed = 1;
+                            break;
+                        }
+                        v += cl;
+                    }
+                    if (failed)
+                        break;
+                    val_e = v;
+                    ve = v;
+                }
+                (void)bare_from;
+                if (okval) {
+                    has_rest = 1;
+                    k = ve;
+                }
+                /* !okval: group empty; k stays at name end */
+            }
+        }
+        if (failed)
+            break;
+        k = h_skip_ws_slash(h, k);
+        if (h->bail) {
+            failed = 1;
+            break;
+        }
+        /* materialize: name lower, value (None if no rest) */
+        PyObject *aname = h_lower_name(h, an_s, an_e);
+        if (!aname) {
+            failed = 1;
+            break;
+        }
+        PyObject *aval = NULL; /* NULL == None */
+        if (has_rest) {
+            /* attrvalue possibly empty; unescape non-empty values */
+            if (val_e > val_s) {
+                aval = h_chunk(h, val_s, val_e, 1);
+                if (!aval) {
+                    Py_DECREF(aname);
+                    failed = 1;
+                    break;
+                }
+            } else {
+                aval = Py_NewRef(g_empty);
+            }
+        }
+        (void)quoted;
+        const char *ans = PyUnicode_AsUTF8(aname);
+        if (!ans) {
+            Py_DECREF(aname);
+            Py_XDECREF(aval);
+            failed = 1;
+            break;
+        }
+        if (strcmp(ans, "src") == 0) {
+            Py_XDECREF(src);
+            src = aval ? Py_NewRef(aval) : NULL;
+        } else if (strcmp(ans, "href") == 0) {
+            Py_XDECREF(href);
+            href = aval ? Py_NewRef(aval) : NULL;
+        } else if (!hint && aval && PyUnicode_GET_LENGTH(aval) &&
+                   (strcmp(ans, "class") == 0 || strcmp(ans, "id") == 0 ||
+                    strcmp(ans, "role") == 0)) {
+            hint = h_hint_match(h, aval);
+            if (hint < 0) {
+                Py_DECREF(aname);
+                Py_XDECREF(aval);
+                failed = 1;
+                break;
+            }
+        }
+        Py_DECREF(aname);
+        Py_XDECREF(aval);
+    }
+    if (failed) {
+        Py_DECREF(tag);
+        Py_XDECREF(src);
+        Py_XDECREF(href);
+        return -1;
+    }
+    int endkind = h_stripped_end(h, k, endpos);
+    if (endkind < 0) {
+        Py_DECREF(tag);
+        Py_XDECREF(src);
+        Py_XDECREF(href);
+        return -1;
+    }
+    int rc = 0;
+    if (endkind == 0) {
+        /* junk between attrs and '>': the whole tag text becomes data
+         * (raw, no unescape — parser.py:330) */
+        rc = h_data_range(h, i, endpos, 0);
+    } else if (endkind == 2) {
+        rc = h_start(h, tag, src, href, hint);
+        if (rc == 0) {
+            int v = h_in_set(tag, H_VOID);
+            if (v < 0)
+                rc = -1;
+            else if (!v)
+                rc = h_endtag(h, tag);
+        }
+    } else {
+        rc = h_start(h, tag, src, href, hint);
+        if (rc == 0) {
+            const char *t = PyUnicode_AsUTF8(tag);
+            if (!t)
+                rc = -1;
+            else if (strcmp(t, "script") == 0 || strcmp(t, "style") == 0) {
+                Py_XDECREF(h->cdata);
+                h->cdata = Py_NewRef(tag);
+            }
+        }
+    }
+    Py_DECREF(tag);
+    Py_XDECREF(src);
+    Py_XDECREF(href);
+    return rc < 0 ? -1 : endpos;
+}
+
+/* parse_endtag(i) */
+static Py_ssize_t h_parse_endtag(H *h, Py_ssize_t i)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    const unsigned char *gt = (const unsigned char *)memchr(
+        d + i + 1, '>', (size_t)(n - i - 1));
+    if (!gt)
+        return -1;
+    Py_ssize_t gtpos = (gt - d) + 1;
+    /* endtagfind.match: </ \s* [a-zA-Z][-.a-zA-Z0-9:_]* \s* > */
+    Py_ssize_t p = h_skip_uws(h, i + 2);
+    if (h->bail)
+        return -1;
+    Py_ssize_t ts = -1, te = -1;
+    int full = 0;
+    if (p < n && ((d[p] >= 'a' && d[p] <= 'z') ||
+                  (d[p] >= 'A' && d[p] <= 'Z'))) {
+        ts = p;
+        p++;
+        while (p < n) {
+            unsigned char b = d[p];
+            if ((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+                (b >= '0' && b <= '9') || b == '-' || b == '.' ||
+                b == ':' || b == '_')
+                p++;
+            else
+                break;
+        }
+        te = p;
+        Py_ssize_t p2 = h_skip_uws(h, p);
+        if (h->bail)
+            return -1;
+        if (p2 < n && d[p2] == '>')
+            full = 1;
+    }
+    if (!full) {
+        if (h->cdata) {
+            if (h_data_range(h, i, gtpos, 0) < 0)
+                return -1;
+            return gtpos;
+        }
+        /* tagfind_tolerant at i+2 */
+        if (i + 2 < n && ((d[i + 2] >= 'a' && d[i + 2] <= 'z') ||
+                          (d[i + 2] >= 'A' && d[i + 2] <= 'Z'))) {
+            Py_ssize_t ns = i + 2, ne = ns + 1;
+            while (ne < n && h_namebyte(d[ne]))
+                ne++;
+            PyObject *tag = h_lower_name(h, ns, ne);
+            if (!tag)
+                return -1;
+            Py_ssize_t after = h_skip_ws_slash(h, ne);
+            if (h->bail) {
+                Py_DECREF(tag);
+                return -1;
+            }
+            const unsigned char *g2 = (const unsigned char *)memchr(
+                d + after, '>', (size_t)(n - after));
+            if (!g2) {
+                /* unreachable (endendtag found one past the name), but
+                 * bail defensively rather than mirror gtpos=-1+1=0 */
+                Py_DECREF(tag);
+                h->bail = 1;
+                return -1;
+            }
+            int rc = h_endtag(h, tag);
+            Py_DECREF(tag);
+            if (rc < 0)
+                return -1;
+            return (g2 - d) + 1;
+        }
+        if (i + 3 <= n && d[i] == '<' && d[i + 1] == '/' &&
+            i + 2 < n && d[i + 2] == '>')
+            return i + 3;
+        /* parse_bogus_comment(i): '>' from i+2 */
+        {
+            const unsigned char *g3 = (const unsigned char *)memchr(
+                d + i + 2, '>', (size_t)(n - i - 2));
+            if (!g3)
+                return -1;
+            return (g3 - d) + 1;
+        }
+    }
+    {
+        PyObject *elem = h_lower_name(h, ts, te);
+        if (!elem)
+            return -1;
+        if (h->cdata) {
+            int eq = PyUnicode_Compare(elem, h->cdata);
+            if (eq == -1 && PyErr_Occurred()) {
+                Py_DECREF(elem);
+                return -1;
+            }
+            if (eq != 0) {
+                Py_DECREF(elem);
+                if (h_data_range(h, i, gtpos, 0) < 0)
+                    return -1;
+                return gtpos;
+            }
+        }
+        int rc = h_endtag(h, elem);
+        Py_DECREF(elem);
+        if (rc < 0)
+            return -1;
+        Py_CLEAR(h->cdata);
+        return gtpos;
+    }
+}
+
+/* parse_comment: '<!--' … '--\s*>' */
+static Py_ssize_t h_parse_comment(H *h, Py_ssize_t i)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    Py_ssize_t p = i + 4;
+    for (;;) {
+        const unsigned char *dd = h_find2(d + p, (size_t)(n - p), '-', '-');
+        if (!dd)
+            return -1;
+        Py_ssize_t q = (dd - d) + 2;
+        Py_ssize_t q2 = h_skip_uws(h, q);
+        if (h->bail)
+            return -1;
+        if (q2 < n && d[q2] == '>')
+            return q2 + 1;
+        p = (dd - d) + 1;
+        if (p + 2 > n)
+            return -1;
+    }
+}
+
+/* the cdata 'interesting' search: </\s*elem\s*> (re.I) from i; returns
+ * match START or -1 */
+static Py_ssize_t h_cdata_search(H *h, Py_ssize_t i)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    const char *elem = PyUnicode_AsUTF8(h->cdata);
+    if (!elem)
+        return -2;
+    size_t el = strlen(elem);
+    Py_ssize_t p = i;
+    for (;;) {
+        const unsigned char *lt = (const unsigned char *)memchr(
+            d + p, '<', (size_t)(n - p));
+        if (!lt)
+            return -1;
+        Py_ssize_t s = lt - d;
+        Py_ssize_t q = s + 1;
+        if (q < n && d[q] == '/') {
+            q = h_skip_uws(h, q + 1);
+            if (h->bail)
+                return -2;
+            if (q + (Py_ssize_t)el <= n) {
+                int ok = 1;
+                for (size_t m = 0; m < el; m++) {
+                    unsigned char b = d[q + (Py_ssize_t)m];
+                    if (b >= 'A' && b <= 'Z')
+                        b += 32;
+                    if (b != (unsigned char)elem[m]) {
+                        ok = 0;
+                        break;
+                    }
+                }
+                if (ok) {
+                    Py_ssize_t r = h_skip_uws(h, q + (Py_ssize_t)el);
+                    if (h->bail)
+                        return -2;
+                    if (r < n && d[r] == '>')
+                        return s;
+                }
+            }
+        }
+        p = s + 1;
+    }
+}
+
+/* goahead(end) from *ppos; advances *ppos to the consumed prefix.
+ * Returns 0 ok (h->bail may be set), -1 on real error. */
+static int h_goahead(H *h, Py_ssize_t *ppos, int end)
+{
+    const unsigned char *d = h->d;
+    Py_ssize_t n = h->n;
+    Py_ssize_t i = *ppos;
+    while (i < n && !h->bail) {
+        Py_ssize_t j;
+        if (!h->cdata) {
+            const unsigned char *lt = (const unsigned char *)memchr(
+                d + i, '<', (size_t)(n - i));
+            if (!lt) {
+                /* trailing text: hold back if a charref may be cut */
+                Py_ssize_t lo = i > n - 34 ? i : n - 34;
+                Py_ssize_t amppos = -1;
+                for (Py_ssize_t a = n - 1; a >= lo; a--)
+                    if (d[a] == '&') {
+                        amppos = a;
+                        break;
+                    }
+                if (amppos >= 0) {
+                    /* re [\s;].search from amppos */
+                    int found = 0;
+                    Py_ssize_t a = amppos;
+                    while (a < n) {
+                        if (d[a] == ';') {
+                            found = 1;
+                            break;
+                        }
+                        int cl, bad = 0;
+                        if (u8_isspace_at(d, n, a, &cl, &bad)) {
+                            found = 1;
+                            break;
+                        }
+                        if (bad) {
+                            h->bail = 1;
+                            break;
+                        }
+                        a += cl;
+                    }
+                    if (h->bail)
+                        break;
+                    if (!found)
+                        break; /* wait till we get all the text */
+                }
+                j = n;
+            } else
+                j = lt - d;
+        } else {
+            Py_ssize_t m = h_cdata_search(h, i);
+            if (m == -2)
+                return h->bail ? 0 : -1;
+            if (m < 0)
+                break; /* unterminated cdata: tail stays unflushed */
+            j = m;
+        }
+        if (i < j) {
+            if (h_data_range(h, i, j, h->cdata ? 0 : 1) < 0)
+                return h->bail ? 0 : -1;
+        }
+        i = j;
+        if (i == n)
+            break;
+        /* d[i] == '<' */
+        Py_ssize_t k;
+        unsigned char nx = i + 1 < n ? d[i + 1] : 0;
+        if ((nx >= 'a' && nx <= 'z') || (nx >= 'A' && nx <= 'Z')) {
+            k = h_parse_starttag(h, i);
+            if (k < 0 && PyErr_Occurred())
+                return -1;
+            if (h->bail)
+                break;
+        } else if (nx == '/') {
+            k = h_parse_endtag(h, i);
+            if (k < 0 && PyErr_Occurred())
+                return -1;
+            if (h->bail)
+                break;
+        } else if (i + 3 < n && nx == '!' && d[i + 2] == '-' &&
+                   d[i + 3] == '-') {
+            k = h_parse_comment(h, i);
+            if (h->bail)
+                break;
+        } else if (nx == '?') {
+            const unsigned char *g = (const unsigned char *)memchr(
+                d + i + 2, '>', (size_t)(n - i - 2));
+            k = g ? (g - d) + 1 : -1;
+        } else if (nx == '!') {
+            /* parse_html_declaration ('<!--' handled above) */
+            if (i + 2 < n && d[i + 2] == '[') {
+                h->bail = 1; /* marked section: rare, Python authority */
+                break;
+            }
+            if (i + 9 <= n && strncasecmp((const char *)d + i, "<!doctype",
+                                          9) == 0) {
+                const unsigned char *g = (const unsigned char *)memchr(
+                    d + i + 9, '>', (size_t)(n - i - 9));
+                k = g ? (g - d) + 1 : -1;
+            } else {
+                /* bogus comment */
+                const unsigned char *g = (const unsigned char *)memchr(
+                    d + i + 2, '>', (size_t)(n - i - 2));
+                k = g ? (g - d) + 1 : -1;
+            }
+        } else if (i + 1 < n) {
+            if (h_data(h, g_lt_str) < 0)
+                return -1;
+            k = i + 1;
+        } else if (end) {
+            if (h_data(h, g_lt_str) < 0)
+                return -1;
+            k = i + 1;
+        } else
+            break;
+        if (h->bail)
+            break;
+        if (k < 0) {
+            if (!end)
+                break;
+            const unsigned char *g = (const unsigned char *)memchr(
+                d + i + 1, '>', (size_t)(n - i - 1));
+            if (g)
+                k = (g - d) + 1;
+            else {
+                const unsigned char *lt2 = (const unsigned char *)memchr(
+                    d + i + 1, '<', (size_t)(n - i - 1));
+                k = lt2 ? (lt2 - d) : i + 1;
+            }
+            if (h_data_range(h, i, k, h->cdata ? 0 : 1) < 0)
+                return h->bail ? 0 : -1;
+        }
+        i = k;
+    }
+    if (!h->bail && end && i < n && !h->cdata) {
+        if (h_data_range(h, i, n, 1) < 0)
+            return h->bail ? 0 : -1;
+        i = n;
+    }
+    *ppos = i;
+    return 0;
+}
+
+static void h_free(H *h)
+{
+    for (Py_ssize_t i = 0; i < h->sp; i++)
+        Py_DECREF(h->stack[i].tag);
+    free(h->stack);
+    Py_XDECREF(h->seg);
+    Py_XDECREF(h->events);
+    Py_XDECREF(h->links);
+    Py_XDECREF(h->anchors);
+    Py_XDECREF(h->cdata);
+}
+
+/* html_events(doc) -> (events, links) | None (bail: caller re-parses
+ * with the pure-Python authority) */
+static PyObject *html_events_py(PyObject *self, PyObject *args)
+{
+    PyObject *doc;
+    if (!PyArg_ParseTuple(args, "U", &doc))
+        return NULL;
+    if (!g_unescape) {
+        PyErr_SetString(PyExc_RuntimeError,
+                        "html path requires setup_html");
+        return NULL;
+    }
+    Py_ssize_t n;
+    const char *u8 = PyUnicode_AsUTF8AndSize(doc, &n);
+    if (!u8) {
+        PyErr_Clear(); /* lone surrogates etc: Python authority */
+        Py_RETURN_NONE;
+    }
+    H h;
+    memset(&h, 0, sizeof(h));
+    h.d = (const unsigned char *)u8;
+    h.n = n;
+    h.seg = PyList_New(0);
+    h.events = PyList_New(0);
+    h.links = PyList_New(0);
+    h.anchors = PyList_New(0);
+    if (!h.seg || !h.events || !h.links || !h.anchors) {
+        h_free(&h);
+        return NULL;
+    }
+    Py_ssize_t pos = 0;
+    /* feed(whole doc) then close(): goahead(0) then goahead(1) over the
+     * unconsumed tail (parser.py feed/close semantics) */
+    if (h_goahead(&h, &pos, 0) < 0) {
+        h_free(&h);
+        return NULL;
+    }
+    if (!h.bail && h_goahead(&h, &pos, 1) < 0) {
+        h_free(&h);
+        return NULL;
+    }
+    if (h.bail) {
+        h_free(&h);
+        Py_RETURN_NONE;
+    }
+    /* consumer close(): final flush */
+    if (h_flush(&h) < 0) {
+        h_free(&h);
+        return NULL;
+    }
+    PyObject *r = PyTuple_Pack(2, h.events, h.links);
+    h_free(&h);
+    return r;
+}
+
+static void install_global(PyObject **slot, PyObject *value); /* below */
+
+static PyObject *setup_html(PyObject *self, PyObject *args)
+{
+    PyObject *unescape, *ws_collapse, *boiler_value;
+    if (!PyArg_ParseTuple(args, "OOO", &unescape, &ws_collapse,
+                          &boiler_value))
+        return NULL;
+    install_global(&g_unescape, unescape);
+    install_global(&g_ws_collapse, ws_collapse);
+    install_global(&g_boiler_value, boiler_value);
+    Py_RETURN_NONE;
+}
+
 /* ---- setup -------------------------------------------------------------- */
 /* Replace a module global: incref the new value, release the previously
  * installed one (setup may be called more than once if content.py is
@@ -3308,6 +4727,10 @@ static PyMethodDef methods[] = {
      "merge_close_fragments fast path over CFrag lists; None = bail"},
     {"reconstruct_text", reconstruct_text, METH_VARARGS,
      "post-merge text rebuild over CFrag lists; None = bail"},
+    {"setup_html", setup_html, METH_VARARGS,
+     "install html-path helpers (unescape, ws_collapse, boiler_value)"},
+    {"html_events", html_events_py, METH_VARARGS,
+     "HTML main-content events+links; None = bail to Python"},
     {"run_page", run_page, METH_VARARGS,
      "run the fast content loop; None on completion"},
     {"parse_indirect", parse_indirect, METH_VARARGS,
@@ -3370,7 +4793,11 @@ PyMODINIT_FUNC PyInit_oxpdf_cscan(void)
     g_gray = PyUnicode_InternFromString("gray");
     g_rgb = PyUnicode_InternFromString("rgb");
     g_cmyk = PyUnicode_InternFromString("cmyk");
-    if (!g_nl || !g_sp || !g_empty || !g_gray || !g_rgb || !g_cmyk)
+    g_ev_text = PyUnicode_InternFromString("text");
+    g_ev_img = PyUnicode_InternFromString("img");
+    g_lt_str = PyUnicode_InternFromString("<");
+    if (!g_nl || !g_sp || !g_empty || !g_gray || !g_rgb || !g_cmyk ||
+        !g_ev_text || !g_ev_img || !g_lt_str)
         return NULL;
     if (PyType_Ready(&CFragType) < 0)
         return NULL;

@@ -2101,6 +2101,15 @@ def _load_cscan():
 
             mod.setup_layout(TextFragment, parse_font_style, _c_frag_env)
             mod.layout_ready = True
+        # HTML tokenizer stage (its own kill switch, same rationale)
+        mod.html_ready = False
+        if not _os.environ.get("OXPDF_NO_CHTML"):
+            from html import unescape as _html_unescape
+
+            from .html_extract import _hint_value, _ws_collapse
+
+            mod.setup_html(_html_unescape, _ws_collapse, _hint_value)
+            mod.html_ready = True
     except Exception:
         return None
     return mod

@@ -153,6 +153,40 @@ class _MainContentParser(HTMLParser):
         self._flush()
 
 
+# C fast-path helpers (installed into _cscan via setup_html): the C
+# tokenizer delegates exactly these semantics back to Python where byte-
+# level reimplementation would be risky (unicode \b in the hint regex,
+# unicode \s in the collapse)
+def _hint_value(v: str) -> bool:
+    return _BOILER_HINT.search(v) is not None
+
+
+def _ws_collapse(s: str) -> str:
+    return _WS.sub(" ", s).strip()
+
+
+def _parse_events(html: str):
+    """(events, links) via the C tokenizer (html_events, _cscan.c — a
+    transcription of this module's html.parser pass) when available;
+    any bail/None/exception falls back to the pure-Python authority."""
+    from .content import _CSCAN
+
+    if _CSCAN is not None and getattr(_CSCAN, "html_ready", False):
+        try:
+            r = _CSCAN.html_events(html)
+        except Exception:
+            r = None
+        if r is not None:
+            return r
+    parser = _MainContentParser()
+    try:
+        parser.feed(html)
+        parser.close()
+    except Exception:
+        pass  # tolerate pathological markup; keep whatever parsed
+    return parser.events, parser.links
+
+
 def extract_html_spans(
     html: str,
     link_density_max: float = LINK_DENSITY_MAX,
@@ -161,14 +195,9 @@ def extract_html_spans(
     """One HTML document → ordered main-content spans: kept segments as
     ``text`` spans (whitespace-normalized, document order), in-content
     images as ``image`` spans with media_ref = the src attribute."""
-    parser = _MainContentParser()
-    try:
-        parser.feed(html)
-        parser.close()
-    except Exception:
-        pass  # tolerate pathological markup; keep whatever parsed
+    events, _links = _parse_events(html)
     spans: list[tuple[str, str, str | None]] = []
-    for ev in parser.events:
+    for ev in events:
         if ev[0] == "img":
             spans.append(("image", "", ev[1]))
             continue
@@ -187,10 +216,5 @@ def extract_html_links(html: str) -> list[tuple[str, str]]:
     order — the crawl-graph surface. Unlike the main-content span path,
     boilerplate anchors (nav, footers, link farms) ARE included: out-link
     mining wants the full edge set; script/style content is still dropped."""
-    parser = _MainContentParser()
-    try:
-        parser.feed(html)
-        parser.close()
-    except Exception:
-        pass
-    return parser.links
+    _events, links = _parse_events(html)
+    return links

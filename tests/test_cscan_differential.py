@@ -506,3 +506,157 @@ def test_differential_reconstruct_hyphen_merge():
             [TextFragment(*v) for v in vals]
         )
         assert text_c == text_py == want, (merge_hyph, text_c, text_py)
+
+
+def _py_html_events(html):
+    from oxidizepdf_spark.kernel.html_extract import _MainContentParser
+
+    p = _MainContentParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        pass
+    return list(p.events), list(p.links)
+
+
+def test_differential_html_corpus():
+    """C html_events vs the stdlib html.parser consumer over every HTML
+    document the synthetic corpus generates, plus the spans/links
+    public surfaces."""
+    from oxidizepdf_spark.corpus import generate_corpus
+    from oxidizepdf_spark.kernel import content as CC
+    from oxidizepdf_spark.kernel.html_extract import (
+        extract_html_links,
+        extract_html_spans,
+    )
+
+    n_html = 0
+    for in_row, _ in generate_corpus(n_docs=600, seed=123):
+        for s in in_row["spans"]:
+            if s["kind"] != "raw_html":
+                continue
+            html = s["text"]
+            n_html += 1
+            c = CC._CSCAN.html_events(html)
+            py = _py_html_events(html)
+            assert c is not None, "unexpected bail on corpus HTML"
+            assert (list(c[0]), list(c[1])) == py
+            # and the public surfaces agree with themselves
+            assert extract_html_spans(html) is not None
+            assert extract_html_links(html) is not None
+    assert n_html > 50  # the corpus does exercise the HTML tier
+
+
+def test_differential_html_constructs():
+    """Targeted html.parser constructs through both engines: CDATA
+    script/style, broken tags, comments, doctype, bogus comments,
+    charrefs (incl. truncated at EOF), quoted/bare/valueless attrs,
+    XHTML self-closing, nested/unbalanced anchors, img variants."""
+    from oxidizepdf_spark.kernel import content as CC
+
+    docs = [
+        "<p class='sidebar x'>hidden</p><p class=promo>also</p><p>kept body text here</p>",
+        '<P CLASS="NAV">upper</P><DIV ID="MainFooter">f</DIV><p>body text stays</p>',
+        "<a href='/a'>one</a><a href=/b>two</a><a href>three</a><a>four</a>",
+        "<img src='a.png'><img src=b.png /><img><img src=''>",
+        "<script>if (a < b && c > d) { x = '<p>'; }</script><p>after body</p>",
+        "<style>p > a { color: red; }</style><p>styled body text</p>",
+        "<script>unterminated cdata tail is dropped",
+        "<sCrIpT>x</sCrIpT after junk><p>recovery body text</p>",
+        "<script>a</script ><p>space before gt body</p>",
+        "<p>a<br>b<hr>c</p>",
+        "<!-- c1 --><!--->odd<!----><p>comment soup body text</p>",
+        "<!-- unterminated comment <p>gone</p>",
+        "<!DOCTYPE html PUBLIC 'x'><p>doctype body text</p>",
+        "<! bogus ><p>bogus comment body</p>",
+        "<?php echo '<p>'; ?><p>pi body text</p>",
+        "</><p>empty endtag body</p>",
+        "</ div><p>bogus end body</p>",
+        "</div attr='x'><p>attr endtag body</p>",
+        "<div><p>unclosed div p",
+        "<p>amp & lone</p>",
+        "<p>trailing entity &am",
+        "<p>entity &amp reopened</p>",
+        "<p>num &#65; &#x41; &#9999999; &#xZZ;</p>",
+        "<p x=1 y = '2' z=\"3\" w>attrs body text</p>",
+        "<p x='a>b'>quote-gt body text</p>",
+        "<p x=\"unterminated>body text continues",
+        "<a href='/x' href='/y'>dup href</a>",
+        "<a href='/k'><b>nested <i>anchor</i> text</b></a> tail",
+        "<a href='/o'>outer <a href='/i'>inner</a> rest</a>",
+        "<div class='a' class='ad'>dup class ad</div><p>body text</p>",
+        "<div class='read'>not-boiler body text here</div>",
+        "<div class='thread'>thread body text here</div>",
+        "<div class='x-ad-y'>ad hyphens</div><p>body text</p>",
+        "< p>lt space body</p>",
+        "<1tag>numeric body</1tag>",
+        "<tag-with-dash attr>dash body text</tag-with-dash>",
+        "<p%>odd name body</p%>",
+        "<p/junk>slash junk body</p>",
+        "<br/><input type=text /><p>void self-close body</p>",
+        "<td>cell one</td><td>cell two</td>",
+        "text with no tags at all, long enough to keep",
+        "<p>" + "x" * 5000 + "</p>",
+        "<p>tail lt <",
+        "<p>tail lt2 <x",
+        "<p>tail eq <x a=",
+        "<p a='é café'>unicode attr body</p>",
+        "<p>café unicode body text — dash</p>",
+        "<div class='café ad'>unicode class ad</div><p>body</p>",
+        "<p nbsp>after-name nbsp</p>",
+    ]
+    from oxidizepdf_spark.kernel import content as CC2
+
+    n_bail = 0
+    for d in docs:
+        c = CC2._CSCAN.html_events(d)
+        py = _py_html_events(d)
+        if c is None:
+            n_bail += 1
+            continue  # bail = Python authority runs; no divergence possible
+        assert (list(c[0]), list(c[1])) == py, d[:80]
+    # the fast path must actually cover the overwhelming majority
+    assert n_bail <= 2, f"too many bails: {n_bail}"
+
+
+def test_differential_html_hypothesis():
+    """Adversarial tag soup through both engines."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oxidizepdf_spark.kernel import content as CC
+
+    piece = st.sampled_from(
+        ["<p>", "</p>", "<div class='nav'>", "</div>", "<a href='/x'>",
+         "</a>", "<img src='i.png'>", "<br>", "<script>", "</script>",
+         "<b", ">", "<", "&amp;", "&", "&#65;", "&nbsp;", "text body",
+         " ", "longer chunk of body text", "<!", "<!--", "-->", "<?pi",
+         "'", '"', "=", "/>", "</", "x=1", " class=ad ", "é",
+         "<style>", "</style>", "<td>", "</ td>", ";"]
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(piece, min_size=0, max_size=25))
+    def check(pieces):
+        doc = "".join(pieces)
+        c = CC._CSCAN.html_events(doc)
+        if c is None:
+            return  # bail → Python authority
+        py = _py_html_events(doc)
+        assert (list(c[0]), list(c[1])) == py, doc[:120]
+
+    check()
+
+
+def test_differential_html_eq_backtrack():
+    """Pinned fuzz find: sre backtracks '=+' when a quoted attr value is
+    unterminated — '<a 9==\">' parses as attr ('9', '=\"') and the tag
+    completes (no data event); a linear scanner that treats the value
+    group as empty instead emits the raw tag text."""
+    from oxidizepdf_spark.kernel import content as CC
+
+    for doc in ('<a 9==">', '<p a=="x>y', '<p a= =">z', '<p a == "u>v'):
+        c = CC._CSCAN.html_events(doc)
+        assert c is not None
+        assert (list(c[0]), list(c[1])) == _py_html_events(doc), doc
