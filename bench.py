@@ -388,6 +388,9 @@ def main() -> None:
         "corpus_pack_sequences": Q.q_corpus_pack_sequences,
         # round-5 addition (Lee et al. exact-substring stage)
         "text_exact_substring_dedup": Q.q_text_exact_substring_dedup,
+        # round-6: byte-level suffix-array variant (pytest-pinned; not
+        # in the 50-row oracle registry — see its docstring)
+        "text_exact_substring_bytes": Q.q_text_exact_substring_bytes,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the

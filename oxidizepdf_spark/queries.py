@@ -3514,6 +3514,64 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 """
 
 
+SUBSTR_BYTE_MIN = 40   # min duplicated-substring length in BYTES
+SUBSTR_BYTE_SHARDS = 32  # doc_id % K shards, each builds one suffix array
+
+
+def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BYTE-level exact-substring dedup — the paper-fidelity upgrade the
+    word-gram operator's docstring names (Lee et al. 2022 §3; the
+    google-research/deduplicate-text-datasets tool shards the corpus and
+    builds one suffix array per shard the same way): documents shard by
+    ``doc_id % 32`` (corpus_pack_sequences' shard key), each shard
+    concatenates its texts and runs ONE numpy suffix-array + Kasai-LCP
+    pass (oxidizepdf_spark/suffix.py), reporting per document the byte
+    mass covered by >= 40-byte substrings shared with ANOTHER
+    document of the shard. Catches the cross-word-boundary and
+    whitespace-variant duplicates the word-gram hash cannot see
+    (pytest-pinned: tests/test_suffix.py).
+
+    NOT in the recorded oracle registry: a suffix array is not
+    SQL-expressible, and the registry holds exactly 50 oracle-checked
+    rows — q_text_exact_substring_dedup remains the oracle-checkable
+    projection of this stage; this operator is pytest-pinned and
+    bench-timed instead.
+
+    Scale shape (100 TB): one narrow shuffle on the shard key, then
+    shard-local CPU — exactly the production tool's layout (their shards
+    are ~1/100th of the corpus per machine). Shard count scales with
+    executors; memory per task = shard bytes x ~17 (int64 SA + rank +
+    LCP), the documented sizing knob."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", norm_col("text").alias("norm")
+    )
+    sharded = docs.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(SUBSTR_BYTE_SHARDS))
+    )
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .suffix import cross_doc_duplicate_coverage
+
+        texts = [
+            (int(i), t.encode("utf-8"))
+            for i, t in zip(pdf["doc_id"], pdf["norm"])
+        ]
+        cov = cross_doc_duplicate_coverage(texts, SUBSTR_BYTE_MIN)
+        out = {"doc_id": [], "n_bytes": [], "dup_bytes": [], "n_intervals": []}
+        for doc_id, b in texts:
+            iv = cov.get(doc_id, [])
+            out["doc_id"].append(doc_id)
+            out["n_bytes"].append(len(b))
+            out["dup_bytes"].append(sum(e - s for s, e in iv))
+            out["n_intervals"].append(len(iv))
+        return pd.DataFrame(out)
+
+    return sharded.groupBy("shard").applyInPandas(
+        per_shard,
+        schema="doc_id long, n_bytes long, dup_bytes long, n_intervals int",
+    )
+
+
 DECONTAM_BENCH_MOD = 100  # docs with doc_id % MOD == RES are 'the benchmark'
 DECONTAM_BENCH_RES = 7
 DECONTAM_PPM_THRESHOLD = 100_000  # >= 10% shingle overlap → contaminated
