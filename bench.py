@@ -82,29 +82,47 @@ def stage_corpus(spark, n_docs: int, seed: int = 42) -> str:
 
 
 def run_extract_job(
-    spark, n_docs: int, seed: int = 42, staged: bool = True, salt: bool = False
+    spark,
+    n_docs: int,
+    seed: int = 42,
+    staged: bool = True,
+    salt: bool = False,
+    waves: int | None = None,
 ) -> dict:
     """The headline job: corpus scan → full extraction → aggregate.
 
     The staged corpus is written bucketed (partitionBy part_id), so the
     production-shaped run skips the salting shuffle (salt=False); bench
-    also times the salted path separately (extras['salted_sec'])."""
+    also times the salted path separately (extras['salted_sec']).
+
+    Split sizing (``waves``): None = one task per staged file (128).
+    Per-task overhead is ~200ms of MACHINE time regardless of core
+    count (measured ~8ms/task wall at 32 cores, ~90ms at 2 —
+    tools/profile_tasks.py + the pinned-leg A/B), so with a FIXED task
+    count it scales exactly like compute across core counts and the
+    scaling pairs' ratios stay overhead-neutral — the per-file default
+    is the fair configuration for the N-vs-4N legs and balances best on
+    large corpora (whole waves). The small headline corpus, whose
+    per-task compute would drop to ~0.1s, passes ``waves=1`` instead:
+    one even wave of cores-sized tasks (measured 1.84s → 1.26s on the
+    50k corpus), which is also closer to the production shape of
+    multi-second 128-512MB-split tasks."""
     from pyspark.sql import functions as F
 
     from oxidizepdf_spark.pipeline import extract_spans
 
     if staged:
         path = stage_corpus(spark, n_docs, seed)
-        # Emulate production split sizing: real corpora ship 128-512MB files
-        # and the 128MB default yields ~cores*k splits. The tiny bench corpus
-        # would pack into a handful of splits (openCost packing), starving
-        # the cores — size splits to ~3 waves per core instead.
         files = list(__import__("pathlib").Path(path).rglob("*.parquet"))
         total = sum(f.stat().st_size for f in files)
-        # one task per file (see stage_corpus): cap the split at the file
-        # size so bin-packing never merges files into under-parallel scans
-        per_file = max(total // max(len(files), 1), 1)
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(per_file))
+        if waves:
+            par = spark.sparkContext.defaultParallelism
+            per = max(total // (par * waves), 1) + (1 << 13)
+        else:
+            # one task per file: cap the split at the file size so
+            # bin-packing never merges files into under-parallel scans
+            per = max(total // max(len(files), 1), 1)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(per))
         spark.conf.set("spark.sql.files.openCostInBytes", "0")
         docs = spark.read.parquet(path)
     else:
@@ -336,15 +354,15 @@ def main() -> None:
     # contention (r2 recorded 5.66s for a job that runs 2.4s in a quiet
     # window) — the fastest window is the least-contended measurement of
     # the pipeline itself.
-    run_extract_job(spark, n_docs, seed=42)
-    run_extract_job(spark, n_docs, seed=42)  # 2nd warm: JIT convergence
+    run_extract_job(spark, n_docs, seed=42, waves=1)
+    run_extract_job(spark, n_docs, seed=42, waves=1)  # 2nd warm: JIT convergence
     # best-of-6 with an early stop once a run lands within 3% of the best
     # twice (the window is healthy — more runs just burn the budget); a
     # degraded window keeps sampling all 6 legs to straddle it.
     head = None
     near_best = 0
     for _ in range(6):
-        r = run_extract_job(spark, n_docs, seed=42)
+        r = run_extract_job(spark, n_docs, seed=42, waves=1)
         if head is None or r["sec"] < head["sec"]:
             head = r
             near_best = 0  # 'within 3%' hits must refer to the final best
@@ -360,7 +378,7 @@ def main() -> None:
     extras["extract_mb_in"] = round(head["bytes_in"] / 1e6, 1)
     salted = None
     for _ in range(2):
-        r = run_extract_job(spark, n_docs, seed=42, salt=True)
+        r = run_extract_job(spark, n_docs, seed=42, salt=True, waves=1)
         if salted is None or r["sec"] < salted["sec"]:
             salted = r
     extras["salted_sec"] = round(salted["sec"], 4)

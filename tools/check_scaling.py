@@ -13,7 +13,7 @@ from oxidizepdf_spark.table_io import get_spark  # noqa: E402
 def main():
     cpus = 32
     scale_docs = 150_000
-    sat_docs = scale_docs * 4
+    sat_docs = scale_docs * 6
     spark = get_spark(master=f"local[{cpus}]", shuffle_partitions=cpus)
     spark.sparkContext.setLogLevel("ERROR")
     stage_corpus(spark, scale_docs, seed=7)
