@@ -254,3 +254,18 @@ def test_exact_substring_dedup_plan_shape(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
     release_persisted()
+
+
+def test_exact_substring_bytes_plan_shape(spark):
+    """Byte-level suffix-array dedup: ONE shuffle on the shard key into
+    the applyInPandas stage — no cartesian, no SinglePartition collapse
+    (each shard's suffix array builds on its own executor)."""
+    from oxidizepdf_spark.queries import q_text_exact_substring_bytes
+
+    df = q_text_exact_substring_bytes(spark, SF)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SinglePartition" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan or "hashpartitioning" in plan
+    # exactly one exchange: the shard-key repartition for the grouped map
+    assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
