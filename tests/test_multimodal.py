@@ -75,3 +75,62 @@ def test_decode_and_resize_stubs_deterministic():
     r1 = resize_image_stub(b"x" * 1000, (32, 32))
     assert r1 == resize_image_stub(b"x" * 1000, (32, 32))
     assert r1[:8] == (32).to_bytes(4, "big") + (32).to_bytes(4, "big")
+
+
+def test_zip_deployment_kernel_loads_from_zip():
+    """spark-submit --py-files simulation (north_rule deployment story):
+    the package shipped as a ZIP on a bare sys.path must import, extract
+    documents, AND compile the C kernel from its zipped source
+    (importlib.resources path in cbuild) into a fresh cache."""
+    import os
+    import subprocess
+    import sys
+    import tempfile
+    import zipfile
+
+    import oxidizepdf_spark
+
+    pkg_dir = os.path.dirname(os.path.abspath(oxidizepdf_spark.__file__))
+    with tempfile.TemporaryDirectory() as td:
+        zpath = os.path.join(td, "oxidizepdf_spark.zip")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith((".pyc",)):
+                        continue
+                    full = os.path.join(root, f)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    z.write(full, rel)
+        prog = (
+            "import sys, json\n"
+            "sys.path.insert(0, %r)\n"
+            "from oxidizepdf_spark.kernel import content\n"
+            "from oxidizepdf_spark.corpus import generate_corpus\n"
+            "from oxidizepdf_spark.kernel.extract import extract_document_spans\n"
+            "ok = 0\n"
+            "for in_row, _ in generate_corpus(n_docs=6, seed=3):\n"
+            "    spans, meta = extract_document_spans(\n"
+            "        [(s['kind'], s['text'], s['media_ref']) for s in in_row['spans']])\n"
+            "    ok += int(meta['ok'])\n"
+            "print(json.dumps({'ok': ok, 'c': content._CSCAN is not None,\n"
+            "                  'html': bool(getattr(content._CSCAN, 'html_ready', False)),\n"
+            "                  'layout': bool(getattr(content._CSCAN, 'layout_ready', False))}))\n"
+        ) % zpath
+        env = dict(os.environ)
+        # fresh cache: the compile must work from the ZIPPED .c source
+        env["XDG_CACHE_HOME"] = os.path.join(td, "cache")
+        env.pop("PYTHONPATH", None)
+        proc = subprocess.run(
+            [sys.executable, "-c", prog],
+            capture_output=True,
+            text=True,
+            timeout=300,
+            cwd=td,
+            env=env,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        import json
+
+        out = json.loads(proc.stdout.strip().splitlines()[-1])
+        assert out["ok"] == 6
+        assert out["c"] and out["html"] and out["layout"], out
