@@ -87,6 +87,11 @@ typedef struct {
     double lastx, lasty;
     Py_UCS4 lastc; /* 0 == "" */
     PyObject *text_parts, *font_memo, *saved, *fill_color, *decode_meth;
+    PyObject *tf_name; /* current st.font_name (owned): Tf ops naming the
+                        * SAME memoized name object at the same size are
+                        * observationally idempotent and skip the Python
+                        * _set_font_memo round-trip (31.6k Tf ops on the
+                        * Cold_Email fixture, overwhelmingly redundant) */
     /* layout stage (only populated when c->layout): fragment emission
      * state — everything Interpreter._emit_fragment reads, cached with
      * the same write-back/re-read discipline as the counters */
@@ -1542,6 +1547,14 @@ static int resync_after_do(Ctx *c)
         return -1;
     Py_DECREF(c->fill_color);
     c->fill_color = fc;
+    {
+        /* a Tf inside the XObject persists past the restore */
+        PyObject *fn = PyObject_GetAttr(c->st, a_font_name);
+        if (!fn)
+            return -1;
+        Py_XDECREF(c->tf_name);
+        c->tf_name = fn;
+    }
     if (c->layout) {
         /* a Form XObject's Tf persists past the restore; mc stack /
          * pending may have moved inside nested streams; CTM restored */
@@ -1630,6 +1643,9 @@ static PyObject *run_page(PyObject *self, PyObject *args)
         goto fail_early;
     c->fill_color = PyObject_GetAttr(c->st, a_fill_color);
     if (!c->fill_color)
+        goto fail_early;
+    c->tf_name = PyObject_GetAttr(c->st, a_font_name);
+    if (!c->tf_name)
         goto fail_early;
     {
         double m[6];
@@ -1956,18 +1972,28 @@ static PyObject *run_page(PyObject *self, PyObject *args)
                         c->stk[c->sp - 1].tag == V_NUM) {
                         PyObject *s = c->stk[c->sp - 2].obj;
                         double sz = c->stk[c->sp - 1].num;
+                        if (s == c->tf_name && sz == c->fs) {
+                            /* same memoized name object, same size:
+                             * every effect (attrs, memo, l_sp, style)
+                             * is already in place — skip the Python
+                             * round-trip */
+                        } else {
                         if (PyObject_SetAttr(c->st, a_font_name, s) < 0)
                             goto fail;
                         if (set_f(c->st, a_font_size, sz) < 0)
                             goto fail;
                         c->fs = sz;
                         c->l_sp = c->sp_thr * c->fs;
+                        Py_INCREF(s);
+                        Py_XDECREF(c->tf_name);
+                        c->tf_name = s;
                         if (call_method1(c, a_set_font_memo, s) < 0)
                             goto fail;
                         if (refresh_font_memo(c) < 0)
                             goto fail;
                         if (c->layout && refresh_font_style(c) < 0)
                             goto fail;
+                        }
                     }
                 } else if (ol == 2 && op[0] == 'B' && op[1] == 'T') {
                     c->in_text = 1;
@@ -2364,6 +2390,7 @@ static PyObject *run_page(PyObject *self, PyObject *args)
     Py_DECREF(c->decode_meth);
     Py_DECREF(c->saved);
     Py_DECREF(c->fill_color);
+    Py_XDECREF(c->tf_name);
     Py_XDECREF(c->fragments);
     Py_XDECREF(c->font_name);
     Py_XDECREF(c->cur_mcid);
@@ -2393,6 +2420,7 @@ fail_nosync:
     Py_XDECREF(c->decode_meth);
     Py_XDECREF(c->saved);
     Py_XDECREF(c->fill_color);
+    Py_XDECREF(c->tf_name);
     Py_XDECREF(c->fragments);
     Py_XDECREF(c->font_name);
     Py_XDECREF(c->cur_mcid);
@@ -2408,6 +2436,7 @@ fail_early:
     Py_XDECREF(c->decode_meth);
     Py_XDECREF(c->saved);
     Py_XDECREF(c->fill_color);
+    Py_XDECREF(c->tf_name);
     Py_XDECREF(c->fragments);
     Py_XDECREF(c->font_name);
     Py_XDECREF(c->cur_mcid);
