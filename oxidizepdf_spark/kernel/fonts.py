@@ -18,6 +18,8 @@ usecmap *-UCS2 parents are supported.
 
 from __future__ import annotations
 
+import re
+
 from .cmap import CMap, decode_with_cmap
 from .encodings import (
     decode_macroman_byte,
@@ -332,8 +334,9 @@ def _decode_via_encoding_cmap(text: bytes, enc, coll) -> str:
     return "".join(out)
 
 
-def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
-    """extraction_cmap.rs decode_with_encoding:718-745."""
+def _decode_with_encoding_slow(text: bytes, info: FontInfo) -> str:
+    """extraction_cmap.rs decode_with_encoding:718-745 — the per-byte
+    authority loop (differential-pinned against the table fast path)."""
     out: list[str] = []
     diffs = info.differences
     enc = info.encoding
@@ -356,12 +359,84 @@ def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
     return "".join(out)
 
 
+# base 256-entry translate tables per named encoding (ordinal → str),
+# containing only the positions that differ from latin-1 (chr(b)) so
+# translate() skips the identity majority
+def _base_table(enc: str | None) -> dict[int, str]:
+    tbl: dict[int, str] = {}
+    for b in range(256):
+        if enc == "WinAnsiEncoding":
+            ch = decode_winansi_byte(b)
+        elif enc == "MacRomanEncoding":
+            ch = decode_macroman_byte(b)
+        elif enc == "StandardEncoding":
+            ch = decode_standard_byte(b)
+        else:
+            ch = chr(b)
+        if ch != chr(b):
+            tbl[b] = ch
+    return tbl
+
+
+_BASE_TABLES: dict = {}
+_FONT_TABLES: dict = {}  # id-keyed per-FontInfo table (holds the info ref)
+
+
+def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
+    """Table fast path for the per-byte loop above: the decode of byte b
+    depends only on (encoding, differences[b]) — fold both into one
+    256-entry str.translate table memoized per FontInfo, so a run
+    decodes in one C pass. The per-byte loop stays as the pinned
+    authority (test_encodings_fonts differential)."""
+    key = id(info)
+    hit = _FONT_TABLES.get(key)
+    if hit is None or hit[0] is not info:
+        if len(_FONT_TABLES) > 4096:  # long-lived executor hygiene
+            _FONT_TABLES.clear()
+        enc = info.encoding
+        base = _BASE_TABLES.get(enc)
+        if base is None:
+            base = _BASE_TABLES[enc] = _base_table(enc)
+        if info.differences:
+            tbl = dict(base)
+            for b, gname in info.differences.items():
+                if not isinstance(b, int) or not 0 <= b <= 255:
+                    continue
+                u = glyph_name_to_unicode(gname)
+                if u is not None:
+                    if u != chr(b):
+                        tbl[b] = u
+                    else:
+                        tbl.pop(b, None)
+        else:
+            tbl = base
+        hit = _FONT_TABLES[key] = (info, tbl)
+    tbl = hit[1]
+    s = text.decode("latin-1")
+    return s.translate(tbl) if tbl else s
+
+
+_SANITIZE_TRIGGER = re.compile(
+    # anything the state machine would actually rewrite: an ASCII control
+    # other than \t\n\r (incl. NUL/ETX/DEL), or a space following a
+    # space/tab (the only collapse sites — ' ' and '\t' are the only
+    # chars that set last_was_space)
+    "[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]|[ \t] "
+)
+
+
 def sanitize_extracted_text(text: str) -> str:
     """Issue #116 control-character scrub (extraction.rs:2232-2291):
     NUL(+ETX) → single space, lone ETX dropped, spaces collapsed,
-    tab/newline/CR preserved, other control chars removed."""
+    tab/newline/CR preserved, other control chars removed.
+
+    Clean text — no rewrite triggers — returns unchanged after one
+    C-level regex scan (the overwhelmingly common case; the state
+    machine below is the pinned authority)."""
     if not text:
         return ""
+    if _SANITIZE_TRIGGER.search(text) is None:
+        return text
     out: list[str] = []
     last_was_space = False
     i = 0

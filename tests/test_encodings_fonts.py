@@ -157,3 +157,86 @@ def test_identity_h_same_bytes_do_not_produce_cjk():
     res = extract_pdf_bytes(_type0_pdf(False))
     cjk = [c for c in res.page_texts[0] if "一" <= c <= "鿿"]
     assert not cjk, res.page_texts[0]
+
+
+def test_decode_with_encoding_table_matches_slow_loop():
+    """The per-FontInfo translate-table fast path vs the per-byte
+    authority loop, over every encoding x differences combination on
+    random byte runs (incl. multi-char glyph expansions)."""
+    import random
+
+    from oxidizepdf_spark.kernel.fonts import (
+        FontInfo,
+        _decode_with_encoding,
+        _decode_with_encoding_slow,
+    )
+
+    rng = random.Random(6)
+    diff_variants = [
+        None,
+        {},
+        {65: "bullet", 66: "nosuchglyph", 200: "ffi", 1: "space"},
+        {0: "Adieresis", 255: "quotesingle", 128: "Euro"},
+        {"bad": "key", 70: "emdash"},  # non-int key must be ignored
+    ]
+    for enc in (None, "WinAnsiEncoding", "MacRomanEncoding",
+                "StandardEncoding", "SomethingElse"):
+        for diffs in diff_variants:
+            info = FontInfo()
+            info.encoding = enc
+            info.differences = diffs
+            for _ in range(20):
+                data = bytes(rng.randrange(0, 256)
+                             for _ in range(rng.randrange(0, 40)))
+                assert _decode_with_encoding(data, info) == \
+                    _decode_with_encoding_slow(data, info), (enc, diffs, data)
+
+
+def test_sanitize_fast_path_matches_state_machine():
+    """Clean strings short-circuit; every trigger class still routes to
+    the authority state machine — outputs equal across a fuzz mix."""
+    import random
+
+    from oxidizepdf_spark.kernel.fonts import (
+        _SANITIZE_TRIGGER,
+        sanitize_extracted_text,
+    )
+
+    def slow(text):
+        # the original state machine, inlined as the authority
+        out, last_was_space, i, n = [], False, 0, len(text)
+        while i < n:
+            ch = text[i]
+            if ch == "\x00":
+                if i + 1 < n and text[i + 1] == "\x03":
+                    i += 1
+                if not last_was_space:
+                    out.append(" ")
+                    last_was_space = True
+            elif ch == "\x03":
+                pass
+            elif ch in "\t\n\r":
+                out.append(ch)
+                last_was_space = ch == "\t"
+            elif ch == " ":
+                if not last_was_space:
+                    out.append(" ")
+                    last_was_space = True
+            elif ch < " " or ch == "\x7f":
+                pass
+            else:
+                out.append(ch)
+                last_was_space = False
+            i += 1
+        return "".join(out)
+
+    rng = random.Random(7)
+    alphabet = "ab X\t\n\r\x00\x03\x7f\x01  é."
+    for _ in range(3000):
+        s = "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 30)))
+        assert sanitize_extracted_text(s) == slow(s), repr(s)
+    # the fast path actually fires for clean text
+    assert _SANITIZE_TRIGGER.search("normal text with single spaces") is None
+    assert _SANITIZE_TRIGGER.search("tab\there") is None
+    assert _SANITIZE_TRIGGER.search("tab\t here") is not None
+    assert _SANITIZE_TRIGGER.search("double  space") is not None
