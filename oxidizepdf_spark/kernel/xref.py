@@ -23,6 +23,7 @@ from .objects import Lexer, PdfParseError, Ref, Stream, parse_object
 #            | ('c', container_obj_num, index_in_stream) compressed
 XREF_ENTRY_RE = re.compile(rb"(\d{10})\s(\d{5})\s([nf])")
 FLEX_ENTRY_RE = re.compile(rb"(\d+)\s+(\d+)\s+([nf])")
+_SUBSECTION_RE = re.compile(rb"\s*(\d+)\s+(\d+)\s*")
 OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 
 
@@ -58,7 +59,7 @@ def _parse_traditional_section(data: bytes, offset: int) -> tuple[dict, dict, in
     entries: dict[int, tuple] = {}
     pos = lexer.pos
     while True:
-        m = re.compile(rb"\s*(\d+)\s+(\d+)\s*").match(data, pos)
+        m = _SUBSECTION_RE.match(data, pos)
         if not m:
             break
         start_obj, count = int(m.group(1)), int(m.group(2))
@@ -67,15 +68,15 @@ def _parse_traditional_section(data: bytes, offset: int) -> tuple[dict, dict, in
         # fall back to a flexible per-entry regex for sloppy producers
         # (xref.rs:1359 flexible parse).
         block = data[pos : pos + 20 * count]
-        matches = XREF_ENTRY_RE.findall(block)
+        # one finditer pass yields both the groups AND the precise end of
+        # the final entry (\r\n vs \n trim)
+        matches = []
+        end_rel = 0
+        for mm in XREF_ENTRY_RE.finditer(block):
+            matches.append(mm.groups())
+            end_rel = mm.end()
         if len(matches) == count:
-            pos += 20 * count
-            # trim if last entry used \r\n vs \n etc — recompute end precisely
-            last = XREF_ENTRY_RE.finditer(block)
-            end_rel = 0
-            for mm in last:
-                end_rel = mm.end()
-            pos = pos - (20 * count) + end_rel
+            pos += end_rel
             # consume trailing EOL of final entry
             while pos < len(data) and data[pos] in b"\r\n ":
                 pos += 1
