@@ -660,3 +660,26 @@ def test_differential_html_eq_backtrack():
         c = CC._CSCAN.html_events(doc)
         assert c is not None
         assert (list(c[0]), list(c[1])) == _py_html_events(doc), doc
+
+
+def test_differential_html_large_document():
+    """A ~750KB realistic page and a deep unbalanced-closer pathological
+    case: exact parity at scale, and the shared unwind algorithm
+    terminates on both engines."""
+    from oxidizepdf_spark.kernel import content as CC
+
+    parts = [
+        "<html><head><title>t</title><style>p{a:1}</style></head>"
+        "<body><nav>n1 n2 n3</nav>"
+    ]
+    for i in range(1500):
+        parts.append(
+            f"<div class='art'><h2>Heading {i}</h2><p>Paragraph {i} with "
+            f"body text &amp; entities, <a href='/l{i}'>a link {i}</a> and "
+            f"more words to fill the block.</p><img src='im{i}.png'></div>"
+        )
+    parts.append("<footer>f</footer></body></html>")
+    for doc in ("".join(parts), "<b>" * 1000 + "</i>" * 1000):
+        c = CC._CSCAN.html_events(doc)
+        assert c is not None
+        assert (list(c[0]), list(c[1])) == _py_html_events(doc)
