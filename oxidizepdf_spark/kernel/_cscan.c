@@ -4426,6 +4426,158 @@ static PyObject *html_events_py(PyObject *self, PyObject *args)
     return r;
 }
 
+/* ========================================================================
+ * Traditional xref-section fast parse (xref.py _parse_traditional_section
+ * entry loop; xref.rs:750-911 lineage).  STRICT 20-byte-stride layout
+ * only — `NNNNNNNNNN GGGGG k\x??\x??` — anything else (flexible spacing,
+ * comments before 'xref', truncated tables, 19-byte entries) returns
+ * None and the Python loop, which is the behavior authority including
+ * its flexible-producer fallback, re-parses from the same offset.
+ * ======================================================================== */
+
+static PyObject *g_n_str, *g_f_str; /* "n" / "f" singletons */
+
+/* bytes-pattern \s (ASCII-only: [ \t\n\r\f\v]) */
+static int is_bws(unsigned char b)
+{
+    return b == ' ' || b == '\t' || b == '\n' || b == '\r' || b == 0x0c ||
+           b == 0x0b;
+}
+
+static PyObject *parse_xref_sections(PyObject *self, PyObject *args)
+{
+    PyObject *data_obj;
+    Py_ssize_t offset;
+    if (!PyArg_ParseTuple(args, "On", &data_obj, &offset))
+        return NULL;
+    if (!PyBytes_Check(data_obj) || offset < 0)
+        Py_RETURN_NONE;
+    const unsigned char *d = (const unsigned char *)PyBytes_AS_STRING(data_obj);
+    Py_ssize_t n = PyBytes_GET_SIZE(data_obj);
+    Py_ssize_t p = offset;
+    /* the Lexer skips ws AND comments before 'xref'; handle pure-ws skip
+     * natively, bail on anything else (incl. '%') */
+    while (p < n && is_ws1(d[p]))
+        p++;
+    if (p + 4 > n || memcmp(d + p, "xref", 4) != 0)
+        Py_RETURN_NONE; /* Python raises its exact XRefError */
+    if (p + 4 < n && !is_bound(d[p + 4]))
+        Py_RETURN_NONE; /* 'xrefx' — not the keyword token */
+    p += 4;
+
+    PyObject *entries = PyDict_New();
+    if (!entries)
+        return NULL;
+    for (;;) {
+        /* subsection header: \s*(\d+)\s+(\d+)\s* — commit p only on a
+         * full match (regex semantics) */
+        Py_ssize_t q = p;
+        while (q < n && is_bws(d[q]))
+            q++;
+        if (q >= n || d[q] < '0' || d[q] > '9')
+            break; /* no further subsection; p unchanged */
+        Py_ssize_t s1 = q;
+        while (q < n && d[q] >= '0' && d[q] <= '9')
+            q++;
+        if (q - s1 > 18)
+            goto bail;
+        Py_ssize_t ws = q;
+        while (q < n && is_bws(d[q]))
+            q++;
+        if (q == ws || q >= n || d[q] < '0' || d[q] > '9')
+            break; /* header doesn't match; p unchanged */
+        Py_ssize_t s2 = q;
+        while (q < n && d[q] >= '0' && d[q] <= '9')
+            q++;
+        if (q - s2 > 18)
+            goto bail;
+        while (q < n && is_bws(d[q]))
+            q++;
+        long long start_obj = 0, count = 0;
+        for (Py_ssize_t i = s1; d[i] >= '0' && d[i] <= '9'; i++)
+            start_obj = start_obj * 10 + (d[i] - '0');
+        for (Py_ssize_t i = s2; d[i] >= '0' && d[i] <= '9'; i++)
+            count = count * 10 + (d[i] - '0');
+        Py_ssize_t hdr_end = q;
+        /* strict stride validation */
+        if (count > 0) {
+            if (hdr_end + 20 * (count - 1) + 18 > n)
+                goto bail; /* truncated: Python's flex path decides */
+            for (long long i = 0; i < count; i++) {
+                const unsigned char *e = d + hdr_end + 20 * i;
+                for (int k2 = 0; k2 < 10; k2++)
+                    if (e[k2] < '0' || e[k2] > '9')
+                        goto bail;
+                if (!is_bws(e[10]))
+                    goto bail;
+                for (int k2 = 11; k2 < 16; k2++)
+                    if (e[k2] < '0' || e[k2] > '9')
+                        goto bail;
+                if (!is_bws(e[16]))
+                    goto bail;
+                if (e[17] != 'n' && e[17] != 'f')
+                    goto bail;
+                if (i < count - 1) {
+                    /* the two stride filler bytes must be whitespace or
+                     * the bulk regex would see a different layout */
+                    if (!is_bws(e[18]) || !is_bws(e[19]))
+                        goto bail;
+                }
+            }
+            for (long long i = 0; i < count; i++) {
+                const unsigned char *e = d + hdr_end + 20 * i;
+                long long off = 0, gen = 0;
+                for (int k2 = 0; k2 < 10; k2++)
+                    off = off * 10 + (e[k2] - '0');
+                for (int k2 = 11; k2 < 16; k2++)
+                    gen = gen * 10 + (e[k2] - '0');
+                PyObject *num = PyLong_FromLongLong(start_obj + i);
+                if (!num)
+                    goto err;
+                PyObject *off_o = PyLong_FromLongLong(off);
+                PyObject *gen_o = PyLong_FromLongLong(gen);
+                if (!off_o || !gen_o) {
+                    Py_DECREF(num);
+                    Py_XDECREF(off_o);
+                    Py_XDECREF(gen_o);
+                    goto err;
+                }
+                PyObject *tup = PyTuple_Pack(
+                    3, e[17] == 'n' ? g_n_str : g_f_str, off_o, gen_o);
+                Py_DECREF(off_o);
+                Py_DECREF(gen_o);
+                if (!tup) {
+                    Py_DECREF(num);
+                    goto err;
+                }
+                /* first definition wins (entries.setdefault) */
+                PyObject *prev = PyDict_SetDefault(entries, num, tup);
+                Py_DECREF(num);
+                Py_DECREF(tup);
+                if (!prev)
+                    goto err;
+            }
+            p = hdr_end + 20 * (count - 1) + 18;
+        } else {
+            p = hdr_end;
+        }
+        /* trailing-EOL skip after the final entry: [\r\n ] ONLY */
+        while (p < n && (d[p] == '\r' || d[p] == '\n' || d[p] == ' '))
+            p++;
+    }
+    {
+        PyObject *r = Py_BuildValue("(On)", entries, p);
+        Py_DECREF(entries);
+        return r;
+    }
+bail:
+    Py_DECREF(entries);
+    Py_RETURN_NONE;
+err:
+    Py_DECREF(entries);
+    return NULL;
+}
+
 static void install_global(PyObject **slot, PyObject *value); /* below */
 
 static PyObject *setup_html(PyObject *self, PyObject *args)
@@ -4760,6 +4912,8 @@ static PyMethodDef methods[] = {
      "install html-path helpers (unescape, ws_collapse, boiler_value)"},
     {"html_events", html_events_py, METH_VARARGS,
      "HTML main-content events+links; None = bail to Python"},
+    {"parse_xref_sections", parse_xref_sections, METH_VARARGS,
+     "strict 20-byte traditional xref sections; None = bail"},
     {"run_page", run_page, METH_VARARGS,
      "run the fast content loop; None on completion"},
     {"parse_indirect", parse_indirect, METH_VARARGS,
@@ -4825,8 +4979,10 @@ PyMODINIT_FUNC PyInit_oxpdf_cscan(void)
     g_ev_text = PyUnicode_InternFromString("text");
     g_ev_img = PyUnicode_InternFromString("img");
     g_lt_str = PyUnicode_InternFromString("<");
+    g_n_str = PyUnicode_InternFromString("n");
+    g_f_str = PyUnicode_InternFromString("f");
     if (!g_nl || !g_sp || !g_empty || !g_gray || !g_rgb || !g_cmyk ||
-        !g_ev_text || !g_ev_img || !g_lt_str)
+        !g_ev_text || !g_ev_img || !g_lt_str || !g_n_str || !g_f_str)
         return NULL;
     if (PyType_Ready(&CFragType) < 0)
         return NULL;

@@ -46,12 +46,27 @@ def find_xref_offset(data: bytes) -> int | None:
     return int(m.group(1))
 
 
+def _xref_cscan():
+    from .content import _CSCAN
+
+    return _CSCAN
+
+
 def _parse_traditional_section(data: bytes, offset: int) -> tuple[dict, dict, int]:
     """One traditional xref section at ``offset`` (xref.rs:750-911).
 
     Returns (entries, trailer_dict, pos_after). Entries are decoded in bulk:
     the 20-byte fixed-width lines of each subsection are matched with one
-    compiled regex pass (S4 numpy/regex bulk decode per SURVEY.md §2.1)."""
+    compiled regex pass (S4 numpy/regex bulk decode per SURVEY.md §2.1).
+    When the C kernel is loaded, strict 20-byte-stride tables parse
+    natively (parse_xref_sections, _cscan.c) with the loop below as the
+    pinned authority — any non-strict layout (flexible spacing,
+    comments, truncation) bails back here."""
+    ck = _xref_cscan()
+    if ck is not None:
+        r = ck.parse_xref_sections(data, offset)
+        if r is not None:
+            return _parse_trailer_after(data, *r)
     lexer = Lexer(data, offset)
     tok = lexer.next_token()
     if tok != ("kw", "xref"):
@@ -101,7 +116,10 @@ def _parse_traditional_section(data: bytes, offset: int) -> tuple[dict, dict, in
                 got += 1
             if got < count:
                 break
-    # trailer
+    return _parse_trailer_after(data, entries, pos)
+
+
+def _parse_trailer_after(data: bytes, entries: dict, pos: int) -> tuple[dict, dict, int]:
     lexer = Lexer(data, pos)
     tok = lexer.next_token()
     trailer: dict = {}

@@ -683,3 +683,80 @@ def test_differential_html_large_document():
         c = CC._CSCAN.html_events(doc)
         assert c is not None
         assert (list(c[0]), list(c[1])) == _py_html_events(doc)
+
+
+def test_differential_xref_sections():
+    """C strict-stride xref parse vs the Python authority loop: crafted
+    layouts, a random fuzz over section shapes, and both real fixtures'
+    actual tables (Cold_Email is traditional-xref)."""
+    import os
+    import random
+
+    from oxidizepdf_spark.kernel import content as CC
+    from oxidizepdf_spark.kernel import xref as X
+
+    def both(data, offset=0):
+        try:
+            got_c = X._parse_traditional_section(data, offset)
+        except Exception as e:
+            got_c = ("ERR", type(e).__name__)
+        saved = CC._CSCAN
+        CC._CSCAN = None
+        try:
+            got_py = X._parse_traditional_section(data, offset)
+        except Exception as e:
+            got_py = ("ERR", type(e).__name__)
+        finally:
+            CC._CSCAN = saved
+        assert got_c == got_py, data[:120]
+
+    crafted = [
+        b"xref\n0 2\n0000000000 65535 f \n0000000017 00005 n \ntrailer << /Size 2 >>",
+        b"  xref\r\n0 1\r\n0000000000 65535 f\r\n3 2\r\n0000000100 00000 n\r\n0000000200 00000 n\r\ntrailer<</Size 5>>",
+        b"xref\n0 0\ntrailer << /Size 0 >>",
+        b"xref\n0 1\n0000000000 65535 f \n",
+        b"xref\n0 2\n0 65535 f\n17 5 n\ntrailer<<>>",
+        b"xref\n0 3\n0000000000 65535 f \n0000000017 00005 n \n",
+        b"noxref here",
+        b"% c\nxref\n0 1\n0000000000 65535 f \ntrailer<<>>",
+        b"xref\n5 1\n0000000042 00007 n \n5 1\n0000000099 00001 n \ntrailer<<>>",
+        b"xref\n0 1\n0000000000 65535 x \ntrailer<<>>",
+        b"xref 0 1 0000000000 65535 n trailer<<>>",
+        b"xref\n0 1\n0000000000 65535 n\ttrailer<<>>",
+        b"xref",
+        b"xrefx\n0 1\n0000000000 65535 n \n",
+    ]
+    for c in crafted:
+        both(c)
+
+    rng = random.Random(11)
+    for _ in range(300):
+        parts = [rng.choice([b"xref", b"xref ", b" xref", b"XREF", b"xr"])]
+        for _s in range(rng.randrange(0, 3)):
+            start = rng.randrange(0, 50)
+            cnt = rng.randrange(0, 5)
+            parts.append(
+                b"\n%d %d\n" % (start, cnt)
+                if rng.random() < 0.8
+                else b" %d  %d " % (start, cnt)
+            )
+            for i in range(cnt):
+                if rng.random() < 0.7:
+                    parts.append(b"%010d %05d %c \n" % (
+                        rng.randrange(0, 10**9), rng.randrange(0, 65536),
+                        rng.choice(b"nf")))
+                else:
+                    parts.append(b"%d %d %c\n" % (
+                        rng.randrange(0, 10**9), rng.randrange(0, 65536),
+                        rng.choice(b"nf")))
+        parts.append(rng.choice([b"trailer << /Size 9 >>", b"", b"garbage"]))
+        both(b"".join(parts))
+
+    p = "/root/reference/test-pdfs/Cold_Email_Hacks.pdf"
+    if os.path.exists(p):
+        data = open(p, "rb").read()
+        from oxidizepdf_spark.kernel.xref import find_xref_offset
+
+        off = find_xref_offset(data)
+        if off is not None and data[off:off + 4] == b"xref":
+            both(data, off)
