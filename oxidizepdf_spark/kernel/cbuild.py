@@ -101,9 +101,16 @@ def load_cscan():
                 timeout=120,
             )
             if proc.returncode != 0:
+                # a real compiler rejection is deterministic for this
+                # source hash — cache the negative permanently
                 _write_failed_sentinel(failed_path)
                 return None
             os.replace(tmp, so_path)  # atomic vs concurrent executors
+        except (subprocess.TimeoutExpired, OSError):
+            # transient causes (gcc timeout under host load, ENOSPC, a
+            # killed subprocess): do NOT poison the negative cache — the
+            # next process should retry the compile
+            return None
         except Exception:
             _write_failed_sentinel(failed_path)
             return None

@@ -70,6 +70,7 @@ class FontInfo:
         "last_char",
         "widths",
         "missing_width",
+        "_decode_table",  # memoized 256-entry translate table (see below)
     )
 
     def __init__(self):
@@ -85,6 +86,7 @@ class FontInfo:
         self.last_char: int | None = None
         self.widths: list[float] | None = None
         self.missing_width: float = 500.0  # FontMetrics::default
+        self._decode_table: dict[int, str] | None = None
 
     @property
     def is_composite(self) -> bool:
@@ -379,20 +381,18 @@ def _base_table(enc: str | None) -> dict[int, str]:
 
 
 _BASE_TABLES: dict = {}
-_FONT_TABLES: dict = {}  # id-keyed per-FontInfo table (holds the info ref)
 
 
 def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
     """Table fast path for the per-byte loop above: the decode of byte b
     depends only on (encoding, differences[b]) — fold both into one
-    256-entry str.translate table memoized per FontInfo, so a run
-    decodes in one C pass. The per-byte loop stays as the pinned
-    authority (test_encodings_fonts differential)."""
-    key = id(info)
-    hit = _FONT_TABLES.get(key)
-    if hit is None or hit[0] is not info:
-        if len(_FONT_TABLES) > 4096:  # long-lived executor hygiene
-            _FONT_TABLES.clear()
+    256-entry str.translate table memoized ON the FontInfo itself
+    (its _decode_table slot: entries die with their document, no
+    module-level retention or cap-clear cliff), so a run decodes in
+    one C pass. The per-byte loop stays as the pinned authority
+    (test_encodings_fonts differential)."""
+    tbl = info._decode_table
+    if tbl is None:
         enc = info.encoding
         base = _BASE_TABLES.get(enc)
         if base is None:
@@ -410,8 +410,7 @@ def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
                         tbl.pop(b, None)
         else:
             tbl = base
-        hit = _FONT_TABLES[key] = (info, tbl)
-    tbl = hit[1]
+        info._decode_table = tbl
     s = text.decode("latin-1")
     return s.translate(tbl) if tbl else s
 

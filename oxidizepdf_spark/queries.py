@@ -3541,7 +3541,17 @@ def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     shard-local CPU — exactly the production tool's layout (their shards
     are ~1/100th of the corpus per machine). Shard count scales with
     executors; memory per task = shard bytes x ~17 (int64 SA + rank +
-    LCP), the documented sizing knob."""
+    LCP), the documented sizing knob.
+
+    KNOWN RESIDUAL (shared with the paper's sharded tool): coverage is
+    shard-local, so a duplicate whose two copies land in different
+    ``doc_id % 32`` shards is invisible to THIS stage. Word-aligned
+    cross-shard duplicates >= 12 words are still caught by the global
+    word-gram stage (q_text_exact_substring_dedup — its gram buckets
+    shuffle globally, not per shard; pinned by
+    tests/test_suffix.py::test_cross_shard_duplicate_caught_by_word_gram_stage);
+    only NON-word-aligned cross-shard variants (e.g. a whitespace
+    change) escape both."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", norm_col("text").alias("norm")
     )

@@ -14,6 +14,12 @@ Pure numpy: prefix-doubling suffix array (O(n log² n), ~vectorized) +
 Kasai LCP, both exact. Shards of a few hundred MB are the production
 unit (the paper used ~1/100th-corpus shards); the Spark wrapper in
 queries.py groups by ``doc_id % K`` exactly like corpus_pack_sequences.
+
+Known residual (same as the paper's sharded tool): this stage is
+shard-local, so a duplicate split across two shards is invisible HERE.
+Word-aligned cross-shard duplicates are still caught by the globally
+shuffled word-gram stage; only non-word-aligned cross-shard variants
+escape both stages (pinned + documented in tests/test_suffix.py).
 """
 
 from __future__ import annotations
@@ -107,8 +113,11 @@ def cross_doc_duplicate_coverage(
     word-gram projection).
 
     Concatenates the shard's documents with 0x00 separators, builds one
-    suffix array + LCP, groups maximal LCP>=min_len runs, and marks a
-    suffix's prefix when its run spans >= 2 distinct documents.
+    suffix array + LCP, groups maximal LCP>=min_len runs, and credits
+    each suffix in a run spanning >= 2 distinct documents with the
+    longest prefix it shares with a suffix from a DIFFERENT document
+    (intra-document repeats longer than the cross-doc match do not
+    inflate the credited span).
     Intervals are clamped to their document (a match can't credibly
     cross the separator: the cap also disarms the rare concat-order
     coincidence where separator-spanning text repeats).
@@ -151,14 +160,39 @@ def cross_doc_duplicate_coverage(
         block = slice(i, j + 1)
         docs_in = doc_of[block]
         if len(np.unique(docs_in)) >= 2:
-            # mark each suffix with its max adjacent lcp inside the run
-            for t in range(i, j + 1):
-                left = lcp[t - 1] if t - 1 >= i else 0
-                right = lcp[t] if t < j else 0
-                span = int(max(left, right))
-                p = int(sa[t])
-                d = int(doc_of[t])
-                e = min(p + span, int(doc_end[t]))
+            # Credit each suffix with its longest prefix shared with a
+            # suffix from a DIFFERENT document — not its max adjacent
+            # lcp, which may be an intra-document repeat longer than
+            # anything actually cross-doc (a 60-byte string twice in A
+            # plus a 45-byte prefix in B must credit A 45 per copy, not
+            # 60). Pairwise LCP inside the run is the min of the lcp
+            # values between the two suffixes, which is non-increasing
+            # with distance, so the best cross-doc match is the nearest
+            # different-doc neighbor in each direction: one O(run)
+            # pass per direction with a running min.
+            L = j + 1 - i
+            d_run = docs_in
+            # span_r[t]: min-lcp to the nearest different-doc suffix on
+            # the right within the run (0 = none)
+            span_r = [0] * L
+            for t in range(L - 2, -1, -1):
+                step = int(lcp[i + t])
+                if d_run[t + 1] != d_run[t]:
+                    span_r[t] = step
+                elif span_r[t + 1]:
+                    span_r[t] = min(step, span_r[t + 1])
+            span_l = [0] * L
+            for t in range(1, L):
+                step = int(lcp[i + t - 1])
+                if d_run[t - 1] != d_run[t]:
+                    span_l[t] = step
+                elif span_l[t - 1]:
+                    span_l[t] = min(step, span_l[t - 1])
+            for t in range(L):
+                span = max(span_l[t], span_r[t])
+                p = int(sa[i + t])
+                d = int(doc_of[i + t])
+                e = min(p + span, int(doc_end[i + t]))
                 if e > p:
                     st, _en, key = bounds[d]
                     out[key].append((p - st, e - st))

@@ -81,6 +81,26 @@ def test_whitespace_variant_caught_by_bytes_missed_by_word_grams():
     assert e - s >= 60  # nearly the whole shared tail
 
 
+def test_intra_doc_repeat_does_not_inflate_cross_doc_span():
+    """ADVICE r6 repro: doc A contains a 60-byte string twice, doc B
+    shares only its 45-byte prefix. Each A copy must be credited 45
+    bytes (the longest CROSS-document match), not 60 (the intra-A
+    repeat) — total 90, not 120."""
+    core = bytes(range(33, 93))  # 60 distinct printable-ish bytes
+    assert len(core) == 60
+    A = b"____" + core + b"####" + core + b"@@@@"
+    B = b"~~~~" + core[:45] + b"!!!!"
+    cov = cross_doc_duplicate_coverage([("a", A), ("b", B)], min_len=20)
+    a_mass = sum(e - s for s, e in cov["a"])
+    b_mass = sum(e - s for s, e in cov["b"])
+    assert a_mass == 90, cov["a"]
+    assert b_mass == 45, cov["b"]
+    # and each credited A interval is exactly a 45-byte prefix of core
+    for s, e in cov["a"]:
+        assert A[s : s + 45] == core[:45]
+        assert e - s == 45
+
+
 def test_no_cross_separator_and_no_self_match():
     # identical text within ONE doc only: cross-doc scope reports nothing
     A = b"repeat this phrase " * 5
@@ -114,6 +134,68 @@ def spark():
     s.sparkContext.setLogLevel("ERROR")
     yield s
     s.stop()
+
+
+def test_cross_shard_duplicate_caught_by_word_gram_stage(spark, tmp_path):
+    """The documented shard-locality residual (queries.py byte-op
+    docstring): doc 0 and doc 1 land in DIFFERENT doc_id%32 shards, so
+    the byte-level suffix-array stage cannot see their shared text —
+    but the word-gram stage shuffles gram buckets GLOBALLY, so a
+    word-aligned duplicate >= 12 words is still caught. A
+    non-word-aligned variant (doc 65: one whitespace change) escapes
+    both stages: the known residual, same as Lee et al.'s sharded
+    tool."""
+    import duckdb
+
+    from oxidizepdf_spark.queries import (
+        SUBSTR_BYTE_SHARDS,
+        q_text_exact_substring_bytes,
+        q_text_exact_substring_dedup,
+    )
+
+    shared = " ".join(f"word{i}" for i in range(20))  # 20 words, aligned
+    rows = [
+        (0, shared + " tail zero unique alpha"),
+        (1, shared + " tail one unique beta"),  # shard 1 != shard 0
+        # cross-shard AND non-word-aligned: 'word0 word1' -> 'word0word1'
+        (65, shared.replace("word0 word1", "word0word1", 1)),
+        (2, "totally unrelated filler content here nothing shared"),
+    ]
+    assert 0 % SUBSTR_BYTE_SHARDS != 1 % SUBSTR_BYTE_SHARDS
+    assert 65 % SUBSTR_BYTE_SHARDS == 1 % SUBSTR_BYTE_SHARDS
+    sf_dir = str(tmp_path)
+    duckdb.sql(
+        "COPY (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({i}, '{t}', 'en', 'test', {len(t)})" for i, t in rows
+        )
+        + ") t(doc_id, text, lang, source, n_chars)) TO "
+        f"'{sf_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+
+    byte_rows = {
+        r["doc_id"]: r
+        for r in q_text_exact_substring_bytes(spark, sf_dir).collect()
+    }
+    gram_rows = {
+        r["doc_id"]: r
+        for r in q_text_exact_substring_dedup(spark, sf_dir).collect()
+    }
+    # byte stage: blind to the 0<->1 duplicate (different shards) and
+    # 65's variant shares plenty of bytes with 1's copy IN-shard
+    assert byte_rows[0]["dup_bytes"] == 0
+    # word-gram stage: catches the word-aligned cross-shard duplicate
+    assert gram_rows[0]["dup_windows"] > 0
+    assert gram_rows[1]["dup_windows"] > 0
+    assert gram_rows[2]["dup_windows"] == 0
+    # the non-word-aligned variant doc 65 DOES match doc 1 byte-wise
+    # in-shard (shards 1 and 1), proving the byte stage's role...
+    assert byte_rows[65]["dup_bytes"] > 0 and byte_rows[1]["dup_bytes"] > 0
+    # ...but had 65 been alone in its shard vs doc 0's shard, nothing
+    # would catch it: its 12-word gram windows all differ from doc 0's
+    # (the 'word0word1' fusion shifts every window) — gram stage sees
+    # only its suffix overlap with 1/0 where windows realign
+    assert byte_rows[2]["dup_bytes"] == 0
 
 
 def test_sharded_spark_op(spark):
