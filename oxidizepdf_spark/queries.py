@@ -3041,6 +3041,240 @@ FROM rows
 """
 
 
+def q_pdf_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ai::export_to_markdown + contextual format, end-to-end through real
+    layout (reference ai/formats.rs + ai/mod.rs:17-25 "Export to Markdown
+    ... Contextual format for LLM prompts"): each doc renders the same
+    sectioned pages as rag_chunk_elements (one page per 40-word section:
+    18pt title + two body paragraphs) PLUS the 4x3 bordered table grid of
+    pdf_extract_tables; extraction + element classification + table
+    detection feed the structured markdown composer
+    (kernel/ai_export.py): YAML frontmatter (title/pages/created/author,
+    colon-triggered quoting per formats.rs:206), '# <title>' heading,
+    '## SECTION i' per classified title element, paragraphs as blocks,
+    the detected table as a pipe table ('|'-escaped cells). The
+    contextual column is ContextualFormat::export_with_metadata_and_pages
+    (formats.rs:851): natural-language intro (pages, author, created — in
+    THAT order) + 'On page N:' blocks. The oracle reassembles both
+    strings from the word array and builder constants alone.
+
+    Metadata branches (all CASE-expressible): title gains ': report' when
+    doc_id%3==0 (exercising the YAML quote path), author present for even
+    ids ('lab: a<k>' — quoted — when doc_id%10==4, else 'author-<k>'),
+    created present when doc_id%4==0.
+
+    Zero-word edge mirrored from rag_chunk_elements: a title-only doc
+    classifies as paragraph (relative-size classifier), so its section
+    line renders as a plain block, not a '##' heading, and n_headings
+    is 0."""
+    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        from .corpus import build_sectioned_pdf, build_table_pdf
+        from .kernel.ai_export import (
+            DocumentMetadata,
+            export_contextual_with_metadata_and_pages,
+            export_structured_markdown,
+        )
+        from .kernel.elements import classify_pages
+        from .kernel.extract import extract_pdf_bytes
+        from .kernel.pages import flatten_page_tree, page_content
+        from .kernel.reader import PdfReader
+        from .kernel.tables import detect_page_tables
+        from .kernel.textstate import ExtractionOptions
+
+        opts = ExtractionOptions(
+            preserve_layout=True, reconstruct_paragraphs=True
+        )
+        topts = ExtractionOptions(preserve_layout=True)
+        for b in batches:
+            out = {
+                "doc_id": [], "markdown": [], "contextual": [],
+                "n_headings": [], "n_pages": [],
+            }
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                words = [w for w in (norm or "").split(" ") if w]
+                n_sec = max(1, math.ceil(len(words) / ELEM_SECTION_WORDS))
+                sections = []
+                for i in range(n_sec):
+                    sw = words[
+                        i * ELEM_SECTION_WORDS : (i + 1) * ELEM_SECTION_WORDS
+                    ]
+                    paras = [
+                        p
+                        for p in (sw[:ELEM_PARA_WORDS], sw[ELEM_PARA_WORDS:])
+                        if p
+                    ]
+                    sections.append((f"SECTION {i}", paras))
+                pdf = build_sectioned_pdf(sections)
+                res = extract_pdf_bytes(pdf, opts)
+                elements = classify_pages(res.page_fragments)
+                nw = len(words)
+                cells = [
+                    [
+                        (
+                            words[(r * TABLE_COLS + c) % nw][:TABLE_WORD_CLIP]
+                            if nw
+                            else "x"
+                        )
+                        for c in range(TABLE_COLS)
+                    ]
+                    for r in range(TABLE_ROWS)
+                ]
+                tpdf = build_table_pdf(cells)
+                tres = extract_pdf_bytes(tpdf, topts)
+                treader = PdfReader(tpdf)
+                tcontent = page_content(
+                    treader, flatten_page_tree(treader)[0]
+                )
+                tables = detect_page_tables(tcontent, tres.page_fragments[0])
+                n_pages = len(res.page_fragments)
+                did = int(doc_id)
+                title = (
+                    f"DOC {did}: report" if did % 3 == 0 else f"DOC {did}"
+                )
+                if did % 10 == 4:
+                    author = f"lab: a{did % 5}"
+                elif did % 2 == 0:
+                    author = f"author-{did % 5}"
+                else:
+                    author = None
+                created = "2024-01-15" if did % 4 == 0 else None
+                meta = DocumentMetadata(
+                    title, n_pages, created_at=created, author=author
+                )
+                md = export_structured_markdown(elements, tables, meta)
+                by_page: dict[int, list[str]] = {}
+                for el in elements:
+                    by_page.setdefault(el.page, []).append(el.text)
+                page_texts = [
+                    (i + 1, "\n\n".join(by_page.get(i, [])))
+                    for i in range(n_pages)
+                ]
+                ctx = export_contextual_with_metadata_and_pages(
+                    page_texts, meta
+                )
+                out["doc_id"].append(doc_id)
+                out["markdown"].append(md)
+                out["contextual"].append(ctx)
+                out["n_headings"].append(
+                    sum(1 for el in elements if el.kind == "title")
+                )
+                out["n_pages"].append(n_pages)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, markdown string, contextual string, "
+        "n_headings int, n_pages int",
+    )
+
+
+ORACLE_EXPORT_MARKDOWN = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+),
+sec AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(len(ws) / {ELEM_SECTION_WORDS}.0) AS INT), 1)
+           AS n_sec
+  FROM base
+),
+secs AS (
+  SELECT doc_id, n_sec, i,
+         ws[i*{ELEM_SECTION_WORDS}+1 : (i+1)*{ELEM_SECTION_WORDS}] AS sw
+  FROM sec, UNNEST(generate_series(0, n_sec - 1)) AS t(i)
+),
+secblk AS (
+  SELECT doc_id, i,
+         CASE WHEN len(sw) = 0 THEN 'SECTION ' || i
+              ELSE 'SECTION ' || i || chr(10) || chr(10)
+                || array_to_string(sw[1:{ELEM_PARA_WORDS}], ' ')
+                || CASE WHEN len(sw) > {ELEM_PARA_WORDS}
+                     THEN chr(10) || chr(10)
+                       || array_to_string(
+                            sw[{ELEM_PARA_WORDS}+1:{ELEM_SECTION_WORDS}], ' ')
+                     ELSE '' END
+         END AS page_text,
+         CASE WHEN len(sw) = 0 THEN '' ELSE '## ' END AS title_mark
+  FROM secs
+),
+secagg AS (
+  SELECT doc_id,
+         string_agg(title_mark || page_text, chr(10) || chr(10)
+                    ORDER BY i) AS md_body,
+         string_agg('On page ' || (i+1) || ':' || chr(10) || page_text
+                      || chr(10) || chr(10), '' ORDER BY i) AS ctx_pages
+  FROM secblk GROUP BY doc_id
+),
+cells AS (
+  SELECT b.doc_id, r, c,
+         CASE WHEN len(ws) = 0 THEN 'x'
+              ELSE replace(substr(ws[((r*{TABLE_COLS} + c) % len(ws)) + 1],
+                                  1, {TABLE_WORD_CLIP}), '|', '\\|') END
+           AS cell
+  FROM base b,
+       UNNEST(generate_series(0, {TABLE_ROWS - 1})) AS t(r),
+       UNNEST(generate_series(0, {TABLE_COLS - 1})) AS u(c)
+),
+tblrows AS (
+  SELECT doc_id, r * 10 AS rk,
+         '| ' || string_agg(cell, ' | ' ORDER BY c) || ' |' AS rowline
+  FROM cells GROUP BY doc_id, r
+  UNION ALL
+  SELECT DISTINCT doc_id, 5,
+         '| ' || repeat('--- | ', {TABLE_COLS - 1}) || '--- |'
+  FROM cells
+),
+tblagg AS (
+  SELECT doc_id, string_agg(rowline, chr(10) ORDER BY rk) AS tbl_md
+  FROM tblrows GROUP BY doc_id
+),
+meta AS (
+  SELECT s.doc_id, s.n_sec,
+         CASE WHEN s.doc_id % 3 = 0 THEN 'DOC ' || s.doc_id || ': report'
+              ELSE 'DOC ' || s.doc_id END AS title,
+         CASE WHEN s.doc_id % 10 = 4 THEN 'lab: a' || (s.doc_id % 5)
+              WHEN s.doc_id % 2 = 0 THEN 'author-' || (s.doc_id % 5)
+              ELSE NULL END AS author,
+         CASE WHEN s.doc_id % 4 = 0 THEN '2024-01-15'
+              ELSE NULL END AS created
+  FROM sec s
+)
+SELECT m.doc_id,
+       '---' || chr(10)
+         || 'title: '
+         || CASE WHEN m.doc_id % 3 = 0 THEN '"' || m.title || '"'
+                 ELSE m.title END || chr(10)
+         || 'pages: ' || m.n_sec || chr(10)
+         || COALESCE('created: ' || m.created || chr(10), '')
+         || COALESCE('author: '
+              || CASE WHEN m.doc_id % 10 = 4 THEN '"' || m.author || '"'
+                      ELSE m.author END || chr(10), '')
+         || '---' || chr(10) || chr(10)
+         || '# ' || m.title || chr(10) || chr(10)
+         || a.md_body || chr(10) || chr(10) || tb.tbl_md AS markdown,
+       'This is a document titled "' || m.title || '" with ' || m.n_sec
+         || ' page' || CASE WHEN m.n_sec = 1 THEN '' ELSE 's' END
+         || COALESCE(', written by ' || m.author, '')
+         || COALESCE(', created on ' || m.created, '')
+         || '.' || chr(10) || chr(10) || 'Content:' || chr(10) || chr(10)
+         || a.ctx_pages AS contextual,
+       CAST(CASE WHEN len(b.ws) = 0 THEN 0 ELSE m.n_sec END AS INT)
+         AS n_headings,
+       CAST(m.n_sec AS INT) AS n_pages
+FROM meta m
+JOIN base b USING (doc_id)
+JOIN secagg a USING (doc_id)
+JOIN tblagg tb USING (doc_id)
+"""
+
+
 def q_rag_chunk_typed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL element-type coverage through the chunker: one page per doc
     with a page HEADER (top 5% zone), an 18pt TITLE, two bullet LIST
@@ -4569,7 +4803,10 @@ def build_queries() -> dict:
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
         "text_stats": q_text_stats,
-        "text_url_stats": q_text_url_stats,
+        # text_url_stats stays implemented (and pytest-covered) but
+        # yields its registry row to pdf_export_markdown — the driver
+        # records only 50 rows (VERDICT r6 #2)
+        "pdf_export_markdown": q_pdf_export_markdown,
         "text_scrub_pii": q_text_scrub_pii,
         "doc_fingerprint": q_doc_fingerprint,
         "rag_chunk_docs": q_rag_chunk_docs,
@@ -4632,7 +4869,7 @@ def build_oracles() -> dict[str, str]:
         "text_stats": ORACLE_TEXT_STATS.format(
             norm=NORM_SQL.format(col="text"), token_re=_TOKEN_RE
         ),
-        "text_url_stats": ORACLE_URL_STATS,
+        "pdf_export_markdown": ORACLE_EXPORT_MARKDOWN,
         "text_scrub_pii": ORACLE_SCRUB_PII,
         "doc_fingerprint": ORACLE_FINGERPRINT,
         "rag_chunk_docs": ORACLE_RAG_CHUNKS,
