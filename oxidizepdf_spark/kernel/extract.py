@@ -653,6 +653,14 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
     review-corpus mining; without covered_text the highlight's target is
     unrecoverable downstream.
 
+    Action detail beyond /URI (reference src/actions/: action.rs:68-106
+    Action variants, launch_action.rs:77-115 /F + /Win fallback,
+    named_action.rs /N, goto_action.rs + action.rs GoToR /F + /D):
+    every /A action also reports action_type (its /S name) and
+    action_target — URI string, GoTo resolved page index ('page:N'),
+    GoToR 'file#dest', Launch file (filespec dict /F//UF or /Win /F
+    fallback), Named action name.
+
     Popup linkage (annotations/popup.rs:1-374, §12.5.6.14): a /Popup
     annotation is the presentation window of its parent markup annotation
     (linked forward via the parent's /Popup ref and backward via the
@@ -664,6 +672,58 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
 
     out: list[dict] = []
     reader = PdfReader(data, password=password)
+    page_index_cache: list = []  # lazy: only GoTo actions pay for it
+
+    def _text_of(v) -> str | None:
+        v = reader.resolve(v)
+        if isinstance(v, bytes):
+            return _decode_pdf_string(v)
+        if isinstance(v, str):
+            return str(v)
+        return None
+
+    def _filespec(v) -> str | None:
+        """File specification (§7.11): a string, or a dict whose /UF
+        (Unicode) wins over /F (launch_action.rs:83 writes /F)."""
+        v = reader.resolve(v)
+        if isinstance(v, dict):
+            return _text_of(v.get("UF")) or _text_of(v.get("F"))
+        if isinstance(v, (bytes, str)):
+            return _text_of(v)
+        return None
+
+    def _action_detail(action: dict) -> tuple[str | None, str | None]:
+        s = action.get("S")
+        atype = str(s) if s is not None else None
+        target = None
+        if atype == "URI":
+            target = _text_of(action.get("URI"))
+        elif atype == "GoTo":
+            dest = reader.resolve(action.get("D"))
+            if isinstance(dest, list) and dest and isinstance(dest[0], Ref):
+                if not page_index_cache:
+                    page_index_cache.append(_page_ref_index(reader))
+                pidx = page_index_cache[0].get(dest[0])
+                if pidx is not None:
+                    target = f"page:{pidx}"
+        elif atype == "GoToR":
+            f = _filespec(action.get("F"))
+            d = reader.resolve(action.get("D"))
+            dest_s = _text_of(d) if isinstance(d, (bytes, str)) else None
+            if f is not None:
+                target = f if dest_s is None else f"{f}#{dest_s}"
+        elif atype == "Launch":
+            f = _filespec(action.get("F"))
+            if f is None:  # Windows-specific fallback (launch_action.rs:93)
+                win = reader.resolve(action.get("Win"))
+                if isinstance(win, dict):
+                    f = _text_of(win.get("F"))
+            target = f
+        elif atype == "Named":
+            n = action.get("N")
+            target = str(n) if n is not None else None
+        return atype, target
+
     for idx, page in enumerate(flatten_page_tree(reader)):
         annots = reader.resolve(page.dict.get("Annots"))
         if not isinstance(annots, list):
@@ -715,11 +775,14 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
             subtype = a.get("Subtype")
             subtype_s = str(subtype) if subtype is not None else None
             uri = None
+            action_type = None
+            action_target = None
             action = reader.resolve(a.get("A"))
             if isinstance(action, dict):
                 u = reader.resolve(action.get("URI"))
                 if isinstance(u, bytes):
                     uri = u.decode("latin-1", "replace")
+                action_type, action_target = _action_detail(action)
             contents = reader.resolve(a.get("Contents"))
             rect = reader.resolve(a.get("Rect"))
             rect_f = None
@@ -760,6 +823,8 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
                     "page_idx": idx,
                     "subtype": subtype_s,
                     "uri": uri,
+                    "action_type": action_type,
+                    "action_target": action_target,
                     "contents": (
                         _decode_pdf_string(contents)
                         if isinstance(contents, bytes)

@@ -2228,7 +2228,12 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     /QuadPoints cover exactly the 2nd and 3rd of four fixed-position body
     words — the extractor must return subtype/page/uri/contents plus
     /Rect, /T author, quad count, and the quad-covered page text resolved
-    through the positioned fragment bboxes. The Text annotation also
+    through the positioned fragment bboxes. The Link's /A action type
+    rotates by doc_id%4 — URI, remote GoToR (/F + named /D), Launch
+    (filespec-dict /F), Named /NextPage (reference src/actions/:
+    action.rs variants, launch_action.rs, named_action.rs) — and the
+    extractor reports action_type + action_target for each (URI string,
+    'file#dest', file, action name). The Text annotation also
     carries a /Popup window (annotations/popup.rs: /Popup ↔ /Parent
     linkage, /Open state, own /Rect) that the extractor must FOLD into
     the parent's row (popup_open encoded -1 none / 0 closed / 1 open)
@@ -2240,8 +2245,8 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         from .kernel.extract import extract_annotations
 
         cols = [
-            "page_idx", "subtype", "uri", "contents", "rect", "author",
-            "n_quads", "covered_text",
+            "page_idx", "subtype", "uri", "action_type", "action_target",
+            "contents", "rect", "author", "n_quads", "covered_text",
         ]
         for b in batches:
             out = {c: [] for c in ["doc_id", *cols, "popup_open", "popup_rect"]}
@@ -2262,10 +2267,21 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for i, w in enumerate(body4)
                 ) + b" ET"
                 uri = f"https://example.com/{first}"
+                fw = escape_pdf_string(first)
+                variant = doc_id % 4
+                if variant == 0:
+                    act = b"<< /S /URI /URI (%s) >>" % uri.encode("latin-1")
+                elif variant == 1:
+                    act = (
+                        b"<< /S /GoToR /F (other-%s.pdf) /D (sec-1) >>" % fw
+                    )
+                elif variant == 2:
+                    act = b"<< /S /Launch /F << /F (app-%s) >> >>" % fw
+                else:
+                    act = b"<< /S /Named /N /NextPage >>"
                 link = (
                     b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] "
-                    b"/A << /S /URI /URI (%s) >> >>"
-                    % uri.encode("latin-1")
+                    b"/A %s >>" % act
                 )
                 text_a = (
                     b"<< /Type /Annot /Subtype /Text /Rect [0 30 100 50] "
@@ -2314,6 +2330,7 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         schema="doc_id long, page_idx int, subtype string, uri string, "
+        "action_type string, action_target string, "
         "contents string, rect string, author string, n_quads int, "
         "covered_text string, popup_open int, popup_rect string",
     )
@@ -2328,28 +2345,40 @@ WITH base AS (
                      w -> len(w) > 0) AS ws
   FROM documents
 )
+, fw AS (
+  SELECT doc_id, ws,
+         CASE WHEN len(ws) = 0 THEN 'none'
+              ELSE substr(ws[1], 1, 12) END AS first
+  FROM base
+)
 SELECT doc_id, 0 AS page_idx, 'Link' AS subtype,
-       'https://example.com/' ||
-         CASE WHEN len(ws) = 0 THEN 'none' ELSE substr(ws[1], 1, 12) END
-         AS uri,
+       CASE WHEN doc_id % 4 = 0
+            THEN 'https://example.com/' || first ELSE NULL END AS uri,
+       CASE doc_id % 4 WHEN 0 THEN 'URI' WHEN 1 THEN 'GoToR'
+            WHEN 2 THEN 'Launch' ELSE 'Named' END AS action_type,
+       CASE doc_id % 4
+            WHEN 0 THEN 'https://example.com/' || first
+            WHEN 1 THEN 'other-' || first || '.pdf#sec-1'
+            WHEN 2 THEN 'app-' || first
+            ELSE 'NextPage' END AS action_target,
        NULL AS contents, '0,0,100,20' AS rect, NULL AS author,
        0 AS n_quads, NULL AS covered_text,
        -1 AS popup_open, NULL AS popup_rect
-FROM base
+FROM fw
 UNION ALL
-SELECT doc_id, 0, 'Text', NULL,
+SELECT doc_id, 0, 'Text', NULL, NULL, NULL,
        array_to_string(ws[1:{ANNOT_WORDS}], ' '),
        '0,30,100,50', NULL, 0, NULL,
        CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END, '400,695,560,795'
-FROM base
+FROM fw
 UNION ALL
-SELECT doc_id, 0, 'Highlight', NULL, NULL,
+SELECT doc_id, 0, 'Highlight', NULL, NULL, NULL, NULL,
        '195,695,395,715', 'rev-' || (doc_id % 5), 1,
        (CASE WHEN len(ws) > 1 THEN substr(ws[2], 1, 12) ELSE 'w1' END)
        || ' ' ||
        (CASE WHEN len(ws) > 2 THEN substr(ws[3], 1, 12) ELSE 'w2' END),
        -1, NULL
-FROM base
+FROM fw
 """
 
 

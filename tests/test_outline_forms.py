@@ -558,3 +558,49 @@ def test_popup_backlink_only_and_orphan():
     assert by_subtype["Text"]["popup_rect"] == [1.0, 2.0, 3.0, 4.0]
     assert by_subtype["Popup"]["rect"] == [5.0, 6.0, 7.0, 8.0]
     assert by_subtype["Popup"]["popup_open"] is None
+
+
+def test_link_action_detail_variants():
+    """Action detail beyond /URI (reference src/actions/: action.rs
+    variants, launch_action.rs /F + /Win fallback, named_action.rs /N):
+    GoTo resolves its /D page ref to 'page:N'; GoToR composes
+    'file#dest'; Launch takes /UF over /F in a filespec dict and falls
+    back to /Win /F; Named reports the action name."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    def one(action: bytes):
+        link = (
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] /A %s >>"
+            % action
+        )
+        pdf = build_pdf_with_content_stream(
+            b"BT /F1 12 Tf 100 700 Td (body) Tj ET", extra_objects={8: link}
+        )
+        pdf = pdf.replace(
+            b"/Contents 5 0 R", b"/Annots [8 0 R] /Contents 5 0 R", 1
+        )
+        (a,) = extract_annotations(pdf)
+        return a
+
+    a = one(b"<< /S /GoTo /D [3 0 R /Fit] >>")  # 3 0 R = the page object
+    assert (a["action_type"], a["action_target"]) == ("GoTo", "page:0")
+
+    a = one(b"<< /S /GoToR /F (other.pdf) /D (sec-2) >>")
+    assert (a["action_type"], a["action_target"]) == (
+        "GoToR", "other.pdf#sec-2",
+    )
+    a = one(b"<< /S /GoToR /F (plain.pdf) >>")  # no /D
+    assert a["action_target"] == "plain.pdf"
+
+    a = one(b"<< /S /Launch /F << /F (dos.bat) /UF (unicode.bat) >> >>")
+    assert (a["action_type"], a["action_target"]) == ("Launch", "unicode.bat")
+    a = one(b"<< /S /Launch /Win << /F (win.exe) >> >>")
+    assert a["action_target"] == "win.exe"
+
+    a = one(b"<< /S /Named /N /PrevPage >>")
+    assert (a["action_type"], a["action_target"]) == ("Named", "PrevPage")
+
+    # malformed action: type surfaces, target stays None, nothing raises
+    a = one(b"<< /S /GoToR >>")
+    assert a["action_type"] == "GoToR" and a["action_target"] is None
