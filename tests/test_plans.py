@@ -269,3 +269,16 @@ def test_exact_substring_bytes_plan_shape(spark):
     assert "FlatMapGroupsInPandas" in plan or "hashpartitioning" in plan
     # exactly one exchange: the shard-key repartition for the grouped map
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
+
+
+def test_export_markdown_is_map_only(spark):
+    """pdf_export_markdown is one pruned scan + one mapInPandas — no
+    Exchange anywhere (per-doc render/extract/compose is embarrassingly
+    parallel; at 100 TB this shape scales linearly with executors)."""
+    from oxidizepdf_spark.queries import q_pdf_export_markdown
+
+    plan = _plan(q_pdf_export_markdown(spark, SF))
+    assert "Exchange" not in plan, plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" in scan[0]
+    assert "lang" not in scan[0] and "n_chars" not in scan[0]
