@@ -356,6 +356,131 @@ def parse_chunks_compact(text: str) -> list[dict]:
     return chunks
 
 
+# ------------------------------------------------------ document chunker
+
+
+def estimate_tokens(text: str) -> int:
+    """chunking.rs:497 DocumentChunker::estimate_tokens — 1 token ≈ 0.75
+    words (×1.33, truncated), the reference's GPT-ish approximation."""
+    return int(len(text.split()) * 1.33)
+
+
+def chunk_text(
+    text: str, chunk_size: int = 512, overlap: int = 50
+) -> list[dict]:
+    """chunking.rs:295 DocumentChunker::chunk_text (no page info)."""
+    return _chunk_text_internal(text, [], 0, chunk_size, overlap)
+
+
+def chunk_text_with_pages(
+    page_texts: list[tuple[int, str]],
+    chunk_size: int = 512,
+    overlap: int = 50,
+) -> list[dict]:
+    """chunking.rs:309 chunk_text_with_pages: pages joined with '\\n\\n',
+    cumulative char boundaries, 0 fallback first page."""
+    full: list[str] = []
+    total = 0
+    boundaries = [0]
+    for _page_num, t in page_texts:
+        if total:  # mirror the reference's is_empty() check exactly:
+            full.append("\n\n")  # no separator after an empty first page
+            total += 2
+        full.append(t)
+        total += len(t)
+        boundaries.append(total)
+    first_page = page_texts[0][0] if page_texts else 0
+    return _chunk_text_internal(
+        "".join(full), boundaries, first_page, chunk_size, overlap
+    )
+
+
+def _chunk_text_internal(
+    text: str,
+    page_boundaries: list[int],
+    first_page: int,
+    chunk_size: int,
+    overlap: int,
+) -> list[dict]:
+    """chunking.rs:334 chunk_text_internal — fixed-size whitespace-token
+    windows with overlap, sentence-boundary backtracking bounded to the
+    last 10 tokens and never before start+1 (upstream #308 stall fix),
+    guaranteed forward progress, cumulative char positions over the
+    JOINED content stream (the reference's quirk: char_offset advances
+    by len(content) with no inter-chunk gap), page mapping by
+    char-interval overlap with 1-indexed boundaries."""
+    if not text:
+        return []
+    tokens = text.split()
+    if not tokens:
+        return []
+    chunk_size = max(chunk_size, 1)
+    overlap = min(overlap, chunk_size - 1)
+
+    chunks: list[dict] = []
+    start = 0
+    chunk_idx = 0
+    char_offset = 0
+    n = len(tokens)
+    while start < n:
+        end = min(start + chunk_size, n)
+        sentence_boundary = False
+        if end < n and end > start:
+            window_start = max(end - 10, start + 1)
+            for i in range(end - 1, window_start - 1, -1):
+                if tokens[i].endswith((".", "!", "?")):
+                    end = i + 1
+                    sentence_boundary = True
+                    break
+        content = " ".join(tokens[start:end])
+        start_char = char_offset
+        end_char = char_offset + len(content)
+        char_offset = end_char
+        if not page_boundaries:
+            pages: list[int] = []
+            first_pg = last_pg = 0
+        else:
+            pages = []
+            first_pg = last_pg = first_page
+            for idx in range(1, len(page_boundaries)):
+                if (
+                    start_char < page_boundaries[idx]
+                    and end_char > page_boundaries[idx - 1]
+                ):
+                    page_num = first_page + idx - 1
+                    pages.append(page_num)
+                    if len(pages) == 1:
+                        first_pg = page_num
+                    last_pg = page_num
+            if not pages:  # chunk beyond all tracked pages
+                pages = [first_page]
+                first_pg = last_pg = first_page
+        chunks.append(
+            {
+                "id": f"chunk_{chunk_idx}",
+                "content": content,
+                "tokens": end - start,
+                "page_numbers": pages,
+                "chunk_index": chunk_idx,
+                "position": {
+                    "start_char": start_char,
+                    "end_char": end_char,
+                    "first_page": first_pg,
+                    "last_page": last_pg,
+                },
+                "confidence": 1.0,
+                "sentence_boundary": sentence_boundary,
+            }
+        )
+        chunk_idx += 1
+        if end < n:
+            next_start = max(end - overlap, 0)
+            start = next_start if next_start > start else end
+        else:
+            break
+    return chunks
+
+
 # ------------------------------------------- structure-aware composition
 
 

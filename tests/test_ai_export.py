@@ -291,3 +291,129 @@ def test_export_structured_markdown_composition():
     # headers/footers dropped; no metadata → '# Document' header
     md2 = export_structured_markdown([_E("paragraph", "p")])
     assert md2 == "# Document\n\np"
+
+
+# ---------------------------------------------------- document chunker
+# expectations mirror the reference's ai/chunking.rs test module
+# (chunking.rs:508-903, incl. the upstream #308 regression cases)
+
+from oxidizepdf_spark.kernel.ai_export import (  # noqa: E402
+    chunk_text,
+    chunk_text_with_pages,
+    estimate_tokens,
+)
+
+
+def _coverage(text, chunks):
+    covered = {t for c in chunks for t in c["content"].split()}
+    missing = [t for t in text.split() if t not in covered]
+    assert not missing, missing
+
+
+def test_chunker_basic():
+    text = " ".join(f"word{i}" for i in range(25))
+    chunks = chunk_text(text, 10, 2)
+    assert [c["tokens"] for c in chunks] == [10, 10, 9]
+    assert [c["chunk_index"] for c in chunks] == [0, 1, 2]
+    assert chunks[0]["id"] == "chunk_0"
+    assert chunks[0]["position"]["start_char"] == 0
+
+
+def test_chunker_overlap_preserves_context():
+    chunks = chunk_text("a b c d e f g h i j", 5, 2)
+    assert chunks[0]["content"].split()[-2:] == ["d", "e"]
+    assert chunks[1]["content"].split()[:2] == ["d", "e"]
+
+
+def test_chunker_empty_and_small():
+    assert chunk_text("", 10, 2) == []
+    assert chunk_text("   ", 10, 2) == []
+    (one,) = chunk_text("just a few words", 100, 10)
+    assert one["tokens"] == 4
+
+
+def test_chunker_estimate_tokens():
+    assert 2 <= estimate_tokens("hello world") <= 3
+    assert estimate_tokens("") == 0
+    long = " ".join(f"word{i}" for i in range(100))
+    assert 120 <= estimate_tokens(long) <= 140
+
+
+def test_chunker_page_tracking():
+    pages = [
+        (1, "This is page one content."),
+        (2, "This is page two content."),
+        (3, "This is page three content."),
+    ]
+    chunks = chunk_text_with_pages(pages, 10, 2)
+    for c in chunks:
+        assert c["page_numbers"]
+        assert c["position"]["first_page"] > 0
+        assert c["position"]["last_page"] > 0
+    assert chunks[0]["position"]["first_page"] == 1
+
+
+def test_chunker_confidence_and_positions():
+    chunks = chunk_text(
+        "word1 word2 word3 word4 word5 word6 word7 word8 word9 word10", 5, 1
+    )
+    assert chunks[0]["position"]["start_char"] == 0
+    for c in chunks:
+        assert 0.0 <= c["confidence"] <= 1.0
+        assert c["position"]["end_char"] > c["position"]["start_char"]
+
+
+def test_chunker_no_stall_sentence_boundary_at_chunk_start():
+    # upstream #308: the only sentence end in the first window is token 0
+    text = "Hi. " + " ".join(["word"] * 12)
+    chunks = chunk_text(text, 10, 2)
+    assert chunks
+    _coverage(text, chunks)
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+def test_chunker_no_stall_overlap_ge_chunk_size():
+    text = " ".join(f"word{i}" for i in range(30))
+    for size, overlap in [(3, 5), (4, 4), (1, 10)]:
+        chunks = chunk_text(text, size, overlap)
+        assert chunks, (size, overlap)
+        _coverage(text, chunks)
+
+
+def test_chunker_small_chunk_size_below_search_window():
+    text = (
+        "first. second third fourth. fifth sixth seventh eighth. "
+        "ninth tenth eleventh twelfth"
+    )
+    chunks = chunk_text(text, 4, 1)
+    _coverage(text, chunks)
+    assert all(c["tokens"] >= 1 for c in chunks)
+
+
+def test_chunker_zero_chunk_size_terminates():
+    text = "alpha beta gamma delta epsilon"
+    chunks = chunk_text(text, 0, 0)
+    assert chunks
+    _coverage(text, chunks)
+
+
+def test_chunker_sentence_boundary_respected():
+    text = (
+        "one two three four five. six seven eight nine ten eleven "
+        "twelve thirteen"
+    )
+    chunks = chunk_text(text, 10, 2)
+    assert chunks[0]["sentence_boundary"] is True
+    assert chunks[0]["content"].endswith("five.")
+    _coverage(text, chunks)
+
+
+def test_chunker_feeds_exporters_roundtrip():
+    """The composed ai/ surface: DocumentChunker output → compact export
+    → parse restores it; JSON chunk export consumes it directly."""
+    text = " ".join(f"tok{i}" for i in range(40)) + " final sentence."
+    chunks = chunk_text_with_pages([(1, text), (2, text)], 16, 4)
+    assert parse_chunks_compact(export_chunks_compact(chunks)) == chunks
+    doc = json.loads(export_json_with_chunks(chunks))
+    assert doc["chunk_count"] == len(chunks)
+    assert doc["chunks"][0]["metadata"]["position"]["first_page"] == 1
