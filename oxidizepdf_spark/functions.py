@@ -175,6 +175,84 @@ def _fn_elements_json(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_export_markdown(data: pd.Series) -> pd.Series:
+    """PDF blob → structured markdown (ai/formats.rs export surface over
+    this engine's elements + table detection): '##' headings, paragraph
+    blocks, pipe tables, '# Document' default title."""
+    from .kernel.ai_export import export_structured_markdown
+    from .kernel.elements import classify_pages
+    from .kernel.extract import extract_pdf_bytes
+    from .kernel.pages import flatten_page_tree, page_content
+    from .kernel.reader import PdfReader
+    from .kernel.tables import detect_page_tables
+    from .kernel.textstate import ExtractionOptions
+
+    flat_opts = ExtractionOptions(preserve_layout=True)
+    para_opts = ExtractionOptions(
+        preserve_layout=True, reconstruct_paragraphs=True
+    )
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            pdf = bytes(blob)
+            # tables detect on UN-merged fragments (cell assignment is
+            # center-containment; paragraph merge would fuse cells)
+            flat = extract_pdf_bytes(pdf, flat_opts)
+            reader = PdfReader(pdf)
+            tables = []
+            boxes: dict[int, list] = {}
+            for i, page in enumerate(flatten_page_tree(reader)):
+                frags = (
+                    flat.page_fragments[i]
+                    if i < len(flat.page_fragments)
+                    else []
+                )
+                for t in detect_page_tables(page_content(reader, page), frags):
+                    tables.append(t)
+                    boxes.setdefault(i, []).append(t.bbox)
+            # elements classify on paragraph-merged fragments, minus any
+            # fragment inside a detected table (it renders as pipe rows,
+            # not duplicated prose)
+            res = extract_pdf_bytes(pdf, para_opts)
+            kept = []
+            for i, page_frags in enumerate(res.page_fragments):
+                page_boxes = boxes.get(i, [])
+                kept.append(
+                    [
+                        f
+                        for f in page_frags
+                        if not any(
+                            bx <= f.x + f.width / 2 <= bx + bw
+                            and by <= f.y + f.height / 2 <= by + bh
+                            for bx, by, bw, bh in page_boxes
+                        )
+                    ]
+                )
+            els = classify_pages(kept)
+            out.append(export_structured_markdown(els, tables))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
+def _fn_chunks_compact(text: pd.Series) -> pd.Series:
+    """Text → #oxct/1 token-efficient chunk serialization
+    (ai/chunking.rs DocumentChunker 512/50 defaults + formats.rs
+    TokenEfficientExporter) — the RAG hand-off in one SQL call."""
+    from .kernel.ai_export import chunk_text, export_chunks_compact
+
+    out = []
+    for t in text:
+        if t is None:
+            out.append(None)
+            continue
+        out.append(export_chunks_compact(chunk_text(str(t))))
+    return pd.Series(out, dtype=object)
+
+
 def build_udfs() -> dict:
     """Name → pandas UDF, built against the active session."""
     from pyspark.sql.functions import pandas_udf
@@ -187,6 +265,8 @@ def build_udfs() -> dict:
         "oxpdf_tables_json": pandas_udf(_fn_tables_json, "string"),
         "oxpdf_elements_json": pandas_udf(_fn_elements_json, "string"),
         "oxhtml_main_content": pandas_udf(_fn_html_main_content, "string"),
+        "oxpdf_export_markdown": pandas_udf(_fn_export_markdown, "string"),
+        "oxtext_chunks_compact": pandas_udf(_fn_chunks_compact, "string"),
     }
 
 

@@ -91,3 +91,33 @@ def test_sql_html_main_content(spark):
     df.createOrReplaceTempView("pages")
     row = spark.sql("SELECT oxhtml_main_content(html) AS t FROM pages").collect()[0]
     assert row["t"] == "clean main body content"
+
+
+def test_sql_export_markdown_and_chunks_compact(spark):
+    """Round-7 export surface in SQL: oxpdf_export_markdown renders a
+    sectioned PDF + bordered table as '##' headings / paragraphs / pipe
+    rows; oxtext_chunks_compact serializes DocumentChunker output in the
+    #oxct/1 tabular format, parseable back."""
+    from oxidizepdf_spark.corpus import build_sectioned_pdf, build_table_pdf
+    from oxidizepdf_spark.kernel.ai_export import parse_chunks_compact
+
+    sec = build_sectioned_pdf([("HEAD", [["body", "words", "here"]])])
+    tab = build_table_pdf([["a", "b"], ["c", "d"]])
+    text = " ".join(f"tok{i}" for i in range(30)) + " end."
+    df = spark.createDataFrame(
+        [(bytearray(sec), bytearray(tab), text)],
+        "sec binary, tab binary, txt string",
+    )
+    df.createOrReplaceTempView("exp")
+    row = spark.sql(
+        "SELECT oxpdf_export_markdown(sec) AS md, "
+        "oxpdf_export_markdown(tab) AS md_tab, "
+        "oxtext_chunks_compact(txt) AS ch FROM exp"
+    ).collect()[0]
+    assert row["md"] == "# Document\n\n## HEAD\n\nbody words here"
+    assert row["md_tab"] == (
+        "# Document\n\n| a | b |\n| --- | --- |\n| c | d |"
+    )
+    chunks = parse_chunks_compact(row["ch"])
+    assert len(chunks) == 1 and chunks[0]["tokens"] == 31
+    assert chunks[0]["content"].endswith("end.")
