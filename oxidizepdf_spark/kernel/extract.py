@@ -845,6 +845,57 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
     return out
 
 
+def _export_pages_and_meta(data: bytes, password: str | None):
+    """Shared front half of the ai/mod.rs doc-level exports: extract all
+    page texts (1-indexed) + document metadata mapped into the export
+    DocumentMetadata shape (ai/mod.rs:88-101: title defaulting to
+    'Untitled Document', page count, /Info CreationDate, author)."""
+    from .ai_export import DocumentMetadata
+    from .textstate import ExtractionOptions, _decode_pdf_string
+
+    opts = ExtractionOptions(password=password) if password else None
+    res = extract_pdf_bytes(data, opts)
+    pages = [(i + 1, t) for i, t in enumerate(res.page_texts)]
+    md = extract_metadata(data)
+    created = None
+    try:
+        reader = PdfReader(data, password=password)
+        info = reader.resolve(reader.trailer.get("Info"))
+        if isinstance(info, dict):
+            v = reader.resolve(info.get("CreationDate"))
+            if isinstance(v, bytes):
+                created = _decode_pdf_string(v)
+            elif isinstance(v, str):
+                created = str(v)
+    except Exception:
+        pass
+    meta = DocumentMetadata(
+        md["title"] if md["title"] is not None else "Untitled Document",
+        len(pages),
+        created_at=created,
+        author=md["author"],
+    )
+    return pages, meta
+
+
+def export_pdf_markdown(data: bytes, password: str | None = None) -> str:
+    """ai/mod.rs:76 export_to_markdown — whole document to markdown with
+    YAML frontmatter and **Page N** markers."""
+    from .ai_export import export_markdown_with_metadata_and_pages
+
+    pages, meta = _export_pages_and_meta(data, password)
+    return export_markdown_with_metadata_and_pages(pages, meta)
+
+
+def export_pdf_contextual(data: bytes, password: str | None = None) -> str:
+    """ai/mod.rs:138 export_to_contextual — whole document in the
+    conversational LLM-prompt format."""
+    from .ai_export import export_contextual_with_metadata_and_pages
+
+    pages, meta = _export_pages_and_meta(data, password)
+    return export_contextual_with_metadata_and_pages(pages, meta)
+
+
 def decode_raw_payload(text: str) -> bytes:
     """Input-table payload decoding (FIXTURES.md §1.1): latin-1 text, or
     base85 with the ``b85:`` prefix for true-binary PDFs."""

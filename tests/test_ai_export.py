@@ -417,3 +417,41 @@ def test_chunker_feeds_exporters_roundtrip():
     doc = json.loads(export_json_with_chunks(chunks))
     assert doc["chunk_count"] == len(chunks)
     assert doc["chunks"][0]["metadata"]["position"]["first_page"] == 1
+
+
+def test_export_pdf_markdown_and_contextual_doc_level():
+    """ai/mod.rs:76/138 doc-level exports: page texts + /Info metadata
+    (title default 'Untitled Document', CreationDate, author) through
+    the metadata+pages exporters."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import (
+        export_pdf_contextual,
+        export_pdf_markdown,
+    )
+
+    pdf = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 72 720 Td (hello page one) Tj ET",
+        info={
+            "Title": "My Doc",
+            "Author": "Ann",
+            "CreationDate": "D:20240115",
+        },
+    )
+    md = export_pdf_markdown(pdf)
+    assert md.startswith(
+        "---\ntitle: My Doc\npages: 1\ncreated: D:20240115\nauthor: Ann\n"
+        "---\n\n# My Doc\n\n**Page 1**\n\nhello page one"
+    )
+    ctx = export_pdf_contextual(pdf)
+    assert ctx == (
+        'This is a document titled "My Doc" with 1 page, written by Ann, '
+        "created on D:20240115.\n\nContent:\n\n"
+        "On page 1:\nhello page one\n\n"
+    )
+    # no /Info at all → reference defaults
+    bare = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 72 720 Td (x) Tj ET"
+    )
+    md2 = export_pdf_markdown(bare)
+    assert "title: Untitled Document" in md2
+    assert "created:" not in md2 and "author:" not in md2
