@@ -238,6 +238,27 @@ def _fn_export_markdown(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_corruption_json(data: pd.Series) -> pd.Series:
+    """PDF blob → corruption-triage report JSON (recovery/corruption.rs
+    detect_corruption) — the cheap pre-parse health probe for ingest
+    batches: severity histograms tell you which source needs the
+    recovery path before paying full extraction."""
+    from .kernel.diagnostics import detect_corruption
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            r = detect_corruption(bytes(blob))
+            r.pop("sections", None)  # offsets are intra-doc detail
+            out.append(json.dumps(r, sort_keys=True))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def _fn_chunks_compact(text: pd.Series) -> pd.Series:
     """Text → #oxct/1 token-efficient chunk serialization
     (ai/chunking.rs DocumentChunker 512/50 defaults + formats.rs
@@ -267,6 +288,7 @@ def build_udfs() -> dict:
         "oxhtml_main_content": pandas_udf(_fn_html_main_content, "string"),
         "oxpdf_export_markdown": pandas_udf(_fn_export_markdown, "string"),
         "oxtext_chunks_compact": pandas_udf(_fn_chunks_compact, "string"),
+        "oxpdf_corruption_json": pandas_udf(_fn_corruption_json, "string"),
     }
 
 

@@ -1,0 +1,66 @@
+"""Corruption triage parity (recovery/corruption.rs:85-287)."""
+
+from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+from oxidizepdf_spark.kernel.diagnostics import detect_corruption, is_corrupted
+
+OPS = b"BT /F1 12 Tf 72 720 Td (hello) Tj ET"
+
+
+def test_clean_pdf_reports_analysis_complete():
+    pdf = build_pdf_with_content_stream(OPS)
+    r = detect_corruption(pdf)
+    assert r["severity"] == 0
+    assert r["corruption_type"] == "Unknown"  # reference default stays
+    assert r["errors"] == ["PDF structure analysis complete"]
+    assert r["estimated_objects"] >= 5
+    # reference parity quirks, mirrored: the naive '/Type /Page' pattern
+    # also matches '/Type /Pages', and the 200-byte post-obj window can
+    # overlap the NEXT object's dict — so a 1-page doc reports 3
+    assert r["found_pages"] >= 1
+    # the naive 'xref' scan counts 'startxref' too — reference quirk
+    assert sum(1 for s in r["sections"] if s[0] == "XRef") >= 2
+    assert not is_corrupted(pdf)
+
+
+def test_invalid_header_severity_10_immediate():
+    r = detect_corruption(b"not a pdf at all but long enough")
+    assert r["corruption_type"] == "InvalidHeader"
+    assert r["severity"] == 10
+    assert r["errors"] == ["Invalid PDF header"]
+    # immediate bail: no object census ran
+    assert r["estimated_objects"] == 0
+    assert is_corrupted(b"junk data here")
+    # too-short file: the read itself fails
+    r2 = detect_corruption(b"%PDF")
+    assert r2["severity"] == 10 and "Cannot read header" in r2["errors"][0]
+
+
+def test_missing_eof_severity_5():
+    pdf = build_pdf_with_content_stream(OPS)
+    clipped = pdf.replace(b"%%EOF", b"%%XXX")
+    r = detect_corruption(clipped)
+    assert r["severity"] == 5
+    assert r["corruption_type"] == "MissingEOF"
+    assert "Missing %%EOF marker" in r["errors"]
+
+
+def test_no_xref_severity_8_and_multiple():
+    pdf = build_pdf_with_content_stream(OPS)
+    # remove every 'xref' occurrence (xref table + startxref keyword)
+    noxref = pdf.replace(b"xref", b"nref")
+    r = detect_corruption(noxref)
+    assert r["severity"] == 8
+    assert r["corruption_type"] == "CorruptXRef"
+    # both EOF and xref broken → Multiple
+    r2 = detect_corruption(noxref.replace(b"%%EOF", b"%%XXX"))
+    assert r2["corruption_type"] == "Multiple"
+    assert set(r2["types"]) == {"MissingEOF", "CorruptXRef"}
+    assert r2["severity"] == 8
+
+
+def test_no_objects_severity_10():
+    data = b"%PDF-1.4\nxref\n0 0\ntrailer\n%%EOF\n"
+    r = detect_corruption(data)
+    assert r["severity"] == 10
+    assert r["estimated_objects"] == 0
+    assert "No PDF objects found" in r["errors"]

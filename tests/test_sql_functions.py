@@ -121,3 +121,26 @@ def test_sql_export_markdown_and_chunks_compact(spark):
     chunks = parse_chunks_compact(row["ch"])
     assert len(chunks) == 1 and chunks[0]["tokens"] == 31
     assert chunks[0]["content"].endswith("end.")
+
+
+def test_sql_corruption_json(spark):
+    import json as _json
+
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+
+    ok = build_pdf_with_content_stream(b"BT /F1 12 Tf 72 720 Td (x) Tj ET")
+    bad = ok.replace(b"%%EOF", b"%%XXX")
+    df = spark.createDataFrame(
+        [(bytearray(ok), bytearray(bad), bytearray(b"garbage bytes not pdf"))],
+        "ok binary, bad binary, junk binary",
+    )
+    df.createOrReplaceTempView("health")
+    row = spark.sql(
+        "SELECT oxpdf_corruption_json(ok) AS ok, "
+        "oxpdf_corruption_json(bad) AS bad, "
+        "oxpdf_corruption_json(junk) AS junk FROM health"
+    ).collect()[0]
+    assert _json.loads(row["ok"])["severity"] == 0
+    b = _json.loads(row["bad"])
+    assert b["severity"] == 5 and b["corruption_type"] == "MissingEOF"
+    assert _json.loads(row["junk"])["corruption_type"] == "InvalidHeader"
