@@ -481,6 +481,80 @@ def _chunk_text_internal(
     return chunks
 
 
+# ----------------------------------------------- RAG provenance mapping
+
+
+def pages_for_chunks(chunks: list[dict]) -> list[int]:
+    """operations/chunk_page_mapper.rs:21 ChunkPageMapper::
+    pages_for_chunks — chunk page_numbers (1-indexed) → sorted,
+    deduplicated, 0-indexed page indices (the read half; the page
+    re-assembly half is write-side, out of scope)."""
+    return sorted(
+        {p - 1 for c in chunks for p in c["page_numbers"] if p > 0}
+    )
+
+
+class TextPositionIndex:
+    """operations/source_highlighter.rs:52 TextPositionIndex — maps
+    character offsets in the '\\n\\n'-concatenated document text (the
+    chunker's concatenation) back to PDF page coordinates, by locating
+    each positioned fragment's text within its page text with an
+    incremental forward search. The read-side half of chunk-provenance
+    highlighting: given a DocumentChunk's char range, ``
+    fragments_for_range`` returns the page rects that cover it (the
+    annotation-writing half is out of scope)."""
+
+    def __init__(self, pages: list[tuple[str, list]]):
+        """``pages``: (page_text, fragments) per page; fragments carry
+        .text/.x/.y/.width/.height (layout.py TextFragment or the C
+        kernel's CFrag — both expose the slots)."""
+        self.entries: list[dict] = []
+        self.page_offsets: list[int] = []
+        global_offset = 0
+        n = len(pages)
+        for page_idx, (page_text, fragments) in enumerate(pages):
+            self.page_offsets.append(global_offset)
+            search_from = 0
+            for frag in fragments:
+                ftext = frag.text
+                if not ftext:
+                    continue
+                pos = page_text.find(ftext, search_from)
+                if pos >= 0:
+                    self.entries.append(
+                        {
+                            "page": page_idx,
+                            "start_char": global_offset + pos,
+                            "end_char": global_offset + pos + len(ftext),
+                            "x": frag.x,
+                            "y": frag.y,
+                            "width": frag.width,
+                            "height": frag.height,
+                        }
+                    )
+                    search_from = pos + len(ftext)
+            global_offset += len(page_text)
+            if page_idx < n - 1:
+                global_offset += 2  # the '\n\n' separator
+
+    def fragments_for_range(self, start: int, end: int) -> list[dict]:
+        if start >= end:
+            return []
+        return [
+            e
+            for e in self.entries
+            if e["start_char"] < end and e["end_char"] > start
+        ]
+
+    def page_offset(self, page: int) -> int | None:
+        if 0 <= page < len(self.page_offsets):
+            return self.page_offsets[page]
+        return None
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+
 # ------------------------------------------- structure-aware composition
 
 

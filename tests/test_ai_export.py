@@ -455,3 +455,56 @@ def test_export_pdf_markdown_and_contextual_doc_level():
     md2 = export_pdf_markdown(bare)
     assert "title: Untitled Document" in md2
     assert "created:" not in md2 and "author:" not in md2
+
+
+def test_pages_for_chunks_mapper():
+    """chunk_page_mapper.rs:21 — 1-indexed chunk pages to sorted deduped
+    0-indexed indices, zeros dropped."""
+    from oxidizepdf_spark.kernel.ai_export import pages_for_chunks
+
+    chunks = [
+        _chunk(page_numbers=[3, 1]),
+        _chunk(page_numbers=[1, 2]),
+        _chunk(page_numbers=[0]),  # page 0 = untracked, dropped
+        _chunk(page_numbers=[]),
+    ]
+    assert pages_for_chunks(chunks) == [0, 1, 2]
+
+
+def test_text_position_index_end_to_end():
+    """source_highlighter.rs TextPositionIndex over a real 2-page
+    extraction: a chunk's char range maps back to fragment rects on the
+    right page with real coordinates."""
+    from oxidizepdf_spark.corpus import build_text_pdf
+    from oxidizepdf_spark.kernel.ai_export import (
+        TextPositionIndex,
+        chunk_text_with_pages,
+    )
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    lines = [f"line {i} words here" for i in range(6)]
+    pdf = build_text_pdf("\n".join(lines), lines_per_page=3)  # 2 pages
+    res = extract_pdf_bytes(pdf, ExtractionOptions(preserve_layout=True))
+    assert len(res.page_texts) == 2
+    idx = TextPositionIndex(
+        list(zip(res.page_texts, res.page_fragments))
+    )
+    assert len(idx) > 0
+    # page offsets follow the '\n\n' concatenation convention
+    assert idx.page_offset(0) == 0
+    assert idx.page_offset(1) == len(res.page_texts[0]) + 2
+    assert idx.page_offset(2) is None
+    # a range inside page 2's text resolves to page-1 (0-indexed) rects
+    start = idx.page_offset(1)
+    hits = idx.fragments_for_range(start, start + 10)
+    assert hits and all(h["page"] == 1 for h in hits)
+    assert all(h["width"] > 0 and h["height"] > 0 for h in hits)
+    # degenerate range
+    assert idx.fragments_for_range(5, 5) == []
+    # chunker round-trip: chunk the same concatenation, map chunk 0 back
+    pages = [(i + 1, t) for i, t in enumerate(res.page_texts)]
+    chunks = chunk_text_with_pages(pages, 8, 2)
+    c0 = chunks[0]["position"]
+    covered = idx.fragments_for_range(c0["start_char"], c0["end_char"])
+    assert covered and covered[0]["page"] == 0
