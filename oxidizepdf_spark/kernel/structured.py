@@ -74,3 +74,64 @@ def detect_key_value_pairs(fragments) -> list[KeyValuePair]:
                 if k and v:
                     pairs.append(KeyValuePair(k, v, 0.85, "tabular"))
     return pairs
+
+
+class ColumnSection:
+    """structured/types.rs ColumnSection: one detected column with its
+    reading-order text and bounding box."""
+
+    __slots__ = ("column_index", "text", "bbox")
+
+    def __init__(self, column_index, text, bbox):
+        self.column_index = column_index
+        self.text = text
+        self.bbox = bbox  # (x, y, width, height)
+
+
+MIN_COLUMN_GAP = 20.0  # StructuredDataConfig::default (types.rs:276)
+
+
+def detect_column_layout(
+    fragments, min_column_gap: float = MIN_COLUMN_GAP
+) -> list[ColumnSection]:
+    """Multi-column layout detection by vertical-gap analysis
+    (structured/layout.rs:13-117 detect_column_layout): sort fragment
+    x-ranges by start, gaps >= min_column_gap between consecutive
+    ranges become boundaries at the gap midpoint, fragments assign to
+    the first boundary with x < boundary, each non-empty column sorts
+    (y desc, x asc), joins text with ' ', and carries its bbox. Column
+    indices are the ORIGINAL slot indices (pre-filter), matching the
+    reference's enumerate-then-filter order."""
+    if not fragments:
+        return []
+    x_ranges = sorted((f.x, f.x + f.width) for f in fragments)
+    boundaries = []  # x_position values
+    for (s1, e1), (s2, _e2) in zip(x_ranges, x_ranges[1:]):
+        gap = s2 - e1
+        if gap >= min_column_gap:
+            boundaries.append(e1 + gap / 2.0)
+
+    def col_of(x):
+        for i, bx in enumerate(boundaries):
+            if x < bx:
+                return i
+        return len(boundaries)
+
+    columns = [[] for _ in range(len(boundaries) + 1)]
+    for f in fragments:
+        columns[col_of(f.x)].append(f)
+
+    out = []
+    for idx, col in enumerate(columns):
+        if not col:
+            continue
+        col.sort(key=lambda f: (-f.y, f.x))
+        text = " ".join(f.text for f in col)
+        min_x = min(f.x for f in col)
+        min_y = min(f.y for f in col)
+        max_x = max(f.x + f.width for f in col)
+        max_y = max(f.y + f.height for f in col)
+        out.append(
+            ColumnSection(idx, text, (min_x, min_y, max_x - min_x, max_y - min_y))
+        )
+    return out

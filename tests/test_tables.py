@@ -170,3 +170,36 @@ def test_key_value_detection_strategies():
         ("spatial", "left", "right"),
         ("tabular", "Total", "42"),
     ]
+
+
+def test_detect_column_layout_gap_analysis():
+    """structured/layout.rs detect_column_layout end-to-end: a 2-column
+    page splits at the inter-column gap midpoint, each column reads top
+    to bottom, the gutter exceeding min_column_gap is the trigger, and
+    a single-column page returns one section."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.structured import detect_column_layout
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    parts = [b"BT /F1 12 Tf"]
+    for i, (x, word) in enumerate(
+        [(72, b"left1"), (72, b"left2"), (300, b"right1"), (300, b"right2")]
+    ):
+        y = 700 - 20 * (i % 2)
+        parts.append(b"1 0 0 1 %d %d Tm (%s) Tj" % (x, y, word))
+    parts.append(b"ET")
+    pdf = build_pdf_with_content_stream(b" ".join(parts))
+    res = extract_pdf_bytes(pdf, ExtractionOptions(preserve_layout=True))
+    cols = detect_column_layout(res.page_fragments[0])
+    assert len(cols) == 2
+    assert cols[0].column_index == 0 and cols[0].text == "left1 left2"
+    assert cols[1].column_index == 1 and cols[1].text == "right1 right2"
+    # boundary sits in the gutter: left bbox ends before it, right starts after
+    lx, _, lw, _ = cols[0].bbox
+    rx = cols[1].bbox[0]
+    assert lx + lw < rx
+    # below-threshold gap -> one section, reading order preserved
+    one = detect_column_layout(res.page_fragments[0], min_column_gap=500.0)
+    assert len(one) == 1
+    assert one[0].text == "left1 right1 left2 right2"  # y desc, x asc
