@@ -135,3 +135,35 @@ def detect_column_layout(
             ColumnSection(idx, text, (min_x, min_y, max_x - min_x, max_y - min_y))
         )
     return out
+
+
+def detect_structured_data(
+    fragments,
+    detect_tables: bool = True,
+    detect_key_value: bool = True,
+    detect_multi_column: bool = True,
+    min_column_gap: float = MIN_COLUMN_GAP,
+) -> dict:
+    """structured/detector.rs:66 StructuredDataDetector::detect — the
+    one-call orchestrator over the three component detectors this
+    engine already ships: borderless-table alignment clustering
+    (kernel/tables.py detect_borderless_tables stands in for
+    structured/table.rs' spatial clustering), key-value patterns, and
+    multi-column gap analysis. Returns {'tables': [...],
+    'key_value_pairs': [...], 'column_sections': [...]}, each empty
+    when its flag is off or input is empty (infallible, like the
+    reference)."""
+    result = {"tables": [], "key_value_pairs": [], "column_sections": []}
+    if not fragments:
+        return result
+    if detect_tables:
+        from .tables import detect_borderless_tables
+
+        result["tables"] = detect_borderless_tables(fragments)
+    if detect_key_value:
+        result["key_value_pairs"] = detect_key_value_pairs(fragments)
+    if detect_multi_column:
+        result["column_sections"] = detect_column_layout(
+            fragments, min_column_gap
+        )
+    return result

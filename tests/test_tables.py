@@ -203,3 +203,33 @@ def test_detect_column_layout_gap_analysis():
     one = detect_column_layout(res.page_fragments[0], min_column_gap=500.0)
     assert len(one) == 1
     assert one[0].text == "left1 right1 left2 right2"  # y desc, x asc
+
+
+def test_detect_structured_data_orchestrator():
+    """structured/detector.rs detect(): one call returns all three
+    pattern families; flags gate each; empty input is infallible."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+    from oxidizepdf_spark.kernel.structured import detect_structured_data
+    from oxidizepdf_spark.kernel.textstate import ExtractionOptions
+
+    ops = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 700 Tm (name: alice) Tj "
+        b"1 0 0 1 72 660 Tm (leftcol) Tj "
+        b"1 0 0 1 400 660 Tm (rightcol) Tj ET"
+    )
+    pdf = build_pdf_with_content_stream(ops)
+    res = extract_pdf_bytes(pdf, ExtractionOptions(preserve_layout=True))
+    frags = res.page_fragments[0]
+    r = detect_structured_data(frags)
+    assert {p.key: p.value for p in r["key_value_pairs"]}["name"] == "alice"
+    assert len(r["column_sections"]) == 2
+    off = detect_structured_data(
+        frags, detect_key_value=False, detect_multi_column=False,
+        detect_tables=False,
+    )
+    assert off == {
+        "tables": [], "key_value_pairs": [], "column_sections": [],
+    }
+    assert detect_structured_data([]) == off
