@@ -416,6 +416,9 @@ def main() -> None:
         # round-6: byte-level suffix-array variant (pytest-pinned; not
         # in the 50-row oracle registry — see its docstring)
         "text_exact_substring_bytes": Q.q_text_exact_substring_bytes,
+        # round-7: ai-export flagship (render + layout-extract + classify
+        # + table-detect + compose per doc)
+        "pdf_export_markdown": Q.q_pdf_export_markdown,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the

@@ -3095,8 +3095,19 @@ def q_pdf_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     Zero-word edge mirrored from rag_chunk_elements: a title-only doc
     classifies as paragraph (relative-size classifier), so its section
     line renders as a plain block, not a '##' heading, and n_headings
-    is 0."""
+    is 0.
+
+    Plan shape: at ~1.3 ms/doc of per-doc Python compute this operator
+    is the expensive-UDF-after-narrow-scan case; when the scan yields
+    fewer splits than half the cluster's parallelism (a single-row-group
+    parquet file can't split, the bench/test corpora are exactly that),
+    a round-robin rebalance of the narrow (doc_id, text) rows buys full
+    parallelism for ~nothing. At production split counts the branch
+    never fires and the plan stays map-only."""
     docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    par = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < max(par // 2, 1):
+        docs = docs.repartition(par)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math

@@ -271,14 +271,23 @@ def test_exact_substring_bytes_plan_shape(spark):
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
 
 
-def test_export_markdown_is_map_only(spark):
-    """pdf_export_markdown is one pruned scan + one mapInPandas — no
-    Exchange anywhere (per-doc render/extract/compose is embarrassingly
-    parallel; at 100 TB this shape scales linearly with executors)."""
+def test_export_markdown_plan_shape(spark):
+    """pdf_export_markdown: pruned scan + mapInPandas. The test corpus
+    is a single-row-group parquet file (unsplittable scan), so the
+    query's under-parallel guard fires and the ONLY Exchange is the
+    round-robin rebalance of the narrow input rows before the heavy
+    per-doc UDF — never a keyed shuffle. At production split counts the
+    branch doesn't fire and the plan is map-only."""
     from oxidizepdf_spark.queries import q_pdf_export_markdown
 
     plan = _plan(q_pdf_export_markdown(spark, SF))
-    assert "Exchange" not in plan, plan
+    exchanges = [
+        ln for ln in plan.splitlines() if "Exchange" in ln
+    ]
+    assert len(exchanges) <= 1, plan
+    for ln in exchanges:
+        assert "RoundRobinPartitioning" in ln, plan  # rebalance only
+    assert "hashpartitioning" not in plan.lower(), plan
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" in scan[0]
     assert "lang" not in scan[0] and "n_chars" not in scan[0]
