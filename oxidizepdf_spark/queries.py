@@ -52,6 +52,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _rebalance_for_udf(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Expensive-per-row-UDF guard: a single-row-group parquet file
+    cannot split, so a small-file corpus lands the WHOLE table in one
+    task and a per-doc mapInPandas operator (0.2-1.3 ms/doc of Python
+    work) runs single-core no matter how many executors exist. When the
+    scan yields fewer splits than half the cluster parallelism,
+    round-robin rebalance the narrow projected rows before the UDF —
+    the shuffle moves only (doc_id, text)-width data and buys full
+    parallelism. At production split counts (100 TB = thousands of
+    row groups) the branch never fires and the plan stays map-only.
+    Call AFTER the narrow .select so the shuffle never carries pruned
+    columns."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(par // 2, 1):
+        return df.repartition(par)
+    return df
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -173,8 +191,11 @@ def _pdf_roundtrip(variant: str, with_mode: bool = False):
     cols = "doc_id long, text string, n_lines int, n_pages int, mode string"
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir).select(
-            "doc_id", norm_col("text").alias("norm")
+        docs = _rebalance_for_udf(
+            spark,
+            _docs(spark, sf_dir).select(
+                "doc_id", norm_col("text").alias("norm")
+            ),
         )
         out = docs.mapInPandas(_roundtrip_udf(variant), schema=cols)
         keep = ["doc_id", "text", "n_lines", "n_pages"] + (
@@ -250,7 +271,10 @@ def q_pdf_extract_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mode"].append(mode)
             yield pd.DataFrame(out)
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
     return docs.mapInPandas(run, schema=cols)
 
 
@@ -281,7 +305,10 @@ def q_pdf_extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (kind, text, media_ref, offset) is exact (FIXTURES.md §1.2)."""
     from .pipeline import extract_spans
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf, encode_raw_payload
@@ -369,7 +396,10 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     content as <p> blocks plus one in-content image. Extraction must strip
     every boilerplate element and return exactly the content text (+1
     image span), which the oracle recomputes from the text column."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_html_doc
@@ -407,8 +437,11 @@ def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/Metadata stream, metadata/xmp.rs semantics) — both must surface the
     same fields, proving the /Info read AND the XMP scrape + precedence
     merge in one oracle-recomputable relation."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", "source", norm_col("text").alias("norm")
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select(
+            "doc_id", "source", norm_col("text").alias("norm")
+        ),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -461,7 +494,10 @@ def q_pdf_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     20pt apart at 12pt (gap 8 < 1.5x median height 12), so each page
     reconstructs to exactly one paragraph whose text joins the page's
     lines with newlines — recomputable by the oracle from the raw text."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
@@ -509,7 +545,10 @@ def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     styles + page_label_tree.rs:28 lookup): front matter is lowercase
     roman (i, ii), the rest 'P-'-prefixed decimal restarting at /St 1 —
     the page_label column must reproduce the §12.4.2 formatting."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
@@ -582,7 +621,10 @@ def q_pdf_extract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipper the columns together. Extracting with reading_order='xycut'
     must split on the column gap and restore the original logical order,
     so the oracle is simply the normalized 32-word prefix."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -642,7 +684,10 @@ def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence must be text / image(Im1) / text with exact halves."""
     import math
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import _IMG_OBJ, build_pdf_with_content_stream, escape_pdf_string
@@ -708,7 +753,10 @@ def _pdf_encrypted_roundtrip(method: str):
     transparently unlock and recover the exact text."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+        docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .corpus import build_encrypted_pdf
@@ -791,7 +839,10 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["detect_n_spans"].append(len(det.spans))
             yield pd.DataFrame(out)
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
     return docs.mapInPandas(
         run,
         schema="doc_id long, method string, text string, n_lines int, "
@@ -852,7 +903,10 @@ def q_pdf_extract_encrypted_password(spark: SparkSession, sf_dir: str) -> DataFr
                 out["wrong_refused"].append(wrong.error == "encrypted")
             yield pd.DataFrame(out)
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
     return docs.mapInPandas(
         run,
         schema="doc_id long, text string, unlocked boolean, wrong_refused boolean",
@@ -2154,7 +2208,10 @@ def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     template plus {HTML_LINK_WORDS} doc-derived anchors; the oracle
     enumerates the template's static links and recomputes the derived
     ones from the word array."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_html_doc
@@ -2238,7 +2295,10 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage, /Open state, own /Rect) that the extractor must FOLD into
     the parent's row (popup_open encoded -1 none / 0 closed / 1 open)
     rather than emit standalone — 3 rows per doc, not 4."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -2391,7 +2451,10 @@ def q_pdf_extract_keyvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (two runs on one baseline with a wide gap); the detector must
     recover all four with the right pattern class and confidence. Values
     derive from the word array so the oracle recomputes every pair."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -2480,7 +2543,10 @@ def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row per page with the analyzer's classification and counts; the
     OCR round-trip columns ride on the page-0 row (the scanned class is
     exactly the OCR trigger)."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_composition_pdf, build_scanned_pdf
@@ -2562,7 +2628,10 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pre-order sequence (ord), nesting level, decoded title, and
     /Dest-resolved page index. Titles: top i = 'sec-i-w(i*3)', child j of
     i = 'sub-i.j-w(i*3+1+j)' over the word array with modulo."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_outline_pdf
@@ -2664,7 +2733,10 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     INHERITS /FT+/V and kid 'b' overrides /V=w(2) — and the walker must
     emit exactly the four terminal fields with qualified names and decoded
     values."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_form_pdf
@@ -2741,7 +2813,10 @@ def q_pdf_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     center containment (text/table_detection.rs). The oracle recomputes
     every cell's text from the word array + grid constants — proving cell
     geometry, line clustering, and text assignment all at once."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_table_pdf
@@ -2819,7 +2894,10 @@ def q_pdf_extract_tables_borderless(spark: SparkSession, sf_dir: str) -> DataFra
     recovered purely from repeated left-edge alignment and rows from
     baseline clusters. Same oracle shape — every cell recomputed from the
     word array + geometry constants."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_borderless_table_pdf
@@ -2875,7 +2953,10 @@ def q_pdf_extract_tables_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered purely from left-edge + baseline alignment). Every cell's
     text is recomputed by the oracle from the word array + geometry
     constants. Consolidates the two single-family registry entries."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_borderless_table_pdf, build_table_pdf
@@ -2979,7 +3060,10 @@ def q_rag_chunk_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph (the classifier's body font IS the title size then), which
     the oracle mirrors — that is the honest behavior of a relative-size
     classifier on a single-size document."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -3104,10 +3188,10 @@ def q_pdf_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     a round-robin rebalance of the narrow (doc_id, text) rows buys full
     parallelism for ~nothing. At production split counts the branch
     never fires and the plan stays map-only."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    par = spark.sparkContext.defaultParallelism
-    if docs.rdd.getNumPartitions() < max(par // 2, 1):
-        docs = docs.repartition(par)
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -3324,7 +3408,10 @@ def q_rag_chunk_typed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline under AnyInlineContent), footer — with heading lineage
     attached everywhere after the title. Mirrors partition.rs zone +
     is_list_item classification and hybrid_chunking.rs merge policy."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -4013,8 +4100,11 @@ def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media column; 'feature extraction' runs in an Arrow-batched pandas stage
     (the real decode — image/audio libs — is stubbed per round-1 scope, but
     the schema, batching, and binary transport are production-shaped)."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", F.encode(norm_col("text"), "UTF-8").alias("media")
+    d = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select(
+            "doc_id", F.encode(norm_col("text"), "UTF-8").alias("media")
+        ),
     )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4045,7 +4135,10 @@ def q_pdf_extract_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     number INV-doc_id, date 2024-MM-DD from doc_id, total from integer
     cents — and the extractor must recover all four via pattern-keyed
     keyvalue matching plus first-colon-less-line vendor detection."""
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_invoice_pdf
@@ -4111,7 +4204,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the separate stub-features and fake-embeddings entries."""
     from .multimodal import extract_media_features, synth_media_table
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
     media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
     feats = extract_media_features(media, dims=4)
     return feats.select(
@@ -4152,7 +4248,10 @@ def q_media_fake_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dimension from the source text."""
     from .multimodal import extract_media_features, synth_media_table
 
-    docs = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
     media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
     feats = extract_media_features(media, dims=4)
     return feats.select(
