@@ -394,6 +394,13 @@ def main() -> None:
     # legs) so the recorded artifact carries its own degraded-window evidence
     extras["host_window"] = _host_window(args.cpus)
 
+    # The headline job sized maxPartitionBytes for its staged corpus;
+    # restore the defaults so the suite's scans split (and the per-doc
+    # queries' under-parallel rebalance guard sees honest conditions)
+    # rather than inheriting the extract job's tiny splits.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
+
     # representative query suite at the sf dir (oracle-checked elsewhere)
     suite = {
         "pdf_roundtrip_flate": Q._pdf_roundtrip("flate"),

@@ -63,9 +63,19 @@ def _rebalance_for_udf(spark: SparkSession, df: DataFrame) -> DataFrame:
     parallelism. At production split counts (100 TB = thousands of
     row groups) the branch never fires and the plan stays map-only.
     Call AFTER the narrow .select so the shuffle never carries pruned
-    columns."""
+    columns.
+
+    The trigger is the input FILE count, not getNumPartitions(): a tiny
+    maxPartitionBytes (e.g. leaked from a previous job's split sizing)
+    makes the scan REPORT many byte-range partitions of a
+    single-row-group file while every row still lands in the one range
+    containing the row group's midpoint — partition count says
+    parallel, execution is single-task. File count is immune to split
+    conf. A single LARGE many-row-group file gets rebalanced too; the
+    shuffle carries only the projected narrow rows, a bounded cost
+    against the single-task floor it avoids."""
     par = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < max(par // 2, 1):
+    if len(df.inputFiles()) < max(par // 2, 1):
         return df.repartition(par)
     return df
 
