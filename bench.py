@@ -543,6 +543,11 @@ def main() -> None:
         # 13.8-18.6k docs/s across windows, so a single bad leg can
         # produce 0.75-normalized under a 0.88 ceiling). Both attempts'
         # normalized efficiencies are recorded either way.
+        # Attempt ranking: a degraded ceiling reading INFLATES the
+        # normalized ratio (raw 0.72 / ceiling 0.53 reads as "1.35"), so
+        # picking by raw normalized would favor exactly the windows the
+        # retry exists to escape. Prefer quiet-ceiling attempts first,
+        # then the higher normalized reading among them.
         best_sat = None
         sat_attempts = []
         for _attempt in range(2):
@@ -551,11 +556,12 @@ def main() -> None:
             spin_sat = _host_spin_ceiling(8, args.cpus)
             norm_try = pair_eff(leg8_sat, leg32) / spin_sat
             sat_attempts.append(round(norm_try, 4))
-            if best_sat is None or norm_try > best_sat[3]:
-                best_sat = (leg8_sat, leg32, spin_sat, norm_try)
+            rank = (spin_sat >= 0.7, min(norm_try, 1.0), spin_sat)
+            if best_sat is None or rank > best_sat[4]:
+                best_sat = (leg8_sat, leg32, spin_sat, norm_try, rank)
             if spin_sat >= 0.7 and norm_try >= 0.8:
                 break
-        leg8_sat, leg32, spin_sat, _ = best_sat
+        leg8_sat, leg32, spin_sat, _, _ = best_sat
         eff_primary = pair_eff(leg2, leg8)
         eff_sat = pair_eff(leg8_sat, leg32)
         # Pure-CPU spin control (zero Spark, zero memory traffic): the
