@@ -36,6 +36,7 @@ def build_pdf_with_content_stream(
     info: dict[str, str] | None = None,
     xmp: dict[str, str] | None = None,
     page_labels_nums: bytes | None = None,
+    page_dict_extra: str = "",
 ) -> bytes:
     """Minimal 1-page PDF, /F1 Helvetica, classic xref
     (synthetic_pdf.rs:23-71 layout).
@@ -81,7 +82,9 @@ def build_pdf_with_content_stream(
         3,
         b"<< /Type /Page /Parent 2 0 R /Resources "
         + resources
-        + b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+        + b" /Contents 5 0 R /MediaBox [0 0 612 792]"
+        + page_dict_extra.encode("latin-1")
+        + b" >>",
     )
     obj(4, font_obj or b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
 
@@ -568,12 +571,16 @@ def build_text_pdf(
     text: str,
     lines_per_page: int = 40,
     page_labels_nums: bytes | None = None,
+    rotate: int | None = None,
+    rotate_inherited: bool = False,
 ) -> bytes:
     """Build a PDF whose extraction round-trips ``text`` exactly (used by the
     documents-table oracle queries): each input line is one Tj; lines are
     placed 20pt apart (> newline_threshold 10 → '\\n' re-synthesis); pages
     of ``lines_per_page`` lines each. ``page_labels_nums``: raw /Nums array
-    body for a catalog /PageLabels number tree (§12.4.2)."""
+    body for a catalog /PageLabels number tree (§12.4.2). ``rotate``: a
+    /Rotate value, written on every page dict — or on the /Pages parent
+    node only when ``rotate_inherited`` (the §7.7.3.4 inheritance path)."""
     lines = text.split("\n") if text else [""]
     if len(lines) <= lines_per_page:
         parts = []
@@ -587,19 +594,36 @@ def build_text_pdf(
             else:
                 parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
         parts.append(b"ET")
+        # single-page path: /Rotate always lands on the page dict (the
+        # inheritance leg is exercised by the multipage builder); the
+        # effective value a reader sees is identical either way
+        extra = "" if rotate is None else f" /Rotate {rotate}"
         return build_pdf_with_content_stream(
-            b" ".join(parts), page_labels_nums=page_labels_nums
+            b" ".join(parts),
+            page_labels_nums=page_labels_nums,
+            page_dict_extra=extra,
         )
     pages = []
     for i in range(0, len(lines), lines_per_page):
         pages.append("\n".join(lines[i : i + lines_per_page]))
-    return build_pdf_multipage_texts(pages, page_labels_nums=page_labels_nums)
+    return build_pdf_multipage_texts(
+        pages,
+        page_labels_nums=page_labels_nums,
+        rotate=rotate,
+        rotate_inherited=rotate_inherited,
+    )
 
 
 def build_pdf_multipage_texts(
-    page_texts: list[str], page_labels_nums: bytes | None = None
+    page_texts: list[str],
+    page_labels_nums: bytes | None = None,
+    rotate: int | None = None,
+    rotate_inherited: bool = False,
 ) -> bytes:
-    """Multi-line pages variant of build_pdf_multipage (flat tree)."""
+    """Multi-line pages variant of build_pdf_multipage (flat tree).
+
+    ``rotate``/``rotate_inherited``: /Rotate per page dict, or once on the
+    /Pages node so pages receive it via attribute inheritance."""
     catalog = b"<< /Type /Catalog /Pages 2 0 R >>"
     if page_labels_nums is not None:
         catalog = (
@@ -614,14 +638,20 @@ def build_pdf_multipage_texts(
     page_nums = list(range(10, 10 + n))
     content_nums = list(range(10 + n, 10 + 2 * n))
     kids = " ".join(f"{p} 0 R" for p in page_nums)
+    parent_rot = (
+        b" /Rotate %d" % rotate if rotate is not None and rotate_inherited else b""
+    )
+    page_rot = (
+        b" /Rotate %d" % rotate if rotate is not None and not rotate_inherited else b""
+    )
     objects[2] = (
-        b"<< /Type /Pages /Kids [%s] /Count %d /Resources << /Font << /F1 4 0 R >> >> >>"
-        % (kids.encode(), n)
+        b"<< /Type /Pages /Kids [%s] /Count %d%s /Resources << /Font << /F1 4 0 R >> >> >>"
+        % (kids.encode(), n, parent_rot)
     )
     for i, text in enumerate(page_texts):
         objects[page_nums[i]] = (
-            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R /MediaBox [0 0 612 792] >>"
-            % content_nums[i]
+            b"<< /Type /Page /Parent 2 0 R /Contents %d 0 R /MediaBox [0 0 612 792]%s >>"
+            % (content_nums[i], page_rot)
         )
         parts = [b"BT /F1 12 Tf"]
         first = True

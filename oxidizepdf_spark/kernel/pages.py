@@ -153,6 +153,38 @@ def _format_label(style: str | None, prefix: str, number: int) -> str:
     return prefix + body
 
 
+def page_rotation(page: Page, reader: PdfReader | None = None) -> int:
+    """Effective /Rotate for a flattened page (page_tree.rs:556): the raw
+    inherited integer, default 0. Mirrors the reference's read path, which
+    does NOT normalise — ``get_integer`` keeps whatever integer the dict
+    carries (only the write-side rotate operation validates 0/90/180/270,
+    operations/rotate.rs:27-45). Non-integer values read as absent."""
+    r = page.dict.get("Rotate")
+    if reader is not None and isinstance(r, Ref):
+        r = reader.resolve(r)
+    if isinstance(r, bool) or not isinstance(r, int):
+        return 0
+    return r
+
+
+def effective_page_size(page: Page, reader: PdfReader | None = None):
+    """(width, height) in PDF units accounting for rotation
+    (page_tree.rs:658-676 ParsedPage::width/height): MediaBox extents,
+    swapped when /Rotate is exactly 90 or 270; missing MediaBox defaults
+    to Letter [0 0 612 792] (page_tree.rs:541-551)."""
+    mb = page.media_box
+    if not isinstance(mb, list) or len(mb) < 4:
+        mb = [0.0, 0.0, 612.0, 792.0]
+    try:
+        w = float(mb[2]) - float(mb[0])
+        h = float(mb[3]) - float(mb[1])
+    except (TypeError, ValueError):
+        w, h = 612.0, 792.0
+    if page_rotation(page, reader) in (90, 270):
+        return h, w
+    return w, h
+
+
 def page_labels(reader: PdfReader, n_pages: int) -> list[str]:
     """Per-page display label from the catalog /PageLabels number tree
     (page_label_tree.rs:28-48 get_label + :74-150 from_dict; §12.4.2

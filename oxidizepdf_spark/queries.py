@@ -554,7 +554,13 @@ def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     also carries a /PageLabels number tree (page_labels/page_label.rs:48
     styles + page_label_tree.rs:28 lookup): front matter is lowercase
     roman (i, ii), the rest 'P-'-prefixed decimal restarting at /St 1 —
-    the page_label column must reproduce the §12.4.2 formatting."""
+    the page_label column must reproduce the §12.4.2 formatting.
+
+    Rotation surface (page_tree.rs:556 + :658-676): doc_id%4 picks
+    /Rotate 0/90/180/270 (0 = key absent), doc_id%8>=4 writes it on the
+    /Pages parent node instead of each page — the §7.7.3.4 inheritance
+    path must yield the same effective value; eff_w/eff_h are the
+    rotation-adjusted MediaBox extents (swap on exactly 90/270)."""
     docs = _rebalance_for_udf(
         spark,
         _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
@@ -563,34 +569,48 @@ def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
         from .kernel.extract import extract_pdf_bytes
-        from .kernel.pages import page_labels
+        from .kernel.pages import (
+            effective_page_size,
+            flatten_page_tree,
+            page_labels,
+            page_rotation,
+        )
         from .kernel.reader import PdfReader
 
         nums = b"0 << /S /r >> 2 << /S /D /P (P-) /St 1 >>"
         for b in batches:
             out = {
                 "doc_id": [], "page_idx": [], "page_text": [],
-                "page_label": [],
+                "page_label": [], "rotation": [], "eff_w": [], "eff_h": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                rot = (int(doc_id) % 4) * 90
                 pdf = build_text_pdf(
                     "\n".join(_wrap_lines(norm)),
                     lines_per_page=PAGE_OPS_LINES,
                     page_labels_nums=nums,
+                    rotate=rot if rot else None,
+                    rotate_inherited=int(doc_id) % 8 >= 4,
                 )
                 res = extract_pdf_bytes(pdf)
-                labels = page_labels(PdfReader(pdf), len(res.page_texts))
+                reader = PdfReader(pdf)
+                labels = page_labels(reader, len(res.page_texts))
+                pages = flatten_page_tree(reader)
                 for i, pt in enumerate(res.page_texts):
+                    ew, eh = effective_page_size(pages[i], reader)
                     out["doc_id"].append(doc_id)
                     out["page_idx"].append(i)
                     out["page_text"].append(pt.replace("\n", " "))
                     out["page_label"].append(labels[i])
+                    out["rotation"].append(page_rotation(pages[i], reader))
+                    out["eff_w"].append(int(ew))
+                    out["eff_h"].append(int(eh))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
         schema="doc_id long, page_idx int, page_text string, "
-        "page_label string",
+        "page_label string, rotation int, eff_w int, eff_h int",
     )
 
 
@@ -614,7 +634,12 @@ SELECT doc_id,
          ws[i * {_WORDS_PER_PAGE} + 1 : least((i + 1) * {_WORDS_PER_PAGE}, len(ws))],
          ' ') AS page_text,
        CASE WHEN i = 0 THEN 'i' WHEN i = 1 THEN 'ii'
-            ELSE 'P-' || CAST(i - 1 AS VARCHAR) END AS page_label
+            ELSE 'P-' || CAST(i - 1 AS VARCHAR) END AS page_label,
+       CAST((doc_id % 4) * 90 AS INT) AS rotation,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 792 ELSE 612 END AS INT)
+         AS eff_w,
+       CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 612 ELSE 792 END AS INT)
+         AS eff_h
 FROM pages, UNNEST(generate_series(0, n_pages - 1)) AS t(i)
 """
 
@@ -4206,6 +4231,79 @@ FROM base
 """
 
 
+def q_pdf_detect_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corruption triage as a first-class corpus probe (reference
+    recovery/corruption.rs:85 detect_corruption; kernel/diagnostics.py):
+    in a 10^12-doc ingest this is the cheap pre-parse health scan whose
+    severity histogram decides which sources need the recovery path
+    before paying full extraction.
+
+    Every doc builds the canonical single-page probe PDF (content varies
+    by doc_id), then doc_id%5 selects a byte-level corruption:
+    0 intact; 1 header smashed (severity-10 instant bail); 2 ``%%EOF``
+    marker destroyed; 3 ``xref`` keyword destroyed (which also kills
+    ``startxref`` — the reference's naive pattern scan counts both,
+    corruption.rs:175-205); 4 = 2+3 → Multiple. Oracle constants are the
+    canonical build's census: 5 indirect objects, found_pages 3 for a
+    1-page doc — the 200-byte ``/Type /Page`` lookahead window overlaps
+    the neighbouring /Catalog and /Pages objects, a reference quirk
+    (corruption.rs:207-246) pinned in tests/test_diagnostics.py."""
+    docs = _rebalance_for_udf(spark, _docs(spark, sf_dir).select("doc_id"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .corpus import build_text_pdf
+        from .kernel.diagnostics import detect_corruption
+
+        for b in batches:
+            out = {
+                "doc_id": [], "variant": [], "corruption_type": [],
+                "severity": [], "n_errors": [], "est_objects": [],
+                "found_pages": [],
+            }
+            for doc_id in b["doc_id"]:
+                doc_id = int(doc_id)
+                v = doc_id % 5
+                data = build_text_pdf(f"corruption probe {doc_id}")
+                if v == 1:
+                    data = b"XX" + data[2:]
+                if v in (2, 4):
+                    data = data.replace(b"%%EOF", b"%%EOX")
+                if v in (3, 4):
+                    data = data.replace(b"xref", b"xrEf")
+                r = detect_corruption(data)
+                out["doc_id"].append(doc_id)
+                out["variant"].append(v)
+                out["corruption_type"].append(r["corruption_type"])
+                out["severity"].append(r["severity"])
+                out["n_errors"].append(len(r["errors"]))
+                out["est_objects"].append(r["estimated_objects"])
+                out["found_pages"].append(r["found_pages"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, variant int, corruption_type string, "
+        "severity int, n_errors int, est_objects int, found_pages int",
+    )
+
+
+ORACLE_DETECT_CORRUPTION = """
+SELECT doc_id,
+       CAST(doc_id % 5 AS INT) AS variant,
+       CASE doc_id % 5
+            WHEN 0 THEN 'Unknown' WHEN 1 THEN 'InvalidHeader'
+            WHEN 2 THEN 'MissingEOF' WHEN 3 THEN 'CorruptXRef'
+            ELSE 'Multiple' END AS corruption_type,
+       CASE doc_id % 5
+            WHEN 0 THEN 0 WHEN 1 THEN 10 WHEN 2 THEN 5 ELSE 8
+            END AS severity,
+       CASE WHEN doc_id % 5 IN (3, 4) THEN 2 ELSE 1 END AS n_errors,
+       CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 5 END AS est_objects,
+       CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 3 END AS found_pages
+FROM documents
+"""
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated multimodal driver row: binary transport features
     (byte length + content md5 — the dedup hash a media pipeline keys on)
@@ -4958,7 +5056,11 @@ def build_queries() -> dict:
         "pdf_export_markdown": q_pdf_export_markdown,
         "text_scrub_pii": q_text_scrub_pii,
         "doc_fingerprint": q_doc_fingerprint,
-        "rag_chunk_docs": q_rag_chunk_docs,
+        # rag_chunk_docs stays implemented (tests/test_rag_chunk_docs.py
+        # keeps its exact Spark-vs-DuckDB differential) but yields its
+        # registry row to pdf_detect_corruption: its _chunk_windows_col
+        # posexplode is already oracle-exercised verbatim inside
+        # training_corpus_pipeline, so the row was the one redundancy
         "rag_chunk_elements": q_rag_chunk_elements,
         "rag_chunk_typed_page": q_rag_chunk_typed_page,
         "training_corpus_pipeline": q_training_corpus_pipeline,
@@ -4974,6 +5076,7 @@ def build_queries() -> dict:
         "pdf_extract_outline": q_pdf_extract_outline,
         "pdf_extract_form_fields": q_pdf_extract_form_fields,
         "pdf_extract_invoice": q_pdf_extract_invoice,
+        "pdf_detect_corruption": q_pdf_detect_corruption,
         "media_features": q_media_features,
         "corpus_events_stats": q_corpus_events_stats,
         "events_sessionization": q_events_sessionization,
@@ -5021,7 +5124,6 @@ def build_oracles() -> dict[str, str]:
         "pdf_export_markdown": ORACLE_EXPORT_MARKDOWN,
         "text_scrub_pii": ORACLE_SCRUB_PII,
         "doc_fingerprint": ORACLE_FINGERPRINT,
-        "rag_chunk_docs": ORACLE_RAG_CHUNKS,
         "rag_chunk_elements": ORACLE_RAG_ELEMENTS,
         "rag_chunk_typed_page": ORACLE_TYPED_PAGE,
         "training_corpus_pipeline": _training_pipeline_sql(),
@@ -5037,6 +5139,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_outline": ORACLE_OUTLINE,
         "pdf_extract_form_fields": ORACLE_FORM_FIELDS,
         "pdf_extract_invoice": ORACLE_INVOICE,
+        "pdf_detect_corruption": ORACLE_DETECT_CORRUPTION,
         "media_features": _media_features_oracle(),
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "events_sessionization": ORACLE_SESSIONIZATION,

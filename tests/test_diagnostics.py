@@ -64,3 +64,34 @@ def test_no_objects_severity_10():
     assert r["severity"] == 10
     assert r["estimated_objects"] == 0
     assert "No PDF objects found" in r["errors"]
+
+def test_oracle_probe_constants_pinned():
+    """Pin the canonical-probe census constants hard-coded in
+    ORACLE_DETECT_CORRUPTION (queries.py): the single-page build_text_pdf
+    probe has exactly 5 indirect objects and reports found_pages=3 (the
+    200-byte lookahead overlap quirk), for any doc_id digit width."""
+    from oxidizepdf_spark.corpus import build_text_pdf
+
+    for doc_id in (0, 7, 123, 99999999):
+        pdf = build_text_pdf(f"corruption probe {doc_id}")
+        expected = {
+            0: ("Unknown", 0, 1, 5, 3),
+            1: ("InvalidHeader", 10, 1, 0, 0),
+            2: ("MissingEOF", 5, 1, 5, 3),
+            3: ("CorruptXRef", 8, 2, 5, 3),
+            4: ("Multiple", 8, 2, 5, 3),
+        }
+        muts = {
+            0: pdf,
+            1: b"XX" + pdf[2:],
+            2: pdf.replace(b"%%EOF", b"%%EOX"),
+            3: pdf.replace(b"xref", b"xrEf"),
+            4: pdf.replace(b"%%EOF", b"%%EOX").replace(b"xref", b"xrEf"),
+        }
+        for v, data in muts.items():
+            r = detect_corruption(data)
+            got = (
+                r["corruption_type"], r["severity"], len(r["errors"]),
+                r["estimated_objects"], r["found_pages"],
+            )
+            assert got == expected[v], (doc_id, v, got)

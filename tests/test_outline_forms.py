@@ -604,3 +604,38 @@ def test_link_action_detail_variants():
     # malformed action: type surfaces, target stays None, nothing raises
     a = one(b"<< /S /GoToR >>")
     assert a["action_type"] == "GoToR" and a["action_target"] is None
+
+
+def test_page_rotation_direct_inherited_and_effective_size():
+    """/Rotate read surface (page_tree.rs:556 raw inherited integer;
+    :658-676 effective width/height swap on exactly 90/270): page-level
+    and /Pages-inherited placement must read the same; absent → 0."""
+    from oxidizepdf_spark.corpus import build_pdf_multipage_texts, build_text_pdf
+    from oxidizepdf_spark.kernel.pages import (
+        effective_page_size,
+        flatten_page_tree,
+        page_rotation,
+    )
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    for inherited in (False, True):
+        pdf = build_pdf_multipage_texts(
+            ["a", "b"], rotate=90, rotate_inherited=inherited
+        )
+        pages = flatten_page_tree(PdfReader(pdf))
+        assert [page_rotation(p) for p in pages] == [90, 90], inherited
+        assert effective_page_size(pages[0]) == (792.0, 612.0)
+
+    # single-page builder path + 180 (no swap) + absent (default 0)
+    one = flatten_page_tree(PdfReader(build_text_pdf("x", rotate=180)))[0]
+    assert page_rotation(one) == 180
+    assert effective_page_size(one) == (612.0, 792.0)
+    plain = flatten_page_tree(PdfReader(build_text_pdf("x")))[0]
+    assert page_rotation(plain) == 0
+    assert effective_page_size(plain) == (612.0, 792.0)
+
+    # reference read path does NOT normalise: 270 swaps, -90 does not
+    # (write-side RotationAngle::from_degrees validates; reads keep raw)
+    neg = flatten_page_tree(PdfReader(build_text_pdf("x", rotate=-90)))[0]
+    assert page_rotation(neg) == -90
+    assert effective_page_size(neg) == (612.0, 792.0)
