@@ -12,9 +12,12 @@ recovery behavior:
 - RunLengthDecode:                          filters.rs:1999-2044
 - decompression-bomb guards:                filters.rs:26,38,80-108
 
-Image-pixel filters (DCT/JPX/CCITT/JBIG2) are intentionally pass-through:
-the engine captures image XObjects as references (``kind='image'`` spans),
-it does not rasterize (SURVEY.md §2.2 F8/F9 descope).
+Image-stream filters: DCTDecode and CCITTFaxDecode dispatch to real codecs
+in kernel/image_codecs.py (DCT = clean+validate byte window per dct.rs:57-68;
+CCITT = full T.4/T.6 decode, beyond the reference's simplified tables).
+JPX/JBIG2 remain pass-through (the extraction hot path captures image
+XObjects as references — ``kind='image'`` spans — and never decodes them;
+SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -349,7 +352,7 @@ def decode_run_length(data: bytes) -> bytes:
 # Dispatch
 # ---------------------------------------------------------------------------
 
-_PASS_THROUGH = {"DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "CCF", "JBIG2Decode"}
+_PASS_THROUGH = {"JPXDecode", "JBIG2Decode"}
 
 _ALIASES = {
     "Fl": "FlateDecode",
@@ -388,8 +391,16 @@ def apply_filter_with_params(data: bytes, name: str, params: dict) -> bytes:
         return decode_ascii85(data)
     if name == "RunLengthDecode":
         return decode_run_length(data)
+    if name in ("DCTDecode", "DCT"):
+        from .image_codecs import decode_dct
+
+        return decode_dct(data)  # clean+validate, bytes as-is (dct.rs:57-68)
+    if name in ("CCITTFaxDecode", "CCF"):
+        from .image_codecs import decode_ccitt
+
+        return decode_ccitt(data, params)
     if name in _PASS_THROUGH:
-        return data  # image data stays opaque — reference capture only
+        return data  # JPX/JBIG2 stay opaque — reference capture only
     if name == "Crypt":
         raise FilterError("encrypted streams are not supported (detection-only)")
     raise FilterError(f"unknown filter: {name}")
