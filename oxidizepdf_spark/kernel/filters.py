@@ -14,10 +14,12 @@ recovery behavior:
 
 Image-stream filters: DCTDecode and CCITTFaxDecode dispatch to real codecs
 in kernel/image_codecs.py (DCT = clean+validate byte window per dct.rs:57-68;
-CCITT = full T.4/T.6 decode, beyond the reference's simplified tables).
-JPX/JBIG2 remain pass-through (the extraction hot path captures image
-XObjects as references — ``kind='image'`` spans — and never decodes them;
-SURVEY.md §2.2).
+CCITT = full T.4/T.6 decode, beyond the reference's simplified tables);
+JBIG2Decode dispatches to kernel/jbig2.py (MQ arithmetic + generic regions
++ page composition, transcribing filter_impls/{jbig2,mq_coder,
+generic_region,page_buffer}.rs). JPX remains pass-through (the extraction
+hot path captures image XObjects as references — ``kind='image'`` spans —
+and never decodes them; SURVEY.md §2.2).
 """
 
 from __future__ import annotations
@@ -352,7 +354,7 @@ def decode_run_length(data: bytes) -> bytes:
 # Dispatch
 # ---------------------------------------------------------------------------
 
-_PASS_THROUGH = {"JPXDecode", "JBIG2Decode"}
+_PASS_THROUGH = {"JPXDecode"}
 
 _ALIASES = {
     "Fl": "FlateDecode",
@@ -399,8 +401,12 @@ def apply_filter_with_params(data: bytes, name: str, params: dict) -> bytes:
         from .image_codecs import decode_ccitt
 
         return decode_ccitt(data, params)
+    if name == "JBIG2Decode":
+        from .jbig2 import decode_jbig2
+
+        return decode_jbig2(data, params)
     if name in _PASS_THROUGH:
-        return data  # JPX/JBIG2 stay opaque — reference capture only
+        return data  # JPX stays opaque — reference capture only
     if name == "Crypt":
         raise FilterError("encrypted streams are not supported (detection-only)")
     raise FilterError(f"unknown filter: {name}")

@@ -1,0 +1,1076 @@
+"""JBIG2Decode (ITU-T T.88): MQ arithmetic decoder, generic regions
+(arithmetic templates 0-3 + TPGD, and MMR), segment routing, page
+composition.
+
+Behavioral parity target: the reference's filter_impls/{jbig2, mq_coder,
+generic_region, page_buffer}.rs — including its implementation-specific
+choices, transcribed faithfully and cited inline:
+
+- MQ decoder register conventions (mq_coder.rs:380-560): complement-style
+  BYTEIN (``C += 0xFF00 - (B << 8)``), MPS test ``chigh < A`` after
+  ``A -= Qe``, u32 wrapping arithmetic (mirrored with explicit masks).
+- Context bit-packing for generic regions (generic_region.rs:451-592):
+  pixel i of the fixed-offset list at bit i, AT pixels at the top bits —
+  with the reference's own offset lists and AT defaults, which differ
+  from T.88's nominal figure layout.
+- TPGD uses a dedicated fresh SLTP context (generic_region.rs:611-613);
+  T.88 nominally reuses pseudo-pixel context 0x9B25/0x0795/0x00E5/0x0195
+  inside the GB context array.
+- Page-info flags parsed as a 16-bit field over bytes 16-17
+  (page_buffer.rs:161-199; T.88 has one flag byte at 16 + two striping
+  bytes at 17-18), segment headers without long-form retain bits
+  (jbig2.rs parse_segment_header), referred-segment-number width keyed
+  on 255/65535 thresholds.
+- Unknown segment types skip gracefully; a failed segment is skipped
+  with processing continuing (jbig2.rs decode_segments).
+
+Scope: the generic-region pipeline (MQ-arithmetic and MMR), page
+information / composition / striping, and the arithmetic integer + IAID
+decoding procedures are implemented. Symbol dictionary, text region,
+pattern/halftone region and the Huffman-coded variants — which the
+reference implements in symbol_dict.rs / text_region.rs /
+halftone_region.rs / huffman.rs — are NOT implemented here: those
+segments are skipped like failed segments (SURVEY §2.2 F9). Image pixels
+are outside the extraction hot path (images are captured by reference,
+never decoded), so this decoder serves explicit ``Stream.decode()``
+calls; it is a correctness surface, not a throughput surface.
+
+An MQ *encoder* plus generic-region/segment builders ship as
+test/tooling support (same pattern as the CCITT encoders): the encoder
+is derived by construction from the transcribed decoder (two-pass:
+accumulate the exact interval lower bound as a Python big integer, then
+solve the wire bytes through the decoder's own BYTEIN transform), so
+round-trips validate the decoder bit-exactly in-sandbox.
+"""
+
+from __future__ import annotations
+
+from .filters import FilterError
+
+MAX_SEGMENT_DATA_LENGTH = 100 * 1024 * 1024  # jbig2.rs:52
+MAX_REFERRED_SEGMENTS = 256  # jbig2.rs:55
+MAX_BITMAP_WIDTH = 65535  # generic_region.rs:23
+MAX_BITMAP_HEIGHT = 65535
+MAX_BITMAP_BYTES = 256 * 1024 * 1024
+
+JBIG2_FILE_ID = b"\x97JB2\r\n\x1a\n"  # jbig2.rs:58
+
+_U32 = 0xFFFFFFFF
+
+# Qe probability estimation table, ITU-T T.88 Table E.1 (mq_coder.rs:31).
+# (qe, nmps, nlps, switch)
+QE_TABLE = (
+    (0x5601, 1, 1, 1), (0x3401, 2, 6, 0), (0x1801, 3, 9, 0), (0x0AC1, 4, 12, 0),
+    (0x0521, 5, 29, 0), (0x0221, 38, 33, 0), (0x5601, 7, 6, 1), (0x5401, 8, 14, 0),
+    (0x4801, 9, 14, 0), (0x3801, 10, 14, 0), (0x3001, 11, 17, 0), (0x2401, 12, 18, 0),
+    (0x1C01, 13, 20, 0), (0x1601, 29, 21, 0), (0x5601, 15, 14, 1), (0x5401, 16, 14, 0),
+    (0x5101, 17, 15, 0), (0x4801, 18, 16, 0), (0x3801, 19, 17, 0), (0x3401, 20, 18, 0),
+    (0x3001, 21, 19, 0), (0x2801, 22, 19, 0), (0x2401, 23, 20, 0), (0x2201, 24, 21, 0),
+    (0x1C01, 25, 22, 0), (0x1801, 26, 23, 0), (0x1601, 27, 24, 0), (0x1401, 28, 25, 0),
+    (0x1201, 29, 26, 0), (0x1101, 30, 27, 0), (0x0AC1, 31, 28, 0), (0x09C1, 32, 29, 0),
+    (0x08A1, 33, 30, 0), (0x0521, 34, 31, 0), (0x0441, 35, 32, 0), (0x02A1, 36, 33, 0),
+    (0x0221, 37, 34, 0), (0x0141, 38, 35, 0), (0x0111, 39, 36, 0), (0x0085, 40, 37, 0),
+    (0x0049, 41, 38, 0), (0x0025, 42, 39, 0), (0x0015, 43, 40, 0), (0x0009, 44, 41, 0),
+    (0x0005, 45, 42, 0), (0x0001, 45, 43, 0), (0x5601, 46, 46, 0),
+)
+
+
+def new_context() -> list:
+    """Fresh MQ context: [state_index, mps] (mq_coder.rs MQContext::new)."""
+    return [0, 0]
+
+
+def new_contexts(n: int) -> list:
+    return [[0, 0] for _ in range(n)]
+
+
+class MQDecoder:
+    """MQ arithmetic decoder, transcription of mq_coder.rs MQDecoder
+    (software-convention registers; u32 wrap mirrored via masking)."""
+
+    __slots__ = ("data", "position", "a", "c", "ct")
+
+    def __init__(self, data: bytes):
+        if len(data) < 2:
+            raise FilterError("MQ decoder requires at least 2 bytes of data")
+        self.data = data
+        self.position = 0
+        self.a = 0x8000
+        self.c = 0
+        self.ct = 0
+        # INITDEC (mq_coder.rs:424-430)
+        self.c = (data[0] << 16) & _U32
+        self.position = 1
+        self._bytein()
+        self.c = (self.c << 7) & _U32
+        self.ct -= 7
+
+    def _bytein(self) -> None:
+        # mq_coder.rs:437-466
+        data = self.data
+        pos = self.position
+        if pos >= len(data):
+            self.ct = 8
+            return
+        prev = data[pos - 1] if pos > 0 else 0
+        if prev == 0xFF:
+            cur = data[pos]
+            if cur > 0x8F:
+                self.ct = 8  # marker — don't consume
+            else:
+                self.position = pos + 1
+                self.c = (self.c + ((0xFE00 - (cur << 9)) & _U32)) & _U32
+                self.ct = 7
+        else:
+            b = data[pos]
+            self.position = pos + 1
+            self.c = (self.c + 0xFF00 - (b << 8)) & _U32
+            self.ct = 8
+
+    def _renormalize(self) -> None:
+        while self.a < 0x8000:
+            if self.ct == 0:
+                self._bytein()
+            self.a = (self.a << 1) & _U32
+            self.c = (self.c << 1) & _U32
+            self.ct -= 1
+
+    def decode(self, ctx: list) -> int:
+        # mq_coder.rs:489-515
+        qe = QE_TABLE[ctx[0]][0]
+        self.a -= qe
+        if (self.c >> 16) < self.a:
+            if self.a < 0x8000:
+                d = self._mps_exchange(ctx, qe)
+                self._renormalize()
+                return d
+            return ctx[1]
+        d = self._lps_exchange(ctx, qe)
+        self._renormalize()
+        return d
+
+    def _mps_exchange(self, ctx: list, qe: int) -> int:
+        entry = QE_TABLE[ctx[0]]
+        if self.a < qe:
+            d = 1 - ctx[1]
+            if entry[3]:
+                ctx[1] ^= 1
+            ctx[0] = entry[2]
+            return d
+        ctx[0] = entry[1]
+        return ctx[1]
+
+    def _lps_exchange(self, ctx: list, qe: int) -> int:
+        # saturating_sub mirrors mq_coder.rs:543
+        self.c = max(self.c - ((self.a << 16) & _U32), 0)
+        entry = QE_TABLE[ctx[0]]
+        if self.a < qe:
+            self.a = qe
+            ctx[0] = entry[1]
+            return ctx[1]
+        self.a = qe
+        d = 1 - ctx[1]
+        if entry[3]:
+            ctx[1] ^= 1
+        ctx[0] = entry[2]
+        return d
+
+    def decode_iaid(self, contexts: list, codewidth: int) -> int:
+        # mq_coder.rs:570-597
+        if codewidth > 24:
+            raise FilterError(f"IAID codewidth {codewidth} exceeds maximum 24")
+        if codewidth == 0:
+            return 0
+        prev = 1
+        for _ in range(codewidth):
+            if prev >= len(contexts):
+                raise FilterError(
+                    f"IAID context index {prev} out of bounds "
+                    f"(contexts len={len(contexts)})"
+                )
+            bit = self.decode(contexts[prev])
+            prev = (prev << 1) | bit
+        return prev - (1 << codewidth)
+
+
+def decode_integer_arith(dec: MQDecoder, contexts: list) -> int:
+    """Simplified integer arithmetic decoding, transcription of
+    mq_coder.rs decode_integer_arith. NOTE (parity): this is the
+    reference's own scheme, not T.88 Annex A — representable magnitudes
+    are {0..3}, {64..79} and {81920..86015}; there is no OOB sentinel."""
+    sign = dec.decode(contexts[0])
+    prev = 1
+    magnitude = 0
+    bit1 = dec.decode(contexts[min(prev, 511)])
+    prev = (prev << 1) | bit1
+    if bit1 == 0:
+        for _ in range(2):
+            bit = dec.decode(contexts[min(prev, 511)])
+            magnitude = (magnitude << 1) | bit
+            prev = (prev << 1) | bit
+    else:
+        bit2 = dec.decode(contexts[min(prev, 511)])
+        prev = (prev << 1) | bit2
+        if bit2 == 0:
+            magnitude = 4
+            for _ in range(4):
+                bit = dec.decode(contexts[min(prev, 511)])
+                magnitude = (magnitude << 1) | bit
+                prev = (prev << 1) | bit
+        else:
+            magnitude = 20
+            for _ in range(12):
+                bit = dec.decode(contexts[min(prev, 511)])
+                magnitude = (magnitude << 1) | bit
+                prev = (prev << 1) | bit
+    return -magnitude if sign else magnitude
+
+
+# ---------------------------------------------------------------------------
+# Bitmap (packed rows, transcription of generic_region.rs Bitmap —
+# including the 0xFF padding-bit fill of default-1 bitmaps)
+# ---------------------------------------------------------------------------
+
+OP_OR, OP_AND, OP_XOR, OP_XNOR, OP_REPLACE = 0, 1, 2, 3, 4
+
+
+def _combine_op_from_u8(v: int) -> int:
+    # generic_region.rs:54 — unknown values fall back to Or at call sites
+    return v if 0 <= v <= 4 else -1
+
+
+class Bitmap:
+    __slots__ = ("width", "height", "stride", "data")
+
+    def __init__(self, width: int, height: int, default_pixel: int = 0):
+        if width == 0:
+            raise FilterError("Bitmap width must be > 0")
+        if width > MAX_BITMAP_WIDTH:
+            raise FilterError(
+                f"Bitmap width {width} exceeds maximum {MAX_BITMAP_WIDTH}"
+            )
+        if height > MAX_BITMAP_HEIGHT:
+            raise FilterError(
+                f"Bitmap height {height} exceeds maximum {MAX_BITMAP_HEIGHT}"
+            )
+        stride = (width + 7) // 8
+        total = stride * height
+        if total > MAX_BITMAP_BYTES:
+            raise FilterError(
+                f"Bitmap total size {total} bytes exceeds maximum "
+                f"{MAX_BITMAP_BYTES} bytes"
+            )
+        self.width = width
+        self.height = height
+        self.stride = stride
+        self.data = bytearray(b"\xff" * total if default_pixel else b"\x00" * total)
+
+    def get_pixel(self, x: int, y: int) -> int:
+        if x >= self.width or y >= self.height:
+            return 0
+        byte = self.data[y * self.stride + (x >> 3)]
+        return (byte >> (7 - (x & 7))) & 1
+
+    def get_pixel_signed(self, x: int, y: int) -> int:
+        if x < 0 or y < 0:
+            return 0
+        return self.get_pixel(x, y)
+
+    def set_pixel(self, x: int, y: int, value: int) -> None:
+        if x >= self.width or y >= self.height:
+            return
+        idx = y * self.stride + (x >> 3)
+        mask = 0x80 >> (x & 7)
+        if value:
+            self.data[idx] |= mask
+        else:
+            self.data[idx] &= ~mask & 0xFF
+
+    def copy_row(self, dst_y: int, src_y: int) -> None:
+        if dst_y >= self.height or src_y >= self.height or dst_y == src_y:
+            return
+        s = src_y * self.stride
+        d = dst_y * self.stride
+        self.data[d : d + self.stride] = self.data[s : s + self.stride]
+
+    def to_packed_bytes(self) -> bytes:
+        return bytes(self.data)
+
+    def combine(self, other: "Bitmap", op: int, x_offset: int, y_offset: int) -> None:
+        # generic_region.rs:267-360, byte-aligned fast path + pixel slow path
+        dst_x_start = max(x_offset, 0)
+        dst_y_start = max(y_offset, 0)
+        dst_x_end = max(min(x_offset + other.width, self.width), 0)
+        dst_y_end = max(min(y_offset + other.height, self.height), 0)
+        if dst_x_start >= dst_x_end or dst_y_start >= dst_y_end:
+            return
+        src_x_start = max(-x_offset, 0)
+        src_y_start = max(-y_offset, 0)
+        pixel_width = dst_x_end - dst_x_start
+        byte_aligned = (dst_x_start % 8 == 0) and (src_x_start % 8 == 0)
+        for dy in range(dst_y_end - dst_y_start):
+            dst_y = dst_y_start + dy
+            src_y = src_y_start + dy
+            if byte_aligned:
+                doff = dst_y * self.stride + dst_x_start // 8
+                soff = src_y * other.stride + src_x_start // 8
+                full = pixel_width // 8
+                for b in range(full):
+                    s = other.data[soff + b]
+                    d = self.data[doff + b]
+                    self.data[doff + b] = _byte_combine(d, s, op)
+                rem = pixel_width % 8
+                if rem:
+                    mask = (0xFF << (8 - rem)) & 0xFF
+                    s = other.data[soff + full]
+                    d = self.data[doff + full]
+                    combined = _byte_combine(d, s, op)
+                    self.data[doff + full] = (combined & mask) | (d & ~mask & 0xFF)
+            else:
+                for dx in range(pixel_width):
+                    sp = other.get_pixel(src_x_start + dx, src_y)
+                    dp = self.get_pixel(dst_x_start + dx, dst_y)
+                    if op == OP_OR:
+                        r = dp | sp
+                    elif op == OP_AND:
+                        r = dp & sp
+                    elif op == OP_XOR:
+                        r = dp ^ sp
+                    elif op == OP_XNOR:
+                        r = 0 if (dp ^ sp) else 1
+                    else:
+                        r = sp
+                    self.set_pixel(dst_x_start + dx, dst_y, r)
+
+
+def _byte_combine(d: int, s: int, op: int) -> int:
+    if op == OP_OR:
+        return d | s
+    if op == OP_AND:
+        return d & s
+    if op == OP_XOR:
+        return d ^ s
+    if op == OP_XNOR:
+        return ~(d ^ s) & 0xFF
+    return s
+
+
+# ---------------------------------------------------------------------------
+# Generic region decoding (generic_region.rs:435-700)
+# ---------------------------------------------------------------------------
+
+# Fixed context offsets per template, bit i = offset i; AT pixels occupy the
+# top bits with the reference's defaults (generic_region.rs compute_context).
+_T0_FIXED = ((-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
+             (1, -1), (2, -1), (-4, 0), (-3, 0), (-2, 0), (-1, 0))
+_T0_AT_DEFAULTS = ((2, -2), (-3, -1), (2, -1))
+_T1_FIXED = ((-1, -2), (0, -2), (1, -2), (2, -2), (-2, -1), (-1, -1), (0, -1),
+             (1, -1), (2, -1), (-3, 0), (-2, 0), (-1, 0))
+_T2_FIXED = ((-1, -2), (0, -2), (1, -2), (-2, -1), (-1, -1), (0, -1), (1, -1),
+             (2, -1), (-2, 0))
+_T3_FIXED = ((-1, -1), (0, -1), (1, -1), (2, -1))
+
+_TEMPLATE_BITS = (16, 13, 10, 5)  # generic_region.rs:435
+
+
+def _template_offsets(template: int, at_pixels) -> tuple:
+    """Resolved (dx, dy) list, bit i = entry i (fixed first, AT on top)."""
+    if template == 0:
+        ats = []
+        for i, default in enumerate(_T0_AT_DEFAULTS):
+            if i < len(at_pixels):
+                ats.append(at_pixels[i])
+            else:
+                ats.append(default)
+        return _T0_FIXED + tuple(ats)
+    if template == 1:
+        at = at_pixels[0] if at_pixels else (3, -1)
+        return _T1_FIXED + (at,)
+    if template == 2:
+        at = at_pixels[0] if at_pixels else (-1, 0)
+        return _T2_FIXED + (at,)
+    at = at_pixels[0] if at_pixels else (-1, 0)
+    return _T3_FIXED + (at,)
+
+
+def compute_context(bitmap: Bitmap, x: int, y: int, offsets: tuple) -> int:
+    ctx = 0
+    gp = bitmap.get_pixel_signed
+    for i, (dx, dy) in enumerate(offsets):
+        ctx |= gp(x + dx, y + dy) << i
+    return ctx
+
+
+class GenericRegionParams:
+    __slots__ = ("width", "height", "template", "is_mmr", "is_tpgd",
+                 "at_pixels", "default_pixel")
+
+    def __init__(self, width, height, template=0, is_mmr=False, is_tpgd=False,
+                 at_pixels=(), default_pixel=0):
+        self.width = width
+        self.height = height
+        self.template = template
+        self.is_mmr = is_mmr
+        self.is_tpgd = is_tpgd
+        self.at_pixels = tuple(at_pixels)
+        self.default_pixel = default_pixel
+
+
+def decode_generic_region_arith(data: bytes, params: GenericRegionParams) -> Bitmap:
+    # generic_region.rs:592-644
+    if not data:
+        raise FilterError("Empty data for generic region decode")
+    if len(data) < 2:
+        raise FilterError("Generic region data too short for MQ decoder")
+    bitmap = Bitmap(params.width, params.height, params.default_pixel)
+    contexts = new_contexts(1 << _TEMPLATE_BITS[params.template])
+    dec = MQDecoder(data)
+    offsets = _template_offsets(params.template, params.at_pixels)
+    # dedicated SLTP context — reference divergence from T.88 nominal
+    tpgd_ctx = new_context()
+    line_is_typical = False
+    for y in range(params.height):
+        if params.is_tpgd:
+            if dec.decode(tpgd_ctx):
+                line_is_typical = not line_is_typical
+            if line_is_typical and y > 0:
+                bitmap.copy_row(y, y - 1)
+                continue
+        for x in range(params.width):
+            ctx_value = compute_context(bitmap, x, y, offsets)
+            bitmap.set_pixel(x, y, dec.decode(contexts[ctx_value]))
+    return bitmap
+
+
+def decode_generic_region_mmr(data: bytes, params: GenericRegionParams) -> Bitmap:
+    """MMR-coded generic region (T.88 6.2.6 = ITU-T T.6 two-dimensional
+    coding, black = 1 = set pixel). Reuses the full T.6 line decoder from
+    kernel/image_codecs.py — same standard the reference reimplements in
+    generic_region.rs:745-1240; rows decode until ``height`` is reached,
+    trailing EOFB tolerated."""
+    from .image_codecs import _BitReader, _decode_2d_line, _transitions
+
+    bitmap = Bitmap(params.width, params.height, params.default_pixel)
+    reader = _BitReader(data)
+    ref = _transitions([params.width])
+    for y in range(params.height):
+        runs = _decode_2d_line(reader, params.width, ref)
+        pos = 0
+        black = False
+        for r in runs:
+            if black:
+                for x in range(pos, pos + r):
+                    bitmap.set_pixel(x, y, 1)
+            pos += r
+            black = not black
+        ref = _transitions(runs)
+    return bitmap
+
+
+# ---------------------------------------------------------------------------
+# Segments + page composition (jbig2.rs, page_buffer.rs)
+# ---------------------------------------------------------------------------
+
+SEG_SYMBOL_DICTIONARY = 0
+SEG_INTERMEDIATE_TEXT_REGION = 4
+SEG_IMMEDIATE_TEXT_REGION = 6
+SEG_IMMEDIATE_LOSSLESS_TEXT_REGION = 7
+SEG_PATTERN_DICTIONARY = 16
+SEG_INTERMEDIATE_HALFTONE_REGION = 20
+SEG_IMMEDIATE_HALFTONE_REGION = 22
+SEG_IMMEDIATE_LOSSLESS_HALFTONE_REGION = 23
+SEG_INTERMEDIATE_GENERIC_REGION = 36
+SEG_IMMEDIATE_GENERIC_REGION = 38
+SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION = 39
+SEG_PAGE_INFORMATION = 48
+SEG_END_OF_PAGE = 49
+SEG_END_OF_STRIPE = 50
+SEG_END_OF_FILE = 51
+
+_UNSUPPORTED_SEGMENTS = {
+    SEG_SYMBOL_DICTIONARY: "symbol dictionary",
+    SEG_INTERMEDIATE_TEXT_REGION: "text region",
+    SEG_IMMEDIATE_TEXT_REGION: "text region",
+    SEG_IMMEDIATE_LOSSLESS_TEXT_REGION: "text region",
+    SEG_PATTERN_DICTIONARY: "pattern dictionary",
+    SEG_INTERMEDIATE_HALFTONE_REGION: "halftone region",
+    SEG_IMMEDIATE_HALFTONE_REGION: "halftone region",
+    SEG_IMMEDIATE_LOSSLESS_HALFTONE_REGION: "halftone region",
+}
+
+
+class SegmentHeader:
+    __slots__ = ("segment_number", "flags", "segment_type", "page_association",
+                 "data_length", "referred_to_segments", "header_length")
+
+
+def parse_segment_header(data: bytes) -> SegmentHeader:
+    """T.88 §7.2 segment header, transcription of jbig2.rs
+    parse_segment_header (short-form counts 5/6 treated as long form;
+    long-form retain bits not consumed; referred-number width keyed on
+    the 255/65535 thresholds — all reference quirks kept)."""
+    if len(data) < 6:
+        raise FilterError("JBIG2 segment header too short")
+    h = SegmentHeader()
+    h.segment_number = int.from_bytes(data[0:4], "big")
+    h.flags = data[4]
+    h.segment_type = h.flags & 0x3F
+    page_assoc_size = 4 if (h.flags & 0x40) else 1
+    pos = 5
+    count_byte = data[pos] if pos < len(data) else 0
+    pos += 1
+    short_count = (count_byte >> 5) & 0x07
+    if short_count <= 4:
+        referred_count = short_count
+    else:
+        if pos + 3 > len(data):
+            raise FilterError(
+                "JBIG2 segment header: long form referred-to count truncated"
+            )
+        referred_count = ((count_byte & 0x1F) << 24) | (data[pos] << 16) | \
+            (data[pos + 1] << 8) | data[pos + 2]
+        pos += 3
+    if referred_count > MAX_REFERRED_SEGMENTS:
+        raise FilterError(
+            f"Referred-to segment count {referred_count} exceeds maximum "
+            f"{MAX_REFERRED_SEGMENTS}"
+        )
+    if h.segment_number <= 255:
+        num_size = 1
+    elif h.segment_number <= 65535:
+        num_size = 2
+    else:
+        num_size = 4
+    referred = []
+    for _ in range(referred_count):
+        if pos + num_size > len(data):
+            raise FilterError(
+                "JBIG2 segment header: referred-to segment numbers truncated"
+            )
+        referred.append(int.from_bytes(data[pos : pos + num_size], "big"))
+        pos += num_size
+    h.referred_to_segments = referred
+    if pos + page_assoc_size > len(data):
+        raise FilterError("JBIG2 segment header: page association truncated")
+    h.page_association = int.from_bytes(data[pos : pos + page_assoc_size], "big")
+    pos += page_assoc_size
+    if pos + 4 > len(data):
+        raise FilterError("JBIG2 segment header: data length truncated")
+    h.data_length = int.from_bytes(data[pos : pos + 4], "big")
+    pos += 4
+    h.header_length = pos
+    return h
+
+
+class RegionSegmentInfo:
+    __slots__ = ("width", "height", "x", "y", "combination_operator")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "RegionSegmentInfo":
+        if len(data) < 17:
+            raise FilterError("Region segment info requires 17 bytes")
+        r = cls()
+        r.width = int.from_bytes(data[0:4], "big")
+        r.height = int.from_bytes(data[4:8], "big")
+        r.x = int.from_bytes(data[8:12], "big")
+        r.y = int.from_bytes(data[12:16], "big")
+        op = _combine_op_from_u8(data[16] & 0x07)
+        r.combination_operator = op if op >= 0 else OP_OR
+        return r
+
+
+class PageInfo:
+    __slots__ = ("width", "height", "x_resolution", "y_resolution", "is_striped",
+                 "max_stripe_size", "default_pixel", "combination_operator",
+                 "is_lossless")
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "PageInfo":
+        # page_buffer.rs:161-199: flags parsed as a 16-bit field over
+        # bytes 16-17 (T.88 nominally: 1 flag byte + 2 striping bytes)
+        if len(data) < 19:
+            raise FilterError(
+                f"Page info requires at least 19 bytes, got {len(data)}"
+            )
+        p = cls()
+        p.width = int.from_bytes(data[0:4], "big")
+        p.height = int.from_bytes(data[4:8], "big")
+        p.x_resolution = int.from_bytes(data[8:12], "big")
+        p.y_resolution = int.from_bytes(data[12:16], "big")
+        flags = (data[16] << 8) | data[17]
+        p.default_pixel = (flags >> 2) & 0x01
+        combo = _combine_op_from_u8((flags >> 3) & 0x03)
+        p.combination_operator = combo if combo >= 0 else OP_OR
+        p.is_lossless = bool(flags & 0x01)
+        p.is_striped = p.height == 0xFFFFFFFF or bool(flags & 0x8000)
+        if len(data) >= 20:
+            p.max_stripe_size = (data[18] << 8) | data[19]
+        else:
+            p.max_stripe_size = data[18]
+        return p
+
+
+class PageBuffer:
+    __slots__ = ("info", "bitmap", "stripe_count", "current_height")
+
+    def __init__(self, info: PageInfo):
+        if info.is_striped and info.height == 0xFFFFFFFF:
+            initial_height = max(info.max_stripe_size, 1)
+        else:
+            initial_height = info.height
+        self.info = info
+        self.bitmap = Bitmap(info.width, initial_height, info.default_pixel)
+        self.stripe_count = 0
+        self.current_height = initial_height
+
+    def compose_region(self, region: Bitmap, x: int, y: int, op: int) -> None:
+        self.bitmap.combine(region, op, x, y)
+
+    def handle_end_of_stripe(self, y_position: int) -> None:
+        self.stripe_count += 1
+        if self.info.is_striped and y_position >= self.current_height:
+            new_height = y_position + self.info.max_stripe_size
+            try:
+                grown = Bitmap(self.info.width, new_height, self.info.default_pixel)
+            except FilterError:
+                return
+            grown.combine(self.bitmap, OP_REPLACE, 0, 0)
+            self.bitmap = grown
+            self.current_height = new_height
+
+    def finalize(self) -> bytes:
+        return self.bitmap.to_packed_bytes()
+
+
+class Jbig2Decoder:
+    """Segment router + page composer (jbig2.rs Jbig2Decoder)."""
+
+    def __init__(self, globals_data: bytes | None = None):
+        self.globals_data = globals_data
+        self.segments: dict[int, object] = {}
+        self.pages: dict[int, PageBuffer] = {}
+
+    def decode(self, data: bytes) -> bytes:
+        if len(data) < 4:
+            raise FilterError("JBIG2 data too short")
+        self._parse_globals()
+        if len(data) >= 9 and data[0:8] == JBIG2_FILE_ID:
+            return self._decode_file(data)
+        return self._decode_segments(data, 0)
+
+    def _parse_globals(self) -> None:
+        g = self.globals_data
+        if not g:
+            return
+        pos = 0
+        while pos < len(g):
+            try:
+                header = parse_segment_header(g[pos:])
+            except FilterError:
+                break
+            data_start = pos + header.header_length
+            if header.data_length == 0xFFFFFFFF:
+                data_end = len(g)
+            else:
+                data_end = data_start + header.data_length
+            if data_end > len(g):
+                break
+            # globals propagate processing errors (jbig2.rs parse_globals)
+            self._process_segment(header, g[data_start:data_end])
+            pos = data_end
+
+    def _decode_file(self, data: bytes) -> bytes:
+        file_org_flags = data[8]
+        if file_org_flags & 0x01:
+            raise FilterError("Random access JBIG2 files not supported")
+        pos = 13 if (file_org_flags & 0x02) == 0 else 9
+        return self._decode_segments(data, pos)
+
+    def _decode_segments(self, data: bytes, pos: int) -> bytes:
+        while pos < len(data):
+            if pos + 6 > len(data):
+                break
+            try:
+                header = parse_segment_header(data[pos:])
+            except FilterError:
+                break
+            data_start = pos + header.header_length
+            if header.segment_type == SEG_END_OF_FILE:
+                break
+            if header.data_length == 0xFFFFFFFF:
+                data_end = len(data)
+            else:
+                data_end = data_start + header.data_length
+            if data_end > len(data):
+                break
+            try:
+                self._process_segment(header, data[data_start:data_end])
+            except FilterError:
+                pass  # graceful degradation: skip failed segment, continue
+            pos = data_end
+        return self._finalize_output()
+
+    def _process_segment(self, header: SegmentHeader, data: bytes) -> None:
+        if (header.data_length != 0xFFFFFFFF
+                and header.data_length > MAX_SEGMENT_DATA_LENGTH):
+            raise FilterError(
+                f"Segment data length {header.data_length} exceeds maximum "
+                f"{MAX_SEGMENT_DATA_LENGTH}"
+            )
+        st = header.segment_type
+        if st in (SEG_INTERMEDIATE_GENERIC_REGION, SEG_IMMEDIATE_GENERIC_REGION,
+                  SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION):
+            self._process_generic_region(header, data)
+        elif st == SEG_PAGE_INFORMATION:
+            self._process_page_info(header, data)
+        elif st == SEG_END_OF_STRIPE:
+            self._process_end_of_stripe(header, data)
+        elif st in (SEG_END_OF_PAGE, SEG_END_OF_FILE):
+            pass
+        elif st in _UNSUPPORTED_SEGMENTS:
+            # the reference decodes these (symbol_dict.rs / text_region.rs /
+            # halftone_region.rs); here they're treated like failed segments
+            raise FilterError(
+                f"JBIG2 {_UNSUPPORTED_SEGMENTS[st]} segments not supported"
+            )
+        # unknown segment types skip silently (jbig2.rs:360)
+
+    def _process_generic_region(self, header: SegmentHeader, data: bytes) -> None:
+        # jbig2.rs process_generic_region
+        if len(data) < 17:
+            raise FilterError("Generic region data too short for region info")
+        region_info = RegionSegmentInfo.from_bytes(data)
+        offset = 17
+        if offset >= len(data):
+            raise FilterError("Generic region missing flags")
+        gr_flags = data[offset]
+        offset += 1
+        is_mmr = bool(gr_flags & 0x01)
+        template = (gr_flags >> 1) & 0x03
+        is_tpgd = bool(gr_flags & 0x08)
+        at_pixels = []
+        if not is_mmr:
+            count = 4 if template == 0 else 1
+            for _ in range(count):
+                if offset + 2 <= len(data):
+                    dx = data[offset] - 256 if data[offset] > 127 else data[offset]
+                    dy = (data[offset + 1] - 256 if data[offset + 1] > 127
+                          else data[offset + 1])
+                    at_pixels.append((dx, dy))
+                    offset += 2
+        params = GenericRegionParams(
+            width=region_info.width, height=region_info.height,
+            template=template, is_mmr=is_mmr, is_tpgd=is_tpgd,
+            at_pixels=at_pixels, default_pixel=0,
+        )
+        if is_mmr:
+            bitmap = decode_generic_region_mmr(data[offset:], params)
+        else:
+            bitmap = decode_generic_region_arith(data[offset:], params)
+        immediate = header.segment_type in (
+            SEG_IMMEDIATE_GENERIC_REGION, SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION
+        )
+        if immediate:
+            page = self.pages.get(header.page_association)
+            if page is not None:
+                page.compose_region(
+                    bitmap, region_info.x, region_info.y,
+                    region_info.combination_operator,
+                )
+        else:
+            self.segments[header.segment_number] = bitmap
+
+    def _process_page_info(self, header: SegmentHeader, data: bytes) -> None:
+        info = PageInfo.from_bytes(data)
+        self.pages[header.page_association] = PageBuffer(info)
+        self.segments[header.segment_number] = info
+
+    def _process_end_of_stripe(self, header: SegmentHeader, data: bytes) -> None:
+        y_position = int.from_bytes(data[0:4], "big") if len(data) >= 4 else 0
+        page = self.pages.get(header.page_association)
+        if page is not None:
+            page.handle_end_of_stripe(y_position)
+
+    def _finalize_output(self) -> bytes:
+        # jbig2.rs finalize_output: page 1, then 0, then any, else [0]
+        if 1 in self.pages:
+            return self.pages[1].finalize()
+        if 0 in self.pages:
+            return self.pages[0].finalize()
+        for page in self.pages.values():
+            return page.finalize()
+        return b"\x00"
+
+
+def decode_jbig2(data: bytes, params: dict | None = None) -> bytes:
+    """JBIG2Decode entry (jbig2.rs:944). ``params`` mirrors /DecodeParms;
+    a resolved ``JBIG2Globals`` value (bytes, or a Stream-like with a
+    ``decode()`` method) is honored — the reference requires external
+    resolution via ``with_globals`` (jbig2.rs:88), our filter dispatch
+    hands over the already-resolved dict."""
+    globals_data = None
+    if params:
+        g = params.get("JBIG2Globals")
+        if isinstance(g, (bytes, bytearray)):
+            globals_data = bytes(g)
+        elif hasattr(g, "decode") and not isinstance(g, str):
+            try:
+                globals_data = g.decode()
+            except Exception:
+                globals_data = None
+    return Jbig2Decoder(globals_data).decode(data)
+
+
+# ---------------------------------------------------------------------------
+# MQ encoder + builders (test/tooling support; same pattern as the CCITT
+# encoders — round-tripping is the only in-sandbox validation path)
+# ---------------------------------------------------------------------------
+
+
+class MQEncoder:
+    """Exact inverse of the transcribed MQDecoder, by construction.
+
+    Two-pass design: ``encode`` mirrors the decoder's A-register walk and
+    region choices, accumulating the interval lower bound T as an exact
+    Python big integer (base contributions weighted by the renorm shift
+    count at the time of each symbol). ``flush`` picks V = T and solves
+    the wire bytes through the decoder's own BYTEIN transform: first byte
+    raw, each later byte B = 0xFF - p (8-bit payload p), and after a wire
+    0xFF the next unit carries 7 bits as B = 0x7F - p; trailing zero
+    payloads are dropped (the decoder's end-of-data BYTEIN contributes
+    zero payload)."""
+
+    __slots__ = ("a", "shifts", "t")
+
+    def __init__(self):
+        self.a = 0x8000
+        self.shifts = 0  # renorm shift count so far
+        self.t = 0  # lower bound, in "current scale" units of 2^-shifts
+
+    def _add_base(self, base: int) -> None:
+        # T tracked at current scale: earlier contributions were shifted
+        # along with A by doubling T at each renorm shift
+        self.t += base
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.t <<= 1
+            self.shifts += 1
+
+    def encode(self, ctx: list, d: int) -> None:
+        state, mps = ctx
+        qe, nmps, nlps, switch = QE_TABLE[state]
+        a1 = self.a - qe
+        if a1 >= 0x8000:
+            if d == mps:
+                self.a = a1  # bottom region, no renorm, no state change
+                return
+            self._add_base(a1)  # top region codes LPS
+            self.a = qe
+            ctx[0] = nlps
+            if switch:
+                ctx[1] ^= 1
+            self._renorm()
+            return
+        # a1 < 0x8000: conditional exchange, both paths renorm
+        bot_is_mps = a1 >= qe
+        if (d == mps) == bot_is_mps:
+            self.a = a1
+        else:
+            self._add_base(a1)
+            self.a = qe
+        if d == mps:
+            ctx[0] = nmps
+        else:
+            ctx[0] = nlps
+            if switch:
+                ctx[1] ^= 1
+        self._renorm()
+
+    def flush(self) -> bytes:
+        # Value space: after INITDEC the decoder's first comparison reads
+        # the stream's top 15 bits (16 consumed, ct=1) and each renorm
+        # shift exposes one more, so the step-s decision reads the top
+        # 15+s bits against T_s + A_s' (16-bit register quantities at
+        # that scale). Choosing V = T over K = 15 + shifts bits therefore
+        # decodes every symbol (any V in [T, T+A) works; invariant
+        # T + A <= 2^K holds inductively, and end-of-data BYTEINs supply
+        # the zero suffix for free).
+        k = 15 + self.shifts
+        v = self.t
+        if v >> k:
+            raise FilterError("MQ encoder: value overflow")  # pragma: no cover
+        out = bytearray()
+        pos = k - 8  # bits of v remaining below this position
+        b0 = (v >> pos) & 0xFF  # first byte: raw (INITDEC reads it uncomplemented)
+        out.append(b0)
+        prev_ff = b0 == 0xFF
+        while pos > 0 and (v & ((1 << pos) - 1) or len(out) < 2):
+            take = 7 if prev_ff else 8  # post-0xFF units carry 7 bits
+            if pos >= take:
+                pos -= take
+                p = (v >> pos) & ((1 << take) - 1)
+            else:
+                # tail: remaining bits left-align inside the unit
+                p = (v << (take - pos)) & ((1 << take) - 1)
+                pos = 0
+            b = (0x7F - p) if take == 7 else (0xFF - p)
+            out.append(b)
+            prev_ff = b == 0xFF
+        # decoder requires >= 2 bytes; pad with zero-payload units
+        # (0xFF complements to payload 0; after an 0xFF, anything > 0x8F
+        # is a marker the decoder refuses to consume — payload 0 forever)
+        while len(out) < 2:
+            out.append(0xAC if prev_ff else 0xFF)
+            prev_ff = out[-1] == 0xFF
+        return bytes(out)
+
+
+def encode_integer_arith(enc: MQEncoder, contexts: list, value: int) -> None:
+    """Inverse of decode_integer_arith (reference scheme — representable
+    magnitudes only: {0..3}, {64..79}, {81920..86015})."""
+    sign = 1 if value < 0 else 0
+    mag = -value if value < 0 else value
+    enc.encode(contexts[0], sign)
+    prev = 1
+
+    def put(bit):
+        nonlocal prev
+        enc.encode(contexts[min(prev, 511)], bit)
+        prev = (prev << 1) | bit
+
+    if mag <= 3:
+        put(0)
+        put((mag >> 1) & 1)
+        put(mag & 1)
+    elif 64 <= mag <= 79:
+        put(1)
+        put(0)
+        rest = mag - 64
+        for i in range(3, -1, -1):
+            put((rest >> i) & 1)
+    elif 81920 <= mag <= 86015:
+        put(1)
+        put(1)
+        rest = mag - 81920
+        for i in range(11, -1, -1):
+            put((rest >> i) & 1)
+    else:
+        raise ValueError(f"magnitude {mag} not representable")
+
+
+def encode_iaid(enc: MQEncoder, contexts: list, value: int, codewidth: int) -> None:
+    if codewidth == 0:
+        return
+    prev = 1
+    for i in range(codewidth - 1, -1, -1):
+        bit = (value >> i) & 1
+        enc.encode(contexts[prev], bit)
+        prev = (prev << 1) | bit
+
+
+def encode_generic_region_arith(
+    bitmap_rows: list, width: int, height: int, template: int = 0,
+    at_pixels=(), tpgd: bool = False,
+) -> bytes:
+    """Arithmetic generic-region encoder (test support): mirrors the
+    decoder's context walk over a 0/1 pixel row-list."""
+    bm = Bitmap(width, height)
+    enc = MQEncoder()
+    contexts = new_contexts(1 << _TEMPLATE_BITS[template])
+    offsets = _template_offsets(template, tuple(at_pixels))
+    tpgd_ctx = new_context()
+    line_is_typical = False
+    for y in range(height):
+        if tpgd:
+            want_typical = y > 0 and bitmap_rows[y] == bitmap_rows[y - 1]
+            bit = 1 if want_typical != line_is_typical else 0
+            enc.encode(tpgd_ctx, bit)
+            if bit:
+                line_is_typical = not line_is_typical
+            if line_is_typical and y > 0:
+                bm.copy_row(y, y - 1)
+                continue
+        row = bitmap_rows[y]
+        for x in range(width):
+            ctx_value = compute_context(bm, x, y, offsets)
+            px = row[x]
+            enc.encode(contexts[ctx_value], px)
+            bm.set_pixel(x, y, px)
+    return enc.flush()
+
+
+def build_segment(segment_number: int, segment_type: int, page: int,
+                  payload: bytes, referred=()) -> bytes:
+    """Wire a segment header + payload (short form, 1-byte page assoc)."""
+    out = bytearray()
+    out += segment_number.to_bytes(4, "big")
+    out.append(segment_type & 0x3F)
+    out.append((len(referred) & 0x07) << 5)
+    if segment_number <= 255:
+        size = 1
+    elif segment_number <= 65535:
+        size = 2
+    else:
+        size = 4
+    for r in referred:
+        out += r.to_bytes(size, "big")
+    out.append(page & 0xFF)
+    out += len(payload).to_bytes(4, "big")
+    out += payload
+    return bytes(out)
+
+
+def build_page_info_payload(width: int, height: int, default_pixel: int = 0,
+                            combination_operator: int = 0,
+                            striped: bool = False,
+                            max_stripe_size: int = 0) -> bytes:
+    """Page-info payload shaped for the transcribed parser (flags read as
+    a 16-bit field over bytes 16-17 — reference quirk)."""
+    flags = (default_pixel & 1) << 2 | (combination_operator & 0x03) << 3
+    if striped:
+        flags |= 0x8000
+    out = bytearray()
+    out += width.to_bytes(4, "big")
+    out += height.to_bytes(4, "big")
+    out += (0).to_bytes(4, "big")
+    out += (0).to_bytes(4, "big")
+    out += flags.to_bytes(2, "big")
+    out += max_stripe_size.to_bytes(2, "big")
+    return bytes(out)
+
+
+def build_generic_region_payload(
+    bitmap_rows: list, width: int, height: int, x: int = 0, y: int = 0,
+    combination_operator: int = 0, template: int = 0, tpgd: bool = False,
+    mmr: bool = False, at_pixels=None,
+) -> bytes:
+    """Region-info + flags + AT pixels + coded data for a generic region."""
+    out = bytearray()
+    out += width.to_bytes(4, "big")
+    out += height.to_bytes(4, "big")
+    out += x.to_bytes(4, "big")
+    out += y.to_bytes(4, "big")
+    out.append(combination_operator & 0x07)
+    flags = (1 if mmr else 0) | ((template & 0x03) << 1) | (0x08 if tpgd else 0)
+    out.append(flags)
+    if not mmr:
+        if at_pixels is None:
+            if template == 0:
+                at_pixels = [(2, -2), (-3, -1), (2, -1), (-2, -2)]
+            elif template == 1:
+                at_pixels = [(3, -1)]
+            else:
+                at_pixels = [(-1, 0)]
+        for dx, dy in at_pixels:
+            out.append(dx & 0xFF)
+            out.append(dy & 0xFF)
+        out += encode_generic_region_arith(
+            bitmap_rows, width, height, template, tuple(at_pixels), tpgd
+        )
+    else:
+        from .image_codecs import encode_ccitt_g4
+
+        out += encode_ccitt_g4(bitmap_rows, width)
+    return bytes(out)

@@ -353,9 +353,10 @@ class TestCcittG4:
         assert decode_stream_data(enc, "CCITTFaxDecode", parms) == _expected_packed(bm, cols, True)
         assert decode_stream_data(enc, "CCF", parms) == _expected_packed(bm, cols, True)
 
-    def test_jbig2_jpx_still_pass_through(self):
-        blob = b"\x97JB2\r\n\x1a\nopaque"
-        assert decode_stream_data(blob, "JBIG2Decode", None) == blob
+    def test_jpx_still_pass_through(self):
+        # JBIG2Decode now dispatches to kernel/jbig2.py (test_jbig2.py);
+        # JPX remains the one opaque image filter
+        blob = b"\x00\x00\x00\x0cjP  \r\n\x87\nopaque"
         assert decode_stream_data(blob, "JPXDecode", None) == blob
 
 

@@ -1,0 +1,564 @@
+"""JBIG2Decode tests (kernel/jbig2.py).
+
+Parity target: reference filter_impls/{jbig2, mq_coder, generic_region,
+page_buffer}.rs. Validation is round-trip by construction: the MQ
+encoder accumulates the exact interval lower bound and solves the wire
+bytes through the decoder's own BYTEIN transform, so a green round trip
+pins the transcribed decoder bit-exactly (same pattern as the CCITT
+encoders in test_image_codecs.py).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from oxidizepdf_spark.kernel.filters import FilterError, decode_stream_data
+from oxidizepdf_spark.kernel.jbig2 import (
+    JBIG2_FILE_ID,
+    OP_AND,
+    OP_OR,
+    OP_REPLACE,
+    OP_XNOR,
+    OP_XOR,
+    SEG_END_OF_FILE,
+    SEG_END_OF_STRIPE,
+    SEG_IMMEDIATE_GENERIC_REGION,
+    SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION,
+    SEG_INTERMEDIATE_GENERIC_REGION,
+    SEG_PAGE_INFORMATION,
+    SEG_SYMBOL_DICTIONARY,
+    Bitmap,
+    GenericRegionParams,
+    Jbig2Decoder,
+    MQDecoder,
+    MQEncoder,
+    PageInfo,
+    build_generic_region_payload,
+    build_page_info_payload,
+    build_segment,
+    decode_generic_region_arith,
+    decode_generic_region_mmr,
+    decode_integer_arith,
+    decode_jbig2,
+    encode_generic_region_arith,
+    encode_iaid,
+    encode_integer_arith,
+    new_contexts,
+    parse_segment_header,
+)
+
+
+def _pack_rows(rows, width):
+    """Independent row packer (MSB-first, byte-padded) — the expected
+    output never comes from Bitmap itself."""
+    out = bytearray()
+    for row in rows:
+        byte = 0
+        nbits = 0
+        for x in range(width):
+            byte = (byte << 1) | row[x]
+            nbits += 1
+            if nbits == 8:
+                out.append(byte)
+                byte = 0
+                nbits = 0
+        if nbits:
+            out.append(byte << (8 - nbits))
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# MQ coder
+# ---------------------------------------------------------------------------
+
+
+def _mq_roundtrip(bits, cxs, n_ctx):
+    enc = MQEncoder()
+    ce = new_contexts(n_ctx)
+    for b, cx in zip(bits, cxs):
+        enc.encode(ce[cx], b)
+    data = enc.flush()
+    dec = MQDecoder(data)
+    cd = new_contexts(n_ctx)
+    return [dec.decode(cd[cx]) for cx in cxs], data
+
+
+class TestMQCoder:
+    def test_roundtrip_random(self):
+        rng = random.Random(42)
+        for _ in range(60):
+            n = rng.randint(1, 500)
+            bits = [rng.randint(0, 1) for _ in range(n)]
+            cxs = [rng.randint(0, 18) for _ in range(n)]
+            got, _ = _mq_roundtrip(bits, cxs, 19)
+            assert got == bits
+
+    def test_roundtrip_skewed_mps_runs(self):
+        # long renorm-free MPS runs exercise the no-renorm fast path
+        rng = random.Random(7)
+        for _ in range(30):
+            n = rng.randint(1, 2000)
+            bits = [1 if rng.random() < 0.02 else 0 for _ in range(n)]
+            got, _ = _mq_roundtrip(bits, [0] * n, 1)
+            assert got == bits
+
+    def test_roundtrip_all_ones(self):
+        bits = [1] * 300
+        got, _ = _mq_roundtrip(bits, [0] * 300, 1)
+        assert got == bits
+
+    def test_single_symbol(self):
+        for bit in (0, 1):
+            got, data = _mq_roundtrip([bit], [0], 1)
+            assert got == [bit]
+            assert len(data) >= 2  # decoder minimum
+
+    def test_wire_has_no_marker_after_ff(self):
+        # a wire 0xFF followed by >0x8F is a marker the decoder refuses
+        # to consume mid-stream; the encoder must never emit one except
+        # as the deliberate trailing pad
+        rng = random.Random(3)
+        for _ in range(40):
+            n = rng.randint(1, 800)
+            bits = [rng.randint(0, 1) for _ in range(n)]
+            _, data = _mq_roundtrip(bits, [0] * n, 1)
+            for i in range(len(data) - 2):  # allow the final pad unit
+                if data[i] == 0xFF:
+                    assert data[i + 1] <= 0x8F
+
+    @given(st.lists(st.tuples(st.integers(0, 1), st.integers(0, 15)),
+                    min_size=1, max_size=300))
+    @settings(max_examples=60, deadline=None)
+    def test_roundtrip_hypothesis(self, pairs):
+        bits = [p[0] for p in pairs]
+        cxs = [p[1] for p in pairs]
+        got, _ = _mq_roundtrip(bits, cxs, 16)
+        assert got == bits
+
+    def test_decoder_rejects_short_data(self):
+        with pytest.raises(FilterError):
+            MQDecoder(b"\x00")
+
+    def test_iaid_roundtrip(self):
+        rng = random.Random(11)
+        for cw in (1, 2, 5, 8):
+            ids = [rng.randint(0, (1 << cw) - 1) for _ in range(25)]
+            enc = MQEncoder()
+            ctx = new_contexts(1 << (cw + 1))
+            for i in ids:
+                encode_iaid(enc, ctx, i, cw)
+            dec = MQDecoder(enc.flush())
+            ctx2 = new_contexts(1 << (cw + 1))
+            assert [dec.decode_iaid(ctx2, cw) for _ in ids] == ids
+
+    def test_iaid_codewidth_limits(self):
+        dec = MQDecoder(b"\x00\x00")
+        with pytest.raises(FilterError):
+            dec.decode_iaid(new_contexts(4), 25)
+        assert dec.decode_iaid(new_contexts(4), 0) == 0
+
+    def test_integer_arith_roundtrip(self):
+        # reference scheme magnitudes: {0..3}, {64..79}, {81920..86015}
+        vals = [0, 1, 2, 3, -1, -2, -3, 64, 70, 79, -64, -79,
+                81920, 83000, 86015, -81920, -86015]
+        enc = MQEncoder()
+        ctx = new_contexts(512)
+        for v in vals:
+            encode_integer_arith(enc, ctx, v)
+        dec = MQDecoder(enc.flush())
+        ctx2 = new_contexts(512)
+        assert [decode_integer_arith(dec, ctx2) for _ in vals] == vals
+
+    def test_integer_arith_unrepresentable(self):
+        with pytest.raises(ValueError):
+            encode_integer_arith(MQEncoder(), new_contexts(512), 5)
+
+
+# ---------------------------------------------------------------------------
+# Generic regions
+# ---------------------------------------------------------------------------
+
+
+def _region_roundtrip(rows, w, h, template, tpgd, at=()):
+    data = encode_generic_region_arith(rows, w, h, template, at, tpgd)
+    params = GenericRegionParams(w, h, template=template, is_tpgd=tpgd,
+                                 at_pixels=at)
+    bm = decode_generic_region_arith(data, params)
+    return [[bm.get_pixel(x, y) for x in range(w)] for y in range(h)]
+
+
+class TestGenericRegion:
+    @pytest.mark.parametrize("template", [0, 1, 2, 3])
+    @pytest.mark.parametrize("tpgd", [False, True])
+    def test_arith_roundtrip(self, template, tpgd):
+        rng = random.Random(100 * template + tpgd)
+        w, h = 37, 23
+        rows = [[rng.randint(0, 1) for _ in range(w)] for _ in range(h)]
+        assert _region_roundtrip(rows, w, h, template, tpgd) == rows
+
+    def test_tpgd_repeated_rows(self):
+        # TPGD's whole point: identical consecutive rows copy, not re-code
+        w = 40
+        row_a = [1 if x % 3 == 0 else 0 for x in range(w)]
+        row_b = [1 - p for p in row_a]
+        rows = [row_a] * 5 + [row_b] * 4 + [row_a] * 3
+        for template in range(4):
+            assert _region_roundtrip(rows, w, len(rows), template, True) == rows
+
+    def test_custom_at_pixels(self):
+        rng = random.Random(5)
+        w, h = 29, 17
+        rows = [[rng.randint(0, 1) for _ in range(w)] for _ in range(h)]
+        assert _region_roundtrip(rows, w, h, 0, False,
+                                 at=((3, -1), (-3, -1), (2, -2))) == rows
+        assert _region_roundtrip(rows, w, h, 1, False, at=((1, -2),)) == rows
+
+    def test_width_not_multiple_of_8(self):
+        rng = random.Random(9)
+        for w in (1, 7, 8, 9, 15, 33):
+            h = 6
+            rows = [[rng.randint(0, 1) for _ in range(w)] for _ in range(h)]
+            assert _region_roundtrip(rows, w, h, 0, False) == rows
+
+    def test_mmr_roundtrip(self):
+        w, h = 40, 12
+        rows = [[1 if (x // 3 + y // 2) % 2 == 0 else 0 for x in range(w)]
+                for y in range(h)]
+        from oxidizepdf_spark.kernel.image_codecs import encode_ccitt_g4
+
+        data = encode_ccitt_g4(rows, w)
+        bm = decode_generic_region_mmr(data, GenericRegionParams(w, h, is_mmr=True))
+        got = [[bm.get_pixel(x, y) for x in range(w)] for y in range(h)]
+        assert got == rows
+
+    def test_rejects_empty_and_short_data(self):
+        p = GenericRegionParams(8, 8)
+        with pytest.raises(FilterError):
+            decode_generic_region_arith(b"", p)
+        with pytest.raises(FilterError):
+            decode_generic_region_arith(b"\x00", p)
+
+
+class TestBitmap:
+    def test_packing_matches_independent_packer(self):
+        rng = random.Random(21)
+        for w in (5, 8, 13):
+            h = 4
+            rows = [[rng.randint(0, 1) for _ in range(w)] for _ in range(h)]
+            bm = Bitmap(w, h)
+            for y in range(h):
+                for x in range(w):
+                    bm.set_pixel(x, y, rows[y][x])
+            assert bm.to_packed_bytes() == _pack_rows(rows, w)
+
+    def test_default_one_fills_padding_bits(self):
+        # generic_region.rs fills default-1 bitmaps with 0xFF including
+        # the padding bits past the row width
+        bm = Bitmap(5, 2, default_pixel=1)
+        assert bm.to_packed_bytes() == b"\xff\xff"
+
+    def test_size_limits(self):
+        with pytest.raises(FilterError):
+            Bitmap(0, 4)
+        with pytest.raises(FilterError):
+            Bitmap(70000, 4)
+        with pytest.raises(FilterError):
+            Bitmap(4, 70000)
+
+    @pytest.mark.parametrize("op,expect", [
+        (OP_OR, 1 | 1), (OP_AND, 1 & 0), (OP_XOR, 1 ^ 1),
+    ])
+    def test_combine_ops_pixelwise(self, op, expect):
+        # checked in detail through the decoder composition tests; here
+        # just the three basic ops at an unaligned offset
+        dst = Bitmap(10, 3, default_pixel=1)
+        src = Bitmap(4, 2)
+        if op != OP_AND:
+            for x in range(4):
+                src.set_pixel(x, 0, 1)
+        dst.combine(src, op, 3, 1)
+        assert dst.get_pixel(3, 1) == expect
+
+    def test_combine_clips_outside(self):
+        dst = Bitmap(8, 2)
+        src = Bitmap(4, 2, default_pixel=1)
+        dst.combine(src, OP_OR, 6, 1)  # only 2x1 lands
+        assert dst.get_pixel(6, 1) == 1 and dst.get_pixel(7, 1) == 1
+        assert sum(dst.get_pixel(x, y) for y in range(2) for x in range(8)) == 2
+        dst2 = Bitmap(8, 2)
+        dst2.combine(src, OP_OR, -2, 0)  # left clip
+        assert dst2.get_pixel(0, 0) == 1 and dst2.get_pixel(1, 0) == 1
+        assert dst2.get_pixel(2, 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# Segment headers + full decode
+# ---------------------------------------------------------------------------
+
+
+class TestSegmentHeader:
+    def test_short_form(self):
+        seg = build_segment(3, SEG_PAGE_INFORMATION, 1, b"x" * 19,
+                            referred=(1, 2))
+        h = parse_segment_header(seg)
+        assert h.segment_number == 3
+        assert h.segment_type == SEG_PAGE_INFORMATION
+        assert h.referred_to_segments == [1, 2]
+        assert h.page_association == 1
+        assert h.data_length == 19
+
+    def test_referred_number_width_thresholds(self):
+        # numbers <=255 -> 1 byte, <=65535 -> 2, else 4 (jbig2.rs quirk:
+        # keyed on the segment's own number)
+        seg = build_segment(300, SEG_IMMEDIATE_GENERIC_REGION, 1, b"",
+                            referred=(256,))
+        h = parse_segment_header(seg)
+        assert h.referred_to_segments == [256]
+
+    def test_truncated_header_raises(self):
+        with pytest.raises(FilterError):
+            parse_segment_header(b"\x00\x00\x00")
+
+    def test_page_info_16bit_flags(self):
+        # reference quirk: flags parsed over bytes 16-17 as one field
+        payload = build_page_info_payload(10, 5, default_pixel=1,
+                                          combination_operator=OP_XOR)
+        info = PageInfo.from_bytes(payload)
+        assert info.width == 10 and info.height == 5
+        assert info.default_pixel == 1
+        assert info.combination_operator == OP_XOR
+        assert not info.is_striped
+
+
+def _expected_bytes(rows, w, h, page_default=0):
+    bm = Bitmap(w, h, page_default)
+    for y in range(h):
+        for x in range(w):
+            bm.set_pixel(x, y, rows[y][x])
+    return bm.to_packed_bytes()
+
+
+class TestFullDecode:
+    def _basic_stream(self, rows, w, h, **region_kw):
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h,
+                                                           **region_kw))
+        return segs
+
+    def test_embedded_stream(self):
+        w, h = 16, 8
+        rows = [[1 if (x + y) % 3 == 0 else 0 for x in range(w)]
+                for y in range(h)]
+        out = decode_jbig2(self._basic_stream(rows, w, h))
+        assert out == _pack_rows(rows, w)
+
+    @pytest.mark.parametrize("template,tpgd,mmr", [
+        (0, False, False), (2, True, False), (0, False, True),
+    ])
+    def test_region_coding_variants(self, template, tpgd, mmr):
+        w, h = 24, 10
+        rows = [[1 if (x * 3 + y) % 5 < 2 else 0 for x in range(w)]
+                for y in range(h)]
+        out = decode_jbig2(self._basic_stream(rows, w, h, template=template,
+                                              tpgd=tpgd, mmr=mmr))
+        assert out == _pack_rows(rows, w)
+
+    def test_file_header_with_and_without_page_count(self):
+        w, h = 16, 4
+        rows = [[x % 2 for x in range(w)] for _ in range(h)]
+        segs = self._basic_stream(rows, w, h)
+        exp = _pack_rows(rows, w)
+        # organisation flag bit1 set -> no 4-byte page count
+        assert decode_jbig2(JBIG2_FILE_ID + bytes([0x02]) + segs) == exp
+        assert decode_jbig2(
+            JBIG2_FILE_ID + bytes([0x00]) + (1).to_bytes(4, "big") + segs
+        ) == exp
+
+    def test_random_access_file_rejected(self):
+        with pytest.raises(FilterError):
+            decode_jbig2(JBIG2_FILE_ID + bytes([0x01]) + b"\x00" * 8)
+
+    def test_unsupported_segment_skipped_gracefully(self):
+        w, h = 16, 4
+        rows = [[1] * w for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_SYMBOL_DICTIONARY, 1, b"\x00" * 12)
+        segs += build_segment(2, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        assert decode_jbig2(segs) == _pack_rows(rows, w)
+
+    def test_unknown_segment_type_skipped(self):
+        w, h = 8, 2
+        rows = [[1, 0] * 4 for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, 62, 1, b"junkjunk")  # extension range
+        segs += build_segment(2, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        assert decode_jbig2(segs) == _pack_rows(rows, w)
+
+    def test_composition_xor_at_offset(self):
+        w, h = 24, 10
+        base = [[1] * w for _ in range(h)]
+        patch = [[1 if x % 2 else 0 for x in range(8)] for _ in range(4)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(base, w, h))
+        segs += build_segment(2, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(
+                                  patch, 8, 4, x=5, y=3,
+                                  combination_operator=OP_XOR))
+        exp_rows = [row[:] for row in base]
+        for y in range(4):
+            for x in range(8):
+                exp_rows[3 + y][5 + x] ^= patch[y][x]
+        assert decode_jbig2(segs) == _pack_rows(exp_rows, w)
+
+    @pytest.mark.parametrize("op", [OP_OR, OP_AND, OP_XNOR, OP_REPLACE])
+    def test_composition_ops(self, op):
+        w, h = 16, 6
+        base = [[1 if x < 8 else 0 for x in range(w)] for _ in range(h)]
+        patch = [[1 if x % 3 == 0 else 0 for x in range(w)] for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(base, w, h))
+        segs += build_segment(2, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(
+                                  patch, w, h, combination_operator=op))
+        exp_rows = []
+        for y in range(h):
+            row = []
+            for x in range(w):
+                d, s = base[y][x], patch[y][x]
+                if op == OP_OR:
+                    row.append(d | s)
+                elif op == OP_AND:
+                    row.append(d & s)
+                elif op == OP_XNOR:
+                    row.append(0 if d ^ s else 1)
+                else:
+                    row.append(s)
+            exp_rows.append(row)
+        assert decode_jbig2(segs) == _pack_rows(exp_rows, w)
+
+    def test_intermediate_region_stored_not_composed(self):
+        w, h = 8, 4
+        rows = [[1] * w for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_INTERMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        dec = Jbig2Decoder()
+        out = dec.decode(segs)
+        assert out == b"\x00" * (h * 1)  # page untouched
+        assert isinstance(dec.segments[1], Bitmap)
+
+    def test_lossless_immediate_region_composes(self):
+        w, h = 8, 2
+        rows = [[1, 0] * 4 for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        assert decode_jbig2(segs) == _pack_rows(rows, w)
+
+    def test_striped_page_grows(self):
+        w = 8
+        rows_a = [[1] * w for _ in range(4)]
+        rows_b = [[1, 0] * 4 for _ in range(4)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(
+                                 w, 0xFFFFFFFF, striped=True,
+                                 max_stripe_size=4))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows_a, w, 4))
+        segs += build_segment(2, SEG_END_OF_STRIPE, 1, (4).to_bytes(4, "big"))
+        segs += build_segment(3, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows_b, w, 4, y=4))
+        out = decode_jbig2(segs)
+        assert out == _pack_rows(rows_a + rows_b, w)
+
+    def test_page_default_pixel_one(self):
+        w, h = 8, 3
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h, default_pixel=1))
+        assert decode_jbig2(segs) == b"\xff" * 3
+
+    def test_no_page_returns_single_zero_byte(self):
+        # jbig2.rs finalize_output fallback
+        segs = build_segment(1, 62, 1, b"data")
+        assert decode_jbig2(segs) == b"\x00"
+
+    def test_globals_carry_page_info(self):
+        w, h = 16, 4
+        rows = [[x % 2 for x in range(w)] for _ in range(h)]
+        glob = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        seg = build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                            build_generic_region_payload(rows, w, h))
+        dec = Jbig2Decoder(globals_data=glob)
+        assert dec.decode(seg) == _pack_rows(rows, w)
+
+    def test_truncated_segment_data_stops_cleanly(self):
+        w, h = 16, 4
+        rows = [[1] * w for _ in range(h)]
+        segs = self._basic_stream(rows, w, h)
+        # cut mid-payload: decode stops at the broken segment, returns page
+        out = decode_jbig2(segs[: len(segs) - 3])
+        assert len(out) == h * 2  # page allocated, region skipped
+
+    def test_end_of_file_segment_stops(self):
+        w, h = 8, 2
+        rows = [[1] * w for _ in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_END_OF_FILE, 1, b"")
+        segs += build_segment(2, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        assert decode_jbig2(segs) == b"\x00" * 2  # region after EOF ignored
+
+    def test_too_short_data_raises(self):
+        with pytest.raises(FilterError):
+            decode_jbig2(b"\x00\x01")
+
+
+# ---------------------------------------------------------------------------
+# Filter dispatch integration
+# ---------------------------------------------------------------------------
+
+
+class TestFilterDispatch:
+    def test_jbig2_via_decode_stream_data(self):
+        w, h = 16, 8
+        rows = [[1 if (x + y) % 4 == 0 else 0 for x in range(w)]
+                for y in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(rows, w, h))
+        out = decode_stream_data(segs, "JBIG2Decode", None)
+        assert out == _pack_rows(rows, w)
+
+    def test_jbig2_globals_param(self):
+        w, h = 16, 4
+        rows = [[x % 2 for x in range(w)] for _ in range(h)]
+        glob = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        seg = build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                            build_generic_region_payload(rows, w, h))
+        out = decode_stream_data(seg, "JBIG2Decode",
+                                 {"JBIG2Globals": glob})
+        assert out == _pack_rows(rows, w)
+
+    def test_jpx_still_pass_through(self):
+        blob = b"\x00\x00\x00\x0cjP  \r\n\x87\nrest"
+        assert decode_stream_data(blob, "JPXDecode", None) == blob
