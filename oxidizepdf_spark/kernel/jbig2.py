@@ -24,13 +24,14 @@ choices, transcribed faithfully and cited inline:
 - Unknown segment types skip gracefully; a failed segment is skipped
   with processing continuing (jbig2.rs decode_segments).
 
-Scope: the generic-region pipeline (MQ-arithmetic and MMR), page
-information / composition / striping, and the arithmetic integer + IAID
-decoding procedures are implemented. Symbol dictionary, text region,
-pattern/halftone region and the Huffman-coded variants — which the
-reference implements in symbol_dict.rs / text_region.rs /
-halftone_region.rs / huffman.rs — are NOT implemented here: those
-segments are skipped like failed segments (SURVEY §2.2 F9). Image pixels
+Scope: this module holds the generic-region pipeline (MQ-arithmetic and
+MMR), page information / composition / striping, the arithmetic integer
++ IAID decoding procedures, and the segment router. Symbol dictionaries,
+text regions, pattern dictionaries and halftone regions — the
+reference's symbol_dict.rs / text_region.rs / halftone_region.rs /
+huffman.rs — live in kernel/jbig2_regions.py and are routed from here;
+only Huffman-coded *symbol dictionaries* raise (an explicit error in the
+reference too), falling into the failed-segment skip path. Image pixels
 are outside the extraction hot path (images are captured by reference,
 never decoded), so this decoder serves explicit ``Stream.decode()``
 calls; it is a correctness surface, not a throughput surface.
@@ -487,16 +488,16 @@ SEG_END_OF_PAGE = 49
 SEG_END_OF_STRIPE = 50
 SEG_END_OF_FILE = 51
 
-_UNSUPPORTED_SEGMENTS = {
-    SEG_SYMBOL_DICTIONARY: "symbol dictionary",
-    SEG_INTERMEDIATE_TEXT_REGION: "text region",
-    SEG_IMMEDIATE_TEXT_REGION: "text region",
-    SEG_IMMEDIATE_LOSSLESS_TEXT_REGION: "text region",
-    SEG_PATTERN_DICTIONARY: "pattern dictionary",
-    SEG_INTERMEDIATE_HALFTONE_REGION: "halftone region",
-    SEG_IMMEDIATE_HALFTONE_REGION: "halftone region",
-    SEG_IMMEDIATE_LOSSLESS_HALFTONE_REGION: "halftone region",
-}
+_TEXT_REGION_SEGMENTS = (
+    SEG_INTERMEDIATE_TEXT_REGION,
+    SEG_IMMEDIATE_TEXT_REGION,
+    SEG_IMMEDIATE_LOSSLESS_TEXT_REGION,
+)
+_HALFTONE_REGION_SEGMENTS = (
+    SEG_INTERMEDIATE_HALFTONE_REGION,
+    SEG_IMMEDIATE_HALFTONE_REGION,
+    SEG_IMMEDIATE_LOSSLESS_HALFTONE_REGION,
+)
 
 
 class SegmentHeader:
@@ -721,19 +722,168 @@ class Jbig2Decoder:
         if st in (SEG_INTERMEDIATE_GENERIC_REGION, SEG_IMMEDIATE_GENERIC_REGION,
                   SEG_IMMEDIATE_LOSSLESS_GENERIC_REGION):
             self._process_generic_region(header, data)
+        elif st == SEG_SYMBOL_DICTIONARY:
+            self._process_symbol_dict(header, data)
+        elif st in _TEXT_REGION_SEGMENTS:
+            self._process_text_region(header, data)
+        elif st == SEG_PATTERN_DICTIONARY:
+            self._process_pattern_dict(header, data)
+        elif st in _HALFTONE_REGION_SEGMENTS:
+            self._process_halftone_region(header, data)
         elif st == SEG_PAGE_INFORMATION:
             self._process_page_info(header, data)
         elif st == SEG_END_OF_STRIPE:
             self._process_end_of_stripe(header, data)
         elif st in (SEG_END_OF_PAGE, SEG_END_OF_FILE):
             pass
-        elif st in _UNSUPPORTED_SEGMENTS:
-            # the reference decodes these (symbol_dict.rs / text_region.rs /
-            # halftone_region.rs); here they're treated like failed segments
-            raise FilterError(
-                f"JBIG2 {_UNSUPPORTED_SEGMENTS[st]} segments not supported"
-            )
         # unknown segment types skip silently (jbig2.rs:360)
+
+    def _collect_referred_symbols(self, referred_to: list) -> list:
+        # jbig2.rs collect_referred_symbols: exported symbols of referred
+        # symbol dictionaries, in referral order
+        from .jbig2_regions import SymbolDictionary
+
+        symbols = []
+        for seg_num in referred_to:
+            seg = self.segments.get(seg_num)
+            if isinstance(seg, SymbolDictionary):
+                symbols.extend(seg.exported_symbols)
+        return symbols
+
+    def _get_referred_pattern_dict(self, referred_to: list):
+        # jbig2.rs get_referred_pattern_dict: first referred pattern
+        # dictionary, else an empty 8x8 default
+        from .jbig2_regions import PatternDictionary
+
+        for seg_num in referred_to:
+            seg = self.segments.get(seg_num)
+            if isinstance(seg, PatternDictionary):
+                return seg
+        return PatternDictionary(8, 8)
+
+    def _process_symbol_dict(self, header: SegmentHeader, data: bytes) -> None:
+        # jbig2.rs process_symbol_dict
+        from .jbig2_regions import (SymbolDictFlags, SymbolDictParams,
+                                    decode_symbol_dict)
+
+        if len(data) < 2:
+            raise FilterError("Symbol dictionary data too short")
+        flags = SymbolDictFlags.from_u16((data[0] << 8) | data[1])
+        offset = 2
+        at_pixels = []
+        if not flags.uses_huffman:
+            count = 4 if flags.template == 0 else 1
+            for _ in range(count):
+                if offset + 2 <= len(data):
+                    dx = data[offset] - 256 if data[offset] > 127 else data[offset]
+                    dy = (data[offset + 1] - 256 if data[offset + 1] > 127
+                          else data[offset + 1])
+                    at_pixels.append((dx, dy))
+                    offset += 2
+        refinement_at = []
+        if flags.uses_refinement:
+            count = 2 if flags.refinement_template == 0 else 1
+            for _ in range(count):
+                if offset + 2 <= len(data):
+                    dx = data[offset] - 256 if data[offset] > 127 else data[offset]
+                    dy = (data[offset + 1] - 256 if data[offset + 1] > 127
+                          else data[offset + 1])
+                    refinement_at.append((dx, dy))
+                    offset += 2
+        if offset + 4 > len(data):
+            raise FilterError("Symbol dictionary missing num_exported")
+        num_exported = int.from_bytes(data[offset : offset + 4], "big")
+        offset += 4
+        if offset + 4 > len(data):
+            raise FilterError("Symbol dictionary missing num_new_symbols")
+        num_new = int.from_bytes(data[offset : offset + 4], "big")
+        offset += 4
+        params = SymbolDictParams(
+            flags=flags, at_pixels=at_pixels,
+            refinement_at_pixels=refinement_at, num_exported=num_exported,
+            num_new_symbols=num_new,
+            referred_symbols=self._collect_referred_symbols(
+                header.referred_to_segments),
+        )
+        self.segments[header.segment_number] = decode_symbol_dict(
+            data[offset:], params)
+
+    def _process_text_region(self, header: SegmentHeader, data: bytes) -> None:
+        # jbig2.rs process_text_region
+        from .jbig2_regions import (TextRegionFlags, TextRegionParams,
+                                    compute_symbol_id_codewidth,
+                                    decode_text_region)
+
+        if len(data) < 17:
+            raise FilterError("Text region data too short for region info")
+        region_info = RegionSegmentInfo.from_bytes(data)
+        offset = 17
+        if offset + 2 > len(data):
+            raise FilterError("Text region missing flags")
+        flags = TextRegionFlags.from_u16((data[offset] << 8) | data[offset + 1])
+        offset += 2
+        huffman_tables = None
+        if flags.uses_huffman and offset + 2 <= len(data):
+            huffman_tables = (data[offset] << 8) | data[offset + 1]
+            offset += 2
+        if offset + 4 > len(data):
+            raise FilterError("Text region missing num_instances")
+        num_instances = int.from_bytes(data[offset : offset + 4], "big")
+        offset += 4
+        available = self._collect_referred_symbols(header.referred_to_segments)
+        params = TextRegionParams(
+            flags=flags, width=region_info.width, height=region_info.height,
+            num_instances=num_instances,
+            symbol_id_codewidth=compute_symbol_id_codewidth(len(available)),
+            available_symbols=available, huffman_tables=huffman_tables,
+        )
+        bitmap = decode_text_region(data[offset:], params)
+        if header.segment_type in (SEG_IMMEDIATE_TEXT_REGION,
+                                   SEG_IMMEDIATE_LOSSLESS_TEXT_REGION):
+            page = self.pages.get(header.page_association)
+            if page is not None:
+                page.compose_region(bitmap, region_info.x, region_info.y,
+                                    region_info.combination_operator)
+        else:
+            self.segments[header.segment_number] = bitmap
+
+    def _process_pattern_dict(self, header: SegmentHeader, data: bytes) -> None:
+        # jbig2.rs process_pattern_dict
+        from .jbig2_regions import PatternDictFlags, decode_pattern_dict
+
+        if len(data) < 7:
+            raise FilterError("Pattern dictionary data too short")
+        flags = PatternDictFlags.from_bytes(data)
+        self.segments[header.segment_number] = decode_pattern_dict(
+            data[7:], flags)
+
+    def _process_halftone_region(self, header: SegmentHeader,
+                                 data: bytes) -> None:
+        # jbig2.rs process_halftone_region
+        from .jbig2_regions import (HalftoneRegionFlags, HalftoneRegionParams,
+                                    decode_halftone_region)
+
+        if len(data) < 17:
+            raise FilterError("Halftone region data too short for region info")
+        region_info = RegionSegmentInfo.from_bytes(data)
+        offset = 17
+        if offset + 17 > len(data):
+            raise FilterError("Halftone region missing flags")
+        ht_flags = HalftoneRegionFlags.from_bytes(data[offset:])
+        ht_offset = offset + min(21, len(data) - offset)
+        patterns = self._get_referred_pattern_dict(header.referred_to_segments)
+        params = HalftoneRegionParams(
+            flags=ht_flags, width=region_info.width,
+            height=region_info.height, patterns=patterns)
+        bitmap = decode_halftone_region(data[ht_offset:], params)
+        if header.segment_type in (SEG_IMMEDIATE_HALFTONE_REGION,
+                                   SEG_IMMEDIATE_LOSSLESS_HALFTONE_REGION):
+            page = self.pages.get(header.page_association)
+            if page is not None:
+                page.compose_region(bitmap, region_info.x, region_info.y,
+                                    region_info.combination_operator)
+        else:
+            self.segments[header.segment_number] = bitmap
 
     def _process_generic_region(self, header: SegmentHeader, data: bytes) -> None:
         # jbig2.rs process_generic_region
