@@ -274,6 +274,29 @@ def _fn_chunks_compact(text: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_rag_chunks_json(data: pd.Series) -> pd.Series:
+    """PDF blob → JSON array of linked RagChunks with full chunk metadata
+    (pipeline/rag.rs RagChunk over the rich partitioner): heading paths,
+    dominant font/style, content-type flags, counts, stable chunk ids
+    with prev/next links, per-page citation regions, table dims. The
+    vector-store ingest record in one SQL call."""
+    from .kernel.rag_graph import rag_chunks_pdf_bytes
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            chunks = rag_chunks_pdf_bytes(bytes(blob))
+            out.append(
+                json.dumps([c.to_dict() for c in chunks], sort_keys=True)
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def build_udfs() -> dict:
     """Name → pandas UDF, built against the active session."""
     from pyspark.sql.functions import pandas_udf
@@ -289,6 +312,7 @@ def build_udfs() -> dict:
         "oxpdf_export_markdown": pandas_udf(_fn_export_markdown, "string"),
         "oxtext_chunks_compact": pandas_udf(_fn_chunks_compact, "string"),
         "oxpdf_corruption_json": pandas_udf(_fn_corruption_json, "string"),
+        "oxpdf_rag_chunks_json": pandas_udf(_fn_rag_chunks_json, "string"),
     }
 
 

@@ -144,3 +144,34 @@ def test_sql_corruption_json(spark):
     b = _json.loads(row["bad"])
     assert b["severity"] == 5 and b["corruption_type"] == "MissingEOF"
     assert _json.loads(row["junk"])["corruption_type"] == "InvalidHeader"
+
+
+def test_sql_rag_chunks_json(spark):
+    from oxidizepdf_spark.corpus import build_sectioned_pdf
+
+    pdf = build_sectioned_pdf(
+        [("Overview", [["alpha"] * 10, ["beta"] * 10])]
+    )
+    df = spark.createDataFrame(
+        [("d1", bytearray(pdf)), ("d2", None)], "doc_id string, pdf binary"
+    )
+    df.createOrReplaceTempView("rag_corpus")
+    rows = spark.sql(
+        "SELECT doc_id, oxpdf_rag_chunks_json(pdf) AS chunks "
+        "FROM rag_corpus ORDER BY doc_id"
+    ).collect()
+    chunks = json.loads(rows[0]["chunks"])
+    assert chunks, "sectioned PDF must produce chunks"
+    assert chunks[0]["chunk_index"] == 0
+    # heading context + linked ids + metadata all present
+    all_text = "\n".join(c["text"] for c in chunks)
+    assert "Overview" in all_text and "alpha" in all_text
+    for i, c in enumerate(chunks):
+        assert c["metadata"]["chunk_id"].endswith(f":{i}")
+        if i > 0:
+            assert c["metadata"]["prev_chunk_id"] == chunks[i - 1]["metadata"]["chunk_id"]
+    body = next(c for c in chunks if "alpha" in c["text"])
+    assert body["heading_context"] == "Overview"
+    assert body["metadata"]["heading_path"] == ["Overview"]
+    assert body["metadata"]["word_count"] > 0
+    assert rows[1]["chunks"] is None
