@@ -297,6 +297,47 @@ def _fn_rag_chunks_json(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_images_json(data: pd.Series) -> pd.Series:
+    """PDF blob → JSON array of embedded-image records
+    (operations/extract_images.rs ImageExtractor): page, index, resource
+    name, reference file name, dims, format, encoded byte count and md5.
+    Pixels stay out of the JSON — a pipeline selects the images it wants
+    and re-extracts those blobs columnar-side."""
+    import hashlib
+
+    from .kernel.extract_images import extract_images_from_pdf
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            imgs = extract_images_from_pdf(bytes(blob))
+            out.append(
+                json.dumps(
+                    [
+                        {
+                            "page": im.page_number,
+                            "index": im.image_index,
+                            "name": im.name,
+                            "file_name": im.file_name,
+                            "width": im.width,
+                            "height": im.height,
+                            "format": im.format,
+                            "n_bytes": len(im.data),
+                            "md5": hashlib.md5(im.data).hexdigest(),
+                        }
+                        for im in imgs
+                    ],
+                    sort_keys=True,
+                )
+            )
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def build_udfs() -> dict:
     """Name → pandas UDF, built against the active session."""
     from pyspark.sql.functions import pandas_udf
@@ -313,6 +354,7 @@ def build_udfs() -> dict:
         "oxtext_chunks_compact": pandas_udf(_fn_chunks_compact, "string"),
         "oxpdf_corruption_json": pandas_udf(_fn_corruption_json, "string"),
         "oxpdf_rag_chunks_json": pandas_udf(_fn_rag_chunks_json, "string"),
+        "oxpdf_images_json": pandas_udf(_fn_images_json, "string"),
     }
 
 

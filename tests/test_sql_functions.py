@@ -175,3 +175,33 @@ def test_sql_rag_chunks_json(spark):
     assert body["metadata"]["heading_path"] == ["Overview"]
     assert body["metadata"]["word_count"] > 0
     assert rows[1]["chunks"] is None
+
+
+def test_sql_images_json(spark):
+    import zlib as _zlib
+
+    pixels = bytes(range(16 * 16))
+    comp = _zlib.compress(pixels)
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(comp), comp)
+    )
+    pdf = build_pdf_with_content_stream(
+        b"q 100 0 0 100 0 0 cm /Im1 Do Q",
+        page_extra="/XObject << /Im1 30 0 R >>",
+        extra_objects={30: body},
+    )
+    df = spark.createDataFrame(
+        [("d1", bytearray(pdf))], "doc_id string, pdf binary"
+    )
+    df.createOrReplaceTempView("img_corpus")
+    row = spark.sql(
+        "SELECT oxpdf_images_json(pdf) AS imgs FROM img_corpus"
+    ).collect()[0]
+    imgs = json.loads(row["imgs"])
+    assert len(imgs) == 1
+    assert imgs[0]["width"] == 16 and imgs[0]["format"] == "png"
+    assert imgs[0]["name"] == "Im1" and imgs[0]["n_bytes"] > 0
