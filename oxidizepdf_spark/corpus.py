@@ -37,6 +37,7 @@ def build_pdf_with_content_stream(
     xmp: dict[str, str] | None = None,
     page_labels_nums: bytes | None = None,
     page_dict_extra: str = "",
+    catalog_extra: str = "",
 ) -> bytes:
     """Minimal 1-page PDF, /F1 Helvetica, classic xref
     (synthetic_pdf.rs:23-71 layout).
@@ -75,6 +76,8 @@ def build_pdf_with_content_stream(
     if page_labels_nums is not None:
         # §12.4.2 number tree, flat form: /PageLabels << /Nums [...] >>
         catalog += b" /PageLabels << /Nums [" + page_labels_nums + b"] >>"
+    if catalog_extra:
+        catalog += b" " + catalog_extra.encode("latin-1")
     obj(1, catalog + b" >>")
     obj(2, b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
     resources = b"<< /Font << /F1 4 0 R >> " + page_extra.encode("latin-1") + b">>"
@@ -807,7 +810,7 @@ def build_invoice_pdf(
 
 def build_encrypted_pdf(
     text: str, method: str = "rc4-128", user_pw: bytes = b"",
-    owner_pw: bytes = b"owner",
+    owner_pw: bytes = b"owner", p: int = -4,
 ) -> bytes:
     """One-page PDF encrypted with the standard security handler
     (fixture-side forward direction of kernel/crypto.py; ISO 32000 §7.6.3,
@@ -831,7 +834,7 @@ def build_encrypted_pdf(
         "aes-128": (4, 4, 128),
     }[method]
     n = length // 8
-    p = -4  # all permission bits masked off except reserved
+    # default p=-4: every flag bit set except bits 1-2 (spec-reserved 0)
     file_id = hashlib.md5(b"fixture-id:" + text.encode("utf-8", "replace")).digest()
     o = compute_o_r2_r4(user_pw, user_pw, r, n) if not owner_pw else \
         compute_o_r2_r4(owner_pw, user_pw, r, n)
