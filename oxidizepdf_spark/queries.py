@@ -840,25 +840,37 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     space freed for text_exact_substring_dedup): a PDF whose trailer
     names an unusable /Encrypt must yield error='encrypted' with zero
     spans (reader.rs:350-409 detection tier), recorded as the
-    detect_error/detect_n_spans columns."""
+    detect_error/detect_n_spans columns.
+
+    Round 7 adds the /P permission surface (encryption/permissions.rs
+    Table 22, kernel/permissions.py): the fixture masks off COPY for
+    doc_id%3==0 and PRINT for doc_id%3==1 — /P participates in the RC4
+    key derivation, so a wrong bit would break decryption, making the
+    recovered-text columns a cross-check on the permission columns."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_encrypted_pdf, build_text_pdf
         from .kernel.extract import extract_pdf_bytes
+        from .kernel.permissions import document_permissions
 
         for b in batches:
             out = {
                 "doc_id": [], "method": [], "text": [],
                 "n_lines": [], "unlocked": [],
                 "detect_error": [], "detect_n_spans": [],
+                "can_copy": [], "can_print": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 method = "rc4-128" if int(doc_id) % 2 == 0 else "aes-128"
+                p = {0: -4 & ~(1 << 4), 1: -4 & ~(1 << 2), 2: -4}[
+                    int(doc_id) % 3
+                ]
                 pdf = build_encrypted_pdf(
-                    "\n".join(_wrap_lines(norm)), method=method
+                    "\n".join(_wrap_lines(norm)), method=method, p=p
                 )
                 res = extract_pdf_bytes(pdf)
                 text = res.page_texts[0] if res.page_texts else ""
+                perms = document_permissions(pdf)
                 bogus = build_text_pdf(norm).replace(
                     b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size", 1
                 )
@@ -872,6 +884,8 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["unlocked"].append(res.error is None)
                 out["detect_error"].append(det.error)
                 out["detect_n_spans"].append(len(det.spans))
+                out["can_copy"].append(perms.can_copy())
+                out["can_print"].append(perms.can_print())
             yield pd.DataFrame(out)
 
     docs = _rebalance_for_udf(
@@ -881,7 +895,8 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         run,
         schema="doc_id long, method string, text string, n_lines int, "
-        "unlocked boolean, detect_error string, detect_n_spans int",
+        "unlocked boolean, detect_error string, detect_n_spans int, "
+        "can_copy boolean, can_print boolean",
     )
 
 
@@ -894,7 +909,9 @@ SELECT doc_id,
        {norm} AS text,
        CAST(ceil({n_words} / {WORDS_PER_LINE}.0) AS INT) AS n_lines,
        TRUE AS unlocked,
-       'encrypted' AS detect_error, 0 AS detect_n_spans
+       'encrypted' AS detect_error, 0 AS detect_n_spans,
+       doc_id % 3 <> 0 AS can_copy,
+       doc_id % 3 <> 1 AS can_print
 FROM documents
 """
 
