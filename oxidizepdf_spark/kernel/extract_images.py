@@ -547,6 +547,46 @@ class ImageExtractor:
         )
 
 
+def parse_png_samples(data: bytes):
+    """Decode a PNG produced by :func:`encode_png` back into
+    ``(width, height, components, bit_depth, samples)`` — the inverse
+    used by tests and by pipeline checks that validate decoded pixels.
+    Only filter-type-0 scanlines (the only kind encode_png emits) are
+    accepted."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = depth = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, depth, color_type = struct.unpack(">IIBB", body[:10])
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    components = {0: 1, 2: 3, 6: 4}.get(color_type)
+    if components is None:
+        raise ValueError(f"unsupported color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + width * components
+    samples = bytearray()
+    for row in range(height):
+        start = row * stride
+        if start >= len(raw):
+            break
+        if raw[start] != 0:
+            raise ValueError("non-None PNG filter")
+        samples += raw[start + 1:start + stride]
+    return (width, height, components, depth, bytes(samples))
+
+
 def extract_images_from_pdf(
     data: bytes, options: ExtractImagesOptions | None = None, password=None,
 ) -> list[ExtractedImage]:

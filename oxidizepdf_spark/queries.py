@@ -716,7 +716,18 @@ def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image XObject reference capture (S14 reference-capture scope,
     extract_images.rs:195-284): each document becomes a PDF whose content
     interleaves two text runs around an ``/Im1 Do`` paint; the output span
-    sequence must be text / image(Im1) / text with exact halves."""
+    sequence must be text / image(Im1) / text with exact halves.
+
+    Round 7 adds the decoded-pixel surface (kernel/extract_images.py,
+    operations/extract_images.rs): the embedded image is now a
+    deterministic 16x16 Flate'd gray gradient — pixel i of doc d is
+    (d*7 + i*i) mod 256 — and the image span row carries the dims,
+    format, and the SUM of the samples recovered by decoding the
+    extractor's re-encoded PNG back to pixels. The oracle recomputes the
+    sum from the closed form, so the whole decode → PNG-encode →
+    PNG-decode loop is differentially checked per document. Text rows
+    carry -1/'' sentinels (NULL ints promote to float64 and poison the
+    value hash)."""
     import math
 
     docs = _rebalance_for_udf(
@@ -725,12 +736,23 @@ def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .corpus import _IMG_OBJ, build_pdf_with_content_stream, escape_pdf_string
+        import zlib
+
+        from .corpus import build_pdf_with_content_stream, escape_pdf_string
         from .kernel.extract import extract_pdf_bytes
+        from .kernel.extract_images import (
+            extract_images_from_pdf,
+            parse_png_samples,
+        )
 
         for b in batches:
-            out = {"doc_id": [], "offset": [], "kind": [], "text": [], "media_ref": []}
+            out = {
+                "doc_id": [], "offset": [], "kind": [], "text": [],
+                "media_ref": [], "img_w": [], "img_h": [],
+                "img_format": [], "img_px_sum": [],
+            }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                d = int(doc_id)
                 words = norm.split(" ")
                 h = math.ceil(len(words) / 2)
                 first, second = " ".join(words[:h]), " ".join(words[h:])
@@ -740,23 +762,46 @@ def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b"BT /F1 12 Tf 1 0 0 1 100 700 Tm (%s) Tj ET"
                     % (escape_pdf_string(first), escape_pdf_string(second))
                 )
+                pixels = bytes((d * 7 + i * i) % 256 for i in range(256))
+                comp = zlib.compress(pixels)
+                img_obj = (
+                    b"<< /Type /XObject /Subtype /Image /Width 16 /Height 16 "
+                    b"/ColorSpace /DeviceGray /BitsPerComponent 8 "
+                    b"/Filter /FlateDecode /Length %d >>\nstream\n%s\nendstream"
+                    % (len(comp), comp)
+                )
                 pdf = build_pdf_with_content_stream(
                     content,
                     page_extra="/XObject << /Im1 6 0 R >> ",
-                    extra_objects={6: _IMG_OBJ},
+                    extra_objects={6: img_obj},
                 )
                 res = extract_pdf_bytes(pdf)
+                images = extract_images_from_pdf(pdf)
+                iw = ih = px_sum = -1
+                ifmt = ""
+                if images:
+                    im = images[0]
+                    _, _, _, _, samples = parse_png_samples(im.data)
+                    iw, ih, ifmt = im.width, im.height, im.format
+                    px_sum = sum(samples)
                 for off, (kind, text, media_ref) in enumerate(res.spans):
+                    is_img = kind == "image"
                     out["doc_id"].append(doc_id)
                     out["offset"].append(off)
                     out["kind"].append(kind)
                     out["text"].append(text)
                     out["media_ref"].append(media_ref)
+                    out["img_w"].append(iw if is_img else -1)
+                    out["img_h"].append(ih if is_img else -1)
+                    out["img_format"].append(ifmt if is_img else "")
+                    out["img_px_sum"].append(px_sum if is_img else -1)
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, offset int, kind string, text string, media_ref string",
+        schema="doc_id long, offset int, kind string, text string, "
+        "media_ref string, img_w int, img_h int, img_format string, "
+        "img_px_sum long",
     )
 
 
@@ -772,11 +817,20 @@ halves AS (
   FROM n
 )
 SELECT doc_id, 0 AS offset, 'text' AS kind, first AS text,
-       CAST(NULL AS VARCHAR) AS media_ref FROM halves
+       CAST(NULL AS VARCHAR) AS media_ref,
+       -1 AS img_w, -1 AS img_h, '' AS img_format,
+       CAST(-1 AS BIGINT) AS img_px_sum
+FROM halves
 UNION ALL
-SELECT doc_id, 1, 'image', '', 'Im1' FROM halves
+SELECT doc_id, 1, 'image', '', 'Im1',
+       16, 16, 'png',
+       (SELECT CAST(SUM((doc_id * 7 + g * g) % 256) AS BIGINT)
+        FROM generate_series(0, 255) t(g))
+FROM halves
 UNION ALL
-SELECT doc_id, 2, 'text', second, CAST(NULL AS VARCHAR) FROM halves
+SELECT doc_id, 2, 'text', second, CAST(NULL AS VARCHAR),
+       -1, -1, '', CAST(-1 AS BIGINT)
+FROM halves
 WHERE second <> ''
 """
 
