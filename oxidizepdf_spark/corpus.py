@@ -1447,3 +1447,111 @@ def build_composition_pdf(payload: bytes) -> bytes:
         31: img2,
     }
     return assemble_pdf(objects)
+
+
+# ---------------------------------------------------------------------------
+# signed PDFs (signatures/ module forward direction — detection.rs +
+# verification.rs fixtures; CMS/cert assembly in kernel/signatures.py)
+# ---------------------------------------------------------------------------
+
+
+def sign_pdf_objects(
+    objects: dict[int, bytes],
+    sig_obj: int,
+    *,
+    signer_cn: str = "Test Signer",
+    digest_alg: str = "SHA-256",
+    key_type: str = "rsa",
+    signed_attrs: bool = False,
+    unprefixed: bool = False,
+    reason: str | None = None,
+    location: str | None = None,
+    m_date: str | None = "D:20250106120000Z",
+    sub_filter: str = "adbe.pkcs7.detached",
+    tamper_find: bytes | None = None,
+    incremental_tail: bytes = b"",
+    contents_cap: int = 2048,
+    root: int = 1,
+) -> bytes:
+    """Add object ``sig_obj`` (a /Type /Sig dictionary with fixed-width
+    /ByteRange and /Contents placeholders), assemble, then patch offsets,
+    hash the two covered ranges, and embed a real CMS SignedData built
+    with the deterministic test key (kernel/signatures.py).  The caller's
+    ``objects`` must already reference ``sig_obj 0 R`` as a signature
+    field's /V.  ``tamper_find``: after signing, a byte sequence inside
+    the first range is altered so verification must fail (first char
+    XORed into a different letter).  ``incremental_tail``: appended after
+    signing — triggers has_incremental_update without breaking the hash."""
+    import binascii
+
+    from .kernel.signatures import build_cms_signature, _HASHERS
+
+    extra = b""
+    if reason is not None:
+        extra += b" /Reason (%s)" % escape_pdf_string(reason)
+    if location is not None:
+        extra += b" /Location (%s)" % escape_pdf_string(location)
+    if m_date is not None:
+        extra += b" /M (%s)" % escape_pdf_string(m_date)
+    objects = dict(objects)
+    objects[sig_obj] = (
+        b"<< /Type /Sig /Filter /Adobe.PPKLite /SubFilter /"
+        + sub_filter.encode("latin-1")
+        + b" /ByteRange [0 0000000000 0000000000 0000000000] /Contents <"
+        + b"0" * (2 * contents_cap)
+        + b">"
+        + extra
+        + b" >>"
+    )
+    pdf = bytearray(assemble_pdf(objects, root=root))
+    cpos = pdf.index(b"/Contents <") + len(b"/Contents ")
+    gap_end = cpos + 2 + 2 * contents_cap
+    br = b"[0 %010d %010d %010d]" % (cpos, gap_end, len(pdf) - gap_end)
+    bpos = pdf.index(b"/ByteRange ") + len(b"/ByteRange ")
+    assert pdf[bpos : bpos + len(br)].startswith(b"[0 ")
+    pdf[bpos : bpos + len(br)] = br
+    h = _HASHERS[digest_alg]()
+    h.update(pdf[:cpos])
+    h.update(pdf[gap_end:])
+    cms = build_cms_signature(
+        h.digest(),
+        cn=signer_cn,
+        digest_alg=digest_alg,
+        key_type=key_type,
+        signed_attrs=signed_attrs,
+        unprefixed=unprefixed,
+    )
+    hexs = binascii.hexlify(cms)
+    if len(hexs) > 2 * contents_cap:
+        raise ValueError("contents_cap too small for CMS payload")
+    pdf[cpos + 1 : cpos + 1 + len(hexs)] = hexs
+    if tamper_find is not None:
+        at = pdf.index(tamper_find, 0, cpos)
+        pdf[at] ^= 0x01  # same length, still a valid literal-string char
+    if incremental_tail:
+        pdf += incremental_tail
+    return bytes(pdf)
+
+
+def build_signed_pdf(text: str = "signed doc", **kwargs) -> bytes:
+    """One-page PDF carrying a single signed /FT /Sig AcroForm field
+    ('Sig1', object 60).  All signing knobs pass through to
+    sign_pdf_objects."""
+    objects = {
+        1: (
+            b"<< /Type /Catalog /Pages 2 0 R "
+            b"/AcroForm << /Fields [50 0 R] /SigFlags 3 >> >>"
+        ),
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /Contents 5 0 R "
+            b"/MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 4 0 R >> >> >>"
+        ),
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: _stream_obj(
+            b"", b"BT /F1 12 Tf 100 720 Td (%s) Tj ET" % escape_pdf_string(text)
+        ),
+        50: b"<< /FT /Sig /T (Sig1) /V 60 0 R >>",
+    }
+    return sign_pdf_objects(objects, 60, **kwargs)

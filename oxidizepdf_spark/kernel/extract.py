@@ -1041,3 +1041,57 @@ def analyze_page_composition(
             }
         )
     return out
+
+
+def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
+    """Digital-signature surface: detection (signatures/detection.rs) +
+    CMS parse (cms.rs) + cryptographic verification (verification.rs),
+    flattened to one dict per signature field for the Spark layer.  CMS
+    parse or verification failures degrade to error strings rather than
+    aborting the document (pipeline error-tier convention); structural
+    detection errors (malformed /ByteRange etc.) propagate."""
+    from .signatures import (
+        detect_signature_fields,
+        has_incremental_update,
+        parse_pkcs7_signature,
+        verify_signature,
+    )
+
+    out: list[dict] = []
+    for sig in detect_signature_fields(data, password=password):
+        row = {
+            "field_name": sig.name,
+            "filter": sig.filter,
+            "sub_filter": sig.sub_filter,
+            "byte_range": str(sig.byte_range),
+            "contents_size": sig.contents_size(),
+            "reason": sig.reason,
+            "location": sig.location,
+            "m_date": sig.signing_time,
+            "signer": None,
+            "digest_algorithm": None,
+            "signature_algorithm": None,
+            "cms_signing_time": None,
+            "hash_valid": False,
+            "signature_valid": False,
+            "em_form": None,
+            "incremental_update": has_incremental_update(data, sig.byte_range),
+            "error": None,
+        }
+        try:
+            parsed = parse_pkcs7_signature(sig.contents)
+            row["digest_algorithm"] = parsed.digest_algorithm
+            row["signature_algorithm"] = parsed.signature_algorithm
+            row["cms_signing_time"] = parsed.signing_time
+            try:
+                row["signer"] = parsed.signer_common_name()
+            except Exception:
+                pass
+            result = verify_signature(data, parsed, sig.byte_range)
+            row["hash_valid"] = result.hash_valid
+            row["signature_valid"] = result.signature_valid
+            row["em_form"] = result.em_form
+        except Exception as e:
+            row["error"] = f"{type(e).__name__}: {e}"
+        out.append(row)
+    return out

@@ -1,0 +1,1249 @@
+"""Digital-signature detection, CMS/PKCS#7 + X.509 parsing, and
+cryptographic verification — pure Python, no crypto libraries.
+
+Reference surface (oxidize-pdf-core/src/signatures/):
+  detection.rs:28  detect_signature_fields — AcroForm /FT /Sig walk
+  types.rs:13      ByteRange (from_array/validate/Display) + SignatureField
+  cms.rs:537       parse_pkcs7_signature — ContentInfo→SignedData→SignerInfo
+  verification.rs:88/164  compute_pdf_hash + verify_signature (RSA/ECDSA)
+  verification.rs:352     has_incremental_update
+  certificate.rs:83       validate_certificate_at_time
+
+Everything is rebuilt on a ~120-line DER/BER reader (BER indefinite
+lengths are normalized to DER on read, mirroring cms.rs ber_to_der) and
+native big-int math: RSA verification is one ``pow(sig, e, n)``; ECDSA
+P-256/P-384 verification is Jacobian double-and-add over the NIST curves'
+public parameters.  The forward (signing) direction at the bottom exists
+only to build test fixtures, like kernel/crypto.py does for encryption.
+
+Documented reference quirks mirrored or pinned here:
+  * verification.rs:258 verifies RSA with ``VerifyingKey::new_unprefixed``
+    — the PKCS#1 v1.5 encoded message is expected to hold the RAW hash
+    with no DigestInfo prefix.  Standards-conformant CMS signatures embed
+    the DigestInfo SEQUENCE, so the reference rejects them.  We accept
+    BOTH encodings and report which one matched (``em_form``).
+  * cms.rs:612 takes the FIRST certificate in SignedData as the signer
+    (no IssuerAndSerialNumber match).  Mirrored.
+  * cms.rs:689 extract_signing_time returns the placeholder string
+    "(signing time present)" instead of decoding the attribute.  We decode
+    the UTCTime/GeneralizedTime properly (documented deviation).
+  * verification.rs:164 ignores signedAttrs: it always verifies the
+    signature directly against the document hash, which is only correct
+    for CMS signatures WITHOUT signed attributes.  When signedAttrs are
+    present we implement the correct CMS path (messageDigest attribute
+    must equal the document hash; the signature covers the DER SET OF
+    signedAttrs) and also report the reference-style direct check.
+  * certificate.rs:249 check_key_usage indexes ``extn_value[1]`` — that
+    is the BIT STRING *length* octet, not the usage bits, so the check
+    misreads every real certificate.  We parse the BIT STRING correctly
+    (digitalSignature bit 0 / nonRepudiation bit 1) and keep the
+    reference's permissive no-extension default.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass, field
+
+
+class SignatureError(Exception):
+    """Mirror of signatures/error.rs SignatureError (message-only)."""
+
+
+# ---------------------------------------------------------------------------
+# DER / BER reader + DER writer
+# ---------------------------------------------------------------------------
+
+TAG_SEQ = 0x30
+TAG_SET = 0x31
+TAG_INT = 0x02
+TAG_BITSTR = 0x03
+TAG_OCTETS = 0x04
+TAG_NULL = 0x05
+TAG_OID = 0x06
+TAG_UTF8 = 0x0C
+TAG_PRINTABLE = 0x13
+TAG_T61 = 0x14
+TAG_IA5 = 0x16
+TAG_UTCTIME = 0x17
+TAG_GENTIME = 0x18
+TAG_BMP = 0x1E
+
+
+def der_encode(tag: int, content: bytes) -> bytes:
+    n = len(content)
+    if n < 0x80:
+        return bytes((tag, n)) + content
+    lb = n.to_bytes((n.bit_length() + 7) // 8, "big")
+    return bytes((tag, 0x80 | len(lb))) + lb + content
+
+
+def _norm(buf: bytes, pos: int) -> tuple[int, bytes, int]:
+    """Read one BER/DER node at ``pos``; return (tag, DER-normalized
+    content, end).  Constructed nodes are re-encoded child by child so
+    BER indefinite lengths anywhere in the tree come out as definite DER
+    (cms.rs ber_to_der equivalent, done inline during the parse)."""
+    if pos + 2 > len(buf):
+        raise SignatureError("DER: truncated header")
+    tag = buf[pos]
+    if tag & 0x1F == 0x1F:
+        raise SignatureError("DER: high-tag-number form unsupported")
+    l0 = buf[pos + 1]
+    pos += 2
+    if l0 == 0x80:
+        if not tag & 0x20:
+            raise SignatureError("DER: indefinite length on primitive")
+        parts = []
+        while True:
+            if pos + 2 <= len(buf) and buf[pos] == 0 and buf[pos + 1] == 0:
+                pos += 2
+                break
+            if pos >= len(buf):
+                raise SignatureError("DER: unterminated indefinite length")
+            t, c, pos = _norm(buf, pos)
+            parts.append(der_encode(t, c))
+        return tag, b"".join(parts), pos
+    if l0 < 0x80:
+        length = l0
+    else:
+        nb = l0 & 0x7F
+        if nb == 0 or nb > 8 or pos + nb > len(buf):
+            raise SignatureError("DER: bad long-form length")
+        length = int.from_bytes(buf[pos : pos + nb], "big")
+        pos += nb
+    end = pos + length
+    if end > len(buf):
+        raise SignatureError("DER: content exceeds buffer")
+    if tag & 0x20:
+        parts = []
+        p = pos
+        while p < end:
+            t, c, p = _norm(buf, p)
+            parts.append(der_encode(t, c))
+        return tag, b"".join(parts), end
+    return tag, buf[pos:end], end
+
+
+@dataclass(frozen=True)
+class Der:
+    tag: int
+    content: bytes
+
+    @property
+    def der(self) -> bytes:
+        return der_encode(self.tag, self.content)
+
+    def children(self) -> list["Der"]:
+        out, p = [], 0
+        while p < len(self.content):
+            node, p = parse_der(self.content, p)
+            out.append(node)
+        return out
+
+    def integer(self) -> int:
+        if self.tag != TAG_INT:
+            raise SignatureError(f"DER: expected INTEGER, got tag {self.tag:#x}")
+        return int.from_bytes(self.content, "big", signed=True)
+
+    def oid(self) -> str:
+        if self.tag != TAG_OID:
+            raise SignatureError(f"DER: expected OID, got tag {self.tag:#x}")
+        b = self.content
+        if not b:
+            raise SignatureError("DER: empty OID")
+        out = [str(b[0] // 40), str(b[0] % 40)]
+        v = 0
+        for byte in b[1:]:
+            v = (v << 7) | (byte & 0x7F)
+            if not byte & 0x80:
+                out.append(str(v))
+                v = 0
+        return ".".join(out)
+
+    def text(self) -> str | None:
+        """Decode a directory-string value; None for non-string types."""
+        if self.tag in (TAG_UTF8, TAG_IA5, TAG_UTCTIME, TAG_GENTIME):
+            return self.content.decode("utf-8", "replace")
+        if self.tag in (TAG_PRINTABLE, TAG_T61):
+            return self.content.decode("latin-1")
+        if self.tag == TAG_BMP:
+            return self.content.decode("utf-16-be", "replace")
+        return None
+
+
+def parse_der(buf: bytes, pos: int = 0) -> tuple[Der, int]:
+    tag, content, end = _norm(buf, pos)
+    return Der(tag, content), end
+
+
+def enc_int(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    b = v.to_bytes(n, "big", signed=False)
+    if b[0] & 0x80:
+        b = b"\x00" + b
+    return der_encode(TAG_INT, b)
+
+
+def enc_oid(s: str) -> bytes:
+    parts = [int(x) for x in s.split(".")]
+    body = bytearray([parts[0] * 40 + parts[1]])
+    for v in parts[2:]:
+        chunk = bytearray([v & 0x7F])
+        v >>= 7
+        while v:
+            chunk.append(0x80 | (v & 0x7F))
+            v >>= 7
+        body.extend(reversed(chunk))
+    return der_encode(TAG_OID, bytes(body))
+
+
+def enc_seq(*items: bytes) -> bytes:
+    return der_encode(TAG_SEQ, b"".join(items))
+
+
+def enc_set(*items: bytes) -> bytes:
+    return der_encode(TAG_SET, b"".join(items))
+
+
+def enc_ctx(n: int, content: bytes, constructed: bool = True) -> bytes:
+    return der_encode(0x80 | (0x20 if constructed else 0) | n, content)
+
+
+# ---------------------------------------------------------------------------
+# ByteRange (types.rs:13-110)
+# ---------------------------------------------------------------------------
+
+
+class ByteRange:
+    """(offset, length) pairs covered by a signature (types.rs)."""
+
+    __slots__ = ("ranges",)
+
+    def __init__(self, ranges: list[tuple[int, int]]):
+        self.ranges = list(ranges)
+
+    @classmethod
+    def from_array(cls, values: list[int]) -> "ByteRange":
+        if len(values) % 2 != 0:
+            raise SignatureError("ByteRange array must have even number of elements")
+        if len(values) < 4:
+            raise SignatureError("ByteRange array must have at least 4 elements")
+        ranges = []
+        for i in range(0, len(values), 2):
+            off, length = values[i], values[i + 1]
+            if off < 0:
+                raise SignatureError(f"ByteRange offset cannot be negative: {off}")
+            if length < 0:
+                raise SignatureError(f"ByteRange length cannot be negative: {length}")
+            ranges.append((off, length))
+        return cls(ranges)
+
+    def total_bytes(self) -> int:
+        return sum(length for _, length in self.ranges)
+
+    def validate(self) -> None:
+        """types.rs:78 — exactly 2 ranges, first at 0, non-overlapping."""
+        if len(self.ranges) != 2:
+            raise SignatureError(
+                f"Expected 2 ranges for signature, got {len(self.ranges)}"
+            )
+        off1, len1 = self.ranges[0]
+        if off1 != 0:
+            raise SignatureError(f"First range should start at offset 0, got {off1}")
+        off2, _ = self.ranges[1]
+        if off2 < off1 + len1:
+            raise SignatureError("ByteRange ranges overlap")
+
+    def __len__(self) -> int:
+        return len(self.ranges)
+
+    def __str__(self) -> str:
+        return "[" + " ".join(f"{o} {l}" for o, l in self.ranges) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Signature-field detection (detection.rs)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SignatureField:
+    """types.rs:115 SignatureField."""
+
+    filter: str
+    byte_range: ByteRange
+    contents: bytes
+    name: str | None = None
+    sub_filter: str | None = None
+    reason: str | None = None
+    location: str | None = None
+    contact_info: str | None = None
+    signing_time: str | None = None
+
+    def is_pades(self) -> bool:
+        return bool(self.sub_filter) and (
+            "CAdES" in self.sub_filter or "cades" in self.sub_filter
+        )
+
+    def is_pkcs7_detached(self) -> bool:
+        return bool(self.sub_filter) and "pkcs7.detached" in self.sub_filter
+
+    def contents_size(self) -> int:
+        return len(self.contents)
+
+
+def detect_signature_fields(data: bytes, password: str | None = None) -> list["SignatureField"]:
+    """AcroForm walk for /FT /Sig fields with a /V signature dictionary
+    (detection.rs:28 detect_signature_fields + collect_signature_fields).
+    No catalog / AcroForm / Fields ⇒ [].  A signature field without /V is
+    an UNSIGNED field and is skipped; a signed field missing /Filter,
+    /ByteRange or /Contents raises (reference MissingField parity)."""
+    from .objects import Ref
+    from .reader import PdfReader
+    from .textstate import _decode_pdf_string
+
+    reader = PdfReader(data, password=password)
+    try:
+        catalog = reader.catalog()
+    except Exception:
+        return []
+    acro = reader.resolve(catalog.get("AcroForm"))
+    if not isinstance(acro, dict):
+        return []
+    fields = reader.resolve(acro.get("Fields"))
+    if not isinstance(fields, list):
+        return []
+
+    out: list[SignatureField] = []
+    seen: set = set()
+
+    def dec_str(v) -> str | None:
+        v = reader.resolve(v)
+        return _decode_pdf_string(v) if isinstance(v, bytes) else None
+
+    def visit(ref, depth: int) -> None:
+        if depth > 32:
+            return
+        marker = ref if isinstance(ref, Ref) else id(ref)
+        if marker in seen:
+            return
+        seen.add(marker)
+        node = reader.resolve(ref)
+        if not isinstance(node, dict):
+            return
+        if str(node.get("FT")) == "Sig":
+            sig = _extract_signature_field(reader, node, dec_str)
+            if sig is not None:
+                out.append(sig)
+        kids = reader.resolve(node.get("Kids"))
+        if isinstance(kids, list):
+            for k in kids:
+                visit(k, depth + 1)
+
+    for f in fields:
+        visit(f, 0)
+    return out
+
+
+def _extract_signature_field(reader, field_dict: dict, dec_str) -> SignatureField | None:
+    """detection.rs:117 extract_signature_field."""
+    sig_dict = reader.resolve(field_dict.get("V"))
+    if not isinstance(sig_dict, dict):
+        return None  # no /V = unsigned field
+
+    filt = sig_dict.get("Filter")
+    if filt is None:
+        raise SignatureError("Missing required field: Filter")
+    br_obj = reader.resolve(sig_dict.get("ByteRange"))
+    if not isinstance(br_obj, list):
+        raise SignatureError("Missing required field: ByteRange")
+    values = []
+    for item in br_obj:
+        item = reader.resolve(item)
+        if isinstance(item, bool) or not isinstance(item, (int, float)):
+            raise SignatureError("ByteRange must contain only numbers")
+        values.append(int(item))
+    byte_range = ByteRange.from_array(values)
+    contents = reader.resolve(sig_dict.get("Contents"))
+    if not isinstance(contents, bytes):
+        raise SignatureError("Missing required field: Contents")
+
+    sig = SignatureField(filter=str(filt), byte_range=byte_range, contents=contents)
+    sig.name = dec_str(field_dict.get("T"))
+    sf = sig_dict.get("SubFilter")
+    if sf is not None:
+        sig.sub_filter = str(sf)
+    sig.reason = dec_str(sig_dict.get("Reason"))
+    sig.location = dec_str(sig_dict.get("Location"))
+    sig.contact_info = dec_str(sig_dict.get("ContactInfo"))
+    sig.signing_time = dec_str(sig_dict.get("M"))
+    return sig
+
+
+# ---------------------------------------------------------------------------
+# CMS / PKCS#7 parsing (cms.rs)
+# ---------------------------------------------------------------------------
+
+OID_SIGNED_DATA = "1.2.840.113549.1.7.2"
+OID_DATA = "1.2.840.113549.1.7.1"
+OID_CONTENT_TYPE = "1.2.840.113549.1.9.3"
+OID_MESSAGE_DIGEST = "1.2.840.113549.1.9.4"
+OID_SIGNING_TIME = "1.2.840.113549.1.9.5"
+OID_RSA = "1.2.840.113549.1.1.1"
+
+DIGEST_OIDS = {
+    "2.16.840.1.101.3.4.2.1": "SHA-256",
+    "2.16.840.1.101.3.4.2.2": "SHA-384",
+    "2.16.840.1.101.3.4.2.3": "SHA-512",
+}
+DIGEST_OID_OF = {v: k for k, v in DIGEST_OIDS.items()}
+_HASHERS = {
+    "SHA-256": hashlib.sha256,
+    "SHA-384": hashlib.sha384,
+    "SHA-512": hashlib.sha512,
+}
+
+
+def _parse_digest_algorithm(oid: str) -> str:
+    try:
+        return DIGEST_OIDS[oid]
+    except KeyError:
+        raise SignatureError(f"Unsupported algorithm: digest OID: {oid}") from None
+
+
+def _parse_signature_algorithm(oid: str, digest: str) -> str:
+    """cms.rs:661 parse_signature_algorithm (same OID table)."""
+    if oid == OID_RSA:
+        return {"SHA-256": "RSA-SHA256", "SHA-384": "RSA-SHA384",
+                "SHA-512": "RSA-SHA512"}[digest]
+    table = {
+        "1.2.840.113549.1.1.11": "RSA-SHA256",
+        "1.2.840.113549.1.1.12": "RSA-SHA384",
+        "1.2.840.113549.1.1.13": "RSA-SHA512",
+        "1.2.840.10045.4.3.2": "ECDSA-SHA256",
+        "1.2.840.10045.4.3.3": "ECDSA-SHA384",
+    }
+    try:
+        return table[oid]
+    except KeyError:
+        raise SignatureError(f"Unsupported algorithm: signature OID: {oid}") from None
+
+
+def signature_digest_algorithm(sig_alg: str) -> str:
+    """SignatureAlgorithm::digest_algorithm (cms.rs:452)."""
+    return {"RSA-SHA256": "SHA-256", "RSA-SHA384": "SHA-384",
+            "RSA-SHA512": "SHA-512", "ECDSA-SHA256": "SHA-256",
+            "ECDSA-SHA384": "SHA-384"}[sig_alg]
+
+
+@dataclass
+class ParsedSignature:
+    """cms.rs:467 ParsedSignature + the signed-attrs detail the reference
+    drops (needed for the standards-correct verification path)."""
+
+    digest_algorithm: str
+    signature_algorithm: str
+    signature_value: bytes
+    signer_certificate_der: bytes
+    signing_time: str | None = None
+    signed_attrs_der: bytes | None = None  # re-tagged as SET OF, hashable
+    message_digest: bytes | None = None  # from signed attrs
+
+    def signer_common_name(self) -> str:
+        """cms.rs:516 — subject CN, hex-count fallback for binary CNs."""
+        cert = parse_certificate(self.signer_certificate_der)
+        if "CN#raw" in cert.subject:
+            return f"<binary CN: {len(cert.subject['CN#raw'])} bytes>"
+        cn = cert.subject.get("CN")
+        if cn is not None:
+            return cn
+        raise SignatureError("Certificate has no common name")
+
+
+def parse_pkcs7_signature(contents: bytes) -> ParsedSignature:
+    """cms.rs:537 parse_pkcs7_signature.  ``contents`` is the raw (often
+    zero-padded) /Contents value; the DER parse naturally ignores the
+    padding after the first top-level TLV."""
+    try:
+        root, _ = parse_der(contents)
+    except SignatureError as e:
+        raise SignatureError(f"Failed to parse ContentInfo: {e}") from None
+    if root.tag != TAG_SEQ:
+        raise SignatureError("Failed to parse ContentInfo: not a SEQUENCE")
+    kids = root.children()
+    if len(kids) < 2 or kids[0].tag != TAG_OID:
+        raise SignatureError("Failed to parse ContentInfo: missing contentType")
+    ctype = kids[0].oid()
+    if ctype != OID_SIGNED_DATA:
+        raise SignatureError(f"Expected SignedData, got OID: {ctype}")
+    inner = kids[1].children()  # [0] EXPLICIT content
+    if not inner or inner[0].tag != TAG_SEQ:
+        raise SignatureError("Failed to parse SignedData")
+    sd = inner[0].children()
+    # SignedData ::= SEQ { version, digestAlgorithms SET, encapContentInfo,
+    #                      [0] certs?, [1] crls?, signerInfos SET }
+    certs_der: list[bytes] = []
+    signer_infos: list[Der] = []
+    for node in sd[3:]:
+        if node.tag == 0xA0:  # [0] IMPLICIT certificates
+            certs_der = [c.der for c in node.children() if c.tag == TAG_SEQ]
+        elif node.tag == TAG_SET:
+            signer_infos = node.children()
+    if not signer_infos:
+        raise SignatureError("No signer info found in SignedData")
+    si = signer_infos[0].children()
+    # SignerInfo ::= SEQ { version, sid, digestAlgorithm,
+    #                      [0] signedAttrs?, signatureAlgorithm,
+    #                      signature, [1] unsignedAttrs? }
+    if len(si) < 5:
+        raise SignatureError("Malformed SignerInfo")
+    digest_alg = _parse_digest_algorithm(si[2].children()[0].oid())
+    idx = 3
+    signed_attrs_der = None
+    signing_time = None
+    message_digest = None
+    if si[idx].tag == 0xA0:
+        attrs = si[idx].children()
+        # re-tag [0] IMPLICIT → SET OF for the signature input (RFC 5652
+        # §5.4: the signature covers the EXPLICIT SET OF encoding)
+        signed_attrs_der = der_encode(TAG_SET, si[idx].content)
+        for attr in attrs:
+            ac = attr.children()
+            if len(ac) != 2 or ac[0].tag != TAG_OID:
+                continue
+            oid = ac[0].oid()
+            vals = ac[1].children()
+            if oid == OID_SIGNING_TIME and vals:
+                # deviation: reference returns "(signing time present)"
+                signing_time = vals[0].text()
+            elif oid == OID_MESSAGE_DIGEST and vals and vals[0].tag == TAG_OCTETS:
+                message_digest = vals[0].content
+        idx += 1
+    sig_alg = _parse_signature_algorithm(si[idx].children()[0].oid(), digest_alg)
+    idx += 1
+    if si[idx].tag != TAG_OCTETS:
+        raise SignatureError("Malformed SignerInfo: signature not OCTET STRING")
+    signature_value = si[idx].content
+    if not certs_der:
+        raise SignatureError("No certificates in SignedData")
+    return ParsedSignature(
+        digest_algorithm=digest_alg,
+        signature_algorithm=sig_alg,
+        signature_value=signature_value,
+        signer_certificate_der=certs_der[0],  # cms.rs:612 first-cert quirk
+        signing_time=signing_time,
+        signed_attrs_der=signed_attrs_der,
+        message_digest=message_digest,
+    )
+
+
+# ---------------------------------------------------------------------------
+# X.509 certificate parsing (certificate.rs read-side)
+# ---------------------------------------------------------------------------
+
+_DN_OIDS = {
+    "2.5.4.3": "CN",
+    "2.5.4.6": "C",
+    "2.5.4.10": "O",
+    "2.5.4.11": "OU",
+    "2.5.4.7": "L",
+    "2.5.4.8": "ST",
+    "1.2.840.113549.1.9.1": "emailAddress",
+}
+OID_KEY_USAGE = "2.5.29.15"
+OID_EC_PUBKEY = "1.2.840.10045.2.1"
+OID_P256 = "1.2.840.10045.3.1.7"
+OID_P384 = "1.3.132.0.34"
+
+
+@dataclass
+class CertificateInfo:
+    subject: dict
+    issuer: dict
+    serial: int
+    not_before: str
+    not_after: str
+    key_type: str  # 'rsa' | 'ec-p256' | 'ec-p384' | 'unknown'
+    rsa_n: int | None = None
+    rsa_e: int | None = None
+    ec_point: tuple[int, int] | None = None
+    key_usage_bits: int | None = None  # first content byte of the BIT STRING
+    has_key_usage_ext: bool = False
+
+    def subject_str(self) -> str:
+        return _format_dn(self.subject)
+
+    def issuer_str(self) -> str:
+        return _format_dn(self.issuer)
+
+
+def _format_dn(dn: dict) -> str:
+    """certificate.rs:143 format_dn — 'CN=x, O=y' with the reference's
+    short-name table (CN/C/O only; other attrs keep their dotted OID)."""
+    parts = []
+    for key, val in dn.items():
+        if key.endswith("#raw"):
+            continue
+        parts.append(f"{key}={val}")
+    return ", ".join(parts)
+
+
+def _parse_name(node: Der) -> dict:
+    out: dict = {}
+    for rdn in node.children():  # SET OF AttributeTypeAndValue
+        for atv in rdn.children():
+            kids = atv.children()
+            if len(kids) != 2 or kids[0].tag != TAG_OID:
+                continue
+            oid = kids[0].oid()
+            short = _DN_OIDS.get(oid)
+            key = short if short in ("CN", "C", "O") else (short or oid)
+            txt = kids[1].text()
+            if txt is None:
+                out[f"{key}#raw"] = kids[1].content
+                out[key] = "<binary>"
+            else:
+                out[key] = txt
+    return out
+
+
+def _x509_time(node: Der) -> str:
+    """UTCTime YYMMDDHHMMSSZ → ISO-ish 'YYYY-MM-DD HH:MM:SS'; 19xx/20xx
+    split at 50 per RFC 5280.  GeneralizedTime carries the century."""
+    s = node.content.decode("ascii", "replace").rstrip("Z")
+    if node.tag == TAG_UTCTIME:
+        yy = int(s[:2])
+        year = 1900 + yy if yy >= 50 else 2000 + yy
+        rest = s[2:]
+    else:
+        year = int(s[:4])
+        rest = s[4:]
+    mo, dd = rest[0:2], rest[2:4]
+    hh, mi, ss = rest[4:6], rest[6:8], rest[8:10] or "00"
+    return f"{year:04d}-{mo}-{dd} {hh}:{mi}:{ss}"
+
+
+def parse_certificate(der_bytes: bytes) -> CertificateInfo:
+    try:
+        root, _ = parse_der(der_bytes)
+    except SignatureError as e:
+        raise SignatureError(f"Failed to parse certificate: {e}") from None
+    if root.tag != TAG_SEQ:
+        raise SignatureError("Failed to parse certificate: not a SEQUENCE")
+    tbs = root.children()[0]
+    fields = tbs.children()
+    idx = 0
+    if fields and fields[0].tag == 0xA0:  # [0] EXPLICIT version
+        idx = 1
+    serial = fields[idx].integer()
+    # fields: serial, signature AlgId, issuer, validity, subject, SPKI, ...
+    issuer = _parse_name(fields[idx + 2])
+    validity = fields[idx + 3].children()
+    not_before = _x509_time(validity[0])
+    not_after = _x509_time(validity[1])
+    subject = _parse_name(fields[idx + 4])
+    spki = fields[idx + 5]
+    alg_id = spki.children()[0].children()
+    alg_oid = alg_id[0].oid()
+    key_bits = spki.children()[1]
+    if key_bits.tag != TAG_BITSTR or not key_bits.content:
+        raise SignatureError("Malformed SubjectPublicKeyInfo")
+    pub = key_bits.content[1:]  # skip unused-bits count
+    info = CertificateInfo(
+        subject=subject, issuer=issuer, serial=serial,
+        not_before=not_before, not_after=not_after, key_type="unknown",
+    )
+    if alg_oid == OID_RSA:
+        rsa_seq, _ = parse_der(pub)
+        n_node, e_node = rsa_seq.children()[:2]
+        info.key_type = "rsa"
+        info.rsa_n = n_node.integer()
+        info.rsa_e = e_node.integer()
+    elif alg_oid == OID_EC_PUBKEY and len(alg_id) > 1:
+        curve = alg_id[1].oid()
+        if pub[:1] == b"\x04":
+            half = (len(pub) - 1) // 2
+            info.ec_point = (
+                int.from_bytes(pub[1 : 1 + half], "big"),
+                int.from_bytes(pub[1 + half :], "big"),
+            )
+        if curve == OID_P256:
+            info.key_type = "ec-p256"
+        elif curve == OID_P384:
+            info.key_type = "ec-p384"
+    # extensions live in [3] of TBSCertificate
+    for f in fields[idx + 6 :]:
+        if f.tag == 0xA3:
+            for ext in f.children()[0].children():
+                kids = ext.children()
+                if kids and kids[0].tag == TAG_OID and kids[0].oid() == OID_KEY_USAGE:
+                    octets = kids[-1]
+                    if octets.tag == TAG_OCTETS:
+                        info.has_key_usage_ext = True
+                        try:
+                            bitstr, _ = parse_der(octets.content)
+                            if bitstr.tag == TAG_BITSTR and len(bitstr.content) >= 2:
+                                info.key_usage_bits = bitstr.content[1]
+                        except SignatureError:
+                            pass
+    return info
+
+
+# ---------------------------------------------------------------------------
+# Hash + signature verification (verification.rs)
+# ---------------------------------------------------------------------------
+
+
+def compute_pdf_hash(pdf_bytes: bytes, byte_range: ByteRange, algorithm: str) -> bytes:
+    """verification.rs:88 compute_pdf_hash — digest over the covered
+    ranges; raises when a range exceeds the document."""
+    doc_size = len(pdf_bytes)
+    for off, length in byte_range.ranges:
+        if off + length > doc_size:
+            raise SignatureError(
+                f"ByteRange ({off}, {length}) exceeds document size {doc_size}"
+            )
+    h = _HASHERS[algorithm]()
+    for off, length in byte_range.ranges:
+        h.update(pdf_bytes[off : off + length])
+    return h.digest()
+
+
+# DigestInfo DER prefixes for PKCS#1 v1.5 (RFC 8017 §9.2 notes)
+_DIGESTINFO_PREFIX = {
+    "SHA-256": bytes.fromhex("3031300d060960864801650304020105000420"),
+    "SHA-384": bytes.fromhex("3041300d060960864801650304020205000430"),
+    "SHA-512": bytes.fromhex("3051300d060960864801650304020305000440"),
+}
+
+
+def verify_rsa_pkcs1v15(
+    n: int, e: int, signature: bytes, digest: bytes, digest_alg: str
+) -> str | None:
+    """RSA PKCS#1 v1.5 verify via one modular exponentiation.  Returns the
+    encoded-message form that matched: 'digestinfo' (standard CMS),
+    'raw' (the reference's new_unprefixed quirk, verification.rs:258), or
+    None when invalid."""
+    k = (n.bit_length() + 7) // 8
+    if len(signature) != k:
+        return None
+    m = pow(int.from_bytes(signature, "big"), e, n)
+    em = m.to_bytes(k, "big")
+    if em[:2] != b"\x00\x01":
+        return None
+    try:
+        sep = em.index(b"\x00", 2)
+    except ValueError:
+        return None
+    if sep < 10 or any(b != 0xFF for b in em[2:sep]):
+        return None
+    t = em[sep + 1 :]
+    if t == _DIGESTINFO_PREFIX[digest_alg] + digest:
+        return "digestinfo"
+    if t == digest:
+        return "raw"
+    return None
+
+
+# NIST curve parameters (public constants, FIPS 186-4)
+_CURVES = {
+    "ec-p256": dict(
+        p=0xFFFFFFFF00000001000000000000000000000000FFFFFFFFFFFFFFFFFFFFFFFF,
+        n=0xFFFFFFFF00000000FFFFFFFFFFFFFFFFBCE6FAADA7179E84F3B9CAC2FC632551,
+        b=0x5AC635D8AA3A93E7B3EBBD55769886BC651D06B0CC53B0F63BCE3C3E27D2604B,
+        gx=0x6B17D1F2E12C4247F8BCE6E563A440F277037D812DEB33A0F4A13945D898C296,
+        gy=0x4FE342E2FE1A7F9B8EE7EB4A7C0F9E162BCE33576B315ECECBB6406837BF51F5,
+    ),
+    "ec-p384": dict(
+        p=int(
+            "fffffffffffffffffffffffffffffffffffffffffffffffffffffffffffffff"
+            "effffffff0000000000000000ffffffff", 16,
+        ),
+        n=int(
+            "ffffffffffffffffffffffffffffffffffffffffffffffffc7634d81f4372ddf"
+            "581a0db248b0a77aecec196accc52973", 16,
+        ),
+        b=int(
+            "b3312fa7e23ee7e4988e056be3f82d19181d9c6efe8141120314088f5013875a"
+            "c656398d8a2ed19d2a85c8edd3ec2aef", 16,
+        ),
+        gx=int(
+            "aa87ca22be8b05378eb1c71ef320ad746e1d3b628ba79b9859f741e082542a38"
+            "5502f25dbf55296c3a545e3872760ab7", 16,
+        ),
+        gy=int(
+            "3617de4a96262c6f5d9e98bf9292dc29f8f41dbd289a147ce9da3113b5f0b8c0"
+            "0a60b1ce1d7e819d7a431d7c90ea0e5f", 16,
+        ),
+    ),
+}
+
+
+def _ec_add_jac(P, Q, p):
+    """Jacobian point addition; points are (X, Y, Z), Z=0 ⇒ infinity."""
+    if P[2] == 0:
+        return Q
+    if Q[2] == 0:
+        return P
+    X1, Y1, Z1 = P
+    X2, Y2, Z2 = Q
+    Z1Z1 = Z1 * Z1 % p
+    Z2Z2 = Z2 * Z2 % p
+    U1 = X1 * Z2Z2 % p
+    U2 = X2 * Z1Z1 % p
+    S1 = Y1 * Z2 * Z2Z2 % p
+    S2 = Y2 * Z1 * Z1Z1 % p
+    if U1 == U2:
+        if S1 != S2:
+            return (0, 1, 0)
+        return _ec_dbl_jac(P, p)
+    H = (U2 - U1) % p
+    R = (S2 - S1) % p
+    H2 = H * H % p
+    H3 = H2 * H % p
+    U1H2 = U1 * H2 % p
+    X3 = (R * R - H3 - 2 * U1H2) % p
+    Y3 = (R * (U1H2 - X3) - S1 * H3) % p
+    Z3 = H * Z1 * Z2 % p
+    return (X3, Y3, Z3)
+
+
+def _ec_dbl_jac(P, p):
+    X1, Y1, Z1 = P
+    if Z1 == 0 or Y1 == 0:
+        return (0, 1, 0)
+    # a = -3 for both NIST curves: M = 3(X+Z^2)(X-Z^2)
+    Z2 = Z1 * Z1 % p
+    S = 4 * X1 * Y1 * Y1 % p
+    M = 3 * (X1 + Z2) * (X1 - Z2) % p
+    X3 = (M * M - 2 * S) % p
+    Y3 = (M * (S - X3) - 8 * pow(Y1, 4, p)) % p
+    Z3 = 2 * Y1 * Z1 % p
+    return (X3, Y3, Z3)
+
+
+def _ec_mul(k: int, point: tuple[int, int], p: int) -> tuple[int, int] | None:
+    R = (0, 1, 0)
+    P = (point[0], point[1], 1)
+    while k:
+        if k & 1:
+            R = _ec_add_jac(R, P, p)
+        P = _ec_dbl_jac(P, p)
+        k >>= 1
+    if R[2] == 0:
+        return None
+    zinv = pow(R[2], -1, p)
+    z2 = zinv * zinv % p
+    return (R[0] * z2 % p, R[1] * z2 * zinv % p)
+
+
+def _ec_mul2(u1: int, G: tuple[int, int], u2: int, Q: tuple[int, int], p: int):
+    """u1*G + u2*Q (two scalar mults + one add; Shamir unneeded here)."""
+    A = _ec_mul(u1, G, p) if u1 else None
+    B = _ec_mul(u2, Q, p) if u2 else None
+    if A is None:
+        return B
+    if B is None:
+        return A
+    R = _ec_add_jac((A[0], A[1], 1), (B[0], B[1], 1), p)
+    if R[2] == 0:
+        return None
+    zinv = pow(R[2], -1, p)
+    z2 = zinv * zinv % p
+    return (R[0] * z2 % p, R[1] * z2 * zinv % p)
+
+
+def _hash_to_int(digest: bytes, n: int) -> int:
+    e = int.from_bytes(digest, "big")
+    extra = len(digest) * 8 - n.bit_length()
+    if extra > 0:
+        e >>= extra
+    return e
+
+
+def verify_ecdsa(
+    curve: str, Q: tuple[int, int], signature_der: bytes, digest: bytes
+) -> bool:
+    """ECDSA verification (verification.rs:283 verify_ecdsa_signature);
+    ``signature_der`` is the DER SEQUENCE { r INTEGER, s INTEGER }."""
+    params = _CURVES[curve]
+    p, n = params["p"], params["n"]
+    try:
+        seq, _ = parse_der(signature_der)
+        r_node, s_node = seq.children()[:2]
+        r, s = r_node.integer(), s_node.integer()
+    except (SignatureError, ValueError):
+        return False
+    if not (0 < r < n and 0 < s < n):
+        return False
+    e = _hash_to_int(digest, n)
+    w = pow(s, -1, n)
+    u1 = e * w % n
+    u2 = r * w % n
+    R = _ec_mul2(u1, (params["gx"], params["gy"]), u2, Q, p)
+    if R is None:
+        return False
+    return R[0] % n == r
+
+
+@dataclass
+class SignatureVerificationResult:
+    """verification.rs:38 SignatureVerificationResult."""
+
+    hash_valid: bool
+    signature_valid: bool
+    digest_algorithm: str
+    signature_algorithm: str
+    details: str | None = None
+    em_form: str | None = None  # 'digestinfo' | 'raw' (RSA only)
+
+    def is_valid(self) -> bool:
+        return self.hash_valid and self.signature_valid
+
+
+def verify_signature(
+    pdf_bytes: bytes, signature: ParsedSignature, byte_range: ByteRange
+) -> SignatureVerificationResult:
+    """verification.rs:164 verify_signature, plus the standards-correct
+    signedAttrs path the reference skips (module docstring)."""
+    doc_hash = compute_pdf_hash(pdf_bytes, byte_range, signature.digest_algorithm)
+    cert = parse_certificate(signature.signer_certificate_der)
+
+    if signature.signed_attrs_der is not None:
+        # RFC 5652: messageDigest attr must equal the content digest, and
+        # the signature covers the DER SET OF signedAttrs.
+        if signature.message_digest is None or not hashes_match(
+            signature.message_digest, doc_hash
+        ):
+            return SignatureVerificationResult(
+                hash_valid=False, signature_valid=False,
+                digest_algorithm=signature.digest_algorithm,
+                signature_algorithm=signature.signature_algorithm,
+                details="messageDigest attribute does not match document hash",
+            )
+        signed_input = _HASHERS[signature.digest_algorithm](
+            signature.signed_attrs_der
+        ).digest()
+    else:
+        signed_input = doc_hash
+
+    alg = signature.signature_algorithm
+    em_form = None
+    if alg.startswith("RSA-"):
+        if cert.key_type != "rsa":
+            raise SignatureError("Failed to parse RSA public key: not an RSA key")
+        em_form = verify_rsa_pkcs1v15(
+            cert.rsa_n, cert.rsa_e, signature.signature_value,
+            signed_input, signature.digest_algorithm,
+        )
+        valid = em_form is not None
+    elif alg.startswith("ECDSA-"):
+        curve = "ec-p256" if alg == "ECDSA-SHA256" else "ec-p384"
+        if cert.key_type != curve or cert.ec_point is None:
+            raise SignatureError(f"Failed to parse {curve} public key")
+        valid = verify_ecdsa(
+            curve, cert.ec_point, signature.signature_value, signed_input
+        )
+    else:  # pragma: no cover - parse layer limits algorithms
+        raise SignatureError(f"Unsupported algorithm: {alg}")
+
+    return SignatureVerificationResult(
+        hash_valid=True, signature_valid=valid,
+        digest_algorithm=signature.digest_algorithm,
+        signature_algorithm=alg, em_form=em_form,
+    )
+
+
+def has_incremental_update(pdf_bytes: bytes, byte_range: ByteRange) -> bool:
+    """verification.rs:352 — any bytes after the signed region."""
+    if not byte_range.ranges:
+        return False
+    last_off, last_len = byte_range.ranges[-1]
+    return len(pdf_bytes) > last_off + last_len
+
+
+def hashes_match(h1: bytes, h2: bytes) -> bool:
+    """verification.rs:369 (constant-time compare)."""
+    import hmac
+
+    return len(h1) == len(h2) and hmac.compare_digest(h1, h2)
+
+
+# ---------------------------------------------------------------------------
+# Certificate validation (certificate.rs:83 validate_certificate_at_time)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TrustStore:
+    """certificate.rs:28 — no Mozilla bundle ships in this environment;
+    callers provide their own roots (count only matters to the decision
+    logic, which the reference bases on store emptiness + self-issuance)."""
+
+    root_count: int = 0
+    is_mozilla_bundle: bool = False
+
+    @classmethod
+    def empty(cls) -> "TrustStore":
+        return cls(0, False)
+
+
+@dataclass
+class CertificateValidationResult:
+    subject: str
+    issuer: str
+    valid_from: str
+    valid_to: str
+    is_time_valid: bool
+    is_trusted: bool
+    is_signature_capable: bool
+    warnings: list = field(default_factory=list)
+
+    def is_valid(self) -> bool:
+        return self.is_time_valid and self.is_trusted and self.is_signature_capable
+
+    def has_warnings(self) -> bool:
+        return bool(self.warnings)
+
+
+def validate_certificate_at_time(
+    cert_der: bytes, trust_store: TrustStore, validation_time: str
+) -> CertificateValidationResult:
+    """certificate.rs:83 — validity window, trust-chain decision logic,
+    key-usage check.  ``validation_time`` is 'YYYY-MM-DD HH:MM:SS' (string
+    compare suffices for the fixed format).  The key-usage check parses
+    the BIT STRING correctly (digitalSignature/nonRepudiation bits) —
+    certificate.rs:249 reads the length octet instead (documented bug we
+    do NOT reproduce); the permissive no-extension default is kept."""
+    cert = parse_certificate(cert_der)
+    subject = cert.subject.get("CN") or cert.subject_str()
+    issuer = cert.issuer.get("CN") or cert.issuer_str()
+    is_time_valid = cert.not_before <= validation_time <= cert.not_after
+    warnings: list[str] = []
+
+    if not trust_store.is_mozilla_bundle or trust_store.root_count == 0:
+        warnings.append("Using empty or custom trust store")
+        is_trusted = False
+    elif cert.subject_str() == cert.issuer_str():
+        warnings.append("Self-signed certificate")
+        is_trusted = True
+    else:
+        warnings.append("CA-issued certificate (chain validation pending)")
+        is_trusted = True
+
+    if cert.has_key_usage_ext:
+        bits = cert.key_usage_bits or 0
+        if bits & 0x80 or bits & 0x40:
+            is_signature_capable = True
+        else:
+            warnings.append("No digital signature key usage")
+            is_signature_capable = False
+    else:
+        warnings.append("No key usage extension")
+        is_signature_capable = True
+
+    return CertificateValidationResult(
+        subject=subject, issuer=issuer,
+        valid_from=cert.not_before, valid_to=cert.not_after,
+        is_time_valid=is_time_valid, is_trusted=is_trusted,
+        is_signature_capable=is_signature_capable, warnings=warnings,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Signing side — FIXTURE forward direction only (like crypto.py's encrypt
+# helpers).  Deterministic 1024-bit RSA test key + P-256/P-384 scalars.
+# ---------------------------------------------------------------------------
+
+TEST_RSA_N = int(
+    "a3a9bd4846d5638b8b3cab7cc6a325c0acaa3d15ce817e007ba85b25a0658662"
+    "7383f09f5fd27716163ce23492d74e981bd568afe105de7b0c28428ef9ee45d7"
+    "8bbf39060b81a3bd134ddcfcdd2cb6a41a7baa49d947236d719223f8855867b1"
+    "e33e405ae29a61928b7bedd71e6270233f612ffb0111d4e72475633fcd4494ab", 16,
+)
+TEST_RSA_E = 65537
+TEST_RSA_D = int(
+    "4c0fc4f2644923fc64778bd36f95bf23ee9b27cc8caecdda779de4ce75def937"
+    "a42bfb9676382034599d6e1bb4eaef91edcd9edbae9ec5a9361b37e3aef037f0"
+    "970390bb5c14ee235f24e29d68e775e92799904b86a9b9d24a03c4088765a388"
+    "bc0e332a556884ff61124aea8d7be895f1a8ea717552ccc1e1636a00c7dc2c31", 16,
+)
+# deterministic EC private scalars for the ECDSA test path
+TEST_EC_D = {
+    "ec-p256": 0x1D0F2E3C4B5A69788796A5B4C3D2E1F00FEDCBA987654321123456789ABCDEF0,
+    "ec-p384": int(
+        "2A4B6C8DA0B2C4D6E8FA0C1E3F5A7B9D0E2F4A6B8C9DAEBFC1D3E5F70A1B2C3D"
+        "4E5F60718293A4B5C6D7E8F9", 16,
+    ) % _CURVES["ec-p384"]["n"],
+}
+
+_EC_PUB_MEMO: dict[str, tuple[int, int]] = {}
+
+
+def ec_public_key(curve: str) -> tuple[int, int]:
+    pub = _EC_PUB_MEMO.get(curve)
+    if pub is None:
+        params = _CURVES[curve]
+        pub = _ec_mul(TEST_EC_D[curve], (params["gx"], params["gy"]), params["p"])
+        _EC_PUB_MEMO[curve] = pub
+    return pub
+
+
+def rsa_sign_pkcs1v15(
+    digest: bytes, digest_alg: str, prefixed: bool = True,
+    n: int = TEST_RSA_N, d: int = TEST_RSA_D,
+) -> bytes:
+    """PKCS#1 v1.5 signature; ``prefixed=False`` produces the DigestInfo-
+    less form the reference's new_unprefixed verifier expects."""
+    t = (_DIGESTINFO_PREFIX[digest_alg] + digest) if prefixed else digest
+    k = (n.bit_length() + 7) // 8
+    ps_len = k - 3 - len(t)
+    if ps_len < 8:
+        raise SignatureError("message too long for key")
+    em = b"\x00\x01" + b"\xff" * ps_len + b"\x00" + t
+    return pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
+
+
+def ecdsa_sign(digest: bytes, curve: str, d: int | None = None) -> bytes:
+    """Deterministic-k ECDSA for fixtures (k from a hash of digest+d —
+    NOT RFC 6979, fine for tests)."""
+    params = _CURVES[curve]
+    n, p = params["n"], params["p"]
+    if d is None:
+        d = TEST_EC_D[curve]
+    e = _hash_to_int(digest, n)
+    seed = hashlib.sha512(digest + d.to_bytes(48, "big")).digest()
+    k = int.from_bytes(seed, "big") % (n - 1) + 1
+    while True:
+        R = _ec_mul(k, (params["gx"], params["gy"]), p)
+        r = R[0] % n
+        s = pow(k, -1, n) * (e + r * d) % n
+        if r and s:
+            break
+        k = k % (n - 1) + 1
+    return enc_seq(enc_int(r), enc_int(s))
+
+
+def _enc_name(cn: str) -> bytes:
+    return enc_seq(enc_set(enc_seq(enc_oid("2.5.4.3"),
+                                   der_encode(TAG_UTF8, cn.encode("utf-8")))))
+
+
+def _alg_id(oid: str, null_param: bool = True) -> bytes:
+    return enc_seq(enc_oid(oid) + (der_encode(TAG_NULL, b"") if null_param else b""))
+
+
+_SIG_ALG_OIDS = {
+    "SHA-256": "1.2.840.113549.1.1.11",
+    "SHA-384": "1.2.840.113549.1.1.12",
+    "SHA-512": "1.2.840.113549.1.1.13",
+}
+_ECDSA_ALG_OIDS = {"ec-p256": "1.2.840.10045.4.3.2", "ec-p384": "1.2.840.10045.4.3.3"}
+
+_CERT_MEMO: dict[tuple, bytes] = {}
+
+
+def build_self_signed_cert(
+    cn: str, key_type: str = "rsa", digest_alg: str = "SHA-256",
+    key_usage: bytes | None = b"\x07\x80",
+) -> bytes:
+    """Self-signed X.509 v3 certificate for the embedded test key.
+    ``key_usage``: BIT STRING content (unused-bits byte + bits) or None
+    to omit the extension.  Memoized — fixture builders call this per
+    document with a handful of distinct CNs."""
+    memo_key = (cn, key_type, digest_alg, key_usage)
+    cert = _CERT_MEMO.get(memo_key)
+    if cert is not None:
+        return cert
+    if key_type == "rsa":
+        spki = enc_seq(
+            _alg_id(OID_RSA),
+            der_encode(TAG_BITSTR, b"\x00" + enc_seq(enc_int(TEST_RSA_N),
+                                                     enc_int(TEST_RSA_E))),
+        )
+        sig_alg = _alg_id(_SIG_ALG_OIDS[digest_alg])
+    else:
+        x, y = ec_public_key(key_type)
+        size = 32 if key_type == "ec-p256" else 48
+        point = b"\x04" + x.to_bytes(size, "big") + y.to_bytes(size, "big")
+        curve_oid = OID_P256 if key_type == "ec-p256" else OID_P384
+        spki = enc_seq(
+            enc_seq(enc_oid(OID_EC_PUBKEY) + enc_oid(curve_oid)),
+            der_encode(TAG_BITSTR, b"\x00" + point),
+        )
+        sig_alg = enc_seq(enc_oid(_ECDSA_ALG_OIDS[key_type]))
+    name = _enc_name(cn)
+    validity = enc_seq(
+        der_encode(TAG_UTCTIME, b"240101000000Z"),
+        der_encode(TAG_UTCTIME, b"390101000000Z"),
+    )
+    exts = b""
+    if key_usage is not None:
+        exts = enc_ctx(3, enc_seq(enc_seq(
+            enc_oid(OID_KEY_USAGE),
+            der_encode(TAG_OCTETS, der_encode(TAG_BITSTR, key_usage)),
+        )))
+    tbs = enc_seq(
+        enc_ctx(0, enc_int(2)),  # v3
+        enc_int(int.from_bytes(hashlib.sha256(cn.encode()).digest()[:8], "big") | 1),
+        sig_alg, name, validity, name, spki, exts,
+    )
+    tbs_digest = _HASHERS[digest_alg](tbs).digest()
+    if key_type == "rsa":
+        sig = rsa_sign_pkcs1v15(tbs_digest, digest_alg)
+    else:
+        sig = ecdsa_sign(tbs_digest, key_type)
+    cert = enc_seq(tbs, sig_alg, der_encode(TAG_BITSTR, b"\x00" + sig))
+    _CERT_MEMO[memo_key] = cert
+    return cert
+
+
+def build_cms_signature(
+    doc_hash: bytes, cn: str = "Test Signer", digest_alg: str = "SHA-256",
+    key_type: str = "rsa", signed_attrs: bool = False,
+    signing_time: bytes = b"250106120000Z", unprefixed: bool = False,
+) -> bytes:
+    """Detached CMS SignedData over ``doc_hash`` (the already-computed
+    byte-range digest).  ``signed_attrs=True`` exercises the RFC 5652
+    attribute path (contentType + signingTime + messageDigest, signature
+    over the SET OF); ``unprefixed=True`` emits the reference-quirk raw-
+    hash RSA encoding (verification.rs:258)."""
+    cert = build_self_signed_cert(cn, key_type=key_type, digest_alg=digest_alg)
+    cert_info = parse_certificate(cert)
+    issuer_and_serial = enc_seq(_enc_name(cn), enc_int(cert_info.serial))
+    digest_alg_id = _alg_id(DIGEST_OID_OF[digest_alg])
+    if key_type == "rsa":
+        sig_alg_id = _alg_id(OID_RSA)
+    else:
+        sig_alg_id = enc_seq(enc_oid(_ECDSA_ALG_OIDS[key_type]))
+
+    attrs_implicit = b""
+    if signed_attrs:
+        attr_list = b"".join((
+            enc_seq(enc_oid(OID_CONTENT_TYPE), enc_set(enc_oid(OID_DATA))),
+            enc_seq(enc_oid(OID_SIGNING_TIME),
+                    enc_set(der_encode(TAG_UTCTIME, signing_time))),
+            enc_seq(enc_oid(OID_MESSAGE_DIGEST),
+                    enc_set(der_encode(TAG_OCTETS, doc_hash))),
+        ))
+        signed_input = _HASHERS[digest_alg](der_encode(TAG_SET, attr_list)).digest()
+        attrs_implicit = enc_ctx(0, attr_list)
+    else:
+        signed_input = doc_hash
+
+    if key_type == "rsa":
+        sig_value = rsa_sign_pkcs1v15(signed_input, digest_alg,
+                                      prefixed=not unprefixed)
+    else:
+        sig_value = ecdsa_sign(signed_input, key_type)
+
+    signer_info = enc_seq(
+        enc_int(1), issuer_and_serial, digest_alg_id, attrs_implicit,
+        sig_alg_id, der_encode(TAG_OCTETS, sig_value),
+    )
+    encap = enc_seq(enc_oid(OID_DATA))
+    signed_data = enc_seq(
+        enc_int(1), enc_set(digest_alg_id), encap,
+        enc_ctx(0, cert), enc_set(signer_info),
+    )
+    return enc_seq(enc_oid(OID_SIGNED_DATA), enc_ctx(0, signed_data))
