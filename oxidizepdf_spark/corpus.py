@@ -751,18 +751,23 @@ def build_outline_pdf(sections: list[tuple[str, list[str]]]) -> bytes:
 
 
 def build_form_pdf(
-    text_value: str, checked: bool, grp_value: str, b_value: str
+    text_value: str, checked: bool, grp_value: str, b_value: str,
+    sign: dict | None = None,
 ) -> bytes:
     """1-page PDF with a FILLED interactive form (forms/form_data.rs
     read-side shape): /AcroForm /Fields holds a text field f0, a checkbox
     f1 (/V as a PDF Name, /Yes or /Off), and a non-terminal parent 'grp'
     whose kid 'a' INHERITS /FT and /V from the parent while kid 'b'
     overrides /V — exercising qualified naming (grp.a) and the field
-    attribute-inheritance walk."""
+    attribute-inheritance walk.  ``sign``: kwargs for sign_pdf_objects —
+    adds a signed /FT /Sig field 'Sig1' (55 0 R → /V 60 0 R) and embeds
+    a real CMS signature over the assembled bytes."""
+    fields = b"[50 0 R 51 0 R 52 0 R]" if sign is None else \
+        b"[50 0 R 51 0 R 52 0 R 55 0 R]"
     objects: dict[int, bytes] = {
         1: (
             b"<< /Type /Catalog /Pages 2 0 R "
-            b"/AcroForm << /Fields [50 0 R 51 0 R 52 0 R] >> >>"
+            b"/AcroForm << /Fields " + fields + b" >> >>"
         ),
         2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         3: (
@@ -781,6 +786,9 @@ def build_form_pdf(
         53: b"<< /T (a) /Parent 52 0 R >>",
         54: b"<< /T (b) /Parent 52 0 R /V (%s) >>" % escape_pdf_string(b_value),
     }
+    if sign is not None:
+        objects[55] = b"<< /FT /Sig /T (Sig1) /V 60 0 R >>"
+        return sign_pdf_objects(objects, 60, **sign)
     return assemble_pdf(objects)
 
 

@@ -259,6 +259,26 @@ def _fn_corruption_json(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_signatures_json(data: pd.Series) -> pd.Series:
+    """PDF blob → digital-signature report JSON (signatures/detection.rs
+    + cms.rs + verification.rs): one entry per /FT /Sig field with signer
+    CN, algorithms, cryptographic validity, and incremental-update flag —
+    the provenance/integrity column a corpus-quality gate filters on."""
+    from .kernel.extract import extract_signatures
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.dumps(extract_signatures(bytes(blob)),
+                                  sort_keys=True))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def _fn_chunks_compact(text: pd.Series) -> pd.Series:
     """Text → #oxct/1 token-efficient chunk serialization
     (ai/chunking.rs DocumentChunker 512/50 defaults + formats.rs
@@ -355,6 +375,7 @@ def build_udfs() -> dict:
         "oxpdf_corruption_json": pandas_udf(_fn_corruption_json, "string"),
         "oxpdf_rag_chunks_json": pandas_udf(_fn_rag_chunks_json, "string"),
         "oxpdf_images_json": pandas_udf(_fn_images_json, "string"),
+        "oxpdf_signatures_json": pandas_udf(_fn_signatures_json, "string"),
     }
 
 

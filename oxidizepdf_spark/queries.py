@@ -2833,12 +2833,17 @@ FROM base,
 
 
 def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AcroForm field-value extraction (forms/form_data.rs read side):
-    each document becomes a filled form — text field f0=w(0), checkbox f1
-    checked iff doc_id is even, parent 'grp' (/V=w(1)) whose kid 'a'
-    INHERITS /FT+/V and kid 'b' overrides /V=w(2) — and the walker must
-    emit exactly the four terminal fields with qualified names and decoded
-    values."""
+    """AcroForm field-value extraction (forms/form_data.rs read side) plus
+    the digital-signature surface (signatures/detection.rs + cms.rs +
+    verification.rs): each document becomes a filled AND SIGNED form —
+    text field f0=w(0), checkbox f1 checked iff doc_id is even, parent
+    'grp' (/V=w(1)) with inheriting kid 'a' and overriding kid 'b'=w(2),
+    and a signed /FT /Sig field 'Sig1' carrying a real CMS SignedData
+    whose key/digest rotate by doc_id%3 (RSA-SHA256 / RSA-SHA512 /
+    ECDSA-P256), signer CN by doc_id%5, signed-attributes on odd docs,
+    a post-signing byte flip on doc_id%10==3 (sig_valid must read 0),
+    and an incremental-update tail on doc_id%7==0.  The signature detail
+    repeats on every field row (doc-level columns)."""
     docs = _rebalance_for_udf(
         spark,
         _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
@@ -2846,10 +2851,13 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_form_pdf
-        from .kernel.extract import extract_form_fields
+        from .kernel.extract import extract_form_fields, extract_signatures
 
+        key_rot = [("rsa", "SHA-256"), ("rsa", "SHA-512"), ("ec-p256", "SHA-256")]
         for b in batches:
-            out = {"doc_id": [], "field_name": [], "ftype": [], "value": []}
+            out = {"doc_id": [], "field_name": [], "ftype": [], "value": [],
+                   "sig_signer": [], "sig_alg": [], "sig_valid": [],
+                   "sig_attrs": [], "sig_incr": []}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
                 nw = len(words)
@@ -2857,22 +2865,41 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                 def w(k):
                     return words[k % nw] if nw else "x"
 
+                did = int(doc_id)
+                key_type, digest_alg = key_rot[did % 3]
                 pdf = build_form_pdf(
                     text_value=w(0),
-                    checked=int(doc_id) % 2 == 0,
+                    checked=did % 2 == 0,
                     grp_value=w(1),
                     b_value=w(2),
+                    sign=dict(
+                        signer_cn=f"Signer-{did % 5}",
+                        key_type=key_type,
+                        digest_alg=digest_alg,
+                        signed_attrs=did % 2 == 1,
+                        tamper_find=b"form)" if did % 10 == 3 else None,
+                        incremental_tail=b"% upd\n" if did % 7 == 0 else b"",
+                    ),
                 )
+                sig = extract_signatures(pdf)[0]
                 for fld in extract_form_fields(pdf):
                     out["doc_id"].append(doc_id)
                     out["field_name"].append(fld["name"])
                     out["ftype"].append(fld["ftype"])
                     out["value"].append(fld["value"])
+                    out["sig_signer"].append(sig["signer"])
+                    out["sig_alg"].append(sig["signature_algorithm"])
+                    out["sig_valid"].append(int(sig["signature_valid"]))
+                    # signed attrs iff the CMS carries a signingTime attr
+                    out["sig_attrs"].append(int(sig["cms_signing_time"] is not None))
+                    out["sig_incr"].append(int(sig["incremental_update"]))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
-        schema="doc_id long, field_name string, ftype string, value string",
+        schema="doc_id long, field_name string, ftype string, value string, "
+        "sig_signer string, sig_alg string, sig_valid int, sig_attrs int, "
+        "sig_incr int",
     )
 
 
@@ -2892,12 +2919,21 @@ w AS (
 )
 SELECT doc_id,
        CASE k WHEN 0 THEN 'f0' WHEN 1 THEN 'f1'
-              WHEN 2 THEN 'grp.a' ELSE 'grp.b' END AS field_name,
-       CASE k WHEN 1 THEN 'Btn' ELSE 'Tx' END AS ftype,
+              WHEN 2 THEN 'grp.a' WHEN 3 THEN 'grp.b' ELSE 'Sig1' END
+         AS field_name,
+       CASE k WHEN 1 THEN 'Btn' WHEN 4 THEN 'Sig' ELSE 'Tx' END AS ftype,
        CASE k WHEN 0 THEN w0
               WHEN 1 THEN (CASE WHEN doc_id % 2 = 0 THEN 'Yes' ELSE 'Off' END)
-              WHEN 2 THEN w1 ELSE w2 END AS value
-FROM w, UNNEST(generate_series(0, 3)) AS t(k)
+              WHEN 2 THEN w1 WHEN 3 THEN w2
+              ELSE CAST(NULL AS VARCHAR) END AS value,
+       'Signer-' || CAST(doc_id % 5 AS VARCHAR) AS sig_signer,
+       CASE doc_id % 3 WHEN 0 THEN 'RSA-SHA256' WHEN 1 THEN 'RSA-SHA512'
+            ELSE 'ECDSA-SHA256' END AS sig_alg,
+       CAST(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END AS INTEGER)
+         AS sig_valid,
+       CAST(doc_id % 2 AS INTEGER) AS sig_attrs,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS sig_incr
+FROM w, UNNEST(generate_series(0, 4)) AS t(k)
 """
 
 

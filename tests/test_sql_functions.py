@@ -205,3 +205,31 @@ def test_sql_images_json(spark):
     assert len(imgs) == 1
     assert imgs[0]["width"] == 16 and imgs[0]["format"] == "png"
     assert imgs[0]["name"] == "Im1" and imgs[0]["n_bytes"] > 0
+
+
+def test_sql_signatures_json(spark):
+    from oxidizepdf_spark.corpus import build_signed_pdf, build_text_pdf
+
+    good = build_signed_pdf("ok doc", signer_cn="SQL Signer")
+    bad = build_signed_pdf("bad doc", tamper_find=b"(bad")
+    plain = build_text_pdf("unsigned")
+    df = spark.createDataFrame(
+        [("good", bytearray(good)), ("bad", bytearray(bad)),
+         ("plain", bytearray(plain)), ("null", None)],
+        "doc_id string, pdf binary",
+    )
+    df.createOrReplaceTempView("sigcorpus")
+    rows = {
+        r["doc_id"]: r["sigs"]
+        for r in spark.sql(
+            "SELECT doc_id, oxpdf_signatures_json(pdf) AS sigs FROM sigcorpus"
+        ).collect()
+    }
+    good_sigs = json.loads(rows["good"])
+    assert len(good_sigs) == 1
+    assert good_sigs[0]["signer"] == "SQL Signer"
+    assert good_sigs[0]["signature_valid"] is True
+    bad_sigs = json.loads(rows["bad"])
+    assert bad_sigs[0]["signature_valid"] is False
+    assert json.loads(rows["plain"]) == []
+    assert rows["null"] is None
