@@ -279,6 +279,27 @@ def _fn_signatures_json(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_entities_json(data: pd.Series) -> pd.Series:
+    """PDF blob → AI-Ready semantic EntityMap JSON (semantic/export.rs
+    shape): rich-partition the document (element.rs parity) and derive
+    one typed, bbox-anchored entity per element — the read-side
+    realization of the reference's PRO-gated ML-ready export."""
+    from .kernel.partition import partition_pdf_bytes
+    from .kernel.semantic import entities_from_partition
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            emap = entities_from_partition(partition_pdf_bytes(bytes(blob)))
+            out.append(emap.to_json_compact())
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def _fn_chunks_compact(text: pd.Series) -> pd.Series:
     """Text → #oxct/1 token-efficient chunk serialization
     (ai/chunking.rs DocumentChunker 512/50 defaults + formats.rs
@@ -376,6 +397,7 @@ def build_udfs() -> dict:
         "oxpdf_rag_chunks_json": pandas_udf(_fn_rag_chunks_json, "string"),
         "oxpdf_images_json": pandas_udf(_fn_images_json, "string"),
         "oxpdf_signatures_json": pandas_udf(_fn_signatures_json, "string"),
+        "oxpdf_entities_json": pandas_udf(_fn_entities_json, "string"),
     }
 
 

@@ -233,3 +233,20 @@ def test_sql_signatures_json(spark):
     assert bad_sigs[0]["signature_valid"] is False
     assert json.loads(rows["plain"]) == []
     assert rows["null"] is None
+
+
+def test_sql_entities_json(spark):
+    from oxidizepdf_spark.corpus import build_sectioned_pdf
+
+    pdf = build_sectioned_pdf([("HEAD", [["body", "words", "here"]])])
+    df = spark.createDataFrame([("d", bytearray(pdf))], "doc_id string, pdf binary")
+    df.createOrReplaceTempView("entcorpus")
+    row = spark.sql(
+        "SELECT oxpdf_entities_json(pdf) AS ents FROM entcorpus"
+    ).collect()[0]
+    emap = json.loads(row["ents"])
+    ents = [e for page in emap["pages"].values() for e in page]
+    assert any(
+        e["type"] == "heading" and e["metadata"]["properties"]["content"] == "HEAD"
+        for e in ents
+    )
