@@ -108,3 +108,132 @@ def is_corrupted(data: bytes) -> bool:
         return detect_corruption(data)["severity"] > 0
     except Exception:
         return True
+
+
+def validate_pdf_bytes(data: bytes, strict: bool = False,
+                       max_objects: int = 512) -> dict:
+    """Structural validation report (recovery/validator.rs:125
+    validate_document): header/version, page tree, xref, object health.
+
+    The reference's xref and object passes are MOCKED (validator.rs:206
+    bumps objects_checked by a constant 10 and warns "Cross-reference
+    validation not fully implemented"); this re-expression performs the
+    real checks the API promises — every xref 'n' entry is verified to
+    point at a parseable object with the right number, and every object
+    (capped at ``max_objects``) is fetched — while keeping the reference's
+    result shape and its specific warning/error strings where they exist
+    (no-pages warning, unusual-version warning, per-page dimension and
+    readability errors).  ``strict`` additionally walks the catalog for
+    reference cycles (validator.rs check_circular_references is a no-op;
+    our reader's cycle guard makes the real check cheap)."""
+    from .pages import effective_page_size, flatten_page_tree
+    from .reader import PdfReader
+
+    result = {
+        "is_valid": False,
+        "errors": [],
+        "warnings": [],
+        "stats": {
+            "pages_validated": 0,
+            "xrefs_validated": 0,
+            "objects_checked": 0,
+            "valid_objects": 0,
+        },
+    }
+    errors, warnings = result["errors"], result["warnings"]
+    try:
+        reader = PdfReader(data)
+    except Exception as e:
+        errors.append(f"InvalidHeader: {e}")
+        return result
+
+    # validate_structure: version + page presence
+    major, minor = reader.version
+    if major not in (1, 2):
+        warnings.append(f"Unusual PDF version: {major}.{minor}")
+    try:
+        pages = flatten_page_tree(reader)
+    except Exception as e:
+        errors.append(f"InvalidPageTree: cannot flatten page tree: {e}")
+        pages = []
+    if not pages:
+        warnings.append("Document has no pages")
+
+    # validate_pages: dimensions + readability
+    for i, page in enumerate(pages):
+        try:
+            w, h = effective_page_size(page, reader)
+            if w <= 0.0 or h <= 0.0:
+                errors.append(f"InvalidPageTree: Page {i} has invalid dimensions")
+            else:
+                result["stats"]["pages_validated"] += 1
+        except Exception as e:
+            errors.append(f"InvalidPageTree: Cannot read page {i}: {e}")
+
+    # validate_xrefs: every 'n' entry must point at the object it claims
+    result["stats"]["xrefs_validated"] = 1
+    bad_xref = 0
+    for num, entry in list(reader.xref.items())[:max_objects]:
+        if entry[0] != "n":
+            continue
+        try:
+            pnum, _, _ = reader.parse_indirect_object_at(entry[1])
+            if pnum != num:
+                bad_xref += 1
+        except Exception:
+            bad_xref += 1
+    if bad_xref:
+        errors.append(f"InvalidXref: {bad_xref} xref entries point at the "
+                      "wrong or unparseable objects")
+    if reader.mode != "strict":
+        warnings.append(f"xref required recovery (mode={reader.mode})")
+
+    # validate_objects: fetch every object through the cache layer
+    for num in list(reader.xref)[:max_objects]:
+        result["stats"]["objects_checked"] += 1
+        try:
+            if reader.get_object(num) is not None:
+                result["stats"]["valid_objects"] += 1
+        except Exception:
+            pass
+
+    if strict:
+        # real circular-reference probe: resolve the catalog transitively;
+        # the reader's _resolving guard returns None on a cycle, which the
+        # page-tree and outline walkers tolerate — surface it as a warning
+        seen: set = set()
+
+        def probe(value, depth: int) -> bool:
+            from .objects import Ref
+
+            if depth > 64:
+                return True
+            if isinstance(value, Ref):
+                if value in seen:
+                    return False
+                seen.add(value)
+                return probe(reader.resolve(value), depth + 1)
+            if isinstance(value, dict):
+                return any(probe(v, depth + 1) for k, v in value.items()
+                           if k != "Parent")
+            if isinstance(value, list):
+                return any(probe(v, depth + 1) for v in value)
+            return False
+
+        try:
+            if probe(reader.trailer.get("Root"), 0):
+                warnings.append("Reference chain exceeds depth 64 "
+                                "(possible circular references)")
+        except Exception:
+            pass
+
+    result["is_valid"] = not errors
+    return result
+
+
+def is_valid_pdf(data: bytes) -> bool:
+    """validator.rs:263 is_valid_pdf."""
+    try:
+        return validate_pdf_bytes(data)["is_valid"]
+    except Exception:
+        return False

@@ -407,3 +407,116 @@ def entities_from_partition(elements, document_metadata: dict | None = None) -> 
             )
         emap.add_entity(entity)
     return emap
+
+
+# ---------------------------------------------------------------------------
+# semantic redaction (operations/semantic_redactor.rs — RAG-aligned PII
+# removal before LLM ingestion)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RedactionEntry:
+    """semantic_redactor.rs:68 — one redacted entity occurrence."""
+
+    entity_id: str
+    entity_type: str
+    page: int  # 1-indexed, like BoundingBox.page
+
+
+class RedactionReport:
+    """semantic_redactor.rs:79 RedactionReport."""
+
+    def __init__(self, entries: list | None = None) -> None:
+        self.entries = entries or []
+
+    def redacted_count(self) -> int:
+        return len(self.entries)
+
+    def by_type(self, entity_type: str) -> list:
+        return [e for e in self.entries if e.entity_type == entity_type]
+
+    def pages_affected(self) -> list[int]:
+        return sorted({e.page for e in self.entries})
+
+
+def redact_extracted_text(
+    data: bytes,
+    entities: list,
+    entity_types: list[str],
+    placeholder: str | None = None,
+    password: str | None = None,
+) -> tuple[list[str], "RedactionReport"]:
+    """SemanticRedactor::redact (semantic_redactor.rs:149), re-expressed
+    for the extraction pipeline: instead of producing a new PDF, return
+    per-page text with every fragment whose bbox intersects a selected
+    entity's bounds REMOVED (BlackBox) or replaced by ``placeholder``.
+
+    Reference quirk NOT reproduced: semantic_redactor.rs only draws an
+    opaque rectangle over the region — the underlying text objects stay
+    in the content stream, so text extraction (and any LLM ingesting the
+    'redacted' PDF) still sees the sensitive content.  A corpus pipeline
+    needs the text actually gone; that is what this does.
+
+    Mirrored semantics: empty ``entity_types`` redacts nothing; the
+    report carries one entry per selected entity whose page exists
+    (the reference draws its box whether or not content sits under it);
+    entity pages are 1-indexed."""
+    from .extract import extract_pdf_bytes
+    from .textstate import ExtractionOptions
+
+    selected = (
+        [e for e in entities if e.entity_type in entity_types]
+        if entity_types
+        else []
+    )
+    res = extract_pdf_bytes(
+        data,
+        ExtractionOptions(preserve_layout=True, password=password),
+    )
+    page_frag_lists = res.page_fragments or []
+    if not selected:
+        return [_frags_to_text(f) for f in page_frag_lists], RedactionReport()
+
+    by_page: dict[int, list] = {}
+    for e in selected:
+        by_page.setdefault(e.bounds.page, []).append(e)
+
+    entries = []
+    out_pages: list[str] = []
+    for idx, frags in enumerate(page_frag_lists):
+        page_no = idx + 1
+        page_entities = by_page.get(page_no, [])
+        kept = []
+        for f in frags:
+            fb = BoundingBox(f.x, f.y, f.width, f.height, page_no)
+            if any(en.bounds.intersects(fb) for en in page_entities):
+                if placeholder is not None:
+                    g = f.clone() if hasattr(f, "clone") else f
+                    g.text = placeholder
+                    g.width = 0.0
+                    kept.append(g)
+                continue
+            kept.append(f)
+        out_pages.append(_frags_to_text(kept))
+    n_pages = len(page_frag_lists)
+    for e in selected:
+        if 1 <= e.bounds.page <= n_pages:
+            entries.append(RedactionEntry(e.id, e.entity_type, e.bounds.page))
+    return out_pages, RedactionReport(entries)
+
+
+def _frags_to_text(frags) -> str:
+    """Line-cluster reconstruction: fragments sharing a baseline (0.5pt
+    tolerance) join with spaces, lines top-to-bottom with newlines."""
+    if not frags:
+        return ""
+    rows: dict[float, list] = {}
+    for f in frags:
+        key = round(f.y * 2) / 2
+        rows.setdefault(key, []).append(f)
+    lines = []
+    for y in sorted(rows, reverse=True):
+        words = sorted(rows[y], key=lambda f: f.x)
+        lines.append(" ".join(w.text for w in words if w.text))
+    return "\n".join(lines)

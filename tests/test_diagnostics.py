@@ -95,3 +95,46 @@ def test_oracle_probe_constants_pinned():
                 r["estimated_objects"], r["found_pages"],
             )
             assert got == expected[v], (doc_id, v, got)
+
+
+def test_validate_pdf_bytes_clean():
+    """recovery/validator.rs validate_document shape, with REAL xref and
+    object passes (the reference's are mocked — validator.rs:206)."""
+    from oxidizepdf_spark.corpus import build_text_pdf
+    from oxidizepdf_spark.kernel.diagnostics import is_valid_pdf, validate_pdf_bytes
+
+    r = validate_pdf_bytes(build_text_pdf("ok"), strict=True)
+    assert r["is_valid"] and not r["errors"]
+    assert r["stats"]["pages_validated"] == 1
+    assert r["stats"]["xrefs_validated"] == 1
+    assert r["stats"]["objects_checked"] >= 5
+    assert r["stats"]["valid_objects"] >= 5
+    assert is_valid_pdf(build_text_pdf("ok"))
+
+
+def test_validate_pdf_bytes_findings():
+    import re
+
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream, build_text_pdf
+    from oxidizepdf_spark.kernel.diagnostics import is_valid_pdf, validate_pdf_bytes
+
+    # zero-width page → dimension error (validator.rs:186 message)
+    bad_dims = build_pdf_with_content_stream(b"BT ET").replace(
+        b"[0 0 612 792]", b"[0 0 000 792]"
+    )
+    r = validate_pdf_bytes(bad_dims)
+    assert not r["is_valid"]
+    assert any("invalid dimensions" in e for e in r["errors"])
+
+    # an xref entry pointing at the wrong offset → real xref finding
+    good = build_text_pdf("ok")
+    broken = re.sub(
+        rb"\n(\d{10}) 00000 n \n(\d{10}) 00000 n ",
+        rb"\n\1 00000 n \n0000000001 00000 n ",
+        good,
+        count=1,
+    )
+    r2 = validate_pdf_bytes(broken)
+    assert any("InvalidXref" in e for e in r2["errors"])
+
+    assert not is_valid_pdf(b"not a pdf at all")

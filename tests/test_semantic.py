@@ -139,3 +139,42 @@ def test_entities_from_partition():
     # round-trips through both exports
     json.loads(emap.to_json())
     json.loads(emap.to_json_ld())
+
+
+def test_redact_blackbox_and_placeholder():
+    """semantic_redactor.rs:149 semantics, re-expressed: the covered
+    text is actually REMOVED from extraction output (the reference only
+    paints over it — documented quirk we do not reproduce)."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.semantic import redact_extracted_text
+
+    content = (
+        b"BT /F1 12 Tf 100 700 Td (Name: John Smith) Tj "
+        b"0 -40 Td (Total: 99 EUR) Tj ET"
+    )
+    pdf = build_pdf_with_content_stream(content)
+    ents = [
+        SemanticEntity("e1", "personName", BoundingBox(90.0, 690.0, 300.0, 24.0, 1)),
+        SemanticEntity("e2", "amount", BoundingBox(90.0, 650.0, 300.0, 24.0, 1)),
+    ]
+    pages, rep = redact_extracted_text(pdf, ents, ["personName"])
+    assert pages == ["Total: 99 EUR"]
+    assert rep.redacted_count() == 1
+    assert rep.pages_affected() == [1]
+    assert rep.by_type("personName")[0].entity_id == "e1"
+
+    pages2, rep2 = redact_extracted_text(
+        pdf, ents, ["personName", "amount"], placeholder="[REDACTED]"
+    )
+    assert pages2 == ["[REDACTED]\n[REDACTED]"]
+    assert rep2.redacted_count() == 2
+
+    # empty entity_types redacts nothing (RedactionConfig default)
+    pages3, rep3 = redact_extracted_text(pdf, ents, [])
+    assert pages3 == ["Name: John Smith\nTotal: 99 EUR"]
+    assert rep3.redacted_count() == 0
+
+    # entity on a nonexistent page: no report entry, no effect
+    ghost = [SemanticEntity("g", "amount", BoundingBox(0, 0, 999, 999, 7))]
+    pages4, rep4 = redact_extracted_text(pdf, ghost, ["amount"])
+    assert rep4.redacted_count() == 0 and pages4 == pages3
