@@ -417,6 +417,19 @@ def _xmp_packet(fields: dict[str, str]) -> bytes:
         parts.append(
             f"<xmp:CreatorTool>{esc(fields['creator'])}</xmp:CreatorTool>"
         )
+    if "pdfaid_part" in fields:
+        # PDF/A identification schema (pdfaid ns) — conformance claim
+        parts[1] = parts[1].replace(
+            "<rdf:Description rdf:about=''>",
+            "<rdf:Description rdf:about='' "
+            "xmlns:pdfaid='http://www.aiim.org/pdfa/ns/id/'>",
+        )
+        parts.append(f"<pdfaid:part>{esc(fields['pdfaid_part'])}</pdfaid:part>")
+        if "pdfaid_conformance" in fields:
+            parts.append(
+                f"<pdfaid:conformance>{esc(fields['pdfaid_conformance'])}"
+                f"</pdfaid:conformance>"
+            )
     parts.append(
         "</rdf:Description></rdf:RDF></x:xmpmeta><?xpacket end='w'?>"
     )

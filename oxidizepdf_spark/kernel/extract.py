@@ -1095,3 +1095,92 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             row["error"] = f"{type(e).__name__}: {e}"
         out.append(row)
     return out
+
+
+_PAGE_LAYOUTS = {
+    "SinglePage", "OneColumn", "TwoColumnLeft", "TwoColumnRight",
+    "TwoPageLeft", "TwoPageRight",
+}
+_PAGE_MODES = {
+    "UseNone", "UseOutlines", "UseThumbs", "FullScreen", "UseOC",
+    "UseAttachments",
+}
+_TRANSITION_STYLES = {
+    "Split", "Blinds", "Box", "Wipe", "Dissolve", "Glitter", "R", "Fly",
+    "Push", "Cover", "Uncover", "Fade",
+}
+
+
+def extract_viewer_info(data: bytes, password: str | None = None) -> dict:
+    """Catalog presentation surface read-back (viewer_preferences.rs +
+    page_transitions.rs + page_lists.rs are generation-side builders; this
+    is their read half) plus PDF/A identification from the XMP packet
+    (pdfa/ and verification/ are out-of-scope write/validate stacks, but
+    the pdfaid:part/conformance claim is a one-regex corpus-quality flag):
+
+    {page_layout, page_mode, viewer_preferences: {key: str|bool|int},
+     transitions: [{page, style, duration, dur}], pdfa_part,
+     pdfa_conformance}.  Unknown /PageLayout, /PageMode or /Trans /S names
+    pass through with a '?' suffix so malformed catalogs are visible
+    without raising."""
+    import re as _re
+
+    from .objects import Stream
+    from .pages import flatten_page_tree
+
+    out = {
+        "page_layout": None, "page_mode": None, "viewer_preferences": {},
+        "transitions": [], "pdfa_part": None, "pdfa_conformance": None,
+    }
+    reader = PdfReader(data, password=password)
+    catalog = reader.catalog()
+
+    def name_of(key, allowed):
+        v = catalog.get(key)
+        if v is None:
+            return None
+        s = str(v)
+        return s if s in allowed else s + "?"
+
+    out["page_layout"] = name_of("PageLayout", _PAGE_LAYOUTS)
+    out["page_mode"] = name_of("PageMode", _PAGE_MODES)
+
+    prefs = reader.resolve(catalog.get("ViewerPreferences"))
+    if isinstance(prefs, dict):
+        for k, v in prefs.items():
+            v = reader.resolve(v)
+            if isinstance(v, (bool, int, float, str)):
+                out["viewer_preferences"][str(k)] = v
+
+    for i, page in enumerate(flatten_page_tree(reader)):
+        trans = reader.resolve(page.dict.get("Trans"))
+        if not isinstance(trans, dict):
+            continue
+        style = str(trans.get("S", "R"))
+        if style not in _TRANSITION_STYLES:
+            style += "?"
+        entry = {"page": i, "style": style}
+        d = reader.resolve(trans.get("D"))
+        if isinstance(d, (int, float)) and not isinstance(d, bool):
+            entry["duration"] = float(d)
+        dur = reader.resolve(page.dict.get("Dur"))
+        if isinstance(dur, (int, float)) and not isinstance(dur, bool):
+            entry["dur"] = float(dur)
+        out["transitions"].append(entry)
+
+    try:
+        md = reader.resolve(catalog.get("Metadata"))
+        if isinstance(md, Stream):
+            xmp = md.decode(resolve=reader.resolve).decode("utf-8", "replace")
+            m = _re.search(
+                r"pdfaid:part(?:>\s*(\d+)\s*<|=\"(\d+)\")", xmp)
+            if m:
+                out["pdfa_part"] = int(m.group(1) or m.group(2))
+            m = _re.search(
+                r"pdfaid:conformance(?:>\s*([A-Ua-u])\s*<|=\"([A-Ua-u])\")",
+                xmp)
+            if m:
+                out["pdfa_conformance"] = (m.group(1) or m.group(2)).upper()
+    except Exception:
+        pass
+    return out

@@ -138,3 +138,54 @@ def test_validate_pdf_bytes_findings():
     assert any("InvalidXref" in e for e in r2["errors"])
 
     assert not is_valid_pdf(b"not a pdf at all")
+
+
+def test_extract_viewer_info_surface():
+    """Read half of viewer_preferences.rs / page_transitions.rs + PDF/A
+    identification from the XMP pdfaid schema."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_viewer_info
+
+    pdf = build_pdf_with_content_stream(
+        b"BT ET",
+        catalog_extra="/PageLayout /TwoColumnLeft /PageMode /UseOutlines "
+        "/ViewerPreferences << /HideToolbar true /Direction /R2L "
+        "/NumCopies 2 >>",
+        page_dict_extra=" /Trans << /S /Wipe /D 2.5 >> /Dur 5",
+        xmp={"title": "T", "pdfaid_part": "2", "pdfaid_conformance": "b"},
+    )
+    info = extract_viewer_info(pdf)
+    assert info["page_layout"] == "TwoColumnLeft"
+    assert info["page_mode"] == "UseOutlines"
+    assert info["viewer_preferences"] == {
+        "HideToolbar": True, "Direction": "R2L", "NumCopies": 2
+    }
+    assert info["transitions"] == [
+        {"page": 0, "style": "Wipe", "duration": 2.5, "dur": 5.0}
+    ]
+    assert info["pdfa_part"] == 2 and info["pdfa_conformance"] == "B"
+
+    # absent everything → None/empty; unknown names get the '?' marker
+    plain = build_pdf_with_content_stream(b"BT ET")
+    info2 = extract_viewer_info(plain)
+    assert info2["page_layout"] is None and info2["transitions"] == []
+    assert info2["pdfa_part"] is None
+    weird = build_pdf_with_content_stream(
+        b"BT ET", catalog_extra="/PageLayout /Spiral",
+        page_dict_extra=" /Trans << /S /Warp >>",
+    )
+    info3 = extract_viewer_info(weird)
+    assert info3["page_layout"] == "Spiral?"
+    assert info3["transitions"][0]["style"] == "Warp?"
+
+
+def test_xmp_pdfaid_does_not_leak_into_metadata():
+    """extract_metadata's oracle-pinned fields ignore the pdfaid schema."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_metadata
+
+    pdf = build_pdf_with_content_stream(
+        b"BT ET", xmp={"title": "T", "pdfaid_part": "3"}
+    )
+    md = extract_metadata(pdf)
+    assert md["title"] == "T" and md["xmp_present"] is True
