@@ -722,6 +722,35 @@ def extract_annotations(data: bytes, password: str | None = None) -> list[dict]:
         elif atype == "Named":
             n = action.get("N")
             target = str(n) if n is not None else None
+        elif atype == "SubmitForm":
+            # form_actions.rs:87 SubmitFormAction: /F is the submission
+            # URL (filespec form), /Flags the format bits
+            target = _filespec(action.get("F"))
+            flags = reader.resolve(action.get("Flags"))
+            if target is not None and isinstance(flags, int) \
+                    and not isinstance(flags, bool) and flags:
+                target = f"{target};flags={flags}"
+        elif atype == "ResetForm":
+            # form_actions.rs:190 — target lists the affected fields
+            fields = reader.resolve(action.get("Fields"))
+            if isinstance(fields, list):
+                names = [t for t in (_text_of(reader.resolve(f))
+                                     for f in fields) if t]
+                target = ",".join(names) or None
+        elif atype == "ImportData":
+            target = _filespec(action.get("F"))  # form_actions.rs:262
+        elif atype == "JavaScript":
+            from .objects import Stream
+
+            js = reader.resolve(action.get("JS"))
+            if isinstance(js, Stream):
+                try:
+                    js = js.decode(resolve=reader.resolve)
+                except Exception:
+                    js = None
+            t = _text_of(js) if isinstance(js, (bytes, str)) else None
+            # script text is payload, not a target — surface its length
+            target = f"script:{len(t)}" if t is not None else None
         return atype, target
 
     for idx, page in enumerate(flatten_page_tree(reader)):

@@ -639,3 +639,52 @@ def test_page_rotation_direct_inherited_and_effective_size():
     neg = flatten_page_tree(PdfReader(build_text_pdf("x", rotate=-90)))[0]
     assert page_rotation(neg) == -90
     assert effective_page_size(neg) == (612.0, 792.0)
+
+
+def test_form_and_javascript_action_detail():
+    """form_actions.rs read-back: SubmitForm /F URL (+';flags=N' when
+    nonzero), ResetForm field list, ImportData filespec; JavaScript
+    actions surface 'script:<len>' (the script is payload, not target)."""
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_annotations
+
+    def one(action: bytes, extra: dict | None = None):
+        link = (
+            b"<< /Type /Annot /Subtype /Link /Rect [0 0 100 20] /A %s >>"
+            % action
+        )
+        objs = {8: link}
+        objs.update(extra or {})
+        pdf = build_pdf_with_content_stream(
+            b"BT /F1 12 Tf 100 700 Td (body) Tj ET", extra_objects=objs
+        )
+        pdf = pdf.replace(
+            b"/Contents 5 0 R", b"/Annots [8 0 R] /Contents 5 0 R", 1
+        )
+        (a,) = extract_annotations(pdf)
+        return a
+
+    a = one(b"<< /S /SubmitForm /F (https://x.test/submit) /Flags 4 >>")
+    assert (a["action_type"], a["action_target"]) == (
+        "SubmitForm", "https://x.test/submit;flags=4",
+    )
+    a = one(b"<< /S /SubmitForm /F << /F (https://y.test) >> >>")
+    assert a["action_target"] == "https://y.test"
+
+    a = one(b"<< /S /ResetForm /Fields [(name) (email)] >>")
+    assert (a["action_type"], a["action_target"]) == ("ResetForm", "name,email")
+    a = one(b"<< /S /ResetForm >>")  # all fields: no target
+    assert (a["action_type"], a["action_target"]) == ("ResetForm", None)
+
+    a = one(b"<< /S /ImportData /F (data.fdf) >>")
+    assert (a["action_type"], a["action_target"]) == ("ImportData", "data.fdf")
+
+    a = one(b"<< /S /JavaScript /JS (app.alert\\(1\\);) >>")
+    assert a["action_type"] == "JavaScript"
+    assert a["action_target"] == "script:13"
+    # stream-valued /JS
+    a = one(
+        b"<< /S /JavaScript /JS 9 0 R >>",
+        extra={9: b"<< /Length 12 >>\nstream\nconsole.do()\nendstream"},
+    )
+    assert a["action_target"] == "script:12"
