@@ -415,3 +415,68 @@ def test_extract_signatures_degrades_on_bad_cms():
     assert len(rows) == 1
     assert rows[0]["error"] is not None
     assert not rows[0]["signature_valid"]
+
+
+# ---------------------------------------------------------------------------
+# robustness fuzz: a corrupt signature must degrade, never crash a task
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=64))
+    def test_parse_der_never_crashes(data):
+        """parse_der on arbitrary bytes: parses or raises SignatureError —
+        no other exception class escapes."""
+        try:
+            parse_der(data)
+        except SignatureError:
+            pass
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.data())
+    def test_cms_truncation_degrades(data):
+        """Any prefix truncation of a valid CMS must raise SignatureError
+        from parse (or parse to something verify handles)."""
+        cms = build_cms_signature(b"\x33" * 32, cn="Trunc", signed_attrs=True)
+        cut = data.draw(st.integers(min_value=0, max_value=len(cms) - 1))
+        try:
+            parse_pkcs7_signature(cms[:cut])
+        except SignatureError:
+            pass
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.data())
+    def test_cms_byte_flip_degrades_or_invalidates(data):
+        """Single byte flips anywhere in the CMS: either the parse raises
+        SignatureError, or verification completes with a boolean verdict —
+        extract_signatures turns both into row-level fields, so a corrupt
+        signature can never kill a Spark task through this path."""
+        pdf = build_signed_pdf("fuzz doc")
+        sig = detect_signature_fields(pdf)[0]
+        cms = bytearray(sig.contents)
+        pos = data.draw(st.integers(min_value=0, max_value=len(cms) - 1))
+        bit = data.draw(st.integers(min_value=0, max_value=7))
+        cms[pos] ^= 1 << bit
+        try:
+            parsed = parse_pkcs7_signature(bytes(cms))
+            r = verify_signature(pdf, parsed, sig.byte_range)
+            assert isinstance(r.signature_valid, bool)
+        except SignatureError:
+            pass
+
+    def test_extract_signatures_fuzz_wrapper_total():
+        """The pipeline-facing wrapper never raises for CMS-level damage."""
+        pdf = build_signed_pdf("wrapper doc")
+        for cut in (0, 10, 100, 1000):
+            broken = pdf.replace(b"/Contents <", b"/Contents <00", 1)
+            rows = extract_signatures(broken[: len(broken) - cut] + b"%%EOF\n")
+            assert isinstance(rows, list)
