@@ -291,3 +291,21 @@ def test_export_markdown_plan_shape(spark):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" in scan[0]
     assert "lang" not in scan[0] and "n_chars" not in scan[0]
+
+
+def test_form_fields_signed_plan_shape(spark):
+    """pdf_extract_form_fields (now building+verifying SIGNED fixtures
+    per doc): still a pruned two-column scan + one round-robin rebalance
+    + mapInPandas — the RSA/ECDSA work lives inside the Arrow batch UDF,
+    never in a shuffle or driver loop."""
+    from oxidizepdf_spark.queries import q_pdf_extract_form_fields
+
+    plan = _plan(q_pdf_extract_form_fields(spark, SF))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(exchanges) <= 1, plan
+    for ln in exchanges:
+        assert "RoundRobinPartitioning" in ln, plan
+    assert "hashpartitioning" not in plan.lower(), plan
+    scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" in scan[0] and "doc_id" in scan[0]
+    assert "lang" not in scan[0]
