@@ -279,6 +279,25 @@ def _fn_signatures_json(data: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
+def _fn_pdfa_json(data: pd.Series) -> pd.Series:
+    """PDF blob → PDF/A self-claim validation JSON (pdfa/validator.rs
+    check sequence against the document's own XMP pdfaid claim): the
+    archival-grade flag a corpus-quality filter keys on."""
+    from .kernel.pdfa import validate_claimed_pdfa
+
+    out = []
+    for blob in data:
+        if blob is None:
+            out.append(None)
+            continue
+        try:
+            out.append(json.dumps(validate_claimed_pdfa(bytes(blob)),
+                                  sort_keys=True))
+        except Exception:
+            out.append(None)
+    return pd.Series(out, dtype=object)
+
+
 def _fn_entities_json(data: pd.Series) -> pd.Series:
     """PDF blob → AI-Ready semantic EntityMap JSON (semantic/export.rs
     shape): rich-partition the document (element.rs parity) and derive
@@ -398,6 +417,7 @@ def build_udfs() -> dict:
         "oxpdf_images_json": pandas_udf(_fn_images_json, "string"),
         "oxpdf_signatures_json": pandas_udf(_fn_signatures_json, "string"),
         "oxpdf_entities_json": pandas_udf(_fn_entities_json, "string"),
+        "oxpdf_pdfa_json": pandas_udf(_fn_pdfa_json, "string"),
     }
 
 

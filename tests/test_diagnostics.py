@@ -189,3 +189,105 @@ def test_xmp_pdfaid_does_not_leak_into_metadata():
     )
     md = extract_metadata(pdf)
     assert md["title"] == "T" and md["xmp_present"] is True
+
+
+def _embedded_font_objects():
+    """Minimal embedded TrueType so check_fonts passes: /FontDescriptor
+    with a /FontFile2 stream."""
+    return (
+        b"<< /Type /Font /Subtype /TrueType /BaseFont /Stub "
+        b"/FontDescriptor 30 0 R >>",
+        {30: b"<< /Type /FontDescriptor /FontName /Stub /Flags 4 "
+             b"/FontFile2 31 0 R >>",
+         31: b"<< /Length 4 >>\nstream\n\x00\x01\x00\x00\nendstream"},
+    )
+
+
+def test_pdfa_validator_matrix():
+    """pdfa/validator.rs check sequence: each forbidden construct maps
+    to its ValidationError variant; part-2 relaxations (transparency,
+    LZW) honored; encrypted docs short-circuit."""
+    from oxidizepdf_spark.corpus import (
+        build_encrypted_pdf,
+        build_pdf_with_content_stream,
+    )
+    from oxidizepdf_spark.kernel.pdfa import validate_claimed_pdfa, validate_pdfa
+
+    font_obj, extra = _embedded_font_objects()
+
+    # fully compliant PDF/A-1b: 1.4 header, XMP claim, embedded font
+    good = build_pdf_with_content_stream(
+        b"BT /F1 12 Tf 100 700 Td (x) Tj ET",
+        font_obj=font_obj, extra_objects=extra,
+        xmp={"title": "T", "pdfaid_part": "1", "pdfaid_conformance": "b"},
+    )
+    r = validate_pdfa(good, "1b")
+    assert r["is_compliant"], r["errors"]
+    claimed = validate_claimed_pdfa(good)
+    assert claimed["claimed"] == "1b" and claimed["is_compliant"]
+
+    # conformance A additionally wants ToUnicode on the (Encoding-less) font
+    ra = validate_pdfa(good, "1a")
+    assert "FontMissingToUnicode: F1" in ra["errors"]
+
+    # default Helvetica is NOT embedded
+    plain = build_pdf_with_content_stream(
+        b"BT ET", xmp={"pdfaid_part": "1", "pdfaid_conformance": "b"}
+    )
+    assert "FontNotEmbedded: F1" in validate_pdfa(plain, "1b")["errors"]
+
+    # no XMP at all
+    noxmp = build_pdf_with_content_stream(b"BT ET", font_obj=font_obj,
+                                          extra_objects=extra)
+    assert "XmpMetadataMissing" in validate_pdfa(noxmp, "1b")["errors"]
+    assert validate_claimed_pdfa(noxmp)["claimed"] is None
+
+    # part mismatch message mirrors error.rs payload
+    assert (
+        "XmpInvalidPdfAIdentifier: Part mismatch: expected 2, found 1"
+        in validate_pdfa(good, "2b")["errors"]
+    )
+
+    # forbidden constructs
+    bad = build_pdf_with_content_stream(
+        b"BT ET", content_filter="LZWDecode", font_obj=font_obj,
+        extra_objects=extra,
+        catalog_extra="/OpenAction << /S /Launch /F (e.exe) >> "
+        "/Names << /JavaScript << >> /EmbeddedFiles << >> >>",
+        page_extra="/ExtGState << /GS0 << /ca 0.5 /BM /Multiply "
+        "/SMask << >> >> >> /ColorSpace << /CS0 /DeviceRGB >> ",
+        xmp={"pdfaid_part": "1", "pdfaid_conformance": "b"},
+    )
+    errs = validate_pdfa(bad, "1b")["errors"]
+    assert "JavaScriptForbidden: Names/JavaScript" in errs
+    assert "ExternalReferenceForbidden: Launch" in errs
+    assert "EmbeddedFileForbidden" in errs
+    assert "TransparencyForbidden: Page 1, ExtGState/GS0/ca" in errs
+    assert "TransparencyForbidden: Page 1, ExtGState/GS0/SMask" in errs
+    assert "TransparencyForbidden: Page 1, ExtGState/GS0/BM=Multiply" in errs
+    assert any(e.startswith("LzwCompressionForbidden") for e in errs)
+    assert "InvalidColorSpace: DeviceRGB at Page 1, ColorSpace/CS0" in errs
+
+    # part 2 allows transparency + LZW (but still flags JS/external/files)
+    errs2 = validate_pdfa(
+        bad.replace(b"pdfaid:part>1<", b"pdfaid:part>2<"), "2b"
+    )["errors"]
+    assert not any("Transparency" in e or "Lzw" in e for e in errs2)
+    assert "EmbeddedFileForbidden" in errs2  # forbidden below part 3
+    errs3 = validate_pdfa(
+        bad.replace(b"pdfaid:part>1<", b"pdfaid:part>3<"), "3b"
+    )["errors"]
+    assert "EmbeddedFileForbidden" not in errs3
+
+    # OutputIntents legalizes device color
+    intent = build_pdf_with_content_stream(
+        b"BT ET", font_obj=font_obj, extra_objects=extra,
+        catalog_extra="/OutputIntents [ << /Type /OutputIntent >> ]",
+        page_extra="/ColorSpace << /CS0 /DeviceRGB >> ",
+        xmp={"pdfaid_part": "1", "pdfaid_conformance": "b"},
+    )
+    assert validate_pdfa(intent, "1b")["is_compliant"]
+
+    # encryption short-circuits
+    enc = build_encrypted_pdf("s", user_pw=b"pw")
+    assert validate_pdfa(enc, "1b")["errors"] == ["EncryptionForbidden"]

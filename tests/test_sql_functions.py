@@ -250,3 +250,28 @@ def test_sql_entities_json(spark):
         e["type"] == "heading" and e["metadata"]["properties"]["content"] == "HEAD"
         for e in ents
     )
+
+
+def test_sql_pdfa_json(spark):
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+
+    claimed = build_pdf_with_content_stream(
+        b"BT ET", xmp={"pdfaid_part": "1", "pdfaid_conformance": "b"}
+    )
+    unclaimed = build_pdf_with_content_stream(b"BT ET")
+    df = spark.createDataFrame(
+        [("c", bytearray(claimed)), ("u", bytearray(unclaimed))],
+        "doc_id string, pdf binary",
+    )
+    df.createOrReplaceTempView("pdfacorpus")
+    rows = {
+        r["doc_id"]: json.loads(r["rep"])
+        for r in spark.sql(
+            "SELECT doc_id, oxpdf_pdfa_json(pdf) AS rep FROM pdfacorpus"
+        ).collect()
+    }
+    assert rows["c"]["claimed"] == "1b"
+    # Helvetica isn't embedded, so the claim doesn't hold
+    assert rows["c"]["is_compliant"] is False
+    assert "FontNotEmbedded: F1" in rows["c"]["errors"]
+    assert rows["u"]["claimed"] is None
