@@ -1108,7 +1108,9 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             "error": None,
         }
         try:
-            parsed = parse_pkcs7_signature(sig.contents)
+            # corpus mode admits legacy SHA-1 CMS (pre-2016 signatures);
+            # the strict reference-parity default lives on the kernel fn
+            parsed = parse_pkcs7_signature(sig.contents, allow_legacy_sha1=True)
             row["digest_algorithm"] = parsed.digest_algorithm
             row["signature_algorithm"] = parsed.signature_algorithm
             row["cms_signing_time"] = parsed.signing_time
@@ -1116,7 +1118,10 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
                 row["signer"] = parsed.signer_common_name()
             except Exception:
                 pass
-            result = verify_signature(data, parsed, sig.byte_range)
+            embedded = "SHA-1" if sig.sub_filter == "adbe.pkcs7.sha1" else None
+            result = verify_signature(
+                data, parsed, sig.byte_range, embedded_digest=embedded
+            )
             row["hash_valid"] = result.hash_valid
             row["signature_valid"] = result.signature_valid
             row["em_form"] = result.em_form

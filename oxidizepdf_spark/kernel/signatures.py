@@ -397,25 +397,35 @@ DIGEST_OIDS = {
     "2.16.840.1.101.3.4.2.3": "SHA-512",
 }
 DIGEST_OID_OF = {v: k for k, v in DIGEST_OIDS.items()}
+# legacy SHA-1 (adbe.pkcs7.sha1 era) — REJECTED by the reference's OID
+# table (cms.rs:646-655); available here behind an explicit opt-in since
+# real crawls are full of pre-2016 government/enterprise signatures
+_LEGACY_DIGEST_OIDS = {"1.3.14.3.2.26": "SHA-1"}
 _HASHERS = {
     "SHA-256": hashlib.sha256,
     "SHA-384": hashlib.sha384,
     "SHA-512": hashlib.sha512,
+    "SHA-1": hashlib.sha1,
 }
 
 
-def _parse_digest_algorithm(oid: str) -> str:
+def _parse_digest_algorithm(oid: str, allow_legacy_sha1: bool = False) -> str:
+    if allow_legacy_sha1 and oid in _LEGACY_DIGEST_OIDS:
+        return _LEGACY_DIGEST_OIDS[oid]
     try:
         return DIGEST_OIDS[oid]
     except KeyError:
         raise SignatureError(f"Unsupported algorithm: digest OID: {oid}") from None
 
 
-def _parse_signature_algorithm(oid: str, digest: str) -> str:
-    """cms.rs:661 parse_signature_algorithm (same OID table)."""
+def _parse_signature_algorithm(
+    oid: str, digest: str, allow_legacy_sha1: bool = False
+) -> str:
+    """cms.rs:661 parse_signature_algorithm (same OID table; RSA-SHA1
+    only under the legacy opt-in)."""
     if oid == OID_RSA:
         return {"SHA-256": "RSA-SHA256", "SHA-384": "RSA-SHA384",
-                "SHA-512": "RSA-SHA512"}[digest]
+                "SHA-512": "RSA-SHA512", "SHA-1": "RSA-SHA1"}[digest]
     table = {
         "1.2.840.113549.1.1.11": "RSA-SHA256",
         "1.2.840.113549.1.1.12": "RSA-SHA384",
@@ -423,6 +433,8 @@ def _parse_signature_algorithm(oid: str, digest: str) -> str:
         "1.2.840.10045.4.3.2": "ECDSA-SHA256",
         "1.2.840.10045.4.3.3": "ECDSA-SHA384",
     }
+    if allow_legacy_sha1 and oid == "1.2.840.113549.1.1.5":
+        return "RSA-SHA1"
     try:
         return table[oid]
     except KeyError:
@@ -433,7 +445,7 @@ def signature_digest_algorithm(sig_alg: str) -> str:
     """SignatureAlgorithm::digest_algorithm (cms.rs:452)."""
     return {"RSA-SHA256": "SHA-256", "RSA-SHA384": "SHA-384",
             "RSA-SHA512": "SHA-512", "ECDSA-SHA256": "SHA-256",
-            "ECDSA-SHA384": "SHA-384"}[sig_alg]
+            "ECDSA-SHA384": "SHA-384", "RSA-SHA1": "SHA-1"}[sig_alg]
 
 
 @dataclass
@@ -448,6 +460,8 @@ class ParsedSignature:
     signing_time: str | None = None
     signed_attrs_der: bytes | None = None  # re-tagged as SET OF, hashable
     message_digest: bytes | None = None  # from signed attrs
+    encap_content: bytes | None = None  # eContent (adbe.pkcs7.sha1 carries
+    # the byte-range SHA-1 here; detached signatures leave it absent)
 
     def signer_common_name(self) -> str:
         """cms.rs:516 — subject CN, hex-count fallback for binary CNs."""
@@ -460,10 +474,14 @@ class ParsedSignature:
         raise SignatureError("Certificate has no common name")
 
 
-def parse_pkcs7_signature(contents: bytes) -> ParsedSignature:
+def parse_pkcs7_signature(
+    contents: bytes, allow_legacy_sha1: bool = False
+) -> ParsedSignature:
     """cms.rs:537 parse_pkcs7_signature.  ``contents`` is the raw (often
     zero-padded) /Contents value; the DER parse naturally ignores the
-    padding after the first top-level TLV."""
+    padding after the first top-level TLV.  ``allow_legacy_sha1`` admits
+    SHA-1 / sha1WithRSA OIDs (adbe.pkcs7.sha1-era signatures) — the
+    reference rejects them (cms.rs:646), which is the default here."""
     try:
         root, _ = parse_der(contents)
     except SignatureError as e:
@@ -489,6 +507,13 @@ def parse_pkcs7_signature(contents: bytes) -> ParsedSignature:
             certs_der = [c.der for c in node.children() if c.tag == TAG_SEQ]
         elif node.tag == TAG_SET:
             signer_infos = node.children()
+    encap_content = None
+    if len(sd) > 2 and sd[2].tag == TAG_SEQ:
+        encap = sd[2].children()
+        if len(encap) > 1 and encap[1].tag == 0xA0:  # [0] EXPLICIT eContent
+            inner_ec = encap[1].children()
+            if inner_ec and inner_ec[0].tag == TAG_OCTETS:
+                encap_content = inner_ec[0].content
     if not signer_infos:
         raise SignatureError("No signer info found in SignedData")
     si = signer_infos[0].children()
@@ -497,7 +522,9 @@ def parse_pkcs7_signature(contents: bytes) -> ParsedSignature:
     #                      signature, [1] unsignedAttrs? }
     if len(si) < 5:
         raise SignatureError("Malformed SignerInfo")
-    digest_alg = _parse_digest_algorithm(si[2].children()[0].oid())
+    digest_alg = _parse_digest_algorithm(
+        si[2].children()[0].oid(), allow_legacy_sha1
+    )
     idx = 3
     signed_attrs_der = None
     signing_time = None
@@ -519,21 +546,41 @@ def parse_pkcs7_signature(contents: bytes) -> ParsedSignature:
             elif oid == OID_MESSAGE_DIGEST and vals and vals[0].tag == TAG_OCTETS:
                 message_digest = vals[0].content
         idx += 1
-    sig_alg = _parse_signature_algorithm(si[idx].children()[0].oid(), digest_alg)
+    sig_alg = _parse_signature_algorithm(
+        si[idx].children()[0].oid(), digest_alg, allow_legacy_sha1
+    )
     idx += 1
     if si[idx].tag != TAG_OCTETS:
         raise SignatureError("Malformed SignerInfo: signature not OCTET STRING")
     signature_value = si[idx].content
     if not certs_der:
         raise SignatureError("No certificates in SignedData")
+    # Signer certificate selection: the reference takes certs[0]
+    # (cms.rs:612) — on a real chain that is usually the ROOT CA, so its
+    # verification fails every chained signature.  We match the
+    # SignerInfo sid (IssuerAndSerialNumber) by serial, falling back to
+    # the reference's first-cert behavior when nothing matches.
+    signer_cert = certs_der[0]
+    if si[1].tag == TAG_SEQ:
+        sid_kids = si[1].children()
+        if len(sid_kids) >= 2 and sid_kids[1].tag == TAG_INT:
+            sid_serial = sid_kids[1].integer()
+            for c in certs_der:
+                try:
+                    if parse_certificate(c).serial == sid_serial:
+                        signer_cert = c
+                        break
+                except SignatureError:
+                    continue
     return ParsedSignature(
         digest_algorithm=digest_alg,
         signature_algorithm=sig_alg,
         signature_value=signature_value,
-        signer_certificate_der=certs_der[0],  # cms.rs:612 first-cert quirk
+        signer_certificate_der=signer_cert,
         signing_time=signing_time,
         signed_attrs_der=signed_attrs_der,
         message_digest=message_digest,
+        encap_content=encap_content,
     )
 
 
@@ -714,6 +761,7 @@ _DIGESTINFO_PREFIX = {
     "SHA-256": bytes.fromhex("3031300d060960864801650304020105000420"),
     "SHA-384": bytes.fromhex("3041300d060960864801650304020205000430"),
     "SHA-512": bytes.fromhex("3051300d060960864801650304020305000440"),
+    "SHA-1": bytes.fromhex("3021300906052b0e03021a05000414"),
 }
 
 
@@ -902,18 +950,45 @@ class SignatureVerificationResult:
 
 
 def verify_signature(
-    pdf_bytes: bytes, signature: ParsedSignature, byte_range: ByteRange
+    pdf_bytes: bytes,
+    signature: ParsedSignature,
+    byte_range: ByteRange,
+    embedded_digest: str | None = None,
 ) -> SignatureVerificationResult:
     """verification.rs:164 verify_signature, plus the standards-correct
-    signedAttrs path the reference skips (module docstring)."""
-    doc_hash = compute_pdf_hash(pdf_bytes, byte_range, signature.digest_algorithm)
+    signedAttrs path the reference skips (module docstring).
+
+    ``embedded_digest``: for adbe.pkcs7.sha1 signatures the CMS is NOT
+    detached — eContent carries the byte-range digest (always SHA-1 for
+    that sub-filter); pass 'SHA-1' and the document binding is checked
+    as eContent == SHA-1(ranges) while the CMS layers hash eContent."""
     cert = parse_certificate(signature.signer_certificate_der)
+
+    if signature.encap_content is not None:
+        # non-detached CMS: the signed content is eContent; the document
+        # binds through the embedded digest when the caller names one
+        if embedded_digest is not None:
+            doc_digest = compute_pdf_hash(pdf_bytes, byte_range, embedded_digest)
+            if not hashes_match(signature.encap_content, doc_digest):
+                return SignatureVerificationResult(
+                    hash_valid=False, signature_valid=False,
+                    digest_algorithm=signature.digest_algorithm,
+                    signature_algorithm=signature.signature_algorithm,
+                    details="embedded eContent digest does not match document",
+                )
+        content_digest = _HASHERS[signature.digest_algorithm](
+            signature.encap_content
+        ).digest()
+    else:
+        content_digest = compute_pdf_hash(
+            pdf_bytes, byte_range, signature.digest_algorithm
+        )
 
     if signature.signed_attrs_der is not None:
         # RFC 5652: messageDigest attr must equal the content digest, and
         # the signature covers the DER SET OF signedAttrs.
         if signature.message_digest is None or not hashes_match(
-            signature.message_digest, doc_hash
+            signature.message_digest, content_digest
         ):
             return SignatureVerificationResult(
                 hash_valid=False, signature_valid=False,
@@ -925,7 +1000,7 @@ def verify_signature(
             signature.signed_attrs_der
         ).digest()
     else:
-        signed_input = doc_hash
+        signed_input = content_digest
 
     alg = signature.signature_algorithm
     em_form = None

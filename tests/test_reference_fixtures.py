@@ -232,3 +232,48 @@ def test_unicode_glyph_mapping_fallback_parity():
     text = "".join(res.page_texts)
     assert "U n i c o d e" in text.replace("\x00", " ") or "Unicode" in text
     assert "�" in text  # accents land on the documented ASCII-only fallback
+
+
+def test_boe_real_signature_verifies():
+    """REAL-WORLD cryptographic validation: the BOE sumario is signed by
+    the Spanish state gazette (FNMT chain, adbe.pkcs7.sha1, RSA-2048).
+    Detection finds the field; the legacy-SHA1 opt-in parses the CMS;
+    the sid (IssuerAndSerialNumber) selects the BOE cert from the
+    3-cert chain (the reference's first-cert rule would grab the FNMT
+    root and fail); eContent binds the byte ranges; and the RSA
+    signature verifies with the DigestInfo encoding.  Any bit flip
+    inside the signed ranges invalidates it."""
+    from oxidizepdf_spark.kernel.extract import extract_signatures
+
+    with open(
+        os.path.join(FIXTURES, "issue_272_boe_sumario_2025_01_15.pdf"), "rb"
+    ) as f:
+        data = f.read()
+    (r,) = extract_signatures(data)
+    assert r["field_name"] == "Signature1"
+    assert r["filter"] == "Adobe.PPKMS"
+    assert r["sub_filter"] == "adbe.pkcs7.sha1"
+    assert r["signer"] == "DIARIOS OFICIALES"
+    assert r["digest_algorithm"] == "SHA-1"
+    assert r["signature_algorithm"] == "RSA-SHA1"
+    assert r["hash_valid"] and r["signature_valid"]
+    assert r["em_form"] == "digestinfo"
+    assert r["m_date"] == "D:20250114191234+01'00'"
+
+    # strict reference parity: the SHA-1 OID is rejected by default
+    from oxidizepdf_spark.kernel.signatures import (
+        SignatureError,
+        detect_signature_fields,
+        parse_pkcs7_signature,
+    )
+
+    sig = detect_signature_fields(data)[0]
+    with pytest.raises(SignatureError, match="digest OID: 1.3.14.3.2.26"):
+        parse_pkcs7_signature(sig.contents)
+
+    # bit flips inside each signed range invalidate the signature
+    for pos in (500, 30000):
+        bad = bytearray(data)
+        bad[pos] ^= 1
+        (rb,) = extract_signatures(bytes(bad))
+        assert not rb["signature_valid"] and not rb["hash_valid"]
