@@ -1576,3 +1576,78 @@ def build_signed_pdf(text: str = "signed doc", **kwargs) -> bytes:
         50: b"<< /FT /Sig /T (Sig1) /V 60 0 R >>",
     }
     return sign_pdf_objects(objects, 60, **kwargs)
+
+
+def append_incremental_signature(
+    pdf: bytes,
+    updated_objects: dict[int, bytes],
+    sig_obj: int,
+    *,
+    signer_cn: str = "Second Signer",
+    digest_alg: str = "SHA-256",
+    key_type: str = "rsa",
+    signed_attrs: bool = False,
+    sub_filter: str = "adbe.pkcs7.detached",
+    contents_cap: int = 2048,
+    root: int = 1,
+) -> bytes:
+    """Append an INCREMENTAL UPDATE revision carrying another signature —
+    the real-world multi-signer shape (each signer adds a revision; the
+    newest signature's /ByteRange spans the whole extended file, so the
+    earlier signature reads has_incremental_update=True while remaining
+    cryptographically valid over its own revision).
+
+    ``updated_objects`` must re-declare every object the new revision
+    changes (typically the catalog with the extended /AcroForm field
+    list and the new field dict referencing ``sig_obj 0 R``)."""
+    import binascii
+    import re
+
+    from .kernel.signatures import build_cms_signature, _HASHERS
+
+    prev_xref = int(re.findall(rb"startxref\s+(\d+)", pdf)[-1])
+    out = bytearray(pdf)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    objects = dict(updated_objects)
+    objects[sig_obj] = (
+        b"<< /Type /Sig /Filter /Adobe.PPKLite /SubFilter /"
+        + sub_filter.encode("latin-1")
+        + b" /ByteRange [0 0000000000 0000000000 0000000000] /Contents <"
+        + b"0" * (2 * contents_cap)
+        + b"> >>"
+    )
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num
+        out += objects[num]
+        if not objects[num].endswith(b"\n"):
+            out += b"\n"
+        out += b"endobj\n"
+    xref_off = len(out)
+    out += b"xref\n"
+    for num in sorted(offsets):  # one subsection per updated object
+        out += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+    out += (
+        b"trailer\n<< /Size %d /Root %d 0 R /Prev %d >>\nstartxref\n%d\n%%%%EOF\n"
+        % (max(objects) + 1, root, prev_xref, xref_off)
+    )
+
+    cpos = out.rindex(b"/Contents <") + len(b"/Contents ")
+    gap_end = cpos + 2 + 2 * contents_cap
+    br = b"[0 %010d %010d %010d]" % (cpos, gap_end, len(out) - gap_end)
+    bpos = out.rindex(b"/ByteRange ") + len(b"/ByteRange ")
+    out[bpos : bpos + len(br)] = br
+    h = _HASHERS[digest_alg]()
+    h.update(out[:cpos])
+    h.update(out[gap_end:])
+    cms = build_cms_signature(
+        h.digest(), cn=signer_cn, digest_alg=digest_alg,
+        key_type=key_type, signed_attrs=signed_attrs,
+    )
+    hexs = binascii.hexlify(cms)
+    if len(hexs) > 2 * contents_cap:
+        raise ValueError("contents_cap too small for CMS payload")
+    out[cpos + 1 : cpos + 1 + len(hexs)] = hexs
+    return bytes(out)

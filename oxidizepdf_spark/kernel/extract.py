@@ -1105,6 +1105,12 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             "signature_valid": False,
             "em_form": None,
             "incremental_update": has_incremental_update(data, sig.byte_range),
+            # fraction of the file the signature covers: 1.0 minus the
+            # /Contents gap for a final signature; much lower when later
+            # incremental updates extended the file past the signed region
+            "coverage": round(sig.byte_range.total_bytes() / len(data), 6)
+            if data
+            else 0.0,
             "error": None,
         }
         try:

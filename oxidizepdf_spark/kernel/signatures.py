@@ -483,6 +483,15 @@ def parse_pkcs7_signature(
     SHA-1 / sha1WithRSA OIDs (adbe.pkcs7.sha1-era signatures) — the
     reference rejects them (cms.rs:646), which is the default here."""
     try:
+        return _parse_pkcs7(contents, allow_legacy_sha1)
+    except SignatureError:
+        raise
+    except (IndexError, ValueError, OverflowError) as e:
+        raise SignatureError(f"Failed to parse SignedData: {e}") from None
+
+
+def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
+    try:
         root, _ = parse_der(contents)
     except SignatureError as e:
         raise SignatureError(f"Failed to parse ContentInfo: {e}") from None
@@ -658,19 +667,34 @@ def _x509_time(node: Der) -> str:
     """UTCTime YYMMDDHHMMSSZ → ISO-ish 'YYYY-MM-DD HH:MM:SS'; 19xx/20xx
     split at 50 per RFC 5280.  GeneralizedTime carries the century."""
     s = node.content.decode("ascii", "replace").rstrip("Z")
-    if node.tag == TAG_UTCTIME:
-        yy = int(s[:2])
-        year = 1900 + yy if yy >= 50 else 2000 + yy
-        rest = s[2:]
-    else:
-        year = int(s[:4])
-        rest = s[4:]
+    try:
+        if node.tag == TAG_UTCTIME:
+            yy = int(s[:2])
+            year = 1900 + yy if yy >= 50 else 2000 + yy
+            rest = s[2:]
+        else:
+            year = int(s[:4])
+            rest = s[4:]
+    except ValueError:
+        raise SignatureError(f"Malformed X.509 time: {s!r}") from None
     mo, dd = rest[0:2], rest[2:4]
     hh, mi, ss = rest[4:6], rest[6:8], rest[8:10] or "00"
     return f"{year:04d}-{mo}-{dd} {hh}:{mi}:{ss}"
 
 
 def parse_certificate(der_bytes: bytes) -> CertificateInfo:
+    try:
+        return _parse_certificate(der_bytes)
+    except SignatureError:
+        raise
+    except (IndexError, ValueError, OverflowError) as e:
+        # structurally corrupt DER (truncated field lists, giant lengths)
+        # degrades like any other parse failure — never a bare IndexError
+        # escaping into a Spark task
+        raise SignatureError(f"Failed to parse certificate: {e}") from None
+
+
+def _parse_certificate(der_bytes: bytes) -> CertificateInfo:
     try:
         root, _ = parse_der(der_bytes)
     except SignatureError as e:

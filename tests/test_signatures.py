@@ -480,3 +480,49 @@ if HAVE_HYP:
             broken = pdf.replace(b"/Contents <", b"/Contents <00", 1)
             rows = extract_signatures(broken[: len(broken) - cut] + b"%%EOF\n")
             assert isinstance(rows, list)
+
+
+def test_multi_signer_incremental_revisions():
+    """Real multi-signer shape: each signer appends an incremental
+    revision.  Both signatures verify over their own revision; the first
+    reads incremental_update=True (the file grew past its signed region)
+    and its coverage fraction drops, while the second spans the whole
+    extended file minus its own /Contents gap."""
+    from oxidizepdf_spark.corpus import append_incremental_signature
+
+    base = build_signed_pdf("two signer doc", signer_cn="First Signer")
+    multi = append_incremental_signature(
+        base,
+        {
+            1: b"<< /Type /Catalog /Pages 2 0 R "
+               b"/AcroForm << /Fields [50 0 R 55 0 R] /SigFlags 3 >> >>",
+            55: b"<< /FT /Sig /T (Sig2) /V 70 0 R >>",
+        },
+        70,
+        signer_cn="Second Signer",
+        key_type="ec-p256",
+        signed_attrs=True,
+    )
+    rows = {r["field_name"]: r for r in extract_signatures(multi)}
+    assert set(rows) == {"Sig1", "Sig2"}
+    s1, s2 = rows["Sig1"], rows["Sig2"]
+    assert s1["signer"] == "First Signer" and s1["signature_valid"]
+    assert s1["incremental_update"] is True
+    assert s2["signer"] == "Second Signer" and s2["signature_valid"]
+    assert s2["signature_algorithm"] == "ECDSA-SHA256"
+    assert s2["incremental_update"] is False
+    assert s2["coverage"] > 0.5 > s1["coverage"] > 0
+    # tampering rev-1 content invalidates BOTH (it sits in both ranges)
+    bad = bytearray(multi)
+    bad[multi.index(b"(two signer")] ^= 1
+    rows2 = {r["field_name"]: r for r in extract_signatures(bytes(bad))}
+    assert not rows2["Sig1"]["signature_valid"]
+    assert not rows2["Sig2"]["signature_valid"]
+    # tampering inside rev-2's appended objects invalidates ONLY Sig2
+    # (flip the rev-2 catalog's /SigFlags digit — after rev-1's ranges,
+    # inside Sig2's first range, and still a parseable dict)
+    bad2 = bytearray(multi)
+    bad2[multi.rindex(b"/SigFlags 3") + len(b"/SigFlags ")] = ord("2")
+    rows3 = {r["field_name"]: r for r in extract_signatures(bytes(bad2))}
+    assert rows3["Sig1"]["signature_valid"]
+    assert not rows3["Sig2"]["signature_valid"]
