@@ -1104,6 +1104,8 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             "hash_valid": False,
             "signature_valid": False,
             "em_form": None,
+            "chain_len": 0,
+            "chain_valid": False,
             "incremental_update": has_incremental_update(data, sig.byte_range),
             # fraction of the file the signature covers: 1.0 minus the
             # /Contents gap for a final signature; much lower when later
@@ -1131,6 +1133,18 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             row["hash_valid"] = result.hash_valid
             row["signature_valid"] = result.signature_valid
             row["em_form"] = result.em_form
+            from .signatures import verify_certificate_chain
+
+            chain = verify_certificate_chain(
+                parsed.all_certs_der, leaf_der=parsed.signer_certificate_der
+            )
+            row["chain_len"] = len(chain)
+            # chain proven iff every link's signature verifies and the
+            # walk terminated at a self-signed root (trust in that root
+            # still needs an external store)
+            row["chain_valid"] = bool(chain) and all(
+                e["sig_ok"] for e in chain
+            ) and chain[-1]["self_signed"]
         except Exception as e:
             row["error"] = f"{type(e).__name__}: {e}"
         out.append(row)

@@ -23,7 +23,11 @@ Documented reference quirks mirrored or pinned here:
     the DigestInfo SEQUENCE, so the reference rejects them.  We accept
     BOTH encodings and report which one matched (``em_form``).
   * cms.rs:612 takes the FIRST certificate in SignedData as the signer
-    (no IssuerAndSerialNumber match).  Mirrored.
+    (no IssuerAndSerialNumber match) — on a real chain that is usually
+    the root CA, so the reference mis-verifies every chained signature.
+    We match the SignerInfo sid by serial and keep first-cert only as
+    the fallback (deviation, required for real documents — see the BOE
+    fixture test).
   * cms.rs:689 extract_signing_time returns the placeholder string
     "(signing time present)" instead of decoding the attribute.  We decode
     the UTCTime/GeneralizedTime properly (documented deviation).
@@ -462,6 +466,7 @@ class ParsedSignature:
     message_digest: bytes | None = None  # from signed attrs
     encap_content: bytes | None = None  # eContent (adbe.pkcs7.sha1 carries
     # the byte-range SHA-1 here; detached signatures leave it absent)
+    all_certs_der: list = field(default_factory=list)  # full SignedData pile
 
     def signer_common_name(self) -> str:
         """cms.rs:516 — subject CN, hex-count fallback for binary CNs."""
@@ -590,6 +595,7 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
         signed_attrs_der=signed_attrs_der,
         message_digest=message_digest,
         encap_content=encap_content,
+        all_certs_der=certs_der,
     )
 
 
@@ -1346,3 +1352,106 @@ def build_cms_signature(
         enc_ctx(0, cert), enc_set(signer_info),
     )
     return enc_seq(enc_oid(OID_SIGNED_DATA), enc_ctx(0, signed_data))
+
+
+# ---------------------------------------------------------------------------
+# certificate-chain verification — BEYOND the reference: its
+# validate_trust_chain (certificate.rs:213) only compares subject/issuer
+# strings and reports "CA-issued certificate (chain validation pending)".
+# With the RSA/ECDSA verifiers above, actually checking each link costs
+# one modular exponentiation per certificate.
+# ---------------------------------------------------------------------------
+
+_CERT_SIG_ALGS = {
+    "1.2.840.113549.1.1.5": ("rsa", "SHA-1"),
+    "1.2.840.113549.1.1.11": ("rsa", "SHA-256"),
+    "1.2.840.113549.1.1.12": ("rsa", "SHA-384"),
+    "1.2.840.113549.1.1.13": ("rsa", "SHA-512"),
+    "1.2.840.10045.4.3.2": ("ecdsa", "SHA-256"),
+    "1.2.840.10045.4.3.3": ("ecdsa", "SHA-384"),
+}
+
+
+def verify_certificate_signature(cert_der: bytes, issuer_der: bytes) -> bool:
+    """True iff ``cert_der``'s TBSCertificate signature verifies under
+    the issuer certificate's public key (RSA PKCS#1 v1.5 or ECDSA)."""
+    try:
+        root, _ = parse_der(cert_der)
+        kids = root.children()
+        tbs, sig_alg, sig_bits = kids[0], kids[1], kids[2]
+        alg_oid = sig_alg.children()[0].oid()
+        if sig_bits.tag != TAG_BITSTR or not sig_bits.content:
+            return False
+        sig = sig_bits.content[1:]  # skip unused-bits octet
+        kind_alg = _CERT_SIG_ALGS.get(alg_oid)
+        if kind_alg is None:
+            return False
+        kind, digest_alg = kind_alg
+        digest = _HASHERS[digest_alg](tbs.der).digest()
+        issuer = parse_certificate(issuer_der)
+        if kind == "rsa":
+            if issuer.key_type != "rsa":
+                return False
+            return (
+                verify_rsa_pkcs1v15(issuer.rsa_n, issuer.rsa_e, sig,
+                                    digest, digest_alg)
+                == "digestinfo"
+            )
+        if issuer.key_type not in _CURVES or issuer.ec_point is None:
+            return False
+        return verify_ecdsa(issuer.key_type, issuer.ec_point, sig, digest)
+    except (SignatureError, IndexError, ValueError):
+        return False
+
+
+def verify_certificate_chain(certs_der: list[bytes],
+                             leaf_der: bytes | None = None) -> list[dict]:
+    """Order the pile of SignedData certificates into an issuance chain
+    starting from ``leaf_der`` (default: first cert) and cryptographically
+    verify each link.  Returns one dict per chain entry:
+    {subject, issuer, self_signed, sig_ok, issuer_found}.  A self-signed
+    terminal is verified against its own key (trust in the root itself
+    still requires an external store — this proves the chain, not the
+    anchor)."""
+    if not certs_der:
+        return []
+    infos = []
+    for der in certs_der:
+        try:
+            infos.append(parse_certificate(der))
+        except SignatureError:
+            infos.append(None)
+    by_subject = {
+        info.subject_str(): der
+        for der, info in zip(certs_der, infos)
+        if info is not None
+    }
+    current = leaf_der if leaf_der is not None else certs_der[0]
+    out: list[dict] = []
+    seen: set[bytes] = set()
+    while current is not None and current not in seen:
+        seen.add(current)
+        try:
+            info = parse_certificate(current)
+        except SignatureError:
+            out.append({"subject": None, "issuer": None, "self_signed": False,
+                        "sig_ok": False, "issuer_found": False})
+            break
+        self_signed = info.subject_str() == info.issuer_str()
+        issuer_der = current if self_signed else by_subject.get(info.issuer_str())
+        entry = {
+            "subject": info.subject.get("CN") or info.subject_str(),
+            "issuer": info.issuer.get("CN") or info.issuer_str(),
+            "self_signed": self_signed,
+            "issuer_found": issuer_der is not None,
+            "sig_ok": (
+                verify_certificate_signature(current, issuer_der)
+                if issuer_der is not None
+                else False
+            ),
+        }
+        out.append(entry)
+        if self_signed:
+            break
+        current = issuer_der
+    return out

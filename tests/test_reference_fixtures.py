@@ -277,3 +277,35 @@ def test_boe_real_signature_verifies():
         bad[pos] ^= 1
         (rb,) = extract_signatures(bytes(bad))
         assert not rb["signature_valid"] and not rb["hash_valid"]
+
+
+def test_boe_certificate_chain_verifies():
+    """Full X.509 chain verification on real PKI (beyond the reference,
+    whose validate_trust_chain only compares subject/issuer strings):
+    BOE cert ← 'AC Sector Público' (RSA-4096) ← FNMT root (self-signed),
+    every link's TBSCertificate signature checked with pure-Python RSA."""
+    from oxidizepdf_spark.kernel.extract import extract_signatures
+    from oxidizepdf_spark.kernel.signatures import (
+        detect_signature_fields,
+        parse_pkcs7_signature,
+        verify_certificate_chain,
+    )
+
+    with open(
+        os.path.join(FIXTURES, "issue_272_boe_sumario_2025_01_15.pdf"), "rb"
+    ) as f:
+        data = f.read()
+    sig = detect_signature_fields(data)[0]
+    parsed = parse_pkcs7_signature(sig.contents, allow_legacy_sha1=True)
+    chain = verify_certificate_chain(
+        parsed.all_certs_der, leaf_der=parsed.signer_certificate_der
+    )
+    assert [e["subject"] for e in chain] == [
+        "DIARIOS OFICIALES",
+        "AC Sector Público",
+        "C=ES, O=FNMT-RCM, OU=AC RAIZ FNMT-RCM",
+    ]
+    assert all(e["sig_ok"] for e in chain)
+    assert chain[-1]["self_signed"]
+    (r,) = extract_signatures(data)
+    assert r["chain_valid"] is True and r["chain_len"] == 3

@@ -526,3 +526,23 @@ def test_multi_signer_incremental_revisions():
     rows3 = {r["field_name"]: r for r in extract_signatures(bytes(bad2))}
     assert rows3["Sig1"]["signature_valid"]
     assert not rows3["Sig2"]["signature_valid"]
+
+
+def test_chain_verification_synthetic():
+    """verify_certificate_chain on the fixture key: a self-signed cert
+    is its own one-link chain; a corrupted TBS fails the link."""
+    from oxidizepdf_spark.kernel.signatures import (
+        verify_certificate_chain,
+        verify_certificate_signature,
+    )
+
+    cert = build_self_signed_cert("Chain Unit")
+    chain = verify_certificate_chain([cert])
+    assert len(chain) == 1 and chain[0]["sig_ok"] and chain[0]["self_signed"]
+    assert verify_certificate_signature(cert, cert)
+    # flip a byte inside the TBS (the validity string) → link fails
+    bad = cert.replace(b"240101000000Z", b"240101000001Z")
+    assert not verify_certificate_signature(bad, bad)
+    ec = build_self_signed_cert("EC Chain Unit", key_type="ec-p384",
+                                digest_alg="SHA-384")
+    assert verify_certificate_chain([ec])[0]["sig_ok"]
