@@ -1493,6 +1493,7 @@ def sign_pdf_objects(
     incremental_tail: bytes = b"",
     contents_cap: int = 2048,
     root: int = 1,
+    docmdp: int | None = None,
 ) -> bytes:
     """Add object ``sig_obj`` (a /Type /Sig dictionary with fixed-width
     /ByteRange and /Contents placeholders), assemble, then patch offsets,
@@ -1514,6 +1515,14 @@ def sign_pdf_objects(
         extra += b" /Location (%s)" % escape_pdf_string(location)
     if m_date is not None:
         extra += b" /M (%s)" % escape_pdf_string(m_date)
+    if docmdp is not None:
+        # certification signature (§12.8.2.2): DocMDP transform with
+        # permission level P
+        extra += (
+            b" /Reference [ << /Type /SigRef /TransformMethod /DocMDP"
+            b" /TransformParams << /Type /TransformParams /P %d /V /1.2"
+            b" >> >> ]" % docmdp
+        )
     objects = dict(objects)
     objects[sig_obj] = (
         b"<< /Type /Sig /Filter /Adobe.PPKLite /SubFilter /"

@@ -1106,6 +1106,7 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             "em_form": None,
             "chain_len": 0,
             "chain_valid": False,
+            "certification_level": sig.certification_level,
             "incremental_update": has_incremental_update(data, sig.byte_range),
             # fraction of the file the signature covers: 1.0 minus the
             # /Contents gap for a final signature; much lower when later

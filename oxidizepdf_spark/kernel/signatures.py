@@ -283,6 +283,10 @@ class SignatureField:
     location: str | None = None
     contact_info: str | None = None
     signing_time: str | None = None
+    # DocMDP certification level (ISO 32000-1 §12.8.2.2): None for plain
+    # approval signatures; 1 = no changes allowed, 2 = form fill-in,
+    # 3 = form fill-in + annotations
+    certification_level: int | None = None
 
     def is_pades(self) -> bool:
         return bool(self.sub_filter) and (
@@ -381,6 +385,27 @@ def _extract_signature_field(reader, field_dict: dict, dec_str) -> SignatureFiel
     sig.location = dec_str(sig_dict.get("Location"))
     sig.contact_info = dec_str(sig_dict.get("ContactInfo"))
     sig.signing_time = dec_str(sig_dict.get("M"))
+    # certification (DocMDP) signature: /Reference array with a
+    # /TransformMethod /DocMDP entry; /TransformParams /P defaults to 2
+    refs = reader.resolve(sig_dict.get("Reference"))
+    if isinstance(refs, list):
+        for r in refs:
+            r = reader.resolve(r)
+            if not isinstance(r, dict):
+                continue
+            if str(r.get("TransformMethod")) == "DocMDP":
+                params = reader.resolve(r.get("TransformParams"))
+                p = (
+                    reader.resolve(params.get("P"))
+                    if isinstance(params, dict)
+                    else None
+                )
+                sig.certification_level = (
+                    int(p)
+                    if isinstance(p, int) and not isinstance(p, bool)
+                    else 2
+                )
+                break
     return sig
 
 

@@ -546,3 +546,22 @@ def test_chain_verification_synthetic():
     ec = build_self_signed_cert("EC Chain Unit", key_type="ec-p384",
                                 digest_alg="SHA-384")
     assert verify_certificate_chain([ec])[0]["sig_ok"]
+
+
+def test_docmdp_certification_level():
+    """/Reference /TransformMethod /DocMDP read-back (ISO 32000
+    §12.8.2.2): certification signatures report their permission level;
+    approval signatures report None; a missing /P defaults to 2."""
+    pdf = build_signed_pdf("certified", docmdp=1)
+    sig = detect_signature_fields(pdf)[0]
+    assert sig.certification_level == 1
+    (r,) = extract_signatures(pdf)
+    assert r["certification_level"] == 1 and r["signature_valid"]
+
+    plain = build_signed_pdf("approval only")
+    assert detect_signature_fields(plain)[0].certification_level is None
+
+    # missing /P defaults to 2 (spec default)
+    nop = build_signed_pdf("certified default", docmdp=2)
+    nop = nop.replace(b" /P 2 /V /1.2", b" /V /1.2")
+    assert detect_signature_fields(nop)[0].certification_level == 2
