@@ -981,3 +981,51 @@ def partition_document(
             )
         )
     return out
+
+
+def export_elements_markdown(
+    elements: list, include_headers_footers: bool = False
+) -> str:
+    """ElementMarkdownExporter (pipeline/export.rs:20-60) over the rich
+    element model: one markdown block per element, '\\n\\n'-joined —
+    Title → '# ', ListItem → '- ', KeyValue → '**key**: value',
+    CodeBlock fenced, Image → '![alt]()' (no URL — the exporter has no
+    asset sink), Table → pipe rows with row 0 as header; header/footer
+    elements drop unless ``include_headers_footers`` (then they export
+    as display text, export.rs:50-56)."""
+    parts: list[str] = []
+    for el in elements:
+        kind = el.kind
+        if kind == KIND_TITLE:
+            parts.append(f"# {el.text.strip()}")
+        elif kind == KIND_PARAGRAPH:
+            parts.append(el.text.strip())
+        elif kind == KIND_LIST_ITEM:
+            parts.append(f"- {el.text.strip()}")
+        elif kind == KIND_KEY_VALUE:
+            parts.append(f"**{(el.key or '').strip()}**: {(el.value or '').strip()}")
+        elif kind == KIND_CODE_BLOCK:
+            parts.append(f"```\n{el.text.strip()}\n```")
+        elif kind == KIND_IMAGE:
+            parts.append(f"![{el.alt_text or ''}]()")
+        elif kind == KIND_TABLE:
+            md = _table_to_markdown(el.rows or [])
+            if md:
+                parts.append(md)
+        elif kind in (KIND_HEADER, KIND_FOOTER):
+            if include_headers_footers:
+                parts.append(el.display_text())
+    return "\n\n".join(parts)
+
+
+def _table_to_markdown(rows: list) -> str:
+    """pipeline/export.rs:62-77 table_to_markdown — row 0 is the header,
+    separator width follows the HEADER's column count (reference quirk:
+    ragged later rows render with their own cell count)."""
+    if not rows:
+        return ""
+    lines = ["| " + " | ".join(rows[0]) + " |"]
+    lines.append("| " + " | ".join(["---"] * len(rows[0])) + " |")
+    for row in rows[1:]:
+        lines.append("| " + " | ".join(row) + " |")
+    return "\n".join(lines)

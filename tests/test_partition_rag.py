@@ -949,3 +949,37 @@ def test_rag_chunks_pdf_bytes_end_to_end():
     # linked list is consistent
     for i in range(1, len(chunks)):
         assert chunks[i].metadata.prev_chunk_id == chunks[i - 1].metadata.chunk_id
+
+
+def test_export_elements_markdown():
+    """ElementMarkdownExporter parity (pipeline/export.rs): per-kind
+    mapping, header/footer gating, header-width table separator."""
+    from oxidizepdf_spark.kernel.partition import (
+        RichElement,
+        export_elements_markdown,
+    )
+
+    els = [
+        RichElement("title", "Heading One "),
+        RichElement("paragraph", " body text "),
+        RichElement("list_item", "first"),
+        RichElement("key_value", key=" Total ", value=" 99 "),
+        RichElement("code_block", "x = 1"),
+        RichElement("image", alt_text="logo"),
+        RichElement("table", rows=[["a", "b"], ["1", "2"]]),
+        RichElement("header", "Page Header"),
+        RichElement("footer", "Page 3"),
+    ]
+    md = export_elements_markdown(els)
+    assert md == (
+        "# Heading One\n\n"
+        "body text\n\n"
+        "- first\n\n"
+        "**Total**: 99\n\n"
+        "```\nx = 1\n```\n\n"
+        "![logo]()\n\n"
+        "| a | b |\n| --- | --- |\n| 1 | 2 |"
+    )
+    with_hf = export_elements_markdown(els, include_headers_footers=True)
+    assert with_hf.endswith("Page Header\n\nPage 3")
+    assert export_elements_markdown([]) == ""
