@@ -1485,6 +1485,7 @@ def sign_pdf_objects(
     key_type: str = "rsa",
     signed_attrs: bool = False,
     unprefixed: bool = False,
+    cades: bool = False,
     reason: str | None = None,
     location: str | None = None,
     m_date: str | None = "D:20250106120000Z",
@@ -1550,6 +1551,7 @@ def sign_pdf_objects(
         key_type=key_type,
         signed_attrs=signed_attrs,
         unprefixed=unprefixed,
+        cades=cades,
     )
     hexs = binascii.hexlify(cms)
     if len(hexs) > 2 * contents_cap:

@@ -1123,6 +1123,8 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             row["digest_algorithm"] = parsed.digest_algorithm
             row["signature_algorithm"] = parsed.signature_algorithm
             row["cms_signing_time"] = parsed.signing_time
+            # CAdES/PAdES ESS binding (None when the attr is absent)
+            row["cades_cert_bound"] = parsed.signing_certificate_bound()
             try:
                 row["signer"] = parsed.signer_common_name()
             except Exception:

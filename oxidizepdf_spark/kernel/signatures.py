@@ -418,6 +418,9 @@ OID_DATA = "1.2.840.113549.1.7.1"
 OID_CONTENT_TYPE = "1.2.840.113549.1.9.3"
 OID_MESSAGE_DIGEST = "1.2.840.113549.1.9.4"
 OID_SIGNING_TIME = "1.2.840.113549.1.9.5"
+# ESS signing-certificate attributes (CAdES / PAdES, RFC 5035): bind the
+# signer certificate into the signed attributes by hash
+OID_SIGNING_CERT_V2 = "1.2.840.113549.1.9.16.2.47"  # ESSCertIDv2, SHA-256
 OID_RSA = "1.2.840.113549.1.1.1"
 
 DIGEST_OIDS = {
@@ -492,6 +495,21 @@ class ParsedSignature:
     encap_content: bytes | None = None  # eContent (adbe.pkcs7.sha1 carries
     # the byte-range SHA-1 here; detached signatures leave it absent)
     all_certs_der: list = field(default_factory=list)  # full SignedData pile
+    signing_cert_hash: bytes | None = None  # ESS signingCertificateV2
+    signing_cert_hash_alg: str = "SHA-256"
+
+    def signing_certificate_bound(self) -> bool | None:
+        """CAdES/PAdES binding check (RFC 5035): does the ESS
+        signingCertificateV2 attribute's certHash match the signer
+        certificate?  None when the attribute is absent (plain CMS)."""
+        if self.signing_cert_hash is None:
+            return None
+        hasher = _HASHERS.get(self.signing_cert_hash_alg)
+        if hasher is None:
+            return False
+        return hashes_match(
+            hasher(self.signer_certificate_der).digest(), self.signing_cert_hash
+        )
 
     def signer_common_name(self) -> str:
         """cms.rs:516 — subject CN, hex-count fallback for binary CNs."""
@@ -568,6 +586,8 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
     signed_attrs_der = None
     signing_time = None
     message_digest = None
+    signing_cert_hash = None
+    signing_cert_hash_alg = "SHA-256"
     if si[idx].tag == 0xA0:
         attrs = si[idx].children()
         # re-tag [0] IMPLICIT → SET OF for the signature input (RFC 5652
@@ -584,6 +604,28 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
                 signing_time = vals[0].text()
             elif oid == OID_MESSAGE_DIGEST and vals and vals[0].tag == TAG_OCTETS:
                 message_digest = vals[0].content
+            elif oid == OID_SIGNING_CERT_V2 and vals and vals[0].tag == TAG_SEQ:
+                # SigningCertificateV2 ::= SEQ { certs SEQ OF ESSCertIDv2 }
+                # ESSCertIDv2 ::= SEQ { hashAlgorithm DEFAULT sha256,
+                #                       certHash OCTET STRING, issuerSerial? }
+                certs_seq = vals[0].children()
+                if certs_seq and certs_seq[0].tag == TAG_SEQ:
+                    ids = certs_seq[0].children()
+                    if ids and ids[0].tag == TAG_SEQ:
+                        parts = ids[0].children()
+                        alg = "SHA-256"
+                        hi = 0
+                        if parts and parts[0].tag == TAG_SEQ:
+                            try:
+                                alg = DIGEST_OIDS.get(
+                                    parts[0].children()[0].oid(), "SHA-256"
+                                )
+                            except SignatureError:
+                                pass
+                            hi = 1
+                        if len(parts) > hi and parts[hi].tag == TAG_OCTETS:
+                            signing_cert_hash = parts[hi].content
+                            signing_cert_hash_alg = alg
         idx += 1
     sig_alg = _parse_signature_algorithm(
         si[idx].children()[0].oid(), digest_alg, allow_legacy_sha1
@@ -621,6 +663,8 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
         message_digest=message_digest,
         encap_content=encap_content,
         all_certs_der=certs_der,
+        signing_cert_hash=signing_cert_hash,
+        signing_cert_hash_alg=signing_cert_hash_alg,
     )
 
 
@@ -1332,12 +1376,15 @@ def build_cms_signature(
     doc_hash: bytes, cn: str = "Test Signer", digest_alg: str = "SHA-256",
     key_type: str = "rsa", signed_attrs: bool = False,
     signing_time: bytes = b"250106120000Z", unprefixed: bool = False,
+    cades: bool = False,
 ) -> bytes:
     """Detached CMS SignedData over ``doc_hash`` (the already-computed
     byte-range digest).  ``signed_attrs=True`` exercises the RFC 5652
     attribute path (contentType + signingTime + messageDigest, signature
     over the SET OF); ``unprefixed=True`` emits the reference-quirk raw-
-    hash RSA encoding (verification.rs:258)."""
+    hash RSA encoding (verification.rs:258); ``cades=True`` additionally
+    binds the signer cert via an ESS signingCertificateV2 attribute
+    (implies signed attrs — the PAdES/ETSI.CAdES shape)."""
     cert = build_self_signed_cert(cn, key_type=key_type, digest_alg=digest_alg)
     cert_info = parse_certificate(cert)
     issuer_and_serial = enc_seq(_enc_name(cn), enc_int(cert_info.serial))
@@ -1348,14 +1395,23 @@ def build_cms_signature(
         sig_alg_id = enc_seq(enc_oid(_ECDSA_ALG_OIDS[key_type]))
 
     attrs_implicit = b""
-    if signed_attrs:
-        attr_list = b"".join((
+    if signed_attrs or cades:
+        attr_parts = [
             enc_seq(enc_oid(OID_CONTENT_TYPE), enc_set(enc_oid(OID_DATA))),
             enc_seq(enc_oid(OID_SIGNING_TIME),
                     enc_set(der_encode(TAG_UTCTIME, signing_time))),
             enc_seq(enc_oid(OID_MESSAGE_DIGEST),
                     enc_set(der_encode(TAG_OCTETS, doc_hash))),
-        ))
+        ]
+        if cades:
+            ess_cert_id = enc_seq(
+                der_encode(TAG_OCTETS, hashlib.sha256(cert).digest())
+            )  # hashAlgorithm omitted = DEFAULT sha256
+            attr_parts.append(enc_seq(
+                enc_oid(OID_SIGNING_CERT_V2),
+                enc_set(enc_seq(enc_seq(ess_cert_id))),
+            ))
+        attr_list = b"".join(attr_parts)
         signed_input = _HASHERS[digest_alg](der_encode(TAG_SET, attr_list)).digest()
         attrs_implicit = enc_ctx(0, attr_list)
     else:

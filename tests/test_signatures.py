@@ -565,3 +565,32 @@ def test_docmdp_certification_level():
     nop = build_signed_pdf("certified default", docmdp=2)
     nop = nop.replace(b" /P 2 /V /1.2", b" /V /1.2")
     assert detect_signature_fields(nop)[0].certification_level == 2
+
+
+def test_cades_signing_certificate_binding():
+    """PAdES / ETSI.CAdES shape: the ESS signingCertificateV2 attribute
+    binds the signer cert by SHA-256 into the signed attributes; the
+    extraction row reports the binding check (None for plain CMS)."""
+    pdf = build_signed_pdf(
+        "cades doc", sub_filter="ETSI.CAdES.detached", cades=True
+    )
+    sig = detect_signature_fields(pdf)[0]
+    assert sig.is_pades()
+    ps = parse_pkcs7_signature(sig.contents)
+    assert ps.signing_cert_hash is not None
+    assert ps.signing_cert_hash_alg == "SHA-256"
+    assert ps.signing_certificate_bound() is True
+    assert verify_signature(pdf, ps, sig.byte_range).is_valid()
+    (r,) = extract_signatures(pdf)
+    assert r["cades_cert_bound"] is True and r["signature_valid"]
+
+    # plain CMS: attribute absent → None
+    plain = build_signed_pdf("plain", signed_attrs=True)
+    (rp,) = extract_signatures(plain)
+    assert rp["cades_cert_bound"] is None
+
+    # a different cert hash must fail the binding (swap the signer cert
+    # hash by rebuilding the parsed struct against another cert)
+    other = build_self_signed_cert("Not The Signer")
+    ps.signer_certificate_der = other
+    assert ps.signing_certificate_bound() is False
