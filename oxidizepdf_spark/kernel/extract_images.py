@@ -10,6 +10,10 @@ reference would have used (rendered from ``name_pattern``).
 
 Format decision tree (extract_images.rs:330-443), per the FIRST filter:
 - DCTDecode → the raw stream bytes ARE the JPEG (format 'jpeg').
+  With ``decode_jpeg_images=True`` (beyond-reference, default off to
+  keep reference parity), baseline streams are pixel-decoded by
+  kernel/jpeg_codec.py and re-encoded as PNG; streams the baseline
+  decoder rejects (progressive, 12-bit) keep the raw-JPEG behaviour.
 - FlateDecode / LZWDecode / no filter → raw samples re-encoded as PNG:
   Indexed palettes expanded to the base space (issue #286), component
   count from the colour space (ICCBased /N resolved), 8-bit gray/RGB
@@ -51,7 +55,7 @@ class ExtractImagesOptions:
     """extract_images.rs:97-126 minus the filesystem fields."""
 
     __slots__ = ("name_pattern", "extract_inline", "min_size",
-                 "decode_jbig2_images")
+                 "decode_jbig2_images", "decode_jpeg_images")
 
     def __init__(
         self,
@@ -59,11 +63,13 @@ class ExtractImagesOptions:
         extract_inline=True,
         min_size=10,
         decode_jbig2_images=True,
+        decode_jpeg_images=False,
     ):
         self.name_pattern = name_pattern
         self.extract_inline = extract_inline
         self.min_size = min_size
         self.decode_jbig2_images = decode_jbig2_images
+        self.decode_jpeg_images = decode_jpeg_images
 
 
 class ExtractedImage:
@@ -331,6 +337,21 @@ class ImageExtractor:
             if first_filter in ("DCTDecode", "DCT"):
                 data = bytes(stream.raw)
                 fmt = "jpeg"
+                if self.options.decode_jpeg_images:
+                    # Beyond-reference: decode baseline JPEG pixels and
+                    # re-encode as PNG (jpeg_codec.py). Any stream the
+                    # baseline decoder rejects (progressive, 12-bit, …)
+                    # falls back to reference behaviour: raw JPEG bytes.
+                    try:
+                        from .jpeg_codec import decode_jpeg_to_rgb
+                        pixels, ncomp = decode_jpeg_to_rgb(data)
+                        data = encode_png(
+                            pixels.tobytes(), pixels.shape[1],
+                            pixels.shape[0], ncomp, 8,
+                        )
+                        fmt = "png"
+                    except Exception:
+                        pass
             elif first_filter in ("CCITTFaxDecode", "CCF"):
                 decoded = stream.decode(reader.resolve)
                 data = self._ccitt_rows_to_png(decoded, width, height)

@@ -1,0 +1,327 @@
+"""Baseline JPEG pixel codec (kernel/jpeg_codec.py).
+
+A beyond-reference extension: the reference's dct.rs:52-67 returns JPEG
+bytes as-is ("The PDF reader will handle the actual JPEG decoding");
+this codec actually decodes baseline streams.  All fixtures are built
+by the in-module encoder (the sandbox has no image libraries), so every
+test is a self-validating encoder/decoder pair plus hand-built marker
+streams for the error paths.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from oxidizepdf_spark.kernel import image_codecs
+from oxidizepdf_spark.kernel.jpeg_codec import (
+    JpegError,
+    decode_jpeg,
+    decode_jpeg_to_rgb,
+    encode_jpeg,
+)
+
+
+def maxerr(a, b):
+    return int(np.abs(a.astype(np.int64) - b.astype(np.int64)).max())
+
+
+def gradient_gray(h=40, w=64):
+    return np.tile(np.linspace(0, 255, w).astype(np.uint8), (h, 1))
+
+
+def smooth_rgb(h=37, w=53):
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack([(xx * 3) % 256, (yy * 2) % 256, (xx + yy) % 256], axis=-1)
+    return (img // 8 * 8).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Grayscale
+# ---------------------------------------------------------------------------
+
+
+def test_flat_gray_exact_roundtrip():
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    dec, info = decode_jpeg(encode_jpeg(img, quality=100))
+    assert (info["width"], info["height"], info["components"]) == (24, 16, 1)
+    assert dec.shape == (16, 24, 1)
+    assert maxerr(dec[..., 0], img) == 0
+
+
+def test_gradient_gray_exact_at_q100():
+    img = gradient_gray()
+    dec, _ = decode_jpeg(encode_jpeg(img, quality=100))
+    assert maxerr(dec[..., 0], img) == 0
+
+
+def test_gray_decode_to_rgb_keeps_one_component():
+    img = gradient_gray(17, 19)  # non-multiple-of-8 dims
+    rgb, n = decode_jpeg_to_rgb(encode_jpeg(img, quality=95))
+    assert n == 1 and rgb.shape == (17, 19, 1)
+    assert maxerr(rgb[..., 0], img) <= 3
+
+
+# ---------------------------------------------------------------------------
+# RGB 4:4:4 and 4:2:0
+# ---------------------------------------------------------------------------
+
+
+def test_rgb_444_smooth_tolerance():
+    img = smooth_rgb()
+    rgb, n = decode_jpeg_to_rgb(encode_jpeg(img, quality=98))
+    assert n == 3 and rgb.shape == img.shape
+    err = np.abs(rgb.astype(int) - img.astype(int))
+    assert err.max() <= 12 and err.mean() < 2.0
+
+
+def test_rgb_420_odd_dimensions():
+    img = smooth_rgb(37, 53)  # odd dims exercise crop-after-upsample
+    rgb, n = decode_jpeg_to_rgb(
+        encode_jpeg(img, quality=95, subsampling="4:2:0")
+    )
+    assert rgb.shape == (37, 53, 3)
+    err = np.abs(rgb.astype(int) - img.astype(int))
+    assert err.max() <= 20 and err.mean() < 4.0
+
+
+def test_chroma_flat_420_exact():
+    # Gray content through the full YCbCr 4:2:0 path: chroma planes are
+    # constant 128, so subsampling loses nothing and q100 is exact.
+    g = gradient_gray(32, 64)
+    img = np.stack([g, g, g], axis=-1)
+    rgb, _ = decode_jpeg_to_rgb(
+        encode_jpeg(img, quality=100, subsampling="4:2:0")
+    )
+    assert maxerr(rgb, img) == 0
+
+
+def test_solid_color_420_within_rounding():
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[..., 0], img[..., 1], img[..., 2] = 200, 50, 100
+    rgb, _ = decode_jpeg_to_rgb(
+        encode_jpeg(img, quality=100, subsampling="4:2:0")
+    )
+    assert maxerr(rgb, img) <= 1  # YCbCr forward+inverse rounding
+
+
+def test_byte_unstuffing_exercised():
+    # High-contrast noise eventually produces a 0xFF entropy byte, which
+    # the encoder stuffs as FF 00 and the decoder must unstuff.  Scan
+    # seeds deterministically until one such stream appears, then prove
+    # it still roundtrips.
+    for seed in range(64):
+        rng = np.random.default_rng(seed)
+        img = (rng.integers(0, 2, (48, 48)) * 255).astype(np.uint8)
+        enc = encode_jpeg(img, quality=50)
+        sos = enc.index(b"\xff\xda")
+        if b"\xff\x00" in enc[sos:]:
+            break
+    else:
+        pytest.fail("no seed produced a stuffed 0xFF byte")
+    dec, _ = decode_jpeg(enc)
+    assert dec.shape == (48, 48, 1)
+    # And a q100 re-encode of the decoded pixels stays within FDCT/IDCT
+    # rounding (stability check on the unstuffing path).
+    again, _ = decode_jpeg(encode_jpeg(dec[..., 0], quality=100))
+    assert maxerr(again[..., 0], dec[..., 0]) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Restart intervals
+# ---------------------------------------------------------------------------
+
+
+def test_restart_interval_stream_decodes_identically():
+    img = gradient_gray(24, 64)
+    plain = decode_jpeg(encode_jpeg(img, quality=85))[0]
+    enc_rst = encode_jpeg(img, quality=85, restart_interval=2)
+    assert b"\xff\xdd" in enc_rst  # DRI segment
+    sos = enc_rst.index(b"\xff\xda")
+    assert any(
+        bytes([0xFF, 0xD0 + i]) in enc_rst[sos:] for i in range(8)
+    )
+    assert np.array_equal(decode_jpeg(enc_rst)[0], plain)
+
+
+def test_restart_interval_interleaved_rgb():
+    img = smooth_rgb(33, 49)
+    plain = decode_jpeg(encode_jpeg(img, quality=90, subsampling="4:2:0"))[0]
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=90, subsampling="4:2:0", restart_interval=1)
+    )[0]
+    assert np.array_equal(plain, rst)
+
+
+def test_wrong_restart_marker_raises():
+    img = gradient_gray(24, 64)
+    enc = bytearray(encode_jpeg(img, quality=85, restart_interval=2))
+    sos = enc.index(b"\xff\xda")
+    # Corrupt the first RSTn (cycle starts at D0) to RST5.
+    idx = enc.index(bytes([0xFF, 0xD0]), sos)
+    enc[idx + 1] = 0xD5
+    with pytest.raises(JpegError, match="restart marker"):
+        decode_jpeg(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Colour-space policy (dct.rs:277-293 parity at the pixel level)
+# ---------------------------------------------------------------------------
+
+
+def adobe_app14(transform: int) -> bytes:
+    seg = b"Adobe" + b"\x00\x64" + b"\x00\x00\x00\x00" + bytes([transform])
+    return b"\xff\xee" + struct.pack(">H", len(seg) + 2) + seg
+
+
+def insert_after_soi(jpeg: bytes, segment: bytes) -> bytes:
+    assert jpeg[:2] == b"\xff\xd8"
+    return jpeg[:2] + segment + jpeg[2:]
+
+
+def test_adobe_transform0_rgb_passthrough():
+    img = smooth_rgb(24, 24)
+    enc = encode_jpeg(img, quality=95)
+    native = decode_jpeg(enc)[0]  # YCbCr planes as stored
+    tagged = insert_after_soi(enc, adobe_app14(0))
+    rgb, n = decode_jpeg_to_rgb(tagged)
+    assert n == 3
+    # Transform 0 means "already RGB": planes returned unconverted.
+    assert np.array_equal(rgb, native)
+    info = image_codecs.parse_jpeg_info(tagged)
+    assert info.color_space == "RGB"
+
+
+def test_cmyk_native_roundtrip():
+    # 4 native planes, no Adobe marker: direct CMYK (no inversion).
+    img = np.zeros((16, 16, 4), np.uint8)
+    rgb, n = decode_jpeg_to_rgb(encode_jpeg(img, quality=100, native=True))
+    assert n == 3
+    assert np.array_equal(rgb[0, 0], [255, 255, 255])  # zero ink = white
+    img[..., 0] = 255  # full cyan
+    rgb, _ = decode_jpeg_to_rgb(encode_jpeg(img, quality=100, native=True))
+    assert np.array_equal(rgb[0, 0], [0, 255, 255])
+    info = image_codecs.parse_jpeg_info(
+        encode_jpeg(img, quality=100, native=True)
+    )
+    assert info.components == 4 and info.color_space == "CMYK"
+
+
+def test_cmyk_adobe_inverted_convention():
+    # With an Adobe APP14 (transform 0) the samples are inverted: a
+    # stored 255 means zero ink.
+    img = np.full((16, 16, 4), 255, np.uint8)
+    enc = insert_after_soi(
+        encode_jpeg(img, quality=100, native=True), adobe_app14(0)
+    )
+    rgb, _ = decode_jpeg_to_rgb(enc)
+    assert np.array_equal(rgb[0, 0], [255, 255, 255])
+
+
+# ---------------------------------------------------------------------------
+# Header agreement with the dct.rs-parity parser
+# ---------------------------------------------------------------------------
+
+
+def test_info_agrees_with_parse_jpeg_info():
+    img = smooth_rgb(21, 45)
+    enc = encode_jpeg(img, quality=90, subsampling="4:2:0")
+    ours = decode_jpeg(enc)[1]
+    ref = image_codecs.parse_jpeg_info(enc)
+    assert (ref.width, ref.height, ref.components) == (
+        ours["width"], ours["height"], ours["components"]
+    ) == (45, 21, 3)
+    assert ref.color_space == "YCbCr"
+
+
+# ---------------------------------------------------------------------------
+# Error paths
+# ---------------------------------------------------------------------------
+
+
+def test_missing_soi_raises():
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"\x00\x01\x02\x03")
+
+
+def test_truncated_entropy_raises():
+    enc = encode_jpeg(gradient_gray(), quality=90)
+    with pytest.raises(JpegError):
+        decode_jpeg(enc[: len(enc) * 2 // 3])
+
+
+def test_progressive_sof2_raises():
+    # Minimal SOF2 stream (dct.rs test vector shape): the baseline
+    # decoder must refuse rather than mis-decode.
+    data = bytes([
+        0xFF, 0xD8,
+        0xFF, 0xC2, 0x00, 0x0B,
+        0x08, 0x00, 0x20, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00,
+        0xFF, 0xD9,
+    ])
+    with pytest.raises(JpegError, match="unsupported JPEG process"):
+        decode_jpeg(data)
+    # ...while the dct.rs-parity metadata parser still reads it.
+    info = image_codecs.parse_jpeg_info(data)
+    assert (info.width, info.height) == (32, 32)
+
+
+def test_oversubscribed_dht_raises():
+    img = gradient_gray(8, 8)
+    enc = bytearray(encode_jpeg(img, quality=90))
+    dht = enc.index(b"\xff\xc4")
+    # BITS starts 5 bytes in (FF C4 len2 tcth); claim 3 codes of length 1.
+    enc[dht + 5] = 3
+    with pytest.raises(JpegError):
+        decode_jpeg(bytes(enc))
+
+
+def test_scan_without_tables_raises():
+    img = gradient_gray(8, 8)
+    enc = encode_jpeg(img, quality=90)
+    # Strip every DHT segment.
+    out = bytearray()
+    pos = 0
+    data = enc
+    out += data[:2]
+    pos = 2
+    while pos + 1 < len(data):
+        marker = data[pos + 1]
+        if marker == 0xDA:
+            out += data[pos:]
+            break
+        seg_len = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker != 0xC4:
+            out += data[pos:pos + 2 + seg_len]
+        pos += 2 + seg_len
+    with pytest.raises(JpegError, match="Huffman table"):
+        decode_jpeg(bytes(out))
+
+
+def test_mutation_fuzz_contained():
+    # Arbitrary corruption of a valid stream must either decode or
+    # raise JpegError — never leak IndexError/struct.error to callers
+    # feeding untrusted PDF bytes.
+    import random
+
+    rng = random.Random(1234)
+    base = bytearray(encode_jpeg(smooth_rgb(24, 24), quality=80))
+    for _ in range(400):
+        mutated = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:  # truncate
+            mutated = mutated[: rng.randrange(2, len(mutated))]
+        elif op == 1:  # flip bytes
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        else:  # splice random garbage
+            at = rng.randrange(len(mutated))
+            mutated[at:at] = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 16))
+            )
+        try:
+            decode_jpeg(bytes(mutated))
+        except JpegError:
+            pass
