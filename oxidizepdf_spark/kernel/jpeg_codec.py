@@ -10,11 +10,11 @@ JPEG decoding").  That surface is already mirrored 1:1 in
 validate_jpeg / decode_dct).
 
 This module goes further, the same way the JBIG2 decoder does: a real
-baseline-sequential JPEG decoder (ISO/IEC 10918-1 SOF0, plus
-extended-sequential SOF1 with 8-bit samples), so the extraction
-pipeline can hand a training-data consumer decoded pixels (re-encoded
-as PNG) instead of an opaque ``.jpg`` blob.  Everything is pure
-Python + numpy:
+JPEG decoder covering baseline (SOF0), extended-sequential (SOF1) and
+progressive (SOF2) Huffman processes with 8-bit samples, so the
+extraction pipeline can hand a training-data consumer decoded pixels
+(re-encoded as PNG) instead of an opaque ``.jpg`` blob.  Everything is
+pure Python + numpy:
 
 - entropy decode: canonical Huffman via the spec's DECODE procedure
   (F.2.2.3 — mincode/maxcode/valptr per code length) over a bit reader
@@ -35,9 +35,12 @@ symbol histogram — all codes of one length L with n < 2^L — which is a
 valid DHT per B.2.4.2 and exercises the decoder's general table walk
 rather than the two well-known Annex K tables.
 
-Progressive (SOF2), arithmetic (SOF9/10), lossless and 12-bit streams
-raise ``JpegError`` — the caller falls back to the reference behaviour
-(raw JPEG bytes pass through).
+Progressive streams decode through the T.81 G.1.2/G.2 scan procedures:
+spectral selection, successive approximation (DC first/refine, AC
+first/refine with EOB-run accumulation and buffered correction bits).
+Arithmetic (SOF9/10), lossless, hierarchical and 12-bit streams raise
+``JpegError`` — the caller falls back to the reference behaviour (raw
+JPEG bytes pass through).
 """
 
 from __future__ import annotations
@@ -230,7 +233,7 @@ def _extend(v: int, n: int) -> int:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "coefs",
-                 "bx", "by")
+                 "bx", "by", "bx_eff", "by_eff")
 
     def __init__(self, cid, h, v, tq):
         self.cid = cid
@@ -241,8 +244,10 @@ class _Component:
         self.ta = 0
         self.pred = 0
         self.coefs = None  # (by*bx, 64) int32, natural order
-        self.bx = 0
+        self.bx = 0        # padded (MCU-aligned) block-grid width
         self.by = 0
+        self.bx_eff = 0    # ceil(component-width/8): non-interleaved walk
+        self.by_eff = 0
 
 
 def _parse_dqt(seg: bytes, qtables: dict) -> None:
@@ -316,6 +321,10 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     restart_interval = 0
     adobe_transform = None
     frame_seen = False
+    scan_seen = False
+    progressive = False
+    hmax = vmax = 1
+    mcus_x = mcus_y = 0
 
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
@@ -347,10 +356,11 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             adobe_transform = seg[11]
-        elif marker in (0xC0, 0xC1):
+        elif marker in (0xC0, 0xC1, 0xC2):
             if frame_seen:
                 raise JpegError("multiple frames")
             frame_seen = True
+            progressive = marker == 0xC2
             if len(seg) < 6:
                 raise JpegError("SOF truncated")
             precision = seg[0]
@@ -369,18 +379,34 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise JpegError(f"invalid sampling factors {h}x{v}")
                 comps.append(_Component(cid, h, v, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            # Allocate every component's (padded) coefficient grid up
+            # front: progressive scans accumulate into it, sequential
+            # scans fill it once.
+            hmax = max(c.h for c in comps)
+            vmax = max(c.v for c in comps)
+            mcus_x = -(-width // (8 * hmax))
+            mcus_y = -(-height // (8 * vmax))
+            for c in comps:
+                c.bx = mcus_x * c.h
+                c.by = mcus_y * c.v
+                c.bx_eff = -(-width * c.h // (hmax * 8))
+                c.by_eff = -(-height * c.v // (vmax * 8))
+                c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported JPEG process (SOF marker {marker:#x}); "
-                "only baseline/extended-sequential Huffman is decoded"
+                "only baseline/extended-sequential/progressive Huffman "
+                "is decoded"
             )
         elif marker == 0xDA:
             if not frame_seen:
                 raise JpegError("SOS before SOF")
             ns = seg[0]
-            if ns != len(comps):
-                raise JpegError("partial scans not supported (baseline only)")
+            if len(seg) < 4 + 2 * ns:
+                raise JpegError("SOS truncated")
+            if not progressive and ns != len(comps) and ns != 1:
+                raise JpegError("unsupported sequential scan layout")
             by_id = {c.cid: c for c in comps}
             scan_order = []
             for s in range(ns):
@@ -390,13 +416,23 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                     raise JpegError(f"scan references unknown component {cs}")
                 comp.td, comp.ta = tdta >> 4, tdta & 15
                 scan_order.append(comp)
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            if not progressive:
+                ss, se, ah, al = 0, 63, 0, 0
+            elif ss > se or se > 63 or (ss == 0 and se != 0):
+                raise JpegError("invalid progressive spectral band")
+            elif ss > 0 and ns != 1:
+                raise JpegError("progressive AC scans must be single-component")
             pos = _decode_scan(
-                data, pos, scan_order, width, height,
+                data, pos, scan_order, mcus_x, mcus_y,
                 dc_tables, ac_tables, restart_interval,
+                progressive, ss, se, ah, al,
             )
+            scan_seen = True
         # APPn / COM: ignored
 
-    if not frame_seen or not comps or comps[0].coefs is None:
+    if not frame_seen or not comps or not scan_seen:
         raise JpegError("no decoded scan data")
 
     hmax = max(c.h for c in comps)
@@ -434,31 +470,42 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     return pixels, info
 
 
-def _decode_scan(data, start, scan_order, width, height,
-                 dc_tables, ac_tables, restart_interval):
-    """Decode one (full interleaved) entropy-coded segment.
+class _ScanState:
+    """Per-scan mutable entropy state (EOB run spans blocks)."""
 
-    Returns the offset just past the terminating marker's 0xFF byte, so
-    the main loop resumes at the marker itself.
+    __slots__ = ("eobrun",)
+
+    def __init__(self):
+        self.eobrun = 0
+
+
+def _decode_scan(data, start, scan_order, mcus_x, mcus_y,
+                 dc_tables, ac_tables, restart_interval,
+                 progressive, ss, se, ah, al):
+    """Decode one entropy-coded segment (sequential or progressive).
+
+    Interleaved when the scan lists >1 component (MCU walk over the
+    frame's MCU grid); otherwise a non-interleaved walk over the single
+    component's effective block grid.  Returns the offset of the 0xFF
+    of the terminating marker so the main loop resumes there.
     """
-    hmax = max(c.h for c in scan_order)
-    vmax = max(c.v for c in scan_order)
-    mcus_x = -(-width // (8 * hmax))
-    mcus_y = -(-height // (8 * vmax))
     single = len(scan_order) == 1
     if single:
-        # Non-interleaved single-component scan: MCU = one block.
         c = scan_order[0]
-        c.bx = -(-width * c.h // (hmax * 8))
-        c.by = -(-height * c.v // (vmax * 8))
-        total_mcus = c.bx * c.by
+        total_mcus = c.bx_eff * c.by_eff
     else:
-        for c in scan_order:
-            c.bx = mcus_x * c.h
-            c.by = mcus_y * c.v
         total_mcus = mcus_x * mcus_y
+
+    if progressive:
+        if ss == 0:
+            block_fn = _dc_first_block if ah == 0 else _dc_refine_block
+        else:
+            block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+    else:
+        block_fn = _sequential_block
+
+    state = _ScanState()
     for c in scan_order:
-        c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
         c.pred = 0
 
     reader = _BitReader(data, start)
@@ -469,12 +516,15 @@ def _decode_scan(data, start, scan_order, width, height,
             reader.reset_restart(rst_count)
             rst_count += 1
             mcus_since_restart = 0
+            state.eobrun = 0
             for c in scan_order:
                 c.pred = 0
         if single:
             c = scan_order[0]
-            _decode_block(reader, c, mcu,
-                          dc_tables.get(c.td), ac_tables.get(c.ta))
+            my, mx = divmod(mcu, c.bx_eff)
+            block_fn(reader, c, my * c.bx + mx,
+                     dc_tables.get(c.td), ac_tables.get(c.ta),
+                     ss, se, ah, al, state)
         else:
             my, mx = divmod(mcu, mcus_x)
             for c in scan_order:
@@ -483,7 +533,8 @@ def _decode_scan(data, start, scan_order, width, height,
                 for v in range(c.v):
                     for h in range(c.h):
                         bidx = (my * c.v + v) * c.bx + (mx * c.h + h)
-                        _decode_block(reader, c, bidx, dct, act)
+                        block_fn(reader, c, bidx, dct, act,
+                                 ss, se, ah, al, state)
         mcus_since_restart += 1
 
     # Resume main-loop parsing at the 0xFF of the terminating marker.
@@ -497,7 +548,8 @@ def _decode_scan(data, start, scan_order, width, height,
     return reader.pos - 2
 
 
-def _decode_block(reader, comp, bidx, dc_table, ac_table):
+def _sequential_block(reader, comp, bidx, dc_table, ac_table,
+                      ss, se, ah, al, state):
     if dc_table is None or ac_table is None:
         raise JpegError("scan references undefined Huffman table")
     coefs = comp.coefs[bidx]
@@ -522,6 +574,108 @@ def _decode_block(reader, comp, bidx, dc_table, ac_table):
             raise JpegError("AC coefficient index out of range")
         coefs[zz[k]] = _extend(reader.receive(s), s)
         k += 1
+
+
+# --- progressive block procedures (ITU T.81 G.1.2 / G.2) ----------------
+
+
+def _dc_first_block(reader, comp, bidx, dc_table, ac_table,
+                    ss, se, ah, al, state):
+    if dc_table is None:
+        raise JpegError("scan references undefined Huffman table")
+    t = reader.decode_huff(dc_table)
+    if t > 15:
+        raise JpegError("invalid DC magnitude category")
+    diff = _extend(reader.receive(t), t) if t else 0
+    comp.pred += diff
+    comp.coefs[bidx, 0] = comp.pred << al
+
+
+def _dc_refine_block(reader, comp, bidx, dc_table, ac_table,
+                     ss, se, ah, al, state):
+    if reader.read_bit():
+        comp.coefs[bidx, 0] |= 1 << al
+
+
+def _ac_first_block(reader, comp, bidx, dc_table, ac_table,
+                    ss, se, ah, al, state):
+    if state.eobrun > 0:
+        state.eobrun -= 1
+        return
+    if ac_table is None:
+        raise JpegError("scan references undefined Huffman table")
+    coefs = comp.coefs[bidx]
+    zz = _ZIGZAG
+    k = ss
+    while k <= se:
+        rs = reader.decode_huff(ac_table)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            state.eobrun = (1 << r) - 1
+            if r:
+                state.eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise JpegError("AC coefficient outside spectral band")
+        coefs[zz[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine_block(reader, comp, bidx, dc_table, ac_table,
+                     ss, se, ah, al, state):
+    """Successive-approximation AC refinement (T.81 G.1.2.3): runs
+    count ZERO-history positions; every nonzero-history coefficient
+    crossed receives one correction bit."""
+    if ac_table is None:
+        raise JpegError("scan references undefined Huffman table")
+    coefs = comp.coefs[bidx]
+    zz = _ZIGZAG
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if state.eobrun == 0:
+        while k <= se:
+            rs = reader.decode_huff(ac_table)
+            r, s = rs >> 4, rs & 15
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    state.eobrun = (1 << r)
+                    if r:
+                        state.eobrun += reader.receive(r)
+                    break
+                # ZRL: advance over 15 zero-history positions
+            else:
+                if s != 1:
+                    raise JpegError("invalid AC refinement magnitude")
+                newval = p1 if reader.read_bit() else m1
+            while k <= se:
+                z = zz[k]
+                cur = coefs[z]
+                if cur != 0:
+                    if reader.read_bit() and (cur & p1) == 0:
+                        coefs[z] = cur + (p1 if cur >= 0 else m1)
+                else:
+                    if r == 0:
+                        if newval:
+                            coefs[z] = newval
+                        k += 1
+                        break
+                    r -= 1
+                k += 1
+    if state.eobrun > 0:
+        while k <= se:
+            z = zz[k]
+            cur = coefs[z]
+            if cur != 0:
+                if reader.read_bit() and (cur & p1) == 0:
+                    coefs[z] = cur + (p1 if cur >= 0 else m1)
+            k += 1
+        state.eobrun -= 1
 
 
 # ---------------------------------------------------------------------------
@@ -693,11 +847,15 @@ def _code_map(bits: list[int], huffval: bytes) -> dict[int, tuple[int, int]]:
 def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "4:4:4",
                 restart_interval: int = 0,
-                native: bool = False) -> bytes:
+                native: bool = False,
+                progressive: bool = False) -> bytes:
     """Encode (h, w) / (h, w, 1) gray or (h, w, 3) RGB uint8 pixels as a
     baseline JFIF JPEG.  With ``native=True`` the 1-4 input planes are
     entropy-coded as-is (no RGB->YCbCr), which is how 4-component CMYK
-    streams are built.  Fixture generation only — favours clarity."""
+    streams are built.  With ``progressive=True`` a SOF2 stream is
+    emitted (DC first Al=1 → DC refine → per-component AC first Al=1 →
+    AC refine to Al=0), exercising every successive-approximation
+    decoder branch.  Fixture generation only — favours clarity."""
     pix = np.asarray(pixels, dtype=np.uint8)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -763,6 +921,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         q = (qt_luma if tq == 0 else qt_chroma).reshape(8, 8)
         quant = np.round(coefs / q).astype(np.int32).reshape(by, bx, 64)
         comp_blocks.append(quant)
+
+    if progressive:
+        if restart_interval:
+            raise JpegError("progressive encoder does not support restarts")
+        return _encode_progressive_stream(
+            h, w, nc, comp_cfg, comp_blocks, qt_luma, qt_chroma,
+            mcus_x, mcus_y,
+        )
 
     # Walk MCUs once to gather symbols, again to emit (canonical tables
     # need the full histogram first).
@@ -842,4 +1008,275 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (fixture generation; mirrors T.81 G.1.2 scans)
+# ---------------------------------------------------------------------------
+
+
+def _sig_mag(v: int) -> tuple[int, int]:
+    """(size-category, extra-bits) for a signed value, sequential style."""
+    s = abs(v).bit_length()
+    extra = v if v >= 0 else v + (1 << s) - 1
+    return s, extra & ((1 << s) - 1)
+
+
+def _dc_first_events(walk, al):
+    """walk yields (ci, tid, block64); returns event list + used symbols.
+    Events: ('sym', tid, s) / ('bits', value, nbits)."""
+    ev = []
+    used = {}
+    preds = {}
+    for ci, tid, block in walk:
+        v = int(block[0]) >> al  # arithmetic shift, libjpeg convention
+        diff = v - preds.get(ci, 0)
+        preds[ci] = v
+        s, extra = _sig_mag(diff)
+        ev.append(("sym", tid, s))
+        used.setdefault(tid, set()).add(s)
+        if s:
+            ev.append(("bits", extra, s))
+    return ev, used
+
+
+def _dc_refine_events(walk, al):
+    return [("bits", (int(block[0]) >> al) & 1, 1) for _, _, block in walk]
+
+
+def _ac_this_scan(block, al):
+    """Zigzag band 1..63 as (signed this-scan value, correction bit)."""
+    zz = block[_ZIGZAG][1:]
+    out = []
+    for v in zz:
+        v = int(v)
+        a = abs(v) >> al
+        out.append((a if v >= 0 else -a, a & 1))
+    return out
+
+
+def _flush_eobrun(ev, used, tid, eobrun, br):
+    while eobrun > 0:
+        chunk = min(eobrun, 0x7FFF)
+        nbits = chunk.bit_length() - 1
+        ev.append(("sym", tid, nbits << 4))
+        used.add(nbits << 4)
+        if nbits:
+            ev.append(("bits", chunk - (1 << nbits), nbits))
+        for bit in br:
+            ev.append(("bits", bit, 1))
+        br.clear()
+        eobrun -= chunk
+    return 0
+
+
+def _ac_first_events(blocks, al, tid):
+    ev = []
+    used = set()
+    eobrun = 0
+    br = []  # unused for first scans; shared flush helper
+    for block in blocks:
+        tvals = [t for t, _ in _ac_this_scan(block, al)]
+        last = -1
+        for i in range(62, -1, -1):
+            if tvals[i]:
+                last = i
+                break
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(ev, used, tid, eobrun, br)
+            continue
+        eobrun = _flush_eobrun(ev, used, tid, eobrun, br)
+        r = 0
+        for t in tvals[: last + 1]:
+            if t == 0:
+                r += 1
+                continue
+            while r > 15:
+                ev.append(("sym", tid, 0xF0))
+                used.add(0xF0)
+                r -= 16
+            s, extra = _sig_mag(t)
+            ev.append(("sym", tid, (r << 4) | s))
+            used.add((r << 4) | s)
+            ev.append(("bits", extra, s))
+            r = 0
+        if last < 62:
+            eobrun += 1
+    _flush_eobrun(ev, used, tid, eobrun, br)
+    return ev, used
+
+
+def _ac_refine_events(blocks, al, tid):
+    """Mirror of the decoder's _ac_refine_block: runs count zero-history
+    positions, correction bits for crossed nonzero-history coefficients
+    are buffered and emitted after the next symbol (or after the EOBn
+    that closes a run of blocks)."""
+    ev = []
+    used = set()
+    eobrun = 0
+    br = []  # correction bits owed after the next symbol/EOBn
+    for block in blocks:
+        vals = _ac_this_scan(block, al)
+        eob_idx = -1
+        for i in range(62, -1, -1):
+            if abs(vals[i][0]) == 1:
+                eob_idx = i
+                break
+        r = 0
+        pending = []
+        emitted_any = False
+        for idx, (t, bit) in enumerate(vals):
+            a = abs(t)
+            if a == 0:
+                r += 1
+                continue
+            # ZRLs must be emitted at ANY nonzero position once r > 15
+            # (and only while a newly-nonzero coefficient still follows
+            # — otherwise the zeros fold into the EOB run): each ZRL's
+            # decoder walk spans exactly 16 zero-history positions, so
+            # the buffered correction bits have to be flushed here to
+            # stay inside that window.
+            while r > 15 and idx <= eob_idx:
+                eobrun = _flush_eobrun(ev, used, tid, eobrun, br)
+                ev.append(("sym", tid, 0xF0))
+                used.add(0xF0)
+                for b in pending:
+                    ev.append(("bits", b, 1))
+                pending.clear()
+                r -= 16
+            if a > 1:  # history-nonzero: owes one correction bit
+                pending.append(bit)
+                continue
+            # newly-nonzero (|value| == 1): emit a symbol
+            eobrun = _flush_eobrun(ev, used, tid, eobrun, br)
+            ev.append(("sym", tid, (r << 4) | 1))
+            used.add((r << 4) | 1)
+            ev.append(("bits", 1 if t > 0 else 0, 1))
+            for b in pending:
+                ev.append(("bits", b, 1))
+            pending.clear()
+            r = 0
+            emitted_any = True
+        if r > 0 or pending or not emitted_any:
+            eobrun += 1
+            br.extend(pending)
+            if eobrun == 0x7FFF:
+                eobrun = _flush_eobrun(ev, used, tid, eobrun, br)
+    _flush_eobrun(ev, used, tid, eobrun, br)
+    return ev, used
+
+
+def _emit_scan(out, comps_hdr, ss, se, ah, al, ev, tables):
+    """tables: {(tc, th): (bits, huffval)} redefined before this scan."""
+    for (tc, th), (bits, huffval) in sorted(tables.items()):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(huffval))
+        out += bytes([(tc << 4) | th]) + bytes(bits) + huffval
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * len(comps_hdr))
+    out += bytes([len(comps_hdr)])
+    for cid, tdta in comps_hdr:
+        out += bytes([cid, tdta])
+    out += bytes([ss, se, (ah << 4) | al])
+    maps = {
+        th: _code_map(*tbl) for (tc, th), tbl in tables.items() if tc == 1
+    } or {}
+    dc_maps = {
+        th: _code_map(*tbl) for (tc, th), tbl in tables.items() if tc == 0
+    }
+    writer = _BitWriter()
+    for item in ev:
+        if item[0] == "sym":
+            _, tid, sym = item
+            table = dc_maps.get(tid) if tid in dc_maps else None
+            if table is None:
+                table = maps[tid]
+            code, length = table[sym]
+            writer.write(code, length)
+        else:
+            _, value, nbits = item
+            if nbits:
+                writer.write(value, nbits)
+    writer.flush()
+    out += writer.out
+
+
+def _encode_progressive_stream(h, w, nc, comp_cfg, comp_blocks,
+                               qt_luma, qt_chroma, mcus_x, mcus_y):
+    n_tables = 2 if nc >= 2 else 1
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
+        struct.pack(">HH", 1, 1) + b"\x00\x00"
+    for tq, table in ((0, qt_luma), (1, qt_chroma))[:n_tables]:
+        zzvals = table[_ZIGZAG]
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(v) for v in zzvals)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) + bytes([8])
+    out += struct.pack(">HH", h, w) + bytes([nc])
+    for ci, (_, hs, vs, tq) in enumerate(comp_cfg):
+        out += bytes([ci + 1, (hs << 4) | vs, tq])
+
+    def dc_walk():
+        # Decoder walk order: single-component frames are always
+        # non-interleaved (effective grid); multi-component DC scans
+        # interleave over the padded MCU grid.
+        if nc == 1:
+            plane, hs, vs, _ = comp_cfg[0]
+            bx_eff = -(-plane.shape[1] // 8)
+            by_eff = -(-plane.shape[0] // 8)
+            for my in range(by_eff):
+                for mx in range(bx_eff):
+                    yield 0, 0, comp_blocks[0][my, mx]
+        else:
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (_, hs, vs, _) in enumerate(comp_cfg):
+                        tid = 0 if ci == 0 else 1
+                        for v in range(vs):
+                            for hh in range(hs):
+                                yield ci, tid, comp_blocks[ci][
+                                    my * vs + v, mx * hs + hh
+                                ]
+
+    def ac_blocks(ci):
+        plane = comp_cfg[ci][0]
+        bx_eff = -(-plane.shape[1] // 8)
+        by_eff = -(-plane.shape[0] // 8)
+        for my in range(by_eff):
+            for mx in range(bx_eff):
+                yield comp_blocks[ci][my, mx]
+
+    # Scan 1: DC first, Al=1.
+    ev, used = _dc_first_events(dc_walk(), 1)
+    tables = {
+        (0, tid): _build_fixed_table(syms or {0})
+        for tid, syms in used.items()
+    }
+    comps_hdr = [
+        (ci + 1, ((0 if ci == 0 else 1) << 4) | 0) for ci in range(nc)
+    ]
+    _emit_scan(out, comps_hdr, 0, 0, 0, 1, ev, tables)
+
+    # Scan 2: DC refine to Al=0 (raw bits, no tables).
+    ev = _dc_refine_events(dc_walk(), 0)
+    _emit_scan(out, comps_hdr, 0, 0, 1, 0, ev, {})
+
+    # Per component: AC first (Al=1) then AC refine (Ah=1 → Al=0).
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        ev, used = _ac_first_events(ac_blocks(ci), 1, tid)
+        _emit_scan(
+            out, [(ci + 1, tid)], 1, 63, 0, 1, ev,
+            {(1, tid): _build_fixed_table(used or {0})},
+        )
+    for ci in range(nc):
+        tid = 0 if ci == 0 else 1
+        ev, used = _ac_refine_events(ac_blocks(ci), 0, tid)
+        _emit_scan(
+            out, [(ci + 1, tid)], 1, 63, 1, 0, ev,
+            {(1, tid): _build_fixed_table(used or {0})},
+        )
+
+    out += b"\xff\xd9"
     return bytes(out)

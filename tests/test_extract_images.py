@@ -369,22 +369,46 @@ def test_dct_decode_jpeg_images_to_png():
     assert pixels == gray.tobytes()  # q100 gradient is exact
 
 
-def test_dct_decode_jpeg_images_falls_back_on_progressive():
-    # A SOF2 stream is beyond the baseline decoder: the option must not
-    # break extraction — raw JPEG passes through like the reference.
-    sof2 = bytes([
+def test_dct_decode_jpeg_images_falls_back_on_arithmetic():
+    # A SOF9 (arithmetic-coded) stream is beyond the Huffman decoder:
+    # the option must not break extraction — raw JPEG passes through
+    # like the reference.
+    sof9 = bytes([
         0xFF, 0xD8,
-        0xFF, 0xC2, 0x00, 0x0B,
+        0xFF, 0xC9, 0x00, 0x0B,
         0x08, 0x00, 0x20, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00,
         0xFF, 0xD9,
     ])
     body = (
         b"<< /Type /XObject /Subtype /Image /Width 32 /Height 32 "
         b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
-        b"/Length %d >>\nstream\n%s\nendstream" % (len(sof2), sof2)
+        b"/Length %d >>\nstream\n%s\nendstream" % (len(sof9), sof9)
     )
     images = extract_images_from_pdf(
         image_pdf(body), ExtractImagesOptions(decode_jpeg_images=True)
     )
     assert images[0].format == "jpeg"
-    assert images[0].data == sof2
+    assert images[0].data == sof9
+
+
+def test_dct_decode_jpeg_images_progressive_to_png():
+    # Progressive (SOF2) streams decode too.
+    import numpy as np
+    from oxidizepdf_spark.kernel.jpeg_codec import encode_jpeg
+
+    w, h = 24, 16
+    gray = np.tile(np.linspace(0, 255, w).astype(np.uint8), (h, 1))
+    jpeg = encode_jpeg(gray, quality=100, progressive=True)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpeg), jpeg)
+    )
+    images = extract_images_from_pdf(
+        image_pdf(body), ExtractImagesOptions(decode_jpeg_images=True)
+    )
+    img = images[0]
+    assert img.format == "png"
+    pw, ph, depth, color_type, pixels = parse_png(img.data)
+    assert (pw, ph, depth, color_type) == (w, h, 8, 0)
+    assert pixels == gray.tobytes()

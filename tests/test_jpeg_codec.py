@@ -252,12 +252,12 @@ def test_truncated_entropy_raises():
         decode_jpeg(enc[: len(enc) * 2 // 3])
 
 
-def test_progressive_sof2_raises():
-    # Minimal SOF2 stream (dct.rs test vector shape): the baseline
-    # decoder must refuse rather than mis-decode.
+def test_arithmetic_sof9_raises():
+    # Minimal SOF9 (arithmetic) stream: the Huffman decoder must refuse
+    # rather than mis-decode.
     data = bytes([
         0xFF, 0xD8,
-        0xFF, 0xC2, 0x00, 0x0B,
+        0xFF, 0xC9, 0x00, 0x0B,
         0x08, 0x00, 0x20, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00,
         0xFF, 0xD9,
     ])
@@ -266,6 +266,64 @@ def test_progressive_sof2_raises():
     # ...while the dct.rs-parity metadata parser still reads it.
     info = image_codecs.parse_jpeg_info(data)
     assert (info.width, info.height) == (32, 32)
+
+
+def test_progressive_header_without_scans_raises():
+    data = bytes([
+        0xFF, 0xD8,
+        0xFF, 0xC2, 0x00, 0x0B,
+        0x08, 0x00, 0x20, 0x00, 0x20, 0x01, 0x01, 0x11, 0x00,
+        0xFF, 0xD9,
+    ])
+    with pytest.raises(JpegError, match="no decoded scan data"):
+        decode_jpeg(data)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2): every scan kind, validated against the baseline
+# stream of the same quantized coefficients
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("name,img_fn,kw", [
+    ("gray-smooth", lambda: gradient_gray(40, 64), dict(quality=90)),
+    ("gray-noise", lambda: (
+        np.random.default_rng(5).integers(0, 256, (48, 48)).astype(np.uint8)
+    ), dict(quality=50)),
+    ("rgb-444", lambda: smooth_rgb(37, 53), dict(quality=95)),
+    ("rgb-420", lambda: smooth_rgb(37, 53),
+     dict(quality=90, subsampling="4:2:0")),
+    ("rgb-noise-420", lambda: (
+        np.random.default_rng(5).integers(0, 256, (33, 47, 3))
+        .astype(np.uint8)
+    ), dict(quality=40, subsampling="4:2:0")),
+])
+def test_progressive_equals_baseline(name, img_fn, kw):
+    # Both streams carry identical quantized coefficients, so the
+    # progressive scans (DC first Al=1, DC refine, AC first Al=1, AC
+    # refine) must reconstruct EXACTLY the baseline pixels.
+    img = img_fn()
+    base = decode_jpeg(encode_jpeg(img, **kw))
+    prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+    assert base[0].shape == prog[0].shape
+    assert np.array_equal(base[0], prog[0])
+    assert prog[1]["components"] == base[1]["components"]
+
+
+def test_progressive_eobrun_accumulation():
+    # A flat image makes every AC block empty: the AC-first scan is one
+    # accumulated EOB run over all blocks, and the AC-refine scan one
+    # EOBn with no correction bits.
+    img = np.full((64, 64), 77, dtype=np.uint8)
+    prog = encode_jpeg(img, quality=90, progressive=True)
+    base = decode_jpeg(encode_jpeg(img, quality=90))[0]
+    assert np.array_equal(decode_jpeg(prog)[0], base)
+
+
+def test_progressive_truncated_raises():
+    enc = encode_jpeg(smooth_rgb(24, 24), quality=80, progressive=True)
+    with pytest.raises(JpegError):
+        decode_jpeg(enc[: len(enc) * 3 // 4])
 
 
 def test_oversubscribed_dht_raises():
