@@ -865,9 +865,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             raise JpegError("native mode supports 1-4 planes")
     elif nc not in (1, 3):
         raise JpegError("encoder supports gray or RGB input only")
-    if subsampling not in ("4:4:4", "4:2:0"):
+    factors = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}
+    if subsampling not in factors:
         raise JpegError(f"unsupported subsampling {subsampling}")
-    sub = 2 if (subsampling == "4:2:0" and nc == 3 and not native) else 1
+    sh, sv = factors[subsampling] if (nc == 3 and not native) else (1, 1)
 
     # Colour transform.
     if nc == 3 and not native:
@@ -887,14 +888,16 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     comp_cfg = []  # (plane, hsamp, vsamp, tq)
     for ci, plane in enumerate(planes):
         if ci == 0:
-            comp_cfg.append((plane, sub, sub, 0))
+            comp_cfg.append((plane, sh, sv, 0))
         else:
             # Chroma downsample by box mean.
-            if sub == 2:
-                ph = -(-h // 2) * 2
-                pw = -(-w // 2) * 2
+            if sh > 1 or sv > 1:
+                ph = -(-h // sv) * sv
+                pw = -(-w // sh) * sh
                 padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
-                plane = padded.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+                plane = padded.reshape(
+                    ph // sv, sv, pw // sh, sh
+                ).mean(axis=(1, 3))
             comp_cfg.append((plane, 1, 1, 1 if nc >= 2 else 0))
 
     hmax = max(c[1] for c in comp_cfg)

@@ -2,10 +2,13 @@
 
 A beyond-reference extension: the reference's dct.rs:52-67 returns JPEG
 bytes as-is ("The PDF reader will handle the actual JPEG decoding");
-this codec actually decodes baseline streams.  All fixtures are built
-by the in-module encoder (the sandbox has no image libraries), so every
-test is a self-validating encoder/decoder pair plus hand-built marker
-streams for the error paths.
+this codec actually decodes baseline, extended-sequential and
+progressive streams.  All fixtures are built by the in-module encoder
+(the sandbox has no image libraries), so every test is a
+self-validating encoder/decoder pair plus hand-built marker streams for
+the error paths; progressive correctness is pinned by exact pixel
+equality against the baseline stream of the same quantized
+coefficients.
 """
 
 from __future__ import annotations
@@ -383,3 +386,42 @@ def test_mutation_fuzz_contained():
             decode_jpeg(bytes(mutated))
         except JpegError:
             pass
+
+
+def test_progressive_equals_baseline_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(8, 40),
+        w=st.integers(8, 40),
+        q=st.integers(25, 100),
+        nc=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["4:4:4", "4:2:0"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def run(h, w, q, nc, sub, seed):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if nc == 1 else (h, w, 3)
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))[0]
+        prog = decode_jpeg(
+            encode_jpeg(img, quality=q, subsampling=sub, progressive=True)
+        )[0]
+        assert np.array_equal(base, prog)
+
+    run()
+
+
+def test_rgb_422_subsampling():
+    # 4:2:2 (horizontal-only chroma decimation) exercises the
+    # axis-specific upsample path; progressive must still match.
+    img = smooth_rgb(37, 53)
+    enc = encode_jpeg(img, quality=95, subsampling="4:2:2")
+    rgb, _ = decode_jpeg_to_rgb(enc)
+    err = np.abs(rgb.astype(int) - img.astype(int))
+    assert rgb.shape == img.shape and err.max() <= 20 and err.mean() < 4.0
+    prog = encode_jpeg(img, quality=95, subsampling="4:2:2",
+                       progressive=True)
+    assert np.array_equal(decode_jpeg(enc)[0], decode_jpeg(prog)[0])
