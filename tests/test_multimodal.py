@@ -134,3 +134,47 @@ def test_zip_deployment_kernel_loads_from_zip():
         out = json.loads(proc.stdout.strip().splitlines()[-1])
         assert out["ok"] == 6
         assert out["c"] and out["html"] and out["layout"], out
+
+
+def test_decode_image_native_jpeg_and_png():
+    import numpy as np
+    from oxidizepdf_spark.kernel.extract_images import encode_png
+    from oxidizepdf_spark.kernel.jpeg_codec import decode_jpeg, encode_jpeg
+    from oxidizepdf_spark.multimodal import decode_image_stub
+
+    gray = np.tile(np.linspace(0, 255, 24).astype(np.uint8), (16, 1))
+    jpeg = encode_jpeg(gray, quality=100)
+    d = decode_image_stub(jpeg, None)
+    assert (d["width"], d["height"], d["decoder"]) == (24, 16, "native")
+    # checksum is over the real pixels (q100 gradient roundtrips exactly)
+    import hashlib
+    assert d["checksum"] == hashlib.md5(
+        decode_jpeg(jpeg)[0].tobytes()
+    ).hexdigest() == hashlib.md5(gray[..., None].tobytes()).hexdigest()
+
+    png = encode_png(gray.tobytes(), 24, 16, 1, 8)
+    d = decode_image_stub(png, None)
+    assert (d["width"], d["height"], d["decoder"]) == (24, 16, "native")
+
+    # non-image payload still takes the deterministic fake path
+    d = decode_image_stub(b"not an image", None)
+    assert d["decoder"] == "stub"
+
+
+def test_resize_native_roundtrip():
+    import numpy as np
+    from oxidizepdf_spark.kernel.jpeg_codec import decode_jpeg, encode_jpeg
+    from oxidizepdf_spark.multimodal import resize_image_stub
+
+    yy, xx = np.mgrid[0:40, 0:60]
+    img = np.stack(
+        [(xx * 4) % 256, (yy * 3) % 256, (xx + yy) % 256], axis=-1
+    ).astype(np.uint8)
+    out = resize_image_stub(encode_jpeg(img, quality=95), (30, 20))
+    assert out[:2] == b"\xff\xd8"  # real JPEG back out
+    pix, info = decode_jpeg(out)
+    assert (info["width"], info["height"]) == (30, 20)
+
+    # fake path untouched for undecodable bytes
+    fake = resize_image_stub(b"x" * 1000, (32, 32))
+    assert fake[:4] == (32).to_bytes(4, "big")
