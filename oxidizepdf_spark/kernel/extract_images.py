@@ -26,7 +26,10 @@ Format decision tree (extract_images.rs:330-443), per the FIRST filter:
 - JBIG2Decode → 1-bit page bitmap to 8-bit gray PNG — a documented
   beyond-reference extension (the reference skips JBIG2 with
   "Unsupported image filter"); gated by ``decode_jbig2_images``.
-- Anything else (JPX, …) → skipped, like the reference.
+- JPXDecode → skipped like the reference by default; with
+  ``decode_jpx_images=True`` (beyond-reference) lossless-profile
+  JPEG 2000 streams decode to PNG via kernel/jp2k.py.
+- Anything else → skipped, like the reference.
 
 Dedup (extract_images.rs:446-459): images are deduplicated by the MD5
 of their ENCODED bytes unless ``name_pattern`` contains ``{page}``
@@ -56,7 +59,8 @@ class ExtractImagesOptions:
     """extract_images.rs:97-126 minus the filesystem fields."""
 
     __slots__ = ("name_pattern", "extract_inline", "min_size",
-                 "decode_jbig2_images", "decode_jpeg_images")
+                 "decode_jbig2_images", "decode_jpeg_images",
+                 "decode_jpx_images")
 
     def __init__(
         self,
@@ -65,12 +69,14 @@ class ExtractImagesOptions:
         min_size=10,
         decode_jbig2_images=True,
         decode_jpeg_images=False,
+        decode_jpx_images=False,
     ):
         self.name_pattern = name_pattern
         self.extract_inline = extract_inline
         self.min_size = min_size
         self.decode_jbig2_images = decode_jbig2_images
         self.decode_jpeg_images = decode_jpeg_images
+        self.decode_jpx_images = decode_jpx_images
 
 
 class ExtractedImage:
@@ -372,8 +378,23 @@ class ImageExtractor:
                     decoded, width, height, color_space, bits, d
                 )
                 fmt = "png"
+            elif first_filter == "JPXDecode":
+                if not self.options.decode_jpx_images:
+                    return None  # reference parity: unsupported -> skip
+                # Beyond-reference: lossless-profile JPEG 2000 decode
+                # (kernel/jp2k.py); out-of-scope streams skip like the
+                # reference would.
+                from .jp2k import decode_jp2k
+                pixels, _info = decode_jp2k(bytes(stream.raw))
+                if pixels.dtype != "uint8":
+                    pixels = (pixels >> 8).astype("uint8")
+                data = encode_png(
+                    pixels.tobytes(), pixels.shape[1], pixels.shape[0],
+                    pixels.shape[2], 8,
+                )
+                fmt = "png"
             else:
-                return None  # JPX / unknown: skipped like the reference
+                return None  # unknown filter: skipped like the reference
         except Exception:
             return None  # a bad image never fails the page
 

@@ -1,0 +1,1162 @@
+"""JPEG 2000 (JPXDecode) lossless codec — a documented beyond-reference
+extension.
+
+The reference ERRORS on JPXDecode ("Unsupported image filter" in
+operations/extract_images.rs; the filter chain passes the bytes
+through).  This module implements a real ITU-T T.800 Part-1 decoder for
+the lossless profile — reversible 5/3 wavelet, reversible colour
+transform, EBCOT Tier-1 bit-plane coding, Tier-2 packet headers — plus
+the matching encoder used to build self-validating fixtures (the
+sandbox has no JPEG 2000 library, and, like the JBIG2 work, every
+decoder path is pinned by exact roundtrips through a by-construction
+encoder).
+
+The MQ arithmetic coder is SHARED with the JBIG2 implementation
+(kernel/jbig2.MQDecoder / MQEncoder): JBIG2 Annex E and JPEG 2000
+Annex C define the same coder, so the transcription proven against
+mq_coder.rs carries over unchanged.
+
+Scope (raises ``Jp2kError`` beyond it):
+- reversible 5/3 transform only (SPcod transform = 1), no quantization
+  (Sqcd style 0), which is exactly the lossless profile;
+- one tile covering the image grid, default precincts (whole subband),
+  one quality layer, LRCP progression, codeblock style 0;
+- 1-4 components, no subsampling, 8/16-bit unsigned samples;
+- raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
+  located and the codestream decoded from it).
+
+Everything heavy is numpy: the lifting DWT runs whole-array slicing,
+Tier-1 walks coefficients per codeblock (bounded 64x64)."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .jbig2 import MQDecoder, MQEncoder
+
+__all__ = ["Jp2kError", "decode_jp2k", "encode_jp2k"]
+
+
+class Jp2kError(ValueError):
+    """Raised for streams outside this codec's lossless-profile scope."""
+
+
+# ---------------------------------------------------------------------------
+# Reversible 5/3 DWT (T.800 Annex F) and reversible colour transform (G.2)
+# ---------------------------------------------------------------------------
+
+
+def _hi_neighbors(even: np.ndarray, ne: int, no: int):
+    """even[i] and even[i+1] for each odd position i, with whole-sample
+    symmetric extension x(n) = x(n-2): when n is even the final odd
+    sample mirrors back onto the LAST even sample."""
+    if ne > no:  # n odd: every odd sample has a real right even neighbor
+        right = even[1:]
+    else:  # n even: mirror the last even sample
+        right = np.concatenate([even[1:], even[-1:]])
+    return even[:no], right
+
+
+def _lo_neighbors(high: np.ndarray, ne: int, no: int):
+    """high[i-1] and high[i] for each even position i, with symmetric
+    extension y(-1) = y(1) -> high[0] and y(n) = y(n-2) -> last high."""
+    left = np.concatenate([high[:1], high[:-1]]) if ne <= no else \
+        np.concatenate([high[:1], high])
+    cur = high if no >= ne else np.concatenate([high, high[-1:]])
+    return left[:ne], cur[:ne]
+
+
+def _dwt53_1d_forward(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One lifting step along axis 0 (signal origin 0, so even indices
+    feed the low band).  Returns (low, high) per T.800 F.4.8.1 with
+    whole-sample symmetric extension."""
+    n = x.shape[0]
+    if n == 1:
+        return x.astype(np.int64), x[:0].astype(np.int64)
+    even = x[0::2].astype(np.int64)
+    odd = x[1::2].astype(np.int64)
+    ne, no = even.shape[0], odd.shape[0]
+    el, er = _hi_neighbors(even, ne, no)
+    high = odd - ((el + er) >> 1)
+    hl, hc = _lo_neighbors(high, ne, no)
+    low = even + ((hl + hc + 2) >> 2)
+    return low, high
+
+
+def _dwt53_1d_inverse(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    ne, no = low.shape[0], high.shape[0]
+    n = ne + no
+    if n == 1:
+        return low.astype(np.int64)
+    low = low.astype(np.int64)
+    high = high.astype(np.int64)
+    hl, hc = _lo_neighbors(high, ne, no)
+    even = low - ((hl + hc + 2) >> 2)
+    el, er = _hi_neighbors(even, ne, no)
+    odd = high + ((el + er) >> 1)
+    out = np.empty((n,) + low.shape[1:], dtype=np.int64)
+    out[0::2] = even
+    out[1::2] = odd
+    return out
+
+
+def dwt53_forward_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    """One 2D level: returns (LL, HL, LH, HH).  HL = horizontally
+    high-pass (vertical detail band in T.800 naming: band with the
+    high-pass filter applied along x)."""
+    lo_r, hi_r = _dwt53_1d_forward(a.T)  # along columns of a.T = rows of a
+    # rows first: split columns (x direction)
+    ll_lh_src = lo_r.T  # low-pass along x
+    hl_hh_src = hi_r.T  # high-pass along x
+    ll, lh = _dwt53_1d_forward(ll_lh_src)
+    hl, hh = _dwt53_1d_forward(hl_hh_src)
+    return ll, hl, lh, hh
+
+
+def dwt53_inverse_2d(ll, hl, lh, hh) -> np.ndarray:
+    left = _dwt53_1d_inverse(ll, lh)
+    right = _dwt53_1d_inverse(hl, hh)
+    lo_r, hi_r = left.T, right.T
+    return _dwt53_1d_inverse(lo_r, hi_r).T
+
+
+def rct_forward(rgb: np.ndarray) -> np.ndarray:
+    """Reversible colour transform (T.800 G.2), int in/out."""
+    r = rgb[..., 0].astype(np.int64)
+    g = rgb[..., 1].astype(np.int64)
+    b = rgb[..., 2].astype(np.int64)
+    y = (r + 2 * g + b) >> 2
+    u = b - g
+    v = r - g
+    return np.stack([y, u, v], axis=-1)
+
+
+def rct_inverse(yuv: np.ndarray) -> np.ndarray:
+    y = yuv[..., 0].astype(np.int64)
+    u = yuv[..., 1].astype(np.int64)
+    v = yuv[..., 2].astype(np.int64)
+    g = y - ((u + v) >> 2)
+    r = v + g
+    b = u + g
+    return np.stack([r, g, b], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Tag trees (T.800 B.10.2)
+# ---------------------------------------------------------------------------
+
+
+class TagTreeDecoder:
+    """2D tag tree over an (h, w) leaf grid; values read threshold by
+    threshold via single bits from the packet-header bit reader."""
+
+    def __init__(self, h: int, w: int):
+        self.levels = []
+        while True:
+            self.levels.append((h, w))
+            if h == 1 and w == 1:
+                break
+            h = (h + 1) // 2
+            w = (w + 1) // 2
+        # per level: value lower bound and 'final' flag per node
+        self.value = [np.zeros((lh, lw), dtype=np.int64)
+                      for lh, lw in self.levels]
+        self.known = [np.zeros((lh, lw), dtype=bool)
+                      for lh, lw in self.levels]
+
+    def decode(self, reader, y: int, x: int, threshold: int) -> bool:
+        """Return True when leaf (y, x) value < threshold (i.e. the
+        value is now fully known and below), False if value >= threshold
+        so far.  Mirrors the standard's conditional walk from root."""
+        # Walk root -> leaf
+        path = []
+        yy, xx = y, x
+        for lvl in range(len(self.levels)):
+            path.append((lvl, yy, xx))
+            yy >>= 1
+            xx >>= 1
+        path.reverse()  # root first
+        low = 0
+        for lvl, yy, xx in path:
+            val = self.value[lvl]
+            kn = self.known[lvl]
+            if val[yy, xx] < low:
+                val[yy, xx] = low
+            while not kn[yy, xx] and val[yy, xx] < threshold:
+                if reader.read_bit():
+                    kn[yy, xx] = True
+                else:
+                    val[yy, xx] += 1
+            low = val[yy, xx]
+            if not kn[yy, xx]:
+                # value >= threshold, undetermined beyond it
+                return False
+        return self.value[0][y, x] < threshold
+
+    def leaf_value(self, y: int, x: int) -> int:
+        return int(self.value[0][y, x])
+
+
+class TagTreeEncoder:
+    """Encoder counterpart: leaves set up-front, bits emitted threshold
+    by threshold mirroring the decoder walk."""
+
+    def __init__(self, leaves: np.ndarray):
+        h, w = leaves.shape
+        self.levels = [leaves.astype(np.int64)]
+        while h > 1 or w > 1:
+            ph = (h + 1) // 2
+            pw = (w + 1) // 2
+            cur = self.levels[-1]
+            nxt = np.full((ph, pw), np.iinfo(np.int64).max)
+            for yy in range(h):
+                for xx in range(w):
+                    py, px = yy // 2, xx // 2
+                    if cur[yy, xx] < nxt[py, px]:
+                        nxt[py, px] = cur[yy, xx]
+            self.levels.append(nxt)
+            h, w = ph, pw
+        # mutable decoder-mirror state
+        self.state_val = [np.zeros_like(l) for l in self.levels]
+        self.state_known = [np.zeros(l.shape, dtype=bool)
+                            for l in self.levels]
+
+    def encode(self, writer, y: int, x: int, threshold: int) -> None:
+        path = []
+        yy, xx = y, x
+        for lvl in range(len(self.levels)):
+            path.append((lvl, yy, xx))
+            yy >>= 1
+            xx >>= 1
+        path.reverse()
+        low = 0
+        for lvl, yy, xx in path:
+            true_val = self.levels[lvl][yy, xx]
+            val = self.state_val[lvl]
+            kn = self.state_known[lvl]
+            if val[yy, xx] < low:
+                val[yy, xx] = low
+            while not kn[yy, xx] and val[yy, xx] < threshold:
+                if val[yy, xx] == true_val:
+                    writer.write_bit(1)
+                    kn[yy, xx] = True
+                else:
+                    writer.write_bit(0)
+                    val[yy, xx] += 1
+            low = val[yy, xx]
+            if not kn[yy, xx]:
+                return
+
+
+# ---------------------------------------------------------------------------
+# Packet-header bit IO (T.800 B.10.1: bit stuffing after 0xFF)
+# ---------------------------------------------------------------------------
+
+
+class _PacketBitReader:
+    __slots__ = ("data", "pos", "bitpos", "prev_ff")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.bitpos = 8  # bits consumed of current byte (8 = need fetch)
+        self.prev_ff = False
+
+    def read_bit(self) -> int:
+        if self.bitpos == 8:
+            if self.pos >= len(self.data):
+                raise Jp2kError("packet header truncated")
+            if self.prev_ff:
+                # after 0xFF only 7 payload bits follow (msb is 0)
+                self.bitpos = 1
+            else:
+                self.bitpos = 0
+            self.prev_ff = self.data[self.pos] == 0xFF
+            self.pos += 1
+        b = (self.data[self.pos - 1] >> (7 - self.bitpos)) & 1
+        self.bitpos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> int:
+        """Finish the packet header: if the final byte was 0xFF a
+        stuffed 0 byte follows.  Returns the byte offset of the body."""
+        if self.bitpos != 8 and self.prev_ff:
+            # partially-read 0xFF: the stuffing bit belongs to the next
+            # byte, which must be consumed as the stuff byte
+            self.pos += 1
+        elif self.bitpos == 8 and self.prev_ff:
+            self.pos += 1
+        self.bitpos = 8
+        self.prev_ff = False
+        return self.pos
+
+
+class _PacketBitWriter:
+    __slots__ = ("out", "cur", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+
+    def write_bit(self, b: int) -> None:
+        if self.nbits == 0 and self.out and self.out[-1] == 0xFF:
+            # stuff: after an 0xFF byte the next byte carries 7 bits
+            self.cur = 0
+            self.nbits = 1
+        self.cur = (self.cur << 1) | (b & 1)
+        self.nbits += 1
+        if self.nbits == 8:
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+
+    def write_bits(self, v: int, n: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.write_bit((v >> i) & 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            # pad with zero bits (legal filler before the body)
+            self.cur <<= pad
+            self.out.append(self.cur)
+            self.cur = 0
+            self.nbits = 0
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)  # terminal stuff byte
+        return bytes(self.out)
+
+
+# ---------------------------------------------------------------------------
+# Tier-1: EBCOT codeblock bit-plane coder (T.800 Annex D)
+# ---------------------------------------------------------------------------
+
+# Zero-coding context from neighborhood significance counts (Table D.1).
+# h = left+right significant count, v = top+bottom, d = diagonals.
+
+
+def _zc_context(band: str, h: int, v: int, d: int) -> int:
+    if band == "HL":  # horizontal/vertical roles swapped
+        h, v = v, h
+    if band != "HH":
+        if h == 2:
+            return 8
+        if h == 1:
+            if v >= 1:
+                return 7
+            return 6 if d >= 1 else 5
+        if v == 2:
+            return 4
+        if v == 1:
+            return 3
+        if d >= 2:
+            return 2
+        return 1 if d == 1 else 0
+    hv = h + v
+    if d >= 3:
+        return 8
+    if d == 2:
+        return 7 if hv >= 1 else 6
+    if d == 1:
+        if hv >= 2:
+            return 5
+        return 4 if hv == 1 else 3
+    if hv >= 2:
+        return 2
+    return 1 if hv == 1 else 0
+
+
+# Sign-coding context + XOR bit from clipped H/V contributions (Table D.2).
+_SC_TABLE = {
+    (1, 1): (13, 0), (1, 0): (12, 0), (1, -1): (11, 0),
+    (0, 1): (10, 0), (0, 0): (9, 0), (0, -1): (10, 1),
+    (-1, 1): (11, 1), (-1, 0): (12, 1), (-1, -1): (13, 1),
+}
+
+_CTX_RL = 17
+_CTX_UNI = 18
+_N_CTX = 19
+
+
+def _fresh_contexts() -> list:
+    """Initial MQ context states (Table D.7): ZC context 0 starts in
+    state 4, run-length in 3, UNIFORM in 46, everything else 0."""
+    ctx = [[0, 0] for _ in range(_N_CTX)]
+    ctx[0] = [4, 0]
+    ctx[_CTX_RL] = [3, 0]
+    ctx[_CTX_UNI] = [46, 0]
+    return ctx
+
+
+class _CodeblockCoder:
+    """One engine for both directions: the pass walk, context modelling
+    and state updates are shared; only the bit transport differs.  In
+    decode mode bits come from the MQ decoder and build mag/sgn; in
+    encode mode the true mag/sgn are given and every decision bit is
+    derived from them and fed to the MQ encoder — by construction the
+    decoder replays the identical walk."""
+
+    def __init__(self, h: int, w: int, band: str, mq=None,
+                 true_mag=None, true_sgn=None):
+        self.h = h
+        self.w = w
+        self.band = band
+        self.mq = mq  # MQDecoder (decode mode) or MQEncoder (encode mode)
+        self.encode = true_mag is not None
+        self.tmag = true_mag
+        self.tsgn = true_sgn
+        self.sig = np.zeros((h, w), dtype=np.uint8)
+        self.visited = np.zeros((h, w), dtype=np.uint8)
+        self.refined = np.zeros((h, w), dtype=np.uint8)
+        self.mag = np.zeros((h, w), dtype=np.int64)
+        self.sgn = np.zeros((h, w), dtype=np.uint8)  # 1 = negative
+        self.ctx = _fresh_contexts()
+
+    # -- transport seam ---------------------------------------------------
+
+    def _bit(self, ctx_idx: int, true_bit: int | None) -> int:
+        if self.encode:
+            self.mq.encode(self.ctx[ctx_idx], true_bit)
+            return true_bit
+        return self.mq.decode(self.ctx[ctx_idx])
+
+    # -- neighborhood helpers ---------------------------------------------
+
+    def _counts(self, y: int, x: int) -> tuple[int, int, int]:
+        sig = self.sig
+        h = self.h
+        w = self.w
+        hh = 0
+        if x > 0 and sig[y, x - 1]:
+            hh += 1
+        if x + 1 < w and sig[y, x + 1]:
+            hh += 1
+        vv = 0
+        if y > 0 and sig[y - 1, x]:
+            vv += 1
+        if y + 1 < h and sig[y + 1, x]:
+            vv += 1
+        dd = 0
+        if y > 0 and x > 0 and sig[y - 1, x - 1]:
+            dd += 1
+        if y > 0 and x + 1 < w and sig[y - 1, x + 1]:
+            dd += 1
+        if y + 1 < h and x > 0 and sig[y + 1, x - 1]:
+            dd += 1
+        if y + 1 < h and x + 1 < w and sig[y + 1, x + 1]:
+            dd += 1
+        return hh, vv, dd
+
+    def _sign_contrib(self, y: int, x: int) -> int:
+        if 0 <= y < self.h and 0 <= x < self.w and self.sig[y, x]:
+            return -1 if self.sgn[y, x] else 1
+        return 0
+
+    def _code_sign(self, y: int, x: int) -> None:
+        hc = self._sign_contrib(y, x - 1) + self._sign_contrib(y, x + 1)
+        vc = self._sign_contrib(y - 1, x) + self._sign_contrib(y + 1, x)
+        hc = max(-1, min(1, hc))
+        vc = max(-1, min(1, vc))
+        ctx_idx, xor = _SC_TABLE[(hc, vc)]
+        true = (int(self.tsgn[y, x]) ^ xor) if self.encode else None
+        bit = self._bit(ctx_idx, true)
+        self.sgn[y, x] = bit ^ xor
+
+    def _make_significant(self, y: int, x: int, plane: int) -> None:
+        self.sig[y, x] = 1
+        self.mag[y, x] |= 1 << plane
+        self._code_sign(y, x)
+
+    # -- the three passes ---------------------------------------------------
+
+    def sig_prop_pass(self, plane: int) -> None:
+        h, w = self.h, self.w
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if self.sig[y, x]:
+                        continue
+                    hh, vv, dd = self._counts(y, x)
+                    if hh + vv + dd == 0:
+                        continue
+                    true = ((int(self.tmag[y, x]) >> plane) & 1) \
+                        if self.encode else None
+                    bit = self._bit(_zc_context(self.band, hh, vv, dd), true)
+                    if bit:
+                        self._make_significant(y, x, plane)
+                    self.visited[y, x] = 1
+
+    def refine_pass(self, plane: int) -> None:
+        h, w = self.h, self.w
+        for y0 in range(0, h, 4):
+            for x in range(w):
+                for y in range(y0, min(y0 + 4, h)):
+                    if not self.sig[y, x] or self.visited[y, x]:
+                        continue
+                    if self.refined[y, x]:
+                        ctx_idx = 16
+                    else:
+                        hh, vv, dd = self._counts(y, x)
+                        ctx_idx = 15 if hh + vv + dd else 14
+                    true = ((int(self.tmag[y, x]) >> plane) & 1) \
+                        if self.encode else None
+                    bit = self._bit(ctx_idx, true)
+                    self.mag[y, x] |= bit << plane
+                    self.refined[y, x] = 1
+
+    def cleanup_pass(self, plane: int) -> None:
+        h, w = self.h, self.w
+        for y0 in range(0, h, 4):
+            strip_h = min(4, h - y0)
+            for x in range(w):
+                y = y0
+                # run-length mode: full 4-high strip, all uncoded,
+                # insignificant, with empty neighborhoods
+                run_mode = strip_h == 4
+                if run_mode:
+                    for yy in range(y0, y0 + 4):
+                        if self.sig[yy, x] or self.visited[yy, x]:
+                            run_mode = False
+                            break
+                        hh, vv, dd = self._counts(yy, x)
+                        if hh + vv + dd:
+                            run_mode = False
+                            break
+                if run_mode:
+                    if self.encode:
+                        first = None
+                        for i in range(4):
+                            if (int(self.tmag[y0 + i, x]) >> plane) & 1:
+                                first = i
+                                break
+                        any_sig = first is not None
+                        self._bit(_CTX_RL, 1 if any_sig else 0)
+                        if not any_sig:
+                            self.visited[y0:y0 + 4, x] = 0
+                            continue
+                        self._bit(_CTX_UNI, (first >> 1) & 1)
+                        self._bit(_CTX_UNI, first & 1)
+                    else:
+                        if not self._bit(_CTX_RL, None):
+                            continue
+                        first = (self._bit(_CTX_UNI, None) << 1) | \
+                            self._bit(_CTX_UNI, None)
+                    yy = y0 + first
+                    self._make_significant(yy, x, plane)
+                    y = yy + 1
+                for yy in range(y, y0 + strip_h):
+                    if self.sig[yy, x] or self.visited[yy, x]:
+                        continue
+                    hh, vv, dd = self._counts(yy, x)
+                    true = ((int(self.tmag[yy, x]) >> plane) & 1) \
+                        if self.encode else None
+                    bit = self._bit(_zc_context(self.band, hh, vv, dd), true)
+                    if bit:
+                        self._make_significant(yy, x, plane)
+        self.visited[:] = 0
+
+    def run_passes(self, max_plane: int, n_passes: int) -> None:
+        """Execute the standard pass sequence: cleanup at max_plane,
+        then (sig-prop, refine, cleanup) per lower plane."""
+        done = 0
+        plane = max_plane
+        kind = 2  # 0 = sigprop, 1 = refine, 2 = cleanup
+        while done < n_passes:
+            if kind == 0:
+                self.sig_prop_pass(plane)
+            elif kind == 1:
+                self.refine_pass(plane)
+            else:
+                self.cleanup_pass(plane)
+            done += 1
+            if kind == 2:
+                plane -= 1
+                kind = 0
+                if plane < 0 and done < n_passes:
+                    raise Jp2kError("too many coding passes for bit depth")
+            else:
+                kind += 1
+
+
+def encode_codeblock(coefs: np.ndarray, band: str) -> tuple[bytes, int, int]:
+    """Entropy-encode one codeblock of signed integer coefficients.
+    Returns (codeword bytes, n_passes, max_plane); an all-zero block
+    returns (b'', 0, -1)."""
+    mag = np.abs(coefs).astype(np.int64)
+    top = int(mag.max())
+    if top == 0:
+        return b"", 0, -1
+    max_plane = top.bit_length() - 1
+    sgn = (coefs < 0).astype(np.uint8)
+    mq = MQEncoder()
+    coder = _CodeblockCoder(coefs.shape[0], coefs.shape[1], band, mq,
+                            true_mag=mag, true_sgn=sgn)
+    n_passes = 3 * (max_plane + 1) - 2
+    coder.run_passes(max_plane, n_passes)
+    return mq.flush(), n_passes, max_plane
+
+
+def decode_codeblock(data: bytes, h: int, w: int, band: str,
+                     max_plane: int, n_passes: int) -> np.ndarray:
+    """Inverse of encode_codeblock; returns signed int64 coefficients."""
+    if n_passes == 0 or max_plane < 0:
+        return np.zeros((h, w), dtype=np.int64)
+    mq = MQDecoder(data + b"\xff\xac" if len(data) >= 2 else
+                   data + b"\xff\xac\xff\xac")
+    coder = _CodeblockCoder(h, w, band, mq)
+    coder.run_passes(max_plane, n_passes)
+    out = coder.mag.copy()
+    out[coder.sgn == 1] *= -1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Tier-2: packet headers (T.800 B.10) — single tile / layer / precinct
+# ---------------------------------------------------------------------------
+
+
+def _decode_n_passes(r: _PacketBitReader) -> int:
+    if not r.read_bit():
+        return 1
+    if not r.read_bit():
+        return 2
+    v = r.read_bits(2)
+    if v < 3:
+        return 3 + v
+    v = r.read_bits(5)
+    if v < 31:
+        return 6 + v
+    return 37 + r.read_bits(7)
+
+
+def _encode_n_passes(w: _PacketBitWriter, n: int) -> None:
+    if n == 1:
+        w.write_bit(0)
+    elif n == 2:
+        w.write_bits(0b10, 2)
+    elif n <= 5:
+        w.write_bits(0b11, 2)
+        w.write_bits(n - 3, 2)
+    elif n <= 36:
+        w.write_bits(0b1111, 4)
+        w.write_bits(n - 6, 5)
+    elif n <= 164:
+        w.write_bits(0b111111111, 9)
+        w.write_bits(n - 37, 7)
+    else:
+        raise Jp2kError(f"cannot encode {n} coding passes")
+
+
+class _BandState:
+    """Per-subband per-tile persistent packet state."""
+
+    __slots__ = ("nby", "nbx", "incl", "zbp", "lblock", "first")
+
+    def __init__(self, nby: int, nbx: int, encoder_leaves=None):
+        self.nby = nby
+        self.nbx = nbx
+        if encoder_leaves is None:
+            self.incl = TagTreeDecoder(nby, nbx) if nby and nbx else None
+            self.zbp = TagTreeDecoder(nby, nbx) if nby and nbx else None
+        else:
+            incl_leaves, zbp_leaves = encoder_leaves
+            self.incl = TagTreeEncoder(incl_leaves) if nby and nbx else None
+            self.zbp = TagTreeEncoder(zbp_leaves) if nby and nbx else None
+        self.lblock = np.full((nby, nbx), 3, dtype=np.int64)
+        self.first = np.ones((nby, nbx), dtype=bool)
+
+
+def _cb_grid(bh: int, bw: int, cbs: int) -> tuple[int, int]:
+    return (-(-bh // cbs) if bh else 0, -(-bw // cbs) if bw else 0)
+
+
+# ---------------------------------------------------------------------------
+# Codestream structure
+# ---------------------------------------------------------------------------
+
+_SOC = 0xFF4F
+_SIZ = 0xFF51
+_COD = 0xFF52
+_COC = 0xFF53
+_QCD = 0xFF5C
+_QCC = 0xFF5D
+_COM = 0xFF64
+_SOT = 0xFF90
+_SOD = 0xFF93
+_EOC = 0xFFD9
+
+_BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
+
+
+def _band_layout(h: int, w: int, levels: int):
+    """Subband dims per resolution.  Returns [(res, [(band, bh, bw)])]
+    for res 0..levels, plus the per-level LL chain dims."""
+    dims = [(h, w)]
+    for _ in range(levels):
+        ph, pw = dims[-1]
+        dims.append((-(-ph // 2), -(-pw // 2)))
+    out = []
+    ll_h, ll_w = dims[levels]
+    out.append((0, [("LL", ll_h, ll_w)]))
+    for r in range(1, levels + 1):
+        # resolution r adds the detail bands of decomposition level
+        # levels - r + 1, whose parent has dims[levels - r]
+        ph, pw = dims[levels - r]
+        lh_h = ph // 2          # rows of vertical high-pass
+        ll_hh = -(-ph // 2)     # rows of vertical low-pass
+        hl_w = pw // 2
+        ll_ww = -(-pw // 2)
+        out.append((r, [
+            ("HL", ll_hh, hl_w),
+            ("LH", lh_h, ll_ww),
+            ("HH", lh_h, hl_w),
+        ]))
+    return out
+
+
+def _parse_boxes(data: bytes) -> bytes:
+    """Extract the codestream from a JP2 container (jp2c box)."""
+    pos = 0
+    while pos + 8 <= len(data):
+        (lbox,) = struct.unpack(">I", data[pos:pos + 4])
+        tbox = data[pos + 4:pos + 8]
+        if lbox == 1:
+            if pos + 16 > len(data):
+                break
+            (xlbox,) = struct.unpack(">Q", data[pos + 8:pos + 16])
+            body = data[pos + 16:pos + xlbox]
+            nxt = pos + xlbox
+        elif lbox == 0:
+            body = data[pos + 8:]
+            nxt = len(data)
+        else:
+            body = data[pos + 8:pos + lbox]
+            nxt = pos + lbox
+        if tbox == b"jp2c":
+            return body
+        if nxt <= pos:
+            break
+        pos = nxt
+    raise Jp2kError("no jp2c codestream box in JP2 container")
+
+
+def decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a lossless-profile JPEG 2000 codestream (raw or JP2
+    container).  Returns ((h, w, ncomp) uint8/uint16 pixels, info)."""
+    try:
+        return _decode_jp2k(data)
+    except Jp2kError:
+        raise
+    except (IndexError, ValueError, OverflowError, struct.error) as exc:
+        raise Jp2kError(f"malformed JPEG 2000 stream: {exc}") from exc
+
+
+def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
+    if data[:4] == b"\x00\x00\x00\x0c" and data[4:8] == b"jP  ":
+        data = _parse_boxes(data)
+    if len(data) < 4 or struct.unpack(">H", data[:2])[0] != _SOC:
+        raise Jp2kError("missing SOC marker")
+    pos = 2
+    siz = None
+    cod = None
+    qcd = None
+    while pos + 4 <= len(data):
+        (marker,) = struct.unpack(">H", data[pos:pos + 2])
+        if marker == _SOT:
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seg_len]
+        pos += 2 + seg_len
+        if marker == _SIZ:
+            siz = seg
+        elif marker == _COD:
+            cod = seg
+        elif marker == _QCD:
+            qcd = seg
+        elif marker in (_COC, _QCC):
+            raise Jp2kError("per-component coding overrides not supported")
+        # COM and other informational segments: skipped
+    if siz is None or cod is None or qcd is None:
+        raise Jp2kError("missing SIZ/COD/QCD markers")
+
+    # SIZ
+    xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
+        ">IIIIIIIIH", siz[2:36]
+    )
+    if xo or yo or xto or yto:
+        raise Jp2kError("nonzero image/tile offsets not supported")
+    if xt < xsiz or yt < ysiz:
+        raise Jp2kError("multiple tiles not supported")
+    if not 1 <= ncomp <= 4:
+        raise Jp2kError(f"unsupported component count {ncomp}")
+    depth = None
+    for c in range(ncomp):
+        ssiz, xr, yr = siz[36 + 3 * c:39 + 3 * c]
+        if ssiz & 0x80:
+            raise Jp2kError("signed samples not supported")
+        d = (ssiz & 0x7F) + 1
+        if depth is None:
+            depth = d
+        elif d != depth:
+            raise Jp2kError("mixed component depths not supported")
+        if xr != 1 or yr != 1:
+            raise Jp2kError("component subsampling not supported")
+    if depth not in (8, 16):
+        raise Jp2kError(f"unsupported sample depth {depth}")
+    h, w = ysiz, xsiz
+
+    # COD
+    scod = cod[0]
+    if scod & 0x01:
+        raise Jp2kError("user-defined precincts not supported")
+    if scod & 0x06:
+        raise Jp2kError("SOP/EPH markers not supported")
+    progression, layers = cod[1], struct.unpack(">H", cod[2:4])[0]
+    mct = cod[4]
+    if layers != 1:
+        raise Jp2kError("multiple quality layers not supported")
+    if progression != 0:
+        raise Jp2kError("only LRCP progression supported")
+    levels = cod[5]
+    cb_w_exp = (cod[6] & 0x0F) + 2
+    cb_h_exp = (cod[7] & 0x0F) + 2
+    if cb_w_exp != cb_h_exp:
+        raise Jp2kError("non-square codeblocks not supported")
+    if cod[8]:
+        raise Jp2kError("codeblock style flags not supported")
+    if cod[9] != 1:
+        raise Jp2kError("only the reversible 5/3 transform is supported")
+    cbs = 1 << cb_w_exp
+
+    # QCD: style 0 (no quantization), exponent byte per subband
+    sqcd = qcd[0]
+    if sqcd & 0x1F:
+        raise Jp2kError("quantized (lossy) streams not supported")
+    guard = sqcd >> 5
+    exps = [b >> 3 for b in qcd[1:]]
+    n_bands_total = 3 * levels + 1
+    if len(exps) < n_bands_total:
+        raise Jp2kError("QCD exponent list too short")
+
+    # SOT / SOD
+    (marker,) = struct.unpack(">H", data[pos:pos + 2])
+    if marker != _SOT:
+        raise Jp2kError("expected SOT marker")
+    lsot, isot, psot, tpsot, tnsot = struct.unpack(">HHIBB", data[pos + 2:pos + 12])
+    if isot != 0 or tpsot != 0:
+        raise Jp2kError("multiple tiles/tile-parts not supported")
+    pos += 2 + lsot
+    (marker,) = struct.unpack(">H", data[pos:pos + 2])
+    if marker != _SOD:
+        raise Jp2kError("expected SOD marker")
+    body_start = pos + 2
+    body_end = body_start + (psot - lsot - 2 - 2) if psot else len(data) - 2
+
+    layout = _band_layout(h, w, levels)
+    # band exponent order in QCD: LL, then per res HL, LH, HH
+    band_mb = {}
+    exp_idx = 0
+    for res, bands in layout:
+        for band, bh, bw in bands:
+            band_mb[(res, band)] = guard + exps[exp_idx] - 1
+            exp_idx += 1
+
+    # Parse packets (LRCP, 1 layer): res-major, then component
+    reader = _PacketBitReader(data, body_start)
+    comp_bands = {
+        c: {} for c in range(ncomp)
+    }  # (res, band) -> (coef array, ...)
+    states = {}
+    for res, bands in layout:
+        for c in range(ncomp):
+            for band, bh, bw in bands:
+                nby, nbx = _cb_grid(bh, bw, cbs)
+                states[(c, res, band)] = _BandState(nby, nbx)
+                comp_bands[c][(res, band)] = np.zeros((bh, bw), dtype=np.int64)
+
+    for res, bands in layout:
+        for c in range(ncomp):
+            # --- packet header ---
+            todo = []  # (band, by, bx, y0, x0, cb_h, cb_w, max_plane, n_passes, length)
+            if not reader.read_bit():
+                reader.align()
+                continue  # empty packet
+            for band, bh, bw in bands:
+                st = states[(c, res, band)]
+                if st.incl is None:
+                    continue
+                mb = band_mb[(res, band)]
+                for by in range(st.nby):
+                    for bx in range(st.nbx):
+                        included = st.incl.decode(reader, by, bx, 1)
+                        if not included:
+                            continue
+                        t = 1
+                        while not st.zbp.decode(reader, by, bx, t):
+                            t += 1
+                        missing = st.zbp.leaf_value(by, bx)
+                        n_passes = _decode_n_passes(reader)
+                        while reader.read_bit():
+                            st.lblock[by, bx] += 1
+                        nbits = int(st.lblock[by, bx]) + (
+                            n_passes.bit_length() - 1
+                        )
+                        length = reader.read_bits(nbits)
+                        max_plane = mb - 1 - missing
+                        if max_plane < 0:
+                            raise Jp2kError("missing bitplanes exceed Mb")
+                        y0 = by * cbs
+                        x0 = bx * cbs
+                        todo.append((
+                            band, by, bx, y0, x0,
+                            min(cbs, bh - y0), min(cbs, bw - x0),
+                            max_plane, n_passes, length,
+                        ))
+            body_pos = reader.align()
+            # --- packet bodies ---
+            for (band, by, bx, y0, x0, cb_h, cb_w,
+                 max_plane, n_passes, length) in todo:
+                seg = data[body_pos:body_pos + length]
+                if len(seg) < length:
+                    raise Jp2kError("packet body truncated")
+                body_pos += length
+                coefs = decode_codeblock(seg, cb_h, cb_w, band,
+                                         max_plane, n_passes)
+                arr = comp_bands[c][(res, band)]
+                arr[y0:y0 + cb_h, x0:x0 + cb_w] = coefs
+            reader = _PacketBitReader(data, body_pos)
+            if body_pos > body_end:
+                raise Jp2kError("tile body overrun")
+
+    # Inverse DWT per component
+    planes = []
+    for c in range(ncomp):
+        cur = comp_bands[c][(0, "LL")]
+        for r in range(1, levels + 1):
+            cur = dwt53_inverse_2d(
+                cur,
+                comp_bands[c][(r, "HL")],
+                comp_bands[c][(r, "LH")],
+                comp_bands[c][(r, "HH")],
+            )
+        planes.append(cur)
+    img = np.stack(planes, axis=-1)
+    if mct and ncomp >= 3:
+        rgb = rct_inverse(img[..., :3])
+        img = np.concatenate([rgb] + (
+            [img[..., 3:]] if ncomp > 3 else []
+        ), axis=-1)
+    img = img + (1 << (depth - 1))
+    img = np.clip(img, 0, (1 << depth) - 1)
+    dtype = np.uint8 if depth == 8 else np.uint16
+    info = {"width": w, "height": h, "components": ncomp,
+            "depth": depth, "levels": levels, "mct": bool(mct)}
+    return img.astype(dtype), info
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture generation; exact mirror of the decoder's structure)
+# ---------------------------------------------------------------------------
+
+
+def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
+                mct: bool = True, jp2_container: bool = False) -> bytes:
+    """Encode (h, w[, c]) uint8/uint16 samples as a lossless Part-1
+    codestream (single tile/layer, LRCP, 5/3 reversible, optional RCT).
+    ``jp2_container=True`` wraps the codestream in a minimal JP2 box
+    set (signature, ftyp, jp2h/ihdr, jp2c)."""
+    pix = np.asarray(pixels)
+    if pix.ndim == 2:
+        pix = pix[..., None]
+    h, w, nc = pix.shape
+    if pix.dtype == np.uint8:
+        depth = 8
+    elif pix.dtype == np.uint16:
+        depth = 16
+    else:
+        raise Jp2kError("encoder expects uint8 or uint16 samples")
+    if not 1 <= nc <= 4:
+        raise Jp2kError("1-4 components supported")
+    if not 2 <= cb_exp <= 10:
+        raise Jp2kError("codeblock exponent out of range")
+    max_levels = max(0, (min(h, w) - 1).bit_length() - 1) if min(h, w) > 1 else 0
+    levels = max(0, min(levels, max_levels, 32))
+    use_mct = bool(mct and nc >= 3)
+    cbs = 1 << cb_exp
+    guard = 2
+
+    img = pix.astype(np.int64) - (1 << (depth - 1))
+    if use_mct:
+        img = np.concatenate(
+            [rct_forward(img[..., :3])] +
+            ([img[..., 3:]] if nc > 3 else []), axis=-1,
+        )
+
+    layout = _band_layout(h, w, levels)
+    comp_bands = {c: {} for c in range(nc)}
+    for c in range(nc):
+        cur = img[..., c]
+        for r in range(levels, 0, -1):
+            ll, hl, lh, hh = dwt53_forward_2d(cur)
+            comp_bands[c][(r, "HL")] = hl
+            comp_bands[c][(r, "LH")] = lh
+            comp_bands[c][(r, "HH")] = hh
+            cur = ll
+        comp_bands[c][(0, "LL")] = cur
+
+    # Per-band Mb from the actual dynamic range (shared across comps so
+    # the QCD segment stays component-independent).
+    band_mb = {}
+    for res, bands in layout:
+        for band, bh, bw in bands:
+            top = 0
+            for c in range(nc):
+                arr = comp_bands[c][(res, band)]
+                if arr.size:
+                    top = max(top, int(np.abs(arr).max()))
+            band_mb[(res, band)] = max(1, top.bit_length())
+
+    # Entropy-code every codeblock.
+    encoded = {}
+    for res, bands in layout:
+        for c in range(nc):
+            for band, bh, bw in bands:
+                nby, nbx = _cb_grid(bh, bw, cbs)
+                for by in range(nby):
+                    for bx in range(nbx):
+                        y0, x0 = by * cbs, bx * cbs
+                        block = comp_bands[c][(res, band)][
+                            y0:y0 + min(cbs, bh - y0),
+                            x0:x0 + min(cbs, bw - x0),
+                        ]
+                        encoded[(c, res, band, by, bx)] = encode_codeblock(
+                            np.asarray(block), band
+                        )
+
+    # Tier-2 packets, LRCP order.
+    body = bytearray()
+    for res, bands in layout:
+        for c in range(nc):
+            cb_list = []
+            trees = {}
+            any_included = False
+            for band, bh, bw in bands:
+                nby, nbx = _cb_grid(bh, bw, cbs)
+                if not (nby and nbx):
+                    continue
+                incl_leaves = np.ones((nby, nbx), dtype=np.int64)
+                zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
+                mb = band_mb[(res, band)]
+                for by in range(nby):
+                    for bx in range(nbx):
+                        data_, n_passes, max_plane = encoded[
+                            (c, res, band, by, bx)
+                        ]
+                        if n_passes:
+                            incl_leaves[by, bx] = 0
+                            zbp_leaves[by, bx] = mb - 1 - max_plane
+                            any_included = True
+                trees[band] = _BandState(
+                    nby, nbx, encoder_leaves=(incl_leaves, zbp_leaves)
+                )
+                cb_list.append((band, nby, nbx, incl_leaves, zbp_leaves))
+            writer = _PacketBitWriter()
+            if not any_included:
+                writer.write_bit(0)
+                body += writer.flush()
+                continue
+            writer.write_bit(1)
+            bodies = bytearray()
+            for band, nby, nbx, incl_leaves, zbp_leaves in cb_list:
+                st = trees[band]
+                for by in range(nby):
+                    for bx in range(nbx):
+                        st.incl.encode(writer, by, bx, 1)
+                        if incl_leaves[by, bx] != 0:
+                            continue  # not included in layer 0
+                        data_, n_passes, max_plane = encoded[
+                            (c, res, band, by, bx)
+                        ]
+                        t = 1
+                        while True:
+                            st.zbp.encode(writer, by, bx, t)
+                            if zbp_leaves[by, bx] < t:
+                                break
+                            t += 1
+                        _encode_n_passes(writer, n_passes)
+                        length = len(data_)
+                        lbits = n_passes.bit_length() - 1
+                        need = max(length.bit_length(), 1)
+                        extra = max(0, need - lbits - int(st.lblock[by, bx]))
+                        for _ in range(extra):
+                            writer.write_bit(1)
+                        writer.write_bit(0)
+                        st.lblock[by, bx] += extra
+                        writer.write_bits(
+                            length, int(st.lblock[by, bx]) + lbits
+                        )
+                        bodies += data_
+            body += writer.flush()
+            body += bodies
+
+    # --- markers ---
+    out = bytearray()
+    out += struct.pack(">H", _SOC)
+    siz = struct.pack(
+        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, nc
+    ) + b"".join(
+        struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc)
+    )
+    out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
+    cod = bytes([
+        0,                      # Scod: defaults
+        0,                      # progression: LRCP
+        0, 1,                   # layers = 1
+        1 if use_mct else 0,    # MCT
+        levels,
+        cb_exp - 2, cb_exp - 2,
+        0,                      # codeblock style
+        1,                      # 5/3 reversible
+    ])
+    out += struct.pack(">HH", _COD, len(cod) + 2) + cod
+    exps = []
+    for res, bands in layout:
+        for band, bh, bw in bands:
+            mb = band_mb[(res, band)]
+            eps = mb + 1 - guard
+            if not 0 <= eps <= 31:
+                raise Jp2kError("band exponent out of range")
+            exps.append(eps << 3)
+    qcd = bytes([guard << 5]) + bytes(exps)
+    out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
+    psot = 2 + 10 + 2 + len(body)
+    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
+    out += struct.pack(">H", _SOD)
+    out += body
+    out += struct.pack(">H", _EOC)
+    stream = bytes(out)
+    if not jp2_container:
+        return stream
+
+    def box(tbox: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + tbox + payload
+
+    sig = box(b"jP  ", b"\r\n\x87\n")
+    ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    ihdr = box(b"ihdr", struct.pack(
+        ">IIHBBBB", h, w, nc, depth - 1, 7, 0, 0
+    ))
+    colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(
+        ">I", 16 if nc >= 3 else 17
+    ))
+    jp2h = box(b"jp2h", ihdr + colr)
+    return sig + ftyp + jp2h + box(b"jp2c", stream)

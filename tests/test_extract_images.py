@@ -412,3 +412,30 @@ def test_dct_decode_jpeg_images_progressive_to_png():
     pw, ph, depth, color_type, pixels = parse_png(img.data)
     assert (pw, ph, depth, color_type) == (w, h, 8, 0)
     assert pixels == gray.tobytes()
+
+
+def test_jpx_decode_opt_in_to_png():
+    # Beyond-reference: lossless JPEG 2000 pixels decoded and re-encoded
+    # as PNG (kernel/jp2k.py); default remains reference parity (skip).
+    import numpy as np
+    from oxidizepdf_spark.kernel.jp2k import encode_jp2k
+
+    rng = np.random.default_rng(31)
+    w, h = 24, 16
+    gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    jpx = encode_jp2k(gray, levels=2)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /JPXDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpx), jpx)
+    )
+    pdf = image_pdf(body)
+    assert extract_images_from_pdf(pdf) == []  # reference parity: skipped
+    images = extract_images_from_pdf(
+        pdf, ExtractImagesOptions(decode_jpx_images=True)
+    )
+    img = images[0]
+    assert img.format == "png"
+    pw, ph, depth, color_type, pixels = parse_png(img.data)
+    assert (pw, ph, depth, color_type) == (w, h, 8, 0)
+    assert pixels == gray.tobytes()  # lossless: exact
