@@ -20,7 +20,10 @@ Scope (raises ``Jp2kError`` beyond it):
 - reversible 5/3 transform only (SPcod transform = 1), no quantization
   (Sqcd style 0), which is exactly the lossless profile;
 - one tile covering the image grid, default precincts (whole subband),
-  one quality layer, LRCP progression, codeblock style 0;
+  codeblock style 0; any number of quality layers (codeblock
+  contributions accumulate across layers into one codeword segment)
+  and all five Part-1 progression orders (with one tile/precinct they
+  reduce to three distinct packet sequences);
 - 1-4 components, no subsampling, 8/16-bit unsigned samples;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
@@ -679,6 +682,34 @@ def _cb_grid(bh: int, bw: int, cbs: int) -> tuple[int, int]:
     return (-(-bh // cbs) if bh else 0, -(-bw // cbs) if bw else 0)
 
 
+def _packet_order(progression: int, layers: int, nres: int, ncomp: int):
+    """Packet sequence for the five Part-1 progression orders with one
+    tile and one precinct (position collapses, so PCRL == CPRL and
+    RPCL's position loop is a no-op)."""
+    if progression == 0:  # LRCP
+        for layer in range(layers):
+            for res in range(nres):
+                for c in range(ncomp):
+                    yield layer, res, c
+    elif progression == 1:  # RLCP
+        for res in range(nres):
+            for layer in range(layers):
+                for c in range(ncomp):
+                    yield layer, res, c
+    elif progression == 2:  # RPCL
+        for res in range(nres):
+            for c in range(ncomp):
+                for layer in range(layers):
+                    yield layer, res, c
+    elif progression in (3, 4):  # PCRL / CPRL
+        for c in range(ncomp):
+            for res in range(nres):
+                for layer in range(layers):
+                    yield layer, res, c
+    else:
+        raise Jp2kError(f"unknown progression order {progression}")
+
+
 # ---------------------------------------------------------------------------
 # Codestream structure
 # ---------------------------------------------------------------------------
@@ -822,10 +853,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         raise Jp2kError("SOP/EPH markers not supported")
     progression, layers = cod[1], struct.unpack(">H", cod[2:4])[0]
     mct = cod[4]
-    if layers != 1:
-        raise Jp2kError("multiple quality layers not supported")
-    if progression != 0:
-        raise Jp2kError("only LRCP progression supported")
+    if not 1 <= layers <= 65535:
+        raise Jp2kError("invalid layer count")
+    if progression > 4:
+        raise Jp2kError(f"unknown progression order {progression}")
     levels = cod[5]
     cb_w_exp = (cod[6] & 0x0F) + 2
     cb_h_exp = (cod[7] & 0x0F) + 2
@@ -870,7 +901,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             band_mb[(res, band)] = guard + exps[exp_idx] - 1
             exp_idx += 1
 
-    # Parse packets (LRCP, 1 layer): res-major, then component
+    # Parse packets in progression order.  Codeblock contributions are
+    # ACCUMULATED across layers (one MQ codeword segment spans layers
+    # with codeblock style 0) and entropy-decoded once at the end.
     reader = _PacketBitReader(data, body_start)
     comp_bands = {
         c: {} for c in range(ncomp)
@@ -883,59 +916,68 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 states[(c, res, band)] = _BandState(nby, nbx)
                 comp_bands[c][(res, band)] = np.zeros((bh, bw), dtype=np.int64)
 
-    for res, bands in layout:
-        for c in range(ncomp):
-            # --- packet header ---
-            todo = []  # (band, by, bx, y0, x0, cb_h, cb_w, max_plane, n_passes, length)
-            if not reader.read_bit():
-                reader.align()
-                continue  # empty packet
-            for band, bh, bw in bands:
-                st = states[(c, res, band)]
-                if st.incl is None:
-                    continue
-                mb = band_mb[(res, band)]
-                for by in range(st.nby):
-                    for bx in range(st.nbx):
-                        included = st.incl.decode(reader, by, bx, 1)
-                        if not included:
+    bands_by_res = dict(layout)
+    cb_acc = {}  # (c, res, band, by, bx) -> [max_plane, n_passes, segs]
+    for layer, res, c in _packet_order(progression, layers,
+                                       levels + 1, ncomp):
+        bands = bands_by_res[res]
+        # --- packet header ---
+        todo = []  # (key, n_passes, length)
+        if not reader.read_bit():
+            body_pos = reader.align()
+            reader = _PacketBitReader(data, body_pos)
+            continue  # empty packet
+        for band, bh, bw in bands:
+            st = states[(c, res, band)]
+            if st.incl is None:
+                continue
+            mb = band_mb[(res, band)]
+            for by in range(st.nby):
+                for bx in range(st.nbx):
+                    key = (c, res, band, by, bx)
+                    if st.first[by, bx]:
+                        if not st.incl.decode(reader, by, bx, layer + 1):
                             continue
+                        st.first[by, bx] = False
                         t = 1
                         while not st.zbp.decode(reader, by, bx, t):
                             t += 1
                         missing = st.zbp.leaf_value(by, bx)
-                        n_passes = _decode_n_passes(reader)
-                        while reader.read_bit():
-                            st.lblock[by, bx] += 1
-                        nbits = int(st.lblock[by, bx]) + (
-                            n_passes.bit_length() - 1
-                        )
-                        length = reader.read_bits(nbits)
                         max_plane = mb - 1 - missing
                         if max_plane < 0:
                             raise Jp2kError("missing bitplanes exceed Mb")
-                        y0 = by * cbs
-                        x0 = bx * cbs
-                        todo.append((
-                            band, by, bx, y0, x0,
-                            min(cbs, bh - y0), min(cbs, bw - x0),
-                            max_plane, n_passes, length,
-                        ))
-            body_pos = reader.align()
-            # --- packet bodies ---
-            for (band, by, bx, y0, x0, cb_h, cb_w,
-                 max_plane, n_passes, length) in todo:
-                seg = data[body_pos:body_pos + length]
-                if len(seg) < length:
-                    raise Jp2kError("packet body truncated")
-                body_pos += length
-                coefs = decode_codeblock(seg, cb_h, cb_w, band,
-                                         max_plane, n_passes)
-                arr = comp_bands[c][(res, band)]
-                arr[y0:y0 + cb_h, x0:x0 + cb_w] = coefs
-            reader = _PacketBitReader(data, body_pos)
-            if body_pos > body_end:
-                raise Jp2kError("tile body overrun")
+                        cb_acc[key] = [max_plane, 0, []]
+                    elif not reader.read_bit():
+                        continue  # included before, silent this layer
+                    n_passes = _decode_n_passes(reader)
+                    while reader.read_bit():
+                        st.lblock[by, bx] += 1
+                    nbits = int(st.lblock[by, bx]) + (
+                        n_passes.bit_length() - 1
+                    )
+                    length = reader.read_bits(nbits)
+                    todo.append((key, n_passes, length))
+        body_pos = reader.align()
+        # --- packet bodies ---
+        for key, n_passes, length in todo:
+            seg = data[body_pos:body_pos + length]
+            if len(seg) < length:
+                raise Jp2kError("packet body truncated")
+            body_pos += length
+            acc = cb_acc[key]
+            acc[1] += n_passes
+            acc[2].append(seg)
+        reader = _PacketBitReader(data, body_pos)
+        if body_pos > body_end:
+            raise Jp2kError("tile body overrun")
+
+    for (c, res, band, by, bx), (max_plane, n_passes, segs) in cb_acc.items():
+        bh, bw = comp_bands[c][(res, band)].shape
+        y0, x0 = by * cbs, bx * cbs
+        cb_h, cb_w = min(cbs, bh - y0), min(cbs, bw - x0)
+        coefs = decode_codeblock(b"".join(segs), cb_h, cb_w, band,
+                                 max_plane, n_passes)
+        comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
     # Inverse DWT per component
     planes = []
@@ -969,11 +1011,16 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
 
 def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
-                mct: bool = True, jp2_container: bool = False) -> bytes:
+                mct: bool = True, jp2_container: bool = False,
+                layers: int = 1, progression: int = 0) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a lossless Part-1
-    codestream (single tile/layer, LRCP, 5/3 reversible, optional RCT).
-    ``jp2_container=True`` wraps the codestream in a minimal JP2 box
-    set (signature, ftyp, jp2h/ihdr, jp2c)."""
+    codestream (single tile, 5/3 reversible, optional RCT).  With
+    ``layers > 1`` each codeblock's coding passes are split across
+    quality layers (inclusion layers staggered per block to exercise
+    the tag trees); ``progression`` selects the packet order (0=LRCP,
+    1=RLCP, 2=RPCL, 3=PCRL, 4=CPRL).  ``jp2_container=True`` wraps the
+    codestream in a minimal JP2 box set (signature, ftyp, jp2h, jp2c).
+    """
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -990,6 +1037,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("codeblock exponent out of range")
     max_levels = max(0, (min(h, w) - 1).bit_length() - 1) if min(h, w) > 1 else 0
     levels = max(0, min(levels, max_levels, 32))
+    if not 1 <= layers <= 255:
+        raise Jp2kError("invalid layer count")
+    if progression > 4:
+        raise Jp2kError(f"unknown progression order {progression}")
     use_mct = bool(mct and nc >= 3)
     cbs = 1 << cb_exp
     guard = 2
@@ -1042,18 +1093,36 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                             np.asarray(block), band
                         )
 
-    # Tier-2 packets, LRCP order.
-    body = bytearray()
+    # Split each codeblock's passes and codeword bytes across layers:
+    # inclusion layers are staggered per block, bytes split proportional
+    # to passes (any byte split is valid with one codeword segment).
+    chunks = {}  # key -> [(n_passes, seg)] per layer
+    for key, (data_, n_passes, max_plane) in encoded.items():
+        per_layer = [(0, b"")] * layers
+        if n_passes:
+            c, res, band, by, bx = key
+            il = (by + bx) % layers
+            slots = layers - il
+            counts = [n_passes // slots + (1 if i < n_passes % slots else 0)
+                      for i in range(slots)]
+            cum = 0
+            pos0 = 0
+            for i, cnt in enumerate(counts):
+                cum += cnt
+                pos1 = len(data_) * cum // n_passes
+                per_layer[il + i] = (cnt, data_[pos0:pos1])
+                pos0 = pos1
+        chunks[key] = per_layer
+
+    states_enc = {}
+    bands_by_res = dict(layout)
     for res, bands in layout:
         for c in range(nc):
-            cb_list = []
-            trees = {}
-            any_included = False
             for band, bh, bw in bands:
                 nby, nbx = _cb_grid(bh, bw, cbs)
                 if not (nby and nbx):
                     continue
-                incl_leaves = np.ones((nby, nbx), dtype=np.int64)
+                incl_leaves = np.full((nby, nbx), layers, dtype=np.int64)
                 zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
                 mb = band_mb[(res, band)]
                 for by in range(nby):
@@ -1062,51 +1131,70 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                             (c, res, band, by, bx)
                         ]
                         if n_passes:
-                            incl_leaves[by, bx] = 0
+                            incl_leaves[by, bx] = (by + bx) % layers
                             zbp_leaves[by, bx] = mb - 1 - max_plane
-                            any_included = True
-                trees[band] = _BandState(
+                states_enc[(c, res, band)] = _BandState(
                     nby, nbx, encoder_leaves=(incl_leaves, zbp_leaves)
                 )
-                cb_list.append((band, nby, nbx, incl_leaves, zbp_leaves))
-            writer = _PacketBitWriter()
-            if not any_included:
-                writer.write_bit(0)
-                body += writer.flush()
+
+    body = bytearray()
+    for layer, res, c in _packet_order(progression, layers,
+                                       levels + 1, nc):
+        bands = bands_by_res[res]
+        any_contrib = any(
+            chunks[(c, res, band, by, bx)][layer][0]
+            for band, bh, bw in bands
+            for by in range(_cb_grid(bh, bw, cbs)[0])
+            for bx in range(_cb_grid(bh, bw, cbs)[1])
+        )
+        writer = _PacketBitWriter()
+        if not any_contrib:
+            writer.write_bit(0)
+            body += writer.flush()
+            continue
+        writer.write_bit(1)
+        bodies = bytearray()
+        for band, bh, bw in bands:
+            st = states_enc.get((c, res, band))
+            if st is None:
                 continue
-            writer.write_bit(1)
-            bodies = bytearray()
-            for band, nby, nbx, incl_leaves, zbp_leaves in cb_list:
-                st = trees[band]
-                for by in range(nby):
-                    for bx in range(nbx):
-                        st.incl.encode(writer, by, bx, 1)
-                        if incl_leaves[by, bx] != 0:
-                            continue  # not included in layer 0
-                        data_, n_passes, max_plane = encoded[
-                            (c, res, band, by, bx)
-                        ]
+            for by in range(st.nby):
+                for bx in range(st.nbx):
+                    key = (c, res, band, by, bx)
+                    np_, seg = chunks[key][layer]
+                    if st.first[by, bx]:
+                        st.incl.encode(writer, by, bx, layer + 1)
+                        if not np_:
+                            continue  # first inclusion is a later layer
+                        st.first[by, bx] = False
+                        zbp = int(
+                            states_enc[(c, res, band)].zbp.levels[0][by, bx]
+                        )
                         t = 1
                         while True:
                             st.zbp.encode(writer, by, bx, t)
-                            if zbp_leaves[by, bx] < t:
+                            if zbp < t:
                                 break
                             t += 1
-                        _encode_n_passes(writer, n_passes)
-                        length = len(data_)
-                        lbits = n_passes.bit_length() - 1
-                        need = max(length.bit_length(), 1)
-                        extra = max(0, need - lbits - int(st.lblock[by, bx]))
-                        for _ in range(extra):
-                            writer.write_bit(1)
-                        writer.write_bit(0)
-                        st.lblock[by, bx] += extra
-                        writer.write_bits(
-                            length, int(st.lblock[by, bx]) + lbits
-                        )
-                        bodies += data_
-            body += writer.flush()
-            body += bodies
+                    else:
+                        writer.write_bit(1 if np_ else 0)
+                        if not np_:
+                            continue
+                    _encode_n_passes(writer, np_)
+                    length = len(seg)
+                    lbits = np_.bit_length() - 1
+                    need = max(length.bit_length(), 1)
+                    extra = max(0, need - lbits - int(st.lblock[by, bx]))
+                    for _ in range(extra):
+                        writer.write_bit(1)
+                    writer.write_bit(0)
+                    st.lblock[by, bx] += extra
+                    writer.write_bits(
+                        length, int(st.lblock[by, bx]) + lbits
+                    )
+                    bodies += seg
+        body += writer.flush()
+        body += bodies
 
     # --- markers ---
     out = bytearray()
@@ -1119,8 +1207,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([
         0,                      # Scod: defaults
-        0,                      # progression: LRCP
-        0, 1,                   # layers = 1
+        progression,
+    ]) + struct.pack(">H", layers) + bytes([
         1 if use_mct else 0,    # MCT
         levels,
         cb_exp - 2, cb_exp - 2,

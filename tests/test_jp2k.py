@@ -276,3 +276,33 @@ def test_full_roundtrip_hypothesis():
         assert np.array_equal(dec, ref)
 
     run()
+
+
+@pytest.mark.parametrize("layers", [2, 3, 5])
+@pytest.mark.parametrize("progression", [0, 1, 2, 3, 4])
+def test_multilayer_progressions_roundtrip(layers, progression):
+    # Coding passes split across quality layers with staggered inclusion
+    # layers, packets sequenced per progression order — the decoder
+    # accumulates each codeblock's segments and must reproduce the
+    # single-layer pixels exactly.
+    rng = np.random.default_rng(layers * 10 + progression)
+    rgb = rng.integers(0, 256, (29, 31, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, layers=layers, progression=progression)
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec, rgb)
+
+
+def test_multilayer_gray_small_codeblocks():
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, cb_exp=4, layers=4)
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_multilayer_smooth_empty_packets():
+    yy, xx = np.mgrid[0:40, 0:60]
+    img = ((xx + yy) // 4).astype(np.uint8)
+    enc = encode_jp2k(img, levels=3, layers=3)
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)

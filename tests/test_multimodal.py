@@ -120,6 +120,11 @@ def test_zip_deployment_kernel_loads_from_zip():
         # fresh cache: the compile must work from the ZIPPED .c source
         env["XDG_CACHE_HOME"] = os.path.join(td, "cache")
         env.pop("PYTHONPATH", None)
+        # This test validates zip C compilation specifically: the outer
+        # suite's kill switches (e.g. an OXPDF_NO_CKERNEL fallback run)
+        # must not leak into the subprocess and defeat the assertion.
+        for kill in ("OXPDF_NO_CKERNEL", "OXPDF_NO_CLAYOUT", "OXPDF_NO_CHTML"):
+            env.pop(kill, None)
         proc = subprocess.run(
             [sys.executable, "-c", prog],
             capture_output=True,
