@@ -19,11 +19,14 @@ mq_coder.rs carries over unchanged.
 Scope (raises ``Jp2kError`` beyond it):
 - reversible 5/3 transform only (SPcod transform = 1), no quantization
   (Sqcd style 0), which is exactly the lossless profile;
-- one tile covering the image grid, default precincts (whole subband),
-  codeblock style 0; any number of quality layers (codeblock
-  contributions accumulate across layers into one codeword segment)
-  and all five Part-1 progression orders (with one tile/precinct they
-  reduce to three distinct packet sequences);
+- one tile covering the image grid, default precincts (whole subband);
+  any number of quality layers (codeblock contributions accumulate
+  across layers into one codeword segment) and all five Part-1
+  progression orders (with one tile/precinct they reduce to three
+  distinct packet sequences); codeblock-style flags 0x02 (per-pass
+  context reset), 0x08 (vertically-causal contexts) and 0x20
+  (segmentation symbols) — arithmetic bypass and per-pass termination
+  are rejected;
 - 1-4 components, no subsampling, 8/16-bit unsigned samples;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
@@ -408,8 +411,20 @@ class _CodeblockCoder:
     derived from them and fed to the MQ encoder — by construction the
     decoder replays the identical walk."""
 
+    __slots__ = ("h", "w", "band", "mq", "encode", "tmag", "tsgn",
+                 "sig", "visited", "refined", "mag", "sgn", "ctx",
+                 "vsc", "segsym", "reset")
+
     def __init__(self, h: int, w: int, band: str, mq=None,
-                 true_mag=None, true_sgn=None):
+                 true_mag=None, true_sgn=None, cb_style: int = 0):
+        if cb_style & ~0x2A:
+            raise Jp2kError(
+                f"unsupported codeblock style {cb_style:#x} (only "
+                "reset/vertically-causal/segmentation-symbol flags)"
+            )
+        self.vsc = bool(cb_style & 0x08)
+        self.segsym = bool(cb_style & 0x20)
+        self.reset = bool(cb_style & 0x02)
         self.h = h
         self.w = w
         self.band = band
@@ -438,6 +453,9 @@ class _CodeblockCoder:
         sig = self.sig
         h = self.h
         w = self.w
+        # Vertically-causal mode (style 0x08): the row below a stripe
+        # boundary is treated as insignificant for context formation.
+        south = y + 1 < h and not (self.vsc and (y & 3) == 3)
         hh = 0
         if x > 0 and sig[y, x - 1]:
             hh += 1
@@ -446,16 +464,16 @@ class _CodeblockCoder:
         vv = 0
         if y > 0 and sig[y - 1, x]:
             vv += 1
-        if y + 1 < h and sig[y + 1, x]:
+        if south and sig[y + 1, x]:
             vv += 1
         dd = 0
         if y > 0 and x > 0 and sig[y - 1, x - 1]:
             dd += 1
         if y > 0 and x + 1 < w and sig[y - 1, x + 1]:
             dd += 1
-        if y + 1 < h and x > 0 and sig[y + 1, x - 1]:
+        if south and x > 0 and sig[y + 1, x - 1]:
             dd += 1
-        if y + 1 < h and x + 1 < w and sig[y + 1, x + 1]:
+        if south and x + 1 < w and sig[y + 1, x + 1]:
             dd += 1
         return hh, vv, dd
 
@@ -466,7 +484,9 @@ class _CodeblockCoder:
 
     def _code_sign(self, y: int, x: int) -> None:
         hc = self._sign_contrib(y, x - 1) + self._sign_contrib(y, x + 1)
-        vc = self._sign_contrib(y - 1, x) + self._sign_contrib(y + 1, x)
+        south = 0 if (self.vsc and (y & 3) == 3) else \
+            self._sign_contrib(y + 1, x)
+        vc = self._sign_contrib(y - 1, x) + south
         hc = max(-1, min(1, hc))
         vc = max(-1, min(1, vc))
         ctx_idx, xor = _SC_TABLE[(hc, vc)]
@@ -565,6 +585,14 @@ class _CodeblockCoder:
                     bit = self._bit(_zc_context(self.band, hh, vv, dd), true)
                     if bit:
                         self._make_significant(yy, x, plane)
+        if self.segsym:
+            # Style 0x20: four UNIFORM-context bits 1010 close every
+            # cleanup pass (error-detection marker).
+            got = 0
+            for want in (1, 0, 1, 0):
+                got = (got << 1) | self._bit(_CTX_UNI, want)
+            if not self.encode and got != 0b1010:
+                raise Jp2kError("segmentation symbol mismatch")
         self.visited[:] = 0
 
     def run_passes(self, max_plane: int, n_passes: int) -> None:
@@ -580,6 +608,8 @@ class _CodeblockCoder:
                 self.refine_pass(plane)
             else:
                 self.cleanup_pass(plane)
+            if self.reset:  # style 0x02: fresh contexts every pass
+                self.ctx = _fresh_contexts()
             done += 1
             if kind == 2:
                 plane -= 1
@@ -590,7 +620,8 @@ class _CodeblockCoder:
                 kind += 1
 
 
-def encode_codeblock(coefs: np.ndarray, band: str) -> tuple[bytes, int, int]:
+def encode_codeblock(coefs: np.ndarray, band: str,
+                     cb_style: int = 0) -> tuple[bytes, int, int]:
     """Entropy-encode one codeblock of signed integer coefficients.
     Returns (codeword bytes, n_passes, max_plane); an all-zero block
     returns (b'', 0, -1)."""
@@ -602,20 +633,21 @@ def encode_codeblock(coefs: np.ndarray, band: str) -> tuple[bytes, int, int]:
     sgn = (coefs < 0).astype(np.uint8)
     mq = MQEncoder()
     coder = _CodeblockCoder(coefs.shape[0], coefs.shape[1], band, mq,
-                            true_mag=mag, true_sgn=sgn)
+                            true_mag=mag, true_sgn=sgn, cb_style=cb_style)
     n_passes = 3 * (max_plane + 1) - 2
     coder.run_passes(max_plane, n_passes)
     return mq.flush(), n_passes, max_plane
 
 
 def decode_codeblock(data: bytes, h: int, w: int, band: str,
-                     max_plane: int, n_passes: int) -> np.ndarray:
+                     max_plane: int, n_passes: int,
+                     cb_style: int = 0) -> np.ndarray:
     """Inverse of encode_codeblock; returns signed int64 coefficients."""
     if n_passes == 0 or max_plane < 0:
         return np.zeros((h, w), dtype=np.int64)
     mq = MQDecoder(data + b"\xff\xac" if len(data) >= 2 else
                    data + b"\xff\xac\xff\xac")
-    coder = _CodeblockCoder(h, w, band, mq)
+    coder = _CodeblockCoder(h, w, band, mq, cb_style=cb_style)
     coder.run_passes(max_plane, n_passes)
     out = coder.mag.copy()
     out[coder.sgn == 1] *= -1
@@ -862,8 +894,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     cb_h_exp = (cod[7] & 0x0F) + 2
     if cb_w_exp != cb_h_exp:
         raise Jp2kError("non-square codeblocks not supported")
-    if cod[8]:
-        raise Jp2kError("codeblock style flags not supported")
+    cb_style = cod[8]
+    if cb_style & ~0x2A:
+        raise Jp2kError(
+            "unsupported codeblock style flags (arithmetic bypass / "
+            "per-pass termination / predictable termination)"
+        )
     if cod[9] != 1:
         raise Jp2kError("only the reversible 5/3 transform is supported")
     cbs = 1 << cb_w_exp
@@ -976,7 +1012,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         y0, x0 = by * cbs, bx * cbs
         cb_h, cb_w = min(cbs, bh - y0), min(cbs, bw - x0)
         coefs = decode_codeblock(b"".join(segs), cb_h, cb_w, band,
-                                 max_plane, n_passes)
+                                 max_plane, n_passes, cb_style)
         comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
     # Inverse DWT per component
@@ -1012,7 +1048,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
 def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 mct: bool = True, jp2_container: bool = False,
-                layers: int = 1, progression: int = 0) -> bytes:
+                layers: int = 1, progression: int = 0,
+                cb_style: int = 0) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a lossless Part-1
     codestream (single tile, 5/3 reversible, optional RCT).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1041,6 +1078,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("invalid layer count")
     if progression > 4:
         raise Jp2kError(f"unknown progression order {progression}")
+    if cb_style & ~0x2A:
+        raise Jp2kError(f"unsupported codeblock style {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
     cbs = 1 << cb_exp
     guard = 2
@@ -1090,7 +1129,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                             x0:x0 + min(cbs, bw - x0),
                         ]
                         encoded[(c, res, band, by, bx)] = encode_codeblock(
-                            np.asarray(block), band
+                            np.asarray(block), band, cb_style
                         )
 
     # Split each codeblock's passes and codeword bytes across layers:
@@ -1212,7 +1251,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         1 if use_mct else 0,    # MCT
         levels,
         cb_exp - 2, cb_exp - 2,
-        0,                      # codeblock style
+        cb_style,
         1,                      # 5/3 reversible
     ])
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod

@@ -306,3 +306,49 @@ def test_multilayer_smooth_empty_packets():
     enc = encode_jp2k(img, levels=3, layers=3)
     dec, _ = decode_jp2k(enc)
     assert np.array_equal(dec[..., 0], img)
+
+
+@pytest.mark.parametrize("style", [0x02, 0x08, 0x20, 0x2A])
+def test_codeblock_style_flags_roundtrip(style):
+    # 0x02 = per-pass context reset, 0x08 = vertically-causal contexts,
+    # 0x20 = segmentation symbols, 0x2A = all three together.
+    rng = np.random.default_rng(style)
+    img = rng.integers(0, 256, (37, 53)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (29, 31, 3)).astype(np.uint8)
+    for src in (img, rgb):
+        enc = encode_jp2k(src, levels=2, cb_style=style)
+        dec, _ = decode_jp2k(enc)
+        ref = src[..., None] if src.ndim == 2 else src
+        assert np.array_equal(dec, ref)
+
+
+def test_segmentation_symbol_detects_corruption():
+    # Flipping bits in an entropy segment of a segsym stream must either
+    # surface as a Jp2kError (often "segmentation symbol mismatch") or
+    # decode — never escape with another exception type.
+    import random
+
+    rng = random.Random(7)
+    img = np.random.default_rng(20).integers(0, 256, (24, 24)).astype(np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1, cb_style=0x20))
+    sod = bytes(enc).index(b"\xff\x93") + 2
+    mismatches = 0
+    for _ in range(60):
+        mutated = bytearray(enc)
+        mutated[rng.randrange(sod, len(mutated) - 2)] ^= 1 << rng.randrange(8)
+        try:
+            decode_jp2k(bytes(mutated))
+        except Jp2kError as exc:
+            if "segmentation symbol" in str(exc):
+                mismatches += 1
+    assert mismatches > 0  # the marker really fires on corruption
+
+
+def test_bypass_style_rejected():
+    with pytest.raises(Jp2kError, match="codeblock style"):
+        encode_jp2k(np.zeros((8, 8), np.uint8), cb_style=0x01)
+    enc = bytearray(encode_jp2k(np.zeros((8, 8), np.uint8)))
+    cod_at = enc.index(b"\xff\x52")
+    enc[cod_at + 12] = 0x01  # SPcod codeblock-style byte
+    with pytest.raises(Jp2kError, match="codeblock style"):
+        decode_jp2k(bytes(enc))
