@@ -186,6 +186,14 @@ STANDARD_TABLES = {
          (6, 5, 44), (7, 6, 76), (7, 32, 140)),
     14: ((3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)),
     15: ((3, 0, -2), (3, 0, -1), (1, 0, 0), (3, 0, 1), (3, 0, 2)),
+    # T.88 Table B.3 as the SPEC writes it — the reference's rendering
+    # (huffman.rs:382-392, key 3 above) omits the OOB and 75+ upper-range
+    # entries, so a Huffman symbol dictionary's DW selector 1 could never
+    # terminate a height class under it. The beyond-reference Huffman SD
+    # path (T.88 §6.5) uses this complete table; key 3 stays pinned to
+    # the reference rendering for everything reference-parity.
+    "3sd": ((8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
+            (5, 6, 11), (8, 32, -257), (7, 32, 75), (6, 0, 0, _OOB)),
 }
 
 
@@ -385,17 +393,17 @@ def decode_symbol_dict(data: bytes, params: SymbolDictParams) -> SymbolDictionar
     """symbol_dict.rs decode_symbol_dict: height classes of width-delta
     runs; the reference's integer scheme has no OOB, so non-final height
     classes end on a non-positive running width and the final class ends
-    on the symbol count. Huffman mode is an explicit error (as in the
-    reference); the refinement flag decodes symbols directly."""
+    on the symbol count. Huffman mode dispatches to the T.88 §6.5 Huffman
+    decoder — BEYOND the reference, which errors on it explicitly
+    (symbol_dict.rs:441-454); the refinement flag decodes symbols
+    directly."""
     if params.num_new_symbols > MAX_SYMBOL_COUNT:
         raise FilterError(
             f"Symbol count {params.num_new_symbols} exceeds maximum "
             f"{MAX_SYMBOL_COUNT}"
         )
     if params.flags.uses_huffman:
-        raise FilterError(
-            "JBIG2 Huffman symbol dictionary decoding is not yet implemented"
-        )
+        return _decode_symbol_dict_huffman(data, params)
     if len(data) < 2:
         raise FilterError("Symbol dictionary data too short")
 
@@ -441,6 +449,16 @@ def decode_symbol_dict(data: bytes, params: SymbolDictParams) -> SymbolDictionar
 def _decode_export_table(all_symbols: list, num_exported: int,
                          dec: MQDecoder, contexts: list) -> list:
     # symbol_dict.rs decode_export_table
+    return _walk_export_runs(
+        all_symbols, num_exported,
+        lambda: abs(decode_integer_arith(dec, contexts)))
+
+
+def _walk_export_runs(all_symbols: list, num_exported: int,
+                      next_run) -> list:
+    """Alternating skip/export run walk shared by the arith export table
+    (symbol_dict.rs decode_export_table) and the T.88 §6.5.10 Huffman
+    variant (runs from Table B.1 instead of IAEX)."""
     if num_exported == 0:
         return []
     if num_exported >= len(all_symbols):
@@ -450,7 +468,7 @@ def _decode_export_table(all_symbols: list, num_exported: int,
     i = 0
     is_export_run = False
     while i < total and len(exported) < num_exported:
-        run_length = abs(decode_integer_arith(dec, contexts))
+        run_length = next_run()
         if is_export_run:
             end = min(i + run_length, total)
             for sym in all_symbols[i:end]:
@@ -508,6 +526,177 @@ def encode_symbol_dict_arith(height_classes: list, template: int = 0,
     for run in export_runs or ():
         encode_integer_arith(enc, iaex, run)
     return enc.flush()
+
+
+# ---------------------------------------------------------------------------
+# Huffman symbol dictionary (T.88 §6.5 with SDHUFF=1) — BEYOND the
+# reference: symbol_dict.rs:441-454 returns an explicit "not yet
+# implemented" error for this mode. Height classes carry width deltas
+# from the DH/DW standard tables (B.4/B.5, B.2/B.3 per the flag
+# selectors), then ONE collective bitmap per height class (§6.5.9):
+# BMSIZE==0 → stored uncompressed, row-padded to byte boundaries;
+# BMSIZE>0 → MMR-coded (T.6) over exactly BMSIZE bytes. Export flags are
+# Table B.1 run lengths (§6.5.10).
+# ---------------------------------------------------------------------------
+
+_SD_DH_TABLES = {0: 4, 1: 5}  # T.88 Table 13 SDHUFFDH selector
+# SDHUFFDW selector 1 maps to the spec-complete B.3 ("3sd") — the
+# reference's B.3 rendering has no OOB, and DW needs one to close each
+# height class
+_SD_DW_TABLES = {0: 2, 1: "3sd"}
+
+
+def _decode_symbol_dict_huffman(data: bytes,
+                                params: SymbolDictParams) -> SymbolDictionary:
+    from .jbig2 import MAX_BITMAP_HEIGHT, MAX_BITMAP_WIDTH
+
+    flags = params.flags
+    if flags.uses_refinement:
+        raise FilterError(
+            "JBIG2 Huffman symbol dictionary with refinement/aggregation "
+            "is not supported"
+        )
+    dh_table = _SD_DH_TABLES.get(flags.huffman_dh_table)
+    dw_table = _SD_DW_TABLES.get(flags.huffman_dw_table)
+    if dh_table is None or dw_table is None or flags.huffman_bmsize_table:
+        raise FilterError(
+            "JBIG2 Huffman symbol dictionary custom tables are not supported"
+        )
+    if not data:
+        raise FilterError("Symbol dictionary data too short")
+
+    reader = _BitReader(data)
+    new_symbols: list = []
+    current_height = 0
+
+    while len(new_symbols) < params.num_new_symbols:
+        current_height += decode_huffman_int(reader, dh_table)
+        if current_height <= 0 or current_height > MAX_BITMAP_HEIGHT:
+            raise FilterError(
+                f"Huffman symbol dictionary height class {current_height} "
+                "out of range"
+            )
+        widths: list = []
+        sym_width = 0
+        total_width = 0
+        while True:
+            try:
+                sym_width += decode_huffman_int(reader, dw_table)
+            except HuffmanOOB:
+                break  # end of height class
+            if sym_width <= 0 or sym_width > MAX_BITMAP_WIDTH:
+                raise FilterError(
+                    f"Huffman symbol dictionary width {sym_width} out of "
+                    "range"
+                )
+            if len(new_symbols) + len(widths) >= params.num_new_symbols:
+                raise FilterError(
+                    "Huffman symbol dictionary decoded more symbols than "
+                    "declared"
+                )
+            widths.append(sym_width)
+            total_width += sym_width
+        if not widths:
+            continue
+        bmsize = decode_huffman_int(reader, 1)
+        reader.align()
+        start = reader.pos >> 3
+        if bmsize == 0:
+            # §6.5.9 uncompressed: rows padded to byte boundaries
+            stride = (total_width + 7) >> 3
+            need = stride * current_height
+            if start + need > len(data):
+                raise FilterError(
+                    "Huffman symbol dictionary collective bitmap truncated"
+                )
+            collective = Bitmap(total_width, current_height)
+            for y in range(current_height):
+                base = start + y * stride
+                for x in range(total_width):
+                    bit = (data[base + (x >> 3)] >> (7 - (x & 7))) & 1
+                    if bit:
+                        collective.set_pixel(x, y, 1)
+            reader.pos = (start + need) << 3
+        else:
+            chunk = data[start : start + bmsize]
+            if len(chunk) < bmsize:
+                raise FilterError(
+                    "Huffman symbol dictionary MMR bitmap truncated"
+                )
+            collective = decode_generic_region_mmr(
+                chunk,
+                GenericRegionParams(total_width, current_height,
+                                    is_mmr=True))
+            reader.pos = (start + bmsize) << 3
+        x0 = 0
+        for wd in widths:
+            sym = Bitmap(wd, current_height)
+            for y in range(current_height):
+                for x in range(wd):
+                    if collective.get_pixel(x0 + x, y):
+                        sym.set_pixel(x, y, 1)
+            x0 += wd
+            new_symbols.append(sym)
+
+    out = SymbolDictionary()
+    out.all_symbols = params.referred_symbols + new_symbols
+    out.exported_symbols = _walk_export_runs(
+        out.all_symbols, params.num_exported,
+        lambda: decode_huffman_int(reader, 1))
+    return out
+
+
+def encode_symbol_dict_huffman(height_classes: list, export_runs=None,
+                               dh_selector: int = 0, dw_selector: int = 0,
+                               use_mmr: bool = False) -> bytes:
+    """By-construction inverse of _decode_symbol_dict_huffman (test
+    support). ``height_classes``: [(height, [rows_of_symbol, ...]), ...]
+    in decode order; heights strictly follow the running-delta scheme and
+    every class is closed with the DW table's OOB marker. ``use_mmr``
+    emits the collective bitmap T.6-coded (BMSIZE = payload length);
+    otherwise uncompressed with BMSIZE=0. ``export_runs``: alternating
+    skip/export Table-B.1 run lengths (omitted = export-all, resolved
+    without consuming runs)."""
+    from .image_codecs import encode_ccitt_g4
+
+    w = _BitWriter()
+    dh_table = _SD_DH_TABLES[dh_selector]
+    dw_table = _SD_DW_TABLES[dw_selector]
+    current_height = 0
+    for height, symbols in height_classes:
+        encode_huffman_int(w, dh_table, height - current_height)
+        current_height = height
+        sym_width = 0
+        widths = [len(rows[0]) for rows in symbols]
+        for wd in widths:
+            encode_huffman_int(w, dw_table, wd - sym_width)
+            sym_width = wd
+        encode_huffman_oob(w, dw_table)
+        total_width = sum(widths)
+        coll = [[0] * total_width for _ in range(height)]
+        x0 = 0
+        for rows in symbols:
+            for y in range(height):
+                row = rows[y]
+                for x, v in enumerate(row):
+                    coll[y][x0 + x] = v
+            x0 += len(rows[0])
+        if use_mmr:
+            payload = encode_ccitt_g4(coll, total_width)
+            encode_huffman_int(w, 1, len(payload))
+            w.align()
+            for b in payload:
+                w.write(8, b)
+        else:
+            encode_huffman_int(w, 1, 0)
+            w.align()
+            for y in range(height):
+                for x in range(total_width):
+                    w.write(1, coll[y][x])
+                w.align()
+    for run in export_runs or ():
+        encode_huffman_int(w, 1, run)
+    return w.getvalue()
 
 
 # ---------------------------------------------------------------------------
@@ -993,6 +1182,29 @@ def build_symbol_dict_payload(height_classes: list, num_exported: int,
     out += num_new.to_bytes(4, "big")
     out += encode_symbol_dict_arith(height_classes, template,
                                     tuple(at_pixels), export_runs)
+    return bytes(out)
+
+
+def build_symbol_dict_payload_huffman(height_classes: list,
+                                      num_exported: int,
+                                      export_runs=None,
+                                      dh_selector: int = 0,
+                                      dw_selector: int = 0,
+                                      use_mmr: bool = False) -> bytes:
+    """Huffman-SD variant of build_symbol_dict_payload: flags with
+    SDHUFF=1 (+table selectors), counts, T.88 §6.5 Huffman-coded data —
+    no AT pixels (not present when SDHUFF=1). Shaped for
+    Jbig2Decoder._process_symbol_dict."""
+    flags = (0x0001
+             | ((dh_selector & 0x03) << 2)
+             | ((dw_selector & 0x03) << 4))
+    num_new = sum(len(syms) for _, syms in height_classes)
+    out = bytearray()
+    out += flags.to_bytes(2, "big")
+    out += num_exported.to_bytes(4, "big")
+    out += num_new.to_bytes(4, "big")
+    out += encode_symbol_dict_huffman(height_classes, export_runs,
+                                      dh_selector, dw_selector, use_mmr)
     return bytes(out)
 
 

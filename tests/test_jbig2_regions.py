@@ -48,6 +48,7 @@ from oxidizepdf_spark.kernel.jbig2_regions import (
     build_halftone_payload,
     build_pattern_dict_payload,
     build_symbol_dict_payload,
+    build_symbol_dict_payload_huffman,
     build_text_region_payload,
     compile_huffman_table,
     compute_symbol_id_codewidth,
@@ -105,7 +106,7 @@ class TestHuffman:
         assert eights[1][1][2] == -257
         assert eights[1][0] == eights[0][0] + 1
 
-    @pytest.mark.parametrize("table", sorted(STANDARD_TABLES))
+    @pytest.mark.parametrize("table", sorted(STANDARD_TABLES, key=str))
     def test_roundtrip_representative_values(self, table):
         # every non-OOB entry: low end, mid, high end of its range
         values = []
@@ -251,7 +252,12 @@ class TestSymbolDict:
                for s in d.all_symbols]
         assert got == [SYM_C, SYM_A]
 
-    def test_huffman_mode_raises(self):
+    def test_huffman_mode_malformed_raises(self):
+        # b"\x00\x00" in Huffman mode decodes DH=1, then DW=0 -> running
+        # width 0, out of range (formerly: Huffman SD was an explicit
+        # not-implemented error matching symbol_dict.rs:441-454; the
+        # decoder now goes beyond the reference — see
+        # TestHuffmanSymbolDict)
         params = SymbolDictParams(flags=SymbolDictFlags.from_u16(0x0001),
                                   num_new_symbols=1)
         with pytest.raises(FilterError):
@@ -266,6 +272,129 @@ class TestSymbolDict:
         d = _decode_dict(build_symbol_dict_payload(CLASSES, num_exported=0))
         assert d.exported_symbols == []
         assert len(d.all_symbols) == 3
+
+
+# ---------------------------------------------------------------------------
+# Huffman symbol dictionary (T.88 §6.5, SDHUFF=1) — BEYOND the reference,
+# which errors explicitly (symbol_dict.rs:441-454). By-construction
+# roundtrips through encode_symbol_dict_huffman; end-to-end through the
+# segment router feeding a Huffman text region.
+# ---------------------------------------------------------------------------
+
+
+def _decode_dict_huffman(payload, referred=()):
+    # Huffman SD layout: flags(2) + numex(4) + numnew(4) + data — no AT
+    flags = SymbolDictFlags.from_u16((payload[0] << 8) | payload[1])
+    num_exported = int.from_bytes(payload[2:6], "big")
+    num_new = int.from_bytes(payload[6:10], "big")
+    params = SymbolDictParams(flags=flags, num_exported=num_exported,
+                              num_new_symbols=num_new,
+                              referred_symbols=list(referred))
+    return decode_symbol_dict(payload[10:], params)
+
+
+class TestHuffmanSymbolDict:
+    @pytest.mark.parametrize("use_mmr", [False, True])
+    def test_height_classes_roundtrip(self, use_mmr):
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            CLASSES, num_exported=3, use_mmr=use_mmr))
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_A, SYM_B, SYM_C]
+        assert len(d.exported_symbols) == 3
+
+    @pytest.mark.parametrize("dh_sel,dw_sel", [(1, 0), (0, 1), (1, 1)])
+    def test_table_selectors(self, dh_sel, dw_sel):
+        # B.5 heights / B.3 widths decode the same classes
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            CLASSES, num_exported=3, dh_selector=dh_sel,
+            dw_selector=dw_sel))
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_A, SYM_B, SYM_C]
+
+    def test_decreasing_widths_need_b3(self):
+        # DW selector 1 (spec-complete B.3) carries negative deltas:
+        # a height class whose widths DECREASE roundtrips only there
+        classes = [(3, [SYM_B, SYM_A])]  # widths 3 then 2: delta -1
+        with pytest.raises(ValueError, match="not representable"):
+            build_symbol_dict_payload_huffman(classes, num_exported=2)
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            classes, num_exported=2, dw_selector=1))
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_B, SYM_A]
+
+    def test_partial_export_runs(self):
+        # skip 1, export 2 via Table B.1 runs (§6.5.10)
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            CLASSES, num_exported=2, export_runs=(1, 2)))
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.exported_symbols]
+        assert got == [SYM_B, SYM_C]
+
+    def test_referred_symbols_prepend(self):
+        referred = [_bm(SYM_C)]
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            [(3, [SYM_A])], num_exported=2), referred=referred)
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_C, SYM_A]
+
+    def test_refinement_raises(self):
+        params = SymbolDictParams(flags=SymbolDictFlags.from_u16(0x0003),
+                                  num_new_symbols=1)
+        with pytest.raises(FilterError, match="refinement"):
+            decode_symbol_dict(b"\x00\x00\x00\x00", params)
+
+    @pytest.mark.parametrize("flags_u16", [
+        0x0001 | (3 << 2),   # SDHUFFDH = 3 (custom table)
+        0x0001 | (3 << 4),   # SDHUFFDW = 3 (custom table)
+        0x0001 | (1 << 6),   # SDHUFFBMSIZE = 1 (custom table)
+    ])
+    def test_custom_tables_raise(self, flags_u16):
+        params = SymbolDictParams(flags=SymbolDictFlags.from_u16(flags_u16),
+                                  num_new_symbols=1)
+        with pytest.raises(FilterError, match="custom"):
+            decode_symbol_dict(b"\x00\x00\x00\x00", params)
+
+    def test_truncated_collective_bitmap_raises(self):
+        payload = build_symbol_dict_payload_huffman(CLASSES, num_exported=3)
+        with pytest.raises(FilterError):
+            _decode_dict_huffman(payload[:12])
+
+    def test_more_symbols_than_declared_raises(self):
+        # encode 2 symbols in ONE height class but declare 1: the width
+        # loop overruns the declared count inside the class
+        payload = bytearray(build_symbol_dict_payload_huffman(
+            [(3, [SYM_A, SYM_B])], num_exported=1))
+        payload[6:10] = (1).to_bytes(4, "big")
+        with pytest.raises(FilterError, match="more symbols"):
+            _decode_dict_huffman(bytes(payload))
+
+    @given(st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=9),   # width
+            st.integers(min_value=0, max_value=2**18 - 1)),  # pixel seed
+        min_size=1, max_size=5),
+        st.booleans())
+    @settings(max_examples=25, deadline=None)
+    def test_roundtrip_hypothesis(self, specs, use_mmr):
+        # random same-height symbols, sorted by width — table B.2 (DW
+        # selector 0) has no negative range, so widths must be
+        # non-decreasing within a height class (what real encoders emit)
+        height = 3
+        symbols = []
+        for wd, seed in sorted(specs):
+            rows = [[(seed >> (y * wd + x)) & 1 if y * wd + x < 18 else 0
+                     for x in range(wd)] for y in range(height)]
+            symbols.append(rows)
+        classes = [(height, symbols)]
+        d = _decode_dict_huffman(build_symbol_dict_payload_huffman(
+            classes, num_exported=len(symbols), use_mmr=use_mmr))
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == symbols
 
 
 # ---------------------------------------------------------------------------
@@ -300,6 +429,31 @@ class TestTextRegion:
         out = decode_jbig2(_text_stream(strips, w, h, huffman=huffman))
         exp = [[0] * w for _ in range(h)]
         # S walk: a at 1; 1+2+2=5 -> c; 5+1+3=9 -> b; strip T=1
+        _place(exp, SYM_A, 1, 1)
+        _place(exp, SYM_C, 5, 1)
+        _place(exp, SYM_B, 9, 1)
+        assert _grid(out, w, h) == exp
+
+    @pytest.mark.parametrize("use_mmr", [False, True])
+    def test_huffman_dict_feeds_huffman_text_region(self, use_mmr):
+        # the VERDICT r7 "done" shape: a text region decoding from a
+        # Huffman-coded symbol dictionary, end-to-end through the
+        # segment router (the reference errors on the dictionary)
+        w, h = 32, 12
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_SYMBOL_DICTIONARY, 1,
+                              build_symbol_dict_payload_huffman(
+                                  CLASSES, num_exported=3,
+                                  use_mmr=use_mmr))
+        strips = [(1, 1, [(0, 0, 2), (0, 2, 1), (0, 1)])]
+        segs += build_segment(2, SEG_IMMEDIATE_TEXT_REGION, 1,
+                              build_text_region_payload(
+                                  strips, w, h, num_symbols=3,
+                                  huffman=True),
+                              referred=(1,))
+        out = decode_jbig2(segs)
+        exp = [[0] * w for _ in range(h)]
         _place(exp, SYM_A, 1, 1)
         _place(exp, SYM_C, 5, 1)
         _place(exp, SYM_B, 9, 1)
