@@ -21,12 +21,14 @@ Scope (raises ``Jp2kError`` beyond it):
   (Sqcd style 0), which is exactly the lossless profile;
 - one tile covering the image grid, default precincts (whole subband);
   any number of quality layers (codeblock contributions accumulate
-  across layers into one codeword segment) and all five Part-1
-  progression orders (with one tile/precinct they reduce to three
-  distinct packet sequences); codeblock-style flags 0x02 (per-pass
-  context reset), 0x08 (vertically-causal contexts) and 0x20
-  (segmentation symbols) — arithmetic bypass and per-pass termination
-  are rejected;
+  across layers) and all five Part-1 progression orders (with one
+  tile/precinct they reduce to three distinct packet sequences);
+  codeblock-style flags 0x01 (selective arithmetic bypass — raw
+  sig-prop/refinement from the 11th pass with terminated codeword
+  segments), 0x02 (per-pass context reset), 0x04 (per-pass
+  termination, one codeword segment per pass), 0x08 (vertically-causal
+  contexts) and 0x20 (segmentation symbols) — only predictable
+  termination (0x10) is rejected;
 - 1-4 components, no subsampling, 8/16-bit unsigned samples;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
@@ -413,18 +415,19 @@ class _CodeblockCoder:
 
     __slots__ = ("h", "w", "band", "mq", "encode", "tmag", "tsgn",
                  "sig", "visited", "refined", "mag", "sgn", "ctx",
-                 "vsc", "segsym", "reset")
+                 "vsc", "segsym", "reset", "raw_mode")
 
     def __init__(self, h: int, w: int, band: str, mq=None,
                  true_mag=None, true_sgn=None, cb_style: int = 0):
-        if cb_style & ~0x2A:
+        if cb_style & ~0x2F:
             raise Jp2kError(
-                f"unsupported codeblock style {cb_style:#x} (only "
-                "reset/vertically-causal/segmentation-symbol flags)"
+                f"unsupported codeblock style {cb_style:#x} (predictable "
+                "termination is the one unsupported flag)"
             )
         self.vsc = bool(cb_style & 0x08)
         self.segsym = bool(cb_style & 0x20)
         self.reset = bool(cb_style & 0x02)
+        self.raw_mode = False  # toggled per pass by the segment walk
         self.h = h
         self.w = w
         self.band = band
@@ -442,6 +445,12 @@ class _CodeblockCoder:
     # -- transport seam ---------------------------------------------------
 
     def _bit(self, ctx_idx: int, true_bit: int | None) -> int:
+        if self.raw_mode:
+            # bypass (lazy) mode: the bit travels uncoded — no context
+            if self.encode:
+                self.mq.put(true_bit)
+                return true_bit
+            return self.mq.get()
         if self.encode:
             self.mq.encode(self.ctx[ctx_idx], true_bit)
             return true_bit
@@ -483,6 +492,12 @@ class _CodeblockCoder:
         return 0
 
     def _code_sign(self, y: int, x: int) -> None:
+        if self.raw_mode:
+            # D.6: in a raw sig-prop pass the sign is the raw bit itself
+            # (no neighborhood prediction, no XOR)
+            true = int(self.tsgn[y, x]) if self.encode else None
+            self.sgn[y, x] = self._bit(0, true)
+            return
         hc = self._sign_contrib(y, x - 1) + self._sign_contrib(y, x + 1)
         south = 0 if (self.vsc and (y & 3) == 3) else \
             self._sign_contrib(y + 1, x)
@@ -595,60 +610,202 @@ class _CodeblockCoder:
                 raise Jp2kError("segmentation symbol mismatch")
         self.visited[:] = 0
 
+    def _do_pass(self, kind: int, plane: int) -> None:
+        if kind == 0:
+            self.sig_prop_pass(plane)
+        elif kind == 1:
+            self.refine_pass(plane)
+        else:
+            self.cleanup_pass(plane)
+        if self.reset:  # style 0x02: fresh contexts every pass
+            self.ctx = _fresh_contexts()
+
     def run_passes(self, max_plane: int, n_passes: int) -> None:
         """Execute the standard pass sequence: cleanup at max_plane,
         then (sig-prop, refine, cleanup) per lower plane."""
-        done = 0
-        plane = max_plane
-        kind = 2  # 0 = sigprop, 1 = refine, 2 = cleanup
-        while done < n_passes:
-            if kind == 0:
-                self.sig_prop_pass(plane)
-            elif kind == 1:
-                self.refine_pass(plane)
+        for kind, plane, _raw, _term in _pass_plan(max_plane, n_passes, 0):
+            self._do_pass(kind, plane)
+
+
+def _pass_plan(max_plane: int, n_passes: int, cb_style: int) -> list:
+    """The codeblock's global pass schedule with transport + termination
+    annotations: [(kind, plane, raw, term_after)] where kind 0/1/2 =
+    sig-prop/refine/cleanup. Selective bypass (style 0x01, T.800 D.6)
+    sends sig-prop and refinement RAW from the 11th pass on (= planes
+    max_plane-4 and below; the four most significant planes and every
+    cleanup stay MQ). Terminations (codeword-segment boundaries): after
+    every pass with 0x04 (termall); at every MQ<->raw transport switch
+    with bypass alone; always after the final pass."""
+    bypass = bool(cb_style & 0x01)
+    termall = bool(cb_style & 0x04)
+    plan = []
+    plane = max_plane
+    kind = 2  # 0 = sigprop, 1 = refine, 2 = cleanup
+    for i in range(n_passes):
+        raw = bypass and kind != 2 and i >= 10
+        plan.append([kind, plane, raw, termall])
+        if kind == 2:
+            plane -= 1
+            kind = 0
+            if plane < 0 and i + 1 < n_passes:
+                raise Jp2kError("too many coding passes for bit depth")
+        else:
+            kind += 1
+    if bypass and not termall:
+        for i in range(len(plan) - 1):
+            plan[i][3] = plan[i][2] != plan[i + 1][2]
+    if plan:
+        plan[-1][3] = True
+    return plan
+
+
+def _segment_pass_counts(max_plane: int, n_passes: int,
+                         cb_style: int) -> list:
+    """Coding passes per terminated codeword segment."""
+    counts = []
+    cnt = 0
+    for _kind, _plane, _raw, term in _pass_plan(max_plane, n_passes,
+                                                cb_style):
+        cnt += 1
+        if term:
+            counts.append(cnt)
+            cnt = 0
+    return counts
+
+
+class _RawDecoder:
+    """Raw (bypass) codeword-segment reader, T.800 D.6: bits MSB-first;
+    after a 0xFF byte the next byte carries only 7 payload bits."""
+
+    __slots__ = ("data", "pos", "cur", "ct", "prev_ff")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.cur = 0
+        self.ct = 0
+        self.prev_ff = False
+
+    def get(self) -> int:
+        if self.ct == 0:
+            if self.pos >= len(self.data):
+                self.cur = 0
+                self.ct = 8  # past the segment: zero fill (never read
+                # by a conforming walk — the encoder wrote every bit)
+                self.prev_ff = False
             else:
-                self.cleanup_pass(plane)
-            if self.reset:  # style 0x02: fresh contexts every pass
-                self.ctx = _fresh_contexts()
-            done += 1
-            if kind == 2:
-                plane -= 1
-                kind = 0
-                if plane < 0 and done < n_passes:
-                    raise Jp2kError("too many coding passes for bit depth")
-            else:
-                kind += 1
+                self.cur = self.data[self.pos]
+                self.ct = 7 if self.prev_ff else 8
+                self.prev_ff = self.cur == 0xFF
+                self.pos += 1
+        self.ct -= 1
+        return (self.cur >> self.ct) & 1
+
+
+class _RawEncoder:
+    """Inverse of _RawDecoder (same stuffing rule; a terminal 0xFF gets
+    a trailing stuff byte so no segment ends with 0xFF, B.10.6)."""
+
+    __slots__ = ("out", "cur", "nbits", "limit")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.cur = 0
+        self.nbits = 0
+        self.limit = 8
+
+    def put(self, bit: int) -> None:
+        self.cur = (self.cur << 1) | (bit & 1)
+        self.nbits += 1
+        if self.nbits == self.limit:
+            self.out.append(self.cur)
+            # a 7-bit byte tops out at 0x7F, so only full bytes stuff
+            self.limit = 7 if self.cur == 0xFF else 8
+            self.cur = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.cur << (self.limit - self.nbits))
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0x00)
+        return bytes(self.out)
 
 
 def encode_codeblock(coefs: np.ndarray, band: str,
-                     cb_style: int = 0) -> tuple[bytes, int, int]:
+                     cb_style: int = 0) -> tuple:
     """Entropy-encode one codeblock of signed integer coefficients.
-    Returns (codeword bytes, n_passes, max_plane); an all-zero block
-    returns (b'', 0, -1)."""
+    Returns (codewords, n_passes, max_plane): ``codewords`` is bytes
+    (one MQ segment) for non-terminating styles, or a list of
+    terminated-segment byte strings when bypass (0x01) / termall (0x04)
+    is set. An all-zero block returns (b'' or [], 0, -1)."""
+    terminated = bool(cb_style & 0x05)
     mag = np.abs(coefs).astype(np.int64)
     top = int(mag.max())
     if top == 0:
-        return b"", 0, -1
+        return ([] if terminated else b""), 0, -1
     max_plane = top.bit_length() - 1
     sgn = (coefs < 0).astype(np.uint8)
-    mq = MQEncoder()
-    coder = _CodeblockCoder(coefs.shape[0], coefs.shape[1], band, mq,
-                            true_mag=mag, true_sgn=sgn, cb_style=cb_style)
     n_passes = 3 * (max_plane + 1) - 2
-    coder.run_passes(max_plane, n_passes)
-    return mq.flush(), n_passes, max_plane
+    if not terminated:
+        mq = MQEncoder()
+        coder = _CodeblockCoder(coefs.shape[0], coefs.shape[1], band, mq,
+                                true_mag=mag, true_sgn=sgn,
+                                cb_style=cb_style)
+        coder.run_passes(max_plane, n_passes)
+        return mq.flush(), n_passes, max_plane
+    coder = _CodeblockCoder(coefs.shape[0], coefs.shape[1], band, None,
+                            true_mag=mag, true_sgn=sgn, cb_style=cb_style)
+    segs = []
+    cur = None
+    for kind, plane, raw, term in _pass_plan(max_plane, n_passes, cb_style):
+        if cur is None:
+            cur = _RawEncoder() if raw else MQEncoder()
+            coder.mq = cur
+            coder.raw_mode = raw
+        coder._do_pass(kind, plane)
+        if term:
+            segs.append(cur.flush())
+            cur = None
+    return segs, n_passes, max_plane
 
 
-def decode_codeblock(data: bytes, h: int, w: int, band: str,
+def decode_codeblock(data, h: int, w: int, band: str,
                      max_plane: int, n_passes: int,
                      cb_style: int = 0) -> np.ndarray:
-    """Inverse of encode_codeblock; returns signed int64 coefficients."""
+    """Inverse of encode_codeblock; returns signed int64 coefficients.
+    ``data`` is bytes for non-terminating styles; with bypass/termall it
+    is the list of terminated codeword segments (packet-header lengths
+    delimit them on the wire)."""
     if n_passes == 0 or max_plane < 0:
         return np.zeros((h, w), dtype=np.int64)
-    mq = MQDecoder(data + b"\xff\xac" if len(data) >= 2 else
-                   data + b"\xff\xac\xff\xac")
-    coder = _CodeblockCoder(h, w, band, mq, cb_style=cb_style)
-    coder.run_passes(max_plane, n_passes)
+    if not (cb_style & 0x05):
+        if isinstance(data, list):
+            data = b"".join(data)
+        mq = MQDecoder(data + b"\xff\xac" if len(data) >= 2 else
+                       data + b"\xff\xac\xff\xac")
+        coder = _CodeblockCoder(h, w, band, mq, cb_style=cb_style)
+        coder.run_passes(max_plane, n_passes)
+    else:
+        segs = [bytes(data)] if isinstance(data, (bytes, bytearray)) \
+            else [bytes(s) for s in data]
+        coder = _CodeblockCoder(h, w, band, None, cb_style=cb_style)
+        si = 0
+        cur = None
+        for kind, plane, raw, term in _pass_plan(max_plane, n_passes,
+                                                 cb_style):
+            if cur is None:
+                if si >= len(segs):
+                    raise Jp2kError("missing codeword segment")
+                seg = segs[si]
+                si += 1
+                cur = _RawDecoder(seg) if raw else \
+                    MQDecoder(seg + b"\xff\xac")
+                coder.mq = cur
+                coder.raw_mode = raw
+            coder._do_pass(kind, plane)
+            if term:
+                cur = None
     out = coder.mag.copy()
     out[coder.sgn == 1] *= -1
     return out
@@ -895,10 +1052,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if cb_w_exp != cb_h_exp:
         raise Jp2kError("non-square codeblocks not supported")
     cb_style = cod[8]
-    if cb_style & ~0x2A:
+    if cb_style & ~0x2F:
         raise Jp2kError(
-            "unsupported codeblock style flags (arithmetic bypass / "
-            "per-pass termination / predictable termination)"
+            "unsupported codeblock style flags (predictable termination)"
         )
     if cod[9] != 1:
         raise Jp2kError("only the reversible 5/3 transform is supported")
@@ -988,11 +1144,31 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     n_passes = _decode_n_passes(reader)
                     while reader.read_bit():
                         st.lblock[by, bx] += 1
-                    nbits = int(st.lblock[by, bx]) + (
-                        n_passes.bit_length() - 1
-                    )
-                    length = reader.read_bits(nbits)
-                    todo.append((key, n_passes, length))
+                    # Terminating styles (bypass/termall): one length per
+                    # codeword-segment part in this packet, split at the
+                    # termination pattern (T.800 B.10.7.2); a packet's
+                    # final part always closes at the packet boundary.
+                    acc = cb_acc[key]
+                    if cb_style & 0x05:
+                        plan = _pass_plan(acc[0], acc[1] + n_passes,
+                                          cb_style)
+                        gcounts = []
+                        cnt = 0
+                        for i in range(acc[1], acc[1] + n_passes):
+                            cnt += 1
+                            if plan[i][3]:
+                                gcounts.append(cnt)
+                                cnt = 0
+                        if cnt:
+                            gcounts.append(cnt)
+                    else:
+                        gcounts = [n_passes]
+                    for gnp in gcounts:
+                        nbits = int(st.lblock[by, bx]) + (
+                            gnp.bit_length() - 1
+                        )
+                        length = reader.read_bits(nbits)
+                        todo.append((key, gnp, length))
         body_pos = reader.align()
         # --- packet bodies ---
         for key, n_passes, length in todo:
@@ -1002,16 +1178,33 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             body_pos += length
             acc = cb_acc[key]
             acc[1] += n_passes
-            acc[2].append(seg)
+            acc[2].append((n_passes, seg))
         reader = _PacketBitReader(data, body_pos)
         if body_pos > body_end:
             raise Jp2kError("tile body overrun")
 
-    for (c, res, band, by, bx), (max_plane, n_passes, segs) in cb_acc.items():
+    for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
+            cb_acc.items():
         bh, bw = comp_bands[c][(res, band)].shape
         y0, x0 = by * cbs, bx * cbs
         cb_h, cb_w = min(cbs, bh - y0), min(cbs, bw - x0)
-        coefs = decode_codeblock(b"".join(segs), cb_h, cb_w, band,
+        if cb_style & 0x05:
+            # merge per-packet parts into terminated codeword segments
+            plan = _pass_plan(max_plane, n_passes, cb_style)
+            codewords = []
+            buf = b""
+            idx = 0
+            for gnp, gbytes in groups:
+                buf += gbytes
+                idx += gnp
+                if plan[idx - 1][3]:
+                    codewords.append(buf)
+                    buf = b""
+            if buf:
+                codewords.append(buf)
+        else:
+            codewords = b"".join(g for _, g in groups)
+        coefs = decode_codeblock(codewords, cb_h, cb_w, band,
                                  max_plane, n_passes, cb_style)
         comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
@@ -1078,7 +1271,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("invalid layer count")
     if progression > 4:
         raise Jp2kError(f"unknown progression order {progression}")
-    if cb_style & ~0x2A:
+    if cb_style & ~0x2F:
         raise Jp2kError(f"unsupported codeblock style {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
     cbs = 1 << cb_exp
@@ -1133,24 +1326,41 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                         )
 
     # Split each codeblock's passes and codeword bytes across layers:
-    # inclusion layers are staggered per block, bytes split proportional
-    # to passes (any byte split is valid with one codeword segment).
-    chunks = {}  # key -> [(n_passes, seg)] per layer
+    # inclusion layers are staggered per block. With one codeword
+    # segment (no terminating style) bytes split proportional to passes
+    # (any byte split is valid); with bypass/termall the split happens
+    # at terminated-segment boundaries only, whole segments per layer.
+    chunks = {}  # key -> [list of (n_passes, seg)] per layer
     for key, (data_, n_passes, max_plane) in encoded.items():
-        per_layer = [(0, b"")] * layers
+        per_layer = [[] for _ in range(layers)]
         if n_passes:
             c, res, band, by, bx = key
             il = (by + bx) % layers
             slots = layers - il
-            counts = [n_passes // slots + (1 if i < n_passes % slots else 0)
-                      for i in range(slots)]
-            cum = 0
-            pos0 = 0
-            for i, cnt in enumerate(counts):
-                cum += cnt
-                pos1 = len(data_) * cum // n_passes
-                per_layer[il + i] = (cnt, data_[pos0:pos1])
-                pos0 = pos1
+            if isinstance(data_, list):
+                seg_counts = _segment_pass_counts(max_plane, n_passes,
+                                                  cb_style)
+                nseg = len(seg_counts)
+                base, rem = divmod(nseg, slots)
+                idx = 0
+                for i in range(slots):
+                    take = base + (1 if i < rem else 0)
+                    for j in range(idx, idx + take):
+                        per_layer[il + i].append(
+                            (seg_counts[j], data_[j]))
+                    idx += take
+            else:
+                counts = [n_passes // slots +
+                          (1 if i < n_passes % slots else 0)
+                          for i in range(slots)]
+                cum = 0
+                pos0 = 0
+                for i, cnt in enumerate(counts):
+                    cum += cnt
+                    pos1 = len(data_) * cum // n_passes
+                    if cnt:
+                        per_layer[il + i] = [(cnt, data_[pos0:pos1])]
+                    pos0 = pos1
         chunks[key] = per_layer
 
     states_enc = {}
@@ -1181,7 +1391,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                        levels + 1, nc):
         bands = bands_by_res[res]
         any_contrib = any(
-            chunks[(c, res, band, by, bx)][layer][0]
+            chunks[(c, res, band, by, bx)][layer]
             for band, bh, bw in bands
             for by in range(_cb_grid(bh, bw, cbs)[0])
             for bx in range(_cb_grid(bh, bw, cbs)[1])
@@ -1200,7 +1410,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             for by in range(st.nby):
                 for bx in range(st.nbx):
                     key = (c, res, band, by, bx)
-                    np_, seg = chunks[key][layer]
+                    groups = chunks[key][layer]
+                    np_ = sum(g[0] for g in groups)
                     if st.first[by, bx]:
                         st.incl.encode(writer, by, bx, layer + 1)
                         if not np_:
@@ -1220,18 +1431,25 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                         if not np_:
                             continue
                     _encode_n_passes(writer, np_)
-                    length = len(seg)
-                    lbits = np_.bit_length() - 1
-                    need = max(length.bit_length(), 1)
-                    extra = max(0, need - lbits - int(st.lblock[by, bx]))
+                    # one Lblock update, then one length per codeword-
+                    # segment part (B.10.7.2)
+                    extra = 0
+                    for gnp, gseg in groups:
+                        lbits = gnp.bit_length() - 1
+                        need = max(len(gseg).bit_length(), 1)
+                        extra = max(
+                            extra,
+                            need - lbits - int(st.lblock[by, bx]))
                     for _ in range(extra):
                         writer.write_bit(1)
                     writer.write_bit(0)
                     st.lblock[by, bx] += extra
-                    writer.write_bits(
-                        length, int(st.lblock[by, bx]) + lbits
-                    )
-                    bodies += seg
+                    for gnp, gseg in groups:
+                        writer.write_bits(
+                            len(gseg),
+                            int(st.lblock[by, bx]) + gnp.bit_length() - 1
+                        )
+                        bodies += gseg
         body += writer.flush()
         body += bodies
 

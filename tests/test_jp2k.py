@@ -308,10 +308,13 @@ def test_multilayer_smooth_empty_packets():
     assert np.array_equal(dec[..., 0], img)
 
 
-@pytest.mark.parametrize("style", [0x02, 0x08, 0x20, 0x2A])
+@pytest.mark.parametrize("style", [0x01, 0x02, 0x04, 0x05, 0x08, 0x20,
+                                   0x2A, 0x2F])
 def test_codeblock_style_flags_roundtrip(style):
-    # 0x02 = per-pass context reset, 0x08 = vertically-causal contexts,
-    # 0x20 = segmentation symbols, 0x2A = all three together.
+    # 0x01 = selective arithmetic bypass (raw passes + terminated
+    # segments), 0x02 = per-pass context reset, 0x04 = per-pass
+    # termination, 0x08 = vertically-causal contexts, 0x20 =
+    # segmentation symbols, 0x2A / 0x2F = combinations.
     rng = np.random.default_rng(style)
     img = rng.integers(0, 256, (37, 53)).astype(np.uint8)
     rgb = rng.integers(0, 256, (29, 31, 3)).astype(np.uint8)
@@ -344,11 +347,40 @@ def test_segmentation_symbol_detects_corruption():
     assert mismatches > 0  # the marker really fires on corruption
 
 
-def test_bypass_style_rejected():
+def test_predictable_termination_rejected():
+    # 0x10 is the one remaining unsupported codeblock-style flag
+    # (bypass 0x01 and termall 0x04 decode since round 8)
     with pytest.raises(Jp2kError, match="codeblock style"):
-        encode_jp2k(np.zeros((8, 8), np.uint8), cb_style=0x01)
+        encode_jp2k(np.zeros((8, 8), np.uint8), cb_style=0x10)
     enc = bytearray(encode_jp2k(np.zeros((8, 8), np.uint8)))
     cod_at = enc.index(b"\xff\x52")
-    enc[cod_at + 12] = 0x01  # SPcod codeblock-style byte
+    enc[cod_at + 12] = 0x10  # SPcod codeblock-style byte
     with pytest.raises(Jp2kError, match="codeblock style"):
         decode_jp2k(bytes(enc))
+
+
+@pytest.mark.parametrize("style", [0x01, 0x05])
+def test_bypass_multilayer_segment_lengths(style):
+    # bypass splits a codeblock's codewords into terminated segments;
+    # multi-layer streams must signal one length per segment part and
+    # reassemble across packets (T.800 B.10.7.2)
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 256, (48, 48, 3)).astype(np.uint8)
+    for layers in (2, 5):
+        enc = encode_jp2k(src, levels=2, cb_style=style, layers=layers)
+        dec, _ = decode_jp2k(enc)
+        assert np.array_equal(dec, src)
+
+
+def test_bypass_raw_passes_actually_raw():
+    # deep bitplanes force passes >= 11: the bypass stream must differ
+    # from the MQ-only stream AND produce more codeword segments
+    from oxidizepdf_spark.kernel.jp2k import encode_codeblock
+
+    rng = np.random.default_rng(3)
+    coefs = rng.integers(-4000, 4000, (32, 32)).astype(np.int64)
+    plain, n0, mp0 = encode_codeblock(coefs, "HH", 0)
+    segs, n1, mp1 = encode_codeblock(coefs, "HH", 0x01)
+    assert (n0, mp0) == (n1, mp1)
+    assert isinstance(segs, list) and len(segs) > 1
+    assert b"".join(segs) != plain
