@@ -1486,6 +1486,8 @@ def sign_pdf_objects(
     signed_attrs: bool = False,
     unprefixed: bool = False,
     cades: bool = False,
+    timestamp: bool = False,
+    timestamp_bad_imprint: bool = False,
     reason: str | None = None,
     location: str | None = None,
     m_date: str | None = "D:20250106120000Z",
@@ -1552,6 +1554,8 @@ def sign_pdf_objects(
         signed_attrs=signed_attrs,
         unprefixed=unprefixed,
         cades=cades,
+        timestamp=timestamp,
+        timestamp_bad_imprint=timestamp_bad_imprint,
     )
     hexs = binascii.hexlify(cms)
     if len(hexs) > 2 * contents_cap:

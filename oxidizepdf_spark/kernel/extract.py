@@ -1106,6 +1106,10 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             "em_form": None,
             "chain_len": 0,
             "chain_valid": False,
+            # RFC 3161 signature timestamp (CAdES-T); None = no token
+            "ts_time": None,
+            "ts_valid": None,
+            "ts_tsa": None,
             "certification_level": sig.certification_level,
             "incremental_update": has_incremental_update(data, sig.byte_range),
             # fraction of the file the signature covers: 1.0 minus the
@@ -1136,6 +1140,16 @@ def extract_signatures(data: bytes, password: str | None = None) -> list[dict]:
             row["hash_valid"] = result.hash_valid
             row["signature_valid"] = result.signature_valid
             row["em_form"] = result.em_form
+            if parsed.timestamp_token_der is not None:
+                from .signatures import verify_timestamp_token
+
+                ts = verify_timestamp_token(
+                    parsed.timestamp_token_der, parsed.signature_value,
+                    allow_legacy_sha1=True,
+                )
+                row["ts_time"] = ts.gen_time
+                row["ts_valid"] = ts.is_valid()
+                row["ts_tsa"] = ts.tsa
             from .signatures import verify_certificate_chain
 
             chain = verify_certificate_chain(

@@ -421,6 +421,11 @@ OID_SIGNING_TIME = "1.2.840.113549.1.9.5"
 # ESS signing-certificate attributes (CAdES / PAdES, RFC 5035): bind the
 # signer certificate into the signed attributes by hash
 OID_SIGNING_CERT_V2 = "1.2.840.113549.1.9.16.2.47"  # ESSCertIDv2, SHA-256
+# RFC 3161 / CAdES-T timestamp token (unsigned attribute): the TSA's
+# countersignature over the signature value — BEYOND the reference,
+# whose signatures/ module has no timestamp support at all
+OID_TIMESTAMP_TOKEN = "1.2.840.113549.1.9.16.2.14"  # id-aa-timeStampToken
+OID_TST_INFO = "1.2.840.113549.1.9.16.1.4"  # id-ct-TSTInfo
 OID_RSA = "1.2.840.113549.1.1.1"
 
 DIGEST_OIDS = {
@@ -497,6 +502,7 @@ class ParsedSignature:
     all_certs_der: list = field(default_factory=list)  # full SignedData pile
     signing_cert_hash: bytes | None = None  # ESS signingCertificateV2
     signing_cert_hash_alg: str = "SHA-256"
+    timestamp_token_der: bytes | None = None  # RFC 3161 unsigned attr
 
     def signing_certificate_bound(self) -> bool | None:
         """CAdES/PAdES binding check (RFC 5035): does the ESS
@@ -634,6 +640,17 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
     if si[idx].tag != TAG_OCTETS:
         raise SignatureError("Malformed SignerInfo: signature not OCTET STRING")
     signature_value = si[idx].content
+    idx += 1
+    timestamp_token_der = None
+    if idx < len(si) and si[idx].tag == 0xA1:  # [1] IMPLICIT unsignedAttrs
+        for attr in si[idx].children():
+            ac = attr.children()
+            if len(ac) != 2 or ac[0].tag != TAG_OID:
+                continue
+            if ac[0].oid() == OID_TIMESTAMP_TOKEN:
+                vals = ac[1].children()
+                if vals and vals[0].tag == TAG_SEQ:
+                    timestamp_token_der = vals[0].der
     if not certs_der:
         raise SignatureError("No certificates in SignedData")
     # Signer certificate selection: the reference takes certs[0]
@@ -665,6 +682,7 @@ def _parse_pkcs7(contents: bytes, allow_legacy_sha1: bool) -> ParsedSignature:
         all_certs_der=certs_der,
         signing_cert_hash=signing_cert_hash,
         signing_cert_hash_alg=signing_cert_hash_alg,
+        timestamp_token_der=timestamp_token_der,
     )
 
 
@@ -1128,6 +1146,84 @@ def verify_signature(
     )
 
 
+# ---------------------------------------------------------------------------
+# RFC 3161 / CAdES-T timestamp tokens — BEYOND the reference (its
+# signatures/ module carries no timestamp support): the unsigned
+# id-aa-timeStampToken attribute holds a TSA countersignature whose
+# TSTInfo messageImprint must hash the SignerInfo's signature value
+# (RFC 3161 APPENDIX A; ETSI EN 319 122-1 signature-time-stamp).
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TimestampInfo:
+    """Decoded + verified signature timestamp."""
+
+    gen_time: str | None = None  # TSTInfo genTime, formatted
+    policy: str | None = None
+    serial: int | None = None
+    imprint_algorithm: str | None = None
+    imprint_ok: bool = False  # hashedMessage == hash(signature value)
+    token_sig_ok: bool = False  # TSA CMS signature over TSTInfo verifies
+    tsa: str | None = None  # TSA certificate common name
+    error: str | None = None
+
+    def is_valid(self) -> bool:
+        return self.imprint_ok and self.token_sig_ok
+
+
+def verify_timestamp_token(
+    token_der: bytes, signature_value: bytes,
+    allow_legacy_sha1: bool = False,
+) -> TimestampInfo:
+    """Decode and verify one RFC 3161 TimeStampToken against the
+    signature value it attests. Never raises — decode/verify failures
+    land in ``error`` (pipeline error-tier convention)."""
+    out = TimestampInfo()
+    try:
+        tok = _parse_pkcs7(token_der, allow_legacy_sha1)
+        if tok.encap_content is None:
+            raise SignatureError("timestamp token has no TSTInfo content")
+        tst, _ = parse_der(tok.encap_content)
+        if tst.tag != TAG_SEQ:
+            raise SignatureError("TSTInfo is not a SEQUENCE")
+        # TSTInfo ::= SEQ { version, policy OID, messageImprint SEQ,
+        #                   serialNumber, genTime GeneralizedTime, ... }
+        kids = tst.children()
+        if len(kids) < 5 or kids[1].tag != TAG_OID:
+            raise SignatureError("Malformed TSTInfo")
+        out.policy = kids[1].oid()
+        imprint = kids[2].children()
+        if (len(imprint) < 2 or imprint[0].tag != TAG_SEQ
+                or imprint[1].tag != TAG_OCTETS):
+            raise SignatureError("Malformed TSTInfo messageImprint")
+        out.imprint_algorithm = _parse_digest_algorithm(
+            imprint[0].children()[0].oid(), allow_legacy_sha1
+        )
+        out.imprint_ok = hashes_match(
+            imprint[1].content,
+            _HASHERS[out.imprint_algorithm](signature_value).digest(),
+        )
+        if kids[3].tag == TAG_INT:
+            out.serial = kids[3].integer()
+        if kids[4].tag in (TAG_GENTIME, TAG_UTCTIME):
+            out.gen_time = _x509_time(kids[4])
+        try:
+            out.tsa = tok.signer_common_name()
+        except Exception:
+            pass
+        # the token is itself CMS SignedData over its TSTInfo eContent:
+        # verify_signature's non-detached path hashes eContent, checks
+        # the messageDigest attribute, and verifies the TSA signature
+        res = verify_signature(
+            b"", tok, ByteRange([(0, 0), (0, 0)])
+        )
+        out.token_sig_ok = res.is_valid()
+    except Exception as e:
+        out.error = f"{type(e).__name__}: {e}"
+    return out
+
+
 def has_incremental_update(pdf_bytes: bytes, byte_range: ByteRange) -> bool:
     """verification.rs:352 — any bytes after the signed region."""
     if not byte_range.ranges:
@@ -1372,11 +1468,61 @@ def build_self_signed_cert(
     return cert
 
 
+def build_timestamp_token(
+    signature_value: bytes, cn: str = "Test TSA",
+    digest_alg: str = "SHA-256",
+    gen_time: bytes = b"20250106120500Z",
+    policy: str = "1.3.6.1.4.1.99999.2.1",
+    serial: int = 7,
+    bad_imprint: bool = False,
+) -> bytes:
+    """RFC 3161 TimeStampToken fixture: CMS SignedData whose eContent is
+    a TSTInfo with messageImprint = hash(``signature_value``) (or a
+    flipped hash with ``bad_imprint``), signed by the embedded test key
+    through the RFC 5652 signed-attrs path."""
+    imprint_hash = bytearray(_HASHERS[digest_alg](signature_value).digest())
+    if bad_imprint:
+        imprint_hash[0] ^= 0xFF
+    tst_info = enc_seq(
+        enc_int(1),
+        enc_oid(policy),
+        enc_seq(_alg_id(DIGEST_OID_OF[digest_alg]),
+                der_encode(TAG_OCTETS, bytes(imprint_hash))),
+        enc_int(serial),
+        der_encode(TAG_GENTIME, gen_time),
+    )
+    cert = build_self_signed_cert(cn, digest_alg=digest_alg)
+    cert_info = parse_certificate(cert)
+    digest_alg_id = _alg_id(DIGEST_OID_OF[digest_alg])
+    attr_list = b"".join([
+        enc_seq(enc_oid(OID_CONTENT_TYPE), enc_set(enc_oid(OID_TST_INFO))),
+        enc_seq(enc_oid(OID_MESSAGE_DIGEST),
+                enc_set(der_encode(
+                    TAG_OCTETS, _HASHERS[digest_alg](tst_info).digest()))),
+    ])
+    signed_input = _HASHERS[digest_alg](der_encode(TAG_SET, attr_list)).digest()
+    sig_value = rsa_sign_pkcs1v15(signed_input, digest_alg)
+    signer_info = enc_seq(
+        enc_int(1),
+        enc_seq(_enc_name(cn), enc_int(cert_info.serial)),
+        digest_alg_id, enc_ctx(0, attr_list), _alg_id(OID_RSA),
+        der_encode(TAG_OCTETS, sig_value),
+    )
+    encap = enc_seq(enc_oid(OID_TST_INFO),
+                    enc_ctx(0, der_encode(TAG_OCTETS, tst_info)))
+    signed_data = enc_seq(
+        enc_int(3), enc_set(digest_alg_id), encap,
+        enc_ctx(0, cert), enc_set(signer_info),
+    )
+    return enc_seq(enc_oid(OID_SIGNED_DATA), enc_ctx(0, signed_data))
+
+
 def build_cms_signature(
     doc_hash: bytes, cn: str = "Test Signer", digest_alg: str = "SHA-256",
     key_type: str = "rsa", signed_attrs: bool = False,
     signing_time: bytes = b"250106120000Z", unprefixed: bool = False,
-    cades: bool = False,
+    cades: bool = False, timestamp: bool = False,
+    timestamp_bad_imprint: bool = False,
 ) -> bytes:
     """Detached CMS SignedData over ``doc_hash`` (the already-computed
     byte-range digest).  ``signed_attrs=True`` exercises the RFC 5652
@@ -1384,7 +1530,9 @@ def build_cms_signature(
     over the SET OF); ``unprefixed=True`` emits the reference-quirk raw-
     hash RSA encoding (verification.rs:258); ``cades=True`` additionally
     binds the signer cert via an ESS signingCertificateV2 attribute
-    (implies signed attrs — the PAdES/ETSI.CAdES shape)."""
+    (implies signed attrs — the PAdES/ETSI.CAdES shape); ``timestamp``
+    appends an RFC 3161 token over the signature value as the
+    id-aa-timeStampToken unsigned attribute (CAdES-T)."""
     cert = build_self_signed_cert(cn, key_type=key_type, digest_alg=digest_alg)
     cert_info = parse_certificate(cert)
     issuer_and_serial = enc_seq(_enc_name(cn), enc_int(cert_info.serial))
@@ -1423,9 +1571,17 @@ def build_cms_signature(
     else:
         sig_value = ecdsa_sign(signed_input, key_type)
 
+    unsigned_attrs = b""
+    if timestamp or timestamp_bad_imprint:
+        token = build_timestamp_token(
+            sig_value, digest_alg=digest_alg,
+            bad_imprint=timestamp_bad_imprint,
+        )
+        unsigned_attrs = enc_ctx(1, enc_seq(
+            enc_oid(OID_TIMESTAMP_TOKEN), enc_set(token)))
     signer_info = enc_seq(
         enc_int(1), issuer_and_serial, digest_alg_id, attrs_implicit,
-        sig_alg_id, der_encode(TAG_OCTETS, sig_value),
+        sig_alg_id, der_encode(TAG_OCTETS, sig_value), unsigned_attrs,
     )
     encap = enc_seq(enc_oid(OID_DATA))
     signed_data = enc_seq(

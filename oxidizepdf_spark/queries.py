@@ -2842,8 +2842,12 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose key/digest rotate by doc_id%3 (RSA-SHA256 / RSA-SHA512 /
     ECDSA-P256), signer CN by doc_id%5, signed-attributes on odd docs,
     a post-signing byte flip on doc_id%10==3 (sig_valid must read 0),
-    and an incremental-update tail on doc_id%7==0.  The signature detail
-    repeats on every field row (doc-level columns)."""
+    an incremental-update tail on doc_id%7==0, and an RFC 3161
+    signature timestamp (CAdES-T unsigned attribute, BEYOND the
+    reference) on doc_id%4==1 — with a deliberately wrong TSTInfo
+    imprint on doc_id%8==5 (ts_valid must read 0 while the signature
+    itself stays valid).  The signature detail repeats on every field
+    row (doc-level columns)."""
     docs = _rebalance_for_udf(
         spark,
         _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
@@ -2857,7 +2861,8 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in batches:
             out = {"doc_id": [], "field_name": [], "ftype": [], "value": [],
                    "sig_signer": [], "sig_alg": [], "sig_valid": [],
-                   "sig_attrs": [], "sig_incr": []}
+                   "sig_attrs": [], "sig_incr": [], "ts_valid": [],
+                   "ts_time": []}
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 words = [w for w in (norm or "").split(" ") if w]
                 nw = len(words)
@@ -2879,6 +2884,8 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                         signed_attrs=did % 2 == 1,
                         tamper_find=b"form)" if did % 10 == 3 else None,
                         incremental_tail=b"% upd\n" if did % 7 == 0 else b"",
+                        timestamp=did % 8 == 1,
+                        timestamp_bad_imprint=did % 8 == 5,
                     ),
                 )
                 sig = extract_signatures(pdf)[0]
@@ -2893,13 +2900,19 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # signed attrs iff the CMS carries a signingTime attr
                     out["sig_attrs"].append(int(sig["cms_signing_time"] is not None))
                     out["sig_incr"].append(int(sig["incremental_update"]))
+                    # -1 = no token (a NULL int would reach pandas as
+                    # NaN-float on the DuckDB side and break the hash)
+                    out["ts_valid"].append(
+                        -1 if sig["ts_valid"] is None
+                        else int(sig["ts_valid"]))
+                    out["ts_time"].append(sig["ts_time"])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(
         run,
         schema="doc_id long, field_name string, ftype string, value string, "
         "sig_signer string, sig_alg string, sig_valid int, sig_attrs int, "
-        "sig_incr int",
+        "sig_incr int, ts_valid int, ts_time string",
     )
 
 
@@ -2932,7 +2945,12 @@ SELECT doc_id,
        CAST(CASE WHEN doc_id % 10 = 3 THEN 0 ELSE 1 END AS INTEGER)
          AS sig_valid,
        CAST(doc_id % 2 AS INTEGER) AS sig_attrs,
-       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS sig_incr
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS sig_incr,
+       CAST(CASE WHEN doc_id % 8 = 1 THEN 1
+                 WHEN doc_id % 8 = 5 THEN 0
+                 ELSE -1 END AS INTEGER) AS ts_valid,
+       CASE WHEN doc_id % 4 = 1 THEN '2025-01-06 12:05:00'
+            ELSE CAST(NULL AS VARCHAR) END AS ts_time
 FROM w, UNNEST(generate_series(0, 4)) AS t(k)
 """
 

@@ -407,6 +407,73 @@ def test_extract_signatures_row():
     assert r["error"] is None
 
 
+def test_timestamp_token_roundtrip():
+    # RFC 3161 / CAdES-T — BEYOND the reference (signatures/ has no
+    # timestamp support): the unsigned id-aa-timeStampToken attribute
+    # decodes, the TSTInfo imprint binds the signature value, and the
+    # TSA countersignature verifies
+    import hashlib
+
+    from oxidizepdf_spark.kernel.signatures import (
+        build_cms_signature, parse_pkcs7_signature, verify_timestamp_token)
+
+    doc_hash = hashlib.sha256(b"ts doc").digest()
+    for kw in ({}, {"signed_attrs": True}, {"cades": True},
+               {"digest_alg": "SHA-384"}):
+        cms = build_cms_signature(doc_hash, timestamp=True, **kw)
+        p = parse_pkcs7_signature(cms)
+        assert p.timestamp_token_der is not None
+        ts = verify_timestamp_token(p.timestamp_token_der, p.signature_value)
+        assert ts.error is None
+        assert ts.gen_time == "2025-01-06 12:05:00"
+        assert ts.tsa == "Test TSA"
+        assert ts.serial == 7
+        assert ts.imprint_ok and ts.token_sig_ok and ts.is_valid()
+
+
+def test_timestamp_token_bad_imprint_detected():
+    import hashlib
+
+    from oxidizepdf_spark.kernel.signatures import (
+        build_cms_signature, parse_pkcs7_signature, verify_timestamp_token)
+
+    doc_hash = hashlib.sha256(b"ts doc").digest()
+    cms = build_cms_signature(doc_hash, timestamp_bad_imprint=True)
+    p = parse_pkcs7_signature(cms)
+    ts = verify_timestamp_token(p.timestamp_token_der, p.signature_value)
+    assert not ts.imprint_ok  # imprint doesn't hash the signature value
+    assert ts.token_sig_ok  # the TSA still signed ITS TSTInfo correctly
+    assert not ts.is_valid()
+    # a token over the WRONG signature value must also fail the imprint
+    good = parse_pkcs7_signature(build_cms_signature(doc_hash,
+                                                     timestamp=True))
+    ts2 = verify_timestamp_token(good.timestamp_token_der, b"other sig")
+    assert not ts2.imprint_ok and not ts2.is_valid()
+
+
+def test_timestamp_token_garbage_degrades():
+    from oxidizepdf_spark.kernel.signatures import verify_timestamp_token
+
+    ts = verify_timestamp_token(b"\x30\x03\x02\x01\x00", b"sig")
+    assert ts.error is not None and not ts.is_valid()
+
+
+def test_extract_signatures_timestamp_columns():
+    pdf = build_signed_pdf("ts doc", signed_attrs=True, timestamp=True)
+    (r,) = extract_signatures(pdf)
+    assert r["signature_valid"] and r["error"] is None
+    assert r["ts_valid"] is True
+    assert r["ts_time"] == "2025-01-06 12:05:00"
+    assert r["ts_tsa"] == "Test TSA"
+    # no token -> None (distinguishes absence from failure)
+    (r0,) = extract_signatures(build_signed_pdf("plain"))
+    assert r0["ts_valid"] is None and r0["ts_time"] is None
+    # tampered imprint -> ts_valid False, signature itself still valid
+    (rb,) = extract_signatures(
+        build_signed_pdf("bad ts", timestamp_bad_imprint=True))
+    assert rb["signature_valid"] and rb["ts_valid"] is False
+
+
 def test_extract_signatures_degrades_on_bad_cms():
     pdf = build_signed_pdf("doc")
     # corrupt the CMS payload: zero out the /Contents hex
