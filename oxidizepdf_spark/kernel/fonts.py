@@ -396,6 +396,12 @@ def _decode_with_encoding(text: bytes, info: FontInfo) -> str:
         enc = info.encoding
         base = _BASE_TABLES.get(enc)
         if base is None:
+            # /Encoding is document-controlled: a crawl of unique names
+            # would otherwise grow this executor-lifetime dict without
+            # bound (the real encoding vocabulary is ~6 names, so the
+            # cap never fires on benign corpora)
+            if len(_BASE_TABLES) > 64:
+                _BASE_TABLES.clear()
             base = _BASE_TABLES[enc] = _base_table(enc)
         if info.differences:
             tbl = dict(base)
