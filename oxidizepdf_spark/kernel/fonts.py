@@ -206,6 +206,40 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
             info.first_char = 0
             info.last_char = 255
             info.missing_width = float(default)
+
+    # still no /Widths and not Standard-14: read the advances out of the
+    # EMBEDDED font program (BEYOND the reference — its text/ttf_parser.rs
+    # is explicit dead code and extraction never opens FontFile*). sfnt
+    # head/hhea/hmtx/cmap supply what the PDF omitted; each code maps
+    # through the font's effective encoding to Unicode to a glyph
+    # (ISO 32000-1 §9.6.6.4), widths land in 1000-unit text space.
+    if (
+        info.widths is None
+        and isinstance(desc, dict)
+        and info.font_type in ("Type1", "TrueType", "MMType1")
+    ):
+        ff = desc.get("FontFile2") or desc.get("FontFile3")
+        if isinstance(ff, Ref):
+            obj = reader.resolve(ff)
+            if isinstance(obj, Stream):
+                try:
+                    from .ttf import parse_truetype_metrics
+
+                    mt = parse_truetype_metrics(
+                        obj.decode(resolve=reader.resolve))
+                except Exception:
+                    mt = None
+                if mt is not None and mt.advances and mt.cmap:
+                    widths = []
+                    for c in range(256):
+                        ch = _decode_with_encoding(bytes([c]), info)
+                        w = (mt.width_1000_for_char(ord(ch[0]))
+                             if ch else None)
+                        widths.append(
+                            w if w is not None else info.missing_width)
+                    info.widths = widths
+                    info.first_char = 0
+                    info.last_char = 255
     return info
 
 
