@@ -222,14 +222,29 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
         if isinstance(ff, Ref):
             obj = reader.resolve(ff)
             if isinstance(obj, Stream):
+                mt = None
                 try:
-                    from .ttf import parse_truetype_metrics
-
-                    mt = parse_truetype_metrics(
-                        obj.decode(resolve=reader.resolve))
+                    prog = obj.decode(resolve=reader.resolve)
                 except Exception:
-                    mt = None
-                if mt is not None and mt.advances and mt.cmap:
+                    prog = None
+                if prog:
+                    # sfnt first (FontFile2, OTTO-wrapped CFF has real
+                    # hmtx too); bare CFF (Type1C) carries widths in the
+                    # Type 2 charstrings instead
+                    try:
+                        from .ttf import parse_truetype_metrics
+
+                        mt = parse_truetype_metrics(prog)
+                        if not (mt.advances and mt.cmap):
+                            mt = None
+                    except Exception:
+                        try:
+                            from .cff import parse_cff_metrics
+
+                            mt = parse_cff_metrics(prog)
+                        except Exception:
+                            mt = None
+                if mt is not None:
                     widths = []
                     for c in range(256):
                         ch = _decode_with_encoding(bytes([c]), info)
