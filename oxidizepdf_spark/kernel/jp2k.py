@@ -27,8 +27,12 @@ Scope (raises ``Jp2kError`` beyond it):
   sig-prop/refinement from the 11th pass with terminated codeword
   segments), 0x02 (per-pass context reset), 0x04 (per-pass
   termination, one codeword segment per pass), 0x08 (vertically-causal
-  contexts) and 0x20 (segmentation symbols) — only predictable
-  termination (0x10) is rejected;
+  contexts), 0x10 (predictable termination — accepted on decode: the
+  flag only constrains HOW the encoder terminates segments, the
+  arithmetic replay is unchanged and a decoder may but need not verify
+  the pattern; our encoder emits its own exact termination, so 0x10
+  streams it produces decode here without the Adobe-predictable bytes)
+  and 0x20 (segmentation symbols) — all six defined flags;
 - 1-4 components, no subsampling, 8/16-bit unsigned samples;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
@@ -419,10 +423,9 @@ class _CodeblockCoder:
 
     def __init__(self, h: int, w: int, band: str, mq=None,
                  true_mag=None, true_sgn=None, cb_style: int = 0):
-        if cb_style & ~0x2F:
+        if cb_style & ~0x3F:
             raise Jp2kError(
-                f"unsupported codeblock style {cb_style:#x} (predictable "
-                "termination is the one unsupported flag)"
+                f"undefined codeblock style bits {cb_style:#x}"
             )
         self.vsc = bool(cb_style & 0x08)
         self.segsym = bool(cb_style & 0x20)
@@ -1052,9 +1055,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if cb_w_exp != cb_h_exp:
         raise Jp2kError("non-square codeblocks not supported")
     cb_style = cod[8]
-    if cb_style & ~0x2F:
+    if cb_style & ~0x3F:
         raise Jp2kError(
-            "unsupported codeblock style flags (predictable termination)"
+            f"undefined codeblock style bits {cb_style:#x}"
         )
     if cod[9] != 1:
         raise Jp2kError("only the reversible 5/3 transform is supported")
@@ -1271,8 +1274,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("invalid layer count")
     if progression > 4:
         raise Jp2kError(f"unknown progression order {progression}")
-    if cb_style & ~0x2F:
-        raise Jp2kError(f"unsupported codeblock style {cb_style:#x}")
+    if cb_style & ~0x3F:
+        raise Jp2kError(f"undefined codeblock style bits {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
     cbs = 1 << cb_exp
     guard = 2

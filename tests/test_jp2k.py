@@ -347,14 +347,22 @@ def test_segmentation_symbol_detects_corruption():
     assert mismatches > 0  # the marker really fires on corruption
 
 
-def test_predictable_termination_rejected():
-    # 0x10 is the one remaining unsupported codeblock-style flag
-    # (bypass 0x01 and termall 0x04 decode since round 8)
+def test_predictable_termination_accepted_undefined_bits_rejected():
+    # 0x10 (predictable termination) only constrains HOW the encoder
+    # terminates — the arithmetic replay is unchanged, so decode
+    # accepts it (all six defined flags now decode); undefined bits
+    # still reject
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (20, 24)).astype(np.uint8)
+    for style in (0x10, 0x15, 0x3F):
+        enc = encode_jp2k(img, levels=1, cb_style=style)
+        dec, _ = decode_jp2k(enc)
+        assert np.array_equal(dec[..., 0], img)
     with pytest.raises(Jp2kError, match="codeblock style"):
-        encode_jp2k(np.zeros((8, 8), np.uint8), cb_style=0x10)
+        encode_jp2k(np.zeros((8, 8), np.uint8), cb_style=0x40)
     enc = bytearray(encode_jp2k(np.zeros((8, 8), np.uint8)))
     cod_at = enc.index(b"\xff\x52")
-    enc[cod_at + 12] = 0x10  # SPcod codeblock-style byte
+    enc[cod_at + 12] = 0x40  # SPcod codeblock-style byte
     with pytest.raises(Jp2kError, match="codeblock style"):
         decode_jp2k(bytes(enc))
 
