@@ -487,6 +487,7 @@ SEG_PAGE_INFORMATION = 48
 SEG_END_OF_PAGE = 49
 SEG_END_OF_STRIPE = 50
 SEG_END_OF_FILE = 51
+SEG_TABLES = 53
 
 _TEXT_REGION_SEGMENTS = (
     SEG_INTERMEDIATE_TEXT_REGION,
@@ -734,6 +735,13 @@ class Jbig2Decoder:
             self._process_page_info(header, data)
         elif st == SEG_END_OF_STRIPE:
             self._process_end_of_stripe(header, data)
+        elif st == SEG_TABLES:
+            # custom code table (T.88 §7.4.13) — BEYOND the reference,
+            # which skips type 53 with the other unknown types
+            from .jbig2_regions import parse_code_table_segment
+
+            self.segments[header.segment_number] = \
+                parse_code_table_segment(data)
         elif st in (SEG_END_OF_PAGE, SEG_END_OF_FILE):
             pass
         # unknown segment types skip silently (jbig2.rs:360)
@@ -798,12 +806,19 @@ class Jbig2Decoder:
             raise FilterError("Symbol dictionary missing num_new_symbols")
         num_new = int.from_bytes(data[offset : offset + 4], "big")
         offset += 4
+        from .jbig2_regions import CustomHuffmanTable
+
+        custom_tables = [
+            self.segments[n] for n in header.referred_to_segments
+            if isinstance(self.segments.get(n), CustomHuffmanTable)
+        ]
         params = SymbolDictParams(
             flags=flags, at_pixels=at_pixels,
             refinement_at_pixels=refinement_at, num_exported=num_exported,
             num_new_symbols=num_new,
             referred_symbols=self._collect_referred_symbols(
                 header.referred_to_segments),
+            custom_tables=custom_tables,
         )
         self.segments[header.segment_number] = decode_symbol_dict(
             data[offset:], params)

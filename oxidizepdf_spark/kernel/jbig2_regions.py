@@ -220,11 +220,39 @@ _DECODE_MAPS = {
 }
 
 
-def decode_huffman_int(reader: _BitReader, table: int) -> int:
+class CustomHuffmanTable:
+    """Compiled custom code table (T.88 §7.4.13 table segment / Annex
+    B.5 assignment) — same canonical-code construction as the standard
+    tables; entries may carry a 5th element sign=-1 for the SUBTRACTIVE
+    lower range line (value = rangelow - extra), which T.88 defines but
+    the reference's standard-table renderings flatten to additive."""
+
+    __slots__ = ("entries", "compiled", "decode_map")
+
+    def __init__(self, entries):
+        self.entries = tuple(e for e in entries if e[0] > 0)
+        self.compiled = compile_huffman_table(self.entries)
+        self.decode_map = {(l, c): e for c, l, e in self.compiled}
+
+
+def _entry_sign(entry) -> int:
+    return entry[4] if len(entry) > 4 else 1
+
+
+def _table_parts(table):
+    """(decode_map, compiled, label) for an int standard-table key or a
+    CustomHuffmanTable."""
+    if isinstance(table, CustomHuffmanTable):
+        return table.decode_map, table.compiled, "custom"
+    return _DECODE_MAPS[table], _COMPILED[table], f"B{table}"
+
+
+def decode_huffman_int(reader: _BitReader, table) -> int:
     """One integer from a standard table (huffman.rs
-    decode_with_compiled_table). Raises HuffmanOOB on the OOB marker,
-    FilterError on invalid/over-long codes or end of data."""
-    dmap = _DECODE_MAPS[table]
+    decode_with_compiled_table) or a CustomHuffmanTable. Raises
+    HuffmanOOB on the OOB marker, FilterError on invalid/over-long
+    codes or end of data."""
+    dmap, _, _ = _table_parts(table)
     code = 0
     code_len = 0
     while True:
@@ -241,33 +269,39 @@ def decode_huffman_int(reader: _BitReader, table: int) -> int:
                 extra = 0
                 for _ in range(rlen):
                     extra = (extra << 1) | reader.read_bit()
-                return rlow + extra
+                return rlow + extra * _entry_sign(entry)
             return rlow
 
 
-def encode_huffman_int(writer: _BitWriter, table: int, value: int) -> None:
-    """Inverse of decode_huffman_int: first compiled entry whose additive
-    range contains the value (matching the decode map's resolution order
+def encode_huffman_int(writer: _BitWriter, table, value: int) -> None:
+    """Inverse of decode_huffman_int: first compiled entry whose range
+    contains the value (matching the decode map's resolution order
     for same-(len,code) duplicates is moot — codes are unique)."""
-    for code, plen, entry in _COMPILED[table]:
+    _, compiled, label = _table_parts(table)
+    for code, plen, entry in compiled:
         if len(entry) > 3 and entry[3]:
             continue
         rlen, rlow = entry[1], entry[2]
         span = 1 << rlen if rlen < 32 else 1 << 32
-        if rlow <= value < rlow + span:
+        if _entry_sign(entry) < 0:
+            hit = rlow - span < value <= rlow
+        else:
+            hit = rlow <= value < rlow + span
+        if hit:
             writer.write(plen, code)
             if rlen:
-                writer.write(rlen, value - rlow)
+                writer.write(rlen, abs(value - rlow))
             return
-    raise ValueError(f"value {value} not representable in table B{table}")
+    raise ValueError(f"value {value} not representable in table {label}")
 
 
-def encode_huffman_oob(writer: _BitWriter, table: int) -> None:
-    for code, plen, entry in _COMPILED[table]:
+def encode_huffman_oob(writer: _BitWriter, table) -> None:
+    _, compiled, _ = _table_parts(table)
+    for code, plen, entry in compiled:
         if len(entry) > 3 and entry[3]:
             writer.write(plen, code)
             return
-    raise ValueError(f"table B{table} has no OOB entry")
+    raise ValueError(f"table {_table_parts(table)[2]} has no OOB entry")
 
 
 # ---------------------------------------------------------------------------
@@ -365,16 +399,21 @@ class SymbolDictionary:
 
 class SymbolDictParams:
     __slots__ = ("flags", "at_pixels", "refinement_at_pixels",
-                 "num_exported", "num_new_symbols", "referred_symbols")
+                 "num_exported", "num_new_symbols", "referred_symbols",
+                 "custom_tables")
 
     def __init__(self, flags=None, at_pixels=(), refinement_at_pixels=(),
-                 num_exported=0, num_new_symbols=0, referred_symbols=()):
+                 num_exported=0, num_new_symbols=0, referred_symbols=(),
+                 custom_tables=()):
         self.flags = flags or SymbolDictFlags.from_u16(0)
         self.at_pixels = tuple(at_pixels)
         self.refinement_at_pixels = tuple(refinement_at_pixels)
         self.num_exported = num_exported
         self.num_new_symbols = num_new_symbols
         self.referred_symbols = list(referred_symbols)
+        # referred code-table segments (T.88 §7.4.3.1.6: consumed in
+        # order by each selector that names a custom table)
+        self.custom_tables = list(custom_tables)
 
 
 def _decode_symbol_bitmap_arith(dec: MQDecoder, contexts: list, width: int,
@@ -539,6 +578,86 @@ def encode_symbol_dict_arith(height_classes: list, template: int = 0,
 # Table B.1 run lengths (§6.5.10).
 # ---------------------------------------------------------------------------
 
+def parse_code_table_segment(data: bytes) -> CustomHuffmanTable:
+    """T.88 §7.4.13 code-table segment (the reference skips type-53
+    segments silently — BEYOND): flags byte (HTOOB, HTPS-1, HTRS-1),
+    signed HTLOW/HTHIGH, then bit-packed (preflen, rangelen) lines
+    covering [HTLOW, HTHIGH), a subtractive lower-range line, an upper-
+    range line, and an OOB line when HTOOB. Zero prefix lengths mark
+    unused lines (excluded from canonical-code assignment)."""
+    if len(data) < 9:
+        raise FilterError("code table segment too short")
+    flags = data[0]
+    htoob = bool(flags & 0x01)
+    htps = ((flags >> 1) & 0x07) + 1
+    htrs = ((flags >> 4) & 0x07) + 1
+    htlow = int.from_bytes(data[1:5], "big", signed=True)
+    hthigh = int.from_bytes(data[5:9], "big", signed=True)
+    if hthigh <= htlow:
+        raise FilterError("code table HTHIGH <= HTLOW")
+    reader = _BitReader(data[9:])
+    entries = []
+    cur = htlow
+    guard = 0
+    while cur < hthigh:
+        guard += 1
+        if guard > 10_000:
+            raise FilterError("code table line runaway")
+        plen = 0
+        for _ in range(htps):
+            plen = (plen << 1) | reader.read_bit()
+        rlen = 0
+        for _ in range(htrs):
+            rlen = (rlen << 1) | reader.read_bit()
+        if rlen > 32:
+            raise FilterError("code table range length > 32")
+        entries.append((plen, rlen, cur))
+        cur += 1 << rlen
+    plen = 0
+    for _ in range(htps):
+        plen = (plen << 1) | reader.read_bit()
+    if plen:
+        entries.append((plen, 32, htlow - 1, False, -1))  # lower range
+    plen = 0
+    for _ in range(htps):
+        plen = (plen << 1) | reader.read_bit()
+    if plen:
+        entries.append((plen, 32, hthigh))  # upper range
+    if htoob:
+        plen = 0
+        for _ in range(htps):
+            plen = (plen << 1) | reader.read_bit()
+        if plen:
+            entries.append((plen, 0, 0, True))
+    table = CustomHuffmanTable(entries)
+    if not table.entries:
+        raise FilterError("code table has no usable lines")
+    return table
+
+
+def build_code_table_segment(lines: list, htlow: int, hthigh: int,
+                             lower_plen: int = 0, upper_plen: int = 0,
+                             oob_plen: int = 0, htps: int = 8,
+                             htrs: int = 6) -> bytes:
+    """Inverse of parse_code_table_segment (test support). ``lines``:
+    (preflen, rangelen) pairs whose ranges tile [htlow, hthigh)."""
+    flags = ((1 if oob_plen else 0)
+             | ((htps - 1) << 1)
+             | ((htrs - 1) << 4))
+    out = bytearray([flags])
+    out += htlow.to_bytes(4, "big", signed=True)
+    out += hthigh.to_bytes(4, "big", signed=True)
+    w = _BitWriter()
+    for plen, rlen in lines:
+        w.write(htps, plen)
+        w.write(htrs, rlen)
+    w.write(htps, lower_plen)
+    w.write(htps, upper_plen)
+    if oob_plen:
+        w.write(htps, oob_plen)
+    return bytes(out) + w.getvalue()
+
+
 _SD_DH_TABLES = {0: 4, 1: 5}  # T.88 Table 13 SDHUFFDH selector
 # SDHUFFDW selector 1 maps to the spec-complete B.3 ("3sd") — the
 # reference's B.3 rendering has no OOB, and DW needs one to close each
@@ -556,12 +675,31 @@ def _decode_symbol_dict_huffman(data: bytes,
             "JBIG2 Huffman symbol dictionary with refinement/aggregation "
             "is not supported"
         )
-    dh_table = _SD_DH_TABLES.get(flags.huffman_dh_table)
-    dw_table = _SD_DW_TABLES.get(flags.huffman_dw_table)
-    if dh_table is None or dw_table is None or flags.huffman_bmsize_table:
+    tables_iter = iter(params.custom_tables)
+
+    def _next_custom(which: str):
+        t = next(tables_iter, None)
+        if t is None:
+            raise FilterError(
+                f"JBIG2 Huffman symbol dictionary {which} selects a "
+                "custom table but no referred table segment remains"
+            )
+        return t
+
+    if flags.huffman_dh_table == 3:
+        dh_table = _next_custom("DH")
+    else:
+        dh_table = _SD_DH_TABLES.get(flags.huffman_dh_table)
+    if flags.huffman_dw_table == 3:
+        dw_table = _next_custom("DW")
+    else:
+        dw_table = _SD_DW_TABLES.get(flags.huffman_dw_table)
+    if dh_table is None or dw_table is None:
         raise FilterError(
-            "JBIG2 Huffman symbol dictionary custom tables are not supported"
+            "JBIG2 Huffman symbol dictionary reserved table selector"
         )
+    bmsize_table = (_next_custom("BMSIZE")
+                    if flags.huffman_bmsize_table else 1)
     if not data:
         raise FilterError("Symbol dictionary data too short")
 
@@ -598,7 +736,7 @@ def _decode_symbol_dict_huffman(data: bytes,
             total_width += sym_width
         if not widths:
             continue
-        bmsize = decode_huffman_int(reader, 1)
+        bmsize = decode_huffman_int(reader, bmsize_table)
         reader.align()
         start = reader.pos >> 3
         if bmsize == 0:
@@ -660,8 +798,10 @@ def encode_symbol_dict_huffman(height_classes: list, export_runs=None,
     from .image_codecs import encode_ccitt_g4
 
     w = _BitWriter()
-    dh_table = _SD_DH_TABLES[dh_selector]
-    dw_table = _SD_DW_TABLES[dw_selector]
+    dh_table = (dh_selector if isinstance(dh_selector, CustomHuffmanTable)
+                else _SD_DH_TABLES[dh_selector])
+    dw_table = (dw_selector if isinstance(dw_selector, CustomHuffmanTable)
+                else _SD_DW_TABLES[dw_selector])
     current_height = 0
     for height, symbols in height_classes:
         encode_huffman_int(w, dh_table, height - current_height)
@@ -1195,9 +1335,11 @@ def build_symbol_dict_payload_huffman(height_classes: list,
     SDHUFF=1 (+table selectors), counts, T.88 §6.5 Huffman-coded data —
     no AT pixels (not present when SDHUFF=1). Shaped for
     Jbig2Decoder._process_symbol_dict."""
-    flags = (0x0001
-             | ((dh_selector & 0x03) << 2)
-             | ((dw_selector & 0x03) << 4))
+    dh_bits = 3 if isinstance(dh_selector, CustomHuffmanTable) \
+        else dh_selector & 0x03
+    dw_bits = 3 if isinstance(dw_selector, CustomHuffmanTable) \
+        else dw_selector & 0x03
+    flags = 0x0001 | (dh_bits << 2) | (dw_bits << 4)
     num_new = sum(len(syms) for _, syms in height_classes)
     out = bytearray()
     out += flags.to_bytes(2, "big")

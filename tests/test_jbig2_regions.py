@@ -352,10 +352,12 @@ class TestHuffmanSymbolDict:
         0x0001 | (3 << 4),   # SDHUFFDW = 3 (custom table)
         0x0001 | (1 << 6),   # SDHUFFBMSIZE = 1 (custom table)
     ])
-    def test_custom_tables_raise(self, flags_u16):
+    def test_custom_selector_without_table_raises(self, flags_u16):
+        # selectors naming a custom table with NO referred table segment
         params = SymbolDictParams(flags=SymbolDictFlags.from_u16(flags_u16),
                                   num_new_symbols=1)
-        with pytest.raises(FilterError, match="custom"):
+        with pytest.raises(FilterError,
+                           match="custom table|no referred table"):
             decode_symbol_dict(b"\x00\x00\x00\x00", params)
 
     def test_truncated_collective_bitmap_raises(self):
@@ -395,6 +397,89 @@ class TestHuffmanSymbolDict:
         got = [_grid(s.to_packed_bytes(), s.width, s.height)
                for s in d.all_symbols]
         assert got == symbols
+
+
+# ---------------------------------------------------------------------------
+# Custom code tables (T.88 §7.4.13 type-53 segments) — BEYOND the
+# reference, which skips type 53 with the other unknown segment types.
+# ---------------------------------------------------------------------------
+
+
+class TestCustomCodeTables:
+    def _table(self):
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_code_table_segment, parse_code_table_segment)
+
+        seg = build_code_table_segment(
+            [(2, 2), (2, 2), (3, 2), (3, 3)], 0, 20,
+            lower_plen=4, upper_plen=5, oob_plen=5)
+        return seg, parse_code_table_segment(seg)
+
+    def test_roundtrip_all_ranges(self):
+        _, t = self._table()
+        w = _BitWriter()
+        vals = [0, 3, 5, 9, 13, 19, -1, -42, 20, 999]
+        for v in vals:
+            encode_huffman_int(w, t, v)
+        encode_huffman_oob(w, t)
+        r = _BitReader(w.getvalue())
+        assert [decode_huffman_int(r, t) for _ in vals] == vals
+        with pytest.raises(HuffmanOOB):
+            decode_huffman_int(r, t)
+
+    def test_lower_range_is_subtractive(self):
+        # T.88 B.5: the lower-range line decodes HTLOW-1 - extra (the
+        # standard-table renderings flatten this to additive — pinned
+        # there; custom tables follow the spec)
+        _, t = self._table()
+        w = _BitWriter()
+        encode_huffman_int(w, t, -100)
+        r = _BitReader(w.getvalue())
+        assert decode_huffman_int(r, t) == -100
+
+    def test_malformed_raises(self):
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            parse_code_table_segment)
+
+        with pytest.raises(FilterError):
+            parse_code_table_segment(b"\x00\x00\x00")
+        with pytest.raises(FilterError):  # HTHIGH <= HTLOW
+            parse_code_table_segment(
+                b"\x00" + (5).to_bytes(4, "big") + (5).to_bytes(4, "big"))
+
+    def test_symbol_dict_custom_dh_through_router(self):
+        # full stream: type-53 table + Huffman SD whose DH selector is 3
+        # (heights 3 and 6 need DH deltas 3 and 3 — both in the custom
+        # table's [0,20) direct range) + Huffman text region
+        from oxidizepdf_spark.kernel.jbig2 import SEG_TABLES
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_code_table_segment, parse_code_table_segment)
+
+        tbl_seg = build_code_table_segment(
+            [(2, 2), (2, 2), (3, 2), (3, 3)], 0, 20,
+            lower_plen=4, upper_plen=5)
+        table = parse_code_table_segment(tbl_seg)
+        w, h = 32, 12
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_TABLES, 1, tbl_seg)
+        segs += build_segment(2, SEG_SYMBOL_DICTIONARY, 1,
+                              build_symbol_dict_payload_huffman(
+                                  CLASSES, num_exported=3,
+                                  dh_selector=table),
+                              referred=(1,))
+        strips = [(1, 1, [(0, 0, 2), (0, 2, 1), (0, 1)])]
+        segs += build_segment(3, SEG_IMMEDIATE_TEXT_REGION, 1,
+                              build_text_region_payload(
+                                  strips, w, h, num_symbols=3,
+                                  huffman=True),
+                              referred=(2,))
+        out = decode_jbig2(segs)
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, SYM_A, 1, 1)
+        _place(exp, SYM_C, 5, 1)
+        _place(exp, SYM_B, 9, 1)
+        assert _grid(out, w, h) == exp
 
 
 # ---------------------------------------------------------------------------
