@@ -647,10 +647,15 @@ class PageBuffer:
 class Jbig2Decoder:
     """Segment router + page composer (jbig2.rs Jbig2Decoder)."""
 
-    def __init__(self, globals_data: bytes | None = None):
+    def __init__(self, globals_data: bytes | None = None,
+                 spec_symbol_ids: bool = False):
         self.globals_data = globals_data
         self.segments: dict[int, object] = {}
         self.pages: dict[int, PageBuffer] = {}
+        # T.88 §7.4.3.1.7 runcode symbol-ID tables for Huffman text
+        # regions (spec-conformant streams); default False = the
+        # reference's raw fixed-width quirk
+        self.spec_symbol_ids = spec_symbol_ids
 
     def decode(self, data: bytes) -> bytes:
         if len(data) < 4:
@@ -851,6 +856,7 @@ class Jbig2Decoder:
             num_instances=num_instances,
             symbol_id_codewidth=compute_symbol_id_codewidth(len(available)),
             available_symbols=available, huffman_tables=huffman_tables,
+            spec_symbol_ids=self.spec_symbol_ids,
         )
         bitmap = decode_text_region(data[offset:], params)
         if header.segment_type in (SEG_IMMEDIATE_TEXT_REGION,
@@ -983,7 +989,8 @@ def decode_jbig2(data: bytes, params: dict | None = None) -> bytes:
                 globals_data = g.decode()
             except Exception:
                 globals_data = None
-    return Jbig2Decoder(globals_data).decode(data)
+    spec_ids = bool(params.get("SpecSymbolIDs")) if params else False
+    return Jbig2Decoder(globals_data, spec_symbol_ids=spec_ids).decode(data)
 
 
 # ---------------------------------------------------------------------------

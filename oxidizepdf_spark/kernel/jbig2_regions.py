@@ -872,11 +872,12 @@ class TextRegionFlags:
 class TextRegionParams:
     __slots__ = ("flags", "width", "height", "num_instances",
                  "symbol_id_codewidth", "available_symbols", "at_pixels",
-                 "huffman_tables")
+                 "huffman_tables", "spec_symbol_ids")
 
     def __init__(self, flags=None, width=0, height=0, num_instances=0,
                  symbol_id_codewidth=0, available_symbols=(),
-                 at_pixels=(), huffman_tables=None):
+                 at_pixels=(), huffman_tables=None,
+                 spec_symbol_ids=False):
         self.flags = flags or TextRegionFlags.from_u16(0)
         self.width = width
         self.height = height
@@ -885,6 +886,11 @@ class TextRegionParams:
         self.available_symbols = list(available_symbols)
         self.at_pixels = tuple(at_pixels)
         self.huffman_tables = huffman_tables
+        # T.88 §7.4.3.1.7: Huffman text regions carry a runcode-coded
+        # symbol-ID code table before the instance data. The reference
+        # reads raw fixed-width IDs instead (text_region.rs quirk,
+        # pinned default); opt in for spec-conformant streams.
+        self.spec_symbol_ids = spec_symbol_ids
 
 
 def compute_symbol_id_codewidth(num_symbols: int) -> int:
@@ -976,14 +982,82 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
     return bitmap
 
 
+def _decode_symbol_id_table(reader: _BitReader,
+                            n_syms: int) -> CustomHuffmanTable:
+    """T.88 §7.4.3.1.7 symbol-ID code table: 35 four-bit runcode
+    lengths, then per-symbol code lengths decoded with the runcode
+    table (32 = repeat previous 3-6×, 33 = zeros 3-10×, 34 = zeros
+    11-138×), byte-aligned at the end."""
+    runlens = []
+    for _ in range(35):
+        v = 0
+        for _ in range(4):
+            v = (v << 1) | reader.read_bit()
+        runlens.append(v)
+    run_entries = [(l, 0, i) for i, l in enumerate(runlens) if l]
+    if not run_entries:
+        raise FilterError("symbol-ID runcode table is empty")
+    run_table = CustomHuffmanTable(run_entries)
+    lengths: list[int] = []
+    prev = 0
+    while len(lengths) < n_syms:
+        c = decode_huffman_int(reader, run_table)
+        if c < 32:
+            lengths.append(c)
+            if c:
+                prev = c
+        elif c == 32:
+            rep = (reader.read_bit() << 1) | reader.read_bit()
+            lengths.extend([prev] * (rep + 3))
+        elif c == 33:
+            rep = 0
+            for _ in range(3):
+                rep = (rep << 1) | reader.read_bit()
+            lengths.extend([0] * (rep + 3))
+        else:  # 34
+            rep = 0
+            for _ in range(7):
+                rep = (rep << 1) | reader.read_bit()
+            lengths.extend([0] * (rep + 11))
+    entries = [(l, 0, i) for i, l in enumerate(lengths[:n_syms]) if l]
+    if not entries:
+        raise FilterError("symbol-ID code table has no coded symbols")
+    reader.align()  # §7.4.3.1.7 step 7
+    return CustomHuffmanTable(entries)
+
+
+def _encode_symbol_id_table(w: _BitWriter,
+                            lengths: list[int]) -> CustomHuffmanTable:
+    """Inverse of _decode_symbol_id_table (test support): each distinct
+    length value gets an equal-length runcode, no run-repeat codes."""
+    used = sorted(set(lengths))
+    run_len = max(1, (len(used) - 1).bit_length())
+    runlens = [0] * 35
+    for v in used:
+        runlens[v] = run_len
+    for l in runlens:
+        w.write(4, l)
+    run_table = CustomHuffmanTable([(run_len, 0, v) for v in used])
+    for l in lengths:
+        encode_huffman_int(w, run_table, l)
+    w.align()
+    return CustomHuffmanTable(
+        [(l, 0, i) for i, l in enumerate(lengths) if l])
+
+
 def _decode_text_region_huffman(data: bytes, params: TextRegionParams) -> Bitmap:
     # text_region.rs decode_text_region_huffman: DT/FS/DS hard-coded to
     # tables B11/B6/B8 (the parsed selectors are ignored — reference
-    # quirk); symbol IDs are raw fixed-width bit reads
+    # quirk); symbol IDs are raw fixed-width bit reads by default, or
+    # decoded through the §7.4.3.1.7 runcode table with spec_symbol_ids
     if not data:
         raise FilterError("Empty data for Huffman text region")
     bitmap = Bitmap(params.width, params.height, params.flags.default_pixel)
     reader = _BitReader(data)
+    sym_table = None
+    if params.spec_symbol_ids:
+        sym_table = _decode_symbol_id_table(
+            reader, max(len(params.available_symbols), 1))
     strip_size = 1 << params.flags.log_strip_size
     stript = 0
     first_s = 0
@@ -1014,7 +1088,12 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams) -> Bitmap
             else:
                 curt = 0
             t = stript + curt
-            if params.symbol_id_codewidth > 0:
+            if sym_table is not None:
+                try:
+                    symbol_id = decode_huffman_int(reader, sym_table)
+                except (HuffmanOOB, FilterError):
+                    break
+            elif params.symbol_id_codewidth > 0:
                 try:
                     symbol_id = 0
                     for _ in range(params.symbol_id_codewidth):
@@ -1083,11 +1162,21 @@ def encode_text_region_arith(strips: list, codewidth: int,
 
 
 def encode_text_region_huffman(strips: list, codewidth: int,
-                               strip_size: int = 1) -> bytes:
+                               strip_size: int = 1,
+                               spec_symbol_ids: bool = False,
+                               num_symbols: int = 0,
+                               id_lengths: list | None = None) -> bytes:
     """Inverse of _decode_text_region_huffman (tables B11/B6/B8). A
     non-final strip terminates with B8's OOB marker in the DS slot —
-    the only strip terminator the decoder recognises."""
+    the only strip terminator the decoder recognises.
+    ``spec_symbol_ids`` prepends the §7.4.3.1.7 runcode symbol-ID table
+    (``id_lengths`` per symbol, default uniform = fixed-width parity)
+    and codes IDs through it."""
     w = _BitWriter()
+    sym_table = None
+    if spec_symbol_ids:
+        lengths = id_lengths or [max(codewidth, 1)] * max(num_symbols, 1)
+        sym_table = _encode_symbol_id_table(w, list(lengths))
     for si, (dt, fs, instances) in enumerate(strips):
         encode_huffman_int(w, 11, dt)
         encode_huffman_int(w, 6, fs)
@@ -1096,7 +1185,9 @@ def encode_text_region_huffman(strips: list, codewidth: int,
             ds = inst[2] if len(inst) > 2 else 0
             if strip_size > 1:
                 encode_huffman_int(w, 11, curt)
-            if codewidth > 0:
+            if sym_table is not None:
+                encode_huffman_int(w, sym_table, symbol_id)
+            elif codewidth > 0:
                 w.write(codewidth, symbol_id)
             if i != len(instances) - 1:
                 encode_huffman_int(w, 8, ds)
@@ -1358,7 +1449,9 @@ def build_text_region_payload(strips: list, width: int, height: int,
                               place_operator: int = OP_OR,
                               default_pixel: int = 0,
                               huffman: bool = False,
-                              huffman_table_bits: int = 0) -> bytes:
+                              huffman_table_bits: int = 0,
+                              spec_symbol_ids: bool = False,
+                              id_lengths: list | None = None) -> bytes:
     """Region info + flags (+huffman tables) + instance count + coded
     placement data, shaped for Jbig2Decoder._process_text_region."""
     codewidth = compute_symbol_id_codewidth(num_symbols)
@@ -1381,7 +1474,10 @@ def build_text_region_payload(strips: list, width: int, height: int,
     out += num_instances.to_bytes(4, "big")
     strip_size = 1 << log_strip_size
     if huffman:
-        out += encode_text_region_huffman(strips, codewidth, strip_size)
+        out += encode_text_region_huffman(
+            strips, codewidth, strip_size,
+            spec_symbol_ids=spec_symbol_ids, num_symbols=num_symbols,
+            id_lengths=id_lengths)
     else:
         out += encode_text_region_arith(strips, codewidth, strip_size)
     return bytes(out)

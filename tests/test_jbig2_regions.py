@@ -544,6 +544,56 @@ class TestTextRegion:
         _place(exp, SYM_B, 9, 1)
         assert _grid(out, w, h) == exp
 
+    @pytest.mark.parametrize("id_lengths", [None, [1, 2, 2]])
+    def test_spec_symbol_id_table(self, id_lengths):
+        # T.88 §7.4.3.1.7 (BEYOND the reference quirk of raw fixed-width
+        # reads): the runcode-coded symbol-ID table decodes the same
+        # placement — uniform lengths (None = fixed-width-parity codes)
+        # and a non-uniform canonical code {0, 10, 11}
+        w, h = 32, 12
+        strips = [(1, 1, [(0, 0, 2), (0, 2, 1), (0, 1)])]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_SYMBOL_DICTIONARY, 1,
+                              build_symbol_dict_payload(CLASSES, 3))
+        segs += build_segment(2, SEG_IMMEDIATE_TEXT_REGION, 1,
+                              build_text_region_payload(
+                                  strips, w, h, num_symbols=3,
+                                  huffman=True, spec_symbol_ids=True,
+                                  id_lengths=id_lengths),
+                              referred=(1,))
+        out = decode_jbig2(segs, {"SpecSymbolIDs": True})
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, SYM_A, 1, 1)
+        _place(exp, SYM_C, 5, 1)
+        _place(exp, SYM_B, 9, 1)
+        assert _grid(out, w, h) == exp
+
+    def test_spec_symbol_id_run_repeats(self):
+        # runcodes 32 (repeat prev) / 33 (zeros): craft the length list
+        # by hand and check the decoder's repeat expansion
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            CustomHuffmanTable, _decode_symbol_id_table,
+            encode_huffman_int)
+
+        w = _BitWriter()
+        # runcode table: code 3 (len 2), 32 (len 2), 33 (len 2)
+        runlens = [0] * 35
+        runlens[3] = runlens[32] = runlens[33] = 2
+        for l in runlens:
+            w.write(4, l)
+        rt = CustomHuffmanTable([(2, 0, 3), (2, 0, 32), (2, 0, 33)])
+        encode_huffman_int(w, rt, 3)    # sym0: len 3
+        encode_huffman_int(w, rt, 32)   # repeat prev (3) ...
+        w.write(2, 1)                   # ... 4 times -> syms 1-4
+        encode_huffman_int(w, rt, 33)   # zeros ...
+        w.write(3, 0)                   # ... 3 times -> syms 5-7
+        w.align()
+        r = _BitReader(w.getvalue())
+        t = _decode_symbol_id_table(r, 8)
+        got = {e[2]: e[0] for e in t.entries}
+        assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 3}  # zeros excluded
+
     def test_multiple_strips_huffman_only(self):
         # the arith integer scheme has no OOB, so a strip can never
         # terminate early: multi-strip regions exist only in Huffman
