@@ -1569,6 +1569,84 @@ def sign_pdf_objects(
     return bytes(pdf)
 
 
+CODEC_IMAGE_VARIANTS = 5
+
+
+def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
+    """One-page PDF embedding a single image XObject whose stream is
+    coded by one of the engine's image codecs (all by-construction
+    in-repo encoders; pixel content is FIXED per variant so the decoded
+    sample hash is a per-variant constant an oracle can enumerate):
+
+    0. JBIG2 generic region, arithmetic template 0 (embedded stream)
+    1. JBIG2 generic region, MMR
+    2. CCITTFaxDecode G4 (K=-1)
+    3. JPXDecode lossless gray (5/3 reversible)
+    4. DCTDecode baseline gray (in-repo Huffman encoder)
+    """
+    import numpy as np
+
+    variant %= CODEC_IMAGE_VARIANTS
+    parms = b""
+    if variant in (0, 1):
+        from .kernel.jbig2 import (
+            SEG_IMMEDIATE_GENERIC_REGION,
+            SEG_PAGE_INFORMATION,
+            build_generic_region_payload,
+            build_page_info_payload,
+            build_segment,
+        )
+
+        w, h = 24, 16
+        rows = [[((x >> 1) ^ y) & 1 for x in range(w)] for y in range(h)]
+        segs = build_segment(0, SEG_PAGE_INFORMATION, 1,
+                             build_page_info_payload(w, h))
+        segs += build_segment(1, SEG_IMMEDIATE_GENERIC_REGION, 1,
+                              build_generic_region_payload(
+                                  rows, w, h, mmr=variant == 1))
+        payload, filt, bpc = segs, b"/JBIG2Decode", 1
+    elif variant == 2:
+        from .kernel.image_codecs import encode_ccitt_g4
+
+        w, h = 24, 16
+        rows = [[((x + y) // 3) & 1 for x in range(w)] for y in range(h)]
+        payload = encode_ccitt_g4(rows, w)
+        filt, bpc = b"/CCITTFaxDecode", 1
+        parms = (b" /DecodeParms << /K -1 /Columns %d /Rows %d "
+                 b"/BlackIs1 true >>" % (w, h))
+    elif variant == 3:
+        from .kernel.jp2k import encode_jp2k
+
+        w, h = 16, 16
+        pix = np.fromfunction(
+            lambda y, x: (x * 11 + y * 29) % 256, (h, w)).astype(np.uint8)
+        payload = encode_jp2k(pix, levels=1, cb_exp=4)
+        filt, bpc = b"/JPXDecode", 8
+    else:
+        from .kernel.jpeg_codec import encode_jpeg
+
+        w, h = 16, 16
+        pix = np.fromfunction(
+            lambda y, x: (x * 5 + y * 17) % 256, (h, w)).astype(np.uint8)
+        payload = encode_jpeg(pix)
+        filt, bpc = b"/DCTDecode", 8
+    img_obj = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter %s%s "
+        b"/Length %d >>\nstream\n%s\nendstream"
+        % (w, h, bpc, filt, parms, len(payload), payload)
+    )
+    content = (
+        b"BT /F1 12 Tf 100 700 Td (%s) Tj ET "
+        b"q 100 0 0 100 50 50 cm /Im1 Do Q" % escape_pdf_string(text)
+    )
+    return build_pdf_with_content_stream(
+        content,
+        page_extra="/XObject << /Im1 6 0 R >> ",
+        extra_objects={6: img_obj},
+    )
+
+
 def build_signed_pdf(text: str = "signed doc", **kwargs) -> bytes:
     """One-page PDF carrying a single signed /FT /Sig AcroForm field
     ('Sig1', object 60).  All signing knobs pass through to

@@ -5140,6 +5140,121 @@ SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# ---------------------------------------------------------------------------
+# image-codec decode differential (JBIG2 arith/MMR, CCITT G4, JPX, JPEG)
+# — outside the 50-row driver registry (cap, VERDICT r3); pinned by the
+# pytest differential in tests/test_extract_images.py which runs BOTH
+# sides (per-doc kernel body vs the oracle SQL on DuckDB) like the
+# registry gate would.
+# ---------------------------------------------------------------------------
+
+# frozen decoded-sample MD5s per variant (corpus.build_codec_image_pdf):
+# v0/v1 verified against independent "1=black->0, 0=white->255" pixel
+# math, v3 against the exact (x*11+y*29)%256 gradient (lossless JPX);
+# v2/v4 pin the in-repo CCITT/JPEG decoders' deterministic output.
+CODEC_IMAGE_MD5 = (
+    "e9a5717de23ce960082e1e68fec352df",  # 0 JBIG2 generic arith
+    "e9a5717de23ce960082e1e68fec352df",  # 1 JBIG2 generic MMR (same px)
+    "a797f0902c866e835233c4555c03a631",  # 2 CCITT G4
+    "68cef753ef312ef556c2a573208f47cd",  # 3 JPX lossless gray
+    "bb6e558848e3df22357d2737bf616d99",  # 4 JPEG baseline gray
+)
+
+
+def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image-codec decode: each document becomes a PDF whose
+    single image XObject is coded by codec family doc_id%5 (JBIG2
+    arith / JBIG2 MMR / CCITT G4 / JPX lossless / JPEG baseline, all
+    by-construction in-repo encoders with FIXED pixel patterns), the
+    full extraction runs (text span + image capture), and the image is
+    decoded back to samples whose MD5 the oracle enumerates per
+    variant."""
+    docs = _rebalance_for_udf(
+        spark,
+        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = {"doc_id": [], "variant": [], "img_w": [], "img_h": [],
+                   "img_format": [], "px_md5": [], "text": [],
+                   "n_spans": []}
+            for doc_id, norm in zip(b["doc_id"], b["norm"]):
+                row = decode_image_codec_row(int(doc_id), norm)
+                out["doc_id"].append(doc_id)
+                for k, v in row.items():
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        run,
+        schema="doc_id long, variant int, img_w int, img_h int, "
+        "img_format string, px_md5 string, text string, n_spans int",
+    )
+
+
+def decode_image_codec_row(d: int, norm: str) -> dict:
+    """Per-document body of q_pdf_decode_image_codecs (shared with the
+    pytest differential)."""
+    import hashlib
+
+    from .corpus import build_codec_image_pdf
+    from .kernel.extract import extract_pdf_bytes
+    from .kernel.extract_images import (
+        ExtractImagesOptions,
+        extract_images_from_pdf,
+        parse_png_samples,
+    )
+
+    words = [w for w in (norm or "").split(" ") if w]
+    w0 = words[0] if words else "x"
+    v = d % 5
+    pdf = build_codec_image_pdf(v, text=w0)
+    res = extract_pdf_bytes(pdf)
+    opts = ExtractImagesOptions(decode_jbig2_images=True,
+                                decode_jpeg_images=True,
+                                decode_jpx_images=True)
+    images = extract_images_from_pdf(pdf, opts)
+    iw = ih = -1
+    ifmt = ""
+    md5 = ""
+    if images:
+        im = images[0]
+        _, _, _, _, samples = parse_png_samples(im.data)
+        iw, ih, ifmt = im.width, im.height, im.format
+        md5 = hashlib.md5(bytes(samples)).hexdigest()
+    return {
+        "variant": v, "img_w": iw, "img_h": ih, "img_format": ifmt,
+        "px_md5": md5, "text": res.page_texts[0],
+        "n_spans": len(res.spans),
+    }
+
+
+ORACLE_DECODE_CODECS = f"""
+WITH n AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(doc_id % 5 AS INTEGER) AS variant,
+       CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 24 ELSE 16 END
+            AS INTEGER) AS img_w,
+       CAST(16 AS INTEGER) AS img_h,
+       'png' AS img_format,
+       CASE doc_id % 5
+            WHEN 0 THEN '{CODEC_IMAGE_MD5[0]}'
+            WHEN 1 THEN '{CODEC_IMAGE_MD5[1]}'
+            WHEN 2 THEN '{CODEC_IMAGE_MD5[2]}'
+            WHEN 3 THEN '{CODEC_IMAGE_MD5[3]}'
+            ELSE '{CODEC_IMAGE_MD5[4]}' END AS px_md5,
+       CASE WHEN len(ws) = 0 THEN 'x' ELSE ws[1] END AS text,
+       CAST(2 AS INTEGER) AS n_spans
+FROM n
+"""
+
+
 def build_queries() -> dict:
     # REGISTRY CONTRACT: the driver records correctness rows for the FIRST
     # 50 entries only (VERDICT r3 §recording gap). Keep this dict at ≤50

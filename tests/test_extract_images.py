@@ -439,3 +439,60 @@ def test_jpx_decode_opt_in_to_png():
     pw, ph, depth, color_type, pixels = parse_png(img.data)
     assert (pw, ph, depth, color_type) == (w, h, 8, 0)
     assert pixels == gray.tobytes()  # lossless: exact
+
+
+# ---------------------------------------------------------------------------
+# codec-decode differential: the out-of-registry oracle query
+# (queries.q_pdf_decode_image_codecs), both sides run here — the per-doc
+# kernel body vs ORACLE_DECODE_CODECS on DuckDB over the sf0.001
+# documents table — mirroring the driver's correctness gate.
+# ---------------------------------------------------------------------------
+
+
+def test_pdf_decode_image_codecs_differential():
+    import duckdb
+
+    from oxidizepdf_spark.queries import (
+        ORACLE_DECODE_CODECS,
+        decode_image_codec_row,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS "
+        f"SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    oracle = {
+        r[0]: r[1:] for r in con.sql(ORACLE_DECODE_CODECS).fetchall()
+    }
+    docs = con.sql("SELECT doc_id, text FROM documents").fetchall()
+    assert len(docs) == len(oracle) and len(docs) >= 25
+    import re
+
+    for doc_id, text in docs:
+        norm = re.sub(r" +", " ", re.sub(r"[^\x20-\x7E]", "", text or ""))
+        row = decode_image_codec_row(int(doc_id), norm)
+        got = (row["variant"], row["img_w"], row["img_h"],
+               row["img_format"], row["px_md5"], row["text"],
+               row["n_spans"])
+        assert got == oracle[doc_id], (doc_id, got, oracle[doc_id])
+
+
+def test_codec_image_pdf_variants_decode():
+    # direct smoke over the 5 fixtures incl. frozen-hash agreement
+    import hashlib
+
+    from oxidizepdf_spark.corpus import build_codec_image_pdf
+    from oxidizepdf_spark.queries import CODEC_IMAGE_MD5
+
+    opts = ExtractImagesOptions(decode_jbig2_images=True,
+                                decode_jpeg_images=True,
+                                decode_jpx_images=True)
+    from oxidizepdf_spark.kernel.extract_images import parse_png_samples
+
+    for v in range(5):
+        images = extract_images_from_pdf(build_codec_image_pdf(v), opts)
+        assert len(images) == 1
+        samples = parse_png_samples(images[0].data)[4]
+        assert hashlib.md5(bytes(samples)).hexdigest() == CODEC_IMAGE_MD5[v]
