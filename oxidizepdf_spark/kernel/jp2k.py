@@ -17,8 +17,16 @@ Annex C define the same coder, so the transcription proven against
 mq_coder.rs carries over unchanged.
 
 Scope (raises ``Jp2kError`` beyond it):
-- reversible 5/3 transform only (SPcod transform = 1), no quantization
-  (Sqcd style 0), which is exactly the lossless profile;
+- BOTH Part-1 wavelet paths: reversible 5/3 (SPcod transform 1, Sqcd
+  style 0 — exact lossless) and, since round 8, the irreversible 9/7
+  (transform 0) with scalar quantization (Sqcd style 1 derived / 2
+  expounded, E.1 Δ_b = 2^(R_b−ε_b)(1+μ_b/2^11), mid-point
+  reconstruction) and the irreversible colour transform (G.3) — the
+  shape real-world lossy JP2s use. The 9/7 lifting scaling (low×1/K,
+  high×K at analysis) is fixed by the filter DC gains; no JPEG 2000
+  library or real-world fixture exists in this sandbox, so lossy
+  coverage is pinned by encoder/decoder roundtrip error bounds rather
+  than cross-codec comparison;
 - one tile covering the image grid, default precincts (whole subband);
   any number of quality layers (codeblock contributions accumulate
   across layers) and all five Part-1 progression orders (with one
@@ -132,6 +140,93 @@ def dwt53_inverse_2d(ll, hl, lh, hh) -> np.ndarray:
     right = _dwt53_1d_inverse(hl, hh)
     lo_r, hi_r = left.T, right.T
     return _dwt53_1d_inverse(lo_r, hi_r).T
+
+
+# --- irreversible 9/7 (T.800 F.4.8.2) ---------------------------------------
+# Lifting constants (Table F.4); scaling: analysis multiplies the high
+# band by K and the low band by 1/K — fixed by the filter's DC gains
+# (the unscaled lifting low branch has DC gain exactly K = 1 + 2β(1+2α),
+# and the published 9/7 analysis lowpass has DC gain 1).
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift_odd(odd, even, ne, no, coef):
+    el, er = _hi_neighbors(even, ne, no)
+    return odd + coef * (el + er)
+
+
+def _lift_even(even, odd, ne, no, coef):
+    ol, oc = _lo_neighbors(odd, ne, no)
+    return even + coef * (ol + oc)
+
+
+def _dwt97_1d_forward(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = x.shape[0]
+    if n == 1:
+        return x.astype(np.float64), x[:0].astype(np.float64)
+    even = x[0::2].astype(np.float64)
+    odd = x[1::2].astype(np.float64)
+    ne, no = even.shape[0], odd.shape[0]
+    odd = _lift_odd(odd, even, ne, no, _A97)
+    even = _lift_even(even, odd, ne, no, _B97)
+    odd = _lift_odd(odd, even, ne, no, _G97)
+    even = _lift_even(even, odd, ne, no, _D97)
+    return even * (1.0 / _K97), odd * _K97
+
+
+def _dwt97_1d_inverse(low: np.ndarray, high: np.ndarray) -> np.ndarray:
+    ne, no = low.shape[0], high.shape[0]
+    n = ne + no
+    if n == 1:
+        return low.astype(np.float64)
+    even = low.astype(np.float64) * _K97
+    odd = high.astype(np.float64) * (1.0 / _K97)
+    even = _lift_even(even, odd, ne, no, -_D97)
+    odd = _lift_odd(odd, even, ne, no, -_G97)
+    even = _lift_even(even, odd, ne, no, -_B97)
+    odd = _lift_odd(odd, even, ne, no, -_A97)
+    out = np.empty((n,) + even.shape[1:], dtype=np.float64)
+    out[0::2] = even
+    out[1::2] = odd
+    return out
+
+
+def dwt97_forward_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+    lo_r, hi_r = _dwt97_1d_forward(a.T)
+    ll, lh = _dwt97_1d_forward(lo_r.T)
+    hl, hh = _dwt97_1d_forward(hi_r.T)
+    return ll, hl, lh, hh
+
+
+def dwt97_inverse_2d(ll, hl, lh, hh) -> np.ndarray:
+    left = _dwt97_1d_inverse(ll, lh)
+    right = _dwt97_1d_inverse(hl, hh)
+    return _dwt97_1d_inverse(left.T, right.T).T
+
+
+def ict_forward(rgb: np.ndarray) -> np.ndarray:
+    """Irreversible colour transform (T.800 G.3), float in/out."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ict_inverse(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64)
+    cr = ycc[..., 2].astype(np.float64)
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
 
 
 def rct_forward(rgb: np.ndarray) -> np.ndarray:
@@ -1059,19 +1154,52 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         raise Jp2kError(
             f"undefined codeblock style bits {cb_style:#x}"
         )
-    if cod[9] != 1:
-        raise Jp2kError("only the reversible 5/3 transform is supported")
+    if cod[9] not in (0, 1):
+        raise Jp2kError(f"unknown wavelet transform {cod[9]}")
+    reversible = cod[9] == 1
     cbs = 1 << cb_w_exp
 
-    # QCD: style 0 (no quantization), exponent byte per subband
+    # QCD: style 0 = no quantization (reversible), 1 = scalar derived,
+    # 2 = scalar expounded (T.800 A.6.4 / E.1)
     sqcd = qcd[0]
-    if sqcd & 0x1F:
-        raise Jp2kError("quantized (lossy) streams not supported")
+    qstyle = sqcd & 0x1F
     guard = sqcd >> 5
-    exps = [b >> 3 for b in qcd[1:]]
     n_bands_total = 3 * levels + 1
-    if len(exps) < n_bands_total:
-        raise Jp2kError("QCD exponent list too short")
+    if qstyle == 0:
+        exps = [b >> 3 for b in qcd[1:]]
+        mus = [0] * len(exps)
+        if len(exps) < n_bands_total:
+            raise Jp2kError("QCD exponent list too short")
+    elif qstyle in (1, 2):
+        vals = [struct.unpack(">H", qcd[1 + 2 * i:3 + 2 * i])[0]
+                for i in range((len(qcd) - 1) // 2)]
+        if qstyle == 1:
+            # derived: one (eps0, mu0); band at decomposition level n_b
+            # uses eps_b = eps0 - NL + n_b (E.1.1), same mantissa
+            if not vals:
+                raise Jp2kError("QCD derived value missing")
+            eps0, mu0 = vals[0] >> 11, vals[0] & 0x7FF
+            exps, mus = [], []
+            # band order: LL (level NL), then per res r the detail bands
+            # of decomposition level NL - r + 1
+            exps.append(eps0)
+            mus.append(mu0)
+            for r in range(1, levels + 1):
+                nb = levels - r + 1  # decomposition level of these bands
+                for _ in range(3):
+                    exps.append(max(0, eps0 - levels + nb))
+                    mus.append(mu0)
+        else:
+            if len(vals) < n_bands_total:
+                raise Jp2kError("QCD step-size list too short")
+            exps = [v >> 11 for v in vals]
+            mus = [v & 0x7FF for v in vals]
+    else:
+        raise Jp2kError(f"unknown quantization style {qstyle}")
+    if reversible and qstyle != 0:
+        raise Jp2kError("quantized 5/3 streams not supported")
+    if not reversible and qstyle == 0:
+        raise Jp2kError("9/7 streams require scalar quantization")
 
     # SOT / SOD
     (marker,) = struct.unpack(">H", data[pos:pos + 2])
@@ -1090,10 +1218,18 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     layout = _band_layout(h, w, levels)
     # band exponent order in QCD: LL, then per res HL, LH, HH
     band_mb = {}
+    band_delta = {}
     exp_idx = 0
     for res, bands in layout:
         for band, bh, bw in bands:
             band_mb[(res, band)] = guard + exps[exp_idx] - 1
+            if not reversible:
+                # Δ_b = 2^(R_b - ε_b) (1 + μ_b/2^11), R_b = depth + gain
+                rb = depth + _BAND_GAIN[band]
+                band_delta[(res, band)] = (
+                    2.0 ** (rb - exps[exp_idx])
+                    * (1.0 + mus[exp_idx] / 2048.0)
+                )
             exp_idx += 1
 
     # Parse packets in progression order.  Codeblock contributions are
@@ -1214,26 +1350,44 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # Inverse DWT per component
     planes = []
     for c in range(ncomp):
-        cur = comp_bands[c][(0, "LL")]
-        for r in range(1, levels + 1):
-            cur = dwt53_inverse_2d(
-                cur,
-                comp_bands[c][(r, "HL")],
-                comp_bands[c][(r, "LH")],
-                comp_bands[c][(r, "HH")],
-            )
+        if reversible:
+            cur = comp_bands[c][(0, "LL")]
+            for r in range(1, levels + 1):
+                cur = dwt53_inverse_2d(
+                    cur,
+                    comp_bands[c][(r, "HL")],
+                    comp_bands[c][(r, "LH")],
+                    comp_bands[c][(r, "HH")],
+                )
+        else:
+            # E.1.1 dequantization with mid-point reconstruction
+            # (q + 0.5)·Δ for coded magnitudes, 0 inside the dead zone
+            def deq(key):
+                q = comp_bands[c][key]
+                mag = np.abs(q).astype(np.float64)
+                out = np.where(mag > 0, (mag + 0.5) * band_delta[key], 0.0)
+                return np.copysign(out, q)
+
+            cur = deq((0, "LL"))
+            for r in range(1, levels + 1):
+                cur = dwt97_inverse_2d(
+                    cur, deq((r, "HL")), deq((r, "LH")), deq((r, "HH")))
         planes.append(cur)
     img = np.stack(planes, axis=-1)
     if mct and ncomp >= 3:
-        rgb = rct_inverse(img[..., :3])
+        inv = rct_inverse if reversible else ict_inverse
+        rgb = inv(img[..., :3])
         img = np.concatenate([rgb] + (
             [img[..., 3:]] if ncomp > 3 else []
         ), axis=-1)
     img = img + (1 << (depth - 1))
+    if not reversible:
+        img = np.rint(img)
     img = np.clip(img, 0, (1 << depth) - 1)
     dtype = np.uint8 if depth == 8 else np.uint16
     info = {"width": w, "height": h, "components": ncomp,
-            "depth": depth, "levels": levels, "mct": bool(mct)}
+            "depth": depth, "levels": levels, "mct": bool(mct),
+            "reversible": reversible}
     return img.astype(dtype), info
 
 
@@ -1245,15 +1399,19 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 mct: bool = True, jp2_container: bool = False,
                 layers: int = 1, progression: int = 0,
-                cb_style: int = 0) -> bytes:
-    """Encode (h, w[, c]) uint8/uint16 samples as a lossless Part-1
-    codestream (single tile, 5/3 reversible, optional RCT).  With
+                cb_style: int = 0, reversible: bool = True,
+                qstep: float = 0.5) -> bytes:
+    """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
+    (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
     quality layers (inclusion layers staggered per block to exercise
     the tag trees); ``progression`` selects the packet order (0=LRCP,
     1=RLCP, 2=RPCL, 3=PCRL, 4=CPRL).  ``jp2_container=True`` wraps the
     codestream in a minimal JP2 box set (signature, ftyp, jp2h, jp2c).
-    """
+    ``reversible=False`` emits the IRREVERSIBLE path (9/7 wavelet, ICT,
+    scalar-expounded quantization at absolute step ``qstep`` in sample
+    units — reconstruction error is bounded by ~qstep/2 per
+    coefficient)."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1280,27 +1438,66 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     cbs = 1 << cb_exp
     guard = 2
 
-    img = pix.astype(np.int64) - (1 << (depth - 1))
-    if use_mct:
-        img = np.concatenate(
-            [rct_forward(img[..., :3])] +
-            ([img[..., 3:]] if nc > 3 else []), axis=-1,
-        )
+    if reversible:
+        img = pix.astype(np.int64) - (1 << (depth - 1))
+        if use_mct:
+            img = np.concatenate(
+                [rct_forward(img[..., :3])] +
+                ([img[..., 3:]] if nc > 3 else []), axis=-1,
+            )
+    else:
+        if not qstep > 0:
+            raise Jp2kError("qstep must be positive")
+        img = pix.astype(np.float64) - (1 << (depth - 1))
+        if use_mct:
+            img = np.concatenate(
+                [ict_forward(img[..., :3])] +
+                ([img[..., 3:]] if nc > 3 else []), axis=-1,
+            )
 
     layout = _band_layout(h, w, levels)
     comp_bands = {c: {} for c in range(nc)}
+    fwd = dwt53_forward_2d if reversible else dwt97_forward_2d
     for c in range(nc):
         cur = img[..., c]
         for r in range(levels, 0, -1):
-            ll, hl, lh, hh = dwt53_forward_2d(cur)
+            ll, hl, lh, hh = fwd(cur)
             comp_bands[c][(r, "HL")] = hl
             comp_bands[c][(r, "LH")] = lh
             comp_bands[c][(r, "HH")] = hh
             cur = ll
         comp_bands[c][(0, "LL")] = cur
 
+    band_eps_mu = {}
+    if not reversible:
+        # scalar-expounded quantization: encode qstep as (eps, mu) per
+        # band (the DECODER's delta is the authoritative dequant step,
+        # so quantize with the value the wire actually carries)
+        import math
+
+        for res, bands in layout:
+            for band, bh, bw in bands:
+                rb = depth + _BAND_GAIN[band]
+                e = math.floor(math.log2(qstep))
+                mu = round((qstep / (2.0 ** e) - 1.0) * 2048)
+                if mu == 2048:
+                    e += 1
+                    mu = 0
+                eps = rb - e
+                if not 0 <= eps <= 31:
+                    raise Jp2kError("qstep out of encodable range")
+                delta = 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
+                band_eps_mu[(res, band)] = (eps, mu, delta)
+                for c in range(nc):
+                    x = comp_bands[c][(res, band)]
+                    q = np.floor(np.abs(x) / delta).astype(np.int64)
+                    comp_bands[c][(res, band)] = np.where(
+                        x < 0, -q, q)
+
     # Per-band Mb from the actual dynamic range (shared across comps so
-    # the QCD segment stays component-independent).
+    # the QCD segment stays component-independent). In the quantized
+    # path Mb is pinned by the wire formula Mb = guard + eps - 1, so
+    # the guard count grows until every band's magnitudes fit.
     band_mb = {}
     for res, bands in layout:
         for band, bh, bw in bands:
@@ -1309,7 +1506,17 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 arr = comp_bands[c][(res, band)]
                 if arr.size:
                     top = max(top, int(np.abs(arr).max()))
-            band_mb[(res, band)] = max(1, top.bit_length())
+            if reversible:
+                band_mb[(res, band)] = max(1, top.bit_length())
+            else:
+                eps = band_eps_mu[(res, band)][0]
+                need = max(1, top.bit_length())
+                guard = max(guard, need + 1 - eps)
+    if not reversible:
+        if guard > 7:
+            raise Jp2kError("quantized magnitudes exceed guard-bit range")
+        for key, (eps, _mu, _d) in band_eps_mu.items():
+            band_mb[key] = guard + eps - 1
 
     # Entropy-code every codeblock.
     encoded = {}
@@ -1473,18 +1680,26 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         levels,
         cb_exp - 2, cb_exp - 2,
         cb_style,
-        1,                      # 5/3 reversible
+        1 if reversible else 0,  # wavelet: 5/3 reversible / 9/7
     ])
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
-    exps = []
-    for res, bands in layout:
-        for band, bh, bw in bands:
-            mb = band_mb[(res, band)]
-            eps = mb + 1 - guard
-            if not 0 <= eps <= 31:
-                raise Jp2kError("band exponent out of range")
-            exps.append(eps << 3)
-    qcd = bytes([guard << 5]) + bytes(exps)
+    if reversible:
+        exps = []
+        for res, bands in layout:
+            for band, bh, bw in bands:
+                mb = band_mb[(res, band)]
+                eps = mb + 1 - guard
+                if not 0 <= eps <= 31:
+                    raise Jp2kError("band exponent out of range")
+                exps.append(eps << 3)
+        qcd = bytes([(guard << 5) | 0]) + bytes(exps)
+    else:
+        vals = b""
+        for res, bands in layout:
+            for band, bh, bw in bands:
+                eps, mu, _d = band_eps_mu[(res, band)]
+                vals += struct.pack(">H", (eps << 11) | mu)
+        qcd = bytes([(guard << 5) | 2]) + vals  # scalar expounded
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
     psot = 2 + 10 + 2 + len(body)
     out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)

@@ -220,11 +220,13 @@ def test_truncated_stream_raises():
         decode_jp2k(enc[: len(enc) // 2])
 
 
-def test_irreversible_transform_rejected():
+def test_irreversible_claim_on_unquantized_stream_rejected():
+    # 9/7 decodes since round 8 — but claiming it on a style-0
+    # (no-quantization) stream is inconsistent and still rejects
     enc = bytearray(encode_jp2k(np.zeros((8, 8), np.uint8)))
     cod_at = enc.index(b"\xff\x52")
     enc[cod_at + 13] = 0  # SPcod transform byte: 0 = 9/7 irreversible
-    with pytest.raises(Jp2kError, match="reversible"):
+    with pytest.raises(Jp2kError, match="quantization"):
         decode_jp2k(bytes(enc))
 
 
@@ -392,3 +394,106 @@ def test_bypass_raw_passes_actually_raw():
     assert (n0, mp0) == (n1, mp1)
     assert isinstance(segs, list) and len(segs) > 1
     assert b"".join(segs) != plain
+
+
+# ---------------------------------------------------------------------------
+# Irreversible path (9/7 + scalar quantization + ICT) — round 8
+# ---------------------------------------------------------------------------
+
+
+def test_dwt97_roundtrip_exact():
+    rng = np.random.default_rng(1)
+    from oxidizepdf_spark.kernel.jp2k import dwt97_forward_2d, dwt97_inverse_2d
+
+    for shape in ((16, 16), (17, 23), (1, 9), (8, 1), (5, 5)):
+        a = rng.normal(0, 100, shape)
+        back = dwt97_inverse_2d(*dwt97_forward_2d(a))
+        assert back.shape == a.shape
+        assert np.abs(back - a).max() < 1e-9
+
+
+def test_dwt97_dc_gain_is_one():
+    # constant image -> LL stays the constant (analysis lowpass DC gain
+    # 1 pins the low x 1/K scaling convention), details ~0
+    from oxidizepdf_spark.kernel.jp2k import dwt97_forward_2d
+
+    ll, hl, lh, hh = dwt97_forward_2d(np.full((16, 16), 55.0))
+    assert np.abs(ll - 55.0).max() < 1e-9
+    assert max(np.abs(hl).max(), np.abs(lh).max(), np.abs(hh).max()) < 1e-9
+
+
+def test_ict_roundtrip():
+    from oxidizepdf_spark.kernel.jp2k import ict_forward, ict_inverse
+
+    rng = np.random.default_rng(3)
+    rgb = rng.uniform(-128, 127, (7, 9, 3))
+    # the published inverse constants (1.402, 0.344136, ...) are rounded
+    # renderings of the exact matrix inverse — identity holds to ~1e-4
+    assert np.abs(ict_inverse(ict_forward(rgb)) - rgb).max() < 1e-3
+
+
+@pytest.mark.parametrize("qstep,tol", [(0.125, 1), (0.5, 2), (2.0, 6)])
+def test_lossy_gray_error_bound(qstep, tol):
+    yy, xx = np.mgrid[0:40, 0:56]
+    img = ((np.sin(xx / 9) + np.cos(yy / 7)) * 60 + 128).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, reversible=False, qstep=qstep)
+    dec, info = decode_jp2k(enc)
+    assert info["reversible"] is False
+    err = np.abs(dec[..., 0].astype(int) - img.astype(int)).max()
+    assert err <= tol, err
+
+
+def test_lossy_rgb_ict_and_fine_step_noise():
+    rng = np.random.default_rng(2)
+    yy, xx = np.mgrid[0:40, 0:56]
+    g = ((np.sin(xx / 9) + np.cos(yy / 7)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 5, 1), 255 - g], -1)
+    dec, _ = decode_jp2k(encode_jp2k(rgb, levels=2, reversible=False,
+                                     qstep=0.25))
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+    noise = rng.integers(0, 256, (33, 29)).astype(np.uint8)
+    dec2, _ = decode_jp2k(encode_jp2k(noise, levels=1, reversible=False,
+                                      qstep=0.0625))
+    # step 1/16 quantizes finer than the final integer rounding
+    assert np.array_equal(dec2[..., 0], noise)
+
+
+def test_lossy_layers_progressions_and_styles():
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    for layers, prog, style in ((3, 0, 0), (2, 2, 0x01), (1, 4, 0x25)):
+        enc = encode_jp2k(img, levels=2, reversible=False, qstep=0.25,
+                          layers=layers, progression=prog, cb_style=style)
+        dec, _ = decode_jp2k(enc)
+        assert np.abs(dec[..., 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_lossy_quantization_styles_wire():
+    # expounded (style 2) is what the encoder writes; a hand-patched
+    # derived (style 1) stream with the same step decodes equivalently
+    # for a 0-level image (single band, eps_b == eps_0)
+    import struct
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = bytearray(encode_jp2k(img, levels=0, reversible=False,
+                                qstep=0.25))
+    qcd_at = bytes(enc).index(b"\xff\x5c")
+    assert enc[qcd_at + 4] & 0x1F == 2
+    dec_exp, _ = decode_jp2k(bytes(enc))
+    # rewrite as derived: style 1, single (eps, mu) — same first value
+    lqcd = (enc[qcd_at + 2] << 8) | enc[qcd_at + 3]
+    first_val = bytes(enc[qcd_at + 5:qcd_at + 7])
+    patched = (bytes(enc[:qcd_at + 2]) + struct.pack(">H", 5)
+               + bytes([(enc[qcd_at + 4] & 0xE0) | 1]) + first_val
+               + bytes(enc[qcd_at + 2 + lqcd:]))
+    dec_der, _ = decode_jp2k(patched)
+    assert np.array_equal(dec_exp, dec_der)
+
+
+def test_mixed_transform_quantization_rejected():
+    img = np.zeros((8, 8), np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1))  # reversible, style 0
+    cod_at = bytes(enc).index(b"\xff\x52")
+    enc[cod_at + 13] = 0  # claim 9/7 on an unquantized stream
+    with pytest.raises(Jp2kError, match="scalar quantization"):
+        decode_jp2k(bytes(enc))
