@@ -1569,7 +1569,7 @@ def sign_pdf_objects(
     return bytes(pdf)
 
 
-CODEC_IMAGE_VARIANTS = 5
+CODEC_IMAGE_VARIANTS = 6
 
 
 def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
@@ -1583,6 +1583,7 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
     2. CCITTFaxDecode G4 (K=-1)
     3. JPXDecode lossless gray (5/3 reversible)
     4. DCTDecode baseline gray (in-repo Huffman encoder)
+    5. JPXDecode lossy gray (9/7 irreversible + scalar quantization)
     """
     import numpy as np
 
@@ -1622,7 +1623,7 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
             lambda y, x: (x * 11 + y * 29) % 256, (h, w)).astype(np.uint8)
         payload = encode_jp2k(pix, levels=1, cb_exp=4)
         filt, bpc = b"/JPXDecode", 8
-    else:
+    elif variant == 4:
         from .kernel.jpeg_codec import encode_jpeg
 
         w, h = 16, 16
@@ -1630,6 +1631,15 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
             lambda y, x: (x * 5 + y * 17) % 256, (h, w)).astype(np.uint8)
         payload = encode_jpeg(pix)
         filt, bpc = b"/DCTDecode", 8
+    else:
+        from .kernel.jp2k import encode_jp2k
+
+        w, h = 16, 16
+        pix = np.fromfunction(
+            lambda y, x: (x * 13 + y * 7) % 256, (h, w)).astype(np.uint8)
+        payload = encode_jp2k(pix, levels=1, cb_exp=4, reversible=False,
+                              qstep=0.5)
+        filt, bpc = b"/JPXDecode", 8
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
         b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter %s%s "

@@ -5158,13 +5158,16 @@ CODEC_IMAGE_MD5 = (
     "a797f0902c866e835233c4555c03a631",  # 2 CCITT G4
     "68cef753ef312ef556c2a573208f47cd",  # 3 JPX lossless gray
     "bb6e558848e3df22357d2737bf616d99",  # 4 JPEG baseline gray
+    "2f1cfc310e7783ed59005b77b889898e",  # 5 JPX lossy 9/7 gray (max |err|
+    #   vs source gradient = 1 at qstep 0.5 — decode is deterministic)
 )
 
 
 def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image-codec decode: each document becomes a PDF whose
-    single image XObject is coded by codec family doc_id%5 (JBIG2
-    arith / JBIG2 MMR / CCITT G4 / JPX lossless / JPEG baseline, all
+    single image XObject is coded by codec family doc_id%6 (JBIG2
+    arith / JBIG2 MMR / CCITT G4 / JPX lossless / JPEG baseline / JPX
+    lossy 9/7, all
     by-construction in-repo encoders with FIXED pixel patterns), the
     full extraction runs (text span + image capture), and the image is
     decoded back to samples whose MD5 the oracle enumerates per
@@ -5208,7 +5211,7 @@ def decode_image_codec_row(d: int, norm: str) -> dict:
 
     words = [w for w in (norm or "").split(" ") if w]
     w0 = words[0] if words else "x"
-    v = d % 5
+    v = d % 6
     pdf = build_codec_image_pdf(v, text=w0)
     res = extract_pdf_bytes(pdf)
     opts = ExtractImagesOptions(decode_jbig2_images=True,
@@ -5238,17 +5241,18 @@ WITH n AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(doc_id % 5 AS INTEGER) AS variant,
-       CAST(CASE WHEN doc_id % 5 IN (0, 1, 2) THEN 24 ELSE 16 END
+       CAST(doc_id % 6 AS INTEGER) AS variant,
+       CAST(CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 24 ELSE 16 END
             AS INTEGER) AS img_w,
        CAST(16 AS INTEGER) AS img_h,
        'png' AS img_format,
-       CASE doc_id % 5
+       CASE doc_id % 6
             WHEN 0 THEN '{CODEC_IMAGE_MD5[0]}'
             WHEN 1 THEN '{CODEC_IMAGE_MD5[1]}'
             WHEN 2 THEN '{CODEC_IMAGE_MD5[2]}'
             WHEN 3 THEN '{CODEC_IMAGE_MD5[3]}'
-            ELSE '{CODEC_IMAGE_MD5[4]}' END AS px_md5,
+            WHEN 4 THEN '{CODEC_IMAGE_MD5[4]}'
+            ELSE '{CODEC_IMAGE_MD5[5]}' END AS px_md5,
        CASE WHEN len(ws) = 0 THEN 'x' ELSE ws[1] END AS text,
        CAST(2 AS INTEGER) AS n_spans
 FROM n

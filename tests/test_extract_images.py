@@ -480,7 +480,7 @@ def test_pdf_decode_image_codecs_differential():
 
 
 def test_codec_image_pdf_variants_decode():
-    # direct smoke over the 5 fixtures incl. frozen-hash agreement
+    # direct smoke over the 6 fixtures incl. frozen-hash agreement
     import hashlib
 
     from oxidizepdf_spark.corpus import build_codec_image_pdf
@@ -491,7 +491,7 @@ def test_codec_image_pdf_variants_decode():
                                 decode_jpx_images=True)
     from oxidizepdf_spark.kernel.extract_images import parse_png_samples
 
-    for v in range(5):
+    for v in range(6):
         images = extract_images_from_pdf(build_codec_image_pdf(v), opts)
         assert len(images) == 1
         samples = parse_png_samples(images[0].data)[4]
