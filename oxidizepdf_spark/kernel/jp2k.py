@@ -1136,8 +1136,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     scod = cod[0]
     if scod & 0x01:
         raise Jp2kError("user-defined precincts not supported")
-    if scod & 0x06:
-        raise Jp2kError("SOP/EPH markers not supported")
+    use_sop = bool(scod & 0x02)  # SOP marker segments MAY precede packets
+    use_eph = bool(scod & 0x04)  # EPH marker follows every packet header
     progression, layers = cod[1], struct.unpack(">H", cod[2:4])[0]
     mct = cod[4]
     if not 1 <= layers <= 65535:
@@ -1249,13 +1249,25 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
     bands_by_res = dict(layout)
     cb_acc = {}  # (c, res, band, by, bx) -> [max_plane, n_passes, segs]
+
+    def _skip_eph(pos: int) -> int:
+        if use_eph:
+            if data[pos:pos + 2] != b"\xff\x92":
+                raise Jp2kError("missing EPH marker after packet header")
+            pos += 2
+        return pos
+
     for layer, res, c in _packet_order(progression, layers,
                                        levels + 1, ncomp):
         bands = bands_by_res[res]
+        if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
+            # SOP marker segment: marker(2) + Lsop(2) + Nsop(2) —
+            # optional per packet even when the flag is set (A.8.1)
+            reader = _PacketBitReader(data, reader.pos + 6)
         # --- packet header ---
         todo = []  # (key, n_passes, length)
         if not reader.read_bit():
-            body_pos = reader.align()
+            body_pos = _skip_eph(reader.align())
             reader = _PacketBitReader(data, body_pos)
             continue  # empty packet
         for band, bh, bw in bands:
@@ -1308,7 +1320,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                         )
                         length = reader.read_bits(nbits)
                         todo.append((key, gnp, length))
-        body_pos = reader.align()
+        body_pos = _skip_eph(reader.align())
         # --- packet bodies ---
         for key, n_passes, length in todo:
             seg = data[body_pos:body_pos + length]
@@ -1400,7 +1412,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 mct: bool = True, jp2_container: bool = False,
                 layers: int = 1, progression: int = 0,
                 cb_style: int = 0, reversible: bool = True,
-                qstep: float = 0.5) -> bytes:
+                qstep: float = 0.5, sop: bool = False,
+                eph: bool = False) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1597,9 +1610,13 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 )
 
     body = bytearray()
+    nsop = 0
     for layer, res, c in _packet_order(progression, layers,
                                        levels + 1, nc):
         bands = bands_by_res[res]
+        if sop:
+            body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+            nsop += 1
         any_contrib = any(
             chunks[(c, res, band, by, bx)][layer]
             for band, bh, bw in bands
@@ -1610,6 +1627,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         if not any_contrib:
             writer.write_bit(0)
             body += writer.flush()
+            if eph:
+                body += b"\xff\x92"
             continue
         writer.write_bit(1)
         bodies = bytearray()
@@ -1661,6 +1680,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                         )
                         bodies += gseg
         body += writer.flush()
+        if eph:
+            body += b"\xff\x92"
         body += bodies
 
     # --- markers ---
@@ -1673,7 +1694,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     )
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([
-        0,                      # Scod: defaults
+        (0x02 if sop else 0) | (0x04 if eph else 0),  # Scod
         progression,
     ]) + struct.pack(">H", layers) + bytes([
         1 if use_mct else 0,    # MCT

@@ -497,3 +497,33 @@ def test_mixed_transform_quantization_rejected():
     enc[cod_at + 13] = 0  # claim 9/7 on an unquantized stream
     with pytest.raises(Jp2kError, match="scalar quantization"):
         decode_jp2k(bytes(enc))
+
+
+@pytest.mark.parametrize("sop,eph", [(True, False), (False, True),
+                                     (True, True)])
+def test_sop_eph_markers(sop, eph):
+    # A.8: SOP marker segments may precede packets (Scod bit 1), EPH
+    # follows every packet header (bit 2) — real encoders emit both
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, layers=3, sop=sop, eph=eph)
+    if sop:
+        assert b"\xff\x91" in enc
+    if eph:
+        assert b"\xff\x92" in enc
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    # lossy + bypass combinations keep the marker framing
+    enc2 = encode_jp2k(img, levels=1, reversible=False, qstep=0.25,
+                       cb_style=0x01, sop=sop, eph=eph)
+    dec2, _ = decode_jp2k(enc2)
+    assert np.abs(dec2[..., 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_eph_missing_detected():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    enc = bytearray(encode_jp2k(img, levels=1, eph=True))
+    at = bytes(enc).index(b"\xff\x92")
+    enc[at] = 0x00  # corrupt the first EPH
+    with pytest.raises(Jp2kError, match="EPH"):
+        decode_jp2k(bytes(enc))
