@@ -1087,6 +1087,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     siz = None
     cod = None
     qcd = None
+    coc_segs: list[bytes] = []
+    qcc_segs: list[bytes] = []
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _SOT:
@@ -1100,8 +1102,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             cod = seg
         elif marker == _QCD:
             qcd = seg
-        elif marker in (_COC, _QCC):
-            raise Jp2kError("per-component coding overrides not supported")
+        elif marker == _COC:
+            coc_segs.append(seg)
+        elif marker == _QCC:
+            qcc_segs.append(seg)
         # COM and other informational segments: skipped
     if siz is None or cod is None or qcd is None:
         raise Jp2kError("missing SIZ/COD/QCD markers")
@@ -1159,47 +1163,85 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     reversible = cod[9] == 1
     cbs = 1 << cb_w_exp
 
-    # QCD: style 0 = no quantization (reversible), 1 = scalar derived,
-    # 2 = scalar expounded (T.800 A.6.4 / E.1)
-    sqcd = qcd[0]
-    qstyle = sqcd & 0x1F
-    guard = sqcd >> 5
-    n_bands_total = 3 * levels + 1
-    if qstyle == 0:
-        exps = [b >> 3 for b in qcd[1:]]
-        mus = [0] * len(exps)
-        if len(exps) < n_bands_total:
-            raise Jp2kError("QCD exponent list too short")
-    elif qstyle in (1, 2):
-        vals = [struct.unpack(">H", qcd[1 + 2 * i:3 + 2 * i])[0]
-                for i in range((len(qcd) - 1) // 2)]
-        if qstyle == 1:
-            # derived: one (eps0, mu0); band at decomposition level n_b
-            # uses eps_b = eps0 - NL + n_b (E.1.1), same mantissa
-            if not vals:
-                raise Jp2kError("QCD derived value missing")
-            eps0, mu0 = vals[0] >> 11, vals[0] & 0x7FF
-            exps, mus = [], []
-            # band order: LL (level NL), then per res r the detail bands
-            # of decomposition level NL - r + 1
-            exps.append(eps0)
-            mus.append(mu0)
-            for r in range(1, levels + 1):
-                nb = levels - r + 1  # decomposition level of these bands
-                for _ in range(3):
-                    exps.append(max(0, eps0 - levels + nb))
-                    mus.append(mu0)
+    def _parse_quant(qbytes: bytes) -> tuple:
+        """(qstyle, guard, exps, mus) from a QCD/QCC parameter body:
+        style 0 = no quantization, 1 = scalar derived, 2 = scalar
+        expounded (T.800 A.6.4/A.6.5, E.1)."""
+        sq = qbytes[0]
+        qs = sq & 0x1F
+        gd = sq >> 5
+        n_bands_total = 3 * levels + 1
+        if qs == 0:
+            es = [b >> 3 for b in qbytes[1:]]
+            ms = [0] * len(es)
+            if len(es) < n_bands_total:
+                raise Jp2kError("quantization exponent list too short")
+        elif qs in (1, 2):
+            vals = [struct.unpack(">H", qbytes[1 + 2 * i:3 + 2 * i])[0]
+                    for i in range((len(qbytes) - 1) // 2)]
+            if qs == 1:
+                # derived: one (eps0, mu0); band at decomposition level
+                # n_b uses eps_b = eps0 - NL + n_b (E.1.1), same mantissa
+                if not vals:
+                    raise Jp2kError("derived quantization value missing")
+                eps0, mu0 = vals[0] >> 11, vals[0] & 0x7FF
+                es, ms = [eps0], [mu0]
+                for r in range(1, levels + 1):
+                    nb = levels - r + 1  # decomposition level of bands
+                    for _ in range(3):
+                        es.append(max(0, eps0 - levels + nb))
+                        ms.append(mu0)
+            else:
+                if len(vals) < n_bands_total:
+                    raise Jp2kError("quantization step-size list too short")
+                es = [v >> 11 for v in vals]
+                ms = [v & 0x7FF for v in vals]
         else:
-            if len(vals) < n_bands_total:
-                raise Jp2kError("QCD step-size list too short")
-            exps = [v >> 11 for v in vals]
-            mus = [v & 0x7FF for v in vals]
-    else:
-        raise Jp2kError(f"unknown quantization style {qstyle}")
-    if reversible and qstyle != 0:
-        raise Jp2kError("quantized 5/3 streams not supported")
-    if not reversible and qstyle == 0:
-        raise Jp2kError("9/7 streams require scalar quantization")
+            raise Jp2kError(f"unknown quantization style {qs}")
+        return qs, gd, es, ms
+
+    # per-component config: COD/QCD defaults, COC/QCC overrides
+    # (A.6.2/A.6.5; main-header only, decomposition levels must match)
+    comp_cfg = {c: (cbs, cb_style, reversible) for c in range(ncomp)}
+    for seg in coc_segs:
+        if len(seg) < 7:
+            raise Jp2kError("COC segment too short")
+        ci = seg[0]
+        if ci >= ncomp:
+            raise Jp2kError("COC component index out of range")
+        if seg[1] & 0x01:
+            raise Jp2kError("user-defined precincts not supported")
+        if seg[2] != levels:
+            raise Jp2kError(
+                "per-component decomposition levels not supported")
+        cw = (seg[3] & 0x0F) + 2
+        ch = (seg[4] & 0x0F) + 2
+        if cw != ch:
+            raise Jp2kError("non-square codeblocks not supported")
+        cst = seg[5]
+        if cst & ~0x3F:
+            raise Jp2kError(f"undefined codeblock style bits {cst:#x}")
+        if seg[6] not in (0, 1):
+            raise Jp2kError(f"unknown wavelet transform {seg[6]}")
+        comp_cfg[ci] = (1 << cw, cst, seg[6] == 1)
+    comp_quant = {c: _parse_quant(qcd) for c in range(ncomp)}
+    for seg in qcc_segs:
+        if len(seg) < 2:
+            raise Jp2kError("QCC segment too short")
+        ci = seg[0]
+        if ci >= ncomp:
+            raise Jp2kError("QCC component index out of range")
+        comp_quant[ci] = _parse_quant(seg[1:])
+    for c in range(ncomp):
+        rev_c = comp_cfg[c][2]
+        qs_c = comp_quant[c][0]
+        if rev_c and qs_c != 0:
+            raise Jp2kError("quantized 5/3 streams not supported")
+        if not rev_c and qs_c == 0:
+            raise Jp2kError("9/7 streams require scalar quantization")
+    if mct and ncomp >= 3 and len(
+            {comp_cfg[c][2] for c in range(3)}) != 1:
+        raise Jp2kError("MCT requires one transform across components")
 
     # SOT / SOD
     (marker,) = struct.unpack(">H", data[pos:pos + 2])
@@ -1216,21 +1258,25 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     body_end = body_start + (psot - lsot - 2 - 2) if psot else len(data) - 2
 
     layout = _band_layout(h, w, levels)
-    # band exponent order in QCD: LL, then per res HL, LH, HH
+    # band exponent order in QCD/QCC: LL, then per res HL, LH, HH —
+    # keyed per component now that QCC can override steps
     band_mb = {}
     band_delta = {}
-    exp_idx = 0
-    for res, bands in layout:
-        for band, bh, bw in bands:
-            band_mb[(res, band)] = guard + exps[exp_idx] - 1
-            if not reversible:
-                # Δ_b = 2^(R_b - ε_b) (1 + μ_b/2^11), R_b = depth + gain
-                rb = depth + _BAND_GAIN[band]
-                band_delta[(res, band)] = (
-                    2.0 ** (rb - exps[exp_idx])
-                    * (1.0 + mus[exp_idx] / 2048.0)
-                )
-            exp_idx += 1
+    for c in range(ncomp):
+        _qs, gd, es, ms = comp_quant[c]
+        rev_c = comp_cfg[c][2]
+        exp_idx = 0
+        for res, bands in layout:
+            for band, bh, bw in bands:
+                band_mb[(c, res, band)] = gd + es[exp_idx] - 1
+                if not rev_c:
+                    # Δ_b = 2^(R_b - ε_b)(1 + μ_b/2^11), R_b = depth+gain
+                    rb = depth + _BAND_GAIN[band]
+                    band_delta[(c, res, band)] = (
+                        2.0 ** (rb - es[exp_idx])
+                        * (1.0 + ms[exp_idx] / 2048.0)
+                    )
+                exp_idx += 1
 
     # Parse packets in progression order.  Codeblock contributions are
     # ACCUMULATED across layers (one MQ codeword segment spans layers
@@ -1243,7 +1289,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     for res, bands in layout:
         for c in range(ncomp):
             for band, bh, bw in bands:
-                nby, nbx = _cb_grid(bh, bw, cbs)
+                nby, nbx = _cb_grid(bh, bw, comp_cfg[c][0])
                 states[(c, res, band)] = _BandState(nby, nbx)
                 comp_bands[c][(res, band)] = np.zeros((bh, bw), dtype=np.int64)
 
@@ -1270,11 +1316,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             body_pos = _skip_eph(reader.align())
             reader = _PacketBitReader(data, body_pos)
             continue  # empty packet
+        cb_style_c = comp_cfg[c][1]
         for band, bh, bw in bands:
             st = states[(c, res, band)]
             if st.incl is None:
                 continue
-            mb = band_mb[(res, band)]
+            mb = band_mb[(c, res, band)]
             for by in range(st.nby):
                 for bx in range(st.nbx):
                     key = (c, res, band, by, bx)
@@ -1300,9 +1347,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     # termination pattern (T.800 B.10.7.2); a packet's
                     # final part always closes at the packet boundary.
                     acc = cb_acc[key]
-                    if cb_style & 0x05:
+                    if cb_style_c & 0x05:
                         plan = _pass_plan(acc[0], acc[1] + n_passes,
-                                          cb_style)
+                                          cb_style_c)
                         gcounts = []
                         cnt = 0
                         for i in range(acc[1], acc[1] + n_passes):
@@ -1336,12 +1383,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
     for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
             cb_acc.items():
+        cbs_c, cb_style_c, _rev = comp_cfg[c]
         bh, bw = comp_bands[c][(res, band)].shape
-        y0, x0 = by * cbs, bx * cbs
-        cb_h, cb_w = min(cbs, bh - y0), min(cbs, bw - x0)
-        if cb_style & 0x05:
+        y0, x0 = by * cbs_c, bx * cbs_c
+        cb_h, cb_w = min(cbs_c, bh - y0), min(cbs_c, bw - x0)
+        if cb_style_c & 0x05:
             # merge per-packet parts into terminated codeword segments
-            plan = _pass_plan(max_plane, n_passes, cb_style)
+            plan = _pass_plan(max_plane, n_passes, cb_style_c)
             codewords = []
             buf = b""
             idx = 0
@@ -1356,13 +1404,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         else:
             codewords = b"".join(g for _, g in groups)
         coefs = decode_codeblock(codewords, cb_h, cb_w, band,
-                                 max_plane, n_passes, cb_style)
+                                 max_plane, n_passes, cb_style_c)
         comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
     # Inverse DWT per component
     planes = []
+    any_irrev = False
     for c in range(ncomp):
-        if reversible:
+        if comp_cfg[c][2]:
             cur = comp_bands[c][(0, "LL")]
             for r in range(1, levels + 1):
                 cur = dwt53_inverse_2d(
@@ -1372,34 +1421,37 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     comp_bands[c][(r, "HH")],
                 )
         else:
+            any_irrev = True
+
             # E.1.1 dequantization with mid-point reconstruction
             # (q + 0.5)·Δ for coded magnitudes, 0 inside the dead zone
             def deq(key):
-                q = comp_bands[c][key]
+                q = comp_bands[c][(key[1], key[2])]
                 mag = np.abs(q).astype(np.float64)
                 out = np.where(mag > 0, (mag + 0.5) * band_delta[key], 0.0)
                 return np.copysign(out, q)
 
-            cur = deq((0, "LL"))
+            cur = deq((c, 0, "LL"))
             for r in range(1, levels + 1):
                 cur = dwt97_inverse_2d(
-                    cur, deq((r, "HL")), deq((r, "LH")), deq((r, "HH")))
+                    cur, deq((c, r, "HL")), deq((c, r, "LH")),
+                    deq((c, r, "HH")))
         planes.append(cur)
     img = np.stack(planes, axis=-1)
     if mct and ncomp >= 3:
-        inv = rct_inverse if reversible else ict_inverse
+        inv = rct_inverse if comp_cfg[0][2] else ict_inverse
         rgb = inv(img[..., :3])
         img = np.concatenate([rgb] + (
             [img[..., 3:]] if ncomp > 3 else []
         ), axis=-1)
     img = img + (1 << (depth - 1))
-    if not reversible:
+    if any_irrev:
         img = np.rint(img)
     img = np.clip(img, 0, (1 << depth) - 1)
     dtype = np.uint8 if depth == 8 else np.uint16
     info = {"width": w, "height": h, "components": ncomp,
             "depth": depth, "levels": levels, "mct": bool(mct),
-            "reversible": reversible}
+            "reversible": not any_irrev}
     return img.astype(dtype), info
 
 
@@ -1413,7 +1465,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 layers: int = 1, progression: int = 0,
                 cb_style: int = 0, reversible: bool = True,
                 qstep: float = 0.5, sop: bool = False,
-                eph: bool = False) -> bytes:
+                eph: bool = False,
+                qcc_steps: dict | None = None,
+                coc_styles: dict | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1424,7 +1478,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     ``reversible=False`` emits the IRREVERSIBLE path (9/7 wavelet, ICT,
     scalar-expounded quantization at absolute step ``qstep`` in sample
     units — reconstruction error is bounded by ~qstep/2 per
-    coefficient)."""
+    coefficient). ``qcc_steps``: per-component step overrides emitted
+    as QCC segments (lossy only); ``coc_styles``: per-component
+    codeblock-style overrides emitted as COC segments."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1482,30 +1538,44 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         comp_bands[c][(0, "LL")] = cur
 
     band_eps_mu = {}
+    qcc_steps = dict(qcc_steps or {})
+    coc_styles = dict(coc_styles or {})
+    comp_style = {c: coc_styles.get(c, cb_style) for c in range(nc)}
+    for cst in comp_style.values():
+        if cst & ~0x3F:
+            raise Jp2kError(f"undefined codeblock style bits {cst:#x}")
     if not reversible:
-        # scalar-expounded quantization: encode qstep as (eps, mu) per
-        # band (the DECODER's delta is the authoritative dequant step,
-        # so quantize with the value the wire actually carries)
+        # scalar-expounded quantization: encode each step as (eps, mu)
+        # per band (the DECODER's delta is the authoritative dequant
+        # step, so quantize with the value the wire actually carries);
+        # keys are per-component so QCC overrides can differ
         import math
 
-        for res, bands in layout:
-            for band, bh, bw in bands:
-                rb = depth + _BAND_GAIN[band]
-                e = math.floor(math.log2(qstep))
-                mu = round((qstep / (2.0 ** e) - 1.0) * 2048)
-                if mu == 2048:
-                    e += 1
-                    mu = 0
-                eps = rb - e
-                if not 0 <= eps <= 31:
-                    raise Jp2kError("qstep out of encodable range")
-                delta = 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
-                band_eps_mu[(res, band)] = (eps, mu, delta)
-                for c in range(nc):
+        def eps_mu(step, rb):
+            e = math.floor(math.log2(step))
+            mu = round((step / (2.0 ** e) - 1.0) * 2048)
+            if mu == 2048:
+                e += 1
+                mu = 0
+            eps = rb - e
+            if not 0 <= eps <= 31:
+                raise Jp2kError("qstep out of encodable range")
+            return eps, mu, 2.0 ** (rb - eps) * (1.0 + mu / 2048.0)
+
+        for c in range(nc):
+            step_c = qcc_steps.get(c, qstep)
+            if not step_c > 0:
+                raise Jp2kError("qstep must be positive")
+            for res, bands in layout:
+                for band, bh, bw in bands:
+                    rb = depth + _BAND_GAIN[band]
+                    eps, mu, delta = eps_mu(step_c, rb)
+                    band_eps_mu[(c, res, band)] = (eps, mu, delta)
                     x = comp_bands[c][(res, band)]
                     q = np.floor(np.abs(x) / delta).astype(np.int64)
-                    comp_bands[c][(res, band)] = np.where(
-                        x < 0, -q, q)
+                    comp_bands[c][(res, band)] = np.where(x < 0, -q, q)
+    elif qcc_steps:
+        raise Jp2kError("qcc_steps require reversible=False")
 
     # Per-band Mb from the actual dynamic range (shared across comps so
     # the QCD segment stays component-independent). In the quantized
@@ -1519,12 +1589,13 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 arr = comp_bands[c][(res, band)]
                 if arr.size:
                     top = max(top, int(np.abs(arr).max()))
+                if not reversible:
+                    eps = band_eps_mu[(c, res, band)][0]
+                    need = max(1, int(np.abs(arr).max()
+                                      if arr.size else 0).bit_length())
+                    guard = max(guard, need + 1 - eps)
             if reversible:
                 band_mb[(res, band)] = max(1, top.bit_length())
-            else:
-                eps = band_eps_mu[(res, band)][0]
-                need = max(1, top.bit_length())
-                guard = max(guard, need + 1 - eps)
     if not reversible:
         if guard > 7:
             raise Jp2kError("quantized magnitudes exceed guard-bit range")
@@ -1545,7 +1616,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                             x0:x0 + min(cbs, bw - x0),
                         ]
                         encoded[(c, res, band, by, bx)] = encode_codeblock(
-                            np.asarray(block), band, cb_style
+                            np.asarray(block), band, comp_style[c]
                         )
 
     # Split each codeblock's passes and codeword bytes across layers:
@@ -1562,7 +1633,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             slots = layers - il
             if isinstance(data_, list):
                 seg_counts = _segment_pass_counts(max_plane, n_passes,
-                                                  cb_style)
+                                                  comp_style[c])
                 nseg = len(seg_counts)
                 base, rem = divmod(nseg, slots)
                 idx = 0
@@ -1596,7 +1667,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                     continue
                 incl_leaves = np.full((nby, nbx), layers, dtype=np.int64)
                 zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
-                mb = band_mb[(res, band)]
+                mb = band_mb[(res, band)] if reversible else \
+                    band_mb[(c, res, band)]
                 for by in range(nby):
                     for bx in range(nbx):
                         data_, n_passes, max_plane = encoded[
@@ -1718,10 +1790,22 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         vals = b""
         for res, bands in layout:
             for band, bh, bw in bands:
-                eps, mu, _d = band_eps_mu[(res, band)]
+                eps, mu, _d = band_eps_mu[(0, res, band)]
                 vals += struct.pack(">H", (eps << 11) | mu)
         qcd = bytes([(guard << 5) | 2]) + vals  # scalar expounded
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
+    for ci, cst in sorted(coc_styles.items()):
+        coc = bytes([ci, 0, levels, cb_exp - 2, cb_exp - 2, cst,
+                     1 if reversible else 0])
+        out += struct.pack(">HH", _COC, len(coc) + 2) + coc
+    for ci in sorted(qcc_steps):
+        vals = b""
+        for res, bands in layout:
+            for band, bh, bw in bands:
+                eps, mu, _d = band_eps_mu[(ci, res, band)]
+                vals += struct.pack(">H", (eps << 11) | mu)
+        qcc = bytes([ci, (guard << 5) | 2]) + vals
+        out += struct.pack(">HH", _QCC, len(qcc) + 2) + qcc
     psot = 2 + 10 + 2 + len(body)
     out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
     out += struct.pack(">H", _SOD)

@@ -527,3 +527,50 @@ def test_eph_missing_detected():
     enc[at] = 0x00  # corrupt the first EPH
     with pytest.raises(Jp2kError, match="EPH"):
         decode_jp2k(bytes(enc))
+
+
+def test_qcc_per_component_quantization():
+    # QCC overrides quantize chroma-ish components coarser; error per
+    # component is bounded by ITS step
+    yy, xx = np.mgrid[0:32, 0:40]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    enc = encode_jp2k(rgb, levels=2, mct=False, reversible=False,
+                      qstep=0.125, qcc_steps={1: 1.0, 2: 2.0})
+    assert b"\xff\x5d" in enc  # QCC marker present
+    dec, _ = decode_jp2k(enc)
+    errs = [np.abs(dec[..., c].astype(int) - rgb[..., c].astype(int)).max()
+            for c in range(3)]
+    assert errs[0] <= 1          # fine step: near exact
+    assert errs[1] <= 3 and errs[2] <= 5
+    # without MCT the per-component bound ordering shows the override
+    assert errs[0] <= errs[2]
+
+
+def test_coc_per_component_styles_lossless():
+    rng = np.random.default_rng(9)
+    rgb = rng.integers(0, 256, (24, 28, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, coc_styles={1: 0x01, 2: 0x04})
+    assert b"\xff\x53" in enc  # COC marker present
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec, rgb)
+
+
+def test_coc_qcc_combined_with_markers():
+    yy, xx = np.mgrid[0:32, 0:40]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    enc = encode_jp2k(rgb, levels=1, reversible=False, qstep=0.25,
+                      qcc_steps={2: 0.5}, coc_styles={0: 0x05},
+                      sop=True, eph=True)
+    dec, _ = decode_jp2k(enc)
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_coc_divergent_levels_rejected():
+    img = np.zeros((16, 16, 3), np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=2, coc_styles={1: 0}))
+    coc_at = bytes(enc).index(b"\xff\x53")
+    enc[coc_at + 6] = 1  # COC decomposition levels != COD's 2
+    with pytest.raises(Jp2kError, match="decomposition levels"):
+        decode_jp2k(bytes(enc))
