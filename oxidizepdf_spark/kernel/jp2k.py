@@ -1116,8 +1116,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     )
     if xo or yo or xto or yto:
         raise Jp2kError("nonzero image/tile offsets not supported")
-    if xt < xsiz or yt < ysiz:
-        raise Jp2kError("multiple tiles not supported")
+    if xt <= 0 or yt <= 0:
+        raise Jp2kError("invalid tile size")
+    if xsiz <= 0 or ysiz <= 0 or xsiz * ysiz > (1 << 28):
+        # decompression-bomb guard (same spirit as MAX_BITMAP_BYTES):
+        # a mutated SIZ must not drive a multi-GiB canvas allocation
+        raise Jp2kError("image dimensions out of supported range")
     if not 1 <= ncomp <= 4:
         raise Jp2kError(f"unsupported component count {ncomp}")
     depth = None
@@ -1243,31 +1247,17 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             {comp_cfg[c][2] for c in range(3)}) != 1:
         raise Jp2kError("MCT requires one transform across components")
 
-    # SOT / SOD
-    (marker,) = struct.unpack(">H", data[pos:pos + 2])
-    if marker != _SOT:
-        raise Jp2kError("expected SOT marker")
-    lsot, isot, psot, tpsot, tnsot = struct.unpack(">HHIBB", data[pos + 2:pos + 12])
-    if isot != 0 or tpsot != 0:
-        raise Jp2kError("multiple tiles/tile-parts not supported")
-    pos += 2 + lsot
-    (marker,) = struct.unpack(">H", data[pos:pos + 2])
-    if marker != _SOD:
-        raise Jp2kError("expected SOD marker")
-    body_start = pos + 2
-    body_end = body_start + (psot - lsot - 2 - 2) if psot else len(data) - 2
-
-    layout = _band_layout(h, w, levels)
-    # band exponent order in QCD/QCC: LL, then per res HL, LH, HH —
-    # keyed per component now that QCC can override steps
+    # Band step/Mb tables, keyed per component (QCC can override);
+    # QCD/QCC band order is LL then per-res HL/LH/HH — dims-independent,
+    # so enumerate once from the full-image layout.
     band_mb = {}
     band_delta = {}
     for c in range(ncomp):
         _qs, gd, es, ms = comp_quant[c]
         rev_c = comp_cfg[c][2]
         exp_idx = 0
-        for res, bands in layout:
-            for band, bh, bw in bands:
+        for res, bands in _band_layout(h, w, levels):
+            for band, _bh, _bw in bands:
                 band_mb[(c, res, band)] = gd + es[exp_idx] - 1
                 if not rev_c:
                     # Δ_b = 2^(R_b - ε_b)(1 + μ_b/2^11), R_b = depth+gain
@@ -1278,23 +1268,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     )
                 exp_idx += 1
 
-    # Parse packets in progression order.  Codeblock contributions are
-    # ACCUMULATED across layers (one MQ codeword segment spans layers
-    # with codeblock style 0) and entropy-decoded once at the end.
-    reader = _PacketBitReader(data, body_start)
-    comp_bands = {
-        c: {} for c in range(ncomp)
-    }  # (res, band) -> (coef array, ...)
-    states = {}
-    for res, bands in layout:
-        for c in range(ncomp):
-            for band, bh, bw in bands:
-                nby, nbx = _cb_grid(bh, bw, comp_cfg[c][0])
-                states[(c, res, band)] = _BandState(nby, nbx)
-                comp_bands[c][(res, band)] = np.zeros((bh, bw), dtype=np.int64)
-
-    bands_by_res = dict(layout)
-    cb_acc = {}  # (c, res, band, by, bx) -> [max_plane, n_passes, segs]
+    # Tiles: XTsiz/YTsiz grid in raster order, one tile-part per tile
+    # (SOT Isot indexes the grid; Psot spans SOT..end of tile-part)
+    ntx = -(-xsiz // xt)
+    nty = -(-ysiz // yt)
 
     def _skip_eph(pos: int) -> int:
         if use_eph:
@@ -1303,141 +1280,193 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             pos += 2
         return pos
 
-    for layer, res, c in _packet_order(progression, layers,
-                                       levels + 1, ncomp):
-        bands = bands_by_res[res]
-        if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
-            # SOP marker segment: marker(2) + Lsop(2) + Nsop(2) —
-            # optional per packet even when the flag is set (A.8.1)
-            reader = _PacketBitReader(data, reader.pos + 6)
-        # --- packet header ---
-        todo = []  # (key, n_passes, length)
-        if not reader.read_bit():
-            body_pos = _skip_eph(reader.align())
-            reader = _PacketBitReader(data, body_pos)
-            continue  # empty packet
-        cb_style_c = comp_cfg[c][1]
-        for band, bh, bw in bands:
-            st = states[(c, res, band)]
-            if st.incl is None:
-                continue
-            mb = band_mb[(c, res, band)]
-            for by in range(st.nby):
-                for bx in range(st.nbx):
-                    key = (c, res, band, by, bx)
-                    if st.first[by, bx]:
-                        if not st.incl.decode(reader, by, bx, layer + 1):
-                            continue
-                        st.first[by, bx] = False
-                        t = 1
-                        while not st.zbp.decode(reader, by, bx, t):
-                            t += 1
-                        missing = st.zbp.leaf_value(by, bx)
-                        max_plane = mb - 1 - missing
-                        if max_plane < 0:
-                            raise Jp2kError("missing bitplanes exceed Mb")
-                        cb_acc[key] = [max_plane, 0, []]
-                    elif not reader.read_bit():
-                        continue  # included before, silent this layer
-                    n_passes = _decode_n_passes(reader)
-                    while reader.read_bit():
-                        st.lblock[by, bx] += 1
-                    # Terminating styles (bypass/termall): one length per
-                    # codeword-segment part in this packet, split at the
-                    # termination pattern (T.800 B.10.7.2); a packet's
-                    # final part always closes at the packet boundary.
-                    acc = cb_acc[key]
-                    if cb_style_c & 0x05:
-                        plan = _pass_plan(acc[0], acc[1] + n_passes,
-                                          cb_style_c)
-                        gcounts = []
-                        cnt = 0
-                        for i in range(acc[1], acc[1] + n_passes):
-                            cnt += 1
-                            if plan[i][3]:
+    canvases = [
+        np.zeros((h, w), dtype=np.float64 if not comp_cfg[c][2]
+                 else np.int64)
+        for c in range(ncomp)
+    ]
+    any_irrev = any(not comp_cfg[c][2] for c in range(ncomp))
+
+    def _decode_tile(tile_idx: int, body_start: int, body_end: int) -> None:
+        ty, tx = divmod(tile_idx, ntx)
+        oy, ox = ty * yt, tx * xt
+        th = min(yt, h - oy)
+        tw = min(xt, w - ox)
+        if th <= 0 or tw <= 0:
+            raise Jp2kError("tile index outside the image grid")
+        layout = _band_layout(th, tw, levels)
+        comp_bands = {c: {} for c in range(ncomp)}
+        states = {}
+        for res, bands in layout:
+            for c in range(ncomp):
+                for band, bh, bw in bands:
+                    nby, nbx = _cb_grid(bh, bw, comp_cfg[c][0])
+                    states[(c, res, band)] = _BandState(nby, nbx)
+                    comp_bands[c][(res, band)] = np.zeros(
+                        (bh, bw), dtype=np.int64)
+
+        bands_by_res = dict(layout)
+        cb_acc = {}  # (c,res,band,by,bx) -> [max_plane, n_passes, groups]
+        reader = _PacketBitReader(data, body_start)
+        for layer, res, c in _packet_order(progression, layers,
+                                           levels + 1, ncomp):
+            bands = bands_by_res[res]
+            if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
+                # SOP marker segment: marker(2)+Lsop(2)+Nsop(2) —
+                # optional per packet even when the flag is set (A.8.1)
+                reader = _PacketBitReader(data, reader.pos + 6)
+            # --- packet header ---
+            todo = []  # (key, n_passes, length)
+            if not reader.read_bit():
+                body_pos = _skip_eph(reader.align())
+                reader = _PacketBitReader(data, body_pos)
+                continue  # empty packet
+            cb_style_c = comp_cfg[c][1]
+            for band, bh, bw in bands:
+                st = states[(c, res, band)]
+                if st.incl is None:
+                    continue
+                mb = band_mb[(c, res, band)]
+                for by in range(st.nby):
+                    for bx in range(st.nbx):
+                        key = (c, res, band, by, bx)
+                        if st.first[by, bx]:
+                            if not st.incl.decode(reader, by, bx,
+                                                  layer + 1):
+                                continue
+                            st.first[by, bx] = False
+                            t = 1
+                            while not st.zbp.decode(reader, by, bx, t):
+                                t += 1
+                            missing = st.zbp.leaf_value(by, bx)
+                            max_plane = mb - 1 - missing
+                            if max_plane < 0:
+                                raise Jp2kError(
+                                    "missing bitplanes exceed Mb")
+                            cb_acc[key] = [max_plane, 0, []]
+                        elif not reader.read_bit():
+                            continue  # included before, silent layer
+                        n_passes = _decode_n_passes(reader)
+                        while reader.read_bit():
+                            st.lblock[by, bx] += 1
+                        # Terminating styles (bypass/termall): one
+                        # length per codeword-segment part, split at
+                        # the termination pattern (B.10.7.2); a
+                        # packet's final part closes at the boundary.
+                        acc = cb_acc[key]
+                        if cb_style_c & 0x05:
+                            plan = _pass_plan(acc[0], acc[1] + n_passes,
+                                              cb_style_c)
+                            gcounts = []
+                            cnt = 0
+                            for i in range(acc[1], acc[1] + n_passes):
+                                cnt += 1
+                                if plan[i][3]:
+                                    gcounts.append(cnt)
+                                    cnt = 0
+                            if cnt:
                                 gcounts.append(cnt)
-                                cnt = 0
-                        if cnt:
-                            gcounts.append(cnt)
-                    else:
-                        gcounts = [n_passes]
-                    for gnp in gcounts:
-                        nbits = int(st.lblock[by, bx]) + (
-                            gnp.bit_length() - 1
-                        )
-                        length = reader.read_bits(nbits)
-                        todo.append((key, gnp, length))
-        body_pos = _skip_eph(reader.align())
-        # --- packet bodies ---
-        for key, n_passes, length in todo:
-            seg = data[body_pos:body_pos + length]
-            if len(seg) < length:
-                raise Jp2kError("packet body truncated")
-            body_pos += length
-            acc = cb_acc[key]
-            acc[1] += n_passes
-            acc[2].append((n_passes, seg))
-        reader = _PacketBitReader(data, body_pos)
-        if body_pos > body_end:
-            raise Jp2kError("tile body overrun")
+                        else:
+                            gcounts = [n_passes]
+                        for gnp in gcounts:
+                            nbits = int(st.lblock[by, bx]) + (
+                                gnp.bit_length() - 1
+                            )
+                            length = reader.read_bits(nbits)
+                            todo.append((key, gnp, length))
+            body_pos = _skip_eph(reader.align())
+            # --- packet bodies ---
+            for key, n_passes, length in todo:
+                seg = data[body_pos:body_pos + length]
+                if len(seg) < length:
+                    raise Jp2kError("packet body truncated")
+                body_pos += length
+                acc = cb_acc[key]
+                acc[1] += n_passes
+                acc[2].append((n_passes, seg))
+            reader = _PacketBitReader(data, body_pos)
+            if body_pos > body_end:
+                raise Jp2kError("tile body overrun")
 
-    for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
-            cb_acc.items():
-        cbs_c, cb_style_c, _rev = comp_cfg[c]
-        bh, bw = comp_bands[c][(res, band)].shape
-        y0, x0 = by * cbs_c, bx * cbs_c
-        cb_h, cb_w = min(cbs_c, bh - y0), min(cbs_c, bw - x0)
-        if cb_style_c & 0x05:
-            # merge per-packet parts into terminated codeword segments
-            plan = _pass_plan(max_plane, n_passes, cb_style_c)
-            codewords = []
-            buf = b""
-            idx = 0
-            for gnp, gbytes in groups:
-                buf += gbytes
-                idx += gnp
-                if plan[idx - 1][3]:
+        for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
+                cb_acc.items():
+            cbs_c, cb_style_c, _rev = comp_cfg[c]
+            bh, bw = comp_bands[c][(res, band)].shape
+            y0, x0 = by * cbs_c, bx * cbs_c
+            cb_h, cb_w = min(cbs_c, bh - y0), min(cbs_c, bw - x0)
+            if cb_style_c & 0x05:
+                # merge per-packet parts into terminated segments
+                plan = _pass_plan(max_plane, n_passes, cb_style_c)
+                codewords = []
+                buf = b""
+                idx = 0
+                for gnp, gbytes in groups:
+                    buf += gbytes
+                    idx += gnp
+                    if plan[idx - 1][3]:
+                        codewords.append(buf)
+                        buf = b""
+                if buf:
                     codewords.append(buf)
-                    buf = b""
-            if buf:
-                codewords.append(buf)
-        else:
-            codewords = b"".join(g for _, g in groups)
-        coefs = decode_codeblock(codewords, cb_h, cb_w, band,
-                                 max_plane, n_passes, cb_style_c)
-        comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
+            else:
+                codewords = b"".join(g for _, g in groups)
+            coefs = decode_codeblock(codewords, cb_h, cb_w, band,
+                                     max_plane, n_passes, cb_style_c)
+            comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
-    # Inverse DWT per component
-    planes = []
-    any_irrev = False
-    for c in range(ncomp):
-        if comp_cfg[c][2]:
-            cur = comp_bands[c][(0, "LL")]
-            for r in range(1, levels + 1):
-                cur = dwt53_inverse_2d(
-                    cur,
-                    comp_bands[c][(r, "HL")],
-                    comp_bands[c][(r, "LH")],
-                    comp_bands[c][(r, "HH")],
-                )
-        else:
-            any_irrev = True
+        # Inverse DWT per component, into the tile's canvas window
+        for c in range(ncomp):
+            if comp_cfg[c][2]:
+                cur = comp_bands[c][(0, "LL")]
+                for r in range(1, levels + 1):
+                    cur = dwt53_inverse_2d(
+                        cur,
+                        comp_bands[c][(r, "HL")],
+                        comp_bands[c][(r, "LH")],
+                        comp_bands[c][(r, "HH")],
+                    )
+            else:
+                # E.1.1 dequantization, mid-point reconstruction
+                def deq(key):
+                    q = comp_bands[c][(key[1], key[2])]
+                    mag = np.abs(q).astype(np.float64)
+                    out = np.where(
+                        mag > 0, (mag + 0.5) * band_delta[key], 0.0)
+                    return np.copysign(out, q)
 
-            # E.1.1 dequantization with mid-point reconstruction
-            # (q + 0.5)·Δ for coded magnitudes, 0 inside the dead zone
-            def deq(key):
-                q = comp_bands[c][(key[1], key[2])]
-                mag = np.abs(q).astype(np.float64)
-                out = np.where(mag > 0, (mag + 0.5) * band_delta[key], 0.0)
-                return np.copysign(out, q)
+                cur = deq((c, 0, "LL"))
+                for r in range(1, levels + 1):
+                    cur = dwt97_inverse_2d(
+                        cur, deq((c, r, "HL")), deq((c, r, "LH")),
+                        deq((c, r, "HH")))
+            canvases[c][oy:oy + th, ox:ox + tw] = cur
 
-            cur = deq((c, 0, "LL"))
-            for r in range(1, levels + 1):
-                cur = dwt97_inverse_2d(
-                    cur, deq((c, r, "HL")), deq((c, r, "LH")),
-                    deq((c, r, "HH")))
-        planes.append(cur)
-    img = np.stack(planes, axis=-1)
+    seen_tiles = set()
+    while pos + 4 <= len(data):
+        (marker,) = struct.unpack(">H", data[pos:pos + 2])
+        if marker == _EOC:
+            break
+        if marker != _SOT:
+            raise Jp2kError("expected SOT marker")
+        lsot, isot, psot, tpsot, tnsot = struct.unpack(
+            ">HHIBB", data[pos + 2:pos + 12])
+        if tpsot != 0:
+            raise Jp2kError("multiple tile-parts per tile not supported")
+        if isot >= ntx * nty or isot in seen_tiles:
+            raise Jp2kError("invalid tile index")
+        seen_tiles.add(isot)
+        sod_at = pos + 2 + lsot
+        (marker,) = struct.unpack(">H", data[sod_at:sod_at + 2])
+        if marker != _SOD:
+            raise Jp2kError("expected SOD marker")
+        body_start = sod_at + 2
+        body_end = pos + psot if psot else len(data) - 2
+        _decode_tile(isot, body_start, body_end)
+        pos = body_end
+    if len(seen_tiles) != ntx * nty:
+        raise Jp2kError("codestream is missing tiles")
+
+    img = np.stack(canvases, axis=-1)
     if mct and ncomp >= 3:
         inv = rct_inverse if comp_cfg[0][2] else ict_inverse
         rgb = inv(img[..., :3])
@@ -1451,7 +1480,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     dtype = np.uint8 if depth == 8 else np.uint16
     info = {"width": w, "height": h, "components": ncomp,
             "depth": depth, "levels": levels, "mct": bool(mct),
-            "reversible": not any_irrev}
+            "reversible": not any_irrev, "tiles": (nty, ntx)}
     return img.astype(dtype), info
 
 
@@ -1467,7 +1496,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 qstep: float = 0.5, sop: bool = False,
                 eph: bool = False,
                 qcc_steps: dict | None = None,
-                coc_styles: dict | None = None) -> bytes:
+                coc_styles: dict | None = None,
+                tile_size: tuple | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1480,7 +1510,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     units — reconstruction error is bounded by ~qstep/2 per
     coefficient). ``qcc_steps``: per-component step overrides emitted
     as QCC segments (lossy only); ``coc_styles``: per-component
-    codeblock-style overrides emitted as COC segments."""
+    codeblock-style overrides emitted as COC segments. ``tile_size``:
+    (height, width) of the SIZ tile grid — every tile becomes its own
+    tile-part with an independent wavelet decomposition."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1524,18 +1556,37 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 ([img[..., 3:]] if nc > 3 else []), axis=-1,
             )
 
-    layout = _band_layout(h, w, levels)
-    comp_bands = {c: {} for c in range(nc)}
+    if tile_size is None:
+        tile_h, tile_w = h, w
+    else:
+        tile_h, tile_w = int(tile_size[0]), int(tile_size[1])
+        if tile_h <= 0 or tile_w <= 0:
+            raise Jp2kError("invalid tile size")
+    nty = -(-h // tile_h)
+    ntx = -(-w // tile_w)
+    tile_origins = [(ty * tile_h, tx * tile_w)
+                    for ty in range(nty) for tx in range(ntx)]
+    layout = _band_layout(h, w, levels)  # band-key enumeration only
     fwd = dwt53_forward_2d if reversible else dwt97_forward_2d
-    for c in range(nc):
-        cur = img[..., c]
-        for r in range(levels, 0, -1):
-            ll, hl, lh, hh = fwd(cur)
-            comp_bands[c][(r, "HL")] = hl
-            comp_bands[c][(r, "LH")] = lh
-            comp_bands[c][(r, "HH")] = hh
-            cur = ll
-        comp_bands[c][(0, "LL")] = cur
+
+    # per-tile wavelet decomposition (tile dims clip at the image edge)
+    tile_bands = []
+    tile_layouts = []
+    for oy, ox in tile_origins:
+        timg = img[oy:oy + tile_h, ox:ox + tile_w]
+        tile_layouts.append(_band_layout(timg.shape[0], timg.shape[1],
+                                         levels))
+        comp_bands = {c: {} for c in range(nc)}
+        for c in range(nc):
+            cur = timg[..., c]
+            for r in range(levels, 0, -1):
+                ll, hl, lh, hh = fwd(cur)
+                comp_bands[c][(r, "HL")] = hl
+                comp_bands[c][(r, "LH")] = lh
+                comp_bands[c][(r, "HH")] = hh
+                cur = ll
+            comp_bands[c][(0, "LL")] = cur
+        tile_bands.append(comp_bands)
 
     band_eps_mu = {}
     qcc_steps = dict(qcc_steps or {})
@@ -1567,33 +1618,33 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             if not step_c > 0:
                 raise Jp2kError("qstep must be positive")
             for res, bands in layout:
-                for band, bh, bw in bands:
+                for band, _bh, _bw in bands:
                     rb = depth + _BAND_GAIN[band]
                     eps, mu, delta = eps_mu(step_c, rb)
                     band_eps_mu[(c, res, band)] = (eps, mu, delta)
-                    x = comp_bands[c][(res, band)]
-                    q = np.floor(np.abs(x) / delta).astype(np.int64)
-                    comp_bands[c][(res, band)] = np.where(x < 0, -q, q)
+                    for comp_bands in tile_bands:
+                        x = comp_bands[c][(res, band)]
+                        q = np.floor(np.abs(x) / delta).astype(np.int64)
+                        comp_bands[c][(res, band)] = np.where(
+                            x < 0, -q, q)
     elif qcc_steps:
         raise Jp2kError("qcc_steps require reversible=False")
 
-    # Per-band Mb from the actual dynamic range (shared across comps so
-    # the QCD segment stays component-independent). In the quantized
-    # path Mb is pinned by the wire formula Mb = guard + eps - 1, so
-    # the guard count grows until every band's magnitudes fit.
+    # Mb / guard from the GLOBAL dynamic range (one QCD/QCC set serves
+    # every tile)
     band_mb = {}
     for res, bands in layout:
-        for band, bh, bw in bands:
+        for band, _bh, _bw in bands:
             top = 0
-            for c in range(nc):
-                arr = comp_bands[c][(res, band)]
-                if arr.size:
-                    top = max(top, int(np.abs(arr).max()))
-                if not reversible:
-                    eps = band_eps_mu[(c, res, band)][0]
-                    need = max(1, int(np.abs(arr).max()
-                                      if arr.size else 0).bit_length())
-                    guard = max(guard, need + 1 - eps)
+            for comp_bands in tile_bands:
+                for c in range(nc):
+                    arr = comp_bands[c][(res, band)]
+                    amax = int(np.abs(arr).max()) if arr.size else 0
+                    top = max(top, amax)
+                    if not reversible:
+                        eps = band_eps_mu[(c, res, band)][0]
+                        need = max(1, amax.bit_length())
+                        guard = max(guard, need + 1 - eps)
             if reversible:
                 band_mb[(res, band)] = max(1, top.bit_length())
     if not reversible:
@@ -1602,165 +1653,175 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         for key, (eps, _mu, _d) in band_eps_mu.items():
             band_mb[key] = guard + eps - 1
 
-    # Entropy-code every codeblock.
-    encoded = {}
-    for res, bands in layout:
-        for c in range(nc):
-            for band, bh, bw in bands:
-                nby, nbx = _cb_grid(bh, bw, cbs)
-                for by in range(nby):
-                    for bx in range(nbx):
-                        y0, x0 = by * cbs, bx * cbs
-                        block = comp_bands[c][(res, band)][
-                            y0:y0 + min(cbs, bh - y0),
-                            x0:x0 + min(cbs, bw - x0),
-                        ]
-                        encoded[(c, res, band, by, bx)] = encode_codeblock(
-                            np.asarray(block), band, comp_style[c]
-                        )
+    def _tile_body(tidx: int, nsop0: int) -> tuple[bytes, int]:
+        """Entropy-code one tile and assemble its packet body."""
+        tlayout = tile_layouts[tidx]
+        comp_bands = tile_bands[tidx]
 
-    # Split each codeblock's passes and codeword bytes across layers:
-    # inclusion layers are staggered per block. With one codeword
-    # segment (no terminating style) bytes split proportional to passes
-    # (any byte split is valid); with bypass/termall the split happens
-    # at terminated-segment boundaries only, whole segments per layer.
-    chunks = {}  # key -> [list of (n_passes, seg)] per layer
-    for key, (data_, n_passes, max_plane) in encoded.items():
-        per_layer = [[] for _ in range(layers)]
-        if n_passes:
-            c, res, band, by, bx = key
-            il = (by + bx) % layers
-            slots = layers - il
-            if isinstance(data_, list):
-                seg_counts = _segment_pass_counts(max_plane, n_passes,
-                                                  comp_style[c])
-                nseg = len(seg_counts)
-                base, rem = divmod(nseg, slots)
-                idx = 0
-                for i in range(slots):
-                    take = base + (1 if i < rem else 0)
-                    for j in range(idx, idx + take):
-                        per_layer[il + i].append(
-                            (seg_counts[j], data_[j]))
-                    idx += take
-            else:
-                counts = [n_passes // slots +
-                          (1 if i < n_passes % slots else 0)
-                          for i in range(slots)]
-                cum = 0
-                pos0 = 0
-                for i, cnt in enumerate(counts):
-                    cum += cnt
-                    pos1 = len(data_) * cum // n_passes
-                    if cnt:
-                        per_layer[il + i] = [(cnt, data_[pos0:pos1])]
-                    pos0 = pos1
-        chunks[key] = per_layer
+        encoded = {}
+        for res, bands in tlayout:
+            for c in range(nc):
+                for band, bh, bw in bands:
+                    nby, nbx = _cb_grid(bh, bw, cbs)
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            y0, x0 = by * cbs, bx * cbs
+                            block = comp_bands[c][(res, band)][
+                                y0:y0 + min(cbs, bh - y0),
+                                x0:x0 + min(cbs, bw - x0),
+                            ]
+                            encoded[(c, res, band, by, bx)] = \
+                                encode_codeblock(
+                                    np.asarray(block), band,
+                                    comp_style[c])
 
-    states_enc = {}
-    bands_by_res = dict(layout)
-    for res, bands in layout:
-        for c in range(nc):
+        # Split passes/codewords across layers: inclusion staggered per
+        # block; one-codeword blocks split bytes proportional to
+        # passes, terminated styles split at whole segments.
+        chunks = {}
+        for key, (data_, n_passes, max_plane) in encoded.items():
+            per_layer = [[] for _ in range(layers)]
+            if n_passes:
+                c, res, band, by, bx = key
+                il = (by + bx) % layers
+                slots = layers - il
+                if isinstance(data_, list):
+                    seg_counts = _segment_pass_counts(
+                        max_plane, n_passes, comp_style[c])
+                    nseg = len(seg_counts)
+                    base, rem = divmod(nseg, slots)
+                    idx = 0
+                    for i in range(slots):
+                        take = base + (1 if i < rem else 0)
+                        for j in range(idx, idx + take):
+                            per_layer[il + i].append(
+                                (seg_counts[j], data_[j]))
+                        idx += take
+                else:
+                    counts = [n_passes // slots +
+                              (1 if i < n_passes % slots else 0)
+                              for i in range(slots)]
+                    cum = 0
+                    pos0 = 0
+                    for i, cnt in enumerate(counts):
+                        cum += cnt
+                        pos1 = len(data_) * cum // n_passes
+                        if cnt:
+                            per_layer[il + i] = [(cnt, data_[pos0:pos1])]
+                        pos0 = pos1
+            chunks[key] = per_layer
+
+        states_enc = {}
+        bands_by_res = dict(tlayout)
+        for res, bands in tlayout:
+            for c in range(nc):
+                for band, bh, bw in bands:
+                    nby, nbx = _cb_grid(bh, bw, cbs)
+                    if not (nby and nbx):
+                        continue
+                    incl_leaves = np.full((nby, nbx), layers,
+                                          dtype=np.int64)
+                    zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
+                    mb = band_mb[(res, band)] if reversible else \
+                        band_mb[(c, res, band)]
+                    for by in range(nby):
+                        for bx in range(nbx):
+                            data_, n_passes, max_plane = encoded[
+                                (c, res, band, by, bx)
+                            ]
+                            if n_passes:
+                                incl_leaves[by, bx] = (by + bx) % layers
+                                zbp_leaves[by, bx] = mb - 1 - max_plane
+                    states_enc[(c, res, band)] = _BandState(
+                        nby, nbx,
+                        encoder_leaves=(incl_leaves, zbp_leaves))
+
+        body = bytearray()
+        nsop = nsop0
+        for layer, res, c in _packet_order(progression, layers,
+                                           levels + 1, nc):
+            bands = bands_by_res[res]
+            if sop:
+                body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
+                nsop += 1
+            any_contrib = any(
+                chunks[(c, res, band, by, bx)][layer]
+                for band, bh, bw in bands
+                for by in range(_cb_grid(bh, bw, cbs)[0])
+                for bx in range(_cb_grid(bh, bw, cbs)[1])
+            )
+            writer = _PacketBitWriter()
+            if not any_contrib:
+                writer.write_bit(0)
+                body += writer.flush()
+                if eph:
+                    body += b"\xff\x92"
+                continue
+            writer.write_bit(1)
+            bodies = bytearray()
             for band, bh, bw in bands:
-                nby, nbx = _cb_grid(bh, bw, cbs)
-                if not (nby and nbx):
+                st = states_enc.get((c, res, band))
+                if st is None:
                     continue
-                incl_leaves = np.full((nby, nbx), layers, dtype=np.int64)
-                zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
-                mb = band_mb[(res, band)] if reversible else \
-                    band_mb[(c, res, band)]
-                for by in range(nby):
-                    for bx in range(nbx):
-                        data_, n_passes, max_plane = encoded[
-                            (c, res, band, by, bx)
-                        ]
-                        if n_passes:
-                            incl_leaves[by, bx] = (by + bx) % layers
-                            zbp_leaves[by, bx] = mb - 1 - max_plane
-                states_enc[(c, res, band)] = _BandState(
-                    nby, nbx, encoder_leaves=(incl_leaves, zbp_leaves)
-                )
-
-    body = bytearray()
-    nsop = 0
-    for layer, res, c in _packet_order(progression, layers,
-                                       levels + 1, nc):
-        bands = bands_by_res[res]
-        if sop:
-            body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
-            nsop += 1
-        any_contrib = any(
-            chunks[(c, res, band, by, bx)][layer]
-            for band, bh, bw in bands
-            for by in range(_cb_grid(bh, bw, cbs)[0])
-            for bx in range(_cb_grid(bh, bw, cbs)[1])
-        )
-        writer = _PacketBitWriter()
-        if not any_contrib:
-            writer.write_bit(0)
+                for by in range(st.nby):
+                    for bx in range(st.nbx):
+                        key = (c, res, band, by, bx)
+                        groups = chunks[key][layer]
+                        np_ = sum(g[0] for g in groups)
+                        if st.first[by, bx]:
+                            st.incl.encode(writer, by, bx, layer + 1)
+                            if not np_:
+                                continue  # first inclusion later
+                            st.first[by, bx] = False
+                            zbp = int(st.zbp.levels[0][by, bx])
+                            t = 1
+                            while True:
+                                st.zbp.encode(writer, by, bx, t)
+                                if zbp < t:
+                                    break
+                                t += 1
+                        else:
+                            writer.write_bit(1 if np_ else 0)
+                            if not np_:
+                                continue
+                        _encode_n_passes(writer, np_)
+                        # one Lblock update, then one length per
+                        # codeword-segment part (B.10.7.2)
+                        extra = 0
+                        for gnp, gseg in groups:
+                            lbits = gnp.bit_length() - 1
+                            need = max(len(gseg).bit_length(), 1)
+                            extra = max(
+                                extra,
+                                need - lbits - int(st.lblock[by, bx]))
+                        for _ in range(extra):
+                            writer.write_bit(1)
+                        writer.write_bit(0)
+                        st.lblock[by, bx] += extra
+                        for gnp, gseg in groups:
+                            writer.write_bits(
+                                len(gseg),
+                                int(st.lblock[by, bx])
+                                + gnp.bit_length() - 1
+                            )
+                            bodies += gseg
             body += writer.flush()
             if eph:
                 body += b"\xff\x92"
-            continue
-        writer.write_bit(1)
-        bodies = bytearray()
-        for band, bh, bw in bands:
-            st = states_enc.get((c, res, band))
-            if st is None:
-                continue
-            for by in range(st.nby):
-                for bx in range(st.nbx):
-                    key = (c, res, band, by, bx)
-                    groups = chunks[key][layer]
-                    np_ = sum(g[0] for g in groups)
-                    if st.first[by, bx]:
-                        st.incl.encode(writer, by, bx, layer + 1)
-                        if not np_:
-                            continue  # first inclusion is a later layer
-                        st.first[by, bx] = False
-                        zbp = int(
-                            states_enc[(c, res, band)].zbp.levels[0][by, bx]
-                        )
-                        t = 1
-                        while True:
-                            st.zbp.encode(writer, by, bx, t)
-                            if zbp < t:
-                                break
-                            t += 1
-                    else:
-                        writer.write_bit(1 if np_ else 0)
-                        if not np_:
-                            continue
-                    _encode_n_passes(writer, np_)
-                    # one Lblock update, then one length per codeword-
-                    # segment part (B.10.7.2)
-                    extra = 0
-                    for gnp, gseg in groups:
-                        lbits = gnp.bit_length() - 1
-                        need = max(len(gseg).bit_length(), 1)
-                        extra = max(
-                            extra,
-                            need - lbits - int(st.lblock[by, bx]))
-                    for _ in range(extra):
-                        writer.write_bit(1)
-                    writer.write_bit(0)
-                    st.lblock[by, bx] += extra
-                    for gnp, gseg in groups:
-                        writer.write_bits(
-                            len(gseg),
-                            int(st.lblock[by, bx]) + gnp.bit_length() - 1
-                        )
-                        bodies += gseg
-        body += writer.flush()
-        if eph:
-            body += b"\xff\x92"
-        body += bodies
+            body += bodies
+        return bytes(body), nsop
+
+    tile_bodies = []
+    nsop_counter = 0
+    for tidx in range(len(tile_origins)):
+        tb, nsop_counter = _tile_body(tidx, nsop_counter)
+        tile_bodies.append(tb)
 
     # --- markers ---
     out = bytearray()
     out += struct.pack(">H", _SOC)
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, w, h, 0, 0, nc
+        ">HIIIIIIIIH", 0, w, h, 0, 0, tile_w, tile_h, 0, 0, nc
     ) + b"".join(
         struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc)
     )
@@ -1806,10 +1867,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 vals += struct.pack(">H", (eps << 11) | mu)
         qcc = bytes([ci, (guard << 5) | 2]) + vals
         out += struct.pack(">HH", _QCC, len(qcc) + 2) + qcc
-    psot = 2 + 10 + 2 + len(body)
-    out += struct.pack(">HHHIBB", _SOT, 10, 0, psot, 0, 1)
-    out += struct.pack(">H", _SOD)
-    out += body
+    for tidx, tb in enumerate(tile_bodies):
+        psot = 2 + 10 + 2 + len(tb)
+        out += struct.pack(">HHHIBB", _SOT, 10, tidx, psot, 0, 1)
+        out += struct.pack(">H", _SOD)
+        out += tb
     out += struct.pack(">H", _EOC)
     stream = bytes(out)
     if not jp2_container:

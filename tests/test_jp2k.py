@@ -574,3 +574,53 @@ def test_coc_divergent_levels_rejected():
     enc[coc_at + 6] = 1  # COC decomposition levels != COD's 2
     with pytest.raises(Jp2kError, match="decomposition levels"):
         decode_jp2k(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Multiple tiles (round 8): SIZ tile grid, one tile-part per tile
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ts", [(16, 16), (32, 24), (17, 19)])
+def test_multi_tile_lossless_roundtrip(ts):
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, tile_size=ts)
+    dec, info = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    assert info["tiles"] == (-(-50 // ts[0]), -(-70 // ts[1]))
+
+
+def test_multi_tile_rgb_layers_markers_and_lossy():
+    rng = np.random.default_rng(12)
+    rgb = rng.integers(0, 256, (45, 61, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, tile_size=(20, 20), layers=3,
+                      sop=True, eph=True)
+    dec, info = decode_jp2k(enc)
+    assert np.array_equal(dec, rgb) and info["tiles"] == (3, 4)
+    yy, xx = np.mgrid[0:45, 0:61]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb2 = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    enc2 = encode_jp2k(rgb2, levels=1, tile_size=(16, 24),
+                       reversible=False, qstep=0.25, qcc_steps={2: 0.5})
+    dec2, _ = decode_jp2k(enc2)
+    assert np.abs(dec2.astype(int) - rgb2.astype(int)).max() <= 3
+
+
+def test_missing_tile_detected():
+    img = np.arange(2500, dtype=np.uint8).reshape(50, 50) % 256
+    enc = encode_jp2k(img.astype(np.uint8), levels=1, tile_size=(25, 50))
+    # chop the second tile-part: truncate at its SOT, keep EOC
+    second_sot = enc.index(b"\xff\x90", enc.index(b"\xff\x90") + 2)
+    with pytest.raises(Jp2kError, match="missing tiles"):
+        decode_jp2k(enc[:second_sot] + b"\xff\xd9")
+
+
+def test_duplicate_tile_index_detected():
+    img = np.zeros((20, 40), np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1, tile_size=(20, 20)))
+    # patch the second SOT's Isot to 0 (duplicate)
+    at = bytes(enc).index(b"\xff\x90", bytes(enc).index(b"\xff\x90") + 2)
+    enc[at + 4:at + 6] = b"\x00\x00"
+    with pytest.raises(Jp2kError, match="tile index"):
+        decode_jp2k(bytes(enc))
