@@ -1008,6 +1008,14 @@ _COC = 0xFF53
 _QCD = 0xFF5C
 _QCC = 0xFF5D
 _COM = 0xFF64
+_POC = 0xFF5F
+_PPM = 0xFF60
+_PPT = 0xFF61
+_PLM = 0xFF57
+_PLT = 0xFF58
+_RGN = 0xFF5E
+_CRG = 0xFF63
+_TLM = 0xFF55
 _SOT = 0xFF90
 _SOD = 0xFF93
 _EOC = 0xFFD9
@@ -1106,7 +1114,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             coc_segs.append(seg)
         elif marker == _QCC:
             qcc_segs.append(seg)
-        # COM and other informational segments: skipped
+        elif marker in (_POC, _PPM, _RGN):
+            # silently skipping any of these would DECODE WRONG DATA:
+            # POC rewrites the progression, PPM moves packet headers out
+            # of the tile body, RGN shifts ROI coefficients
+            raise Jp2kError(
+                f"unsupported marker {marker:#x} (POC/PPM/RGN alter the "
+                "packet stream)")
+        # COM / TLM / PLM / CRG and other informational segments: skipped
     if siz is None or cod is None or qcd is None:
         raise Jp2kError("missing SIZ/COD/QCD markers")
 
@@ -1455,11 +1470,20 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         if isot >= ntx * nty or isot in seen_tiles:
             raise Jp2kError("invalid tile index")
         seen_tiles.add(isot)
-        sod_at = pos + 2 + lsot
-        (marker,) = struct.unpack(">H", data[sod_at:sod_at + 2])
-        if marker != _SOD:
-            raise Jp2kError("expected SOD marker")
-        body_start = sod_at + 2
+        # tile-part header: skip informational segments (PLT/COM), but
+        # refuse the ones that would change decode semantics
+        hdr_pos = pos + 2 + lsot
+        while True:
+            (marker,) = struct.unpack(">H", data[hdr_pos:hdr_pos + 2])
+            if marker == _SOD:
+                break
+            if marker in (_PLT, _COM):
+                (slen,) = struct.unpack(">H", data[hdr_pos + 2:hdr_pos + 4])
+                hdr_pos += 2 + slen
+                continue
+            raise Jp2kError(
+                f"unsupported tile-part header marker {marker:#x}")
+        body_start = hdr_pos + 2
         body_end = pos + psot if psot else len(data) - 2
         _decode_tile(isot, body_start, body_end)
         pos = body_end

@@ -624,3 +624,32 @@ def test_duplicate_tile_index_detected():
     enc[at + 4:at + 6] = b"\x00\x00"
     with pytest.raises(Jp2kError, match="tile index"):
         decode_jp2k(bytes(enc))
+
+
+def test_tile_header_plt_com_skipped_and_poc_rejected():
+    import struct
+
+    img = np.arange(400, dtype=np.uint8).reshape(20, 20)
+    enc = bytearray(encode_jp2k(img, levels=1))
+    sot_at = bytes(enc).index(b"\xff\x90")
+    sod_at = bytes(enc).index(b"\xff\x93")
+    # splice PLT + COM between the SOT header and SOD; grow Psot
+    plt = b"\xff\x58" + struct.pack(">H", 5) + b"\x00\x00\x07"
+    com = b"\xff\x64" + struct.pack(">H", 6) + b"\x00\x01ok"
+    psot = struct.unpack(">I", enc[sot_at + 6:sot_at + 10])[0]
+    enc[sot_at + 6:sot_at + 10] = struct.pack(
+        ">I", psot + len(plt) + len(com))
+    patched = bytes(enc[:sod_at]) + plt + com + bytes(enc[sod_at:])
+    dec, _ = decode_jp2k(patched)
+    assert np.array_equal(dec[..., 0], img)
+    # a main-header POC must be a loud error, not a silent mis-decode
+    soc_end = 2
+    poc = b"\xff\x5f" + struct.pack(">H", 9) + b"\x00" * 7
+    bad = patched[:soc_end] + poc + patched[soc_end:]
+    with pytest.raises(Jp2kError, match="POC/PPM/RGN"):
+        decode_jp2k(bad)
+    # an unknown tile-part marker is a targeted error too
+    unk = bytes(enc[:sod_at]) + b"\xff\x71" + struct.pack(">H", 4) + \
+        b"\x00\x00" + bytes(enc[sod_at:])
+    with pytest.raises(Jp2kError, match="tile-part header"):
+        decode_jp2k(unk)
