@@ -27,10 +27,15 @@ Scope (raises ``Jp2kError`` beyond it):
   library or real-world fixture exists in this sandbox, so lossy
   coverage is pinned by encoder/decoder roundtrip error bounds rather
   than cross-codec comparison;
-- one tile covering the image grid, default precincts (whole subband);
-  any number of quality layers (codeblock contributions accumulate
-  across layers) and all five Part-1 progression orders (with one
-  tile/precinct they reduce to three distinct packet sequences);
+- MULTIPLE TILES (SIZ grid, one tile-part per tile, any arrival order)
+  and USER-DEFINED PRECINCTS (Scod bit 0 per-resolution PPx/PPy,
+  codeblocks clipped to precinct cells, one packet per precinct) for
+  the LRCP/RLCP/RPCL orders — PCRL/CPRL with a real precinct grid
+  would interleave precincts of different resolutions by spatial
+  position and stay a targeted error; any number of quality layers
+  (codeblock contributions accumulate across layers); SOP/EPH
+  markers; PLT/COM tile-part headers skipped, POC/PPM/RGN rejected
+  loudly (they alter the packet stream);
   codeblock-style flags 0x01 (selective arithmetic bypass — raw
   sig-prop/refinement from the 11th pass with terminated codeword
   segments), 0x02 (per-pass context reset), 0x04 (per-pass
@@ -969,30 +974,113 @@ def _cb_grid(bh: int, bw: int, cbs: int) -> tuple[int, int]:
     return (-(-bh // cbs) if bh else 0, -(-bw // cbs) if bw else 0)
 
 
-def _packet_order(progression: int, layers: int, nres: int, ncomp: int):
+def _res_dims(th: int, tw: int, levels: int, res: int) -> tuple[int, int]:
+    """Resolution-grid dims at resolution ``res`` (0 = smallest)."""
+    sh = levels - res
+    return -(-th // (1 << sh)), -(-tw // (1 << sh))
+
+
+def _precinct_geometry(res: int, pp) -> tuple[int, int, int, int]:
+    """(cell_h_band, cell_w_band, ppy, ppx) for resolution ``res`` —
+    precinct cells are defined on the RESOLUTION grid (B.6); at res>0 a
+    band coordinate is half a resolution coordinate, so the band-space
+    cell halves."""
+    ppx, ppy = pp[res]
+    if res == 0:
+        return 1 << ppy, 1 << ppx, ppy, ppx
+    return 1 << (ppy - 1), 1 << (ppx - 1), ppy, ppx
+
+
+def _precinct_counts(th: int, tw: int, levels: int, res: int,
+                     pp) -> tuple[int, int]:
+    """Precinct grid (rows, cols) at ``res`` from the resolution dims."""
+    rh, rw = _res_dims(th, tw, levels, res)
+    ppx, ppy = pp[res]
+    npy = -(-rh // (1 << ppy)) if rh else 0
+    npx = -(-rw // (1 << ppx)) if rw else 0
+    return max(npy, 1), max(npx, 1)
+
+
+def _band_cb_geometry(res: int, bh: int, bw: int, cbs: int,
+                      pp) -> tuple:
+    """Effective codeblock size and grid for one band under precinct
+    partition ``pp`` (None = whole-band precincts): returns
+    (cb_h, cb_w, nby, nbx, cell_h, cell_w)."""
+    if pp is None:
+        nby, nbx = _cb_grid(bh, bw, cbs)
+        return cbs, cbs, nby, nbx, None, None
+    cell_h, cell_w, _ppy, _ppx = _precinct_geometry(res, pp)
+    cb_h = min(cbs, cell_h)
+    cb_w = min(cbs, cell_w)
+    nby = -(-bh // cb_h) if bh else 0
+    nbx = -(-bw // cb_w) if bw else 0
+    return cb_h, cb_w, nby, nbx, cell_h, cell_w
+
+
+def _precinct_cb_range(res: int, pidx: tuple, geom: tuple) -> tuple:
+    """Codeblock sub-grid [by0,by1)x[bx0,bx1) of precinct (py, px)."""
+    cb_h, cb_w, nby, nbx, cell_h, cell_w = geom
+    if cell_h is None:
+        return 0, nby, 0, nbx
+    py, px = pidx
+    per_y = cell_h // cb_h
+    per_x = cell_w // cb_w
+    by0 = min(py * per_y, nby)
+    by1 = min((py + 1) * per_y, nby)
+    bx0 = min(px * per_x, nbx)
+    bx1 = min((px + 1) * per_x, nbx)
+    return by0, by1, bx0, bx1
+
+
+def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
+                  nprec=None):
     """Packet sequence for the five Part-1 progression orders with one
-    tile and one precinct (position collapses, so PCRL == CPRL and
-    RPCL's position loop is a no-op)."""
+    tile. ``nprec``: per-resolution (rows, cols) precinct grids, or None
+    for whole-subband precincts (the position loop collapses, so
+    PCRL == CPRL and RPCL's position loop is a no-op). Yields
+    (layer, res, comp, precinct) where precinct is (py, px) or None.
+    Position-first orders (PCRL/CPRL) with a real precinct grid would
+    interleave precincts of DIFFERENT resolutions by spatial position —
+    unsupported, targeted error."""
+    def precs(res):
+        if nprec is None:
+            yield None
+            return
+        npy, npx = nprec[res]
+        for py in range(npy):
+            for px in range(npx):
+                yield (py, px)
+
+    multi = nprec is not None and any(
+        a * b > 1 for a, b in nprec)
     if progression == 0:  # LRCP
         for layer in range(layers):
             for res in range(nres):
                 for c in range(ncomp):
-                    yield layer, res, c
+                    for p in precs(res):
+                        yield layer, res, c, p
     elif progression == 1:  # RLCP
         for res in range(nres):
             for layer in range(layers):
                 for c in range(ncomp):
-                    yield layer, res, c
+                    for p in precs(res):
+                        yield layer, res, c, p
     elif progression == 2:  # RPCL
         for res in range(nres):
-            for c in range(ncomp):
-                for layer in range(layers):
-                    yield layer, res, c
+            for p in precs(res):
+                for c in range(ncomp):
+                    for layer in range(layers):
+                        yield layer, res, c, p
     elif progression in (3, 4):  # PCRL / CPRL
+        if multi:
+            raise Jp2kError(
+                "position-first progressions with multiple precincts "
+                "are not supported")
         for c in range(ncomp):
             for res in range(nres):
                 for layer in range(layers):
-                    yield layer, res, c
+                    for p in precs(res):
+                        yield layer, res, c, p
     else:
         raise Jp2kError(f"unknown progression order {progression}")
 
@@ -1157,8 +1245,6 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
     # COD
     scod = cod[0]
-    if scod & 0x01:
-        raise Jp2kError("user-defined precincts not supported")
     use_sop = bool(scod & 0x02)  # SOP marker segments MAY precede packets
     use_eph = bool(scod & 0x04)  # EPH marker follows every packet header
     progression, layers = cod[1], struct.unpack(">H", cod[2:4])[0]
@@ -1177,6 +1263,22 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         raise Jp2kError(
             f"undefined codeblock style bits {cb_style:#x}"
         )
+
+    def _parse_precincts(body: bytes, off: int):
+        """Per-resolution (PPx, PPy) exponents (B.6 / Table A.21)."""
+        pb = body[off:off + levels + 1]
+        if len(pb) < levels + 1:
+            raise Jp2kError("precinct size list too short")
+        out = []
+        for r, b in enumerate(pb):
+            ppx, ppy = b & 0x0F, b >> 4
+            if r > 0 and (ppx < 1 or ppy < 1):
+                raise Jp2kError("precinct exponent must be >= 1 above "
+                                "resolution 0")
+            out.append((ppx, ppy))
+        return out
+
+    precinct_pp = _parse_precincts(cod, 10) if scod & 0x01 else None
     if cod[9] not in (0, 1):
         raise Jp2kError(f"unknown wavelet transform {cod[9]}")
     reversible = cod[9] == 1
@@ -1229,7 +1331,17 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         if ci >= ncomp:
             raise Jp2kError("COC component index out of range")
         if seg[1] & 0x01:
-            raise Jp2kError("user-defined precincts not supported")
+            # per-component precinct sizes must MATCH the COD grid —
+            # differing grids would need per-component packet position
+            # loops (the precinct dimension of the progression)
+            if _parse_precincts(seg, 7) != (
+                    precinct_pp or [(15, 15)] * (levels + 1)):
+                raise Jp2kError(
+                    "per-component precinct sizes not supported")
+        elif precinct_pp is not None:
+            # Scoc without the precinct flag means maximum precincts —
+            # a different grid from the COD's explicit one
+            raise Jp2kError("per-component precinct sizes not supported")
         if seg[2] != levels:
             raise Jp2kError(
                 "per-component decomposition levels not supported")
@@ -1311,20 +1423,35 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             raise Jp2kError("tile index outside the image grid")
         layout = _band_layout(th, tw, levels)
         comp_bands = {c: {} for c in range(ncomp)}
+        nprec = ([_precinct_counts(th, tw, levels, r, precinct_pp)
+                  for r in range(levels + 1)]
+                 if precinct_pp is not None else None)
+        geoms = {}
         states = {}
         for res, bands in layout:
             for c in range(ncomp):
                 for band, bh, bw in bands:
-                    nby, nbx = _cb_grid(bh, bw, comp_cfg[c][0])
-                    states[(c, res, band)] = _BandState(nby, nbx)
+                    geom = _band_cb_geometry(res, bh, bw,
+                                             comp_cfg[c][0], precinct_pp)
+                    geoms[(c, res, band)] = geom
+                    for p in ([None] if nprec is None else
+                              [(py, px)
+                               for py in range(nprec[res][0])
+                               for px in range(nprec[res][1])]):
+                        by0, by1, bx0, bx1 = _precinct_cb_range(
+                            res, p, geom) if p is not None else \
+                            (0, geom[2], 0, geom[3])
+                        states[(c, res, band, p)] = _BandState(
+                            max(by1 - by0, 0), max(bx1 - bx0, 0))
                     comp_bands[c][(res, band)] = np.zeros(
                         (bh, bw), dtype=np.int64)
 
         bands_by_res = dict(layout)
         cb_acc = {}  # (c,res,band,by,bx) -> [max_plane, n_passes, groups]
         reader = _PacketBitReader(data, body_start)
-        for layer, res, c in _packet_order(progression, layers,
-                                           levels + 1, ncomp):
+        for layer, res, c, prec in _packet_order(progression, layers,
+                                                 levels + 1, ncomp,
+                                                 nprec):
             bands = bands_by_res[res]
             if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
                 # SOP marker segment: marker(2)+Lsop(2)+Nsop(2) —
@@ -1338,13 +1465,17 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 continue  # empty packet
             cb_style_c = comp_cfg[c][1]
             for band, bh, bw in bands:
-                st = states[(c, res, band)]
+                st = states[(c, res, band, prec)]
                 if st.incl is None:
                     continue
+                geom = geoms[(c, res, band)]
+                by0, _y1, bx0, _x1 = _precinct_cb_range(
+                    res, prec, geom) if prec is not None else \
+                    (0, geom[2], 0, geom[3])
                 mb = band_mb[(c, res, band)]
                 for by in range(st.nby):
                     for bx in range(st.nbx):
-                        key = (c, res, band, by, bx)
+                        key = (c, res, band, by0 + by, bx0 + bx)
                         if st.first[by, bx]:
                             if not st.incl.decode(reader, by, bx,
                                                   layer + 1):
@@ -1405,10 +1536,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
         for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
                 cb_acc.items():
-            cbs_c, cb_style_c, _rev = comp_cfg[c]
+            _cbs_c, cb_style_c, _rev = comp_cfg[c]
+            eff_h, eff_w = geoms[(c, res, band)][0:2]
             bh, bw = comp_bands[c][(res, band)].shape
-            y0, x0 = by * cbs_c, bx * cbs_c
-            cb_h, cb_w = min(cbs_c, bh - y0), min(cbs_c, bw - x0)
+            y0, x0 = by * eff_h, bx * eff_w
+            cb_h, cb_w = min(eff_h, bh - y0), min(eff_w, bw - x0)
             if cb_style_c & 0x05:
                 # merge per-packet parts into terminated segments
                 plan = _pass_plan(max_plane, n_passes, cb_style_c)
@@ -1521,7 +1653,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 eph: bool = False,
                 qcc_steps: dict | None = None,
                 coc_styles: dict | None = None,
-                tile_size: tuple | None = None) -> bytes:
+                tile_size: tuple | None = None,
+                precincts=None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1536,7 +1669,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     as QCC segments (lossy only); ``coc_styles``: per-component
     codeblock-style overrides emitted as COC segments. ``tile_size``:
     (height, width) of the SIZ tile grid — every tile becomes its own
-    tile-part with an independent wavelet decomposition."""
+    tile-part with an independent wavelet decomposition.
+    ``precincts``: per-resolution (PPx, PPy) exponent pairs (or one pair
+    for all resolutions) — packets then carry one precinct each and
+    codeblocks clip to the precinct cells."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1557,6 +1693,19 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("invalid layer count")
     if progression > 4:
         raise Jp2kError(f"unknown progression order {progression}")
+    if precincts is not None:
+        if isinstance(precincts, tuple) and len(precincts) == 2 and \
+                all(isinstance(v, int) for v in precincts):
+            precincts = [precincts] * (levels + 1)
+        precincts = [tuple(pp) for pp in precincts]
+        if len(precincts) != levels + 1:
+            raise Jp2kError("precincts must cover every resolution")
+        for r, (ppx, ppy) in enumerate(precincts):
+            if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
+                raise Jp2kError("precinct exponent out of range")
+            if r > 0 and (ppx < 1 or ppy < 1):
+                raise Jp2kError("precinct exponent must be >= 1 above "
+                                "resolution 0")
     if cb_style & ~0x3F:
         raise Jp2kError(f"undefined codeblock style bits {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
@@ -1682,17 +1831,25 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         tlayout = tile_layouts[tidx]
         comp_bands = tile_bands[tidx]
 
+        timg_h = min(tile_h, h - tile_origins[tidx][0])
+        timg_w = min(tile_w, w - tile_origins[tidx][1])
+        nprec = ([_precinct_counts(timg_h, timg_w, levels, r, precincts)
+                  for r in range(levels + 1)]
+                 if precincts is not None else None)
+        geoms = {}
         encoded = {}
         for res, bands in tlayout:
             for c in range(nc):
                 for band, bh, bw in bands:
-                    nby, nbx = _cb_grid(bh, bw, cbs)
+                    geom = _band_cb_geometry(res, bh, bw, cbs, precincts)
+                    geoms[(c, res, band)] = geom
+                    eff_h, eff_w, nby, nbx = geom[0:4]
                     for by in range(nby):
                         for bx in range(nbx):
-                            y0, x0 = by * cbs, bx * cbs
+                            y0, x0 = by * eff_h, bx * eff_w
                             block = comp_bands[c][(res, band)][
-                                y0:y0 + min(cbs, bh - y0),
-                                x0:x0 + min(cbs, bw - x0),
+                                y0:y0 + min(eff_h, bh - y0),
+                                x0:x0 + min(eff_w, bw - x0),
                             ]
                             encoded[(c, res, band, by, bx)] = \
                                 encode_codeblock(
@@ -1740,40 +1897,62 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         for res, bands in tlayout:
             for c in range(nc):
                 for band, bh, bw in bands:
-                    nby, nbx = _cb_grid(bh, bw, cbs)
-                    if not (nby and nbx):
-                        continue
-                    incl_leaves = np.full((nby, nbx), layers,
-                                          dtype=np.int64)
-                    zbp_leaves = np.zeros((nby, nbx), dtype=np.int64)
+                    geom = geoms[(c, res, band)]
                     mb = band_mb[(res, band)] if reversible else \
                         band_mb[(c, res, band)]
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            data_, n_passes, max_plane = encoded[
-                                (c, res, band, by, bx)
-                            ]
-                            if n_passes:
-                                incl_leaves[by, bx] = (by + bx) % layers
-                                zbp_leaves[by, bx] = mb - 1 - max_plane
-                    states_enc[(c, res, band)] = _BandState(
-                        nby, nbx,
-                        encoder_leaves=(incl_leaves, zbp_leaves))
+                    for p in ([None] if nprec is None else
+                              [(py, px)
+                               for py in range(nprec[res][0])
+                               for px in range(nprec[res][1])]):
+                        by0, by1, bx0, bx1 = _precinct_cb_range(
+                            res, p, geom) if p is not None else \
+                            (0, geom[2], 0, geom[3])
+                        pnby, pnbx = by1 - by0, bx1 - bx0
+                        if pnby <= 0 or pnbx <= 0:
+                            states_enc[(c, res, band, p)] = _BandState(
+                                0, 0)
+                            continue
+                        incl_leaves = np.full((pnby, pnbx), layers,
+                                              dtype=np.int64)
+                        zbp_leaves = np.zeros((pnby, pnbx),
+                                              dtype=np.int64)
+                        for ly in range(pnby):
+                            for lx in range(pnbx):
+                                data_, n_passes, max_plane = encoded[
+                                    (c, res, band, by0 + ly, bx0 + lx)
+                                ]
+                                if n_passes:
+                                    incl_leaves[ly, lx] = (
+                                        by0 + ly + bx0 + lx) % layers
+                                    zbp_leaves[ly, lx] = \
+                                        mb - 1 - max_plane
+                        states_enc[(c, res, band, p)] = _BandState(
+                            pnby, pnbx,
+                            encoder_leaves=(incl_leaves, zbp_leaves))
 
         body = bytearray()
         nsop = nsop0
-        for layer, res, c in _packet_order(progression, layers,
-                                           levels + 1, nc):
+        for layer, res, c, prec in _packet_order(progression, layers,
+                                                 levels + 1, nc, nprec):
             bands = bands_by_res[res]
             if sop:
                 body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
                 nsop += 1
-            any_contrib = any(
-                chunks[(c, res, band, by, bx)][layer]
-                for band, bh, bw in bands
-                for by in range(_cb_grid(bh, bw, cbs)[0])
-                for bx in range(_cb_grid(bh, bw, cbs)[1])
-            )
+
+            def _prec_range(band_key):
+                geom = geoms[band_key]
+                if prec is None:
+                    return 0, geom[2], 0, geom[3]
+                return _precinct_cb_range(res, prec, geom)
+
+            any_contrib = False
+            for band, bh, bw in bands:
+                by0, by1, bx0, bx1 = _prec_range((c, res, band))
+                if any(chunks[(c, res, band, by, bx)][layer]
+                       for by in range(by0, by1)
+                       for bx in range(bx0, bx1)):
+                    any_contrib = True
+                    break
             writer = _PacketBitWriter()
             if not any_contrib:
                 writer.write_bit(0)
@@ -1784,12 +1963,13 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             writer.write_bit(1)
             bodies = bytearray()
             for band, bh, bw in bands:
-                st = states_enc.get((c, res, band))
+                st = states_enc.get((c, res, band, prec))
                 if st is None:
                     continue
+                by0, _y1, bx0, _x1 = _prec_range((c, res, band))
                 for by in range(st.nby):
                     for bx in range(st.nbx):
-                        key = (c, res, band, by, bx)
+                        key = (c, res, band, by0 + by, bx0 + bx)
                         groups = chunks[key][layer]
                         np_ = sum(g[0] for g in groups)
                         if st.first[by, bx]:
@@ -1851,7 +2031,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     )
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([
-        (0x02 if sop else 0) | (0x04 if eph else 0),  # Scod
+        (0x01 if precincts is not None else 0)
+        | (0x02 if sop else 0) | (0x04 if eph else 0),  # Scod
         progression,
     ]) + struct.pack(">H", layers) + bytes([
         1 if use_mct else 0,    # MCT
@@ -1860,6 +2041,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         cb_style,
         1 if reversible else 0,  # wavelet: 5/3 reversible / 9/7
     ])
+    if precincts is not None:
+        cod += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
     if reversible:
         exps = []
@@ -1880,8 +2063,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         qcd = bytes([(guard << 5) | 2]) + vals  # scalar expounded
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
     for ci, cst in sorted(coc_styles.items()):
-        coc = bytes([ci, 0, levels, cb_exp - 2, cb_exp - 2, cst,
+        coc = bytes([ci, 0x01 if precincts is not None else 0, levels,
+                     cb_exp - 2, cb_exp - 2, cst,
                      1 if reversible else 0])
+        if precincts is not None:
+            coc += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
         out += struct.pack(">HH", _COC, len(coc) + 2) + coc
     for ci in sorted(qcc_steps):
         vals = b""

@@ -653,3 +653,62 @@ def test_tile_header_plt_com_skipped_and_poc_rejected():
         b"\x00\x00" + bytes(enc[sod_at:])
     with pytest.raises(Jp2kError, match="tile-part header"):
         decode_jp2k(unk)
+
+
+# ---------------------------------------------------------------------------
+# User-defined precincts (round 8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2])
+@pytest.mark.parametrize("pp", [(5, 5), (4, 6)])
+def test_precincts_roundtrip(prog, pp):
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, progression=prog, precincts=pp)
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_precincts_per_resolution_and_cb_clipping():
+    rng = np.random.default_rng(14)
+    img = rng.integers(0, 256, (70, 90)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2,
+                      precincts=[(6, 6), (5, 5), (4, 4)])
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    # 64x64 signalled codeblocks clip to 8x8 precinct cells at res 1
+    enc2 = encode_jp2k(img, levels=1, precincts=(4, 4), cb_exp=6)
+    dec2, _ = decode_jp2k(enc2)
+    assert np.array_equal(dec2[..., 0], img)
+
+
+def test_precincts_compose_with_everything():
+    rng = np.random.default_rng(15)
+    rgb = rng.integers(0, 256, (50, 66, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, precincts=(5, 5), layers=3,
+                      tile_size=(40, 40), sop=True, eph=True)
+    dec, info = decode_jp2k(enc)
+    assert np.array_equal(dec, rgb) and info["tiles"] == (2, 2)
+    yy, xx = np.mgrid[0:50, 0:66]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb2 = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    enc2 = encode_jp2k(rgb2, levels=2, precincts=(4, 4),
+                       reversible=False, qstep=0.25, qcc_steps={2: 0.5},
+                       coc_styles={1: 0x01}, cb_style=0x04)
+    dec2, _ = decode_jp2k(enc2)
+    assert np.abs(dec2.astype(int) - rgb2.astype(int)).max() <= 2
+
+
+def test_precincts_position_first_rejected():
+    # a REAL multi-precinct grid (image larger than one precinct cell);
+    # a 1x1 grid degenerates to the no-precinct order and stays legal
+    img = np.zeros((80, 80), np.uint8)
+    for prog in (3, 4):
+        with pytest.raises(Jp2kError, match="position-first"):
+            encode_jp2k(img, levels=1, progression=prog,
+                        precincts=(5, 5))
+    tiny = np.zeros((16, 16), np.uint8)
+    dec, _ = decode_jp2k(encode_jp2k(tiny, levels=1, progression=3,
+                                     precincts=(5, 5)))
+    assert np.array_equal(dec[..., 0], tiny)
