@@ -1400,13 +1400,6 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     ntx = -(-xsiz // xt)
     nty = -(-ysiz // yt)
 
-    def _skip_eph(pos: int) -> int:
-        if use_eph:
-            if data[pos:pos + 2] != b"\xff\x92":
-                raise Jp2kError("missing EPH marker after packet header")
-            pos += 2
-        return pos
-
     canvases = [
         np.zeros((h, w), dtype=np.float64 if not comp_cfg[c][2]
                  else np.int64)
@@ -1414,7 +1407,18 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     ]
     any_irrev = any(not comp_cfg[c][2] for c in range(ncomp))
 
-    def _decode_tile(tile_idx: int, body_start: int, body_end: int) -> None:
+    def _decode_tile(tile_idx: int, data: bytes) -> None:
+        body_start = 0
+        body_end = len(data)
+
+        def _skip_eph(pos: int) -> int:
+            if use_eph:
+                if data[pos:pos + 2] != b"\xff\x92":
+                    raise Jp2kError(
+                        "missing EPH marker after packet header")
+                pos += 2
+            return pos
+
         ty, tx = divmod(tile_idx, ntx)
         oy, ox = ty * yt, tx * xt
         th = min(yt, h - oy)
@@ -1588,7 +1592,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                         deq((c, r, "HH")))
             canvases[c][oy:oy + th, ox:ox + tw] = cur
 
-    seen_tiles = set()
+    # Walk tile-parts: a tile's packet stream may be SPLIT across
+    # several parts (TPsot sequences them; packets continue byte-wise
+    # across the boundary), so bodies are assembled per tile and each
+    # tile decodes once the whole codestream is walked.
+    tile_parts: dict[int, list[bytes]] = {}
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _EOC:
@@ -1597,11 +1605,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             raise Jp2kError("expected SOT marker")
         lsot, isot, psot, tpsot, tnsot = struct.unpack(
             ">HHIBB", data[pos + 2:pos + 12])
-        if tpsot != 0:
-            raise Jp2kError("multiple tile-parts per tile not supported")
-        if isot >= ntx * nty or isot in seen_tiles:
+        if isot >= ntx * nty:
             raise Jp2kError("invalid tile index")
-        seen_tiles.add(isot)
+        parts = tile_parts.setdefault(isot, [])
+        if tpsot != len(parts):
+            raise Jp2kError("tile-part out of sequence")
         # tile-part header: skip informational segments (PLT/COM), but
         # refuse the ones that would change decode semantics
         hdr_pos = pos + 2 + lsot
@@ -1617,10 +1625,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 f"unsupported tile-part header marker {marker:#x}")
         body_start = hdr_pos + 2
         body_end = pos + psot if psot else len(data) - 2
-        _decode_tile(isot, body_start, body_end)
+        parts.append(data[body_start:body_end])
         pos = body_end
-    if len(seen_tiles) != ntx * nty:
+    if len(tile_parts) != ntx * nty:
         raise Jp2kError("codestream is missing tiles")
+    for isot in sorted(tile_parts):
+        _decode_tile(isot, b"".join(tile_parts[isot]))
 
     img = np.stack(canvases, axis=-1)
     if mct and ncomp >= 3:

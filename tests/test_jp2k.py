@@ -619,10 +619,11 @@ def test_missing_tile_detected():
 def test_duplicate_tile_index_detected():
     img = np.zeros((20, 40), np.uint8)
     enc = bytearray(encode_jp2k(img, levels=1, tile_size=(20, 20)))
-    # patch the second SOT's Isot to 0 (duplicate)
+    # patch the second SOT's Isot to 0: with tile-part support this
+    # reads as a repeated FIRST part of tile 0 — out of sequence
     at = bytes(enc).index(b"\xff\x90", bytes(enc).index(b"\xff\x90") + 2)
     enc[at + 4:at + 6] = b"\x00\x00"
-    with pytest.raises(Jp2kError, match="tile index"):
+    with pytest.raises(Jp2kError, match="out of sequence|tile index"):
         decode_jp2k(bytes(enc))
 
 
@@ -712,3 +713,32 @@ def test_precincts_position_first_rejected():
     dec, _ = decode_jp2k(encode_jp2k(tiny, levels=1, progression=3,
                                      precincts=(5, 5)))
     assert np.array_equal(dec[..., 0], tiny)
+
+
+def test_multiple_tile_parts_per_tile():
+    # a tile's packet stream split across two tile-parts (TPsot 0, 1)
+    # reassembles byte-wise; out-of-sequence parts reject
+    import struct
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, (50, 70)).astype(np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1))
+    sot = bytes(enc).index(b"\xff\x90")
+    _, isot, psot, _, _ = struct.unpack(">HHIBB", enc[sot + 2:sot + 12])
+    sod = bytes(enc).index(b"\xff\x93")
+    body = bytes(enc[sod + 2:sot + psot])
+    split = len(body) // 2
+    head = bytes(enc[:sot])
+
+    def tp(idx, tot, b):
+        return struct.pack(">HHHIBB", 0xFF90, 10, isot, 14 + len(b),
+                           idx, tot) + b"\xff\x93" + b
+
+    stream = head + tp(0, 2, body[:split]) + tp(1, 2, body[split:]) + \
+        b"\xff\xd9"
+    dec, _ = decode_jp2k(stream)
+    assert np.array_equal(dec[..., 0], img)
+    bad = head + tp(1, 2, body[:split]) + tp(0, 2, body[split:]) + \
+        b"\xff\xd9"
+    with pytest.raises(Jp2kError, match="out of sequence"):
+        decode_jp2k(bad)
