@@ -1228,6 +1228,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if not 1 <= ncomp <= 4:
         raise Jp2kError(f"unsupported component count {ncomp}")
     depth = None
+    comp_rs: list[tuple[int, int]] = []
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c:39 + 3 * c]
         if ssiz & 0x80:
@@ -1237,8 +1238,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             depth = d
         elif d != depth:
             raise Jp2kError("mixed component depths not supported")
-        if xr != 1 or yr != 1:
-            raise Jp2kError("component subsampling not supported")
+        if not (1 <= xr <= 4 and 1 <= yr <= 4):
+            raise Jp2kError(f"unsupported component sampling {xr}x{yr}")
+        comp_rs.append((xr, yr))
     if depth not in (8, 16):
         raise Jp2kError(f"unsupported sample depth {depth}")
     h, w = ysiz, xsiz
@@ -1279,6 +1281,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         return out
 
     precinct_pp = _parse_precincts(cod, 10) if scod & 0x01 else None
+    if precinct_pp is not None and any(r != (1, 1) for r in comp_rs):
+        raise Jp2kError(
+            "precincts with component subsampling not supported")
     if cod[9] not in (0, 1):
         raise Jp2kError(f"unknown wavelet transform {cod[9]}")
     reversible = cod[9] == 1
@@ -1400,9 +1405,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     ntx = -(-xsiz // xt)
     nty = -(-ysiz // yt)
 
+    comp_dims = [(-(-h // yr), -(-w // xr)) for xr, yr in comp_rs]
     canvases = [
-        np.zeros((h, w), dtype=np.float64 if not comp_cfg[c][2]
-                 else np.int64)
+        np.zeros(comp_dims[c],
+                 dtype=np.float64 if not comp_cfg[c][2] else np.int64)
         for c in range(ncomp)
     ]
     any_irrev = any(not comp_cfg[c][2] for c in range(ncomp))
@@ -1425,15 +1431,26 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         tw = min(xt, w - ox)
         if th <= 0 or tw <= 0:
             raise Jp2kError("tile index outside the image grid")
-        layout = _band_layout(th, tw, levels)
+        # component tile windows (B.3: component coords = ceil(x / Rsiz))
+        cwin = []
+        for c in range(ncomp):
+            xr, yr = comp_rs[c]
+            y0c, y1c = -(-oy // yr), -(-min(oy + yt, h) // yr)
+            x0c, x1c = -(-ox // xr), -(-min(ox + xt, w) // xr)
+            cwin.append((y0c, y1c, x0c, x1c))
+        layouts = [
+            _band_layout(cwin[c][1] - cwin[c][0],
+                         cwin[c][3] - cwin[c][2], levels)
+            for c in range(ncomp)
+        ]
         comp_bands = {c: {} for c in range(ncomp)}
         nprec = ([_precinct_counts(th, tw, levels, r, precinct_pp)
                   for r in range(levels + 1)]
                  if precinct_pp is not None else None)
         geoms = {}
         states = {}
-        for res, bands in layout:
-            for c in range(ncomp):
+        for c in range(ncomp):
+            for res, bands in layouts[c]:
                 for band, bh, bw in bands:
                     geom = _band_cb_geometry(res, bh, bw,
                                              comp_cfg[c][0], precinct_pp)
@@ -1450,13 +1467,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     comp_bands[c][(res, band)] = np.zeros(
                         (bh, bw), dtype=np.int64)
 
-        bands_by_res = dict(layout)
+        bands_by_res = [dict(layouts[c]) for c in range(ncomp)]
         cb_acc = {}  # (c,res,band,by,bx) -> [max_plane, n_passes, groups]
         reader = _PacketBitReader(data, body_start)
         for layer, res, c, prec in _packet_order(progression, layers,
                                                  levels + 1, ncomp,
                                                  nprec):
-            bands = bands_by_res[res]
+            bands = bands_by_res[c][res]
             if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
                 # SOP marker segment: marker(2)+Lsop(2)+Nsop(2) —
                 # optional per packet even when the flag is set (A.8.1)
@@ -1590,7 +1607,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     cur = dwt97_inverse_2d(
                         cur, deq((c, r, "HL")), deq((c, r, "LH")),
                         deq((c, r, "HH")))
-            canvases[c][oy:oy + th, ox:ox + tw] = cur
+            y0c, y1c, x0c, x1c = cwin[c]
+            canvases[c][y0c:y1c, x0c:x1c] = cur
 
     # Walk tile-parts: a tile's packet stream may be SPLIT across
     # several parts (TPsot sequences them; packets continue byte-wise
@@ -1632,7 +1650,18 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     for isot in sorted(tile_parts):
         _decode_tile(isot, b"".join(tile_parts[isot]))
 
-    img = np.stack(canvases, axis=-1)
+    planes = []
+    for c in range(ncomp):
+        xr, yr = comp_rs[c]
+        cv = canvases[c]
+        if (xr, yr) == (1, 1):
+            planes.append(cv)
+        else:
+            # sample replication back to the image grid (nearest)
+            ridx = np.minimum(np.arange(h) // yr, cv.shape[0] - 1)
+            cidx = np.minimum(np.arange(w) // xr, cv.shape[1] - 1)
+            planes.append(cv[ridx][:, cidx])
+    img = np.stack(planes, axis=-1)
     if mct and ncomp >= 3:
         inv = rct_inverse if comp_cfg[0][2] else ict_inverse
         rgb = inv(img[..., :3])
@@ -1664,7 +1693,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 qcc_steps: dict | None = None,
                 coc_styles: dict | None = None,
                 tile_size: tuple | None = None,
-                precincts=None) -> bytes:
+                precincts=None,
+                comp_subsampling: dict | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1682,7 +1712,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     tile-part with an independent wavelet decomposition.
     ``precincts``: per-resolution (PPx, PPy) exponent pairs (or one pair
     for all resolutions) — packets then carry one precinct each and
-    codeblocks clip to the precinct cells."""
+    codeblocks clip to the precinct cells. ``comp_subsampling``:
+    {component: (XRsiz, YRsiz)} — the component is decimated to its own
+    sample grid after the colour transform (decode replicates back), the
+    4:2:0-style shape scanner YCC streams use."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1703,6 +1736,14 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("invalid layer count")
     if progression > 4:
         raise Jp2kError(f"unknown progression order {progression}")
+    comp_subsampling = dict(comp_subsampling or {})
+    comp_rs = [tuple(comp_subsampling.get(c, (1, 1))) for c in range(nc)]
+    for xr, yr in comp_rs:
+        if not (1 <= xr <= 4 and 1 <= yr <= 4):
+            raise Jp2kError(f"unsupported component sampling {xr}x{yr}")
+    if precincts is not None and any(r != (1, 1) for r in comp_rs):
+        raise Jp2kError(
+            "precincts with component subsampling not supported")
     if precincts is not None:
         if isinstance(precincts, tuple) and len(precincts) == 2 and \
                 all(isinstance(v, int) for v in precincts):
@@ -1752,16 +1793,25 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     layout = _band_layout(h, w, levels)  # band-key enumeration only
     fwd = dwt53_forward_2d if reversible else dwt97_forward_2d
 
-    # per-tile wavelet decomposition (tile dims clip at the image edge)
+    # Decimate each component to its own sample grid AFTER the colour
+    # transform (decode replicates back); plane shapes then differ.
+    comp_planes = [img[..., c][::comp_rs[c][1], ::comp_rs[c][0]]
+                   for c in range(nc)]
+
+    # per-tile wavelet decomposition (tile dims clip at the image edge;
+    # component tile windows follow B.3 ceil(x / Rsiz))
     tile_bands = []
-    tile_layouts = []
+    tile_layouts = []  # per tile: list of per-component layouts
     for oy, ox in tile_origins:
-        timg = img[oy:oy + tile_h, ox:ox + tile_w]
-        tile_layouts.append(_band_layout(timg.shape[0], timg.shape[1],
-                                         levels))
+        lay_c = []
         comp_bands = {c: {} for c in range(nc)}
         for c in range(nc):
-            cur = timg[..., c]
+            xr, yr = comp_rs[c]
+            y0c, y1c = -(-oy // yr), -(-min(oy + tile_h, h) // yr)
+            x0c, x1c = -(-ox // xr), -(-min(ox + tile_w, w) // xr)
+            cur = comp_planes[c][y0c:y1c, x0c:x1c]
+            lay_c.append(_band_layout(cur.shape[0], cur.shape[1],
+                                      levels))
             for r in range(levels, 0, -1):
                 ll, hl, lh, hh = fwd(cur)
                 comp_bands[c][(r, "HL")] = hl
@@ -1769,6 +1819,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 comp_bands[c][(r, "HH")] = hh
                 cur = ll
             comp_bands[c][(0, "LL")] = cur
+        tile_layouts.append(lay_c)
         tile_bands.append(comp_bands)
 
     band_eps_mu = {}
@@ -1838,7 +1889,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
     def _tile_body(tidx: int, nsop0: int) -> tuple[bytes, int]:
         """Entropy-code one tile and assemble its packet body."""
-        tlayout = tile_layouts[tidx]
+        tlayouts = tile_layouts[tidx]
         comp_bands = tile_bands[tidx]
 
         timg_h = min(tile_h, h - tile_origins[tidx][0])
@@ -1848,8 +1899,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                  if precincts is not None else None)
         geoms = {}
         encoded = {}
-        for res, bands in tlayout:
-            for c in range(nc):
+        for c in range(nc):
+            for res, bands in tlayouts[c]:
                 for band, bh, bw in bands:
                     geom = _band_cb_geometry(res, bh, bw, cbs, precincts)
                     geoms[(c, res, band)] = geom
@@ -1903,9 +1954,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             chunks[key] = per_layer
 
         states_enc = {}
-        bands_by_res = dict(tlayout)
-        for res, bands in tlayout:
-            for c in range(nc):
+        bands_by_res = [dict(tlayouts[c]) for c in range(nc)]
+        for c in range(nc):
+            for res, bands in tlayouts[c]:
                 for band, bh, bw in bands:
                     geom = geoms[(c, res, band)]
                     mb = band_mb[(res, band)] if reversible else \
@@ -1944,7 +1995,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         nsop = nsop0
         for layer, res, c, prec in _packet_order(progression, layers,
                                                  levels + 1, nc, nprec):
-            bands = bands_by_res[res]
+            bands = bands_by_res[c][res]
             if sop:
                 body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
                 nsop += 1
@@ -2037,7 +2088,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, tile_w, tile_h, 0, 0, nc
     ) + b"".join(
-        struct.pack(">BBB", depth - 1, 1, 1) for _ in range(nc)
+        struct.pack(">BBB", depth - 1, comp_rs[c][0], comp_rs[c][1])
+        for c in range(nc)
     )
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
     cod = bytes([

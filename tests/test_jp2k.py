@@ -742,3 +742,53 @@ def test_multiple_tile_parts_per_tile():
         b"\xff\xd9"
     with pytest.raises(Jp2kError, match="out of sequence"):
         decode_jp2k(bad)
+
+
+# ---------------------------------------------------------------------------
+# Component subsampling (round 8): the scanner-YCC 4:2:0 shape
+# ---------------------------------------------------------------------------
+
+
+def test_subsampling_420_exact_vs_independent_reconstruction():
+    # chroma decimated 2x2 after RCT; the decode (replicate, inverse
+    # RCT) must equal an INDEPENDENT numpy reconstruction of the same
+    # pipeline — pins the B.3 component grids, not just self-roundtrip
+    from oxidizepdf_spark.kernel.jp2k import rct_forward, rct_inverse
+
+    yy, xx = np.mgrid[0:48, 0:64]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    dec, _ = decode_jp2k(encode_jp2k(
+        rgb, levels=2, comp_subsampling={1: (2, 2), 2: (2, 2)}))
+    ycc = rct_forward(rgb.astype(np.int64) - 128)
+    u, v = ycc[..., 1][::2, ::2], ycc[..., 2][::2, ::2]
+    ridx = np.minimum(np.arange(48) // 2, u.shape[0] - 1)
+    cidx = np.minimum(np.arange(64) // 2, u.shape[1] - 1)
+    ycc2 = np.stack([ycc[..., 0], u[ridx][:, cidx], v[ridx][:, cidx]], -1)
+    exp = np.clip(rct_inverse(ycc2) + 128, 0, 255)
+    assert np.array_equal(dec.astype(int), exp)
+
+
+def test_subsampling_sampled_positions_exact_and_combos():
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (33, 41)).astype(np.uint8)
+    dec, _ = decode_jp2k(encode_jp2k(img, levels=1,
+                                     comp_subsampling={0: (2, 1)}))
+    assert np.array_equal(dec[:, ::2, 0], img[:, ::2])
+    yy, xx = np.mgrid[0:48, 0:64]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    dec2, _ = decode_jp2k(encode_jp2k(
+        rgb, levels=1, reversible=False, qstep=0.25, tile_size=(24, 32),
+        comp_subsampling={1: (2, 2), 2: (2, 2)}))
+    assert dec2.shape == rgb.shape
+    # luma error stays bounded by the quantizer; chroma adds replication
+    assert np.abs(dec2[..., 0].astype(int)
+                  - rgb[..., 0].astype(int)).max() <= 90  # ICT mixes comps
+
+
+def test_subsampling_precincts_rejected():
+    img = np.zeros((32, 32, 3), np.uint8)
+    with pytest.raises(Jp2kError, match="subsampling"):
+        encode_jp2k(img, levels=1, precincts=(5, 5),
+                    comp_subsampling={1: (2, 2)})
