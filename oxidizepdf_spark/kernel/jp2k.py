@@ -1185,6 +1185,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     qcd = None
     coc_segs: list[bytes] = []
     qcc_segs: list[bytes] = []
+    ppm_segs: list[bytes] = []
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _SOT:
@@ -1202,12 +1203,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             coc_segs.append(seg)
         elif marker == _QCC:
             qcc_segs.append(seg)
-        elif marker in (_POC, _PPM, _RGN):
-            # silently skipping any of these would DECODE WRONG DATA:
-            # POC rewrites the progression, PPM moves packet headers out
-            # of the tile body, RGN shifts ROI coefficients
+        elif marker == _PPM:
+            ppm_segs.append(seg)
+        elif marker in (_POC, _RGN):
+            # silently skipping either would DECODE WRONG DATA: POC
+            # rewrites the progression, RGN shifts ROI coefficients
             raise Jp2kError(
-                f"unsupported marker {marker:#x} (POC/PPM/RGN alter the "
+                f"unsupported marker {marker:#x} (POC/RGN alter the "
                 "packet stream)")
         # COM / TLM / PLM / CRG and other informational segments: skipped
     if siz is None or cod is None or qcd is None:
@@ -1413,13 +1415,17 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     ]
     any_irrev = any(not comp_cfg[c][2] for c in range(ncomp))
 
-    def _decode_tile(tile_idx: int, data: bytes) -> None:
+    def _decode_tile(tile_idx: int, data: bytes,
+                     packed: bytes | None = None) -> None:
+        """``packed``: PPM/PPT packed packet headers — header bits then
+        come from this buffer (byte-aligned per packet, EPH inside it)
+        while the tile body carries only SOP markers and bodies."""
         body_start = 0
         body_end = len(data)
 
-        def _skip_eph(pos: int) -> int:
+        def _skip_eph(buf: bytes, pos: int) -> int:
             if use_eph:
-                if data[pos:pos + 2] != b"\xff\x92":
+                if buf[pos:pos + 2] != b"\xff\x92":
                     raise Jp2kError(
                         "missing EPH marker after packet header")
                 pos += 2
@@ -1469,20 +1475,32 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
         bands_by_res = [dict(layouts[c]) for c in range(ncomp)]
         cb_acc = {}  # (c,res,band,by,bx) -> [max_plane, n_passes, groups]
-        reader = _PacketBitReader(data, body_start)
+        use_packed = packed is not None
+        body_walk = body_start  # packed mode: body cursor (SOP + bodies)
+        reader = _PacketBitReader(packed if use_packed else data,
+                                  0 if use_packed else body_start)
         for layer, res, c, prec in _packet_order(progression, layers,
                                                  levels + 1, ncomp,
                                                  nprec):
             bands = bands_by_res[c][res]
-            if use_sop and data[reader.pos:reader.pos + 2] == b"\xff\x91":
+            if use_sop:
                 # SOP marker segment: marker(2)+Lsop(2)+Nsop(2) —
-                # optional per packet even when the flag is set (A.8.1)
-                reader = _PacketBitReader(data, reader.pos + 6)
+                # optional per packet even when the flag is set (A.8.1);
+                # it lives in the BODY stream either way
+                if use_packed:
+                    if data[body_walk:body_walk + 2] == b"\xff\x91":
+                        body_walk += 6
+                elif data[reader.pos:reader.pos + 2] == b"\xff\x91":
+                    reader = _PacketBitReader(data, reader.pos + 6)
             # --- packet header ---
             todo = []  # (key, n_passes, length)
             if not reader.read_bit():
-                body_pos = _skip_eph(reader.align())
-                reader = _PacketBitReader(data, body_pos)
+                if use_packed:
+                    hp = _skip_eph(packed, reader.align())
+                    reader = _PacketBitReader(packed, hp)
+                else:
+                    body_pos = _skip_eph(data, reader.align())
+                    reader = _PacketBitReader(data, body_pos)
                 continue  # empty packet
             cb_style_c = comp_cfg[c][1]
             for band, bh, bw in bands:
@@ -1541,7 +1559,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                             )
                             length = reader.read_bits(nbits)
                             todo.append((key, gnp, length))
-            body_pos = _skip_eph(reader.align())
+            if use_packed:
+                hp = _skip_eph(packed, reader.align())
+                body_pos = body_walk
+            else:
+                body_pos = _skip_eph(data, reader.align())
             # --- packet bodies ---
             for key, n_passes, length in todo:
                 seg = data[body_pos:body_pos + length]
@@ -1551,7 +1573,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 acc = cb_acc[key]
                 acc[1] += n_passes
                 acc[2].append((n_passes, seg))
-            reader = _PacketBitReader(data, body_pos)
+            if use_packed:
+                body_walk = body_pos
+                reader = _PacketBitReader(packed, hp)
+            else:
+                reader = _PacketBitReader(data, body_pos)
             if body_pos > body_end:
                 raise Jp2kError("tile body overrun")
 
@@ -1610,11 +1636,29 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             y0c, y1c, x0c, x1c = cwin[c]
             canvases[c][y0c:y1c, x0c:x1c] = cur
 
+    # PPM (A.7.4): packed packet headers in the main header — Zppm
+    # orders the segments; the concatenation is a sequence of
+    # (Nppm u32, packed headers for ONE tile-part) consumed in
+    # tile-part encounter order.
+    ppm_chunks: list[bytes] = []
+    if ppm_segs:
+        blob = b"".join(seg[1:] for seg in
+                        sorted(ppm_segs, key=lambda g: g[0]))
+        bp = 0
+        while bp + 4 <= len(blob):
+            (nppm,) = struct.unpack(">I", blob[bp:bp + 4])
+            bp += 4
+            if bp + nppm > len(blob):
+                raise Jp2kError("PPM chunk overruns the segment pile")
+            ppm_chunks.append(blob[bp:bp + nppm])
+            bp += nppm
+
     # Walk tile-parts: a tile's packet stream may be SPLIT across
     # several parts (TPsot sequences them; packets continue byte-wise
     # across the boundary), so bodies are assembled per tile and each
     # tile decodes once the whole codestream is walked.
     tile_parts: dict[int, list[bytes]] = {}
+    tile_packed: dict[int, list[bytes]] = {}
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _EOC:
@@ -1628,19 +1672,30 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         parts = tile_parts.setdefault(isot, [])
         if tpsot != len(parts):
             raise Jp2kError("tile-part out of sequence")
-        # tile-part header: skip informational segments (PLT/COM), but
-        # refuse the ones that would change decode semantics
+        # tile-part header: skip informational segments (PLT/COM),
+        # collect PPT packed headers, refuse semantics-changers
         hdr_pos = pos + 2 + lsot
+        ppt_segs: list[bytes] = []
         while True:
             (marker,) = struct.unpack(">H", data[hdr_pos:hdr_pos + 2])
             if marker == _SOD:
                 break
-            if marker in (_PLT, _COM):
+            if marker in (_PLT, _COM, _PPT):
                 (slen,) = struct.unpack(">H", data[hdr_pos + 2:hdr_pos + 4])
+                if marker == _PPT:
+                    ppt_segs.append(data[hdr_pos + 4:hdr_pos + 2 + slen])
                 hdr_pos += 2 + slen
                 continue
             raise Jp2kError(
                 f"unsupported tile-part header marker {marker:#x}")
+        if ppt_segs:
+            tile_packed.setdefault(isot, []).append(
+                b"".join(seg[1:] for seg in
+                         sorted(ppt_segs, key=lambda g: g[0])))
+        elif ppm_chunks:
+            if not ppm_chunks:
+                raise Jp2kError("PPM chunk list exhausted")
+            tile_packed.setdefault(isot, []).append(ppm_chunks.pop(0))
         body_start = hdr_pos + 2
         body_end = pos + psot if psot else len(data) - 2
         parts.append(data[body_start:body_end])
@@ -1648,7 +1703,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if len(tile_parts) != ntx * nty:
         raise Jp2kError("codestream is missing tiles")
     for isot in sorted(tile_parts):
-        _decode_tile(isot, b"".join(tile_parts[isot]))
+        packed = b"".join(tile_packed.get(isot, [])) or None
+        _decode_tile(isot, b"".join(tile_parts[isot]), packed)
 
     planes = []
     for c in range(ncomp):
@@ -1694,7 +1750,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 coc_styles: dict | None = None,
                 tile_size: tuple | None = None,
                 precincts=None,
-                comp_subsampling: dict | None = None) -> bytes:
+                comp_subsampling: dict | None = None,
+                packed_headers: str | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1715,7 +1772,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     codeblocks clip to the precinct cells. ``comp_subsampling``:
     {component: (XRsiz, YRsiz)} — the component is decimated to its own
     sample grid after the colour transform (decode replicates back), the
-    4:2:0-style shape scanner YCC streams use."""
+    4:2:0-style shape scanner YCC streams use. ``packed_headers``:
+    'ppt' or 'ppm' — packet headers move out of the tile bodies into
+    PPT tile-part segments or a main-header PPM segment (A.7.4/A.7.5)."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1992,6 +2051,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                             encoder_leaves=(incl_leaves, zbp_leaves))
 
         body = bytearray()
+        packed_hdr = bytearray()
         nsop = nsop0
         for layer, res, c, prec in _packet_order(progression, layers,
                                                  levels + 1, nc, nprec):
@@ -2015,11 +2075,12 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                     any_contrib = True
                     break
             writer = _PacketBitWriter()
+            hdr_sink = packed_hdr if packed_headers else body
             if not any_contrib:
                 writer.write_bit(0)
-                body += writer.flush()
+                hdr_sink += writer.flush()
                 if eph:
-                    body += b"\xff\x92"
+                    hdr_sink += b"\xff\x92"
                 continue
             writer.write_bit(1)
             bodies = bytearray()
@@ -2070,17 +2131,21 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                 + gnp.bit_length() - 1
                             )
                             bodies += gseg
-            body += writer.flush()
+            hdr_sink += writer.flush()
             if eph:
-                body += b"\xff\x92"
+                hdr_sink += b"\xff\x92"
             body += bodies
-        return bytes(body), nsop
+        return bytes(body), bytes(packed_hdr), nsop
 
+    if packed_headers not in (None, "ppt", "ppm"):
+        raise Jp2kError("packed_headers must be 'ppt' or 'ppm'")
     tile_bodies = []
+    tile_hdrs = []
     nsop_counter = 0
     for tidx in range(len(tile_origins)):
-        tb, nsop_counter = _tile_body(tidx, nsop_counter)
+        tb, thdr, nsop_counter = _tile_body(tidx, nsop_counter)
         tile_bodies.append(tb)
+        tile_hdrs.append(thdr)
 
     # --- markers ---
     out = bytearray()
@@ -2131,6 +2196,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         if precincts is not None:
             coc += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
         out += struct.pack(">HH", _COC, len(coc) + 2) + coc
+    if packed_headers == "ppm":
+        blob = b"".join(struct.pack(">I", len(t)) + t for t in tile_hdrs)
+        ppm = bytes([0]) + blob  # single segment, Zppm = 0
+        out += struct.pack(">HH", _PPM, len(ppm) + 2) + ppm
     for ci in sorted(qcc_steps):
         vals = b""
         for res, bands in layout:
@@ -2140,8 +2209,13 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         qcc = bytes([ci, (guard << 5) | 2]) + vals
         out += struct.pack(">HH", _QCC, len(qcc) + 2) + qcc
     for tidx, tb in enumerate(tile_bodies):
-        psot = 2 + 10 + 2 + len(tb)
+        ppt = b""
+        if packed_headers == "ppt":
+            ppt_body = bytes([0]) + tile_hdrs[tidx]  # Zppt = 0
+            ppt = struct.pack(">HH", _PPT, len(ppt_body) + 2) + ppt_body
+        psot = 2 + 10 + len(ppt) + 2 + len(tb)
         out += struct.pack(">HHHIBB", _SOT, 10, tidx, psot, 0, 1)
+        out += ppt
         out += struct.pack(">H", _SOD)
         out += tb
     out += struct.pack(">H", _EOC)

@@ -647,7 +647,7 @@ def test_tile_header_plt_com_skipped_and_poc_rejected():
     soc_end = 2
     poc = b"\xff\x5f" + struct.pack(">H", 9) + b"\x00" * 7
     bad = patched[:soc_end] + poc + patched[soc_end:]
-    with pytest.raises(Jp2kError, match="POC/PPM/RGN"):
+    with pytest.raises(Jp2kError, match="POC/RGN"):
         decode_jp2k(bad)
     # an unknown tile-part marker is a targeted error too
     unk = bytes(enc[:sod_at]) + b"\xff\x71" + struct.pack(">H", 4) + \
@@ -792,3 +792,30 @@ def test_subsampling_precincts_rejected():
     with pytest.raises(Jp2kError, match="subsampling"):
         encode_jp2k(img, levels=1, precincts=(5, 5),
                     comp_subsampling={1: (2, 2)})
+
+
+# ---------------------------------------------------------------------------
+# Packed packet headers (PPT / PPM, round 8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("mode", ["ppt", "ppm"])
+def test_packed_packet_headers_roundtrip(mode):
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (30, 44, 3)).astype(np.uint8)
+    marker = b"\xff\x61" if mode == "ppt" else b"\xff\x60"
+    enc = encode_jp2k(img, levels=2, packed_headers=mode)
+    assert marker in enc
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    # layers + tiles + EPH (EPH lives INSIDE the packed stream)
+    dec2, _ = decode_jp2k(encode_jp2k(rgb, levels=1, layers=3,
+                                      tile_size=(20, 22),
+                                      packed_headers=mode, eph=True))
+    assert np.array_equal(dec2, rgb)
+    # SOP markers stay in the BODY stream; bypass adds multi-segment
+    # length signalling through the packed headers
+    dec3, _ = decode_jp2k(encode_jp2k(img, levels=1, packed_headers=mode,
+                                      sop=True, cb_style=0x01))
+    assert np.array_equal(dec3[..., 0], img)
