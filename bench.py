@@ -426,6 +426,9 @@ def main() -> None:
         # round-7: ai-export flagship (render + layout-extract + classify
         # + table-detect + compose per doc)
         "pdf_export_markdown": Q.q_pdf_export_markdown,
+        # round-8: Gopher repetition filter (registry-external,
+        # pytest-differential gated)
+        "text_repetition_quality": Q.q_text_repetition_quality,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the

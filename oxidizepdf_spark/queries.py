@@ -5233,6 +5233,145 @@ def decode_image_codec_row(d: int, norm: str) -> dict:
     }
 
 
+def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText repetition removal (Rae et al. 2021, §A1.1 —
+    the canonical training-data filter the plain quality score lacks):
+    the fraction of the document covered by its most frequent word
+    2-gram and 3-gram, plus the duplicate-word fraction, with the
+    published keep thresholds (top-2-gram <= 0.20, top-3-gram <= 0.18).
+
+    Entirely JVM-native: words -> n-gram arrays built with
+    transform(sequence(...)) -> explode -> groupBy(doc_id, gram) count
+    -> per-doc top via min(struct(-cnt, gram)) (count DESC, gram ASC
+    tie-break as one map-side-combinable aggregate; a row_number window
+    would add a per-doc sort exchange). The shuffles key on
+    (doc_id, gram), so skew is bounded by single-document size at any
+    corpus scale.
+    Outside the 50-row registry cap; gated by the pytest differential
+    in tests/test_repetition_quality.py (both sides vs DuckDB, like the
+    driver gate)."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", norm_col("text").alias("norm"))
+    words = docs.select(
+        "doc_id",
+        F.filter(F.split("norm", " "), lambda w: w != "").alias("ws"))
+
+    def grams(n):
+        # sliding n-grams as space-joined strings
+        return words.select(
+            "doc_id",
+            F.size("ws").alias("n_words"),
+            F.explode(
+                F.when(
+                    F.size("ws") >= n,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("ws") - n),
+                        lambda i: F.concat_ws(
+                            " ", *[F.col("ws")[i + k] for k in range(n)]
+                        ),
+                    ),
+                ).otherwise(F.array())
+            ).alias("gram"),
+        )
+
+    def top_frac(n, out_name):
+        # top gram per doc via min(struct(-cnt, gram)) — count DESC with
+        # gram ASC tie-break as ONE map-side-combinable aggregate (a
+        # row_number window would add a full per-doc sort exchange)
+        g = grams(n)
+        counts = g.groupBy("doc_id", "n_words", "gram").agg(
+            F.count("*").alias("cnt"))
+        return (
+            counts.groupBy("doc_id", "n_words")
+            .agg(F.min(F.struct(
+                (-F.col("cnt")).alias("nc"),
+                F.col("gram"))).alias("t"))
+            .select(
+                "doc_id",
+                F.round(
+                    -F.col("t.nc") / (F.col("n_words") - (n - 1)), 6
+                ).alias(out_name),
+            )
+        )
+
+    base = words.select(
+        "doc_id",
+        F.size("ws").alias("n_words"),
+        F.size(F.array_distinct("ws")).alias("n_distinct"),
+    ).withColumn(
+        "dup_word_frac",
+        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6),
+    )
+    out = (
+        base.join(top_frac(2, "top_bigram_frac"), "doc_id", "left")
+        .join(top_frac(3, "top_trigram_frac"), "doc_id", "left")
+        .na.fill({"top_bigram_frac": 0.0, "top_trigram_frac": 0.0})
+        .withColumn(
+            "keep",
+            ((F.col("top_bigram_frac") <= 0.20)
+             & (F.col("top_trigram_frac") <= 0.18)).cast("int"),
+        )
+        .select("doc_id", "n_words", "dup_word_frac",
+                "top_bigram_frac", "top_trigram_frac", "keep")
+    )
+    return out
+
+
+ORACLE_REPETITION_QUALITY = f"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split({NORM_SQL.format(col='text')}, ' '),
+                     x -> len(x) > 0) AS ws
+  FROM documents
+),
+base AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ROUND(1 - len(list_distinct(ws)) * 1.0 / len(ws), 6)
+           AS dup_word_frac
+  FROM w
+),
+g2 AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ws[i] || ' ' || ws[i + 1] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+),
+t2 AS (
+  SELECT doc_id,
+         ROUND(cnt * 1.0 / (n_words - 1), 6) AS top_bigram_frac
+  FROM (
+    SELECT doc_id, n_words, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, gram ASC) AS rk
+    FROM g2 GROUP BY doc_id, n_words, gram
+  ) WHERE rk = 1
+),
+g3 AS (
+  SELECT doc_id, len(ws) AS n_words,
+         ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+),
+t3 AS (
+  SELECT doc_id,
+         ROUND(cnt * 1.0 / (n_words - 2), 6) AS top_trigram_frac
+  FROM (
+    SELECT doc_id, n_words, COUNT(*) AS cnt,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY COUNT(*) DESC, gram ASC) AS rk
+    FROM g3 GROUP BY doc_id, n_words, gram
+  ) WHERE rk = 1
+)
+SELECT base.doc_id, base.n_words, base.dup_word_frac,
+       COALESCE(t2.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(t3.top_trigram_frac, 0.0) AS top_trigram_frac,
+       CAST(CASE WHEN COALESCE(t2.top_bigram_frac, 0.0) <= 0.20
+                  AND COALESCE(t3.top_trigram_frac, 0.0) <= 0.18
+            THEN 1 ELSE 0 END AS INTEGER) AS keep
+FROM base
+LEFT JOIN t2 ON base.doc_id = t2.doc_id
+LEFT JOIN t3 ON base.doc_id = t3.doc_id
+"""
+
+
 ORACLE_DECODE_CODECS = f"""
 WITH n AS (
   SELECT doc_id,
