@@ -1233,8 +1233,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     comp_rs: list[tuple[int, int]] = []
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c:39 + 3 * c]
-        if ssiz & 0x80:
-            raise Jp2kError("signed samples not supported")
+        # ssiz bit 7 = signed samples: accepted — under the offset-binary
+        # display mapping a signed plane's reconstruction is bit-identical
+        # to the unsigned G.1 level shift, so no branch is needed
         d = (ssiz & 0x7F) + 1
         if depth is None:
             depth = d
@@ -1724,6 +1725,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         img = np.concatenate([rgb] + (
             [img[..., 3:]] if ncomp > 3 else []
         ), axis=-1)
+    # G.1 DC level shift applies to UNSIGNED components only; signed
+    # planes decode as-is and are offset-binary-mapped into the unsigned
+    # output range (the standard display normalization — the wire values
+    # are the same bits either way)
     img = img + (1 << (depth - 1))
     if any_irrev:
         img = np.rint(img)

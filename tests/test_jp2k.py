@@ -819,3 +819,17 @@ def test_packed_packet_headers_roundtrip(mode):
     dec3, _ = decode_jp2k(encode_jp2k(img, levels=1, packed_headers=mode,
                                       sop=True, cb_style=0x01))
     assert np.array_equal(dec3[..., 0], img)
+
+
+def test_signed_components_decode_offset_binary():
+    # Ssiz bit 7: a signed plane's offset-binary display mapping is
+    # bit-identical to the unsigned G.1 level shift, so the stream
+    # decodes without a branch
+    import struct as _s
+
+    img = np.arange(400, dtype=np.uint8).reshape(20, 20)
+    enc = bytearray(encode_jp2k(img, levels=1))
+    siz_at = bytes(enc).index(b"\xff\x51")
+    enc[siz_at + 4 + 36] |= 0x80
+    dec, _ = decode_jp2k(bytes(enc))
+    assert np.array_equal(dec[..., 0], img)
