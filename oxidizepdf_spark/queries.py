@@ -5234,11 +5234,15 @@ def decode_image_codec_row(d: int, norm: str) -> dict:
 
 
 def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher/MassiveText repetition removal (Rae et al. 2021, §A1.1 —
-    the canonical training-data filter the plain quality score lacks):
-    the fraction of the document covered by its most frequent word
-    2-gram and 3-gram, plus the duplicate-word fraction, with the
-    published keep thresholds (top-2-gram <= 0.20, top-3-gram <= 0.18).
+    """Gopher/MassiveText repetition removal (Rae et al. 2021, §A1.1):
+    the N-GRAM concentration signals — fraction of the document covered
+    by its most frequent word 2-gram and 3-gram — with the published
+    keep thresholds (top-2-gram <= 0.20, top-3-gram <= 0.18). Extends
+    q_text_repetition_signals (oracle row), which carries the 1-gram
+    signals (dup-word + top-word fractions) map-only; the n-gram
+    concentration needs a per-gram count shuffle, hence this separate
+    shape. dup_word_frac repeats here so the keep verdict is
+    self-contained.
 
     Entirely JVM-native: words -> n-gram arrays built with
     transform(sequence(...)) -> explode -> groupBy(doc_id, gram) count
