@@ -1186,6 +1186,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     coc_segs: list[bytes] = []
     qcc_segs: list[bytes] = []
     ppm_segs: list[bytes] = []
+    poc_seg: bytes | None = None
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _SOT:
@@ -1205,11 +1206,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             qcc_segs.append(seg)
         elif marker == _PPM:
             ppm_segs.append(seg)
-        elif marker in (_POC, _RGN):
-            # silently skipping either would DECODE WRONG DATA: POC
-            # rewrites the progression, RGN shifts ROI coefficients
+        elif marker == _POC:
+            poc_seg = seg
+        elif marker == _RGN:
+            # silently skipping would DECODE WRONG DATA (ROI shifts)
             raise Jp2kError(
-                f"unsupported marker {marker:#x} (POC/RGN alter the "
+                f"unsupported marker {marker:#x} (RGN alters the "
                 "packet stream)")
         # COM / TLM / PLM / CRG and other informational segments: skipped
     if siz is None or cod is None or qcd is None:
@@ -1284,6 +1286,35 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         return out
 
     precinct_pp = _parse_precincts(cod, 10) if scod & 0x01 else None
+    if poc_seg is not None:
+        # POC (A.6.6): supported in its common degenerate shape — ONE
+        # progression volume covering the whole stream, which simply
+        # overrides the COD progression. True mid-stream order changes
+        # would resequence packets and stay a targeted error.
+        entry = 7 if ncomp <= 256 else 9
+        if len(poc_seg) < entry or len(poc_seg) % entry:
+            raise Jp2kError("malformed POC segment")
+        if len(poc_seg) != entry:
+            raise Jp2kError(
+                "multi-volume POC progression changes not supported")
+        if ncomp <= 256:
+            rs, cs = poc_seg[0], poc_seg[1]
+            (lye,) = struct.unpack(">H", poc_seg[2:4])
+            re_, ce, pprog = poc_seg[4], poc_seg[5], poc_seg[6]
+        else:
+            rs = poc_seg[0]
+            (cs,) = struct.unpack(">H", poc_seg[1:3])
+            (lye,) = struct.unpack(">H", poc_seg[3:5])
+            re_ = poc_seg[5]
+            (ce,) = struct.unpack(">H", poc_seg[6:8])
+            pprog = poc_seg[8]
+        if (rs != 0 or cs != 0 or lye < layers or re_ < levels + 1
+                or ce < ncomp):
+            raise Jp2kError(
+                "partial POC progression volumes not supported")
+        if pprog > 4:
+            raise Jp2kError(f"unknown progression order {pprog}")
+        progression = pprog
     if precinct_pp is not None and any(r != (1, 1) for r in comp_rs):
         raise Jp2kError(
             "precincts with component subsampling not supported")

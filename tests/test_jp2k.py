@@ -643,11 +643,11 @@ def test_tile_header_plt_com_skipped_and_poc_rejected():
     patched = bytes(enc[:sod_at]) + plt + com + bytes(enc[sod_at:])
     dec, _ = decode_jp2k(patched)
     assert np.array_equal(dec[..., 0], img)
-    # a main-header POC must be a loud error, not a silent mis-decode
+    # a main-header RGN must be a loud error, not a silent mis-decode
     soc_end = 2
-    poc = b"\xff\x5f" + struct.pack(">H", 9) + b"\x00" * 7
-    bad = patched[:soc_end] + poc + patched[soc_end:]
-    with pytest.raises(Jp2kError, match="POC/RGN"):
+    rgn = b"\xff\x5e" + struct.pack(">H", 5) + b"\x00" * 3
+    bad = patched[:soc_end] + rgn + patched[soc_end:]
+    with pytest.raises(Jp2kError, match="RGN"):
         decode_jp2k(bad)
     # an unknown tile-part marker is a targeted error too
     unk = bytes(enc[:sod_at]) + b"\xff\x71" + struct.pack(">H", 4) + \
@@ -833,3 +833,25 @@ def test_signed_components_decode_offset_binary():
     enc[siz_at + 4 + 36] |= 0x80
     dec, _ = decode_jp2k(bytes(enc))
     assert np.array_equal(dec[..., 0], img)
+
+
+def test_poc_whole_stream_override():
+    # POC in its common degenerate shape — one volume covering the whole
+    # stream — overrides the COD progression. Prove it's HONORED by
+    # mislabeling the COD (RLCP) on an LRCP-sequenced stream and letting
+    # the POC restore the truth; partial volumes stay rejected.
+    import struct
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (30, 40)).astype(np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=2, layers=3, progression=0))
+    cod_at = bytes(enc).index(b"\xff\x52")
+    enc[cod_at + 5] = 1  # COD now claims RLCP
+    poc = (b"\xff\x5f" + struct.pack(">H", 9) + bytes([0, 0])
+           + struct.pack(">H", 3) + bytes([3, 1, 0]))
+    dec, _ = decode_jp2k(bytes(enc[:cod_at]) + poc + bytes(enc[cod_at:]))
+    assert np.array_equal(dec[..., 0], img)
+    bad = (b"\xff\x5f" + struct.pack(">H", 9) + bytes([1, 0])
+           + struct.pack(">H", 3) + bytes([3, 1, 0]))
+    with pytest.raises(Jp2kError, match="partial POC"):
+        decode_jp2k(bytes(enc[:cod_at]) + bad + bytes(enc[cod_at:]))
