@@ -192,8 +192,10 @@ STANDARD_TABLES = {
     # terminate a height class under it. The beyond-reference Huffman SD
     # path (T.88 §6.5) uses this complete table; key 3 stays pinned to
     # the reference rendering for everything reference-parity.
+    # NB the lower-range line is SUBTRACTIVE per B.3: value = -257 - extra
     "3sd": ((8, 8, -256), (1, 0, 0), (2, 0, 1), (3, 0, 2), (4, 3, 3),
-            (5, 6, 11), (8, 32, -257), (7, 32, 75), (6, 0, 0, _OOB)),
+            (5, 6, 11), (8, 32, -257, False, -1), (7, 32, 75),
+            (6, 0, 0, _OOB)),
 }
 
 

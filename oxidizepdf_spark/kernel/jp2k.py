@@ -34,8 +34,11 @@ Scope (raises ``Jp2kError`` beyond it):
   would interleave precincts of different resolutions by spatial
   position and stay a targeted error; any number of quality layers
   (codeblock contributions accumulate across layers); SOP/EPH
-  markers; PLT/COM tile-part headers skipped, POC/PPM/RGN rejected
-  loudly (they alter the packet stream);
+  markers; PLT/COM tile-part headers skipped; PPM/PPT packed packet
+  headers decoded; whole-stream POC overrides honored (a single
+  volume covering the full stream replaces the COD progression) —
+  partial/multi-volume POC and RGN stay loud errors (they alter the
+  packet stream mid-way);
   codeblock-style flags 0x01 (selective arithmetic bypass — raw
   sig-prop/refinement from the 11th pass with terminated codeword
   segments), 0x02 (per-pass context reset), 0x04 (per-pass
@@ -1110,6 +1113,9 @@ _EOC = 0xFFD9
 
 _BAND_GAIN = {"LL": 0, "HL": 1, "LH": 1, "HH": 2}
 
+# hard ceiling on total canvas allocation (float64 per component)
+MAX_CANVAS_BYTES = 1 << 30
+
 
 def _band_layout(h: int, w: int, levels: int):
     """Subband dims per resolution.  Returns [(res, [(band, bh, bw)])]
@@ -1231,6 +1237,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         raise Jp2kError("image dimensions out of supported range")
     if not 1 <= ncomp <= 4:
         raise Jp2kError(f"unsupported component count {ncomp}")
+    # canvases are float64 per component, so bound the actual allocation
+    # (ncomp * pixels * 8 bytes), not just the pixel count — a 4-comp
+    # SIZ at the bare pixel cap would otherwise reserve ~8 GiB
+    if ncomp * xsiz * ysiz * 8 > MAX_CANVAS_BYTES:
+        raise Jp2kError("image dimensions out of supported range")
     depth = None
     comp_rs: list[tuple[int, int]] = []
     for c in range(ncomp):
@@ -1724,7 +1735,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             tile_packed.setdefault(isot, []).append(
                 b"".join(seg[1:] for seg in
                          sorted(ppt_segs, key=lambda g: g[0])))
-        elif ppm_chunks:
+        elif ppm_segs:
+            # PPM is active: every tile-part without PPT must consume a
+            # chunk — running out means the stream lies about Nppm and
+            # the tile-part would silently mis-decode as in-body headers
             if not ppm_chunks:
                 raise Jp2kError("PPM chunk list exhausted")
             tile_packed.setdefault(isot, []).append(ppm_chunks.pop(0))

@@ -28,6 +28,12 @@ class TtfError(Exception):
     pass
 
 
+# Max cumulative codepoints mapped while walking cmap subtables — all
+# 17 Unicode planes fit in ~1.1M codes, so a legitimate full-repertoire
+# CJK/emoji font stays intact while a crafted table stops in ~0.1 s.
+_CMAP_CODE_BUDGET = 1_200_000
+
+
 def _u16(b: bytes, o: int) -> int:
     return (b[o] << 8) | b[o + 1]
 
@@ -112,6 +118,13 @@ def _parse_cmap(data: bytes, off: int, length: int) -> dict[int, int]:
         return {}
     fmt = _u16(data, sub)
     table: dict[int, int] = {}
+    # Hostile-input budget: a crafted ~24KB font can declare format-12
+    # groups spanning 0x10FFFF codepoints each (or ~32k format-4
+    # segments x 65k codes) — unbounded, that hangs the executor and
+    # balloons the dict to millions of entries. Cap cumulative mapped
+    # codes; on overflow truncate (width lookups beyond the cap degrade
+    # to /MissingWidth, same as an absent cmap entry).
+    budget = _CMAP_CODE_BUDGET
     if fmt == 0:
         # byte encoding table: 256 glyph ids
         if sub + 6 + 256 > len(data):
@@ -133,6 +146,9 @@ def _parse_cmap(data: bytes, off: int, length: int) -> dict[int, int]:
             roff = _u16(data, ranges + s)
             if start_c > end_c or end_c == 0xFFFF and start_c == 0xFFFF:
                 continue
+            budget -= end_c - start_c + 1
+            if budget < 0:
+                break
             for c in range(start_c, end_c + 1):
                 if roff == 0:
                     g = (c + delta) & 0xFFFF
@@ -148,7 +164,7 @@ def _parse_cmap(data: bytes, off: int, length: int) -> dict[int, int]:
                     table[c] = g
     elif fmt == 6:
         first = _u16(data, sub + 6)
-        cnt = _u16(data, sub + 8)
+        cnt = min(_u16(data, sub + 8), budget)
         for i in range(cnt):
             o = sub + 10 + 2 * i
             if o + 2 > len(data):
@@ -163,7 +179,10 @@ def _parse_cmap(data: bytes, off: int, length: int) -> dict[int, int]:
             if o + 12 > len(data):
                 break
             sc, ec, sg = _u32(data, o), _u32(data, o + 4), _u32(data, o + 8)
-            if ec - sc > 0x10FFFF:
+            if ec < sc or ec - sc > 0x10FFFF:
+                break
+            budget -= ec - sc + 1
+            if budget < 0:
                 break
             for c in range(sc, ec + 1):
                 table[c] = sg + (c - sc)

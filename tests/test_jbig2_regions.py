@@ -142,6 +142,25 @@ class TestHuffman:
         with pytest.raises(FilterError):
             decode_huffman_int(reader, 1)
 
+    def test_3sd_lower_range_is_subtractive(self):
+        # T.88 Table B.3's lower-range line decodes -257 - extra (the
+        # reference's rendering omits the line entirely; the
+        # spec-complete "3sd" must use the subtractive form, else a
+        # conformant stream's width delta comes back wrong/positive).
+        w = _BitWriter()
+        encode_huffman_int(w, "3sd", -300)
+        r = _BitReader(w.getvalue())
+        assert decode_huffman_int(r, "3sd") == -300
+        # and by raw construction: lower-range prefix + extra bits
+        compiled = compile_huffman_table(STANDARD_TABLES["3sd"])
+        (code, plen), = [(c, l) for c, l, e in compiled
+                         if e[1] == 32 and e[2] == -257]
+        w2 = _BitWriter()
+        w2.write(plen, code)
+        w2.write(32, 43)
+        r2 = _BitReader(w2.getvalue())
+        assert decode_huffman_int(r2, "3sd") == -257 - 43
+
     @given(st.lists(st.integers(-2048, 4000), min_size=1, max_size=60))
     @settings(max_examples=40, deadline=None)
     def test_roundtrip_hypothesis_b6(self, values):

@@ -821,6 +821,41 @@ def test_packed_packet_headers_roundtrip(mode):
     assert np.array_equal(dec3[..., 0], img)
 
 
+def test_ppm_chunk_exhaustion_is_loud():
+    # more tile-parts than (Nppm, chunk) pairs: the tile-part must NOT
+    # silently fall back to in-body header parsing (garbage) — it raises
+    import struct as _s
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=1, tile_size=(20, 40),
+                      packed_headers="ppm")
+    at = enc.index(b"\xff\x60")
+    (lppm,) = _s.unpack(">H", enc[at + 2:at + 4])
+    blob = enc[at + 5:at + 2 + lppm]  # after Zppm byte
+    (n0,) = _s.unpack(">I", blob[:4])
+    first = blob[:4 + n0]  # keep only tile 0's chunk
+    new_seg = b"\xff\x60" + _s.pack(">H", len(first) + 3) + b"\x00" + first
+    mutated = enc[:at] + new_seg + enc[at + 2 + lppm:]
+    with pytest.raises(Jp2kError, match="PPM chunk list exhausted"):
+        decode_jp2k(mutated)
+
+
+def test_canvas_bytes_bomb_guard():
+    # 3 comps x 16384 x 16384 passes the raw pixel cap (== 2^28) but
+    # would allocate ~6 GiB of float64 canvases — refused before any
+    # codestream data is touched
+    import struct as _s
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1))
+    siz_at = bytes(enc).index(b"\xff\x51")
+    enc[siz_at + 6:siz_at + 10] = _s.pack(">I", 16384)   # Xsiz
+    enc[siz_at + 10:siz_at + 14] = _s.pack(">I", 16384)  # Ysiz
+    with pytest.raises(Jp2kError, match="dimensions out of supported"):
+        decode_jp2k(bytes(enc))
+
+
 def test_signed_components_decode_offset_binary():
     # Ssiz bit 7: a signed plane's offset-binary display mapping is
     # bit-identical to the unsigned G.1 level shift, so the stream

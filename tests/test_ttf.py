@@ -160,6 +160,65 @@ def test_fuzz_never_escapes_ttferror():
             pass  # structured failure is the contract
 
 
+def _wrap_cmap_subtable(sub: bytes) -> bytes:
+    """sfnt whose cmap is exactly the given (3,1) subtable."""
+    base = build_test_ttf({"A": 1000})
+    cmap = _u16(0) + _u16(1) + _u16(3) + _u16(1) + _u32(12) + sub
+    n = struct.unpack(">H", base[4:6])[0]
+    out = bytearray(base)
+    for i in range(n):
+        rec = 12 + 16 * i
+        if base[rec:rec + 4] == b"cmap":
+            off = struct.unpack(">I", base[rec + 8:rec + 12])[0]
+            old_len = struct.unpack(">I", base[rec + 12:rec + 16])[0]
+            out[rec + 12:rec + 16] = _u32(len(cmap))
+            # cmap is the last table, so growing it in place is safe
+            assert off + old_len == len(base)
+            return bytes(out[:off]) + cmap
+    raise AssertionError("no cmap table")
+
+
+def test_cmap_format12_bomb_is_budgeted():
+    # ~12KB of format-12 groups, each spanning the full Unicode range:
+    # unbudgeted this iterates ~10^9 codes and hangs the executor.
+    groups = b"".join(_u32(0) + _u32(0x10FFFF) + _u32(1)
+                      for _ in range(1000))
+    sub = (_u16(12) + _u16(0) + _u32(16 + len(groups)) + _u32(0) +
+           _u32(1000) + groups)
+    import time
+    t0 = time.monotonic()
+    m = parse_truetype_metrics(_wrap_cmap_subtable(sub))
+    assert time.monotonic() - t0 < 5.0
+    assert 0 < len(m.cmap) <= 1_200_000
+    assert m.cmap[0] == 1  # prefix before the cap still mapped
+
+
+def test_cmap_format4_bomb_is_budgeted():
+    # ~8000 segments x 65k codes each (all mapping via delta)
+    nseg = 8000
+    segs = [(0xFFFE, 0, 1) for _ in range(nseg - 1)] + [(0xFFFF, 0xFFFF, 0)]
+    sub = _u16(4) + _u16(16 + 8 * nseg) + _u16(0)
+    sub += _u16(nseg * 2) + _u16(0) + _u16(0) + _u16(0)
+    sub += b"".join(_u16(e) for e, _, _ in segs)
+    sub += _u16(0)
+    sub += b"".join(_u16(s) for _, s, _ in segs)
+    sub += b"".join(_u16(g) for _, _, g in segs)  # deltas
+    sub += b"".join(_u16(0) for _ in segs)
+    import time
+    t0 = time.monotonic()
+    m = parse_truetype_metrics(_wrap_cmap_subtable(sub))
+    assert time.monotonic() - t0 < 5.0
+    assert 0 < len(m.cmap) <= 1_200_000
+
+
+def test_cmap_budget_keeps_full_plane0_font():
+    # A legitimate full-BMP format-12 mapping survives the budget intact.
+    sub = (_u16(12) + _u16(0) + _u32(16 + 12) + _u32(0) + _u32(1) +
+           _u32(0x20) + _u32(0xFFFD) + _u32(1))
+    m = parse_truetype_metrics(_wrap_cmap_subtable(sub))
+    assert len(m.cmap) == 0xFFFD - 0x20 + 1
+
+
 # ---------------------------------------------------------------------------
 # fonts.py wiring: /Widths-less TrueType font with an embedded program
 # ---------------------------------------------------------------------------
