@@ -365,8 +365,10 @@ def main() -> None:
     # degraded window keeps sampling all 6 legs to straddle it.
     head = None
     near_best = 0
+    head_attempts: list[float] = []
     for _ in range(6):
         r = run_extract_job(spark, n_docs, seed=42, waves=1)
+        head_attempts.append(round(r["sec"], 3))
         if head is None or r["sec"] < head["sec"]:
             head = r
             near_best = 0  # 'within 3%' hits must refer to the final best
@@ -375,6 +377,9 @@ def main() -> None:
             if near_best >= 2:
                 break
     timings["extract_pipeline"] = round(head["sec"], 4)
+    # every attempt goes into the recorded artifact (VERDICT r8 #2): the
+    # cross-round headline comparison reads the BAND, not one lottery draw
+    extras["headline_attempts_sec"] = head_attempts
     extras["docs_per_sec"] = round(head["docs_per_sec"], 2)
     extras["extract_docs"] = head["docs"]
     extras["extract_spans"] = int(head["spans"])
@@ -426,9 +431,10 @@ def main() -> None:
         # round-7: ai-export flagship (render + layout-extract + classify
         # + table-detect + compose per doc)
         "pdf_export_markdown": Q.q_pdf_export_markdown,
-        # round-8: Gopher repetition filter (registry-external,
-        # pytest-differential gated)
+        # round-8: Gopher repetition filter (oracle-registry row since r9)
         "text_repetition_quality": Q.q_text_repetition_quality,
+        # round-9: 6-codec image decode (oracle-registry row since r9)
+        "pdf_decode_image_codecs": Q.q_pdf_decode_image_codecs,
     }
     for name, fn in suite.items():
         # warm: codegen compile + page cache + persisted relations (the
@@ -624,6 +630,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf_num,
         "docs_per_sec": extras.get("docs_per_sec"),
+        "headline_attempts": extras.get("headline_attempts_sec"),
         "salted_dps": extras.get("salted_docs_per_sec"),
         "window": [
             extras.get("host_window", {}).get("index_1p"),

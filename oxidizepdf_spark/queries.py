@@ -5142,10 +5142,10 @@ SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 # ---------------------------------------------------------------------------
 # image-codec decode differential (JBIG2 arith/MMR, CCITT G4, JPX, JPEG)
-# — outside the 50-row driver registry (cap, VERDICT r3); pinned by the
-# pytest differential in tests/test_extract_images.py which runs BOTH
-# sides (per-doc kernel body vs the oracle SQL on DuckDB) like the
-# registry gate would.
+# — in the 50-row oracle registry since round 9 (VERDICT r8 #1); also
+# pinned by the pytest differential in tests/test_extract_images.py
+# which runs BOTH sides (per-doc kernel body vs the oracle SQL on
+# DuckDB) like the registry gate.
 # ---------------------------------------------------------------------------
 
 # frozen decoded-sample MD5s per variant (corpus.build_codec_image_pdf):
@@ -5251,9 +5251,9 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     would add a per-doc sort exchange). The shuffles key on
     (doc_id, gram), so skew is bounded by single-document size at any
     corpus scale.
-    Outside the 50-row registry cap; gated by the pytest differential
-    in tests/test_repetition_quality.py (both sides vs DuckDB, like the
-    driver gate)."""
+    In the 50-row oracle registry since round 9 (rotated in per VERDICT
+    r8 #1); also gated by the pytest differential in
+    tests/test_repetition_quality.py."""
     docs = _docs(spark, sf_dir).select(
         "doc_id", norm_col("text").alias("norm"))
     words = docs.select(
@@ -5436,7 +5436,11 @@ def build_queries() -> dict:
         "corpus_stratified_sample": q_corpus_stratified_sample,
         "tfidf_top_terms": q_tfidf_top_terms,
         "text_quality_score": q_text_quality_score,
-        "text_stats": q_text_stats,
+        # text_stats stays implemented (tests/test_displaced_rows.py keeps
+        # its exact Spark-vs-DuckDB differential) but yields its registry
+        # row to text_repetition_quality: its aggregations are a subset of
+        # text_quality_score + tfidf_top_terms coverage (VERDICT r8 #1)
+        "text_repetition_quality": q_text_repetition_quality,
         # text_url_stats stays implemented (and pytest-covered) but
         # yields its registry row to pdf_export_markdown — the driver
         # records only 50 rows (VERDICT r6 #2)
@@ -5464,7 +5468,12 @@ def build_queries() -> dict:
         "pdf_extract_form_fields": q_pdf_extract_form_fields,
         "pdf_extract_invoice": q_pdf_extract_invoice,
         "pdf_detect_corruption": q_pdf_detect_corruption,
-        "media_features": q_media_features,
+        # media_features stays implemented (tests/test_displaced_rows.py)
+        # but yields its registry row to pdf_decode_image_codecs:
+        # doc_fingerprint exercises the same binary mapInPandas path,
+        # while the 6-codec decode is the newest failure-prone surface
+        # (VERDICT r8 #1)
+        "pdf_decode_image_codecs": q_pdf_decode_image_codecs,
         "corpus_events_stats": q_corpus_events_stats,
         "events_sessionization": q_events_sessionization,
         "streaming_event_counts": q_streaming_event_counts,
@@ -5505,9 +5514,7 @@ def build_oracles() -> dict[str, str]:
         "corpus_stratified_sample": _stratified_sample_oracle(_langid_sql()),
         "tfidf_top_terms": ORACLE_TFIDF,
         "text_quality_score": _quality_sql(),
-        "text_stats": ORACLE_TEXT_STATS.format(
-            norm=NORM_SQL.format(col="text"), token_re=_TOKEN_RE
-        ),
+        "text_repetition_quality": ORACLE_REPETITION_QUALITY,
         "pdf_export_markdown": ORACLE_EXPORT_MARKDOWN,
         "text_scrub_pii": ORACLE_SCRUB_PII,
         "doc_fingerprint": ORACLE_FINGERPRINT,
@@ -5527,7 +5534,7 @@ def build_oracles() -> dict[str, str]:
         "pdf_extract_form_fields": ORACLE_FORM_FIELDS,
         "pdf_extract_invoice": ORACLE_INVOICE,
         "pdf_detect_corruption": ORACLE_DETECT_CORRUPTION,
-        "media_features": _media_features_oracle(),
+        "pdf_decode_image_codecs": ORACLE_DECODE_CODECS,
         "corpus_events_stats": ORACLE_EVENTS_STATS,
         "events_sessionization": ORACLE_SESSIONIZATION,
         "streaming_event_counts": ORACLE_STREAMING_EVENTS,

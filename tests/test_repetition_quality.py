@@ -1,10 +1,11 @@
 """Gopher/MassiveText repetition filter (queries.q_text_repetition_quality).
 
-Outside the 50-row driver registry; this differential runs BOTH sides —
-the Spark query and ORACLE_REPETITION_QUALITY on DuckDB over the
-sf0.001 documents table — and compares every row, mirroring the driver
-gate. The thresholds (top-2-gram <= 0.20, top-3-gram <= 0.18) are the
-published Rae et al. 2021 repetition-removal settings.
+In the 50-row driver registry since round 9; this differential also
+runs BOTH sides — the Spark query and ORACLE_REPETITION_QUALITY on
+DuckDB over the sf0.001 documents table — and compares every row,
+mirroring the driver gate. The thresholds (top-2-gram <= 0.20,
+top-3-gram <= 0.18) are the published Rae et al. 2021
+repetition-removal settings.
 """
 
 from __future__ import annotations
