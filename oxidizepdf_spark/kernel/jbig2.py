@@ -795,7 +795,8 @@ class Jbig2Decoder:
                     offset += 2
         refinement_at = []
         if flags.uses_refinement:
-            count = 2 if flags.refinement_template == 0 else 1
+            # §7.4.3.1.3: present only when SDRTEMPLATE is 0 (two pairs)
+            count = 2 if flags.refinement_template == 0 else 0
             for _ in range(count):
                 if offset + 2 <= len(data):
                     dx = data[offset] - 256 if data[offset] > 127 else data[offset]

@@ -10,10 +10,13 @@ faithfully, including its implementation-specific choices:
   jbig2.decode_integer_arith; NO OOB sentinel, so a symbol dictionary's
   non-final height classes terminate via a width delta driving the total
   non-positive, and the final class terminates on the symbol count).
-- Symbol-dict refinement flag decodes symbols as DIRECT bitmaps
-  (symbol_dict.rs:365-371 falls back with a warning); the standalone
-  refinement-region decoder (§6.3.5.6) is transcribed with the
-  reference's own context layouts (symbol_dict.rs:218-275).
+- Symbol-dict refinement flag in ARITHMETIC mode decodes symbols as
+  DIRECT bitmaps (symbol_dict.rs:365-371 falls back with a warning);
+  the standalone refinement-region decoder (§6.3.5.6) is transcribed
+  with the reference's own context layouts (symbol_dict.rs:218-275).
+  In HUFFMAN mode §6.5.8.2 refinement/aggregation is decoded for real
+  (REFAGGNINST=1: per-symbol byte-aligned MQ refinement, shared GR
+  contexts) — beyond the reference and pdf.js, which both error.
 - Export table (symbol_dict.rs decode_export_table): num_exported >=
   total exports everything WITHOUT consuming IAEX runs; partial exports
   decode alternating skip/export runs as abs(integer); a shortfall is
@@ -436,8 +439,10 @@ def decode_symbol_dict(data: bytes, params: SymbolDictParams) -> SymbolDictionar
     classes end on a non-positive running width and the final class ends
     on the symbol count. Huffman mode dispatches to the T.88 §6.5 Huffman
     decoder — BEYOND the reference, which errors on it explicitly
-    (symbol_dict.rs:441-454); the refinement flag decodes symbols
-    directly."""
+    (symbol_dict.rs:441-454) — including §6.5.8.2 refinement/
+    aggregation with REFAGGNINST=1; in arithmetic mode the refinement
+    flag decodes symbols directly (reference parity,
+    symbol_dict.rs:420-439)."""
     if params.num_new_symbols > MAX_SYMBOL_COUNT:
         raise FilterError(
             f"Symbol count {params.num_new_symbols} exceeds maximum "
@@ -672,11 +677,6 @@ def _decode_symbol_dict_huffman(data: bytes,
     from .jbig2 import MAX_BITMAP_HEIGHT, MAX_BITMAP_WIDTH
 
     flags = params.flags
-    if flags.uses_refinement:
-        raise FilterError(
-            "JBIG2 Huffman symbol dictionary with refinement/aggregation "
-            "is not supported"
-        )
     tables_iter = iter(params.custom_tables)
 
     def _next_custom(which: str):
@@ -702,12 +702,24 @@ def _decode_symbol_dict_huffman(data: bytes,
         )
     bmsize_table = (_next_custom("BMSIZE")
                     if flags.huffman_bmsize_table else 1)
+    # §7.4.3.1.6 consumption order: DH, DW, BMSIZE, then AGGINST
+    agg_table = (_next_custom("AGGINST")
+                 if flags.huffman_aggrinst_table else 1)
     if not data:
         raise FilterError("Symbol dictionary data too short")
 
     reader = _BitReader(data)
     new_symbols: list = []
     current_height = 0
+    # T.88 §6.5.8.2 refinement/aggregation with SDHUFF=1 (BEYOND the
+    # reference AND pdf.js/most readers, which error here): each symbol
+    # is its own byte-aligned arithmetic refinement of an
+    # already-decoded symbol. GR contexts persist across the dictionary
+    # (one fresh MQ decoder per symbol over its BMSIZE bytes).
+    refagg = flags.uses_refinement
+    ref_contexts = new_contexts(1 << 13) if refagg else None
+    id_bits = compute_symbol_id_codewidth(
+        len(params.referred_symbols) + params.num_new_symbols)
 
     while len(new_symbols) < params.num_new_symbols:
         current_height += decode_huffman_int(reader, dh_table)
@@ -734,9 +746,15 @@ def _decode_symbol_dict_huffman(data: bytes,
                     "Huffman symbol dictionary decoded more symbols than "
                     "declared"
                 )
+            if refagg:
+                new_symbols.append(_decode_refagg_symbol_huffman(
+                    reader, data, params, agg_table, id_bits,
+                    sym_width, current_height, new_symbols,
+                    ref_contexts))
+                continue
             widths.append(sym_width)
             total_width += sym_width
-        if not widths:
+        if refagg or not widths:
             continue
         bmsize = decode_huffman_int(reader, bmsize_table)
         reader.align()
@@ -784,6 +802,58 @@ def _decode_symbol_dict_huffman(data: bytes,
         out.all_symbols, params.num_exported,
         lambda: decode_huffman_int(reader, 1))
     return out
+
+
+def _decode_refagg_symbol_huffman(reader: "_BitReader", data: bytes,
+                                  params: SymbolDictParams, agg_table,
+                                  id_bits: int, sym_width: int,
+                                  height: int, new_symbols: list,
+                                  ref_contexts: list) -> Bitmap:
+    """One §6.5.8.2 refinement/aggregation symbol under SDHUFF=1:
+    REFAGGNINST from the AGGINST table (B.1 default), then — for the
+    single-instance case — a raw SBSYMCODELEN-bit reference ID, RDX/RDY
+    from Table B.15, BMSIZE from Table B.1, and a byte-aligned BMSIZE-
+    byte arithmetic refinement stream (fresh MQ decoder per symbol,
+    shared GR contexts, TPGRON=0)."""
+    from .jbig2 import MQDecoder
+
+    n_inst = decode_huffman_int(reader, agg_table)
+    if n_inst != 1:
+        # REFAGGNINST > 1 composes the instances through a full text
+        # region (§6.5.8.2.1) — not wired; 1 is the overwhelmingly
+        # common shape real encoders emit
+        raise FilterError(
+            "JBIG2 Huffman symbol dictionary aggregate text-region "
+            f"composition (REFAGGNINST={n_inst}) is not supported"
+        )
+    sym_id = 0
+    for _ in range(id_bits):
+        sym_id = (sym_id << 1) | reader.read_bit()
+    pool = params.referred_symbols
+    if sym_id < len(pool):
+        ref = pool[sym_id]
+    elif sym_id - len(pool) < len(new_symbols):
+        ref = new_symbols[sym_id - len(pool)]
+    else:
+        raise FilterError(
+            f"Huffman symbol dictionary refinement reference {sym_id} "
+            "out of range"
+        )
+    rdx = decode_huffman_int(reader, 15)
+    rdy = decode_huffman_int(reader, 15)
+    bmsize = decode_huffman_int(reader, 1)
+    reader.align()
+    start = reader.pos >> 3
+    if bmsize <= 0 or start + bmsize > len(data):
+        raise FilterError(
+            "Huffman symbol dictionary refinement bitmap truncated")
+    dec = MQDecoder(data[start:start + bmsize])
+    sym = decode_refinement_region(
+        ref, rdx, rdy, sym_width, height,
+        params.flags.refinement_template, params.refinement_at_pixels,
+        dec, ref_contexts)
+    reader.pos = (start + bmsize) << 3
+    return sym
 
 
 def encode_symbol_dict_huffman(height_classes: list, export_runs=None,
@@ -839,6 +909,64 @@ def encode_symbol_dict_huffman(height_classes: list, export_runs=None,
     for run in export_runs or ():
         encode_huffman_int(w, 1, run)
     return w.getvalue()
+
+
+def encode_symbol_dict_huffman_refagg(height_classes: list,
+                                      in_symbols: list,
+                                      num_new_symbols: int,
+                                      export_runs=None,
+                                      refinement_template: int = 0) -> bytes:
+    """By-construction inverse of the §6.5.8.2 SDHUFF=1 REFAGG decode
+    path (test support). ``height_classes``:
+    [(height, [(rows, ref_id, rdx, rdy), ...]), ...] where ref_id
+    indexes in_symbols + previously-encoded new symbols. Each symbol is
+    DW, REFAGGNINST=1 (B.1), a raw SBSYMCODELEN-bit ID, RDX/RDY (B.15),
+    BMSIZE (B.1), then the byte-aligned MQ refinement payload; GR
+    contexts persist across the dictionary like the decoder's."""
+    from .jbig2 import MQEncoder
+
+    w = _BitWriter()
+    id_bits = compute_symbol_id_codewidth(
+        len(in_symbols) + num_new_symbols)
+    pool = [(_bitmap_from_rows(r) if not isinstance(r, Bitmap) else r)
+            for r in in_symbols]
+    ref_contexts = new_contexts(1 << 13)
+    current_height = 0
+    for height, symbols in height_classes:
+        encode_huffman_int(w, 4, height - current_height)
+        current_height = height
+        sym_width = 0
+        for rows, ref_id, rdx, rdy in symbols:
+            wd = len(rows[0])
+            encode_huffman_int(w, 2, wd - sym_width)
+            sym_width = wd
+            encode_huffman_int(w, 1, 1)  # REFAGGNINST
+            w.write(id_bits, ref_id)
+            encode_huffman_int(w, 15, rdx)
+            encode_huffman_int(w, 15, rdy)
+            enc = MQEncoder()
+            encode_refinement_region(
+                rows, pool[ref_id], rdx, rdy, wd, height,
+                refinement_template, enc, ref_contexts)
+            payload = enc.flush() or b"\x00"
+            encode_huffman_int(w, 1, len(payload))
+            w.align()
+            for b in payload:
+                w.write(8, b)
+            pool.append(_bitmap_from_rows(rows))
+        encode_huffman_oob(w, 2)
+    for run in export_runs or ():
+        encode_huffman_int(w, 1, run)
+    return w.getvalue()
+
+
+def _bitmap_from_rows(rows: list) -> Bitmap:
+    bm = Bitmap(len(rows[0]), len(rows))
+    for y, row in enumerate(rows):
+        for x, v in enumerate(row):
+            if v:
+                bm.set_pixel(x, y, 1)
+    return bm
 
 
 # ---------------------------------------------------------------------------
@@ -1440,6 +1568,29 @@ def build_symbol_dict_payload_huffman(height_classes: list,
     out += num_new.to_bytes(4, "big")
     out += encode_symbol_dict_huffman(height_classes, export_runs,
                                       dh_selector, dw_selector, use_mmr)
+    return bytes(out)
+
+
+def build_symbol_dict_payload_huffman_refagg(
+        height_classes: list, in_symbols: list, num_exported: int,
+        export_runs=None, refinement_template: int = 0) -> bytes:
+    """Segment payload for a SDHUFF=1 SDREFAGG=1 symbol dictionary:
+    flags, refinement AT pixels (nominal, present only for template 0
+    per §7.4.3.1.3), counts, then the §6.5.8.2 refinement-aggregated
+    body. Shaped for Jbig2Decoder._process_symbol_dict; in_symbols
+    must arrive via referred symbol-dictionary segments."""
+    flags = 0x0003 | ((refinement_template & 1) << 12)
+    num_new = sum(len(syms) for _, syms in height_classes)
+    out = bytearray()
+    out += flags.to_bytes(2, "big")
+    if refinement_template == 0:
+        # nominal GR AT positions (A1 = (-1, -1), A2 = (-1, -1))
+        out += bytes([0xFF, 0xFF, 0xFF, 0xFF])
+    out += num_exported.to_bytes(4, "big")
+    out += num_new.to_bytes(4, "big")
+    out += encode_symbol_dict_huffman_refagg(
+        height_classes, in_symbols, num_new, export_runs,
+        refinement_template)
     return bytes(out)
 
 

@@ -360,11 +360,93 @@ class TestHuffmanSymbolDict:
                for s in d.all_symbols]
         assert got == [SYM_C, SYM_A]
 
-    def test_refinement_raises(self):
-        params = SymbolDictParams(flags=SymbolDictFlags.from_u16(0x0003),
-                                  num_new_symbols=1)
-        with pytest.raises(FilterError, match="refinement"):
-            decode_symbol_dict(b"\x00\x00\x00\x00", params)
+    def _decode_refagg(self, payload, referred=()):
+        # refagg segment layout: flags(2) + [GR AT(4) if template 0] +
+        # numex(4) + numnew(4) + data (build_symbol_dict_payload_
+        # huffman_refagg / §7.4.3.1)
+        flags = SymbolDictFlags.from_u16((payload[0] << 8) | payload[1])
+        off = 2
+        ref_at = ()
+        if flags.refinement_template == 0:
+            ref_at = ((-1, -1), (-1, -1))
+            off += 4
+        num_exported = int.from_bytes(payload[off:off + 4], "big")
+        num_new = int.from_bytes(payload[off + 4:off + 8], "big")
+        params = SymbolDictParams(flags=flags,
+                                  refinement_at_pixels=ref_at,
+                                  num_exported=num_exported,
+                                  num_new_symbols=num_new,
+                                  referred_symbols=list(referred))
+        return decode_symbol_dict(payload[off + 8:], params)
+
+    @pytest.mark.parametrize("template", [0, 1])
+    def test_refagg_roundtrip(self, template):
+        # T.88 §6.5.8.2 with SDHUFF=1 (beyond the reference AND pdf.js,
+        # which both error): symbol 1 refines referred SYM_B, symbol 2
+        # refines symbol 1 (a NEW symbol, shifted), the second height
+        # class refines SYM_B into the taller SYM_C (size change).
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_symbol_dict_payload_huffman_refagg)
+
+        sym_a3 = [[1, 1, 1], [1, 0, 0], [1, 0, 0]]  # 3x3, differs from B
+        classes = [
+            (3, [(sym_a3, 0, 0, 0), (SYM_B, 1, 1, -1)]),
+            (6, [(SYM_C, 0, 0, 2)]),
+        ]
+        payload = build_symbol_dict_payload_huffman_refagg(
+            classes, [SYM_B], num_exported=4,
+            refinement_template=template)
+        d = self._decode_refagg(payload, referred=[_bm(SYM_B)])
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_B, sym_a3, SYM_B, SYM_C]
+        assert len(d.exported_symbols) == 4
+
+    def test_refagg_partial_export(self):
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_symbol_dict_payload_huffman_refagg)
+
+        classes = [(3, [(SYM_A, 0, 1, 0), (SYM_B, 0, 0, 0)])]
+        payload = build_symbol_dict_payload_huffman_refagg(
+            classes, [SYM_B], num_exported=1, export_runs=(2, 1))
+        d = self._decode_refagg(payload, referred=[_bm(SYM_B)])
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.exported_symbols]
+        assert got == [SYM_B]
+
+    def test_refagg_ninst_above_one_raises(self):
+        # REFAGGNINST > 1 = aggregate text-region composition: targeted
+        from oxidizepdf_spark.kernel.image_codecs import _BitWriter
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            encode_huffman_int)
+
+        w = _BitWriter()
+        encode_huffman_int(w, 4, 3)   # DH
+        encode_huffman_int(w, 2, 2)   # DW -> width 2
+        encode_huffman_int(w, 1, 2)   # REFAGGNINST = 2
+        body = w.getvalue() + b"\x00\x00"
+        payload = ((0x0003 | (1 << 12)).to_bytes(2, "big")
+                   + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                   + body)
+        with pytest.raises(FilterError, match="REFAGGNINST"):
+            self._decode_refagg(payload, referred=[_bm(SYM_B)])
+
+    def test_refagg_bad_reference_id_raises(self):
+        from oxidizepdf_spark.kernel.image_codecs import _BitWriter
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            encode_huffman_int)
+
+        w = _BitWriter()
+        encode_huffman_int(w, 4, 3)
+        encode_huffman_int(w, 2, 2)
+        encode_huffman_int(w, 1, 1)   # REFAGGNINST = 1
+        w.write(1, 1)                 # ID = 1, but pool has 1 symbol
+        body = w.getvalue() + b"\x00" * 8
+        payload = ((0x0003 | (1 << 12)).to_bytes(2, "big")
+                   + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
+                   + body)
+        with pytest.raises(FilterError, match="out of range"):
+            self._decode_refagg(payload, referred=[_bm(SYM_B)])
 
     @pytest.mark.parametrize("flags_u16", [
         0x0001 | (3 << 2),   # SDHUFFDH = 3 (custom table)
