@@ -35,10 +35,12 @@ Scope (raises ``Jp2kError`` beyond it):
   position and stay a targeted error; any number of quality layers
   (codeblock contributions accumulate across layers); SOP/EPH
   markers; PLT/COM tile-part headers skipped; PPM/PPT packed packet
-  headers decoded; whole-stream POC overrides honored (a single
-  volume covering the full stream replaces the COD progression) —
-  partial/multi-volume POC and RGN stay loud errors (they alter the
-  packet stream mid-way);
+  headers decoded; POC progression-order changes honored for any
+  number of volumes (B.12 first-containing-volume packet walk) as
+  long as the volumes jointly cover every packet — a partial cover
+  is a loud error, as is RGN;
+- per-component bit depths 2-16 (mixed depths allowed outside the
+  MCT trio: per-component level shift, R_b and clip range);
   codeblock-style flags 0x01 (selective arithmetic bypass — raw
   sig-prop/refinement from the 11th pass with terminated codeword
   segments), 0x02 (per-pass context reset), 0x04 (per-pass
@@ -49,7 +51,8 @@ Scope (raises ``Jp2kError`` beyond it):
   the pattern; our encoder emits its own exact termination, so 0x10
   streams it produces decode here without the Adobe-predictable bytes)
   and 0x20 (segmentation symbols) — all six defined flags;
-- 1-4 components, no subsampling, 8/16-bit unsigned samples;
+- 1-4 components with 1-4x per-component subsampling, signed or
+  unsigned samples (offset-binary mapped);
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
 
@@ -1036,12 +1039,15 @@ def _precinct_cb_range(res: int, pidx: tuple, geom: tuple) -> tuple:
 
 
 def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
-                  nprec=None):
+                  nprec=None, res_start: int = 0, comp_start: int = 0):
     """Packet sequence for the five Part-1 progression orders with one
     tile. ``nprec``: per-resolution (rows, cols) precinct grids, or None
     for whole-subband precincts (the position loop collapses, so
     PCRL == CPRL and RPCL's position loop is a no-op). Yields
     (layer, res, comp, precinct) where precinct is (py, px) or None.
+    ``res_start``/``comp_start`` bound the sweep for POC volumes
+    (B.12: RSpoc/CSpoc inclusive, the *E* fields are the exclusive
+    ends already applied by the caller via nres/ncomp).
     Position-first orders (PCRL/CPRL) with a real precinct grid would
     interleave precincts of DIFFERENT resolutions by spatial position —
     unsupported, targeted error."""
@@ -1058,20 +1064,20 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
         a * b > 1 for a, b in nprec)
     if progression == 0:  # LRCP
         for layer in range(layers):
-            for res in range(nres):
-                for c in range(ncomp):
+            for res in range(res_start, nres):
+                for c in range(comp_start, ncomp):
                     for p in precs(res):
                         yield layer, res, c, p
     elif progression == 1:  # RLCP
-        for res in range(nres):
+        for res in range(res_start, nres):
             for layer in range(layers):
-                for c in range(ncomp):
+                for c in range(comp_start, ncomp):
                     for p in precs(res):
                         yield layer, res, c, p
     elif progression == 2:  # RPCL
-        for res in range(nres):
+        for res in range(res_start, nres):
             for p in precs(res):
-                for c in range(ncomp):
+                for c in range(comp_start, ncomp):
                     for layer in range(layers):
                         yield layer, res, c, p
     elif progression in (3, 4):  # PCRL / CPRL
@@ -1079,13 +1085,32 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
             raise Jp2kError(
                 "position-first progressions with multiple precincts "
                 "are not supported")
-        for c in range(ncomp):
-            for res in range(nres):
+        for c in range(comp_start, ncomp):
+            for res in range(res_start, nres):
                 for layer in range(layers):
                     for p in precs(res):
                         yield layer, res, c, p
     else:
         raise Jp2kError(f"unknown progression order {progression}")
+
+
+def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
+                      nprec=None):
+    """B.12 progression-order changes: walk each volume's order over its
+    (res, comp, layer) bounds in sequence, emitting each packet at its
+    FIRST containing volume (later volumes skip already-emitted packets,
+    the openjpeg/kakadu include-array behaviour). The caller checks that
+    the union covers the full packet set — a stream whose POC volumes
+    leave packets out would otherwise silently mis-walk the body."""
+    seen: set = set()
+    for rs, cs, lye, re_, ce, prog in volumes:
+        for key in _packet_order(prog, min(lye, layers), min(re_, nres),
+                                 min(ce, ncomp), nprec,
+                                 res_start=rs, comp_start=cs):
+            if key in seen:
+                continue
+            seen.add(key)
+            yield key
 
 
 # ---------------------------------------------------------------------------
@@ -1242,7 +1267,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # SIZ at the bare pixel cap would otherwise reserve ~8 GiB
     if ncomp * xsiz * ysiz * 8 > MAX_CANVAS_BYTES:
         raise Jp2kError("image dimensions out of supported range")
-    depth = None
+    comp_depths: list[int] = []
     comp_rs: list[tuple[int, int]] = []
     for c in range(ncomp):
         ssiz, xr, yr = siz[36 + 3 * c:39 + 3 * c]
@@ -1250,15 +1275,15 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         # display mapping a signed plane's reconstruction is bit-identical
         # to the unsigned G.1 level shift, so no branch is needed
         d = (ssiz & 0x7F) + 1
-        if depth is None:
-            depth = d
-        elif d != depth:
-            raise Jp2kError("mixed component depths not supported")
+        if not 2 <= d <= 16:
+            raise Jp2kError(f"unsupported sample depth {d}")
+        comp_depths.append(d)
         if not (1 <= xr <= 4 and 1 <= yr <= 4):
             raise Jp2kError(f"unsupported component sampling {xr}x{yr}")
         comp_rs.append((xr, yr))
-    if depth not in (8, 16):
-        raise Jp2kError(f"unsupported sample depth {depth}")
+    # mixed depths are fine per component (per-comp level shift, R_b and
+    # clip range); the output array carries the widest component's dtype
+    depth = max(comp_depths)
     h, w = ysiz, xsiz
 
     # COD
@@ -1297,35 +1322,35 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         return out
 
     precinct_pp = _parse_precincts(cod, 10) if scod & 0x01 else None
+    poc_volumes: list | None = None
     if poc_seg is not None:
-        # POC (A.6.6): supported in its common degenerate shape — ONE
-        # progression volume covering the whole stream, which simply
-        # overrides the COD progression. True mid-stream order changes
-        # would resequence packets and stay a targeted error.
+        # POC (A.6.6 / B.12): any number of progression volumes; the
+        # packet walk follows the volume sequence, first containing
+        # volume wins per packet. The volumes must jointly cover every
+        # packet (checked per tile below) — a partial cover would
+        # silently desynchronize the body walk.
         entry = 7 if ncomp <= 256 else 9
         if len(poc_seg) < entry or len(poc_seg) % entry:
             raise Jp2kError("malformed POC segment")
-        if len(poc_seg) != entry:
-            raise Jp2kError(
-                "multi-volume POC progression changes not supported")
-        if ncomp <= 256:
-            rs, cs = poc_seg[0], poc_seg[1]
-            (lye,) = struct.unpack(">H", poc_seg[2:4])
-            re_, ce, pprog = poc_seg[4], poc_seg[5], poc_seg[6]
-        else:
-            rs = poc_seg[0]
-            (cs,) = struct.unpack(">H", poc_seg[1:3])
-            (lye,) = struct.unpack(">H", poc_seg[3:5])
-            re_ = poc_seg[5]
-            (ce,) = struct.unpack(">H", poc_seg[6:8])
-            pprog = poc_seg[8]
-        if (rs != 0 or cs != 0 or lye < layers or re_ < levels + 1
-                or ce < ncomp):
-            raise Jp2kError(
-                "partial POC progression volumes not supported")
-        if pprog > 4:
-            raise Jp2kError(f"unknown progression order {pprog}")
-        progression = pprog
+        poc_volumes = []
+        for off in range(0, len(poc_seg), entry):
+            v = poc_seg[off:off + entry]
+            if ncomp <= 256:
+                rs, cs = v[0], v[1]
+                (lye,) = struct.unpack(">H", v[2:4])
+                re_, ce, pprog = v[4], v[5], v[6]
+            else:
+                rs = v[0]
+                (cs,) = struct.unpack(">H", v[1:3])
+                (lye,) = struct.unpack(">H", v[3:5])
+                re_ = v[5]
+                (ce,) = struct.unpack(">H", v[6:8])
+                pprog = v[8]
+            if pprog > 4:
+                raise Jp2kError(f"unknown progression order {pprog}")
+            if rs >= re_ or cs >= ce or lye == 0:
+                raise Jp2kError("empty POC progression volume")
+            poc_volumes.append((rs, cs, lye, re_, ce, pprog))
     if precinct_pp is not None and any(r != (1, 1) for r in comp_rs):
         raise Jp2kError(
             "precincts with component subsampling not supported")
@@ -1423,6 +1448,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if mct and ncomp >= 3 and len(
             {comp_cfg[c][2] for c in range(3)}) != 1:
         raise Jp2kError("MCT requires one transform across components")
+    if mct and ncomp >= 3 and len(set(comp_depths[:3])) != 1:
+        # the colour transform mixes the three planes — a per-plane
+        # level shift/clip would no longer commute with it
+        raise Jp2kError("MCT requires equal depths across components")
 
     # Band step/Mb tables, keyed per component (QCC can override);
     # QCD/QCC band order is LL then per-res HL/LH/HH — dims-independent,
@@ -1438,7 +1467,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 band_mb[(c, res, band)] = gd + es[exp_idx] - 1
                 if not rev_c:
                     # Δ_b = 2^(R_b - ε_b)(1 + μ_b/2^11), R_b = depth+gain
-                    rb = depth + _BAND_GAIN[band]
+                    rb = comp_depths[c] + _BAND_GAIN[band]
                     band_delta[(c, res, band)] = (
                         2.0 ** (rb - es[exp_idx])
                         * (1.0 + ms[exp_idx] / 2048.0)
@@ -1522,9 +1551,18 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         body_walk = body_start  # packed mode: body cursor (SOP + bodies)
         reader = _PacketBitReader(packed if use_packed else data,
                                   0 if use_packed else body_start)
-        for layer, res, c, prec in _packet_order(progression, layers,
-                                                 levels + 1, ncomp,
-                                                 nprec):
+        if poc_volumes is not None:
+            order = list(_packet_order_poc(poc_volumes, layers,
+                                           levels + 1, ncomp, nprec))
+            full = layers * ncomp * (
+                sum(a * b for a, b in nprec) if nprec else levels + 1)
+            if len(order) != full:
+                raise Jp2kError(
+                    "POC volumes do not cover the full packet set")
+        else:
+            order = _packet_order(progression, layers, levels + 1,
+                                  ncomp, nprec)
+        for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if use_sop:
                 # SOP marker segment: marker(2)+Lsop(2)+Nsop(2) —
@@ -1774,13 +1812,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # planes decode as-is and are offset-binary-mapped into the unsigned
     # output range (the standard display normalization — the wire values
     # are the same bits either way)
-    img = img + (1 << (depth - 1))
+    img = img + np.array([1 << (d - 1) for d in comp_depths])
     if any_irrev:
         img = np.rint(img)
-    img = np.clip(img, 0, (1 << depth) - 1)
-    dtype = np.uint8 if depth == 8 else np.uint16
+    img = np.clip(img, 0, np.array([(1 << d) - 1 for d in comp_depths]))
+    dtype = np.uint8 if depth <= 8 else np.uint16
     info = {"width": w, "height": h, "components": ncomp,
-            "depth": depth, "levels": levels, "mct": bool(mct),
+            "depth": depth, "depths": list(comp_depths),
+            "levels": levels, "mct": bool(mct),
             "reversible": not any_irrev, "tiles": (nty, ntx)}
     return img.astype(dtype), info
 
@@ -1801,7 +1840,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 tile_size: tuple | None = None,
                 precincts=None,
                 comp_subsampling: dict | None = None,
-                packed_headers: str | None = None) -> bytes:
+                packed_headers: str | None = None,
+                comp_depths: dict | None = None,
+                poc: list | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1824,7 +1865,14 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     sample grid after the colour transform (decode replicates back), the
     4:2:0-style shape scanner YCC streams use. ``packed_headers``:
     'ppt' or 'ppm' — packet headers move out of the tile bodies into
-    PPT tile-part segments or a main-header PPM segment (A.7.4/A.7.5)."""
+    PPT tile-part segments or a main-header PPM segment (A.7.4/A.7.5).
+    ``comp_depths``: {component: bit depth 2-16} Ssiz overrides (samples
+    must already fit the declared range; MCT requires its three planes
+    to share one depth). ``poc``: progression-order-change volumes
+    [(RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc), ...] emitted as an
+    A.6.6 POC segment; packets follow the volume sequence, each packet
+    emitted by the first volume containing it, and the volumes must
+    jointly cover every packet."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -1869,11 +1917,21 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     if cb_style & ~0x3F:
         raise Jp2kError(f"undefined codeblock style bits {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
+    depths = [int((comp_depths or {}).get(c, depth)) for c in range(nc)]
+    for c, d in enumerate(depths):
+        if not 2 <= d <= 16:
+            raise Jp2kError(f"unsupported sample depth {d}")
+        if int(pix[..., c].max(initial=0)) >= (1 << d):
+            raise Jp2kError(
+                f"component {c} samples exceed declared depth {d}")
+    if use_mct and len(set(depths[:3])) != 1:
+        raise Jp2kError("MCT requires equal depths across components")
     cbs = 1 << cb_exp
     guard = 2
 
+    shifts = np.array([1 << (d - 1) for d in depths])
     if reversible:
-        img = pix.astype(np.int64) - (1 << (depth - 1))
+        img = pix.astype(np.int64) - shifts
         if use_mct:
             img = np.concatenate(
                 [rct_forward(img[..., :3])] +
@@ -1882,7 +1940,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     else:
         if not qstep > 0:
             raise Jp2kError("qstep must be positive")
-        img = pix.astype(np.float64) - (1 << (depth - 1))
+        img = pix.astype(np.float64) - shifts
         if use_mct:
             img = np.concatenate(
                 [ict_forward(img[..., :3])] +
@@ -1962,7 +2020,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 raise Jp2kError("qstep must be positive")
             for res, bands in layout:
                 for band, _bh, _bw in bands:
-                    rb = depth + _BAND_GAIN[band]
+                    rb = depths[c] + _BAND_GAIN[band]
                     eps, mu, delta = eps_mu(step_c, rb)
                     band_eps_mu[(c, res, band)] = (eps, mu, delta)
                     for comp_bands in tile_bands:
@@ -2103,8 +2161,18 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         body = bytearray()
         packed_hdr = bytearray()
         nsop = nsop0
-        for layer, res, c, prec in _packet_order(progression, layers,
-                                                 levels + 1, nc, nprec):
+        if poc:
+            order = list(_packet_order_poc(poc, layers, levels + 1,
+                                           nc, nprec))
+            full = layers * nc * (
+                sum(a * b for a, b in nprec) if nprec else levels + 1)
+            if len(order) != full:
+                raise Jp2kError(
+                    "POC volumes do not cover the full packet set")
+        else:
+            order = _packet_order(progression, layers, levels + 1,
+                                  nc, nprec)
+        for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if sop:
                 body += struct.pack(">HHH", 0xFF91, 4, nsop & 0xFFFF)
@@ -2203,7 +2271,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     siz = struct.pack(
         ">HIIIIIIIIH", 0, w, h, 0, 0, tile_w, tile_h, 0, 0, nc
     ) + b"".join(
-        struct.pack(">BBB", depth - 1, comp_rs[c][0], comp_rs[c][1])
+        struct.pack(">BBB", depths[c] - 1, comp_rs[c][0], comp_rs[c][1])
         for c in range(nc)
     )
     out += struct.pack(">HH", _SIZ, len(siz) + 2) + siz
@@ -2221,6 +2289,15 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     if precincts is not None:
         cod += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
     out += struct.pack(">HH", _COD, len(cod) + 2) + cod
+    if poc:
+        pbody = bytearray()
+        for rs, cs, lye, re_, ce, pprog in poc:
+            if not (0 <= rs < re_ <= levels + 1 and 0 <= cs < ce <= nc
+                    and 1 <= lye <= layers and 0 <= pprog <= 4):
+                raise Jp2kError("invalid POC progression volume")
+            pbody += bytes([rs, cs]) + struct.pack(">H", lye) + bytes(
+                [re_, ce, pprog])
+        out += struct.pack(">HH", _POC, len(pbody) + 2) + pbody
     if reversible:
         exps = []
         for res, bands in layout:
@@ -2278,8 +2355,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
     sig = box(b"jP  ", b"\r\n\x87\n")
     ftyp = box(b"ftyp", b"jp2 " + struct.pack(">I", 0) + b"jp2 ")
+    # I.5.3.1: BPC is 255 when components differ in depth (the per-comp
+    # depths live in the codestream SIZ, which the decoder reads anyway)
     ihdr = box(b"ihdr", struct.pack(
-        ">IIHBBBB", h, w, nc, depth - 1, 7, 0, 0
+        ">IIHBBBB", h, w, nc,
+        (depth - 1) if len(set(depths)) == 1 else 255, 7, 0, 0
     ))
     colr = box(b"colr", bytes([1, 0, 0]) + struct.pack(
         ">I", 16 if nc >= 3 else 17

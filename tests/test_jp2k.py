@@ -888,5 +888,77 @@ def test_poc_whole_stream_override():
     assert np.array_equal(dec[..., 0], img)
     bad = (b"\xff\x5f" + struct.pack(">H", 9) + bytes([1, 0])
            + struct.pack(">H", 3) + bytes([3, 1, 0]))
-    with pytest.raises(Jp2kError, match="partial POC"):
+    with pytest.raises(Jp2kError, match="cover the full packet set"):
         decode_jp2k(bytes(enc[:cod_at]) + bad + bytes(enc[cod_at:]))
+
+
+def test_poc_multi_volume_roundtrip():
+    # B.12 with real mid-stream order changes: volume 1 walks res 0 in
+    # RLCP, volume 2 the remaining resolutions in LRCP (first containing
+    # volume wins on overlap — volume 2's bounds re-cover res 0).
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (30, 40)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, layers=3,
+                      poc=[(0, 0, 3, 1, 1, 1), (0, 0, 3, 3, 1, 0)])
+    assert b"\xff\x5f" in enc
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    # layer-split volumes: layer 0 first (all res), then the rest
+    enc2 = encode_jp2k(img, levels=1, layers=4,
+                       poc=[(0, 0, 1, 2, 1, 0), (0, 0, 4, 2, 1, 2)])
+    dec2, _ = decode_jp2k(enc2)
+    assert np.array_equal(dec2[..., 0], img)
+    # component-split volumes on an untransformed 3-comp image
+    rgb = rng.integers(0, 256, (20, 24, 3)).astype(np.uint8)
+    enc3 = encode_jp2k(rgb, levels=1, layers=2, mct=False,
+                       poc=[(0, 0, 2, 2, 1, 4), (0, 1, 2, 2, 3, 0)])
+    dec3, _ = decode_jp2k(enc3)
+    assert np.array_equal(dec3, rgb)
+
+
+def test_poc_multi_volume_not_covering_raises():
+    img = np.zeros((16, 16), np.uint8)
+    with pytest.raises(Jp2kError, match="cover the full packet set"):
+        encode_jp2k(img, levels=2, layers=2,
+                    poc=[(0, 0, 2, 1, 1, 0), (1, 0, 2, 2, 1, 0),
+                         (2, 0, 1, 3, 1, 0)])  # res 2 misses layer 1
+
+
+def test_mixed_component_depths_roundtrip():
+    rng = np.random.default_rng(41)
+    img = np.stack([
+        rng.integers(0, 4096, (24, 28)),   # 12-bit
+        rng.integers(0, 256, (24, 28)),    # 8-bit
+        rng.integers(0, 16, (24, 28)),     # 4-bit
+    ], axis=-1).astype(np.uint16)
+    depths = {0: 12, 1: 8, 2: 4}
+    enc = encode_jp2k(img, levels=2, mct=False, comp_depths=depths)
+    dec, info = decode_jp2k(enc)
+    assert info["depths"] == [12, 8, 4]
+    assert dec.dtype == np.uint16
+    assert np.array_equal(dec, img)
+    # irreversible: per-component R_b scales the step per declared depth
+    enc2 = encode_jp2k(img, levels=1, mct=False, reversible=False,
+                       qstep=0.5, comp_depths=depths)
+    dec2, _ = decode_jp2k(enc2)
+    assert int(np.abs(dec2.astype(np.int64)
+                      - img.astype(np.int64)).max()) <= 2
+
+
+def test_mixed_depths_guards():
+    rng = np.random.default_rng(43)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    # samples exceeding the declared depth refuse to encode
+    with pytest.raises(Jp2kError, match="exceed declared depth"):
+        encode_jp2k(rgb, mct=False, comp_depths={0: 4})
+    # MCT across unequal depths refuses on encode...
+    with pytest.raises(Jp2kError, match="MCT requires equal depths"):
+        encode_jp2k(rgb // 16, mct=True, comp_depths={0: 4})
+    # ...and on decode (mutated SIZ)
+    import struct as _s
+
+    enc = bytearray(encode_jp2k(rgb, levels=1, mct=True))
+    siz_at = bytes(enc).index(b"\xff\x51")
+    enc[siz_at + 4 + 36 + 3] = 9  # comp 1 now claims 10-bit
+    with pytest.raises(Jp2kError, match="MCT requires equal depths"):
+        decode_jp2k(bytes(enc))
