@@ -934,6 +934,102 @@ def build_encrypted_pdf(
     return bytes(out)
 
 
+def build_pubkey_encrypted_pdf(
+    text: str, method: str = "aes-128", p: int = -4,
+    junk_recipient: bool = True,
+) -> bytes:
+    """One-page PDF encrypted with the PUBLIC-KEY security handler
+    (/Adobe.PubSec, ISO 32000-1 §7.6.5) for the embedded deterministic
+    RSA test key — BEYOND the reference, whose reader only wires the
+    standard handler (parser/encryption_handler.rs; its
+    encryption/public_key.rs is never called on the read path).
+
+    ``method``: 'rc4-128' (V2, SubFilter adbe.pkcs7.s4) | 'aes-128'
+    (V4 AESV2, adbe.pkcs7.s5) | 'aes-256' (V5 AESV3, adbe.pkcs7.s5).
+    ``junk_recipient`` prepends an envelope nobody can open (the
+    multi-recipient walk)."""
+    import hashlib
+
+    from .kernel.crypto import PublicKeySecurityHandler, aes_cbc_encrypt_nopad, rc4
+    from .kernel.signatures import TEST_RSA_D, TEST_RSA_N, build_recipient_envelope
+
+    v, length, subfilter, cfm = {
+        "rc4-128": (2, 128, "adbe.pkcs7.s4", None),
+        "aes-128": (4, 128, "adbe.pkcs7.s5", "AESV2"),
+        "aes-256": (5, 256, "adbe.pkcs7.s5", "AESV3"),
+    }[method]
+    seed = hashlib.sha1(b"pubsec-seed:" + text.encode("utf-8", "replace")).digest()
+    blob = build_recipient_envelope(seed, p, junk_recipient=junk_recipient)
+    recipients = [blob]
+
+    enc: dict = {"Filter": "Adobe.PubSec", "SubFilter": subfilter,
+                 "V": v, "Length": length, "P": p}
+    if cfm is None:
+        enc["Recipients"] = recipients
+    else:
+        enc["CF"] = {"DefaultCryptFilter": {
+            "CFM": cfm, "Length": length // 8, "Recipients": recipients}}
+        enc["StmF"] = "DefaultCryptFilter"
+        enc["StrF"] = "DefaultCryptFilter"
+    file_id = hashlib.md5(b"pubsec-id:" + text.encode("utf-8", "replace")).digest()
+    handler = PublicKeySecurityHandler(enc, file_id)
+    assert handler.try_recipient_key(TEST_RSA_N, TEST_RSA_D)
+
+    def enc_stream(data: bytes, num: int, gen: int = 0) -> bytes:
+        if v == 5:  # AESV3: file key used directly
+            iv = hashlib.md5(b"iv:%d" % num).digest()
+            pad = 16 - (len(data) % 16)
+            return iv + aes_cbc_encrypt_nopad(
+                handler.key, iv, data + bytes([pad]) * pad)
+        if cfm == "AESV2":
+            okey = handler._object_key(num, gen, True)
+            iv = hashlib.md5(b"iv:%d" % num).digest()
+            pad = 16 - (len(data) % 16)
+            return iv + aes_cbc_encrypt_nopad(okey, iv, data + bytes([pad]) * pad)
+        return rc4(handler._object_key(num, gen, False), data)
+
+    content = enc_stream(
+        b"BT /F1 12 Tf 100 720 Td (%s) Tj ET" % escape_pdf_string(text), 5)
+    if cfm is None:
+        enc_clause = b" /Recipients [<%s>]" % blob.hex().encode()
+    else:
+        enc_clause = (
+            b" /CF << /DefaultCryptFilter << /CFM /%s /Length %d"
+            b" /Recipients [<%s>] >> >>"
+            b" /StmF /DefaultCryptFilter /StrF /DefaultCryptFilter"
+            % (cfm.encode(), length // 8, blob.hex().encode())
+        )
+    objects = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >>"
+           b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
+        4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        6: b"<< /Filter /Adobe.PubSec /SubFilter /%s /V %d /Length %d /P %d%s >>"
+           % (subfilter.encode(), v, length, p, enc_clause),
+    }
+    out = bytearray(BINARY_MARKER)
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out.extend(b"%d 0 obj\n" % num)
+        out.extend(objects[num])
+        if not objects[num].endswith(b"\n"):
+            out.extend(b"\n")
+        out.extend(b"endobj\n")
+    xref_off = len(out)
+    out.extend(b"xref\n0 7\n0000000000 65535 f \n")
+    for num in range(1, 7):
+        out.extend(b"%010d 00000 n \n" % offsets[num])
+    out.extend(
+        b"trailer\n<< /Size 7 /Root 1 0 R /Encrypt 6 0 R"
+        b" /ID [<%s> <%s>] >>\nstartxref\n%d\n%%%%EOF\n"
+        % (file_id.hex().encode(), file_id.hex().encode(), xref_off)
+    )
+    return bytes(out)
+
+
 def build_html_doc(
     text: str,
     with_image: bool = False,

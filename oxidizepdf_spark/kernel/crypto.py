@@ -489,3 +489,74 @@ class StandardSecurityHandler:
 
     def decrypt_string(self, data: bytes, num: int, gen: int) -> bytes:
         return self._decrypt(data, num, gen, self.str_cfm)
+
+
+class PublicKeySecurityHandler(StandardSecurityHandler):
+    """/Adobe.PubSec public-key (recipient) security handler, ISO
+    32000-1 §7.6.5, SubFilter adbe.pkcs7.s3/s4/s5. BEYOND the
+    reference: it ships encryption/public_key.rs but its reader
+    (parser/encryption_handler.rs) never wires it, so recipient-
+    encrypted documents error there.
+
+    The caller supplies the recipient's RSA private key as (n, d);
+    ``try_recipient_key`` walks the /Recipients envelopes, opens the
+    first one the key decrypts, and derives the file encryption key per
+    §7.6.5.3: SHA-1 (SHA-256 for AESV3) over the 20-byte seed, every
+    Recipients string in array order, and 0xFFFFFFFF when
+    /EncryptMetadata is false. Object-level decryption then reuses the
+    standard handler's algorithms 1/1.A unchanged."""
+
+    __slots__ = ("subfilter", "recipients", "perms")
+
+    def __init__(self, enc: dict, file_id: bytes | None):
+        super().__init__(enc, file_id)
+        self.subfilter = str(enc.get("SubFilter", ""))
+        self.perms: int | None = None
+        recipients = enc.get("Recipients")
+        if recipients is None:
+            cf = enc.get("CF")
+            if isinstance(cf, dict):
+                for name in (str(enc.get("StmF", "")),
+                             str(enc.get("StrF", "")), "DefaultCryptFilter"):
+                    f = cf.get(name)
+                    if isinstance(f, dict) and "Recipients" in f:
+                        recipients = f["Recipients"]
+                        em = f.get("EncryptMetadata")
+                        if isinstance(em, bool):
+                            self.encrypt_metadata = em
+                        break
+        if isinstance(recipients, bytes):
+            recipients = [recipients]
+        if not (isinstance(recipients, list) and recipients
+                and all(isinstance(r, bytes) for r in recipients)):
+            raise ValueError("missing /Recipients envelopes")
+        self.recipients = [bytes(r) for r in recipients]
+        # the pubkey handler has no R revision of its own; V drives
+        # everything downstream (object keys, AESV3 direct key)
+
+    def try_recipient_key(self, rsa_n: int, rsa_d: int) -> bool:
+        from .signatures import SignatureError, open_enveloped_data
+
+        opened: bytes | None = None
+        for blob in self.recipients:
+            try:
+                opened = open_enveloped_data(blob, rsa_n, rsa_d)
+                break
+            except SignatureError:
+                continue
+        if opened is None or len(opened) < 24:
+            return False
+        seed, perms = opened[:20], opened[20:24]
+        self.perms = int.from_bytes(perms, "big")
+        h = hashlib.sha256() if self.v == 5 else hashlib.sha1()
+        h.update(seed)
+        for blob in self.recipients:
+            h.update(blob)
+        if not self.encrypt_metadata:
+            h.update(b"\xff\xff\xff\xff")
+        if self.v == 5:
+            self.key = h.digest()
+        else:
+            self.key = h.digest()[:max(5, min(self.length // 8, 16))]
+        self.unlocked = True
+        return True

@@ -54,7 +54,10 @@ def extract_pdf_bytes(
     options = options or ExtractionOptions()
     strict = options.error_mode == "strict"
     try:
-        reader = PdfReader(data, lenient=not strict, password=options.password)
+        reader = PdfReader(data, lenient=not strict,
+                           password=options.password,
+                           recipient_key=getattr(options, "recipient_key",
+                                                 None))
     except EncryptedPdfError:
         res.error = "encrypted"
         return res

@@ -39,6 +39,7 @@ class PdfReader:
         "mode",
         "lenient",
         "decryptor",
+        "_recipient_key",
         "_cache",
         "_objstm_cache",
         "_resolving",
@@ -51,8 +52,10 @@ class PdfReader:
         data: bytes,
         lenient: bool = True,
         password: str | bytes | None = None,
+        recipient_key: tuple | None = None,
     ):
         self.data = data
+        self._recipient_key = recipient_key
         self.lenient = lenient
         self.decryptor = None
         if not data:
@@ -92,14 +95,38 @@ class PdfReader:
         enc = self.resolve(self.trailer.get("Encrypt"))
         if not isinstance(enc, dict):
             raise EncryptedPdfError("malformed /Encrypt dictionary")
-        if str(enc.get("Filter", "Standard")) != "Standard":
-            raise EncryptedPdfError(
-                f"unsupported security handler: {enc.get('Filter')}"
-            )
+        filt = str(enc.get("Filter", "Standard"))
         ids = self.resolve(self.trailer.get("ID"))
         file_id = None
         if isinstance(ids, list) and ids and isinstance(ids[0], bytes):
             file_id = ids[0]
+        if filt == "Adobe.PubSec":
+            # public-key (recipient) handler, §7.6.5 — beyond the
+            # reference, whose reader handles /Standard only
+            from .crypto import PublicKeySecurityHandler
+
+            try:
+                handler = PublicKeySecurityHandler(enc, file_id)
+                unlocked = (
+                    self._recipient_key is not None
+                    and handler.try_recipient_key(*self._recipient_key)
+                )
+            except Exception as e:
+                raise EncryptedPdfError(
+                    f"encryption setup failed: {e}") from e
+            if not unlocked:
+                if self._recipient_key is not None:
+                    raise EncryptedPdfError(
+                        "encrypted PDF (recipient key does not open any "
+                        "envelope)")
+                raise EncryptedPdfError(
+                    "encrypted PDF (recipient key required)")
+            self.decryptor = handler
+            return
+        if filt != "Standard":
+            raise EncryptedPdfError(
+                f"unsupported security handler: {enc.get('Filter')}"
+            )
         try:
             handler = StandardSecurityHandler(enc, file_id)
             unlocked = handler.try_empty_password()

@@ -1692,3 +1692,146 @@ def verify_certificate_chain(certs_der: list[bytes],
             break
         current = issuer_der
     return out
+
+
+# ---------------------------------------------------------------------------
+# CMS EnvelopedData (RFC 5652 §6) — the /Adobe.PubSec recipient envelope
+# (ISO 32000-1 §7.6.5). BEYOND the reference: it ships
+# encryption/public_key.rs (SubFilter adbe.pkcs7.s3/s4/s5 structures) but
+# its own reader never wires it — parser/encryption_handler.rs handles
+# /Standard only — so recipient-encrypted documents error there.
+# ---------------------------------------------------------------------------
+
+OID_ENVELOPED_DATA = "1.2.840.113549.1.7.3"
+OID_PKCS7_DATA = "1.2.840.113549.1.7.1"
+_OID_AES128_CBC = "2.16.840.1.101.3.4.1.2"
+_OID_AES256_CBC = "2.16.840.1.101.3.4.1.42"
+
+
+def _pkcs1_v15_decrypt(ciphertext: bytes, n: int, d: int) -> bytes:
+    """RSAES-PKCS1-v1_5 decryption: 00 02 || PS(>=8 nonzero) || 00 || M."""
+    k = (n.bit_length() + 7) // 8
+    c = int.from_bytes(ciphertext, "big")
+    if c >= n:
+        raise SignatureError("encrypted key out of range")
+    em = pow(c, d, n).to_bytes(k, "big")
+    if em[:2] != b"\x00\x02":
+        raise SignatureError("PKCS#1 block type mismatch")
+    sep = em.find(b"\x00", 2)
+    if sep < 10:  # at least 8 padding bytes
+        raise SignatureError("PKCS#1 padding too short")
+    return em[sep + 1:]
+
+
+def open_enveloped_data(blob: bytes, rsa_n: int, rsa_d: int) -> bytes:
+    """Decrypt one recipient envelope with the given RSA private key and
+    return the plaintext content (the §7.6.5 20-byte seed + 4-byte
+    permissions). Raises SignatureError when this key opens no
+    RecipientInfo or on structural problems."""
+    from .crypto import aes_cbc_decrypt
+
+    root, _ = parse_der(blob)
+    kids = root.children()
+    if len(kids) == 2 and kids[0].tag == TAG_OID:
+        # ContentInfo wrapper
+        if kids[0].oid() != OID_ENVELOPED_DATA:
+            raise SignatureError("not an EnvelopedData envelope")
+        env = kids[1].children()[0]
+    else:
+        env = root
+    parts = env.children()
+    if len(parts) < 3:
+        raise SignatureError("EnvelopedData too short")
+    # parts: version, [originatorInfo], recipientInfos SET, encryptedContentInfo
+    idx = 1
+    while idx < len(parts) and parts[idx].tag != TAG_SET:
+        idx += 1
+    if idx + 1 >= len(parts):
+        raise SignatureError("EnvelopedData missing recipientInfos")
+    recipient_infos = parts[idx].children()
+    eci = parts[idx + 1].children()
+    if len(eci) < 3 or eci[0].tag != TAG_OID:
+        raise SignatureError("malformed encryptedContentInfo")
+    alg = eci[1].children()
+    alg_oid = alg[0].oid()
+    encrypted_content = eci[2].content
+
+    cek: bytes | None = None
+    for ri in recipient_infos:
+        if ri.tag != TAG_SEQ:
+            continue  # only KeyTransRecipientInfo (ktri) is supported
+        fields = ri.children()
+        if len(fields) < 4 or fields[0].integer() != 0:
+            continue
+        key_alg = fields[2].children()[0].oid()
+        if key_alg != OID_RSA:
+            continue
+        try:
+            cek = _pkcs1_v15_decrypt(fields[3].content, rsa_n, rsa_d)
+            break
+        except SignatureError:
+            continue
+    if cek is None:
+        raise SignatureError("no RecipientInfo opens with this key")
+
+    if alg_oid in (_OID_AES128_CBC, _OID_AES256_CBC):
+        want = 16 if alg_oid == _OID_AES128_CBC else 32
+        if len(cek) != want:
+            raise SignatureError("content-encryption key length mismatch")
+        iv = alg[1].content if len(alg) > 1 else b"\x00" * 16
+        return aes_cbc_decrypt(cek, iv + encrypted_content)
+    raise SignatureError(
+        f"unsupported content-encryption algorithm {alg_oid}")
+
+
+def build_recipient_envelope(
+    seed: bytes, perms: int,
+    rsa_n: int = TEST_RSA_N, rsa_e: int = TEST_RSA_E,
+    cek: bytes | None = None, junk_recipient: bool = False,
+) -> bytes:
+    """Fixture-side inverse of open_enveloped_data: one KeyTrans
+    RecipientInfo for the embedded test certificate, AES-128-CBC
+    content = seed || 4-byte big-endian permissions (deterministic IV
+    and padding). ``junk_recipient`` prepends a RecipientInfo encrypted
+    to a key nobody holds (multi-recipient shape)."""
+    from .crypto import aes_cbc_encrypt_nopad
+
+    if len(seed) != 20:
+        raise SignatureError("seed must be 20 bytes")
+    content = seed + (perms & 0xFFFFFFFF).to_bytes(4, "big")
+    if cek is None:
+        cek = hashlib.sha256(b"cek:" + content).digest()[:16]
+    iv = hashlib.sha256(b"iv:" + content).digest()[:16]
+    pad = 16 - (len(content) % 16)
+    ciphertext = aes_cbc_encrypt_nopad(cek, iv, content + bytes([pad]) * pad)
+
+    def ktri(key_bytes: bytes) -> bytes:
+        k = (rsa_n.bit_length() + 7) // 8
+        ps_len = k - 3 - len(key_bytes)
+        ps = bytes((i % 255) + 1 for i in range(ps_len))  # nonzero, fixed
+        em = b"\x00\x02" + ps + b"\x00" + key_bytes
+        enc_key = pow(int.from_bytes(em, "big"), rsa_e, rsa_n).to_bytes(
+            k, "big")
+        rid = enc_seq(_enc_name("oxpdf pubsec test"), enc_int(7))
+        return enc_seq(
+            enc_int(0), rid, _alg_id(OID_RSA),
+            der_encode(TAG_OCTETS, enc_key),
+        )
+
+    infos = b""
+    if junk_recipient:
+        # a RecipientInfo nobody can open: the encryptedKey is noise, so
+        # PKCS#1 unpadding fails and the walk moves to the next info
+        k = (rsa_n.bit_length() + 7) // 8
+        noise = (hashlib.sha256(b"other-recipient").digest() * 4)[:k]
+        rid = enc_seq(_enc_name("someone else"), enc_int(9))
+        infos += enc_seq(enc_int(0), rid, _alg_id(OID_RSA),
+                         der_encode(TAG_OCTETS, noise))
+    infos += ktri(cek)
+    eci = enc_seq(
+        enc_oid(OID_PKCS7_DATA),
+        enc_seq(enc_oid(_OID_AES128_CBC), der_encode(TAG_OCTETS, iv)),
+        enc_ctx(0, ciphertext, constructed=False),
+    )
+    env = enc_seq(enc_int(0), enc_set(infos), eci)
+    return enc_seq(enc_oid(OID_ENVELOPED_DATA), enc_ctx(0, env))

@@ -130,6 +130,7 @@ class ExtractionOptions:
         "reading_order",
         "reading_order_min_gap",
         "password",
+        "recipient_key",
         "ocr_provider",
     )
 
@@ -149,6 +150,7 @@ class ExtractionOptions:
         reading_order: str = "emission",  # 'emission' | 'simple' | 'xycut'
         reading_order_min_gap: float = 20.0,
         password: str | None = None,
+        recipient_key: tuple | None = None,
         ocr_provider=None,
     ):
         self.space_threshold = space_threshold
@@ -182,6 +184,10 @@ class ExtractionOptions:
         # parser/mod.rs:167-169): tried as user OR owner after the empty
         # user password fails; None keeps empty-password-only behavior
         self.password = password
+        # recipient RSA private key (n, d) for /Adobe.PubSec public-key
+        # encrypted documents (ISO 32000-1 §7.6.5) — beyond-reference,
+        # the reference's reader handles /Standard only
+        self.recipient_key = recipient_key
         # OCR SPI (text/ocr/ OcrProvider, tesseract_provider.rs shape):
         # callable(image_bytes) -> str, invoked on each image of a page
         # that yielded NO text (the scanned-page class); the returned text
