@@ -30,15 +30,17 @@ Scope (raises ``Jp2kError`` beyond it):
 - MULTIPLE TILES (SIZ grid, one tile-part per tile, any arrival order)
   and USER-DEFINED PRECINCTS (Scod bit 0 per-resolution PPx/PPy,
   codeblocks clipped to precinct cells, one packet per precinct) for
-  the LRCP/RLCP/RPCL orders — PCRL/CPRL with a real precinct grid
-  would interleave precincts of different resolutions by spatial
-  position and stay a targeted error; any number of quality layers
+  all five progression orders, including PCRL/CPRL interleaving
+  precincts of different resolutions by their top-left reference-grid
+  position (B.12.1.4/5); any number of quality layers
   (codeblock contributions accumulate across layers); SOP/EPH
   markers; PLT/COM tile-part headers skipped; PPM/PPT packed packet
   headers decoded; POC progression-order changes honored for any
   number of volumes (B.12 first-containing-volume packet walk) as
   long as the volumes jointly cover every packet — a partial cover
-  is a loud error, as is RGN;
+  is a loud error; RGN maxshift ROI honored (Annex H: Mb grows by
+  SPrgn, magnitudes >= 2^SPrgn scale back down) in main and tile
+  headers;
 - per-component bit depths 2-16 (mixed depths allowed outside the
   MCT trio: per-component level shift, R_b and clip range);
   codeblock-style flags 0x01 (selective arithmetic bypass — raw
@@ -1039,7 +1041,8 @@ def _precinct_cb_range(res: int, pidx: tuple, geom: tuple) -> tuple:
 
 
 def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
-                  nprec=None, res_start: int = 0, comp_start: int = 0):
+                  nprec=None, res_start: int = 0, comp_start: int = 0,
+                  prec_sizes=None):
     """Packet sequence for the five Part-1 progression orders with one
     tile. ``nprec``: per-resolution (rows, cols) precinct grids, or None
     for whole-subband precincts (the position loop collapses, so
@@ -1048,9 +1051,11 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
     ``res_start``/``comp_start`` bound the sweep for POC volumes
     (B.12: RSpoc/CSpoc inclusive, the *E* fields are the exclusive
     ends already applied by the caller via nres/ncomp).
-    Position-first orders (PCRL/CPRL) with a real precinct grid would
-    interleave precincts of DIFFERENT resolutions by spatial position —
-    unsupported, targeted error."""
+    Position-first orders (PCRL/CPRL) over a real precinct grid
+    interleave precincts of DIFFERENT resolutions by their top-left
+    reference-grid position (B.12.1.4/5) — ``prec_sizes`` supplies the
+    per-resolution (rows, cols) of one precinct PROJECTED ONTO THE
+    REFERENCE GRID, i.e. 2^(PPy + NL - r) x 2^(PPx + NL - r)."""
     def precs(res):
         if nprec is None:
             yield None
@@ -1081,21 +1086,53 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
                     for layer in range(layers):
                         yield layer, res, c, p
     elif progression in (3, 4):  # PCRL / CPRL
-        if multi:
+        if not multi:
+            # whole-subband precincts: the position loop has a single
+            # iteration, so both orders collapse to comp-major
+            for c in range(comp_start, ncomp):
+                for res in range(res_start, nres):
+                    for layer in range(layers):
+                        for p in precs(res):
+                            yield layer, res, c, p
+            return
+        if prec_sizes is None:
             raise Jp2kError(
-                "position-first progressions with multiple precincts "
-                "are not supported")
-        for c in range(comp_start, ncomp):
-            for res in range(res_start, nres):
+                "position-first progressions need precinct geometry")
+        rr = range(res_start, nres)
+        ys = sorted({py * prec_sizes[r][0]
+                     for r in rr for py in range(nprec[r][0])})
+        xs = sorted({px * prec_sizes[r][1]
+                     for r in rr for px in range(nprec[r][1])})
+
+        def at_pos(y, x, c):
+            # every precinct whose top-left reference-grid corner is
+            # (y, x): one per resolution at most (image offsets are 0)
+            for r in rr:
+                sy, sx = prec_sizes[r]
+                if y % sy or x % sx:
+                    continue
+                py, px = y // sy, x // sx
+                if py >= nprec[r][0] or px >= nprec[r][1]:
+                    continue
                 for layer in range(layers):
-                    for p in precs(res):
-                        yield layer, res, c, p
+                    yield layer, r, c, (py, px)
+
+        if progression == 3:  # PCRL
+            for y in ys:
+                for x in xs:
+                    for c in range(comp_start, ncomp):
+                        yield from at_pos(y, x, c)
+        else:  # CPRL
+            for c in range(comp_start, ncomp):
+                for y in ys:
+                    for x in xs:
+                        yield from at_pos(y, x, c)
     else:
         raise Jp2kError(f"unknown progression order {progression}")
 
 
 def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
-                      nprec=None):
+                      nprec=None, prec_sizes=None):
     """B.12 progression-order changes: walk each volume's order over its
     (res, comp, layer) bounds in sequence, emitting each packet at its
     FIRST containing volume (later volumes skip already-emitted packets,
@@ -1106,7 +1143,8 @@ def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
     for rs, cs, lye, re_, ce, prog in volumes:
         for key in _packet_order(prog, min(lye, layers), min(re_, nres),
                                  min(ce, ncomp), nprec,
-                                 res_start=rs, comp_start=cs):
+                                 res_start=rs, comp_start=cs,
+                                 prec_sizes=prec_sizes):
             if key in seen:
                 continue
             seen.add(key)
@@ -1218,6 +1256,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     qcc_segs: list[bytes] = []
     ppm_segs: list[bytes] = []
     poc_seg: bytes | None = None
+    rgn_segs: list[bytes] = []
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _SOT:
@@ -1240,10 +1279,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         elif marker == _POC:
             poc_seg = seg
         elif marker == _RGN:
-            # silently skipping would DECODE WRONG DATA (ROI shifts)
-            raise Jp2kError(
-                f"unsupported marker {marker:#x} (RGN alters the "
-                "packet stream)")
+            rgn_segs.append(seg)
         # COM / TLM / PLM / CRG and other informational segments: skipped
     if siz is None or cod is None or qcd is None:
         raise Jp2kError("missing SIZ/COD/QCD markers")
@@ -1284,6 +1320,31 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # mixed depths are fine per component (per-comp level shift, R_b and
     # clip range); the output array carries the widest component's dtype
     depth = max(comp_depths)
+
+    def _parse_rgn(seg: bytes) -> tuple[int, int]:
+        """(component, SPrgn) from an RGN body (A.6.3); only the
+        maxshift method (Srgn=0) exists in Part 1."""
+        if ncomp < 257:
+            if len(seg) < 3:
+                raise Jp2kError("malformed RGN segment")
+            crgn, srgn, sprgn = seg[0], seg[1], seg[2]
+        else:
+            if len(seg) < 4:
+                raise Jp2kError("malformed RGN segment")
+            (crgn,) = struct.unpack(">H", seg[0:2])
+            srgn, sprgn = seg[2], seg[3]
+        if srgn != 0:
+            raise Jp2kError(f"unknown ROI style {srgn}")
+        if crgn >= ncomp:
+            raise Jp2kError("RGN component out of range")
+        if sprgn > 37:
+            raise Jp2kError("ROI shift out of range")
+        return crgn, sprgn
+
+    comp_roi: dict[int, int] = {}
+    for seg in rgn_segs:
+        crgn, sprgn = _parse_rgn(seg)
+        comp_roi[crgn] = sprgn
     h, w = ysiz, xsiz
 
     # COD
@@ -1488,10 +1549,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     any_irrev = any(not comp_cfg[c][2] for c in range(ncomp))
 
     def _decode_tile(tile_idx: int, data: bytes,
-                     packed: bytes | None = None) -> None:
+                     packed: bytes | None = None,
+                     roi: dict | None = None) -> None:
         """``packed``: PPM/PPT packed packet headers — header bits then
         come from this buffer (byte-aligned per packet, EPH inside it)
-        while the tile body carries only SOP markers and bodies."""
+        while the tile body carries only SOP markers and bodies.
+        ``roi``: {component: SPrgn} maxshift shifts (H.1.2) — Mb grows
+        by the shift and decoded magnitudes >= 2^shift scale down."""
+        roi = roi or {}
         body_start = 0
         body_end = len(data)
 
@@ -1525,6 +1590,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         nprec = ([_precinct_counts(th, tw, levels, r, precinct_pp)
                   for r in range(levels + 1)]
                  if precinct_pp is not None else None)
+        prec_sizes = ([
+            (1 << (precinct_pp[r][1] + levels - r),
+             1 << (precinct_pp[r][0] + levels - r))
+            for r in range(levels + 1)]
+            if precinct_pp is not None else None)
         geoms = {}
         states = {}
         for c in range(ncomp):
@@ -1553,7 +1623,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                                   0 if use_packed else body_start)
         if poc_volumes is not None:
             order = list(_packet_order_poc(poc_volumes, layers,
-                                           levels + 1, ncomp, nprec))
+                                           levels + 1, ncomp, nprec,
+                                           prec_sizes))
             full = layers * ncomp * (
                 sum(a * b for a, b in nprec) if nprec else levels + 1)
             if len(order) != full:
@@ -1561,7 +1632,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     "POC volumes do not cover the full packet set")
         else:
             order = _packet_order(progression, layers, levels + 1,
-                                  ncomp, nprec)
+                                  ncomp, nprec, prec_sizes=prec_sizes)
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if use_sop:
@@ -1592,7 +1663,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 by0, _y1, bx0, _x1 = _precinct_cb_range(
                     res, prec, geom) if prec is not None else \
                     (0, geom[2], 0, geom[3])
-                mb = band_mb[(c, res, band)]
+                mb = band_mb[(c, res, band)] + roi.get(c, 0)
                 for by in range(st.nby):
                     for bx in range(st.nbx):
                         key = (c, res, band, by0 + by, bx0 + bx)
@@ -1689,6 +1760,18 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                                      max_plane, n_passes, cb_style_c)
             comp_bands[c][(res, band)][y0:y0 + cb_h, x0:x0 + cb_w] = coefs
 
+        # H.1.2 maxshift un-scaling: magnitudes at or above 2^shift are
+        # ROI coefficients the encoder scaled up — bring them back down;
+        # everything below the threshold is background, untouched
+        for c, s in roi.items():
+            if not s:
+                continue
+            thr = 1 << s
+            for key, q in comp_bands[c].items():
+                mag = np.abs(q)
+                comp_bands[c][key] = np.where(
+                    mag >= thr, np.sign(q) * (mag >> s), q)
+
         # Inverse DWT per component, into the tile's canvas window
         for c in range(ncomp):
             if comp_cfg[c][2]:
@@ -1740,6 +1823,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # tile decodes once the whole codestream is walked.
     tile_parts: dict[int, list[bytes]] = {}
     tile_packed: dict[int, list[bytes]] = {}
+    tile_rgn: dict[int, dict[int, int]] = {}
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _EOC:
@@ -1761,10 +1845,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             (marker,) = struct.unpack(">H", data[hdr_pos:hdr_pos + 2])
             if marker == _SOD:
                 break
-            if marker in (_PLT, _COM, _PPT):
+            if marker in (_PLT, _COM, _PPT, _RGN):
                 (slen,) = struct.unpack(">H", data[hdr_pos + 2:hdr_pos + 4])
                 if marker == _PPT:
                     ppt_segs.append(data[hdr_pos + 4:hdr_pos + 2 + slen])
+                elif marker == _RGN:
+                    crgn, sprgn = _parse_rgn(
+                        data[hdr_pos + 4:hdr_pos + 2 + slen])
+                    tile_rgn.setdefault(isot, {})[crgn] = sprgn
                 hdr_pos += 2 + slen
                 continue
             raise Jp2kError(
@@ -1788,7 +1876,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         raise Jp2kError("codestream is missing tiles")
     for isot in sorted(tile_parts):
         packed = b"".join(tile_packed.get(isot, [])) or None
-        _decode_tile(isot, b"".join(tile_parts[isot]), packed)
+        _decode_tile(isot, b"".join(tile_parts[isot]), packed,
+                     roi={**comp_roi, **tile_rgn.get(isot, {})})
 
     planes = []
     for c in range(ncomp):
@@ -1842,7 +1931,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 comp_subsampling: dict | None = None,
                 packed_headers: str | None = None,
                 comp_depths: dict | None = None,
-                poc: list | None = None) -> bytes:
+                poc: list | None = None,
+                roi: list | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default).  With
     ``layers > 1`` each codeblock's coding passes are split across
@@ -1872,7 +1962,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     [(RSpoc, CSpoc, LYEpoc, REpoc, CEpoc, Ppoc), ...] emitted as an
     A.6.6 POC segment; packets follow the volume sequence, each packet
     emitted by the first volume containing it, and the volumes must
-    jointly cover every packet."""
+    jointly cover every packet. ``roi``: component indices whose bands'
+    upper-left quadrant becomes a maxshift ROI (Annex H): those
+    coefficients scale up by an auto-computed shift covering the
+    background magnitudes, emitted as an RGN segment per component."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -2054,6 +2147,39 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         for key, (eps, _mu, _d) in band_eps_mu.items():
             band_mb[key] = guard + eps - 1
 
+    # Annex H maxshift ROI: QCD/QCC keep the UNSHIFTED dynamic range
+    # (computed above); each ROI component's upper-left band quadrant
+    # scales up by a shift covering the background magnitudes, and the
+    # codeblock Mb grows by the shift (mirrors the decoder's H.1.2).
+    roi_shifts: dict[int, int] = {}
+    for c in roi or ():
+        if not 0 <= int(c) < nc:
+            raise Jp2kError("ROI component out of range")
+        c = int(c)
+        bg_max = 0
+        for comp_bands in tile_bands:
+            for arr in comp_bands[c].values():
+                if arr.size == 0:
+                    continue
+                bh2, bw2 = arr.shape[0] // 2, arr.shape[1] // 2
+                mask = np.zeros(arr.shape, dtype=bool)
+                mask[:bh2, :bw2] = True
+                bg = np.abs(arr)[~mask]
+                if bg.size:
+                    bg_max = max(bg_max, int(bg.max()))
+        s = max(1, bg_max.bit_length())
+        if s > 37:
+            raise Jp2kError("ROI shift out of range")
+        roi_shifts[c] = s
+        for comp_bands in tile_bands:
+            for key in comp_bands[c]:
+                arr = comp_bands[c][key]
+                if arr.size == 0:
+                    continue
+                bh2, bw2 = arr.shape[0] // 2, arr.shape[1] // 2
+                sub = arr[:bh2, :bw2]
+                arr[:bh2, :bw2] = np.sign(sub) * (np.abs(sub) << s)
+
     def _tile_body(tidx: int, nsop0: int) -> tuple[bytes, int]:
         """Entropy-code one tile and assemble its packet body."""
         tlayouts = tile_layouts[tidx]
@@ -2064,6 +2190,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         nprec = ([_precinct_counts(timg_h, timg_w, levels, r, precincts)
                   for r in range(levels + 1)]
                  if precincts is not None else None)
+        prec_sizes = ([
+            (1 << (precincts[r][1] + levels - r),
+             1 << (precincts[r][0] + levels - r))
+            for r in range(levels + 1)]
+            if precincts is not None else None)
         geoms = {}
         encoded = {}
         for c in range(nc):
@@ -2126,8 +2257,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             for res, bands in tlayouts[c]:
                 for band, bh, bw in bands:
                     geom = geoms[(c, res, band)]
-                    mb = band_mb[(res, band)] if reversible else \
-                        band_mb[(c, res, band)]
+                    mb = (band_mb[(res, band)] if reversible else
+                          band_mb[(c, res, band)]) + roi_shifts.get(c, 0)
                     for p in ([None] if nprec is None else
                               [(py, px)
                                for py in range(nprec[res][0])
@@ -2163,7 +2294,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         nsop = nsop0
         if poc:
             order = list(_packet_order_poc(poc, layers, levels + 1,
-                                           nc, nprec))
+                                           nc, nprec, prec_sizes))
             full = layers * nc * (
                 sum(a * b for a, b in nprec) if nprec else levels + 1)
             if len(order) != full:
@@ -2171,7 +2302,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                     "POC volumes do not cover the full packet set")
         else:
             order = _packet_order(progression, layers, levels + 1,
-                                  nc, nprec)
+                                  nc, nprec, prec_sizes=prec_sizes)
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if sop:
@@ -2298,6 +2429,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             pbody += bytes([rs, cs]) + struct.pack(">H", lye) + bytes(
                 [re_, ce, pprog])
         out += struct.pack(">HH", _POC, len(pbody) + 2) + pbody
+    for c, s in sorted(roi_shifts.items()):
+        out += struct.pack(">HHBBB", _RGN, 5, c, 0, s)
     if reversible:
         exps = []
         for res, bands in layout:

@@ -643,12 +643,12 @@ def test_tile_header_plt_com_skipped_and_poc_rejected():
     patched = bytes(enc[:sod_at]) + plt + com + bytes(enc[sod_at:])
     dec, _ = decode_jp2k(patched)
     assert np.array_equal(dec[..., 0], img)
-    # a main-header RGN must be a loud error, not a silent mis-decode
+    # a main-header RGN with shift 0 decodes as a no-op (r9: RGN is
+    # honored, no longer rejected)
     soc_end = 2
     rgn = b"\xff\x5e" + struct.pack(">H", 5) + b"\x00" * 3
-    bad = patched[:soc_end] + rgn + patched[soc_end:]
-    with pytest.raises(Jp2kError, match="RGN"):
-        decode_jp2k(bad)
+    dec_rgn, _ = decode_jp2k(patched[:soc_end] + rgn + patched[soc_end:])
+    assert np.array_equal(dec_rgn[..., 0], img)
     # an unknown tile-part marker is a targeted error too
     unk = bytes(enc[:sod_at]) + b"\xff\x71" + struct.pack(">H", 4) + \
         b"\x00\x00" + bytes(enc[sod_at:])
@@ -701,14 +701,27 @@ def test_precincts_compose_with_everything():
     assert np.abs(dec2.astype(int) - rgb2.astype(int)).max() <= 2
 
 
-def test_precincts_position_first_rejected():
-    # a REAL multi-precinct grid (image larger than one precinct cell);
-    # a 1x1 grid degenerates to the no-precinct order and stays legal
-    img = np.zeros((80, 80), np.uint8)
+def test_precincts_position_first_roundtrip():
+    # r9: PCRL/CPRL over a REAL multi-precinct grid — precincts of
+    # DIFFERENT resolutions interleave by their top-left reference-grid
+    # position (B.12.1.4/5)
+    rng = np.random.default_rng(59)
+    img = rng.integers(0, 256, (80, 80)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (70, 90, 3)).astype(np.uint8)
     for prog in (3, 4):
-        with pytest.raises(Jp2kError, match="position-first"):
-            encode_jp2k(img, levels=1, progression=prog,
-                        precincts=(5, 5))
+        dec, _ = decode_jp2k(encode_jp2k(img, levels=1, progression=prog,
+                                         precincts=(5, 5)))
+        assert np.array_equal(dec[..., 0], img)
+        # multi-component + layers + per-res grids + EPH
+        dec2, _ = decode_jp2k(encode_jp2k(
+            rgb, levels=2, progression=prog, layers=2,
+            precincts=[(5, 5), (4, 5), (5, 4)], eph=True))
+        assert np.array_equal(dec2, rgb)
+    # PCRL and CPRL genuinely differ on multi-component streams
+    e3 = encode_jp2k(rgb, levels=1, progression=3, precincts=(5, 5))
+    e4 = encode_jp2k(rgb, levels=1, progression=4, precincts=(5, 5))
+    assert e3 != e4
+    # a 1x1 grid still degenerates to the no-precinct order
     tiny = np.zeros((16, 16), np.uint8)
     dec, _ = decode_jp2k(encode_jp2k(tiny, levels=1, progression=3,
                                      precincts=(5, 5)))
@@ -922,6 +935,59 @@ def test_poc_multi_volume_not_covering_raises():
         encode_jp2k(img, levels=2, layers=2,
                     poc=[(0, 0, 2, 1, 1, 0), (1, 0, 2, 2, 1, 0),
                          (2, 0, 1, 3, 1, 0)])  # res 2 misses layer 1
+
+
+def test_roi_maxshift_roundtrip():
+    # Annex H maxshift: the encoder scales ROI coefficients above the
+    # background's magnitude range; the decoder recognizes them purely
+    # by magnitude (>= 2^SPrgn) and scales back — exact for reversible.
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 256, (32, 40)).astype(np.uint8)
+    enc = encode_jp2k(img, levels=2, roi=[0])
+    assert b"\xff\x5e" in enc  # RGN emitted
+    dec, _ = decode_jp2k(enc)
+    assert np.array_equal(dec[..., 0], img)
+    # ROI on one component of an untransformed 3-comp image, layered
+    rgb = rng.integers(0, 256, (24, 28, 3)).astype(np.uint8)
+    dec2, _ = decode_jp2k(encode_jp2k(rgb, levels=1, layers=3,
+                                      mct=False, roi=[1]))
+    assert np.array_equal(dec2, rgb)
+    # irreversible: the shift rides on quantized values, error bound holds
+    dec3, _ = decode_jp2k(encode_jp2k(img, levels=1, reversible=False,
+                                      qstep=0.5, roi=[0]))
+    assert int(np.abs(dec3[..., 0].astype(np.int64)
+                      - img.astype(np.int64)).max()) <= 2
+
+
+def test_roi_in_tile_header():
+    # RGN may live in a tile-part header (A.6.3) — move it there
+    import struct as _s
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 256, (20, 24)).astype(np.uint8)
+    enc = bytes(encode_jp2k(img, levels=1, roi=[0]))
+    at = enc.index(b"\xff\x5e")
+    rgn, enc2 = enc[at:at + 7], enc[:at] + enc[at + 7:]
+    sot_at = enc2.index(b"\xff\x90")
+    sod_at = enc2.index(b"\xff\x93")
+    enc2 = bytearray(enc2)
+    psot = _s.unpack(">I", enc2[sot_at + 6:sot_at + 10])[0]
+    enc2[sot_at + 6:sot_at + 10] = _s.pack(">I", psot + len(rgn))
+    dec, _ = decode_jp2k(bytes(enc2[:sod_at]) + rgn + bytes(enc2[sod_at:]))
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_roi_unknown_style_raises():
+    img = np.zeros((16, 16), np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1, roi=[0]))
+    at = bytes(enc).index(b"\xff\x5e")
+    enc[at + 5] = 1  # Srgn = 1: not a Part-1 ROI style
+    with pytest.raises(Jp2kError, match="unknown ROI style"):
+        decode_jp2k(bytes(enc))
+    enc[at + 5] = 0
+    enc[at + 4] = 3  # Crgn out of range (1-comp image)
+    with pytest.raises(Jp2kError, match="component out of range"):
+        decode_jp2k(bytes(enc))
 
 
 def test_mixed_component_depths_roundtrip():
