@@ -847,6 +847,10 @@ class Jbig2Decoder:
         if flags.uses_huffman and offset + 2 <= len(data):
             huffman_tables = (data[offset] << 8) | data[offset + 1]
             offset += 2
+        if flags.uses_refinement and flags.refinement_template == 0:
+            # §7.4.4.3: two refinement AT pairs (values nominal here —
+            # the GR context walk uses the fixed layouts)
+            offset += 4
         if offset + 4 > len(data):
             raise FilterError("Text region missing num_instances")
         num_instances = int.from_bytes(data[offset : offset + 4], "big")

@@ -16,7 +16,11 @@ faithfully, including its implementation-specific choices:
   with the reference's own context layouts (symbol_dict.rs:218-275).
   In HUFFMAN mode §6.5.8.2 refinement/aggregation is decoded for real
   (REFAGGNINST=1: per-symbol byte-aligned MQ refinement, shared GR
-  contexts) — beyond the reference and pdf.js, which both error.
+  contexts; REFAGGNINST>1: the §6.5.8.2.1 one-strip refinement text
+  region continuing the dictionary's bit stream) — beyond the
+  reference and pdf.js, which both error. Text regions decode
+  SBREFINE per-instance refinement, SBDSOFFSET and SBRTEMPLATE
+  (§6.4.11) in both coding modes.
 - Export table (symbol_dict.rs decode_export_table): num_exported >=
   total exports everything WITHOUT consuming IAEX runs; partial exports
   decode alternating skip/export runs as abs(integer); a shortfall is
@@ -348,6 +352,22 @@ def decode_refinement_region(reference: Bitmap, dx: int, dy: int,
                 bitmap, reference, x, y, dx, dy, refinement_template)
             bitmap.set_pixel(x, y, dec.decode(contexts[ctx]))
     return bitmap
+
+
+def refine_instance(symbol: Bitmap, rdw: int, rdh: int, rdx: int,
+                    rdy: int, template: int, dec, contexts) -> Bitmap:
+    """§6.4.11 step 3(c)(x) instance refinement: the placed bitmap is a
+    refinement of the dictionary symbol, GRW/GRH grown by RDW/RDH and
+    reference offset ((RDW>>1)+RDX, (RDH>>1)+RDY) — floor shifts, so
+    negative deltas follow T.88's floor semantics."""
+    from .jbig2 import MAX_BITMAP_HEIGHT, MAX_BITMAP_WIDTH
+
+    grw, grh = symbol.width + rdw, symbol.height + rdh
+    if not (0 < grw <= MAX_BITMAP_WIDTH and 0 < grh <= MAX_BITMAP_HEIGHT):
+        raise FilterError("refined instance dimensions out of range")
+    return decode_refinement_region(
+        symbol, (rdw >> 1) + rdx, (rdh >> 1) + rdy, grw, grh,
+        template, (), dec, contexts)
 
 
 def encode_refinement_region(rows: list, reference: Bitmap, dx: int,
@@ -818,14 +838,25 @@ def _decode_refagg_symbol_huffman(reader: "_BitReader", data: bytes,
     from .jbig2 import MQDecoder
 
     n_inst = decode_huffman_int(reader, agg_table)
-    if n_inst != 1:
-        # REFAGGNINST > 1 composes the instances through a full text
-        # region (§6.5.8.2.1) — not wired; 1 is the overwhelmingly
-        # common shape real encoders emit
-        raise FilterError(
-            "JBIG2 Huffman symbol dictionary aggregate text-region "
-            f"composition (REFAGGNINST={n_inst}) is not supported"
+    if n_inst <= 0:
+        raise FilterError("non-positive REFAGGNINST")
+    if n_inst > 1:
+        # §6.5.8.2.1: the symbol is a ONE-STRIP refinement text region
+        # of REFAGGNINST instances over the dictionary's symbol pool
+        # (TRANSPOSED=0, REFCORNER=TOPLEFT, COMBOP=OR, DEFPIXEL=0,
+        # STRIPS=1), continuing the dictionary's own bit stream and
+        # sharing its GR contexts. NB corner code 0 IS the (s, t)
+        # top-left placement in this engine's reference-parity
+        # compute_placement rendering.
+        tr_flags = TextRegionFlags.from_u16(0x0003)
+        tr_flags.refinement_template = params.flags.refinement_template
+        tr = TextRegionParams(
+            flags=tr_flags, width=sym_width, height=height,
+            num_instances=n_inst, symbol_id_codewidth=id_bits,
+            available_symbols=params.referred_symbols + new_symbols,
         )
+        return _decode_text_region_huffman(data, tr, reader=reader,
+                                           gr_contexts=ref_contexts)
     sym_id = 0
     for _ in range(id_bits):
         sym_id = (sym_id << 1) | reader.read_bit()
@@ -918,11 +949,15 @@ def encode_symbol_dict_huffman_refagg(height_classes: list,
                                       refinement_template: int = 0) -> bytes:
     """By-construction inverse of the §6.5.8.2 SDHUFF=1 REFAGG decode
     path (test support). ``height_classes``:
-    [(height, [(rows, ref_id, rdx, rdy), ...]), ...] where ref_id
-    indexes in_symbols + previously-encoded new symbols. Each symbol is
-    DW, REFAGGNINST=1 (B.1), a raw SBSYMCODELEN-bit ID, RDX/RDY (B.15),
-    BMSIZE (B.1), then the byte-aligned MQ refinement payload; GR
-    contexts persist across the dictionary like the decoder's."""
+    [(height, [symbol, ...]), ...] where each symbol is either
+    (rows, ref_id, rdx, rdy) — a single refinement (REFAGGNINST=1:
+    DW, 1 via B.1, raw SBSYMCODELEN-bit ID, RDX/RDY via B.15, BMSIZE
+    via B.1, byte-aligned MQ refinement) — or
+    (width, "agg", (dt, fs), instances, composed_rows) — a §6.5.8.2.1
+    aggregate text region of [(curt, sid, ds, refine), ...] instances
+    continuing the dictionary's bit stream. ref_id/sid index
+    in_symbols + previously-encoded new symbols; GR contexts persist
+    across the dictionary like the decoder's."""
     from .jbig2 import MQEncoder
 
     w = _BitWriter()
@@ -936,7 +971,20 @@ def encode_symbol_dict_huffman_refagg(height_classes: list,
         encode_huffman_int(w, 4, height - current_height)
         current_height = height
         sym_width = 0
-        for rows, ref_id, rdx, rdy in symbols:
+        for entry in symbols:
+            if len(entry) == 5 and entry[1] == "agg":
+                wd, _, (dt, fs), instances, composed = entry
+                encode_huffman_int(w, 2, wd - sym_width)
+                sym_width = wd
+                encode_huffman_int(w, 1, len(instances))  # REFAGGNINST
+                encode_text_region_huffman(
+                    [(dt, fs, instances)], id_bits,
+                    refine_symbols=pool,
+                    refinement_template=refinement_template,
+                    writer=w, gr_contexts=ref_contexts)
+                pool.append(_bitmap_from_rows(composed))
+                continue
+            rows, ref_id, rdx, rdy = entry
             wd = len(rows[0])
             encode_huffman_int(w, 2, wd - sym_width)
             sym_width = wd
@@ -976,8 +1024,10 @@ def _bitmap_from_rows(rows: list) -> Bitmap:
 
 class TextRegionFlags:
     """16-bit flags field, T.88 Table 9 (text_region.rs:61-84).
-    s_offset/refinement_template live in extended flags the reference
-    never parses — always 0."""
+    SBDSOFFSET (bits 10-14, signed) and SBRTEMPLATE (bit 15) are parsed
+    per spec since r9 — the reference ignores them (and ignores
+    refinement entirely), so streams using them decode correctly only
+    here."""
 
     __slots__ = ("uses_huffman", "uses_refinement", "log_strip_size",
                  "ref_corner", "is_transposed", "combination_operator",
@@ -994,8 +1044,9 @@ class TextRegionFlags:
         op = _combine_op_from_u8((flags >> 7) & 0x03)
         f.combination_operator = op if op >= 0 else OP_OR
         f.default_pixel = (flags >> 9) & 0x01
-        f.s_offset = 0
-        f.refinement_template = 0
+        ds_off = (flags >> 10) & 0x1F  # SBDSOFFSET: signed 5-bit
+        f.s_offset = ds_off - 32 if ds_off > 15 else ds_off
+        f.refinement_template = (flags >> 15) & 0x01
         return f
 
 
@@ -1073,6 +1124,18 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
     iads = new_contexts(512)
     iait = new_contexts(512)
     iaid = new_contexts(max(1 << params.symbol_id_codewidth, 2))
+    # SBREFINE (§6.4.11 3(c)(viii-x)): per-instance RI bit, then the
+    # placed bitmap refines the dictionary symbol in the SAME MQ stream
+    # (GR contexts persist across the region) — beyond the reference,
+    # whose text_region.rs ignores the refinement flag
+    refine = params.flags.uses_refinement
+    if refine:
+        iari = new_contexts(512)
+        iardw = new_contexts(512)
+        iardh = new_contexts(512)
+        iardx = new_contexts(512)
+        iardy = new_contexts(512)
+        grctx = new_contexts(1 << 13)
 
     strip_size = 1 << params.flags.log_strip_size
     stript = 0
@@ -1095,6 +1158,15 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
             else:
                 symbol_id = 0
             symbol = symbols[symbol_id] if symbol_id < len(symbols) else None
+            if symbol is not None and refine and \
+                    decode_integer_arith(dec, iari):
+                rdw = decode_integer_arith(dec, iardw)
+                rdh = decode_integer_arith(dec, iardh)
+                rdx = decode_integer_arith(dec, iardx)
+                rdy = decode_integer_arith(dec, iardy)
+                symbol = refine_instance(symbol, rdw, rdh, rdx, rdy,
+                                         flags.refinement_template,
+                                         dec, grctx)
             if symbol is not None:
                 if flags.is_transposed:
                     px, py = compute_placement(t, cur_s, symbol,
@@ -1106,7 +1178,7 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
             instances_decoded += 1
             if instances_decoded >= params.num_instances:
                 break
-            cur_s += decode_integer_arith(dec, iads)
+            cur_s += decode_integer_arith(dec, iads) + flags.s_offset
             if symbol is not None:
                 cur_s += symbol.height if flags.is_transposed else symbol.width
     return bitmap
@@ -1175,15 +1247,24 @@ def _encode_symbol_id_table(w: _BitWriter,
         [(l, 0, i) for i, l in enumerate(lengths) if l])
 
 
-def _decode_text_region_huffman(data: bytes, params: TextRegionParams) -> Bitmap:
+def _decode_text_region_huffman(data: bytes, params: TextRegionParams,
+                                reader: "_BitReader | None" = None,
+                                gr_contexts: list | None = None) -> Bitmap:
     # text_region.rs decode_text_region_huffman: DT/FS/DS hard-coded to
     # tables B11/B6/B8 (the parsed selectors are ignored — reference
     # quirk); symbol IDs are raw fixed-width bit reads by default, or
-    # decoded through the §7.4.3.1.7 runcode table with spec_symbol_ids
+    # decoded through the §7.4.3.1.7 runcode table with spec_symbol_ids.
+    # ``reader``/``gr_contexts``: the §6.5.8.2.1 symbol-dictionary
+    # aggregate composition continues the dictionary's own bit stream
+    # and shares its GR refinement contexts.
     if not data:
         raise FilterError("Empty data for Huffman text region")
     bitmap = Bitmap(params.width, params.height, params.flags.default_pixel)
-    reader = _BitReader(data)
+    if reader is None:
+        reader = _BitReader(data)
+    refine = params.flags.uses_refinement
+    if refine and gr_contexts is None:
+        gr_contexts = new_contexts(1 << 13)
     sym_table = None
     if params.spec_symbol_ids:
         sym_table = _decode_symbol_id_table(
@@ -1233,6 +1314,25 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams) -> Bitmap
             else:
                 symbol_id = 0
             symbol = symbols[symbol_id] if symbol_id < len(symbols) else None
+            if symbol is not None and refine and reader.read_bit():
+                # §6.4.11 SBHUFF refinement: RDW/RDH/RDX/RDY from Table
+                # B.15, size from B.1 (SBHUFFRSIZE), then a byte-aligned
+                # MQ refinement segment
+                rdw = decode_huffman_int(reader, 15)
+                rdh = decode_huffman_int(reader, 15)
+                rdx = decode_huffman_int(reader, 15)
+                rdy = decode_huffman_int(reader, 15)
+                bmsize = decode_huffman_int(reader, 1)
+                reader.align()
+                start = reader.pos >> 3
+                if bmsize <= 0 or start + bmsize > len(data):
+                    raise FilterError(
+                        "text region refinement bitmap truncated")
+                symbol = refine_instance(
+                    symbol, rdw, rdh, rdx, rdy,
+                    flags.refinement_template,
+                    MQDecoder(data[start:start + bmsize]), gr_contexts)
+                reader.pos = (start + bmsize) << 3
             if symbol is not None:
                 if flags.is_transposed:
                     px, py = compute_placement(t, cur_s, symbol,
@@ -1248,14 +1348,16 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams) -> Bitmap
                 ds = decode_huffman_int(reader, 8)
             except (HuffmanOOB, FilterError):
                 break
-            cur_s += ds
+            cur_s += ds + flags.s_offset
             if symbol is not None:
                 cur_s += symbol.height if flags.is_transposed else symbol.width
     return bitmap
 
 
 def encode_text_region_arith(strips: list, codewidth: int,
-                             strip_size: int = 1) -> bytes:
+                             strip_size: int = 1,
+                             refine_symbols: list | None = None,
+                             refinement_template: int = 0) -> bytes:
     """Inverse of _decode_text_region_arith (test support).
 
     ``strips``: [(dt, fs, [(curt, symbol_id[, ds]), ...]), ...]; dt is
@@ -1276,16 +1378,42 @@ def encode_text_region_arith(strips: list, codewidth: int,
     iads = new_contexts(512)
     iait = new_contexts(512)
     iaid = new_contexts(max(1 << codewidth, 2))
+    refine = refine_symbols is not None
+    if refine:
+        pool = [r if isinstance(r, Bitmap) else _bitmap_from_rows(r)
+                for r in refine_symbols]
+        iari = new_contexts(512)
+        iardw = new_contexts(512)
+        iardh = new_contexts(512)
+        iardx = new_contexts(512)
+        iardy = new_contexts(512)
+        grctx = new_contexts(1 << 13)
     for dt, fs, instances in strips:
         encode_integer_arith(enc, iadt, dt)
         encode_integer_arith(enc, iafs, fs)
         for i, inst in enumerate(instances):
             curt, symbol_id = inst[0], inst[1]
             ds = inst[2] if len(inst) > 2 else 0
+            rf = inst[3] if len(inst) > 3 else None
             if strip_size > 1:
                 encode_integer_arith(enc, iait, curt)
             if codewidth > 0:
                 encode_iaid(enc, iaid, symbol_id, codewidth)
+            if refine:
+                encode_integer_arith(enc, iari, 1 if rf else 0)
+                if rf:
+                    rows, rdx, rdy = rf
+                    ref = pool[symbol_id]
+                    rdw = len(rows[0]) - ref.width
+                    rdh = len(rows) - ref.height
+                    encode_integer_arith(enc, iardw, rdw)
+                    encode_integer_arith(enc, iardh, rdh)
+                    encode_integer_arith(enc, iardx, rdx)
+                    encode_integer_arith(enc, iardy, rdy)
+                    encode_refinement_region(
+                        rows, ref, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        ref.width + rdw, ref.height + rdh,
+                        refinement_template, enc, grctx)
             if i != len(instances) - 1:
                 encode_integer_arith(enc, iads, ds)
     return enc.flush()
@@ -1295,14 +1423,28 @@ def encode_text_region_huffman(strips: list, codewidth: int,
                                strip_size: int = 1,
                                spec_symbol_ids: bool = False,
                                num_symbols: int = 0,
-                               id_lengths: list | None = None) -> bytes:
+                               id_lengths: list | None = None,
+                               refine_symbols: list | None = None,
+                               refinement_template: int = 0,
+                               writer: "_BitWriter | None" = None,
+                               gr_contexts: list | None = None) -> bytes:
     """Inverse of _decode_text_region_huffman (tables B11/B6/B8). A
     non-final strip terminates with B8's OOB marker in the DS slot —
     the only strip terminator the decoder recognises.
     ``spec_symbol_ids`` prepends the §7.4.3.1.7 runcode symbol-ID table
     (``id_lengths`` per symbol, default uniform = fixed-width parity)
-    and codes IDs through it."""
-    w = _BitWriter()
+    and codes IDs through it. ``refine_symbols``: the symbol pool (row
+    grids or Bitmaps) — enables SBREFINE emission; an instance may then
+    carry a 4th element (rows, rdx, rdy) refining its symbol.
+    ``writer``/``gr_contexts``: continue an outer bit stream (the
+    §6.5.8.2.1 symbol-dictionary aggregate case)."""
+    w = writer if writer is not None else _BitWriter()
+    refine = refine_symbols is not None
+    if refine:
+        pool = [r if isinstance(r, Bitmap) else _bitmap_from_rows(r)
+                for r in refine_symbols]
+        if gr_contexts is None:
+            gr_contexts = new_contexts(1 << 13)
     sym_table = None
     if spec_symbol_ids:
         lengths = id_lengths or [max(codewidth, 1)] * max(num_symbols, 1)
@@ -1313,12 +1455,32 @@ def encode_text_region_huffman(strips: list, codewidth: int,
         for i, inst in enumerate(instances):
             curt, symbol_id = inst[0], inst[1]
             ds = inst[2] if len(inst) > 2 else 0
+            rf = inst[3] if len(inst) > 3 else None
             if strip_size > 1:
                 encode_huffman_int(w, 11, curt)
             if sym_table is not None:
                 encode_huffman_int(w, sym_table, symbol_id)
             elif codewidth > 0:
                 w.write(codewidth, symbol_id)
+            if refine:
+                w.write(1, 1 if rf else 0)
+                if rf:
+                    rows, rdx, rdy = rf
+                    ref = pool[symbol_id]
+                    rdw = len(rows[0]) - ref.width
+                    rdh = len(rows) - ref.height
+                    for v in (rdw, rdh, rdx, rdy):
+                        encode_huffman_int(w, 15, v)
+                    enc = MQEncoder()
+                    encode_refinement_region(
+                        rows, ref, (rdw >> 1) + rdx, (rdh >> 1) + rdy,
+                        ref.width + rdw, ref.height + rdh,
+                        refinement_template, enc, gr_contexts)
+                    payload = enc.flush() or b"\x00"
+                    encode_huffman_int(w, 1, len(payload))
+                    w.align()
+                    for b in payload:
+                        w.write(8, b)
             if i != len(instances) - 1:
                 encode_huffman_int(w, 8, ds)
         if si != len(strips) - 1:
@@ -1604,17 +1766,26 @@ def build_text_region_payload(strips: list, width: int, height: int,
                               huffman: bool = False,
                               huffman_table_bits: int = 0,
                               spec_symbol_ids: bool = False,
-                              id_lengths: list | None = None) -> bytes:
+                              id_lengths: list | None = None,
+                              refine_symbols: list | None = None,
+                              refinement_template: int = 0,
+                              s_offset: int = 0) -> bytes:
     """Region info + flags (+huffman tables) + instance count + coded
-    placement data, shaped for Jbig2Decoder._process_text_region."""
+    placement data, shaped for Jbig2Decoder._process_text_region.
+    ``refine_symbols`` enables SBREFINE: instances may carry a 4th
+    element (rows, rdx, rdy) refining their symbol (§6.4.11)."""
     codewidth = compute_symbol_id_codewidth(num_symbols)
     num_instances = sum(len(insts) for _, _, insts in strips)
+    refine = refine_symbols is not None
     flags = ((1 if huffman else 0)
+             | (0x0002 if refine else 0)
              | ((log_strip_size & 0x03) << 2)
              | ((ref_corner & 0x03) << 4)
              | (0x0040 if transposed else 0)
              | ((place_operator & 0x03) << 7)
-             | ((default_pixel & 0x01) << 9))
+             | ((default_pixel & 0x01) << 9)
+             | ((s_offset & 0x1F) << 10)
+             | ((refinement_template & 0x01) << 15))
     out = bytearray()
     out += width.to_bytes(4, "big")
     out += height.to_bytes(4, "big")
@@ -1624,15 +1795,21 @@ def build_text_region_payload(strips: list, width: int, height: int,
     out += flags.to_bytes(2, "big")
     if huffman:
         out += huffman_table_bits.to_bytes(2, "big")
+    if refine and refinement_template == 0:
+        out += bytes([0xFF, 0xFF, 0xFF, 0xFF])  # nominal GR AT pairs
     out += num_instances.to_bytes(4, "big")
     strip_size = 1 << log_strip_size
     if huffman:
         out += encode_text_region_huffman(
             strips, codewidth, strip_size,
             spec_symbol_ids=spec_symbol_ids, num_symbols=num_symbols,
-            id_lengths=id_lengths)
+            id_lengths=id_lengths, refine_symbols=refine_symbols,
+            refinement_template=refinement_template)
     else:
-        out += encode_text_region_arith(strips, codewidth, strip_size)
+        out += encode_text_region_arith(
+            strips, codewidth, strip_size,
+            refine_symbols=refine_symbols,
+            refinement_template=refinement_template)
     return bytes(out)
 
 

@@ -414,8 +414,34 @@ class TestHuffmanSymbolDict:
                for s in d.exported_symbols]
         assert got == [SYM_B]
 
-    def test_refagg_ninst_above_one_raises(self):
-        # REFAGGNINST > 1 = aggregate text-region composition: targeted
+    def test_refagg_aggregate_text_region(self):
+        # REFAGGNINST=2 (§6.5.8.2.1): the new symbol composes a one-
+        # strip refinement text region — instance 1 is a refined SYM_B,
+        # instance 2 a plain SYM_B — continuing the dictionary's bit
+        # stream with shared GR contexts; a second symbol then refines
+        # the AGGREGATE result (pool growth across class members)
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_symbol_dict_payload_huffman_refagg)
+
+        refined = [[1, 0, 1], [1, 1, 0], [0, 1, 1]]
+        composed = [[0] * 8 for _ in range(3)]
+        _place(composed, refined, 0, 0)
+        _place(composed, SYM_B, 4, 0)  # 0 + ds 1 + refined width 3
+        follow = [r[:] for r in composed]
+        follow[1][6] ^= 1
+        classes = [(3, [
+            (8, "agg", (0, 0), [(0, 0, 1, (refined, 0, 0)), (0, 0)],
+             composed),
+            (follow, 1, 0, 0),  # refines the aggregate (new symbol 0)
+        ])]
+        payload = build_symbol_dict_payload_huffman_refagg(
+            classes, [SYM_B], num_exported=3)
+        d = self._decode_refagg(payload, referred=[_bm(SYM_B)])
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_B, composed, follow]
+
+    def test_refagg_zero_instances_raises(self):
         from oxidizepdf_spark.kernel.image_codecs import _BitWriter
         from oxidizepdf_spark.kernel.jbig2_regions import (
             encode_huffman_int)
@@ -423,12 +449,12 @@ class TestHuffmanSymbolDict:
         w = _BitWriter()
         encode_huffman_int(w, 4, 3)   # DH
         encode_huffman_int(w, 2, 2)   # DW -> width 2
-        encode_huffman_int(w, 1, 2)   # REFAGGNINST = 2
+        encode_huffman_int(w, 1, 0)   # REFAGGNINST = 0
         body = w.getvalue() + b"\x00\x00"
         payload = ((0x0003 | (1 << 12)).to_bytes(2, "big")
                    + (1).to_bytes(4, "big") + (1).to_bytes(4, "big")
                    + body)
-        with pytest.raises(FilterError, match="REFAGGNINST"):
+        with pytest.raises(FilterError, match="non-positive REFAGGNINST"):
             self._decode_refagg(payload, referred=[_bm(SYM_B)])
 
     def test_refagg_bad_reference_id_raises(self):
@@ -618,6 +644,49 @@ class TestTextRegion:
         _place(exp, SYM_A, 1, 1)
         _place(exp, SYM_C, 5, 1)
         _place(exp, SYM_B, 9, 1)
+        assert _grid(out, w, h) == exp
+
+    @pytest.mark.parametrize("huffman", [False, True])
+    def test_refined_instances(self, huffman):
+        # SBREFINE (§6.4.11, r9 — the reference ignores the flag): the
+        # middle instance is placed as a 4x4 refinement of SYM_B (3x3);
+        # the S walk advances by the REFINED width
+        w, h = 32, 12
+        refined = [[1, 1, 1, 1], [0, 1, 0, 0], [0, 1, 0, 1], [1, 0, 0, 1]]
+        pool = [SYM_A, SYM_B, SYM_C]
+        strips = [(1, 1, [(0, 0, 2), (0, 1, 1, (refined, 0, 0)), (0, 2)])]
+        out = decode_jbig2(_text_stream(strips, w, h, huffman=huffman,
+                                        refine_symbols=pool))
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, SYM_A, 1, 1)
+        _place(exp, refined, 5, 1)   # 1 + ds 2 + SYM_A width 2
+        _place(exp, SYM_C, 10, 1)    # 5 + ds 1 + REFINED width 4
+        assert _grid(out, w, h) == exp
+
+    def test_refined_instance_growth_and_offsets(self):
+        # negative RDW/RDH and nonzero RDX/RDY take T.88's floor-shift
+        # reference offsets; roundtrip pins the convention both ways
+        w, h = 20, 10
+        shrunk = [[1, 1], [0, 1], [1, 0]]  # 3x3 -> 2x3: rdw=-1, rdh=0
+        strips = [(1, 1, [(0, 1, 1, (shrunk, 1, -1))])]
+        out = decode_jbig2(_text_stream(strips, w, h, huffman=True,
+                                        refine_symbols=[SYM_A, SYM_B,
+                                                        SYM_C]))
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, shrunk, 1, 1)
+        assert _grid(out, w, h) == exp
+
+    def test_sbdsoffset_applies_to_s_walk(self):
+        # SBDSOFFSET (flags bits 10-14, signed): every inter-instance S
+        # delta grows by it — the reference ignores the field entirely
+        w, h = 32, 12
+        strips = [(1, 1, [(0, 0, 2), (0, 2, 1), (0, 1)])]
+        out = decode_jbig2(_text_stream(strips, w, h, huffman=True,
+                                        s_offset=3))
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, SYM_A, 1, 1)
+        _place(exp, SYM_C, 8, 1)    # 1 + (2+3) + 2
+        _place(exp, SYM_B, 15, 1)   # 8 + (1+3) + 3
         assert _grid(out, w, h) == exp
 
     @pytest.mark.parametrize("use_mmr", [False, True])
