@@ -29,9 +29,9 @@ MMR), page information / composition / striping, the arithmetic integer
 + IAID decoding procedures, and the segment router. Symbol dictionaries,
 text regions, pattern dictionaries and halftone regions — the
 reference's symbol_dict.rs / text_region.rs / halftone_region.rs /
-huffman.rs — live in kernel/jbig2_regions.py and are routed from here;
-only Huffman-coded *symbol dictionaries* raise (an explicit error in the
-reference too), falling into the failed-segment skip path. Image pixels
+huffman.rs — live in kernel/jbig2_regions.py and are routed from here
+(since r8/r9 including Huffman-coded symbol dictionaries and
+refinement/aggregation, which the reference errors on). Image pixels
 are outside the extraction hot path (images are captured by reference,
 never decoded), so this decoder serves explicit ``Stream.decode()``
 calls; it is a correctness surface, not a throughput surface.
@@ -648,7 +648,8 @@ class Jbig2Decoder:
     """Segment router + page composer (jbig2.rs Jbig2Decoder)."""
 
     def __init__(self, globals_data: bytes | None = None,
-                 spec_symbol_ids: bool = False):
+                 spec_symbol_ids: bool = False,
+                 spec_refagg: bool = False):
         self.globals_data = globals_data
         self.segments: dict[int, object] = {}
         self.pages: dict[int, PageBuffer] = {}
@@ -656,6 +657,10 @@ class Jbig2Decoder:
         # regions (spec-conformant streams); default False = the
         # reference's raw fixed-width quirk
         self.spec_symbol_ids = spec_symbol_ids
+        # spec §6.5.8 refinement/aggregation for ARITHMETIC symbol
+        # dictionaries; default False = the reference's direct-bitmap
+        # fallback (symbol_dict.rs:365-371)
+        self.spec_refagg = spec_refagg
 
     def decode(self, data: bytes) -> bytes:
         if len(data) < 4:
@@ -825,6 +830,7 @@ class Jbig2Decoder:
             referred_symbols=self._collect_referred_symbols(
                 header.referred_to_segments),
             custom_tables=custom_tables,
+            spec_refagg=self.spec_refagg,
         )
         self.segments[header.segment_number] = decode_symbol_dict(
             data[offset:], params)
@@ -995,7 +1001,9 @@ def decode_jbig2(data: bytes, params: dict | None = None) -> bytes:
             except Exception:
                 globals_data = None
     spec_ids = bool(params.get("SpecSymbolIDs")) if params else False
-    return Jbig2Decoder(globals_data, spec_symbol_ids=spec_ids).decode(data)
+    spec_refagg = bool(params.get("SpecRefAgg")) if params else False
+    return Jbig2Decoder(globals_data, spec_symbol_ids=spec_ids,
+                        spec_refagg=spec_refagg).decode(data)
 
 
 # ---------------------------------------------------------------------------

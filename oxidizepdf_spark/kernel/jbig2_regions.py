@@ -425,11 +425,11 @@ class SymbolDictionary:
 class SymbolDictParams:
     __slots__ = ("flags", "at_pixels", "refinement_at_pixels",
                  "num_exported", "num_new_symbols", "referred_symbols",
-                 "custom_tables")
+                 "custom_tables", "spec_refagg")
 
     def __init__(self, flags=None, at_pixels=(), refinement_at_pixels=(),
                  num_exported=0, num_new_symbols=0, referred_symbols=(),
-                 custom_tables=()):
+                 custom_tables=(), spec_refagg=False):
         self.flags = flags or SymbolDictFlags.from_u16(0)
         self.at_pixels = tuple(at_pixels)
         self.refinement_at_pixels = tuple(refinement_at_pixels)
@@ -439,6 +439,10 @@ class SymbolDictParams:
         # referred code-table segments (T.88 §7.4.3.1.6: consumed in
         # order by each selector that names a custom table)
         self.custom_tables = list(custom_tables)
+        # opt-in SPEC §6.5.8 refinement/aggregation for ARITHMETIC
+        # dictionaries; default False = the reference's direct-bitmap
+        # fallback (symbol_dict.rs:365-371), which tests pin as parity
+        self.spec_refagg = spec_refagg
 
 
 def _decode_symbol_bitmap_arith(dec: MQDecoder, contexts: list, width: int,
@@ -479,6 +483,19 @@ def decode_symbol_dict(data: bytes, params: SymbolDictParams) -> SymbolDictionar
     iaex = new_contexts(512)
     generic = new_contexts(1 << _TEMPLATE_BITS[params.flags.template])
     offsets = _template_offsets(params.flags.template, params.at_pixels)
+    # opt-in spec §6.5.8: arithmetic refinement/aggregation decoded for
+    # real (IAAI instance count; one refinement via IAID+IARDX/IARDY in
+    # the SAME MQ stream, or an embedded arith text region). Default
+    # stays the reference's direct-bitmap fallback.
+    refagg = params.flags.uses_refinement and params.spec_refagg
+    if refagg:
+        iaai = new_contexts(512)
+        iardx = new_contexts(512)
+        iardy = new_contexts(512)
+        id_bits = compute_symbol_id_codewidth(
+            len(params.referred_symbols) + params.num_new_symbols)
+        iaid = new_contexts(max(1 << id_bits, 2))
+        grctx = new_contexts(1 << 13)
 
     new_symbols: list = []
     current_height = 0
@@ -500,8 +517,38 @@ def decode_symbol_dict(data: bytes, params: SymbolDictParams) -> SymbolDictionar
             total_width += width_delta
             if total_width <= 0:
                 break
-            height_class.append(_decode_symbol_bitmap_arith(
-                dec, generic, total_width, current_height, offsets))
+            if refagg:
+                pool = (params.referred_symbols + new_symbols
+                        + height_class)
+                n_inst = decode_integer_arith(dec, iaai)
+                if n_inst <= 0:
+                    raise FilterError("non-positive REFAGGNINST")
+                if n_inst == 1:
+                    sym_id = dec.decode_iaid(iaid, id_bits)
+                    if sym_id >= len(pool):
+                        raise FilterError(
+                            f"refinement reference {sym_id} out of range")
+                    rdx = decode_integer_arith(dec, iardx)
+                    rdy = decode_integer_arith(dec, iardy)
+                    sym = decode_refinement_region(
+                        pool[sym_id], rdx, rdy, total_width,
+                        current_height, params.flags.refinement_template,
+                        params.refinement_at_pixels, dec, grctx)
+                else:
+                    tr_flags = TextRegionFlags.from_u16(0x0002)
+                    tr_flags.refinement_template = \
+                        params.flags.refinement_template
+                    tr = TextRegionParams(
+                        flags=tr_flags, width=total_width,
+                        height=current_height, num_instances=n_inst,
+                        symbol_id_codewidth=id_bits,
+                        available_symbols=pool)
+                    sym = _decode_text_region_arith(
+                        data, tr, dec=dec, gr_contexts=grctx)
+                height_class.append(sym)
+            else:
+                height_class.append(_decode_symbol_bitmap_arith(
+                    dec, generic, total_width, current_height, offsets))
             symbols_decoded += 1
         new_symbols.extend(height_class)
 
@@ -1008,6 +1055,70 @@ def encode_symbol_dict_huffman_refagg(height_classes: list,
     return w.getvalue()
 
 
+def encode_symbol_dict_arith_refagg(height_classes: list,
+                                    in_symbols: list,
+                                    num_new_symbols: int,
+                                    export_runs=None,
+                                    refinement_template: int = 0) -> bytes:
+    """By-construction inverse of the spec §6.5.8 ARITHMETIC REFAGG
+    decode path (opt-in, SymbolDictParams.spec_refagg). Same entry
+    shapes as encode_symbol_dict_huffman_refagg: (rows, ref_id, rdx,
+    rdy) single refinements (IAAI=1, IAID, IARDX/IARDY, refinement in
+    the SAME MQ stream) or (width, "agg", (dt, fs), instances,
+    composed_rows) aggregate text regions; GR contexts persist across
+    the dictionary, integer contexts are dictionary-level except the
+    per-aggregate text-region set (mirroring the decoder)."""
+    enc = MQEncoder()
+    iadh = new_contexts(512)
+    iadw = new_contexts(512)
+    iaex = new_contexts(512)
+    iaai = new_contexts(512)
+    iardx = new_contexts(512)
+    iardy = new_contexts(512)
+    id_bits = compute_symbol_id_codewidth(
+        len(in_symbols) + num_new_symbols)
+    iaid = new_contexts(max(1 << id_bits, 2))
+    grctx = new_contexts(1 << 13)
+    pool = [(_bitmap_from_rows(r) if not isinstance(r, Bitmap) else r)
+            for r in in_symbols]
+    current_height = 0
+    n_classes = len(height_classes)
+    for ci, (height, symbols) in enumerate(height_classes):
+        encode_integer_arith(enc, iadh, height - current_height)
+        current_height = height
+        total_width = 0
+        for entry in symbols:
+            if len(entry) == 5 and entry[1] == "agg":
+                wd, _, (dt, fs), instances, composed = entry
+                encode_integer_arith(enc, iadw, wd - total_width)
+                total_width = wd
+                encode_integer_arith(enc, iaai, len(instances))
+                encode_text_region_arith(
+                    [(dt, fs, instances)], id_bits,
+                    refine_symbols=pool,
+                    refinement_template=refinement_template,
+                    enc=enc, gr_contexts=grctx)
+                pool.append(_bitmap_from_rows(composed))
+                continue
+            rows, ref_id, rdx, rdy = entry
+            wd = len(rows[0])
+            encode_integer_arith(enc, iadw, wd - total_width)
+            total_width = wd
+            encode_integer_arith(enc, iaai, 1)
+            encode_iaid(enc, iaid, ref_id, id_bits)
+            encode_integer_arith(enc, iardx, rdx)
+            encode_integer_arith(enc, iardy, rdy)
+            encode_refinement_region(
+                rows, pool[ref_id], rdx, rdy, wd, height,
+                refinement_template, enc, grctx)
+            pool.append(_bitmap_from_rows(rows))
+        if ci != n_classes - 1:
+            encode_integer_arith(enc, iadw, -81920)  # close the class
+    for run in export_runs or ():
+        encode_integer_arith(enc, iaex, run)
+    return enc.flush()
+
+
 def _bitmap_from_rows(rows: list) -> Bitmap:
     bm = Bitmap(len(rows[0]), len(rows))
     for y, row in enumerate(rows):
@@ -1113,12 +1224,17 @@ def decode_text_region(data: bytes, params: TextRegionParams) -> Bitmap:
     return _decode_text_region_arith(data, params)
 
 
-def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
-    # text_region.rs decode_text_region_arith
-    if len(data) < 2:
-        raise FilterError("Text region data too short")
+def _decode_text_region_arith(data: bytes, params: TextRegionParams,
+                              dec: "MQDecoder | None" = None,
+                              gr_contexts: list | None = None) -> Bitmap:
+    # text_region.rs decode_text_region_arith. ``dec``/``gr_contexts``:
+    # the spec §6.5.8.2.1 symbol-dictionary aggregate composition
+    # continues the dictionary's MQ stream and shares its GR contexts.
+    if dec is None:
+        if len(data) < 2:
+            raise FilterError("Text region data too short")
+        dec = MQDecoder(data)
     bitmap = Bitmap(params.width, params.height, params.flags.default_pixel)
-    dec = MQDecoder(data)
     iadt = new_contexts(512)
     iafs = new_contexts(512)
     iads = new_contexts(512)
@@ -1135,7 +1251,8 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams) -> Bitmap:
         iardh = new_contexts(512)
         iardx = new_contexts(512)
         iardy = new_contexts(512)
-        grctx = new_contexts(1 << 13)
+        grctx = gr_contexts if gr_contexts is not None \
+            else new_contexts(1 << 13)
 
     strip_size = 1 << params.flags.log_strip_size
     stript = 0
@@ -1357,7 +1474,9 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams,
 def encode_text_region_arith(strips: list, codewidth: int,
                              strip_size: int = 1,
                              refine_symbols: list | None = None,
-                             refinement_template: int = 0) -> bytes:
+                             refinement_template: int = 0,
+                             enc: "MQEncoder | None" = None,
+                             gr_contexts: list | None = None) -> bytes:
     """Inverse of _decode_text_region_arith (test support).
 
     ``strips``: [(dt, fs, [(curt, symbol_id[, ds]), ...]), ...]; dt is
@@ -1372,7 +1491,9 @@ def encode_text_region_arith(strips: list, codewidth: int,
             "arith text regions cannot terminate a strip early "
             "(no OOB in the reference integer scheme) — single strip only"
         )
-    enc = MQEncoder()
+    shared = enc is not None
+    if enc is None:
+        enc = MQEncoder()
     iadt = new_contexts(512)
     iafs = new_contexts(512)
     iads = new_contexts(512)
@@ -1387,7 +1508,8 @@ def encode_text_region_arith(strips: list, codewidth: int,
         iardh = new_contexts(512)
         iardx = new_contexts(512)
         iardy = new_contexts(512)
-        grctx = new_contexts(1 << 13)
+        grctx = gr_contexts if gr_contexts is not None \
+            else new_contexts(1 << 13)
     for dt, fs, instances in strips:
         encode_integer_arith(enc, iadt, dt)
         encode_integer_arith(enc, iafs, fs)
@@ -1416,7 +1538,7 @@ def encode_text_region_arith(strips: list, codewidth: int,
                         refinement_template, enc, grctx)
             if i != len(instances) - 1:
                 encode_integer_arith(enc, iads, ds)
-    return enc.flush()
+    return b"" if shared else enc.flush()
 
 
 def encode_text_region_huffman(strips: list, codewidth: int,

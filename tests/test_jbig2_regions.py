@@ -441,6 +441,52 @@ class TestHuffmanSymbolDict:
                for s in d.all_symbols]
         assert got == [SYM_B, composed, follow]
 
+    def test_arith_spec_refagg_roundtrip(self):
+        # opt-in SPEC §6.5.8 for ARITHMETIC dictionaries (default stays
+        # the reference's direct-bitmap fallback): single refinements in
+        # the dictionary's own MQ stream, plus an aggregate text region
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            encode_symbol_dict_arith_refagg)
+
+        # NB deltas ride the reference's PARTIAL integer scheme
+        # (magnitudes {0..3, 64..79, 81920..86015}) — widths chosen so
+        # every DW/DS delta is representable
+        sym_x = [[1, 1, 1], [1, 0, 1], [1, 1, 1]]
+        refined = [[1, 0, 1], [1, 1, 0], [0, 1, 1]]
+        composed = [[0] * 6 for _ in range(3)]
+        _place(composed, refined, 0, 0)
+        _place(composed, SYM_B, 3, 0)  # cur_s = 0 + ds 0 + width 3
+        classes = [(3, [
+            (sym_x, 0, 0, 0),
+            (6, "agg", (0, 0), [(0, 0, 0, (refined, 0, 0)), (0, 0)],
+             composed),
+        ])]
+        payload = encode_symbol_dict_arith_refagg(
+            classes, [SYM_B], num_new_symbols=2)
+        params = SymbolDictParams(
+            flags=SymbolDictFlags.from_u16(0x0002),
+            refinement_at_pixels=((-1, -1), (-1, -1)),
+            num_exported=3, num_new_symbols=2,
+            referred_symbols=[_bm(SYM_B)], spec_refagg=True)
+        d = decode_symbol_dict(payload, params)
+        got = [_grid(s.to_packed_bytes(), s.width, s.height)
+               for s in d.all_symbols]
+        assert got == [SYM_B, sym_x, composed]
+        # the DEFAULT path still decodes the refinement flag as direct
+        # bitmaps (reference parity, symbol_dict.rs:365-371) — the same
+        # payload decodes DIFFERENTLY (garbage-or-different, not equal)
+        params2 = SymbolDictParams(
+            flags=SymbolDictFlags.from_u16(0x0002),
+            num_exported=3, num_new_symbols=2,
+            referred_symbols=[_bm(SYM_B)])
+        try:
+            d2 = decode_symbol_dict(payload, params2)
+            got2 = [_grid(s.to_packed_bytes(), s.width, s.height)
+                    for s in d2.all_symbols]
+            assert got2 != got
+        except FilterError:
+            pass  # direct-bitmap misread of a refagg stream may error
+
     def test_refagg_zero_instances_raises(self):
         from oxidizepdf_spark.kernel.image_codecs import _BitWriter
         from oxidizepdf_spark.kernel.jbig2_regions import (
