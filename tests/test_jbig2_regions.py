@@ -487,6 +487,34 @@ class TestHuffmanSymbolDict:
         except FilterError:
             pass  # direct-bitmap misread of a refagg stream may error
 
+    def test_refagg_mutation_fuzz_contained(self):
+        # byte-flip fuzz over a refagg dictionary exercising both the
+        # single-refinement and aggregate paths — only FilterError
+        # escapes (a corrupt dict must never kill a Spark task)
+        import random
+
+        from oxidizepdf_spark.kernel.jbig2_regions import (
+            build_symbol_dict_payload_huffman_refagg)
+
+        refined = [[1, 0, 1], [1, 1, 0], [0, 1, 1]]
+        composed = [[0] * 8 for _ in range(3)]
+        _place(composed, refined, 0, 0)
+        _place(composed, SYM_B, 4, 0)
+        payload = build_symbol_dict_payload_huffman_refagg(
+            [(3, [(8, "agg", (0, 0),
+                   [(0, 0, 1, (refined, 0, 0)), (0, 0)], composed),
+                  (composed, 1, 0, 0)])],
+            [SYM_B], num_exported=3)
+        rng = random.Random(17)
+        for _ in range(250):
+            mut = bytearray(payload)
+            for _ in range(rng.randrange(1, 5)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            try:
+                self._decode_refagg(bytes(mut), referred=[_bm(SYM_B)])
+            except FilterError:
+                pass
+
     def test_refagg_zero_instances_raises(self):
         from oxidizepdf_spark.kernel.image_codecs import _BitWriter
         from oxidizepdf_spark.kernel.jbig2_regions import (

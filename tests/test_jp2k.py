@@ -257,6 +257,75 @@ def test_mutation_fuzz_contained():
             pass
 
 
+def test_round9_features_compose():
+    # the r9 additions interact: POC volumes over precincted multi-layer
+    # streams, ROI under tiles + packed headers, PCRL over per-res grids
+    # with SOP/EPH, mixed depths with POC — every pair that is legal
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (48, 64)).astype(np.uint8)
+    rgb = rng.integers(0, 256, (40, 56, 3)).astype(np.uint8)
+    # POC + precincts + layers (res-split volumes over a real grid)
+    dec, _ = decode_jp2k(encode_jp2k(
+        img, levels=2, layers=2, precincts=(4, 4),
+        poc=[(0, 0, 2, 1, 1, 1), (0, 0, 2, 3, 1, 0)]))
+    assert np.array_equal(dec[..., 0], img)
+    # ROI + tiles + PPT packed headers + layers
+    dec2, _ = decode_jp2k(encode_jp2k(
+        img, levels=1, layers=2, tile_size=(24, 32),
+        packed_headers="ppt", roi=[0]))
+    assert np.array_equal(dec2[..., 0], img)
+    # PCRL + real grid + SOP/EPH + multi-component
+    dec3, _ = decode_jp2k(encode_jp2k(
+        rgb, levels=1, progression=3, precincts=(4, 4),
+        sop=True, eph=True))
+    assert np.array_equal(dec3, rgb)
+    # mixed depths + POC component-split volumes (no MCT)
+    md = np.stack([rng.integers(0, 1024, (32, 40)),
+                   rng.integers(0, 256, (32, 40))], -1).astype(np.uint16)
+    dec4, info4 = decode_jp2k(encode_jp2k(
+        md, levels=1, layers=2, mct=False,
+        comp_depths={0: 10, 1: 8},
+        poc=[(0, 0, 2, 2, 1, 0), (0, 0, 2, 2, 2, 4)]))
+    assert info4["depths"] == [10, 8]
+    assert np.array_equal(dec4, md)
+    # ROI + irreversible + subsampling
+    ycc = rng.integers(0, 256, (32, 40, 3)).astype(np.uint8)
+    dec5, _ = decode_jp2k(encode_jp2k(
+        ycc, levels=1, mct=False, reversible=False, qstep=0.25,
+        comp_subsampling={1: (2, 2), 2: (2, 2)}, roi=[0]))
+    assert dec5.shape == ycc.shape
+
+
+def test_round9_mutation_fuzz_contained():
+    # mutation fuzz over a stream exercising ALL the new r9 paths
+    # (POC volumes, RGN, precincts, PCRL) — only Jp2kError escapes
+    import random
+
+    rng = random.Random(101)
+    img = (np.random.default_rng(7).integers(0, 256, (40, 48))
+           .astype(np.uint8))
+    base = bytearray(encode_jp2k(
+        img, levels=1, layers=2, precincts=(4, 4), progression=3,
+        roi=[0], eph=True))
+    decode_jp2k(bytes(base))  # sanity: the unmutated stream decodes
+    for _ in range(300):
+        mutated = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            mutated = mutated[: rng.randrange(2, len(mutated))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        else:
+            at = rng.randrange(len(mutated))
+            mutated[at:at] = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 12)))
+        try:
+            decode_jp2k(bytes(mutated))
+        except Jp2kError:
+            pass
+
+
 def test_full_roundtrip_hypothesis():
     from hypothesis import given, settings
     from hypothesis import strategies as st
