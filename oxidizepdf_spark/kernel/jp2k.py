@@ -36,9 +36,10 @@ Scope (raises ``Jp2kError`` beyond it):
   (codeblock contributions accumulate across layers); SOP/EPH
   markers; PLT/COM tile-part headers skipped; PPM/PPT packed packet
   headers decoded; POC progression-order changes honored for any
-  number of volumes (B.12 first-containing-volume packet walk) as
-  long as the volumes jointly cover every packet — a partial cover
-  is a loud error; RGN maxshift ROI honored (Annex H: Mb grows by
+  number of volumes (B.12 first-containing-volume packet walk), in
+  the main header or per tile-part (a tile POC overrides for that
+  tile), as long as the volumes jointly cover every packet — a
+  partial cover is a loud error; RGN maxshift ROI honored (Annex H: Mb grows by
   SPrgn, magnitudes >= 2^SPrgn scale back down) in main and tile
   headers;
 - per-component bit depths 2-16 (mixed depths allowed outside the
@@ -1383,19 +1384,19 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         return out
 
     precinct_pp = _parse_precincts(cod, 10) if scod & 0x01 else None
-    poc_volumes: list | None = None
-    if poc_seg is not None:
+
+    def _parse_poc_volumes(seg: bytes) -> list:
         # POC (A.6.6 / B.12): any number of progression volumes; the
         # packet walk follows the volume sequence, first containing
         # volume wins per packet. The volumes must jointly cover every
-        # packet (checked per tile below) — a partial cover would
-        # silently desynchronize the body walk.
+        # packet (checked per tile) — a partial cover would silently
+        # desynchronize the body walk.
         entry = 7 if ncomp <= 256 else 9
-        if len(poc_seg) < entry or len(poc_seg) % entry:
+        if len(seg) < entry or len(seg) % entry:
             raise Jp2kError("malformed POC segment")
-        poc_volumes = []
-        for off in range(0, len(poc_seg), entry):
-            v = poc_seg[off:off + entry]
+        vols = []
+        for off in range(0, len(seg), entry):
+            v = seg[off:off + entry]
             if ncomp <= 256:
                 rs, cs = v[0], v[1]
                 (lye,) = struct.unpack(">H", v[2:4])
@@ -1411,7 +1412,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 raise Jp2kError(f"unknown progression order {pprog}")
             if rs >= re_ or cs >= ce or lye == 0:
                 raise Jp2kError("empty POC progression volume")
-            poc_volumes.append((rs, cs, lye, re_, ce, pprog))
+            vols.append((rs, cs, lye, re_, ce, pprog))
+        return vols
+
+    poc_volumes: list | None = (
+        _parse_poc_volumes(poc_seg) if poc_seg is not None else None)
     if precinct_pp is not None and any(r != (1, 1) for r in comp_rs):
         raise Jp2kError(
             "precincts with component subsampling not supported")
@@ -1550,7 +1555,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
     def _decode_tile(tile_idx: int, data: bytes,
                      packed: bytes | None = None,
-                     roi: dict | None = None) -> None:
+                     roi: dict | None = None,
+                     poc_override: list | None = None) -> None:
         """``packed``: PPM/PPT packed packet headers — header bits then
         come from this buffer (byte-aligned per packet, EPH inside it)
         while the tile body carries only SOP markers and bodies.
@@ -1621,8 +1627,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         body_walk = body_start  # packed mode: body cursor (SOP + bodies)
         reader = _PacketBitReader(packed if use_packed else data,
                                   0 if use_packed else body_start)
-        if poc_volumes is not None:
-            order = list(_packet_order_poc(poc_volumes, layers,
+        tile_vols = poc_override if poc_override is not None \
+            else poc_volumes
+        if tile_vols is not None:
+            order = list(_packet_order_poc(tile_vols, layers,
                                            levels + 1, ncomp, nprec,
                                            prec_sizes))
             full = layers * ncomp * (
@@ -1824,6 +1832,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     tile_parts: dict[int, list[bytes]] = {}
     tile_packed: dict[int, list[bytes]] = {}
     tile_rgn: dict[int, dict[int, int]] = {}
+    tile_poc: dict[int, list] = {}
     while pos + 4 <= len(data):
         (marker,) = struct.unpack(">H", data[pos:pos + 2])
         if marker == _EOC:
@@ -1845,7 +1854,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             (marker,) = struct.unpack(">H", data[hdr_pos:hdr_pos + 2])
             if marker == _SOD:
                 break
-            if marker in (_PLT, _COM, _PPT, _RGN):
+            if marker in (_PLT, _COM, _PPT, _RGN, _POC):
                 (slen,) = struct.unpack(">H", data[hdr_pos + 2:hdr_pos + 4])
                 if marker == _PPT:
                     ppt_segs.append(data[hdr_pos + 4:hdr_pos + 2 + slen])
@@ -1853,6 +1862,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     crgn, sprgn = _parse_rgn(
                         data[hdr_pos + 4:hdr_pos + 2 + slen])
                     tile_rgn.setdefault(isot, {})[crgn] = sprgn
+                elif marker == _POC:
+                    # A.6.6: a tile-part POC overrides the main-header
+                    # POC (and the COD progression) for this tile
+                    tile_poc[isot] = _parse_poc_volumes(
+                        data[hdr_pos + 4:hdr_pos + 2 + slen])
                 hdr_pos += 2 + slen
                 continue
             raise Jp2kError(
@@ -1877,7 +1891,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     for isot in sorted(tile_parts):
         packed = b"".join(tile_packed.get(isot, [])) or None
         _decode_tile(isot, b"".join(tile_parts[isot]), packed,
-                     roi={**comp_roi, **tile_rgn.get(isot, {})})
+                     roi={**comp_roi, **tile_rgn.get(isot, {})},
+                     poc_override=tile_poc.get(isot))
 
     planes = []
     for c in range(ncomp):

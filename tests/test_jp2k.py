@@ -998,6 +998,42 @@ def test_poc_multi_volume_roundtrip():
     assert np.array_equal(dec3, rgb)
 
 
+def test_poc_in_tile_headers_overrides():
+    # A.6.6: a tile-part POC overrides the COD progression for that
+    # tile. Proof by the mislabel trick per tile: encode LRCP 2-tile,
+    # claim RLCP in COD, splice a whole-stream LRCP POC volume into
+    # EACH tile-part header — decodes iff the per-tile override is used.
+    import struct as _s
+
+    rng = np.random.default_rng(67)
+    img = rng.integers(0, 256, (40, 40)).astype(np.uint8)
+    enc = bytearray(encode_jp2k(img, levels=1, layers=3,
+                                tile_size=(20, 40), progression=0))
+    cod_at = bytes(enc).index(b"\xff\x52")
+    enc[cod_at + 5] = 1  # COD now claims RLCP
+    poc = (b"\xff\x5f" + _s.pack(">H", 9) + bytes([0, 0])
+           + _s.pack(">H", 3) + bytes([2, 1, 0]))
+    out = bytearray()
+    pos = 0
+    data = bytes(enc)
+    while True:
+        sot = data.find(b"\xff\x90", pos)
+        if sot < 0:
+            out += data[pos:]
+            break
+        lsot = _s.unpack(">H", data[sot + 2:sot + 4])[0]
+        psot = _s.unpack(">I", data[sot + 6:sot + 10])[0]
+        hdr_end = sot + 2 + lsot  # tile-part header starts here
+        out += data[pos:sot]
+        patched = bytearray(data[sot:hdr_end])
+        patched[6:10] = _s.pack(">I", psot + len(poc))
+        out += patched + poc
+        pos = hdr_end
+    # without the per-tile POC the stream mis-walks (RLCP vs LRCP)
+    dec, _ = decode_jp2k(bytes(out))
+    assert np.array_equal(dec[..., 0], img)
+
+
 def test_poc_multi_volume_not_covering_raises():
     img = np.zeros((16, 16), np.uint8)
     with pytest.raises(Jp2kError, match="cover the full packet set"):
