@@ -1684,6 +1684,9 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
     import numpy as np
 
     variant %= CODEC_IMAGE_VARIANTS
+    cached = _CODEC_STREAM_MEMO.get(variant)
+    if cached is not None:
+        return _codec_pdf_from_stream(variant, text, *cached)
     parms = b""
     if variant in (0, 1):
         from .kernel.jbig2 import (
@@ -1736,6 +1739,21 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
         payload = encode_jp2k(pix, levels=1, cb_exp=4, reversible=False,
                               qstep=0.5)
         filt, bpc = b"/JPXDecode", 8
+    # the stream bytes are variant-deterministic (fixed pixel pattern,
+    # deterministic encoders) — memoize them so per-document fixture
+    # cost is PDF assembly, not re-running the MQ/DWT/Huffman encoders
+    # (the JBIG2-arith encode alone is ~25 ms/doc unmemoized)
+    _CODEC_STREAM_MEMO[variant] = (w, h, bpc, filt, parms, payload)
+    return _codec_pdf_from_stream(variant, text, w, h, bpc, filt,
+                                  parms, payload)
+
+
+_CODEC_STREAM_MEMO: dict[int, tuple] = {}  # 6 entries max, tiny streams
+
+
+def _codec_pdf_from_stream(variant: int, text: str, w: int, h: int,
+                           bpc: int, filt: bytes, parms: bytes,
+                           payload: bytes) -> bytes:
     img_obj = (
         b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
         b"/ColorSpace /DeviceGray /BitsPerComponent %d /Filter %s%s "
