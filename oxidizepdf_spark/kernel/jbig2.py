@@ -693,9 +693,33 @@ class Jbig2Decoder:
 
     def _decode_file(self, data: bytes) -> bytes:
         file_org_flags = data[8]
-        if file_org_flags & 0x01:
-            raise FilterError("Random access JBIG2 files not supported")
         pos = 13 if (file_org_flags & 0x02) == 0 else 9
+        if file_org_flags & 0x01:
+            # random-access organisation (T.88 D.2): every segment
+            # header first — the run closed by the end-of-file header —
+            # then the data parts concatenated in the same order
+            # (previously a raise; PDF streams never carry the file
+            # wrapper, so this only serves standalone decode calls)
+            headers = []
+            while pos < len(data):
+                header = parse_segment_header(data[pos:])
+                pos += header.header_length
+                if header.segment_type == SEG_END_OF_FILE:
+                    break
+                if header.data_length == 0xFFFFFFFF:
+                    raise FilterError(
+                        "unknown-length segment in random-access file")
+                headers.append(header)
+            for header in headers:
+                end = pos + header.data_length
+                if end > len(data):
+                    break
+                try:
+                    self._process_segment(header, data[pos:end])
+                except FilterError:
+                    pass  # same failed-segment skip as the sequential walk
+                pos = end
+            return self._finalize_output()
         return self._decode_segments(data, pos)
 
     def _decode_segments(self, data: bytes, pos: int) -> bytes:

@@ -380,7 +380,30 @@ class TestFullDecode:
             JBIG2_FILE_ID + bytes([0x00]) + (1).to_bytes(4, "big") + segs
         ) == exp
 
-    def test_random_access_file_rejected(self):
+    def test_random_access_file_organisation(self):
+        # T.88 D.2 (r9, previously a raise): all segment headers first,
+        # the run closed by the end-of-file header, then the data parts
+        # in the same order
+        from oxidizepdf_spark.kernel.jbig2 import (
+            SEG_END_OF_FILE,
+            parse_segment_header,
+        )
+
+        w, h = 16, 4
+        rows = [[x % 2 for x in range(w)] for _ in range(h)]
+        segs = self._basic_stream(rows, w, h)
+        headers, datas = b"", b""
+        pos = 0
+        while pos < len(segs):
+            hdr = parse_segment_header(segs[pos:])
+            headers += segs[pos:pos + hdr.header_length]
+            start = pos + hdr.header_length
+            datas += segs[start:start + hdr.data_length]
+            pos = start + hdr.data_length
+        eof = build_segment(99, SEG_END_OF_FILE, 1, b"")
+        ra = JBIG2_FILE_ID + bytes([0x03]) + headers + eof + datas
+        assert decode_jbig2(ra) == _pack_rows(rows, w)
+        # truncated header run still fails with a structured error
         with pytest.raises(FilterError):
             decode_jbig2(JBIG2_FILE_ID + bytes([0x01]) + b"\x00" * 8)
 
