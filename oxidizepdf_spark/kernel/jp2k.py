@@ -60,7 +60,8 @@ Scope (raises ``Jp2kError`` beyond it):
   located and the codestream decoded from it).
 
 Everything heavy is numpy: the lifting DWT runs whole-array slicing,
-Tier-1 walks coefficients per codeblock (bounded 64x64)."""
+Tier-1 walks coefficients per codeblock (area bounded by the
+A.6.1 xcb+ycb <= 12 limit; rectangular codeblocks supported)."""
 
 from __future__ import annotations
 
@@ -979,8 +980,8 @@ class _BandState:
         self.first = np.ones((nby, nbx), dtype=bool)
 
 
-def _cb_grid(bh: int, bw: int, cbs: int) -> tuple[int, int]:
-    return (-(-bh // cbs) if bh else 0, -(-bw // cbs) if bw else 0)
+def _cb_grid(bh: int, bw: int, cbh: int, cbw: int) -> tuple[int, int]:
+    return (-(-bh // cbh) if bh else 0, -(-bw // cbw) if bw else 0)
 
 
 def _res_dims(th: int, tw: int, levels: int, res: int) -> tuple[int, int]:
@@ -1010,17 +1011,19 @@ def _precinct_counts(th: int, tw: int, levels: int, res: int,
     return max(npy, 1), max(npx, 1)
 
 
-def _band_cb_geometry(res: int, bh: int, bw: int, cbs: int,
+def _band_cb_geometry(res: int, bh: int, bw: int, cbs: tuple,
                       pp) -> tuple:
     """Effective codeblock size and grid for one band under precinct
-    partition ``pp`` (None = whole-band precincts): returns
+    partition ``pp`` (None = whole-band precincts); ``cbs`` is the
+    signalled (height, width) — rectangular codeblocks are legal as
+    long as xcb+ycb <= 12 (A.6.1). Returns
     (cb_h, cb_w, nby, nbx, cell_h, cell_w)."""
     if pp is None:
-        nby, nbx = _cb_grid(bh, bw, cbs)
-        return cbs, cbs, nby, nbx, None, None
+        nby, nbx = _cb_grid(bh, bw, cbs[0], cbs[1])
+        return cbs[0], cbs[1], nby, nbx, None, None
     cell_h, cell_w, _ppy, _ppx = _precinct_geometry(res, pp)
-    cb_h = min(cbs, cell_h)
-    cb_w = min(cbs, cell_w)
+    cb_h = min(cbs[0], cell_h)
+    cb_w = min(cbs[1], cell_w)
     nby = -(-bh // cb_h) if bh else 0
     nbx = -(-bw // cb_w) if bw else 0
     return cb_h, cb_w, nby, nbx, cell_h, cell_w
@@ -1361,8 +1364,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     levels = cod[5]
     cb_w_exp = (cod[6] & 0x0F) + 2
     cb_h_exp = (cod[7] & 0x0F) + 2
-    if cb_w_exp != cb_h_exp:
-        raise Jp2kError("non-square codeblocks not supported")
+    if cb_w_exp + cb_h_exp > 12:
+        raise Jp2kError("codeblock area exceeds the A.6.1 limit")
     cb_style = cod[8]
     if cb_style & ~0x3F:
         raise Jp2kError(
@@ -1423,7 +1426,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if cod[9] not in (0, 1):
         raise Jp2kError(f"unknown wavelet transform {cod[9]}")
     reversible = cod[9] == 1
-    cbs = 1 << cb_w_exp
+    cbs = (1 << cb_h_exp, 1 << cb_w_exp)
 
     def _parse_quant(qbytes: bytes) -> tuple:
         """(qstyle, guard, exps, mus) from a QCD/QCC parameter body:
@@ -1488,14 +1491,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 "per-component decomposition levels not supported")
         cw = (seg[3] & 0x0F) + 2
         ch = (seg[4] & 0x0F) + 2
-        if cw != ch:
-            raise Jp2kError("non-square codeblocks not supported")
+        if cw + ch > 12:
+            raise Jp2kError("codeblock area exceeds the A.6.1 limit")
         cst = seg[5]
         if cst & ~0x3F:
             raise Jp2kError(f"undefined codeblock style bits {cst:#x}")
         if seg[6] not in (0, 1):
             raise Jp2kError(f"unknown wavelet transform {seg[6]}")
-        comp_cfg[ci] = (1 << cw, cst, seg[6] == 1)
+        comp_cfg[ci] = ((1 << ch, 1 << cw), cst, seg[6] == 1)
     comp_quant = {c: _parse_quant(qcd) for c in range(ncomp)}
     for seg in qcc_segs:
         if len(seg) < 2:
@@ -1949,7 +1952,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 poc: list | None = None,
                 roi: list | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
-    (single tile; 5/3 reversible + RCT by default).  With
+    (single tile; 5/3 reversible + RCT by default; ``cb_exp`` may be
+    one exponent or an (ycb, xcb) pair for rectangular codeblocks).  With
     ``layers > 1`` each codeblock's coding passes are split across
     quality layers (inclusion layers staggered per block to exercise
     the tag trees); ``progression`` selects the packet order (0=LRCP,
@@ -1993,7 +1997,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("encoder expects uint8 or uint16 samples")
     if not 1 <= nc <= 4:
         raise Jp2kError("1-4 components supported")
-    if not 2 <= cb_exp <= 10:
+    cb_he, cb_we = (cb_exp if isinstance(cb_exp, tuple)
+                    else (cb_exp, cb_exp))
+    if not (2 <= cb_he <= 10 and 2 <= cb_we <= 10 and cb_he + cb_we <= 12):
         raise Jp2kError("codeblock exponent out of range")
     max_levels = max(0, (min(h, w) - 1).bit_length() - 1) if min(h, w) > 1 else 0
     levels = max(0, min(levels, max_levels, 32))
@@ -2034,7 +2040,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 f"component {c} samples exceed declared depth {d}")
     if use_mct and len(set(depths[:3])) != 1:
         raise Jp2kError("MCT requires equal depths across components")
-    cbs = 1 << cb_exp
+    cbs = (1 << cb_he, 1 << cb_we)
     guard = 2
 
     shifts = np.array([1 << (d - 1) for d in depths])
@@ -2428,7 +2434,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     ]) + struct.pack(">H", layers) + bytes([
         1 if use_mct else 0,    # MCT
         levels,
-        cb_exp - 2, cb_exp - 2,
+        cb_we - 2, cb_he - 2,
         cb_style,
         1 if reversible else 0,  # wavelet: 5/3 reversible / 9/7
     ])
@@ -2466,7 +2472,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
     for ci, cst in sorted(coc_styles.items()):
         coc = bytes([ci, 0x01 if precincts is not None else 0, levels,
-                     cb_exp - 2, cb_exp - 2, cst,
+                     cb_we - 2, cb_he - 2, cst,
                      1 if reversible else 0])
         if precincts is not None:
             coc += bytes((ppy << 4) | ppx for ppx, ppy in precincts)

@@ -750,12 +750,13 @@ class TestTextRegion:
         _place(exp, shrunk, 1, 1)
         assert _grid(out, w, h) == exp
 
-    def test_sbdsoffset_applies_to_s_walk(self):
+    @pytest.mark.parametrize("huffman", [False, True])
+    def test_sbdsoffset_applies_to_s_walk(self, huffman):
         # SBDSOFFSET (flags bits 10-14, signed): every inter-instance S
         # delta grows by it — the reference ignores the field entirely
         w, h = 32, 12
         strips = [(1, 1, [(0, 0, 2), (0, 2, 1), (0, 1)])]
-        out = decode_jbig2(_text_stream(strips, w, h, huffman=True,
+        out = decode_jbig2(_text_stream(strips, w, h, huffman=huffman,
                                         s_offset=3))
         exp = [[0] * w for _ in range(h)]
         _place(exp, SYM_A, 1, 1)

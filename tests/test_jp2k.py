@@ -1042,6 +1042,32 @@ def test_poc_multi_volume_not_covering_raises():
                          (2, 0, 1, 3, 1, 0)])  # res 2 misses layer 1
 
 
+def test_rectangular_codeblocks_roundtrip():
+    # A.6.1 allows xcb != ycb (xcb+ycb <= 12) — previously a raise
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (40, 56)).astype(np.uint8)
+    for he, we in ((3, 5), (6, 4), (2, 10)):
+        dec, _ = decode_jp2k(encode_jp2k(img, levels=2, cb_exp=(he, we)))
+        assert np.array_equal(dec[..., 0], img), (he, we)
+    # composed with layers + precincts (codeblocks clip to cells) and
+    # with the irreversible path
+    dec2, _ = decode_jp2k(encode_jp2k(img, levels=1, cb_exp=(4, 6),
+                                      layers=2, precincts=(5, 5)))
+    assert np.array_equal(dec2[..., 0], img)
+    dec3, _ = decode_jp2k(encode_jp2k(img, levels=1, cb_exp=(3, 6),
+                                      reversible=False, qstep=0.5))
+    assert int(np.abs(dec3[..., 0].astype(np.int64)
+                      - img.astype(np.int64)).max()) <= 2
+    # the A.6.1 area limit is enforced both ways
+    with pytest.raises(Jp2kError, match="out of range"):
+        encode_jp2k(img, cb_exp=(7, 7))
+    enc = bytearray(encode_jp2k(img, levels=1))
+    cod_at = bytes(enc).index(b"\xff\x52")
+    enc[cod_at + 10] = 8  # xcb-2: now 10 with ycb 6 -> 16 > 12
+    with pytest.raises(Jp2kError, match="A.6.1"):
+        decode_jp2k(bytes(enc))
+
+
 def test_roi_maxshift_roundtrip():
     # Annex H maxshift: the encoder scales ROI coefficients above the
     # background's magnitude range; the decoder recognizes them purely
