@@ -900,19 +900,36 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     Table 22, kernel/permissions.py): the fixture masks off COPY for
     doc_id%3==0 and PRINT for doc_id%3==1 — /P participates in the RC4
     key derivation, so a wrong bit would break decryption, making the
-    recovered-text columns a cross-check on the permission columns."""
+    recovered-text columns a cross-check on the permission columns.
+
+    Round 9 adds the PUBLIC-KEY handler surface (/Adobe.PubSec §7.6.5 —
+    BEYOND the reference, whose reader never wires public_key.rs): each
+    document also round-trips a recipient-encrypted PDF (cipher rotates
+    rc4-128/aes-128/aes-256 by doc_id%3) opened with the embedded test
+    RSA key, and asserts keyless extraction stays error='encrypted'
+    (pubsec_text / pubsec_unlocked / pubsec_nokey_error columns)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .corpus import build_encrypted_pdf, build_text_pdf
+        from .corpus import (
+            build_encrypted_pdf,
+            build_pubkey_encrypted_pdf,
+            build_text_pdf,
+        )
         from .kernel.extract import extract_pdf_bytes
         from .kernel.permissions import document_permissions
+        from .kernel.signatures import TEST_RSA_D, TEST_RSA_N
+        from .kernel.textstate import ExtractionOptions
 
+        pub_methods = ("rc4-128", "aes-128", "aes-256")
+        rkey = ExtractionOptions(recipient_key=(TEST_RSA_N, TEST_RSA_D))
         for b in batches:
             out = {
                 "doc_id": [], "method": [], "text": [],
                 "n_lines": [], "unlocked": [],
                 "detect_error": [], "detect_n_spans": [],
                 "can_copy": [], "can_print": [],
+                "pubsec_text": [], "pubsec_unlocked": [],
+                "pubsec_nokey_error": [],
             }
             for doc_id, norm in zip(b["doc_id"], b["norm"]):
                 method = "rc4-128" if int(doc_id) % 2 == 0 else "aes-128"
@@ -929,6 +946,11 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                     b"trailer\n<< /Size", b"trailer\n<< /Encrypt 9 0 R /Size", 1
                 )
                 det = extract_pdf_bytes(bogus)
+                word = next((w for w in norm.split(" ") if w), "x")
+                ppdf = build_pubkey_encrypted_pdf(
+                    word, method=pub_methods[int(doc_id) % 3])
+                pres = extract_pdf_bytes(ppdf, rkey)
+                pno = extract_pdf_bytes(ppdf)
                 out["doc_id"].append(doc_id)
                 out["method"].append(method)
                 out["text"].append(text.replace("\n", " "))
@@ -940,6 +962,10 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["detect_n_spans"].append(len(det.spans))
                 out["can_copy"].append(perms.can_copy())
                 out["can_print"].append(perms.can_print())
+                out["pubsec_text"].append(
+                    pres.page_texts[0] if pres.page_texts else "")
+                out["pubsec_unlocked"].append(pres.error is None)
+                out["pubsec_nokey_error"].append(pno.error)
             yield pd.DataFrame(out)
 
     docs = _rebalance_for_udf(
@@ -950,7 +976,8 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, method string, text string, n_lines int, "
         "unlocked boolean, detect_error string, detect_n_spans int, "
-        "can_copy boolean, can_print boolean",
+        "can_copy boolean, can_print boolean, pubsec_text string, "
+        "pubsec_unlocked boolean, pubsec_nokey_error string",
     )
 
 
@@ -958,15 +985,25 @@ def _pdf_encrypted_merged_oracle() -> str:
     norm = NORM_SQL.format(col="text")
     n_words = f"len(string_split({norm}, ' '))"
     return f"""
+WITH n AS (
+  SELECT doc_id, {norm} AS norm,
+         list_filter(string_split({norm}, ' '),
+                     w -> len(w) > 0) AS ws
+  FROM documents
+)
 SELECT doc_id,
        CASE WHEN doc_id % 2 = 0 THEN 'rc4-128' ELSE 'aes-128' END AS method,
-       {norm} AS text,
-       CAST(ceil({n_words} / {WORDS_PER_LINE}.0) AS INT) AS n_lines,
+       norm AS text,
+       CAST(ceil(len(string_split(norm, ' ')) / {WORDS_PER_LINE}.0)
+            AS INT) AS n_lines,
        TRUE AS unlocked,
        'encrypted' AS detect_error, 0 AS detect_n_spans,
        doc_id % 3 <> 0 AS can_copy,
-       doc_id % 3 <> 1 AS can_print
-FROM documents
+       doc_id % 3 <> 1 AS can_print,
+       CASE WHEN len(ws) = 0 THEN 'x' ELSE ws[1] END AS pubsec_text,
+       TRUE AS pubsec_unlocked,
+       'encrypted' AS pubsec_nokey_error
+FROM n
 """
 
 
