@@ -936,7 +936,7 @@ def build_encrypted_pdf(
 
 def build_pubkey_encrypted_pdf(
     text: str, method: str = "aes-128", p: int = -4,
-    junk_recipient: bool = True,
+    junk_recipient: bool = True, length_in_cf_only: bool = False,
 ) -> bytes:
     """One-page PDF encrypted with the PUBLIC-KEY security handler
     (/Adobe.PubSec, ISO 32000-1 §7.6.5) for the embedded deterministic
@@ -947,7 +947,9 @@ def build_pubkey_encrypted_pdf(
     ``method``: 'rc4-128' (V2, SubFilter adbe.pkcs7.s4) | 'aes-128'
     (V4 AESV2, adbe.pkcs7.s5) | 'aes-256' (V5 AESV3, adbe.pkcs7.s5).
     ``junk_recipient`` prepends an envelope nobody can open (the
-    multi-recipient walk)."""
+    multi-recipient walk).  ``length_in_cf_only`` drops the top-level
+    /Length so the key size comes from the crypt filter's /Length (in
+    bytes, §7.6.5) alone — a real-world adbe.pkcs7.s5 shape."""
     import hashlib
 
     from .kernel.crypto import PublicKeySecurityHandler, aes_cbc_encrypt_nopad, rc4
@@ -964,6 +966,10 @@ def build_pubkey_encrypted_pdf(
 
     enc: dict = {"Filter": "Adobe.PubSec", "SubFilter": subfilter,
                  "V": v, "Length": length, "P": p}
+    if length_in_cf_only:
+        if cfm is None:
+            raise ValueError("length_in_cf_only needs a crypt filter")
+        del enc["Length"]
     if cfm is None:
         enc["Recipients"] = recipients
     else:
@@ -1006,8 +1012,10 @@ def build_pubkey_encrypted_pdf(
            b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
         4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
-        6: b"<< /Filter /Adobe.PubSec /SubFilter /%s /V %d /Length %d /P %d%s >>"
-           % (subfilter.encode(), v, length, p, enc_clause),
+        6: b"<< /Filter /Adobe.PubSec /SubFilter /%s /V %d%s /P %d%s >>"
+           % (subfilter.encode(), v,
+              b"" if length_in_cf_only else b" /Length %d" % length,
+              p, enc_clause),
     }
     out = bytearray(BINARY_MARKER)
     offsets: dict[int, int] = {}

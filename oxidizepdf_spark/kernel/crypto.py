@@ -506,12 +506,13 @@ class PublicKeySecurityHandler(StandardSecurityHandler):
     /EncryptMetadata is false. Object-level decryption then reuses the
     standard handler's algorithms 1/1.A unchanged."""
 
-    __slots__ = ("subfilter", "recipients", "perms")
+    __slots__ = ("subfilter", "recipients", "perms", "_cf_key_bytes")
 
     def __init__(self, enc: dict, file_id: bytes | None):
         super().__init__(enc, file_id)
         self.subfilter = str(enc.get("SubFilter", ""))
         self.perms: int | None = None
+        self._cf_key_bytes: int | None = None
         recipients = enc.get("Recipients")
         if recipients is None:
             cf = enc.get("CF")
@@ -524,6 +525,14 @@ class PublicKeySecurityHandler(StandardSecurityHandler):
                         em = f.get("EncryptMetadata")
                         if isinstance(em, bool):
                             self.encrypt_metadata = em
+                        # §7.6.5: a crypt-filter /Length is in BYTES
+                        # (top-level /Length is bits).  Some producers
+                        # still write bits there; treat >=40 as bits.
+                        fl = f.get("Length")
+                        if isinstance(fl, int) and fl > 0:
+                            self._cf_key_bytes = fl // 8 if fl >= 40 else fl
+                        elif str(f.get("CFM", "")) == "AESV2":
+                            self._cf_key_bytes = 16
                         break
         if isinstance(recipients, bytes):
             recipients = [recipients]
@@ -544,6 +553,11 @@ class PublicKeySecurityHandler(StandardSecurityHandler):
                 break
             except SignatureError:
                 continue
+            except Exception:
+                # a structurally malformed foreign RecipientInfo (bad
+                # DER, truncated OCTET STRING, ...) must not abort the
+                # walk — keep trying the remaining envelopes
+                continue
         if opened is None or len(opened) < 24:
             return False
         seed, perms = opened[:20], opened[20:24]
@@ -557,6 +571,8 @@ class PublicKeySecurityHandler(StandardSecurityHandler):
         if self.v == 5:
             self.key = h.digest()
         else:
-            self.key = h.digest()[:max(5, min(self.length // 8, 16))]
+            kb = (self._cf_key_bytes if self._cf_key_bytes
+                  else self.length // 8)
+            self.key = h.digest()[:max(5, min(kb, 16))]
         self.unlocked = True
         return True

@@ -1275,15 +1275,22 @@ def _decode_text_region_arith(data: bytes, params: TextRegionParams,
             else:
                 symbol_id = 0
             symbol = symbols[symbol_id] if symbol_id < len(symbols) else None
-            if symbol is not None and refine and \
-                    decode_integer_arith(dec, iari):
+            if refine and decode_integer_arith(dec, iari):
+                # decode the refinement fields UNCONDITIONALLY: an
+                # out-of-range symbol ID must not desynchronize the MQ
+                # stream for every remaining instance.  With no symbol
+                # the bitmap pass refines a 1x1 blank (best-effort
+                # sync) and the result is discarded.
                 rdw = decode_integer_arith(dec, iardw)
                 rdh = decode_integer_arith(dec, iardh)
                 rdx = decode_integer_arith(dec, iardx)
                 rdy = decode_integer_arith(dec, iardy)
-                symbol = refine_instance(symbol, rdw, rdh, rdx, rdy,
-                                         flags.refinement_template,
-                                         dec, grctx)
+                refined = refine_instance(
+                    symbol if symbol is not None else Bitmap(1, 1),
+                    rdw, rdh, rdx, rdy, flags.refinement_template,
+                    dec, grctx)
+                if symbol is not None:
+                    symbol = refined
             if symbol is not None:
                 if flags.is_transposed:
                     px, py = compute_placement(t, cur_s, symbol,
@@ -1431,10 +1438,12 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams,
             else:
                 symbol_id = 0
             symbol = symbols[symbol_id] if symbol_id < len(symbols) else None
-            if symbol is not None and refine and reader.read_bit():
+            if refine and reader.read_bit():
                 # §6.4.11 SBHUFF refinement: RDW/RDH/RDX/RDY from Table
                 # B.15, size from B.1 (SBHUFFRSIZE), then a byte-aligned
-                # MQ refinement segment
+                # MQ refinement segment.  Fields are consumed even for
+                # an out-of-range symbol ID (the length-prefixed bitmap
+                # is simply skipped) so the bit stream stays in sync.
                 rdw = decode_huffman_int(reader, 15)
                 rdh = decode_huffman_int(reader, 15)
                 rdx = decode_huffman_int(reader, 15)
@@ -1445,10 +1454,11 @@ def _decode_text_region_huffman(data: bytes, params: TextRegionParams,
                 if bmsize <= 0 or start + bmsize > len(data):
                     raise FilterError(
                         "text region refinement bitmap truncated")
-                symbol = refine_instance(
-                    symbol, rdw, rdh, rdx, rdy,
-                    flags.refinement_template,
-                    MQDecoder(data[start:start + bmsize]), gr_contexts)
+                if symbol is not None:
+                    symbol = refine_instance(
+                        symbol, rdw, rdh, rdx, rdy,
+                        flags.refinement_template,
+                        MQDecoder(data[start:start + bmsize]), gr_contexts)
                 reader.pos = (start + bmsize) << 3
             if symbol is not None:
                 if flags.is_transposed:

@@ -1727,7 +1727,18 @@ def open_enveloped_data(blob: bytes, rsa_n: int, rsa_d: int) -> bytes:
     """Decrypt one recipient envelope with the given RSA private key and
     return the plaintext content (the §7.6.5 20-byte seed + 4-byte
     permissions). Raises SignatureError when this key opens no
-    RecipientInfo or on structural problems."""
+    RecipientInfo or on structural problems — structural errors from a
+    malformed foreign RecipientInfo are normalized so a multi-recipient
+    walk can continue to the next envelope."""
+    try:
+        return _open_enveloped_data(blob, rsa_n, rsa_d)
+    except SignatureError:
+        raise
+    except (IndexError, ValueError, OverflowError, KeyError, TypeError) as e:
+        raise SignatureError(f"malformed EnvelopedData: {e}") from None
+
+
+def _open_enveloped_data(blob: bytes, rsa_n: int, rsa_d: int) -> bytes:
     from .crypto import aes_cbc_decrypt
 
     root, _ = parse_der(blob)

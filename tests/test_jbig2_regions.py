@@ -737,6 +737,28 @@ class TestTextRegion:
         _place(exp, SYM_C, 10, 1)    # 5 + ds 1 + REFINED width 4
         assert _grid(out, w, h) == exp
 
+    @pytest.mark.parametrize("huffman", [False, True])
+    def test_out_of_range_symbol_id_keeps_stream_in_sync(self, huffman):
+        # r9 ADVICE: an out-of-range symbol ID whose instance carries
+        # refinement must still consume the RI bit and the refinement
+        # fields — skipping them desynchronized every remaining
+        # instance.  The phantom encoder-side reference is 1x1 blank so
+        # the arith best-effort decode (refining Bitmap(1,1)) walks the
+        # exact same GR contexts and the stream stays bit-identical; the
+        # Huffman path skips the length-prefixed bitmap outright.
+        w, h = 32, 12
+        refined = [[1, 0], [0, 1]]
+        pool = [SYM_A, SYM_B, SYM_C, [[0]]]  # id 3 exists only here
+        strips = [(1, 1, [(0, 0, 2), (0, 3, 1, (refined, 0, 0)), (0, 2)])]
+        out = decode_jbig2(_text_stream(strips, w, h, huffman=huffman,
+                                        refine_symbols=pool))
+        exp = [[0] * w for _ in range(h)]
+        _place(exp, SYM_A, 1, 1)
+        # skipped instance adds ds only (no symbol width): 1 + 2 + 2 = 5
+        # then 5 + 1 = 6
+        _place(exp, SYM_C, 6, 1)
+        assert _grid(out, w, h) == exp
+
     def test_refined_instance_growth_and_offsets(self):
         # negative RDW/RDH and nonzero RDX/RDY take T.88's floor-shift
         # reference offsets; roundtrip pins the convention both ways

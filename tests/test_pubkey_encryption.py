@@ -131,3 +131,75 @@ def test_encrypt_metadata_false_changes_key():
     assert h2.key == expect and h1.key != h2.key
     assert h1.key == hashlib.sha1(seed + blob).digest()[:16]
     assert h1.perms == (-4 & 0xFFFFFFFF)
+
+
+# ---------------------------------------------------------------------------
+# r9 ADVICE regressions
+# ---------------------------------------------------------------------------
+
+
+def _malformed_envelope() -> bytes:
+    """An envelope whose RecipientInfo is structurally broken such that
+    the DER walk used to escape with a raw IndexError (fuzz-found:
+    single byte 36 flipped to 0x2E)."""
+    blob = bytearray(build_recipient_envelope(hashlib.sha1(b"advicetest").digest(), -4))
+    blob[36] = 46
+    return bytes(blob)
+
+
+def test_malformed_envelope_raises_signature_error_only():
+    # open_enveloped_data normalizes structural errors (the fuzz
+    # contract): never a bare IndexError/ValueError
+    with pytest.raises(SignatureError):
+        open_enveloped_data(_malformed_envelope(), *KEY)
+
+
+def test_recipient_walk_survives_malformed_foreign_envelope():
+    """A structurally malformed foreign RecipientInfo earlier in
+    /Recipients must not abort the walk — the valid envelope after it
+    still unlocks (r9 ADVICE, crypto.py try_recipient_key)."""
+    from oxidizepdf_spark.kernel.crypto import PublicKeySecurityHandler
+
+    seed = hashlib.sha1(b"walk").digest()
+    good = build_recipient_envelope(seed, -4)
+    enc = {"Filter": "Adobe.PubSec", "SubFilter": "adbe.pkcs7.s4",
+           "V": 2, "Length": 128,
+           "Recipients": [_malformed_envelope(), good]}
+    h = PublicKeySecurityHandler(enc, None)
+    assert h.try_recipient_key(*KEY)
+    assert h.key == hashlib.sha1(
+        seed + _malformed_envelope() + good).digest()[:16]
+
+
+def test_cf_length_bytes_sizes_key_without_top_level_length():
+    """adbe.pkcs7.s5 carrying /Length only inside /CF (in BYTES per
+    §7.6.5): the key must be 16 bytes, not the 5-byte top-level-default
+    derivation (r9 ADVICE, crypto.py key sizing)."""
+    from oxidizepdf_spark.kernel.crypto import PublicKeySecurityHandler
+
+    seed = hashlib.sha1(b"cflen").digest()
+    blob = build_recipient_envelope(seed, -4)
+    enc = {"Filter": "Adobe.PubSec", "SubFilter": "adbe.pkcs7.s5",
+           "V": 4,  # no top-level /Length → default 40 bits
+           "CF": {"DefaultCryptFilter": {
+               "CFM": "AESV2", "Length": 16, "Recipients": [blob]}},
+           "StmF": "DefaultCryptFilter", "StrF": "DefaultCryptFilter"}
+    h = PublicKeySecurityHandler(enc, None)
+    assert h.try_recipient_key(*KEY)
+    assert len(h.key) == 16
+    assert h.key == hashlib.sha1(seed + blob).digest()[:16]
+    # bits-in-CF producer quirk: 128 means 16 bytes, not capped 16×8
+    enc2 = {**enc, "CF": {"DefaultCryptFilter": {
+        "CFM": "AESV2", "Length": 128, "Recipients": [blob]}}}
+    h2 = PublicKeySecurityHandler(enc2, None)
+    assert h2.try_recipient_key(*KEY) and len(h2.key) == 16
+
+
+def test_pubkey_pdf_length_in_cf_only_roundtrip():
+    text = "Length lives in the crypt filter"
+    pdf = build_pubkey_encrypted_pdf(text, method="aes-128",
+                                     length_in_cf_only=True)
+    assert b"/Length 16" in pdf and b"/Length 128" not in pdf
+    res = extract_pdf_bytes(pdf, ExtractionOptions(recipient_key=KEY))
+    assert res.error is None
+    assert text in "\n".join(res.page_texts)
