@@ -137,24 +137,92 @@ def _dwt53_1d_inverse(low: np.ndarray, high: np.ndarray) -> np.ndarray:
     return out
 
 
-def dwt53_forward_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
+def _pse_idx(k: int, n: int) -> int:
+    """Periodic symmetric extension (F.3.5): map any integer position
+    ``k`` (relative, may be negative) onto an index in [0, n) by
+    whole-sample reflection with period 2(n-1)."""
+    if n == 1:
+        return 0
+    t = k % (2 * (n - 1))
+    return t if t < n else 2 * (n - 1) - t
+
+
+def _dwt1d_forward(x: np.ndarray, p: int, rev: bool):
+    """1D_SD with an arbitrary signal origin parity ``p`` = i0 mod 2
+    (F.3.2: low coefficients live at EVEN absolute positions, so an
+    odd origin starts the interleave on a high sample).  Implemented by
+    PSE-extending the signal left by an odd count (3 for 5/3, 5 for
+    9/7 — past the retained outputs' lifting reach) so the zero-origin
+    vectorized transform applies, then dropping the extension outputs."""
+    base = _dwt53_1d_forward if rev else _dwt97_1d_forward
+    if p == 0:
+        return base(x)
+    n = x.shape[0]
+    if n == 0:
+        return base(x)
+    if n == 1:
+        # single sample at an odd position is one HIGH coefficient:
+        # Y(i0) = 2 X(i0) for the reversible filter (F.3.7 region;
+        # exact halving on the inverse), K-scaled for the 9/7
+        if rev:
+            return x[:0].astype(np.int64), 2 * x.astype(np.int64)
+        return x[:0].astype(np.float64), x.astype(np.float64) * _K97
+    e = 3 if rev else 5
+    pre = x[[_pse_idx(-k, n) for k in range(e, 0, -1)]]
+    low, high = base(np.concatenate([pre, x], axis=0))
+    return low[(e + 1) // 2:], high[e // 2:]
+
+
+def _dwt1d_inverse(low: np.ndarray, high: np.ndarray, p: int, rev: bool):
+    """1D_SR for an arbitrary origin parity (see _dwt1d_forward): the
+    interleaved coefficient array is PSE-extended left so the start
+    parity becomes even, the zero-origin inverse runs, and the
+    extension samples are dropped."""
+    base = _dwt53_1d_inverse if rev else _dwt97_1d_inverse
+    if p == 0:
+        return base(low, high)
+    ne, no = low.shape[0], high.shape[0]
+    n = ne + no
+    if n == 0:
+        return base(low, high)
+    if n == 1:
+        if no == 1:  # lone high coefficient at the odd position
+            return (high.astype(np.int64) >> 1) if rev else \
+                high.astype(np.float64) * (1.0 / _K97)
+        return base(low, high)
+    e = 3 if rev else 5
+
+    def y_at(t):  # interleaved coefficient at relative position t
+        # origin odd: even t -> odd absolute position -> high band
+        return high[t // 2] if (t & 1) == 0 else low[(t - 1) // 2]
+
+    pre = [y_at(_pse_idx(-k, n)) for k in range(e, 0, -1)]
+    ext_low = np.concatenate([np.stack(pre[0::2]), low], axis=0)
+    ext_high = np.concatenate([np.stack(pre[1::2]), high], axis=0)
+    return base(ext_low, ext_high)[e:]
+
+
+def dwt53_forward_2d(a: np.ndarray,
+                     origin: tuple = (0, 0)) -> tuple[np.ndarray, ...]:
     """One 2D level: returns (LL, HL, LH, HH).  HL = horizontally
     high-pass (vertical detail band in T.800 naming: band with the
-    high-pass filter applied along x)."""
-    lo_r, hi_r = _dwt53_1d_forward(a.T)  # along columns of a.T = rows of a
-    # rows first: split columns (x direction)
-    ll_lh_src = lo_r.T  # low-pass along x
-    hl_hh_src = hi_r.T  # high-pass along x
-    ll, lh = _dwt53_1d_forward(ll_lh_src)
-    hl, hh = _dwt53_1d_forward(hl_hh_src)
+    high-pass filter applied along x).  ``origin``: the signal's
+    absolute (y0, x0) on the reference grid — only the parities matter
+    (B.5: low bands collect the even absolute positions, so odd tile /
+    image offsets flip which sample leads the interleave)."""
+    v0, u0 = origin
+    lo_r, hi_r = _dwt1d_forward(a.T, u0 & 1, True)  # along rows of a
+    ll, lh = _dwt1d_forward(lo_r.T, v0 & 1, True)
+    hl, hh = _dwt1d_forward(hi_r.T, v0 & 1, True)
     return ll, hl, lh, hh
 
 
-def dwt53_inverse_2d(ll, hl, lh, hh) -> np.ndarray:
-    left = _dwt53_1d_inverse(ll, lh)
-    right = _dwt53_1d_inverse(hl, hh)
+def dwt53_inverse_2d(ll, hl, lh, hh, origin: tuple = (0, 0)) -> np.ndarray:
+    v0, u0 = origin
+    left = _dwt1d_inverse(ll, lh, v0 & 1, True)
+    right = _dwt1d_inverse(hl, hh, v0 & 1, True)
     lo_r, hi_r = left.T, right.T
-    return _dwt53_1d_inverse(lo_r, hi_r).T
+    return _dwt1d_inverse(lo_r, hi_r, u0 & 1, True).T
 
 
 # --- irreversible 9/7 (T.800 F.4.8.2) ---------------------------------------
@@ -210,17 +278,20 @@ def _dwt97_1d_inverse(low: np.ndarray, high: np.ndarray) -> np.ndarray:
     return out
 
 
-def dwt97_forward_2d(a: np.ndarray) -> tuple[np.ndarray, ...]:
-    lo_r, hi_r = _dwt97_1d_forward(a.T)
-    ll, lh = _dwt97_1d_forward(lo_r.T)
-    hl, hh = _dwt97_1d_forward(hi_r.T)
+def dwt97_forward_2d(a: np.ndarray,
+                     origin: tuple = (0, 0)) -> tuple[np.ndarray, ...]:
+    v0, u0 = origin
+    lo_r, hi_r = _dwt1d_forward(a.T, u0 & 1, False)
+    ll, lh = _dwt1d_forward(lo_r.T, v0 & 1, False)
+    hl, hh = _dwt1d_forward(hi_r.T, v0 & 1, False)
     return ll, hl, lh, hh
 
 
-def dwt97_inverse_2d(ll, hl, lh, hh) -> np.ndarray:
-    left = _dwt97_1d_inverse(ll, lh)
-    right = _dwt97_1d_inverse(hl, hh)
-    return _dwt97_1d_inverse(left.T, right.T).T
+def dwt97_inverse_2d(ll, hl, lh, hh, origin: tuple = (0, 0)) -> np.ndarray:
+    v0, u0 = origin
+    left = _dwt1d_inverse(ll, lh, v0 & 1, False)
+    right = _dwt1d_inverse(hl, hh, v0 & 1, False)
+    return _dwt1d_inverse(left.T, right.T, u0 & 1, False).T
 
 
 def ict_forward(rgb: np.ndarray) -> np.ndarray:
