@@ -1072,133 +1072,241 @@ def _precinct_geometry(res: int, pp) -> tuple[int, int, int, int]:
     return 1 << (ppy - 1), 1 << (ppx - 1), ppy, ppx
 
 
-def _precinct_counts(th: int, tw: int, levels: int, res: int,
-                     pp) -> tuple[int, int]:
-    """Precinct grid (rows, cols) at ``res`` from the resolution dims."""
-    rh, rw = _res_dims(th, tw, levels, res)
-    ppx, ppy = pp[res]
-    npy = -(-rh // (1 << ppy)) if rh else 0
-    npx = -(-rw // (1 << ppx)) if rw else 0
-    return max(npy, 1), max(npx, 1)
+def _res_range(trange: tuple, levels: int, res: int) -> tuple:
+    """Resolution-grid coordinate range at ``res`` from the
+    tile-component's absolute range (B-14: ceil division both ends)."""
+    y0, y1, x0, x1 = trange
+    s = 1 << (levels - res)
+    return -(-y0 // s), -(-y1 // s), -(-x0 // s), -(-x1 // s)
 
 
-def _band_cb_geometry(res: int, bh: int, bw: int, cbs: tuple,
-                      pp) -> tuple:
-    """Effective codeblock size and grid for one band under precinct
-    partition ``pp`` (None = whole-band precincts); ``cbs`` is the
-    signalled (height, width) — rectangular codeblocks are legal as
-    long as xcb+ycb <= 12 (A.6.1). Returns
-    (cb_h, cb_w, nby, nbx, cell_h, cell_w)."""
+def _band_layout_r(y0: int, y1: int, x0: int, x1: int, levels: int):
+    """Subband COORDINATE RANGES per resolution from the
+    tile-component's absolute range (B-15): low bands collect the even
+    absolute positions (ceil ranges), high bands the odd (floor).
+    Returns [(res, [(band, (by0, by1, bx0, bx1))])]."""
+    rng = [(y0, y1, x0, x1)]
+    for _ in range(levels):
+        a0, a1, b0, b1 = rng[-1]
+        rng.append((-(-a0 // 2), -(-a1 // 2), -(-b0 // 2), -(-b1 // 2)))
+    out = [(0, [("LL", rng[levels])])]
+    for r in range(1, levels + 1):
+        a0, a1, b0, b1 = rng[levels - r]  # parent level range
+        ylo = (-(-a0 // 2), -(-a1 // 2))
+        yhi = (a0 // 2, a1 // 2)
+        xlo = (-(-b0 // 2), -(-b1 // 2))
+        xhi = (b0 // 2, b1 // 2)
+        out.append((r, [
+            ("HL", (ylo[0], ylo[1], xhi[0], xhi[1])),
+            ("LH", (yhi[0], yhi[1], xlo[0], xlo[1])),
+            ("HH", (yhi[0], yhi[1], xhi[0], xhi[1])),
+        ]))
+    return out
+
+
+def _tile_prec_info(trange: tuple, levels: int, pp) -> list:
+    """Per-resolution precinct grid of one tile(-component):
+    (sy, sx, gy0, gx0, npy, npx, ay, ax) — sy/sx are one precinct
+    projected onto the reference grid (2^(PP+NL-r)), gy0/gx0 the grid
+    origin INDICES on the resolution grid (B.6: the partition is
+    anchored at (0,0), so a nonzero tile origin lands mid-cell and the
+    edge precincts clip), npy/npx the counts, and ay/ax whether the
+    first row/col's virtual reference-grid position is sy/sx-aligned
+    (drives the B.12.1.3-5 position-walk inclusion at ty0/tx0)."""
+    out = []
+    for r in range(levels + 1):
+        ry0, ry1, rx0, rx1 = _res_range(trange, levels, r)
+        ppx, ppy = pp[r]
+        gy0, gx0 = ry0 >> ppy, rx0 >> ppx
+        npy = (-(-ry1 // (1 << ppy)) - gy0) if ry1 > ry0 else 0
+        npx = (-(-rx1 // (1 << ppx)) - gx0) if rx1 > rx0 else 0
+        out.append((1 << (ppy + levels - r), 1 << (ppx + levels - r),
+                    gy0, gx0, max(npy, 1), max(npx, 1),
+                    ry0 % (1 << ppy) == 0, rx0 % (1 << ppx) == 0,
+                    ppy, ppx))
+    return out
+
+
+def _band_cb_geometry_r(res: int, brange: tuple, cbs: tuple, pp) -> tuple:
+    """Codeblock grid for one band from its absolute COORDINATE RANGE.
+    The partition is anchored at (0,0) of the band grid (B.7), so with
+    a nonzero band origin the FIRST row/column of blocks clips too.
+    Returns (cb_h, cb_w, gy0, gx0, nby, nbx, brange) with gy0/gx0 the
+    global grid indices of the first block."""
+    by0, by1, bx0, bx1 = brange
     if pp is None:
-        nby, nbx = _cb_grid(bh, bw, cbs[0], cbs[1])
-        return cbs[0], cbs[1], nby, nbx, None, None
-    cell_h, cell_w, _ppy, _ppx = _precinct_geometry(res, pp)
-    cb_h = min(cbs[0], cell_h)
-    cb_w = min(cbs[1], cell_w)
-    nby = -(-bh // cb_h) if bh else 0
-    nbx = -(-bw // cb_w) if bw else 0
-    return cb_h, cb_w, nby, nbx, cell_h, cell_w
+        cb_h, cb_w = cbs
+    else:
+        cell_h, cell_w, _ppy, _ppx = _precinct_geometry(res, pp)
+        cb_h = min(cbs[0], cell_h)
+        cb_w = min(cbs[1], cell_w)
+    gy0, gx0 = by0 // cb_h, bx0 // cb_w
+    nby = (-(-by1 // cb_h) - gy0) if by1 > by0 else 0
+    nbx = (-(-bx1 // cb_w) - gx0) if bx1 > bx0 else 0
+    return cb_h, cb_w, gy0, gx0, nby, nbx, brange
 
 
-def _precinct_cb_range(res: int, pidx: tuple, geom: tuple) -> tuple:
-    """Codeblock sub-grid [by0,by1)x[bx0,bx1) of precinct (py, px)."""
-    cb_h, cb_w, nby, nbx, cell_h, cell_w = geom
-    if cell_h is None:
-        return 0, nby, 0, nbx
+def _cb_slice(geom: tuple, gy: int, gx: int) -> tuple:
+    """Band-local array slice (y0, y1, x0, x1) of GLOBAL block (gy, gx)."""
+    cb_h, cb_w, _gy0, _gx0, _nby, _nbx, (by0, by1, bx0, bx1) = geom
+    y0 = max(gy * cb_h, by0)
+    y1 = min((gy + 1) * cb_h, by1)
+    x0 = max(gx * cb_w, bx0)
+    x1 = min((gx + 1) * cb_w, bx1)
+    return y0 - by0, y1 - by0, x0 - bx0, x1 - bx0
+
+
+def _precinct_cb_range_r(res: int, pidx, geom: tuple, pg) -> tuple:
+    """GLOBAL codeblock index window [gy0,gy1)x[gx0,gx1) of local
+    precinct ``pidx`` = (py, px) under grid info ``pg`` (one
+    _tile_prec_info entry). ``pidx`` None = whole-band precinct."""
+    cb_h, cb_w, gy0, gx0, nby, nbx, (by0, by1, bx0, bx1) = geom
+    if pidx is None:
+        return gy0, gy0 + nby, gx0, gx0 + nbx
     py, px = pidx
-    per_y = cell_h // cb_h
-    per_x = cell_w // cb_w
-    by0 = min(py * per_y, nby)
-    by1 = min((py + 1) * per_y, nby)
-    bx0 = min(px * per_x, nbx)
-    bx1 = min((px + 1) * per_x, nbx)
-    return by0, by1, bx0, bx1
+    ppy, ppx = pg[8], pg[9]
+    s = 0 if res == 0 else 1  # band grid halves the resolution grid
+    wy0 = (pg[2] + py) << (ppy - s)
+    wy1 = (pg[2] + py + 1) << (ppy - s)
+    wx0 = (pg[3] + px) << (ppx - s)
+    wx1 = (pg[3] + px + 1) << (ppx - s)
+    a0, a1 = max(wy0, by0), min(wy1, by1)
+    b0, b1 = max(wx0, bx0), min(wx1, bx1)
+    if a1 <= a0 or b1 <= b0:
+        return 0, 0, 0, 0
+    # precinct cells are codeblock-size multiples and both partitions
+    # anchor at 0, so the window edges land on block boundaries except
+    # where the band range itself clips
+    return a0 // cb_h, -(-a1 // cb_h), b0 // cb_w, -(-b1 // cb_w)
 
 
 def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
-                  nprec=None, res_start: int = 0, comp_start: int = 0,
-                  prec_sizes=None):
+                  pinfo=None, res_start: int = 0, comp_start: int = 0,
+                  tile_origin: tuple = (0, 0)):
     """Packet sequence for the five Part-1 progression orders with one
-    tile. ``nprec``: per-resolution (rows, cols) precinct grids, or None
-    for whole-subband precincts (the position loop collapses, so
-    PCRL == CPRL and RPCL's position loop is a no-op). Yields
-    (layer, res, comp, precinct) where precinct is (py, px) or None.
-    ``res_start``/``comp_start`` bound the sweep for POC volumes
-    (B.12: RSpoc/CSpoc inclusive, the *E* fields are the exclusive
-    ends already applied by the caller via nres/ncomp).
-    Position-first orders (PCRL/CPRL) over a real precinct grid
-    interleave precincts of DIFFERENT resolutions by their top-left
-    reference-grid position (B.12.1.4/5) — ``prec_sizes`` supplies the
-    per-resolution (rows, cols) of one precinct PROJECTED ONTO THE
-    REFERENCE GRID, i.e. 2^(PPy + NL - r) x 2^(PPx + NL - r)."""
-    def precs(res):
-        if nprec is None:
+    tile. ``pinfo``: PER-COMPONENT precinct grids — pinfo[c][r] is a
+    _tile_prec_info entry — or None for whole-subband precincts (the
+    position loop collapses, so PCRL == CPRL and RPCL's position loop
+    is a no-op). Yields (layer, res, comp, precinct) where precinct is
+    (py, px) or None. ``res_start``/``comp_start`` bound the sweep for
+    POC volumes (B.12: RSpoc/CSpoc inclusive, the *E* fields are the
+    exclusive ends already applied by the caller via nres/ncomp).
+    Position orders (RPCL/PCRL/CPRL) over real precinct grids walk
+    top-left REFERENCE-GRID positions (B.12.1.3-5): a precinct is
+    taken at its aligned multiple, or at the tile edge ``tile_origin``
+    when its virtual position is unaligned (nonzero tile origins and
+    per-component grids both land here)."""
+    ty0, tx0 = tile_origin
+
+    def precs(res, c):
+        if pinfo is None:
             yield None
             return
-        npy, npx = nprec[res]
+        _sy, _sx, _gy, _gx, npy, npx = pinfo[c][res][:6]
         for py in range(npy):
             for px in range(npx):
                 yield (py, px)
 
-    multi = nprec is not None and any(
-        a * b > 1 for a, b in nprec)
+    multi = pinfo is not None and any(
+        pg[4] * pg[5] > 1 for pc in pinfo for pg in pc)
+    comps = range(comp_start, ncomp)
+    rr = range(res_start, nres)
+
+    def pos_candidates(axis):
+        # clamped reference-grid start of every precinct row/col: the
+        # aligned multiple, or the tile edge for an unaligned first
+        # row/col (B.12.1.3-5: "or y == ty0 and try0*2^(NL-r) is not a
+        # multiple")
+        t0 = ty0 if axis == 0 else tx0
+        vals = set()
+        for c in comps:
+            for r in rr:
+                pg = pinfo[c][r]
+                size, g0, np_, aligned = (pg[axis], pg[2 + axis],
+                                          pg[4 + axis], pg[6 + axis])
+                for k in range(np_):
+                    vals.add(t0 if (k == 0 and not aligned)
+                             else (g0 + k) * size)
+        return sorted(vals)
+
+    def match(v, axis, pg):
+        """Local precinct index along one axis at position v, or None."""
+        t0 = ty0 if axis == 0 else tx0
+        size, g0, np_, aligned = (pg[axis], pg[2 + axis],
+                                  pg[4 + axis], pg[6 + axis])
+        if v == t0 and not aligned:
+            k = 0
+        elif v % size == 0:
+            k = v // size - g0
+            if k == 0 and not aligned:
+                return None  # first row/col only fires at the tile edge
+        else:
+            return None
+        return k if 0 <= k < np_ else None
+
+    def at_pos(y, x, c):
+        for r in rr:
+            pg = pinfo[c][r]
+            py = match(y, 0, pg)
+            px = match(x, 1, pg)
+            if py is None or px is None:
+                continue
+            for layer in range(layers):
+                yield layer, r, c, (py, px)
+
     if progression == 0:  # LRCP
         for layer in range(layers):
-            for res in range(res_start, nres):
-                for c in range(comp_start, ncomp):
-                    for p in precs(res):
+            for res in rr:
+                for c in comps:
+                    for p in precs(res, c):
                         yield layer, res, c, p
     elif progression == 1:  # RLCP
-        for res in range(res_start, nres):
+        for res in rr:
             for layer in range(layers):
-                for c in range(comp_start, ncomp):
-                    for p in precs(res):
+                for c in comps:
+                    for p in precs(res, c):
                         yield layer, res, c, p
     elif progression == 2:  # RPCL
-        for res in range(res_start, nres):
-            for p in precs(res):
-                for c in range(comp_start, ncomp):
-                    for layer in range(layers):
-                        yield layer, res, c, p
+        if not multi:
+            for res in rr:
+                for c in comps:
+                    for p in precs(res, c):
+                        for layer in range(layers):
+                            yield layer, res, c, p
+            return
+        # B.12.1.3: the position walk per resolution (equals raster
+        # precinct order for a shared zero-origin grid, and is the
+        # defining order for offset tiles / per-component grids)
+        ys, xs = pos_candidates(0), pos_candidates(1)
+        for res in rr:
+            for y in ys:
+                for x in xs:
+                    for c in comps:
+                        pg = pinfo[c][res]
+                        py = match(y, 0, pg)
+                        px = match(x, 1, pg)
+                        if py is None or px is None:
+                            continue
+                        for layer in range(layers):
+                            yield layer, res, c, (py, px)
     elif progression in (3, 4):  # PCRL / CPRL
         if not multi:
             # whole-subband precincts: the position loop has a single
             # iteration, so both orders collapse to comp-major
-            for c in range(comp_start, ncomp):
-                for res in range(res_start, nres):
+            for c in comps:
+                for res in rr:
                     for layer in range(layers):
-                        for p in precs(res):
+                        for p in precs(res, c):
                             yield layer, res, c, p
             return
-        if prec_sizes is None:
-            raise Jp2kError(
-                "position-first progressions need precinct geometry")
-        rr = range(res_start, nres)
-        ys = sorted({py * prec_sizes[r][0]
-                     for r in rr for py in range(nprec[r][0])})
-        xs = sorted({px * prec_sizes[r][1]
-                     for r in rr for px in range(nprec[r][1])})
-
-        def at_pos(y, x, c):
-            # every precinct whose top-left reference-grid corner is
-            # (y, x): one per resolution at most (image offsets are 0)
-            for r in rr:
-                sy, sx = prec_sizes[r]
-                if y % sy or x % sx:
-                    continue
-                py, px = y // sy, x // sx
-                if py >= nprec[r][0] or px >= nprec[r][1]:
-                    continue
-                for layer in range(layers):
-                    yield layer, r, c, (py, px)
-
+        ys, xs = pos_candidates(0), pos_candidates(1)
         if progression == 3:  # PCRL
             for y in ys:
                 for x in xs:
-                    for c in range(comp_start, ncomp):
+                    for c in comps:
                         yield from at_pos(y, x, c)
         else:  # CPRL
-            for c in range(comp_start, ncomp):
+            for c in comps:
                 for y in ys:
                     for x in xs:
                         yield from at_pos(y, x, c)
@@ -1207,7 +1315,7 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
 
 
 def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
-                      nprec=None, prec_sizes=None):
+                      pinfo=None, tile_origin: tuple = (0, 0)):
     """B.12 progression-order changes: walk each volume's order over its
     (res, comp, layer) bounds in sequence, emitting each packet at its
     FIRST containing volume (later volumes skip already-emitted packets,
@@ -1217,9 +1325,9 @@ def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
     seen: set = set()
     for rs, cs, lye, re_, ce, prog in volumes:
         for key in _packet_order(prog, min(lye, layers), min(re_, nres),
-                                 min(ce, ncomp), nprec,
+                                 min(ce, ncomp), pinfo,
                                  res_start=rs, comp_start=cs,
-                                 prec_sizes=prec_sizes):
+                                 tile_origin=tile_origin):
             if key in seen:
                 continue
             seen.add(key)
@@ -1363,11 +1471,16 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     xsiz, ysiz, xo, yo, xt, yt, xto, yto, ncomp = struct.unpack(
         ">IIIIIIIIH", siz[2:36]
     )
-    if xo or yo or xto or yto:
-        raise Jp2kError("nonzero image/tile offsets not supported")
+    # A.5.1: the tile grid anchor may not exceed the image origin, the
+    # origin must lie inside the canvas, and the first tile must
+    # contain the image origin
+    if not (xto <= xo < xsiz and yto <= yo < ysiz):
+        raise Jp2kError("invalid SIZ image/tile offsets")
     if xt <= 0 or yt <= 0:
         raise Jp2kError("invalid tile size")
-    if xsiz <= 0 or ysiz <= 0 or xsiz * ysiz > (1 << 28):
+    if xt + xto <= xo or yt + yto <= yo:
+        raise Jp2kError("first tile does not contain the image origin")
+    if (xsiz - xo) * (ysiz - yo) > (1 << 28):
         # decompression-bomb guard (same spirit as MAX_BITMAP_BYTES):
         # a mutated SIZ must not drive a multi-GiB canvas allocation
         raise Jp2kError("image dimensions out of supported range")
@@ -1376,7 +1489,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # canvases are float64 per component, so bound the actual allocation
     # (ncomp * pixels * 8 bytes), not just the pixel count — a 4-comp
     # SIZ at the bare pixel cap would otherwise reserve ~8 GiB
-    if ncomp * xsiz * ysiz * 8 > MAX_CANVAS_BYTES:
+    if ncomp * (xsiz - xo) * (ysiz - yo) * 8 > MAX_CANVAS_BYTES:
         raise Jp2kError("image dimensions out of supported range")
     comp_depths: list[int] = []
     comp_rs: list[tuple[int, int]] = []
@@ -1420,7 +1533,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     for seg in rgn_segs:
         crgn, sprgn = _parse_rgn(seg)
         comp_roi[crgn] = sprgn
-    h, w = ysiz, xsiz
+    # decoded image region = [YOsiz, Ysiz) x [XOsiz, Xsiz) (B.3)
+    h, w = ysiz - yo, xsiz - xo
 
     # COD
     scod = cod[0]
@@ -1614,12 +1728,16 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     )
                 exp_idx += 1
 
-    # Tiles: XTsiz/YTsiz grid in raster order, one tile-part per tile
-    # (SOT Isot indexes the grid; Psot spans SOT..end of tile-part)
-    ntx = -(-xsiz // xt)
-    nty = -(-ysiz // yt)
+    # Tiles: XTsiz/YTsiz grid anchored at (XTOsiz, YTOsiz), raster
+    # order (SOT Isot indexes the grid; Psot spans SOT..end of part)
+    ntx = -(-(xsiz - xto) // xt)
+    nty = -(-(ysiz - yto) // yt)
 
-    comp_dims = [(-(-h // yr), -(-w // xr)) for xr, yr in comp_rs]
+    # per-component image region on the component grid (B.3)
+    comp_org = [(-(-yo // yr), -(-xo // xr)) for xr, yr in comp_rs]
+    comp_dims = [(-(-ysiz // yr) - comp_org[c][0],
+                  -(-xsiz // xr) - comp_org[c][1])
+                 for c, (xr, yr) in enumerate(comp_rs)]
     canvases = [
         np.zeros(comp_dims[c],
                  dtype=np.float64 if not comp_cfg[c][2] else np.int64)
@@ -1649,51 +1767,49 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             return pos
 
         ty, tx = divmod(tile_idx, ntx)
-        oy, ox = ty * yt, tx * xt
-        th = min(yt, h - oy)
-        tw = min(xt, w - ox)
-        if th <= 0 or tw <= 0:
+        # absolute tile range on the reference grid (B.3: the grid is
+        # anchored at (XTOsiz, YTOsiz) and tiles clip to the image)
+        ty0 = max(yto + ty * yt, yo)
+        ty1 = min(yto + (ty + 1) * yt, ysiz)
+        tx0 = max(xto + tx * xt, xo)
+        tx1 = min(xto + (tx + 1) * xt, xsiz)
+        if ty1 <= ty0 or tx1 <= tx0:
             raise Jp2kError("tile index outside the image grid")
-        # component tile windows (B.3: component coords = ceil(x / Rsiz))
+        # component tile windows (B.3: component coords = ceil(x/Rsiz))
         cwin = []
         for c in range(ncomp):
             xr, yr = comp_rs[c]
-            y0c, y1c = -(-oy // yr), -(-min(oy + yt, h) // yr)
-            x0c, x1c = -(-ox // xr), -(-min(ox + xt, w) // xr)
-            cwin.append((y0c, y1c, x0c, x1c))
-        layouts = [
-            _band_layout(cwin[c][1] - cwin[c][0],
-                         cwin[c][3] - cwin[c][2], levels)
-            for c in range(ncomp)
-        ]
+            cwin.append((-(-ty0 // yr), -(-ty1 // yr),
+                         -(-tx0 // xr), -(-tx1 // xr)))
+        layouts = [_band_layout_r(*cwin[c], levels)
+                   for c in range(ncomp)]
         comp_bands = {c: {} for c in range(ncomp)}
-        nprec = ([_precinct_counts(th, tw, levels, r, precinct_pp)
-                  for r in range(levels + 1)]
+        # precinct grids: subsampling is rejected with precincts, so
+        # every component shares the tile's reference range
+        pinfo = ([_tile_prec_info((ty0, ty1, tx0, tx1), levels,
+                                  precinct_pp)] * ncomp
                  if precinct_pp is not None else None)
-        prec_sizes = ([
-            (1 << (precinct_pp[r][1] + levels - r),
-             1 << (precinct_pp[r][0] + levels - r))
-            for r in range(levels + 1)]
-            if precinct_pp is not None else None)
         geoms = {}
         states = {}
         for c in range(ncomp):
             for res, bands in layouts[c]:
-                for band, bh, bw in bands:
-                    geom = _band_cb_geometry(res, bh, bw,
-                                             comp_cfg[c][0], precinct_pp)
+                for band, brange in bands:
+                    geom = _band_cb_geometry_r(res, brange,
+                                               comp_cfg[c][0],
+                                               precinct_pp)
                     geoms[(c, res, band)] = geom
-                    for p in ([None] if nprec is None else
+                    for p in ([None] if pinfo is None else
                               [(py, px)
-                               for py in range(nprec[res][0])
-                               for px in range(nprec[res][1])]):
-                        by0, by1, bx0, bx1 = _precinct_cb_range(
-                            res, p, geom) if p is not None else \
-                            (0, geom[2], 0, geom[3])
+                               for py in range(pinfo[c][res][4])
+                               for px in range(pinfo[c][res][5])]):
+                        gya0, gya1, gxa0, gxa1 = _precinct_cb_range_r(
+                            res, p, geom,
+                            pinfo[c][res] if pinfo else None)
                         states[(c, res, band, p)] = _BandState(
-                            max(by1 - by0, 0), max(bx1 - bx0, 0))
+                            max(gya1 - gya0, 0), max(gxa1 - gxa0, 0))
                     comp_bands[c][(res, band)] = np.zeros(
-                        (bh, bw), dtype=np.int64)
+                        (brange[1] - brange[0], brange[3] - brange[2]),
+                        dtype=np.int64)
 
         bands_by_res = [dict(layouts[c]) for c in range(ncomp)]
         cb_acc = {}  # (c,res,band,by,bx) -> [max_plane, n_passes, groups]
@@ -1705,16 +1821,17 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             else poc_volumes
         if tile_vols is not None:
             order = list(_packet_order_poc(tile_vols, layers,
-                                           levels + 1, ncomp, nprec,
-                                           prec_sizes))
-            full = layers * ncomp * (
-                sum(a * b for a, b in nprec) if nprec else levels + 1)
+                                           levels + 1, ncomp, pinfo,
+                                           tile_origin=(ty0, tx0)))
+            full = layers * (
+                sum(pg[4] * pg[5] for pc in pinfo for pg in pc)
+                if pinfo else ncomp * (levels + 1))
             if len(order) != full:
                 raise Jp2kError(
                     "POC volumes do not cover the full packet set")
         else:
             order = _packet_order(progression, layers, levels + 1,
-                                  ncomp, nprec, prec_sizes=prec_sizes)
+                                  ncomp, pinfo, tile_origin=(ty0, tx0))
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if use_sop:
@@ -1737,14 +1854,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     reader = _PacketBitReader(data, body_pos)
                 continue  # empty packet
             cb_style_c = comp_cfg[c][1]
-            for band, bh, bw in bands:
+            for band, _brange in bands:
                 st = states[(c, res, band, prec)]
                 if st.incl is None:
                     continue
                 geom = geoms[(c, res, band)]
-                by0, _y1, bx0, _x1 = _precinct_cb_range(
-                    res, prec, geom) if prec is not None else \
-                    (0, geom[2], 0, geom[3])
+                by0, _y1, bx0, _x1 = _precinct_cb_range_r(
+                    res, prec, geom, pinfo[c][res] if pinfo else None)
                 mb = band_mb[(c, res, band)] + roi.get(c, 0)
                 for by in range(st.nby):
                     for bx in range(st.nbx):
@@ -1818,10 +1934,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         for (c, res, band, by, bx), (max_plane, n_passes, groups) in \
                 cb_acc.items():
             _cbs_c, cb_style_c, _rev = comp_cfg[c]
-            eff_h, eff_w = geoms[(c, res, band)][0:2]
-            bh, bw = comp_bands[c][(res, band)].shape
-            y0, x0 = by * eff_h, bx * eff_w
-            cb_h, cb_w = min(eff_h, bh - y0), min(eff_w, bw - x0)
+            y0, y1, x0, x1 = _cb_slice(geoms[(c, res, band)], by, bx)
+            cb_h, cb_w = y1 - y0, x1 - x0
             if cb_style_c & 0x05:
                 # merge per-packet parts into terminated segments
                 plan = _pass_plan(max_plane, n_passes, cb_style_c)
@@ -1854,8 +1968,15 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 comp_bands[c][key] = np.where(
                     mag >= thr, np.sign(q) * (mag >> s), q)
 
-        # Inverse DWT per component, into the tile's canvas window
+        # Inverse DWT per component, into the tile's canvas window.
+        # Each reconstruction step targets the LEVEL (levels - r)
+        # signal, whose absolute origin parities drive the interleave
+        # (B.5: low bands hold the even absolute positions).
         for c in range(ncomp):
+            def lvl_origin(r):
+                s = 1 << (levels - r)
+                return (-(-cwin[c][0] // s), -(-cwin[c][2] // s))
+
             if comp_cfg[c][2]:
                 cur = comp_bands[c][(0, "LL")]
                 for r in range(1, levels + 1):
@@ -1864,6 +1985,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                         comp_bands[c][(r, "HL")],
                         comp_bands[c][(r, "LH")],
                         comp_bands[c][(r, "HH")],
+                        origin=lvl_origin(r),
                     )
             else:
                 # E.1.1 dequantization, mid-point reconstruction
@@ -1878,9 +2000,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 for r in range(1, levels + 1):
                     cur = dwt97_inverse_2d(
                         cur, deq((c, r, "HL")), deq((c, r, "LH")),
-                        deq((c, r, "HH")))
+                        deq((c, r, "HH")), origin=lvl_origin(r))
             y0c, y1c, x0c, x1c = cwin[c]
-            canvases[c][y0c:y1c, x0c:x1c] = cur
+            oyc, oxc = comp_org[c]
+            canvases[c][y0c - oyc:y1c - oyc,
+                        x0c - oxc:x1c - oxc] = cur
 
     # PPM (A.7.4): packed packet headers in the main header — Zppm
     # orders the segments; the concatenation is a sequence of
@@ -1975,9 +2099,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         if (xr, yr) == (1, 1):
             planes.append(cv)
         else:
-            # sample replication back to the image grid (nearest)
-            ridx = np.minimum(np.arange(h) // yr, cv.shape[0] - 1)
-            cidx = np.minimum(np.arange(w) // xr, cv.shape[1] - 1)
+            # sample replication back to the image grid (nearest);
+            # image row i sits at reference row YOsiz + i
+            ridx = np.clip((yo + np.arange(h)) // yr - comp_org[c][0],
+                           0, cv.shape[0] - 1)
+            cidx = np.clip((xo + np.arange(w)) // xr - comp_org[c][1],
+                           0, cv.shape[1] - 1)
             planes.append(cv[ridx][:, cidx])
     img = np.stack(planes, axis=-1)
     if mct and ncomp >= 3:
@@ -1998,7 +2125,8 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     info = {"width": w, "height": h, "components": ncomp,
             "depth": depth, "depths": list(comp_depths),
             "levels": levels, "mct": bool(mct),
-            "reversible": not any_irrev, "tiles": (nty, ntx)}
+            "reversible": not any_irrev, "tiles": (nty, ntx),
+            "offsets": (yo, xo, yto, xto)}
     return img.astype(dtype), info
 
 
@@ -2021,7 +2149,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 packed_headers: str | None = None,
                 comp_depths: dict | None = None,
                 poc: list | None = None,
-                roi: list | None = None) -> bytes:
+                roi: list | None = None,
+                image_offset: tuple = (0, 0),
+                tile_offset: tuple = (0, 0)) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default; ``cb_exp`` may be
     one exponent or an (ycb, xcb) pair for rectangular codeblocks).  With
@@ -2055,11 +2185,22 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     jointly cover every packet. ``roi``: component indices whose bands'
     upper-left quadrant becomes a maxshift ROI (Annex H): those
     coefficients scale up by an auto-computed shift covering the
-    background magnitudes, emitted as an RGN segment per component."""
+    background magnitudes, emitted as an RGN segment per component.
+    ``image_offset``: (YOsiz, XOsiz) — the pixels array covers the
+    image region [YOsiz, Ysiz) x [XOsiz, Xsiz) of the reference grid
+    (B.3; odd offsets flip the DWT interleave parity and clip the
+    anchored codeblock/precinct partitions). ``tile_offset``:
+    (YTOsiz, XTOsiz) tile-grid anchor, <= the image offset, with the
+    first tile containing the image origin (A.5.1)."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
     h, w, nc = pix.shape
+    yo, xo = int(image_offset[0]), int(image_offset[1])
+    yto, xto = int(tile_offset[0]), int(tile_offset[1])
+    if not (0 <= yto <= yo and 0 <= xto <= xo):
+        raise Jp2kError("tile offset must not exceed the image offset")
+    ysiz, xsiz = yo + h, xo + w
     if pix.dtype == np.uint8:
         depth = 8
     elif pix.dtype == np.uint16:
@@ -2133,43 +2274,68 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             )
 
     if tile_size is None:
-        tile_h, tile_w = h, w
+        tile_h, tile_w = ysiz - yto, xsiz - xto
     else:
         tile_h, tile_w = int(tile_size[0]), int(tile_size[1])
         if tile_h <= 0 or tile_w <= 0:
             raise Jp2kError("invalid tile size")
-    nty = -(-h // tile_h)
-    ntx = -(-w // tile_w)
-    tile_origins = [(ty * tile_h, tx * tile_w)
-                    for ty in range(nty) for tx in range(ntx)]
+        if tile_h + yto <= yo or tile_w + xto <= xo:
+            raise Jp2kError(
+                "first tile does not contain the image origin")
+    nty = -(-(ysiz - yto) // tile_h)
+    ntx = -(-(xsiz - xto) // tile_w)
+    tile_ranges = [
+        (max(yto + ty * tile_h, yo), min(yto + (ty + 1) * tile_h, ysiz),
+         max(xto + tx * tile_w, xo), min(xto + (tx + 1) * tile_w, xsiz))
+        for ty in range(nty) for tx in range(ntx)
+    ]
     layout = _band_layout(h, w, levels)  # band-key enumeration only
     fwd = dwt53_forward_2d if reversible else dwt97_forward_2d
 
     # Decimate each component to its own sample grid AFTER the colour
     # transform (decode replicates back); plane shapes then differ.
-    comp_planes = [img[..., c][::comp_rs[c][1], ::comp_rs[c][0]]
-                   for c in range(nc)]
+    # Component sample k lives at reference coordinate k*Rsiz, and the
+    # component region starts at ceil(Osiz / Rsiz) (B.3).
+    comp_org_e = [(-(-yo // yr), -(-xo // xr)) for xr, yr in comp_rs]
+    if (yo, xo) == (0, 0):
+        comp_planes = [img[..., c][::comp_rs[c][1], ::comp_rs[c][0]]
+                       for c in range(nc)]
+    else:
+        comp_planes = []
+        for c in range(nc):
+            xr, yr = comp_rs[c]
+            rows = np.minimum(
+                np.arange(comp_org_e[c][0], -(-ysiz // yr)) * yr - yo,
+                h - 1)
+            cols = np.minimum(
+                np.arange(comp_org_e[c][1], -(-xsiz // xr)) * xr - xo,
+                w - 1)
+            comp_planes.append(img[rows][:, cols][..., c])
 
-    # per-tile wavelet decomposition (tile dims clip at the image edge;
-    # component tile windows follow B.3 ceil(x / Rsiz))
+    # per-tile wavelet decomposition (tile ranges clip at the image
+    # edge; component tile windows follow B.3 ceil(x / Rsiz))
     tile_bands = []
     tile_layouts = []  # per tile: list of per-component layouts
-    for oy, ox in tile_origins:
+    for ta, tb, tc_, td in tile_ranges:
         lay_c = []
         comp_bands = {c: {} for c in range(nc)}
         for c in range(nc):
             xr, yr = comp_rs[c]
-            y0c, y1c = -(-oy // yr), -(-min(oy + tile_h, h) // yr)
-            x0c, x1c = -(-ox // xr), -(-min(ox + tile_w, w) // xr)
-            cur = comp_planes[c][y0c:y1c, x0c:x1c]
-            lay_c.append(_band_layout(cur.shape[0], cur.shape[1],
-                                      levels))
+            y0c, y1c = -(-ta // yr), -(-tb // yr)
+            x0c, x1c = -(-tc_ // xr), -(-td // xr)
+            cur = comp_planes[c][y0c - comp_org_e[c][0]:
+                                 y1c - comp_org_e[c][0],
+                                 x0c - comp_org_e[c][1]:
+                                 x1c - comp_org_e[c][1]]
+            lay_c.append(_band_layout_r(y0c, y1c, x0c, x1c, levels))
+            lvl = (y0c, x0c)
             for r in range(levels, 0, -1):
-                ll, hl, lh, hh = fwd(cur)
+                ll, hl, lh, hh = fwd(cur, origin=lvl)
                 comp_bands[c][(r, "HL")] = hl
                 comp_bands[c][(r, "LH")] = lh
                 comp_bands[c][(r, "HH")] = hh
                 cur = ll
+                lvl = (-(-lvl[0] // 2), -(-lvl[1] // 2))
             comp_bands[c][(0, "LL")] = cur
         tile_layouts.append(lay_c)
         tile_bands.append(comp_bands)
@@ -2277,31 +2443,23 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         tlayouts = tile_layouts[tidx]
         comp_bands = tile_bands[tidx]
 
-        timg_h = min(tile_h, h - tile_origins[tidx][0])
-        timg_w = min(tile_w, w - tile_origins[tidx][1])
-        nprec = ([_precinct_counts(timg_h, timg_w, levels, r, precincts)
-                  for r in range(levels + 1)]
+        trange = tile_ranges[tidx]
+        pinfo = ([_tile_prec_info(trange, levels, precincts)] * nc
                  if precincts is not None else None)
-        prec_sizes = ([
-            (1 << (precincts[r][1] + levels - r),
-             1 << (precincts[r][0] + levels - r))
-            for r in range(levels + 1)]
-            if precincts is not None else None)
         geoms = {}
         encoded = {}
         for c in range(nc):
             for res, bands in tlayouts[c]:
-                for band, bh, bw in bands:
-                    geom = _band_cb_geometry(res, bh, bw, cbs, precincts)
+                for band, brange in bands:
+                    geom = _band_cb_geometry_r(res, brange, cbs,
+                                               precincts)
                     geoms[(c, res, band)] = geom
-                    eff_h, eff_w, nby, nbx = geom[0:4]
-                    for by in range(nby):
-                        for bx in range(nbx):
-                            y0, x0 = by * eff_h, bx * eff_w
+                    _ch, _cw, gy0, gx0, nby, nbx, _br = geom
+                    for by in range(gy0, gy0 + nby):
+                        for bx in range(gx0, gx0 + nbx):
+                            y0, y1, x0, x1 = _cb_slice(geom, by, bx)
                             block = comp_bands[c][(res, band)][
-                                y0:y0 + min(eff_h, bh - y0),
-                                x0:x0 + min(eff_w, bw - x0),
-                            ]
+                                y0:y1, x0:x1]
                             encoded[(c, res, band, by, bx)] = \
                                 encode_codeblock(
                                     np.asarray(block), band,
@@ -2347,17 +2505,17 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         bands_by_res = [dict(tlayouts[c]) for c in range(nc)]
         for c in range(nc):
             for res, bands in tlayouts[c]:
-                for band, bh, bw in bands:
+                for band, _brange in bands:
                     geom = geoms[(c, res, band)]
                     mb = (band_mb[(res, band)] if reversible else
                           band_mb[(c, res, band)]) + roi_shifts.get(c, 0)
-                    for p in ([None] if nprec is None else
+                    for p in ([None] if pinfo is None else
                               [(py, px)
-                               for py in range(nprec[res][0])
-                               for px in range(nprec[res][1])]):
-                        by0, by1, bx0, bx1 = _precinct_cb_range(
-                            res, p, geom) if p is not None else \
-                            (0, geom[2], 0, geom[3])
+                               for py in range(pinfo[c][res][4])
+                               for px in range(pinfo[c][res][5])]):
+                        by0, by1, bx0, bx1 = _precinct_cb_range_r(
+                            res, p, geom,
+                            pinfo[c][res] if pinfo else None)
                         pnby, pnbx = by1 - by0, bx1 - bx0
                         if pnby <= 0 or pnbx <= 0:
                             states_enc[(c, res, band, p)] = _BandState(
@@ -2384,17 +2542,20 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         body = bytearray()
         packed_hdr = bytearray()
         nsop = nsop0
+        tile_org = (trange[0], trange[2])
         if poc:
             order = list(_packet_order_poc(poc, layers, levels + 1,
-                                           nc, nprec, prec_sizes))
-            full = layers * nc * (
-                sum(a * b for a, b in nprec) if nprec else levels + 1)
+                                           nc, pinfo,
+                                           tile_origin=tile_org))
+            full = layers * (
+                sum(pg[4] * pg[5] for pc in pinfo for pg in pc)
+                if pinfo else nc * (levels + 1))
             if len(order) != full:
                 raise Jp2kError(
                     "POC volumes do not cover the full packet set")
         else:
             order = _packet_order(progression, layers, levels + 1,
-                                  nc, nprec, prec_sizes=prec_sizes)
+                                  nc, pinfo, tile_origin=tile_org)
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if sop:
@@ -2402,13 +2563,12 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 nsop += 1
 
             def _prec_range(band_key):
-                geom = geoms[band_key]
-                if prec is None:
-                    return 0, geom[2], 0, geom[3]
-                return _precinct_cb_range(res, prec, geom)
+                return _precinct_cb_range_r(
+                    res, prec, geoms[band_key],
+                    pinfo[c][res] if pinfo else None)
 
             any_contrib = False
-            for band, bh, bw in bands:
+            for band, _brange in bands:
                 by0, by1, bx0, bx1 = _prec_range((c, res, band))
                 if any(chunks[(c, res, band, by, bx)][layer]
                        for by in range(by0, by1)
@@ -2425,7 +2585,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 continue
             writer.write_bit(1)
             bodies = bytearray()
-            for band, bh, bw in bands:
+            for band, _brange in bands:
                 st = states_enc.get((c, res, band, prec))
                 if st is None:
                     continue
@@ -2483,7 +2643,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     tile_bodies = []
     tile_hdrs = []
     nsop_counter = 0
-    for tidx in range(len(tile_origins)):
+    for tidx in range(len(tile_ranges)):
         tb, thdr, nsop_counter = _tile_body(tidx, nsop_counter)
         tile_bodies.append(tb)
         tile_hdrs.append(thdr)
@@ -2492,7 +2652,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     out = bytearray()
     out += struct.pack(">H", _SOC)
     siz = struct.pack(
-        ">HIIIIIIIIH", 0, w, h, 0, 0, tile_w, tile_h, 0, 0, nc
+        ">HIIIIIIIIH", 0, xsiz, ysiz, xo, yo, tile_w, tile_h,
+        xto, yto, nc
     ) + b"".join(
         struct.pack(">BBB", depths[c] - 1, comp_rs[c][0], comp_rs[c][1])
         for c in range(nc)

@@ -173,3 +173,141 @@ def test_dwt2d_zero_origin_unchanged():
     ll2, lh2 = K._dwt53_1d_forward(l2[0].T)
     assert (ll == ll2).all() and (lh == lh2).all()
     assert (K.dwt53_inverse_2d(ll, hl, lh, hh) == a).all()
+
+
+# ---------------------------------------------------------------------------
+# Codestream roundtrips at nonzero XOsiz/YOsiz/XTOsiz/YTOsiz
+# ---------------------------------------------------------------------------
+
+
+def _rand(h=23, w=27, c=3, seed=5):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, c)).astype(np.uint8)
+
+
+@pytest.mark.parametrize("off,toff,kw", [
+    ((1, 1), (0, 0), {}),
+    ((3, 5), (1, 2), {}),
+    ((7, 9), (3, 4), {"layers": 3}),
+    ((1, 0), (1, 0), {"tile_size": (7, 9)}),
+    ((5, 3), (2, 1), {"tile_size": (8, 8)}),
+    ((1, 3), (0, 1), {"layers": 2,
+                      "poc": [(0, 0, 2, 2, 3, 1), (0, 0, 2, 3, 3, 0)]}),
+    ((1, 1), (0, 0), {"roi": [0]}),
+    ((3, 3), (1, 1), {"packed_headers": "ppt", "tile_size": (12, 12)}),
+    ((3, 3), (1, 1), {"packed_headers": "ppm", "tile_size": (12, 12)}),
+    ((1, 2), (0, 0), {"comp_depths": {0: 8, 1: 8, 2: 8}}),
+])
+def test_offset_roundtrip_lossless(off, toff, kw):
+    px = _rand()
+    img, info = decode_jp2k(encode_jp2k(
+        px, levels=2, image_offset=off, tile_offset=toff, **kw))
+    assert img.shape[:2] == px.shape[:2]
+    assert (img[..., :3] == px).all()
+    assert info["offsets"] == (off[0], off[1], toff[0], toff[1])
+
+
+@pytest.mark.parametrize("progression", range(5))
+@pytest.mark.parametrize("off,toff,ts", [
+    ((3, 1), (1, 1), None),
+    ((5, 7), (2, 3), (16, 16)),  # unaligned tile origins, multi-tile
+])
+def test_offset_precincts_all_progressions(progression, off, toff, ts):
+    # the B.12.1.3-5 position walks anchor at reference-grid absolute
+    # positions: an offset tile's first precinct row/col fires at the
+    # tile edge (this is the r9-ADVICE PCRL/CPRL anchoring fix)
+    px = _rand(seed=6 + progression)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, precincts=(3, 3),
+        progression=progression, image_offset=off, tile_offset=toff,
+        **({"tile_size": ts} if ts else {})))
+    assert (img == px).all()
+
+
+def test_offset_sop_eph_precinct_pcrl():
+    px = _rand(seed=11)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, precincts=(3, 3), progression=3,
+        sop=True, eph=True, image_offset=(2, 1), tile_offset=(1, 0)))
+    assert (img == px).all()
+
+
+@pytest.mark.parametrize("off,toff,ts", [
+    ((1, 1), (0, 0), None),
+    ((3, 5), (1, 2), (10, 14)),
+])
+def test_offset_lossy_error_bound(off, toff, ts):
+    px = _rand(seed=13)
+    img, info = decode_jp2k(encode_jp2k(
+        px, levels=2, reversible=False, qstep=0.125,
+        image_offset=off, tile_offset=toff,
+        **({"tile_size": ts} if ts else {})))
+    assert not info["reversible"]
+    assert np.abs(img.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_offset_subsampling_exact_vs_independent_reconstruction():
+    # decimation/replication on the B.3 component grids with a nonzero
+    # origin: ceil(Osiz/Rsiz) starts the component region, so an odd
+    # offset SHIFTS which image rows are sampled — pinned against an
+    # independent numpy pipeline, not a self-roundtrip
+    from oxidizepdf_spark.kernel.jp2k import rct_forward, rct_inverse
+
+    yy, xx = np.mgrid[0:30, 0:34]
+    g = ((np.sin(xx / 8) + np.cos(yy / 6)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 3, 1), 255 - g], -1)
+    h, w = rgb.shape[:2]
+    for yo, xo, yto, xto, ts in [(1, 1, 0, 0, None),
+                                 (3, 2, 1, 1, (12, 12)),
+                                 (5, 7, 2, 3, None)]:
+        dec, _ = decode_jp2k(encode_jp2k(
+            rgb, levels=2, comp_subsampling={1: (2, 2), 2: (2, 2)},
+            image_offset=(yo, xo), tile_offset=(yto, xto),
+            **({"tile_size": ts} if ts else {})))
+        ycc = rct_forward(rgb.astype(np.int64) - 128)
+        ysiz, xsiz = yo + h, xo + w
+        cy0, cx0 = -(-yo // 2), -(-xo // 2)
+        rows = np.minimum(np.arange(cy0, -(-ysiz // 2)) * 2 - yo, h - 1)
+        cols = np.minimum(np.arange(cx0, -(-xsiz // 2)) * 2 - xo, w - 1)
+        u = ycc[..., 1][rows][:, cols]
+        v = ycc[..., 2][rows][:, cols]
+        ridx = np.clip((yo + np.arange(h)) // 2 - cy0, 0, u.shape[0] - 1)
+        cidx = np.clip((xo + np.arange(w)) // 2 - cx0, 0, u.shape[1] - 1)
+        ycc2 = np.stack([ycc[..., 0], u[ridx][:, cidx],
+                         v[ridx][:, cidx]], -1)
+        exp = np.clip(rct_inverse(ycc2) + 128, 0, 255)
+        assert np.array_equal(dec.astype(int), exp), (yo, xo)
+
+
+def test_invalid_offsets_rejected():
+    import struct as _s
+
+    px = _rand(8, 8)
+    base = encode_jp2k(px, levels=1)
+    # XTOsiz > XOsiz violates A.5.1
+    with pytest.raises(Jp2kError, match="offset"):
+        encode_jp2k(px, levels=1, image_offset=(0, 0), tile_offset=(0, 1))
+    # patch YOsiz >= Ysiz into the SIZ: structured reject
+    i = base.find(b"\xff\x51")
+    mut = bytearray(base)
+    _s.pack_into(">I", mut, i + 4 + 8, 99)  # YOsiz field (after Lsiz+Rsiz+Xsiz... offset: marker+len+Rsiz(2)+Xsiz(4)=8 -> Ysiz; +12 -> XOsiz
+    with pytest.raises(Jp2kError):
+        decode_jp2k(bytes(mut))
+
+
+def test_offset_streams_mutation_fuzz_contained():
+    import random
+
+    rng = random.Random(99)
+    base = encode_jp2k(_rand(16, 18, 3, seed=21), levels=2,
+                       precincts=(3, 3), cb_exp=3, progression=3,
+                       image_offset=(3, 5), tile_offset=(1, 2),
+                       tile_size=(12, 12))
+    for _ in range(300):
+        mut = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            mut[rng.randrange(len(mut))] = rng.randrange(256)
+        try:
+            decode_jp2k(bytes(mut))
+        except Jp2kError:
+            pass  # structured failure is the contract
