@@ -56,8 +56,20 @@ Scope (raises ``Jp2kError`` beyond it):
   and 0x20 (segmentation symbols) — all six defined flags;
 - 1-4 components with 1-4x per-component subsampling, signed or
   unsigned samples (offset-binary mapped);
+- NONZERO image/tile offsets (XOsiz/YOsiz/XTOsiz/YTOsiz, round 10):
+  band layout, codeblock/precinct partitions and the position-order
+  packet walks all work from absolute coordinate ranges (B.3-B.7,
+  B.12.1.3-5), and odd origins flip the DWT interleave parity — the
+  shape real-world crops and tiled scans carry; per-component
+  precinct grids via COC (a component may carry its own PPx/PPy list
+  or maximal precincts) interleave in the position walks;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
+
+Remaining documented scope limits (loud errors, not silent
+mis-decodes): per-component decomposition-level overrides, precincts
+combined with component subsampling, and mixed transforms/depths
+under the MCT.
 
 Everything heavy is numpy: the lifting DWT runs whole-array slicing,
 Tier-1 walks coefficients per codeblock (area bounded by the
@@ -1605,9 +1617,6 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
 
     poc_volumes: list | None = (
         _parse_poc_volumes(poc_seg) if poc_seg is not None else None)
-    if precinct_pp is not None and any(r != (1, 1) for r in comp_rs):
-        raise Jp2kError(
-            "precincts with component subsampling not supported")
     if cod[9] not in (0, 1):
         raise Jp2kError(f"unknown wavelet transform {cod[9]}")
     reversible = cod[9] == 1
@@ -1653,6 +1662,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     # per-component config: COD/QCD defaults, COC/QCC overrides
     # (A.6.2/A.6.5; main-header only, decomposition levels must match)
     comp_cfg = {c: (cbs, cb_style, reversible) for c in range(ncomp)}
+    # per-component precinct grids (A.6.2): a COC may carry its own
+    # PPx/PPy list, or drop the Scoc precinct flag to mean MAXIMAL
+    # precincts even when the COD grid is explicit — the packet
+    # position walks handle differing per-component grids directly
+    comp_pp = {c: precinct_pp for c in range(ncomp)}
     for seg in coc_segs:
         if len(seg) < 7:
             raise Jp2kError("COC segment too short")
@@ -1660,17 +1674,9 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         if ci >= ncomp:
             raise Jp2kError("COC component index out of range")
         if seg[1] & 0x01:
-            # per-component precinct sizes must MATCH the COD grid —
-            # differing grids would need per-component packet position
-            # loops (the precinct dimension of the progression)
-            if _parse_precincts(seg, 7) != (
-                    precinct_pp or [(15, 15)] * (levels + 1)):
-                raise Jp2kError(
-                    "per-component precinct sizes not supported")
-        elif precinct_pp is not None:
-            # Scoc without the precinct flag means maximum precincts —
-            # a different grid from the COD's explicit one
-            raise Jp2kError("per-component precinct sizes not supported")
+            comp_pp[ci] = _parse_precincts(seg, 7)
+        else:
+            comp_pp[ci] = None  # maximal precincts
         if seg[2] != levels:
             raise Jp2kError(
                 "per-component decomposition levels not supported")
@@ -1684,6 +1690,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         if seg[6] not in (0, 1):
             raise Jp2kError(f"unknown wavelet transform {seg[6]}")
         comp_cfg[ci] = ((1 << ch, 1 << cw), cst, seg[6] == 1)
+    any_pp = any(v is not None for v in comp_pp.values())
+    if any_pp and any(r != (1, 1) for r in comp_rs):
+        raise Jp2kError(
+            "precincts with component subsampling not supported")
     comp_quant = {c: _parse_quant(qcd) for c in range(ncomp)}
     for seg in qcc_segs:
         if len(seg) < 2:
@@ -1785,10 +1795,14 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                    for c in range(ncomp)]
         comp_bands = {c: {} for c in range(ncomp)}
         # precinct grids: subsampling is rejected with precincts, so
-        # every component shares the tile's reference range
-        pinfo = ([_tile_prec_info((ty0, ty1, tx0, tx1), levels,
-                                  precinct_pp)] * ncomp
-                 if precinct_pp is not None else None)
+        # every component shares the tile's reference range; a COC may
+        # give a component its own grid (maximal when Scoc bit 0 is
+        # unset — represented as the degenerate (15,15) grid)
+        pinfo = ([_tile_prec_info(
+                      (ty0, ty1, tx0, tx1), levels,
+                      comp_pp[c] or [(15, 15)] * (levels + 1))
+                  for c in range(ncomp)]
+                 if any_pp else None)
         geoms = {}
         states = {}
         for c in range(ncomp):
@@ -1796,7 +1810,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                 for band, brange in bands:
                     geom = _band_cb_geometry_r(res, brange,
                                                comp_cfg[c][0],
-                                               precinct_pp)
+                                               comp_pp[c])
                     geoms[(c, res, band)] = geom
                     for p in ([None] if pinfo is None else
                               [(py, px)
@@ -2151,7 +2165,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 poc: list | None = None,
                 roi: list | None = None,
                 image_offset: tuple = (0, 0),
-                tile_offset: tuple = (0, 0)) -> bytes:
+                tile_offset: tuple = (0, 0),
+                coc_precincts: dict | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default; ``cb_exp`` may be
     one exponent or an (ycb, xcb) pair for rectangular codeblocks).  With
@@ -2191,7 +2206,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     (B.3; odd offsets flip the DWT interleave parity and clip the
     anchored codeblock/precinct partitions). ``tile_offset``:
     (YTOsiz, XTOsiz) tile-grid anchor, <= the image offset, with the
-    first tile containing the image origin (A.5.1)."""
+    first tile containing the image origin (A.5.1).
+    ``coc_precincts``: {component: precinct spec | None} — the
+    component gets its OWN precinct grid in its COC (None = maximal
+    precincts, Scoc bit 0 unset); the position-order packet walks
+    interleave the differing grids by reference-grid position."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -2224,22 +2243,34 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     for xr, yr in comp_rs:
         if not (1 <= xr <= 4 and 1 <= yr <= 4):
             raise Jp2kError(f"unsupported component sampling {xr}x{yr}")
-    if precincts is not None and any(r != (1, 1) for r in comp_rs):
-        raise Jp2kError(
-            "precincts with component subsampling not supported")
-    if precincts is not None:
-        if isinstance(precincts, tuple) and len(precincts) == 2 and \
-                all(isinstance(v, int) for v in precincts):
-            precincts = [precincts] * (levels + 1)
-        precincts = [tuple(pp) for pp in precincts]
-        if len(precincts) != levels + 1:
+    def _norm_pp(spec):
+        if spec is None:
+            return None
+        if isinstance(spec, tuple) and len(spec) == 2 and \
+                all(isinstance(v, int) for v in spec):
+            spec = [spec] * (levels + 1)
+        spec = [tuple(pp) for pp in spec]
+        if len(spec) != levels + 1:
             raise Jp2kError("precincts must cover every resolution")
-        for r, (ppx, ppy) in enumerate(precincts):
+        for r, (ppx, ppy) in enumerate(spec):
             if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
                 raise Jp2kError("precinct exponent out of range")
             if r > 0 and (ppx < 1 or ppy < 1):
                 raise Jp2kError("precinct exponent must be >= 1 above "
                                 "resolution 0")
+        return spec
+
+    precincts = _norm_pp(precincts)
+    coc_precincts = {int(c): _norm_pp(v)
+                     for c, v in (coc_precincts or {}).items()}
+    for c in coc_precincts:
+        if not 0 <= c < nc:
+            raise Jp2kError("coc_precincts component out of range")
+    comp_pp_e = {c: coc_precincts.get(c, precincts) for c in range(nc)}
+    if any(v is not None for v in comp_pp_e.values()) and \
+            any(r != (1, 1) for r in comp_rs):
+        raise Jp2kError(
+            "precincts with component subsampling not supported")
     if cb_style & ~0x3F:
         raise Jp2kError(f"undefined codeblock style bits {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
@@ -2444,15 +2475,19 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         comp_bands = tile_bands[tidx]
 
         trange = tile_ranges[tidx]
-        pinfo = ([_tile_prec_info(trange, levels, precincts)] * nc
-                 if precincts is not None else None)
+        pinfo = ([_tile_prec_info(
+                      trange, levels,
+                      comp_pp_e[c] or [(15, 15)] * (levels + 1))
+                  for c in range(nc)]
+                 if any(v is not None for v in comp_pp_e.values())
+                 else None)
         geoms = {}
         encoded = {}
         for c in range(nc):
             for res, bands in tlayouts[c]:
                 for band, brange in bands:
                     geom = _band_cb_geometry_r(res, brange, cbs,
-                                               precincts)
+                                               comp_pp_e[c])
                     geoms[(c, res, band)] = geom
                     _ch, _cw, gy0, gx0, nby, nbx, _br = geom
                     for by in range(gy0, gy0 + nby):
@@ -2702,12 +2737,14 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 vals += struct.pack(">H", (eps << 11) | mu)
         qcd = bytes([(guard << 5) | 2]) + vals  # scalar expounded
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
-    for ci, cst in sorted(coc_styles.items()):
-        coc = bytes([ci, 0x01 if precincts is not None else 0, levels,
+    for ci in sorted(set(coc_styles) | set(coc_precincts)):
+        cst = comp_style[ci]
+        pp_c = comp_pp_e[ci]
+        coc = bytes([ci, 0x01 if pp_c is not None else 0, levels,
                      cb_we - 2, cb_he - 2, cst,
                      1 if reversible else 0])
-        if precincts is not None:
-            coc += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
+        if pp_c is not None:
+            coc += bytes((ppy << 4) | ppx for ppx, ppy in pp_c)
         out += struct.pack(">HH", _COC, len(coc) + 2) + coc
     if packed_headers == "ppm":
         blob = b"".join(struct.pack(">I", len(t)) + t for t in tile_hdrs)

@@ -311,3 +311,59 @@ def test_offset_streams_mutation_fuzz_contained():
             decode_jp2k(bytes(mut))
         except Jp2kError:
             pass  # structured failure is the contract
+
+
+# ---------------------------------------------------------------------------
+# Per-component precinct grids (COC) — the final targeted reject
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("progression", range(5))
+def test_coc_precinct_grid_differs_from_cod(progression):
+    px = _rand(seed=40 + progression)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, precincts=(4, 4),
+        coc_precincts={1: (3, 3)}, progression=progression))
+    assert (img == px).all()
+
+
+def test_coc_maximal_precincts_under_explicit_cod_grid():
+    # Scoc without the precinct flag = maximal precincts, a DIFFERENT
+    # grid from the COD's explicit one (previously a targeted error)
+    px = _rand(seed=50)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, precincts=(3, 3),
+        coc_precincts={2: None}, progression=3))
+    assert (img == px).all()
+
+
+def test_coc_only_precincts_no_cod_grid():
+    px = _rand(seed=51)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, coc_precincts={0: (3, 3)},
+        progression=4))
+    assert (img == px).all()
+
+
+def test_coc_precincts_with_offsets_tiles_and_styles():
+    px = _rand(seed=52)
+    img, _ = decode_jp2k(encode_jp2k(
+        px, levels=2, cb_exp=3, precincts=(4, 4),
+        coc_precincts={1: (3, 3), 2: None}, coc_styles={1: 0x08},
+        progression=3, tile_size=(16, 16),
+        image_offset=(3, 5), tile_offset=(1, 2)))
+    assert (img == px).all()
+
+
+def test_coc_precinct_wire_bytes():
+    # the COC actually carries its own grid (Scoc bit 0 + PP bytes)
+    import struct as _s
+
+    s = encode_jp2k(_rand(16, 16, 3, seed=53), levels=1, cb_exp=3,
+                    precincts=(4, 4), coc_precincts={1: (3, 3)})
+    i = s.find(b"\xff\x53")
+    assert i > 0
+    (ln,) = _s.unpack(">H", s[i + 2:i + 4])
+    body = s[i + 4:i + 2 + ln]
+    assert body[0] == 1 and body[1] & 0x01  # component 1, explicit grid
+    assert list(body[7:9]) == [0x33, 0x33]  # (ppy<<4)|ppx per res
