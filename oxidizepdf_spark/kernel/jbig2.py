@@ -653,6 +653,10 @@ class Jbig2Decoder:
         self.globals_data = globals_data
         self.segments: dict[int, object] = {}
         self.pages: dict[int, PageBuffer] = {}
+        # which D.4.2 file organisation actually parsed (None until a
+        # file-wrapper decode; the tolerant fallback may invert the
+        # flag-bit reading and records the winner here)
+        self.file_organisation: str | None = None
         # T.88 §7.4.3.1.7 runcode symbol-ID tables for Huffman text
         # regions (spec-conformant streams); default False = the
         # reference's raw fixed-width quirk
@@ -694,33 +698,68 @@ class Jbig2Decoder:
     def _decode_file(self, data: bytes) -> bytes:
         file_org_flags = data[8]
         pos = 13 if (file_org_flags & 0x02) == 0 else 9
-        if file_org_flags & 0x01:
-            # random-access organisation (T.88 D.2): every segment
-            # header first — the run closed by the end-of-file header —
-            # then the data parts concatenated in the same order
-            # (previously a raise; PDF streams never carry the file
-            # wrapper, so this only serves standalone decode calls)
-            headers = []
-            while pos < len(data):
-                header = parse_segment_header(data[pos:])
-                pos += header.header_length
-                if header.segment_type == SEG_END_OF_FILE:
-                    break
-                if header.data_length == 0xFFFFFFFF:
-                    raise FilterError(
-                        "unknown-length segment in random-access file")
-                headers.append(header)
-            for header in headers:
-                end = pos + header.data_length
-                if end > len(data):
-                    break
-                try:
-                    self._process_segment(header, data[pos:end])
-                except FilterError:
-                    pass  # same failed-segment skip as the sequential walk
-                pos = end
-            return self._finalize_output()
-        return self._decode_segments(data, pos)
+        # D.4.2 file-organisation bit: this engine reads bit0=1 as
+        # random-access (taken from the reference; the spec text is not
+        # available in-sandbox and the opposite convention is
+        # plausible). PDF streams never carry the file wrapper, so this
+        # only serves standalone decode calls — be TOLERANT: if the
+        # chosen walk yields no page, retry the inverted reading on a
+        # fresh decoder and record which organisation actually parsed.
+        as_random = bool(file_org_flags & 0x01)
+        err: FilterError | None = None
+        out: bytes | None = None
+        try:
+            out = (self._decode_file_random(data, pos) if as_random
+                   else self._decode_segments(data, pos))
+            self.file_organisation = (
+                "random-access" if as_random else "sequential")
+        except FilterError as e:
+            err = e
+        if out is not None and self.pages:
+            return out
+        retry = Jbig2Decoder(self.globals_data,
+                             spec_symbol_ids=self.spec_symbol_ids,
+                             spec_refagg=self.spec_refagg)
+        try:
+            retry._parse_globals()
+            out2 = (retry._decode_segments(data, pos) if as_random
+                    else retry._decode_file_random(data, pos))
+        except FilterError:
+            out2 = None
+        if out2 is not None and retry.pages:
+            self.pages = retry.pages
+            self.segments = retry.segments
+            self.file_organisation = (
+                "sequential" if as_random else "random-access")
+            return out2
+        if err is not None:
+            raise err
+        return out  # type: ignore[return-value]  # empty page fallback
+
+    def _decode_file_random(self, data: bytes, pos: int) -> bytes:
+        # random-access organisation (T.88 D.2): every segment header
+        # first — the run closed by the end-of-file header — then the
+        # data parts concatenated in the same order
+        headers = []
+        while pos < len(data):
+            header = parse_segment_header(data[pos:])
+            pos += header.header_length
+            if header.segment_type == SEG_END_OF_FILE:
+                break
+            if header.data_length == 0xFFFFFFFF:
+                raise FilterError(
+                    "unknown-length segment in random-access file")
+            headers.append(header)
+        for header in headers:
+            end = pos + header.data_length
+            if end > len(data):
+                break
+            try:
+                self._process_segment(header, data[pos:end])
+            except FilterError:
+                pass  # same failed-segment skip as the sequential walk
+            pos = end
+        return self._finalize_output()
 
     def _decode_segments(self, data: bytes, pos: int) -> bytes:
         while pos < len(data):

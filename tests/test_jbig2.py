@@ -407,6 +407,48 @@ class TestFullDecode:
         with pytest.raises(FilterError):
             decode_jbig2(JBIG2_FILE_ID + bytes([0x01]) + b"\x00" * 8)
 
+    def test_file_organisation_flag_tolerant_fallback(self):
+        # T.88 D.4.2: the bit0 organisation reading was taken from the
+        # reference without in-sandbox spec text, so a MISLABELED flag
+        # must not misparse silently — if the chosen walk yields no
+        # page, the inverted organisation is tried and recorded (r9
+        # verdict ask #7)
+        from oxidizepdf_spark.kernel.jbig2 import (
+            SEG_END_OF_FILE,
+            Jbig2Decoder,
+            parse_segment_header,
+        )
+
+        w, h = 16, 4
+        rows = [[x % 2 for x in range(w)] for _ in range(h)]
+        segs = self._basic_stream(rows, w, h)
+        exp = _pack_rows(rows, w)
+        headers, datas = b"", b""
+        pos = 0
+        while pos < len(segs):
+            hdr = parse_segment_header(segs[pos:])
+            headers += segs[pos:pos + hdr.header_length]
+            start = pos + hdr.header_length
+            datas += segs[start:start + hdr.data_length]
+            pos = start + hdr.data_length
+        eof = build_segment(99, SEG_END_OF_FILE, 1, b"")
+        ra_body = headers + eof + datas
+        # random-access body labeled SEQUENTIAL (bit0 clear)
+        dec = Jbig2Decoder()
+        assert dec.decode(JBIG2_FILE_ID + bytes([0x02]) + ra_body) == exp
+        assert dec.file_organisation == "random-access"
+        # sequential body labeled RANDOM-ACCESS (bit0 set)
+        dec2 = Jbig2Decoder()
+        assert dec2.decode(JBIG2_FILE_ID + bytes([0x03]) + segs) == exp
+        assert dec2.file_organisation == "sequential"
+        # correctly-labeled files record the flag's own reading
+        dec3 = Jbig2Decoder()
+        assert dec3.decode(JBIG2_FILE_ID + bytes([0x03]) + ra_body) == exp
+        assert dec3.file_organisation == "random-access"
+        dec4 = Jbig2Decoder()
+        assert dec4.decode(JBIG2_FILE_ID + bytes([0x02]) + segs) == exp
+        assert dec4.file_organisation == "sequential"
+
     def test_unsupported_segment_skipped_gracefully(self):
         w, h = 16, 4
         rows = [[1] * w for _ in range(h)]
