@@ -235,7 +235,8 @@ class CffMetrics:
     """Metric view of one bare-CFF (Type1C) program."""
 
     __slots__ = ("default_width_x", "nominal_width_x", "font_matrix_x",
-                 "_widths_by_gid", "_gid_by_unicode", "num_glyphs")
+                 "_widths_by_gid", "_gid_by_unicode", "num_glyphs",
+                 "is_cid", "_gid_by_cid")
 
     def __init__(self):
         self.default_width_x = 0.0
@@ -244,9 +245,20 @@ class CffMetrics:
         self._widths_by_gid: list[float] = []
         self._gid_by_unicode: dict[int, int] = {}
         self.num_glyphs = 0
+        # CID-keyed programs (ROS + FDArray/FDSelect): the charset maps
+        # GID -> CID instead of GID -> SID, and widths come from the
+        # selected FD's private dict
+        self.is_cid = False
+        self._gid_by_cid: dict[int, int] = {}
 
     def width_1000_for_char(self, cp: int) -> float | None:
         gid = self._gid_by_unicode.get(cp)
+        if gid is None or gid >= len(self._widths_by_gid):
+            return None
+        return self._widths_by_gid[gid] * self.font_matrix_x * 1000.0
+
+    def width_1000_for_cid(self, cid: int) -> float | None:
+        gid = self._gid_by_cid.get(cid)
         if gid is None or gid >= len(self._widths_by_gid):
             return None
         return self._widths_by_gid[gid] * self.font_matrix_x * 1000.0
@@ -282,20 +294,74 @@ def _parse_charset(data: bytes, off: int, n_glyphs: int) -> list[int]:
     return sids
 
 
-def parse_cff_metrics(data: bytes) -> CffMetrics:
+def parse_cff_metrics(data: bytes, allow_cid: bool = False) -> CffMetrics:
     """Parse a bare CFF program's widths. Raises CffError on structure
-    problems (incl. CID-keyed fonts, whose widths live per-FD and come
-    from the PDF /W array in practice); malformed bytes never escape
-    with another exception type."""
+    problems; malformed bytes never escape with another exception type.
+
+    CID-keyed programs (ROS in the Top DICT) raise by default — the
+    reference's decoded-char width model (extraction.rs
+    calculate_text_width) has no code->CID notion, so in parity
+    contexts these widths are unusable. ``allow_cid=True`` (round 10,
+    BEYOND the reference) reads them for the code->CID model: per-FD
+    defaultWidthX/nominalWidthX via FDSelect (formats 0/3), charstring
+    width deltas against FD-local subrs, charset mapping GID -> CID."""
     try:
-        return _parse_cff_metrics(data)
+        return _parse_cff_metrics(data, allow_cid)
     except CffError:
         raise
     except (IndexError, ValueError, OverflowError, struct.error) as e:
         raise CffError(f"malformed CFF program: {e}") from None
 
 
-def _parse_cff_metrics(data: bytes) -> CffMetrics:
+def _parse_fdselect(data: bytes, off: int, n_glyphs: int) -> list[int]:
+    """GID -> FD index (CFF spec §19)."""
+    fmt = data[off]
+    if fmt == 0:
+        sel = list(data[off + 1:off + 1 + n_glyphs])
+        if len(sel) < n_glyphs:
+            raise CffError("FDSelect format 0 truncated")
+        return sel
+    if fmt == 3:
+        (n_ranges,) = struct.unpack_from(">H", data, off + 1)
+        pos = off + 3
+        sel = [0] * n_glyphs
+        prev_first = None
+        prev_fd = 0
+        for _ in range(n_ranges):
+            first, fd = struct.unpack_from(">HB", data, pos)
+            pos += 3
+            if prev_first is not None:
+                for g in range(prev_first, min(first, n_glyphs)):
+                    sel[g] = prev_fd
+            prev_first, prev_fd = first, fd
+        (sentinel,) = struct.unpack_from(">H", data, pos)
+        if prev_first is not None:
+            for g in range(prev_first, min(sentinel, n_glyphs)):
+                sel[g] = prev_fd
+        return sel
+    raise CffError(f"unknown FDSelect format {fmt}")
+
+
+def _read_private(data: bytes, priv) -> tuple[float, float, list[bytes]]:
+    """(defaultWidthX, nominalWidthX, local subrs) from a Private
+    DICT operand pair [size, offset]."""
+    default_w = nominal_w = 0.0
+    lsubrs: list[bytes] = []
+    if priv and len(priv) >= 2:
+        psize, poff = int(priv[0]), int(priv[1])
+        if poff + psize > len(data):
+            raise CffError("Private DICT out of range")
+        pd = _parse_dict(data[poff:poff + psize])
+        if 20 in pd and pd[20]:
+            default_w = float(pd[20][0])
+        if 21 in pd and pd[21]:
+            nominal_w = float(pd[21][0])
+        if 19 in pd and pd[19]:
+            lsubrs, _ = _read_index(data, poff + int(pd[19][0]))
+    return default_w, nominal_w, lsubrs
+
+
+def _parse_cff_metrics(data: bytes, allow_cid: bool) -> CffMetrics:
     from .encodings import glyph_name_to_unicode
 
     if len(data) < 4 or data[0] != 1:
@@ -309,7 +375,8 @@ def _parse_cff_metrics(data: bytes) -> CffMetrics:
     if not top_dicts:
         raise CffError("no Top DICT")
     top = _parse_dict(top_dicts[0])
-    if 0x0C1E in top:  # ROS: CID-keyed
+    is_cid = 0x0C1E in top  # ROS
+    if is_cid and not allow_cid:
         raise CffError("CID-keyed CFF: widths come from the PDF /W array")
     cs_off = top.get(17)
     if not cs_off:
@@ -321,23 +388,44 @@ def _parse_cff_metrics(data: bytes) -> CffMetrics:
 
     m = CffMetrics()
     m.num_glyphs = n_glyphs
+    m.is_cid = is_cid
     fm = top.get(0x0C07)
     if fm and len(fm) >= 1 and fm[0]:
         m.font_matrix_x = float(fm[0])
 
+    if is_cid:
+        fda = top.get(0x0C24)
+        fds = top.get(0x0C25)
+        if not fda or not fds:
+            raise CffError("CID-keyed CFF missing FDArray/FDSelect")
+        fd_dicts, _ = _read_index(data, int(fda[0]))
+        if not fd_dicts:
+            raise CffError("empty FDArray")
+        fd_priv = [_read_private(data, _parse_dict(fd).get(18))
+                   for fd in fd_dicts]
+        fdsel = _parse_fdselect(data, int(fds[0]), n_glyphs)
+        widths = []
+        for gid, cs in enumerate(charstrings):
+            fd = fdsel[gid] if fdsel[gid] < len(fd_priv) else 0
+            default_w, nominal_w, lsubrs = fd_priv[fd]
+            try:
+                d = _charstring_width_delta(cs, gsubrs, lsubrs)
+            except CffError:
+                d = None
+            widths.append(nominal_w + d if d is not None else default_w)
+        m._widths_by_gid = widths
+        # CID-keyed charset maps GID -> CID (9957.vol2 / CFF §18)
+        charset_off = int(top.get(15, [0])[0])
+        cids = _parse_charset(data, charset_off, n_glyphs)
+        for gid, cid in enumerate(cids):
+            m._gid_by_cid.setdefault(cid, gid)
+        return m
+
     lsubrs: list[bytes] = []
     priv = top.get(18)
     if priv and len(priv) >= 2:
-        psize, poff = int(priv[0]), int(priv[1])
-        if poff + psize > len(data):
-            raise CffError("Private DICT out of range")
-        pd = _parse_dict(data[poff:poff + psize])
-        if 20 in pd and pd[20]:
-            m.default_width_x = float(pd[20][0])
-        if 21 in pd and pd[21]:
-            m.nominal_width_x = float(pd[21][0])
-        if 19 in pd and pd[19]:
-            lsubrs, _ = _read_index(data, poff + int(pd[19][0]))
+        m.default_width_x, m.nominal_width_x, lsubrs = \
+            _read_private(data, priv)
 
     widths = []
     for cs in charstrings:

@@ -70,6 +70,8 @@ class FontInfo:
         "last_char",
         "widths",
         "missing_width",
+        "cid_widths",
+        "cid_default_width",
         "_decode_table",  # memoized 256-entry translate table (see below)
     )
 
@@ -86,6 +88,11 @@ class FontInfo:
         self.last_char: int | None = None
         self.widths: list[float] | None = None
         self.missing_width: float = 500.0  # FontMetrics::default
+        # CID -> width (1000-unit text space) read back from an embedded
+        # CID-keyed CFF (FontFile3, round 10 — BEYOND the reference) and
+        # the descendant's /DW default (ISO 32000-1 9.7.4.3)
+        self.cid_widths: dict[int, float] | None = None
+        self.cid_default_width: float = 1000.0
         self._decode_table: dict[int, str] | None = None
 
     @property
@@ -255,6 +262,43 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
                     info.widths = widths
                     info.first_char = 0
                     info.last_char = 255
+
+    # CID-keyed CFF width read-back (round 10, BEYOND the reference):
+    # a CIDFontType0 descendant with no /Widths carries its advances in
+    # the embedded FontFile3's per-FD private dicts (FDSelect picks the
+    # FD, charstrings may lead with a width delta). The composite width
+    # path consumes these by CID — the reference's model indexes
+    # /Widths by DECODED char (extraction.rs:2086) and falls to 0.5em
+    # here, a documented divergence.
+    if info.font_type.startswith("CIDFontType"):
+        dw = font_dict.get("DW")
+        if isinstance(dw, (int, float)):
+            info.cid_default_width = float(dw)
+    if (
+        info.font_type == "CIDFontType0"
+        and info.widths is None
+        and isinstance(desc, dict)
+    ):
+        ff = desc.get("FontFile3")
+        if isinstance(ff, Ref):
+            obj = reader.resolve(ff)
+            if isinstance(obj, Stream):
+                mt = None
+                try:
+                    from .cff import parse_cff_metrics
+
+                    mt = parse_cff_metrics(
+                        obj.decode(resolve=reader.resolve),
+                        allow_cid=True)
+                except Exception:
+                    mt = None
+                if mt is not None and mt.is_cid:
+                    scale = mt.font_matrix_x * 1000.0
+                    info.cid_widths = {
+                        cid: mt._widths_by_gid[gid] * scale
+                        for cid, gid in mt._gid_by_cid.items()
+                        if gid < len(mt._widths_by_gid)
+                    }
     return info
 
 
@@ -568,6 +612,13 @@ def calculate_text_width_from_codes(
     """extraction.rs:2147-2198: code-indexed widths for simple fonts,
     char-indexed for composite, 0.5em/code fallback."""
     if info is not None and info.is_composite:
+        if info.widths is None:
+            # no /Widths: the reference would fall to 0.5em per decoded
+            # char — prefer real advances from an embedded CID-keyed
+            # CFF when the descendant carries them (code -> CID model)
+            cw = _calc_width_cids(codes, font_size, info)
+            if cw is not None:
+                return cw
         return _calc_width_chars(decoded, font_size, info)
     if info is not None and info.widths is not None:
         first = info.first_char if info.first_char is not None else 0
@@ -583,6 +634,46 @@ def calculate_text_width_from_codes(
             total += w / 1000.0 * font_size
         return total
     return len(codes) * font_size * 0.5
+
+
+def _calc_width_cids(
+    codes: bytes, font_size: float, info: FontInfo
+) -> float | None:
+    """Code->CID width path (round 10, BEYOND the reference): composite
+    fonts whose descendant read back a CID-keyed CFF width table
+    (FontInfo.cid_widths) advance by the actual per-CID glyph widths.
+    Identity-H/V codes ARE the CIDs (2-byte big-endian); an embedded
+    /Encoding CMap maps codes per its codespace. Returns None when no
+    CID width source applies (caller keeps the reference model)."""
+    desc = info.descendant_font
+    if desc is None or desc.cid_widths is None:
+        return None
+    if info.encoding in ("Identity-H", "Identity-V"):
+        if len(codes) % 2:
+            return None
+        cids = [
+            (codes[i] << 8) | codes[i + 1]
+            for i in range(0, len(codes), 2)
+        ]
+    elif info.encoding_cmap is not None:
+        enc = info.encoding_cmap
+        cids = []
+        i, n = 0, len(codes)
+        while i < n:
+            ln = max(1, min(enc.code_len_at(codes, i), n - i))
+            cid = enc.map_code_to_cid(codes[i:i + ln])
+            if cid is None:
+                cid = enc.map_notdef(codes[i:i + ln]) or 0
+            cids.append(cid)
+            i += ln
+    else:
+        return None
+    table = desc.cid_widths
+    dw = desc.cid_default_width
+    total = 0.0
+    for cid in cids:
+        total += table.get(cid, dw) / 1000.0 * font_size
+    return total
 
 
 def _calc_width_chars(decoded: str, font_size: float, info: FontInfo) -> float:

@@ -179,3 +179,208 @@ def test_fontfile3_wiring():
     assert info.widths[ord("l")] == 250.0
     assert info.widths[ord("i")] == 125.0
     assert info.widths[ord("Q")] == 888.0  # unmapped -> /MissingWidth
+
+
+# ---------------------------------------------------------------------------
+# CID-keyed CFF (FDArray/FDSelect) — round 10, r9 verdict ask #5
+# ---------------------------------------------------------------------------
+
+
+def build_test_cid_cff(glyphs: list[tuple[int, int | None, int]],
+                       fd_params: list[tuple[int, int]],
+                       fdselect_fmt: int = 0) -> bytes:
+    """CID-keyed CFF: ``glyphs`` = (CID, width-or-None, fd_index) per
+    GID 1.. (GID 0 = CID 0 .notdef on FD 0); ``fd_params`` =
+    (defaultWidthX, nominalWidthX) per FD. Widths of None omit the
+    charstring width operand (decoder must use the FD's defaultWidthX).
+    ``fdselect_fmt``: 0 (per-glyph bytes) or 3 (ranges)."""
+    header = bytes([1, 0, 4, 2])
+    name_index = _index([b"TestCIDCFF"])
+    string_index = _index([])
+    gsubr_index = _index([])
+
+    charstrings = [bytes([14])]  # .notdef
+    fdsel_gids = [0]
+    for _, wd, fd in glyphs:
+        nominal = fd_params[fd][1]
+        body = (_cnum(wd - nominal) if wd is not None else b"")
+        body += _cnum(0) + _cnum(0) + bytes([21, 14])  # rmoveto endchar
+        charstrings.append(body)
+        fdsel_gids.append(fd)
+    cs_index = _index(charstrings)
+    n_glyphs = len(charstrings)
+
+    charset = bytes([0]) + b"".join(
+        struct.pack(">H", cid) for cid, _, _ in glyphs)
+    if fdselect_fmt == 0:
+        fdselect = bytes([0]) + bytes(fdsel_gids)
+    else:  # format 3: collapse into runs
+        runs = []
+        for g, fd in enumerate(fdsel_gids):
+            if not runs or runs[-1][1] != fd:
+                runs.append((g, fd))
+        fdselect = bytes([3]) + struct.pack(">H", len(runs))
+        for first, fd in runs:
+            fdselect += struct.pack(">HB", first, fd)
+        fdselect += struct.pack(">H", n_glyphs)
+
+    privates = [
+        _dnum(dw) + bytes([20]) + _dnum(nw) + bytes([21])
+        for dw, nw in fd_params
+    ]
+
+    # layout: header|name|top|strings|gsubrs|charset|fdselect|
+    #         cs_index|privates...|fdarray_index  (5-byte nums keep all
+    # DICT sizes value-independent, so one offset pass suffices)
+    fd_dict_template = _dnum(0) + _dnum(0) + bytes([18])
+    fdarray_size = len(_index([fd_dict_template] * len(fd_params)))
+    top_template = (
+        _dnum(0) + _dnum(0) + _dnum(0) + bytes([12, 30]) +  # ROS
+        _dnum(0) + bytes([15]) +          # charset
+        _dnum(0) + bytes([17]) +          # CharStrings
+        _dnum(0) + bytes([12, 36]) +      # FDArray
+        _dnum(0) + bytes([12, 37])        # FDSelect
+    )
+    base = (len(header) + len(name_index) + len(_index([top_template])) +
+            len(string_index) + len(gsubr_index))
+    charset_off = base
+    fdselect_off = charset_off + len(charset)
+    cs_off = fdselect_off + len(fdselect)
+    priv_offs = []
+    off = cs_off + len(cs_index)
+    for p in privates:
+        priv_offs.append(off)
+        off += len(p)
+    fdarray_off = off
+    fd_dicts = [
+        _dnum(len(p)) + _dnum(po) + bytes([18])
+        for p, po in zip(privates, priv_offs)
+    ]
+    top = (
+        _dnum(0) + _dnum(1) + _dnum(0) + bytes([12, 30]) +
+        _dnum(charset_off) + bytes([15]) +
+        _dnum(cs_off) + bytes([17]) +
+        _dnum(fdarray_off) + bytes([12, 36]) +
+        _dnum(fdselect_off) + bytes([12, 37])
+    )
+    return (header + name_index + _index([top]) + string_index +
+            gsubr_index + charset + fdselect + cs_index +
+            b"".join(privates) + _index(fd_dicts))
+
+
+@pytest.mark.parametrize("fdselect_fmt", [0, 3])
+def test_cid_cff_per_fd_widths(fdselect_fmt):
+    # FD 0: nominal 100, default 555; FD 1: nominal 900, default 333 —
+    # the same charstring delta decodes to DIFFERENT widths per FD,
+    # and omitted widths take the FD's own defaultWidthX
+    cff = build_test_cid_cff(
+        [(17, 800, 0), (23, 800, 1), (31, None, 0), (47, None, 1)],
+        fd_params=[(555, 100), (333, 900)], fdselect_fmt=fdselect_fmt)
+    m = parse_cff_metrics(cff, allow_cid=True)
+    assert m.is_cid and m.num_glyphs == 5
+    assert m.width_1000_for_cid(17) == 800.0
+    assert m.width_1000_for_cid(23) == 800.0
+    assert m.width_1000_for_cid(31) == 555.0  # FD 0 defaultWidthX
+    assert m.width_1000_for_cid(47) == 333.0  # FD 1 defaultWidthX
+    assert m.width_1000_for_cid(999) is None  # unmapped CID
+
+
+def test_cid_cff_default_raise_is_reference_parity():
+    # without allow_cid the ROS raise stands (the reference's
+    # decoded-char width model can't consume per-FD widths)
+    cff = build_test_cid_cff([(17, 800, 0)], fd_params=[(555, 100)])
+    with pytest.raises(CffError, match="CID-keyed"):
+        parse_cff_metrics(cff)
+
+
+_CID_TOUNICODE = b"""begincmap
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+2 beginbfchar
+<0011> <0041>
+<0017> <0042>
+endbfchar
+endcmap"""
+
+
+def _cid_pdf(content: bytes) -> bytes:
+    from oxidizepdf_spark.corpus import _stream_obj, build_pdf_with_content_stream
+
+    cff = build_test_cid_cff(
+        [(0x11, 800, 0), (0x17, 760, 1)],
+        fd_params=[(555, 100), (333, 900)])
+    font = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Test-CID "
+        b"/Encoding /Identity-H /DescendantFonts [7 0 R] "
+        b"/ToUnicode 8 0 R >>"
+    )
+    desc_font = (
+        b"<< /Type /Font /Subtype /CIDFontType0 /BaseFont /Test-CID "
+        b"/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) "
+        b"/Supplement 0 >> /DW 444 /FontDescriptor 9 0 R >>"
+    )
+    descriptor = (
+        b"<< /Type /FontDescriptor /FontName /Test-CID /Flags 4 "
+        b"/FontFile3 10 0 R >>"
+    )
+    return build_pdf_with_content_stream(
+        content, font_obj=font,
+        extra_objects={
+            7: desc_font,
+            8: _stream_obj(b"", _CID_TOUNICODE),
+            9: descriptor,
+            10: _stream_obj(b"/Subtype /CIDFontType0C", cff),
+        },
+    )
+
+
+def test_cid_cff_fontinfo_wiring():
+    from oxidizepdf_spark.kernel.fonts import extract_page_fonts
+    from oxidizepdf_spark.kernel.pages import flatten_page_tree
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    reader = PdfReader(_cid_pdf(b"BT /F1 10 Tf 100 700 Td <0011> Tj ET"))
+    page = flatten_page_tree(reader)[0]
+    info = extract_page_fonts(page.resources, reader)["F1"]
+    desc = info.descendant_font
+    assert desc is not None and desc.cid_widths is not None
+    assert desc.cid_widths[0x11] == 800.0
+    assert desc.cid_widths[0x17] == 760.0
+    assert desc.cid_default_width == 444.0  # /DW
+
+
+def test_cid_cff_widths_drive_space_synthesis_both_ways():
+    """The CID advances feed W4 space synthesis: CID 0x11 is 800/1000
+    wide (8pt at size 10), so a 9pt Td move leaves a 1pt gap (< 0.3em
+    threshold, NO space) while a 12pt move leaves 4pt (space). Under
+    the reference's 0.5em fallback the first case would read 4pt and
+    synthesize a spurious space — pinning that the embedded width is
+    actually used."""
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    near = extract_pdf_bytes(_cid_pdf(
+        b"BT /F1 10 Tf 100 700 Td <0011> Tj 9 0 Td <0017> Tj ET"))
+    assert near.page_texts == ["AB"]
+    far = extract_pdf_bytes(_cid_pdf(
+        b"BT /F1 10 Tf 100 700 Td <0011> Tj 12 0 Td <0017> Tj ET"))
+    assert far.page_texts == ["A B"]
+
+
+def test_cid_cff_unmapped_cid_uses_dw():
+    from oxidizepdf_spark.kernel.fonts import (
+        calculate_text_width_from_codes,
+        extract_page_fonts,
+    )
+    from oxidizepdf_spark.kernel.pages import flatten_page_tree
+    from oxidizepdf_spark.kernel.reader import PdfReader
+
+    reader = PdfReader(_cid_pdf(b"BT /F1 10 Tf 100 700 Td <0011> Tj ET"))
+    page = flatten_page_tree(reader)[0]
+    info = extract_page_fonts(page.resources, reader)["F1"]
+    # CID 0x99 has no glyph: /DW 444 applies
+    w = calculate_text_width_from_codes(b"\x00\x99", "?", 10.0, info)
+    assert w == pytest.approx(4.44)
+    # mapped CIDs: 800 + 760 -> 15.6pt at size 10
+    w2 = calculate_text_width_from_codes(b"\x00\x11\x00\x17", "AB", 10.0, info)
+    assert w2 == pytest.approx(15.6)
