@@ -63,13 +63,17 @@ Scope (raises ``Jp2kError`` beyond it):
   shape real-world crops and tiled scans carry; per-component
   precinct grids via COC (a component may carry its own PPx/PPy list
   or maximal precincts) interleave in the position walks;
+- per-component DECOMPOSITION LEVELS via COC (A.6.2, round 10): a
+  component contributes no packets at resolutions it lacks
+  (B.12.1.1) and its band exponents move from the QCD to its QCC;
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
 
 Remaining documented scope limits (loud errors, not silent
-mis-decodes): per-component decomposition-level overrides, precincts
-combined with component subsampling, and mixed transforms/depths
-under the MCT.
+mis-decodes): precincts combined with component subsampling. Mixed
+transforms/depths under the MCT also raise, but that one is a spec
+constraint rather than scope (A.6.1/G.2: the colour transform is
+defined over three components of like depth and transform).
 
 Everything heavy is numpy: the lifting DWT runs whole-array slicing,
 Tier-1 walks coefficients per codeblock (area bounded by the
@@ -1194,7 +1198,7 @@ def _precinct_cb_range_r(res: int, pidx, geom: tuple, pg) -> tuple:
 
 def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
                   pinfo=None, res_start: int = 0, comp_start: int = 0,
-                  tile_origin: tuple = (0, 0)):
+                  tile_origin: tuple = (0, 0), comp_nres=None):
     """Packet sequence for the five Part-1 progression orders with one
     tile. ``pinfo``: PER-COMPONENT precinct grids — pinfo[c][r] is a
     _tile_prec_info entry — or None for whole-subband precincts (the
@@ -1207,8 +1211,14 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
     top-left REFERENCE-GRID positions (B.12.1.3-5): a precinct is
     taken at its aligned multiple, or at the tile edge ``tile_origin``
     when its virtual position is unaligned (nonzero tile origins and
-    per-component grids both land here)."""
+    per-component grids both land here). ``comp_nres``: per-component
+    resolution counts when a COC gives components their own
+    decomposition levels (A.6.2) — a component contributes no packets
+    at resolutions it does not have (B.12.1.1)."""
     ty0, tx0 = tile_origin
+    if comp_nres is None:
+        comp_nres = ([len(pc) for pc in pinfo] if pinfo is not None
+                     else [nres] * ncomp)
 
     def precs(res, c):
         if pinfo is None:
@@ -1233,6 +1243,8 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
         vals = set()
         for c in comps:
             for r in rr:
+                if r >= comp_nres[c]:
+                    continue
                 pg = pinfo[c][r]
                 size, g0, np_, aligned = (pg[axis], pg[2 + axis],
                                           pg[4 + axis], pg[6 + axis])
@@ -1258,6 +1270,8 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
 
     def at_pos(y, x, c):
         for r in rr:
+            if r >= comp_nres[c]:
+                continue
             pg = pinfo[c][r]
             py = match(y, 0, pg)
             px = match(x, 1, pg)
@@ -1270,18 +1284,24 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
         for layer in range(layers):
             for res in rr:
                 for c in comps:
+                    if res >= comp_nres[c]:
+                        continue
                     for p in precs(res, c):
                         yield layer, res, c, p
     elif progression == 1:  # RLCP
         for res in rr:
             for layer in range(layers):
                 for c in comps:
+                    if res >= comp_nres[c]:
+                        continue
                     for p in precs(res, c):
                         yield layer, res, c, p
     elif progression == 2:  # RPCL
         if not multi:
             for res in rr:
                 for c in comps:
+                    if res >= comp_nres[c]:
+                        continue
                     for p in precs(res, c):
                         for layer in range(layers):
                             yield layer, res, c, p
@@ -1294,6 +1314,8 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
             for y in ys:
                 for x in xs:
                     for c in comps:
+                        if res >= comp_nres[c]:
+                            continue
                         pg = pinfo[c][res]
                         py = match(y, 0, pg)
                         px = match(x, 1, pg)
@@ -1307,6 +1329,8 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
             # iteration, so both orders collapse to comp-major
             for c in comps:
                 for res in rr:
+                    if res >= comp_nres[c]:
+                        continue
                     for layer in range(layers):
                         for p in precs(res, c):
                             yield layer, res, c, p
@@ -1327,7 +1351,8 @@ def _packet_order(progression: int, layers: int, nres: int, ncomp: int,
 
 
 def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
-                      pinfo=None, tile_origin: tuple = (0, 0)):
+                      pinfo=None, tile_origin: tuple = (0, 0),
+                      comp_nres=None):
     """B.12 progression-order changes: walk each volume's order over its
     (res, comp, layer) bounds in sequence, emitting each packet at its
     FIRST containing volume (later volumes skip already-emitted packets,
@@ -1339,7 +1364,8 @@ def _packet_order_poc(volumes: list, layers: int, nres: int, ncomp: int,
         for key in _packet_order(prog, min(lye, layers), min(re_, nres),
                                  min(ce, ncomp), pinfo,
                                  res_start=rs, comp_start=cs,
-                                 tile_origin=tile_origin):
+                                 tile_origin=tile_origin,
+                                 comp_nres=comp_nres):
             if key in seen:
                 continue
             seen.add(key)
@@ -1569,10 +1595,11 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             f"undefined codeblock style bits {cb_style:#x}"
         )
 
-    def _parse_precincts(body: bytes, off: int):
+    def _parse_precincts(body: bytes, off: int, nlv: int | None = None):
         """Per-resolution (PPx, PPy) exponents (B.6 / Table A.21)."""
-        pb = body[off:off + levels + 1]
-        if len(pb) < levels + 1:
+        nlv = levels if nlv is None else nlv
+        pb = body[off:off + nlv + 1]
+        if len(pb) < nlv + 1:
             raise Jp2kError("precinct size list too short")
         out = []
         for r, b in enumerate(pb):
@@ -1622,14 +1649,15 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     reversible = cod[9] == 1
     cbs = (1 << cb_h_exp, 1 << cb_w_exp)
 
-    def _parse_quant(qbytes: bytes) -> tuple:
-        """(qstyle, guard, exps, mus) from a QCD/QCC parameter body:
-        style 0 = no quantization, 1 = scalar derived, 2 = scalar
-        expounded (T.800 A.6.4/A.6.5, E.1)."""
+    def _parse_quant(qbytes: bytes, lv: int) -> tuple:
+        """(qstyle, guard, exps, mus) from a QCD/QCC parameter body for
+        a component with ``lv`` decomposition levels: style 0 = no
+        quantization, 1 = scalar derived, 2 = scalar expounded (T.800
+        A.6.4/A.6.5, E.1)."""
         sq = qbytes[0]
         qs = sq & 0x1F
         gd = sq >> 5
-        n_bands_total = 3 * levels + 1
+        n_bands_total = 3 * lv + 1
         if qs == 0:
             es = [b >> 3 for b in qbytes[1:]]
             ms = [0] * len(es)
@@ -1645,10 +1673,10 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     raise Jp2kError("derived quantization value missing")
                 eps0, mu0 = vals[0] >> 11, vals[0] & 0x7FF
                 es, ms = [eps0], [mu0]
-                for r in range(1, levels + 1):
-                    nb = levels - r + 1  # decomposition level of bands
+                for r in range(1, lv + 1):
+                    nb = lv - r + 1  # decomposition level of bands
                     for _ in range(3):
-                        es.append(max(0, eps0 - levels + nb))
+                        es.append(max(0, eps0 - lv + nb))
                         ms.append(mu0)
             else:
                 if len(vals) < n_bands_total:
@@ -1660,8 +1688,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         return qs, gd, es, ms
 
     # per-component config: COD/QCD defaults, COC/QCC overrides
-    # (A.6.2/A.6.5; main-header only, decomposition levels must match)
+    # (A.6.2/A.6.5; main-header only)
     comp_cfg = {c: (cbs, cb_style, reversible) for c in range(ncomp)}
+    # per-component decomposition levels (A.6.2): a COC replaces every
+    # coding parameter for its component, including the number of
+    # decomposition levels — packet walks skip resolutions a component
+    # does not have (B.12.1.1)
+    comp_levels = {c: levels for c in range(ncomp)}
     # per-component precinct grids (A.6.2): a COC may carry its own
     # PPx/PPy list, or drop the Scoc precinct flag to mean MAXIMAL
     # precincts even when the COD grid is explicit — the packet
@@ -1673,13 +1706,13 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         ci = seg[0]
         if ci >= ncomp:
             raise Jp2kError("COC component index out of range")
+        if seg[2] > 32:
+            raise Jp2kError("decomposition levels out of range")
+        comp_levels[ci] = seg[2]
         if seg[1] & 0x01:
-            comp_pp[ci] = _parse_precincts(seg, 7)
+            comp_pp[ci] = _parse_precincts(seg, 7, seg[2])
         else:
             comp_pp[ci] = None  # maximal precincts
-        if seg[2] != levels:
-            raise Jp2kError(
-                "per-component decomposition levels not supported")
         cw = (seg[3] & 0x0F) + 2
         ch = (seg[4] & 0x0F) + 2
         if cw + ch > 12:
@@ -1694,14 +1727,22 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     if any_pp and any(r != (1, 1) for r in comp_rs):
         raise Jp2kError(
             "precincts with component subsampling not supported")
-    comp_quant = {c: _parse_quant(qcd) for c in range(ncomp)}
+    qcc_by_comp: dict[int, bytes] = {}
     for seg in qcc_segs:
         if len(seg) < 2:
             raise Jp2kError("QCC segment too short")
         ci = seg[0]
         if ci >= ncomp:
             raise Jp2kError("QCC component index out of range")
-        comp_quant[ci] = _parse_quant(seg[1:])
+        qcc_by_comp[ci] = seg[1:]
+    # a component with its own levels needs its own QCC unless the
+    # QCD happens to carry enough values — parse QCD per component so
+    # the band count follows that component's decomposition
+    comp_quant = {
+        c: _parse_quant(qcc_by_comp[c] if c in qcc_by_comp else qcd,
+                        comp_levels[c])
+        for c in range(ncomp)
+    }
     for c in range(ncomp):
         rev_c = comp_cfg[c][2]
         qs_c = comp_quant[c][0]
@@ -1726,7 +1767,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         _qs, gd, es, ms = comp_quant[c]
         rev_c = comp_cfg[c][2]
         exp_idx = 0
-        for res, bands in _band_layout(h, w, levels):
+        for res, bands in _band_layout(h, w, comp_levels[c]):
             for band, _bh, _bw in bands:
                 band_mb[(c, res, band)] = gd + es[exp_idx] - 1
                 if not rev_c:
@@ -1791,7 +1832,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             xr, yr = comp_rs[c]
             cwin.append((-(-ty0 // yr), -(-ty1 // yr),
                          -(-tx0 // xr), -(-tx1 // xr)))
-        layouts = [_band_layout_r(*cwin[c], levels)
+        layouts = [_band_layout_r(*cwin[c], comp_levels[c])
                    for c in range(ncomp)]
         comp_bands = {c: {} for c in range(ncomp)}
         # precinct grids: subsampling is rejected with precincts, so
@@ -1799,10 +1840,12 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         # give a component its own grid (maximal when Scoc bit 0 is
         # unset — represented as the degenerate (15,15) grid)
         pinfo = ([_tile_prec_info(
-                      (ty0, ty1, tx0, tx1), levels,
-                      comp_pp[c] or [(15, 15)] * (levels + 1))
+                      (ty0, ty1, tx0, tx1), comp_levels[c],
+                      comp_pp[c] or [(15, 15)] * (comp_levels[c] + 1))
                   for c in range(ncomp)]
                  if any_pp else None)
+        comp_nres = [comp_levels[c] + 1 for c in range(ncomp)]
+        max_nres = max(comp_nres)
         geoms = {}
         states = {}
         for c in range(ncomp):
@@ -1835,17 +1878,19 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             else poc_volumes
         if tile_vols is not None:
             order = list(_packet_order_poc(tile_vols, layers,
-                                           levels + 1, ncomp, pinfo,
-                                           tile_origin=(ty0, tx0)))
+                                           max_nres, ncomp, pinfo,
+                                           tile_origin=(ty0, tx0),
+                                           comp_nres=comp_nres))
             full = layers * (
                 sum(pg[4] * pg[5] for pc in pinfo for pg in pc)
-                if pinfo else ncomp * (levels + 1))
+                if pinfo else sum(comp_nres))
             if len(order) != full:
                 raise Jp2kError(
                     "POC volumes do not cover the full packet set")
         else:
-            order = _packet_order(progression, layers, levels + 1,
-                                  ncomp, pinfo, tile_origin=(ty0, tx0))
+            order = _packet_order(progression, layers, max_nres,
+                                  ncomp, pinfo, tile_origin=(ty0, tx0),
+                                  comp_nres=comp_nres)
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if use_sop:
@@ -1983,17 +2028,19 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     mag >= thr, np.sign(q) * (mag >> s), q)
 
         # Inverse DWT per component, into the tile's canvas window.
-        # Each reconstruction step targets the LEVEL (levels - r)
+        # Each reconstruction step targets the LEVEL (comp levels - r)
         # signal, whose absolute origin parities drive the interleave
         # (B.5: low bands hold the even absolute positions).
         for c in range(ncomp):
+            lv_c = comp_levels[c]
+
             def lvl_origin(r):
-                s = 1 << (levels - r)
+                s = 1 << (lv_c - r)
                 return (-(-cwin[c][0] // s), -(-cwin[c][2] // s))
 
             if comp_cfg[c][2]:
                 cur = comp_bands[c][(0, "LL")]
-                for r in range(1, levels + 1):
+                for r in range(1, lv_c + 1):
                     cur = dwt53_inverse_2d(
                         cur,
                         comp_bands[c][(r, "HL")],
@@ -2011,7 +2058,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
                     return np.copysign(out, q)
 
                 cur = deq((c, 0, "LL"))
-                for r in range(1, levels + 1):
+                for r in range(1, lv_c + 1):
                     cur = dwt97_inverse_2d(
                         cur, deq((c, r, "HL")), deq((c, r, "LH")),
                         deq((c, r, "HH")), origin=lvl_origin(r))
@@ -2139,6 +2186,7 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
     info = {"width": w, "height": h, "components": ncomp,
             "depth": depth, "depths": list(comp_depths),
             "levels": levels, "mct": bool(mct),
+            "comp_levels": [comp_levels[c] for c in range(ncomp)],
             "reversible": not any_irrev, "tiles": (nty, ntx),
             "offsets": (yo, xo, yto, xto)}
     return img.astype(dtype), info
@@ -2166,7 +2214,8 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 roi: list | None = None,
                 image_offset: tuple = (0, 0),
                 tile_offset: tuple = (0, 0),
-                coc_precincts: dict | None = None) -> bytes:
+                coc_precincts: dict | None = None,
+                coc_levels: dict | None = None) -> bytes:
     """Encode (h, w[, c]) uint8/uint16 samples as a Part-1 codestream
     (single tile; 5/3 reversible + RCT by default; ``cb_exp`` may be
     one exponent or an (ycb, xcb) pair for rectangular codeblocks).  With
@@ -2210,7 +2259,11 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     ``coc_precincts``: {component: precinct spec | None} — the
     component gets its OWN precinct grid in its COC (None = maximal
     precincts, Scoc bit 0 unset); the position-order packet walks
-    interleave the differing grids by reference-grid position."""
+    interleave the differing grids by reference-grid position.
+    ``coc_levels``: {component: decomposition levels} — the component
+    gets its OWN wavelet depth in its COC (A.6.2); it then contributes
+    no packets at resolutions it lacks (B.12.1.1), and its band
+    exponents move from the QCD to a per-component QCC."""
     pix = np.asarray(pixels)
     if pix.ndim == 2:
         pix = pix[..., None]
@@ -2234,6 +2287,16 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("codeblock exponent out of range")
     max_levels = max(0, (min(h, w) - 1).bit_length() - 1) if min(h, w) > 1 else 0
     levels = max(0, min(levels, max_levels, 32))
+    coc_levels = {int(c): int(v) for c, v in (coc_levels or {}).items()}
+    for c, v in coc_levels.items():
+        if not 0 <= c < nc:
+            raise Jp2kError("coc_levels component out of range")
+        if not 0 <= v <= 32:
+            raise Jp2kError("decomposition levels out of range")
+    coc_levels = {c: max(0, min(v, max_levels))
+                  for c, v in coc_levels.items()}
+    comp_lv = {c: coc_levels.get(c, levels) for c in range(nc)}
+    max_nres_e = max(comp_lv.values()) + 1
     if not 1 <= layers <= 255:
         raise Jp2kError("invalid layer count")
     if progression > 4:
@@ -2243,14 +2306,15 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     for xr, yr in comp_rs:
         if not (1 <= xr <= 4 and 1 <= yr <= 4):
             raise Jp2kError(f"unsupported component sampling {xr}x{yr}")
-    def _norm_pp(spec):
+    def _norm_pp(spec, nlv=None):
         if spec is None:
             return None
+        nlv = levels if nlv is None else nlv
         if isinstance(spec, tuple) and len(spec) == 2 and \
                 all(isinstance(v, int) for v in spec):
-            spec = [spec] * (levels + 1)
+            spec = [spec] * (nlv + 1)
         spec = [tuple(pp) for pp in spec]
-        if len(spec) != levels + 1:
+        if len(spec) != nlv + 1:
             raise Jp2kError("precincts must cover every resolution")
         for r, (ppx, ppy) in enumerate(spec):
             if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
@@ -2261,11 +2325,18 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         return spec
 
     precincts = _norm_pp(precincts)
-    coc_precincts = {int(c): _norm_pp(v)
-                     for c, v in (coc_precincts or {}).items()}
+    coc_precincts = {int(c): v for c, v in (coc_precincts or {}).items()}
     for c in coc_precincts:
         if not 0 <= c < nc:
             raise Jp2kError("coc_precincts component out of range")
+    coc_precincts = {c: _norm_pp(v, comp_lv[c])
+                     for c, v in coc_precincts.items()}
+    for c in coc_levels:
+        if precincts is not None and c not in coc_precincts and \
+                comp_lv[c] != levels:
+            raise Jp2kError(
+                "a component with its own levels needs its own "
+                "coc_precincts entry when the COD grid is explicit")
     comp_pp_e = {c: coc_precincts.get(c, precincts) for c in range(nc)}
     if any(v is not None for v in comp_pp_e.values()) and \
             any(r != (1, 1) for r in comp_rs):
@@ -2321,6 +2392,9 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         for ty in range(nty) for tx in range(ntx)
     ]
     layout = _band_layout(h, w, levels)  # band-key enumeration only
+    comp_layout = {c: (layout if comp_lv[c] == levels else
+                       _band_layout(h, w, comp_lv[c]))
+                   for c in range(nc)}
     fwd = dwt53_forward_2d if reversible else dwt97_forward_2d
 
     # Decimate each component to its own sample grid AFTER the colour
@@ -2358,9 +2432,10 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                                  y1c - comp_org_e[c][0],
                                  x0c - comp_org_e[c][1]:
                                  x1c - comp_org_e[c][1]]
-            lay_c.append(_band_layout_r(y0c, y1c, x0c, x1c, levels))
+            lv_c = comp_lv[c]
+            lay_c.append(_band_layout_r(y0c, y1c, x0c, x1c, lv_c))
             lvl = (y0c, x0c)
-            for r in range(levels, 0, -1):
+            for r in range(lv_c, 0, -1):
                 ll, hl, lh, hh = fwd(cur, origin=lvl)
                 comp_bands[c][(r, "HL")] = hl
                 comp_bands[c][(r, "LH")] = lh
@@ -2400,7 +2475,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             step_c = qcc_steps.get(c, qstep)
             if not step_c > 0:
                 raise Jp2kError("qstep must be positive")
-            for res, bands in layout:
+            for res, bands in comp_layout[c]:
                 for band, _bh, _bw in bands:
                     rb = depths[c] + _BAND_GAIN[band]
                     eps, mu, delta = eps_mu(step_c, rb)
@@ -2414,23 +2489,51 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         raise Jp2kError("qcc_steps require reversible=False")
 
     # Mb / guard from the GLOBAL dynamic range (one QCD/QCC set serves
-    # every tile)
+    # every tile); components with their own decomposition levels move
+    # their band exponents to a per-component QCC, everything else
+    # shares the QCD values. band_mb is keyed (c, res, band) with the
+    # value the wire actually signals for that component.
+    qcc_set = ({c for c in range(nc) if comp_lv[c] != levels}
+               | (set(qcc_steps) if not reversible else set()))
     band_mb = {}
-    for res, bands in layout:
-        for band, _bh, _bw in bands:
-            top = 0
-            for comp_bands in tile_bands:
-                for c in range(nc):
-                    arr = comp_bands[c][(res, band)]
-                    amax = int(np.abs(arr).max()) if arr.size else 0
-                    top = max(top, amax)
-                    if not reversible:
-                        eps = band_eps_mu[(c, res, band)][0]
+    qcd_mb = {}  # (res, band) -> shared QCD Mb (reversible)
+    if reversible:
+        for res, bands in layout:
+            for band, _bh, _bw in bands:
+                top = 0
+                for comp_bands in tile_bands:
+                    for c in range(nc):
+                        if c in qcc_set:
+                            continue
+                        arr = comp_bands[c][(res, band)]
+                        amax = int(np.abs(arr).max()) if arr.size else 0
+                        top = max(top, amax)
+                qcd_mb[(res, band)] = max(1, top.bit_length())
+        for c in range(nc):
+            if c not in qcc_set:
+                for res, bands in layout:
+                    for band, _bh, _bw in bands:
+                        band_mb[(c, res, band)] = qcd_mb[(res, band)]
+            else:
+                for res, bands in comp_layout[c]:
+                    for band, _bh, _bw in bands:
+                        top = 0
+                        for comp_bands in tile_bands:
+                            arr = comp_bands[c][(res, band)]
+                            if arr.size:
+                                top = max(top, int(np.abs(arr).max()))
+                        band_mb[(c, res, band)] = max(
+                            1, top.bit_length())
+    else:
+        for c in range(nc):
+            for res, bands in comp_layout[c]:
+                for band, _bh, _bw in bands:
+                    eps = band_eps_mu[(c, res, band)][0]
+                    for comp_bands in tile_bands:
+                        arr = comp_bands[c][(res, band)]
+                        amax = int(np.abs(arr).max()) if arr.size else 0
                         need = max(1, amax.bit_length())
                         guard = max(guard, need + 1 - eps)
-            if reversible:
-                band_mb[(res, band)] = max(1, top.bit_length())
-    if not reversible:
         if guard > 7:
             raise Jp2kError("quantized magnitudes exceed guard-bit range")
         for key, (eps, _mu, _d) in band_eps_mu.items():
@@ -2476,11 +2579,12 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
 
         trange = tile_ranges[tidx]
         pinfo = ([_tile_prec_info(
-                      trange, levels,
-                      comp_pp_e[c] or [(15, 15)] * (levels + 1))
+                      trange, comp_lv[c],
+                      comp_pp_e[c] or [(15, 15)] * (comp_lv[c] + 1))
                   for c in range(nc)]
                  if any(v is not None for v in comp_pp_e.values())
                  else None)
+        comp_nres_e = [comp_lv[c] + 1 for c in range(nc)]
         geoms = {}
         encoded = {}
         for c in range(nc):
@@ -2542,8 +2646,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
             for res, bands in tlayouts[c]:
                 for band, _brange in bands:
                     geom = geoms[(c, res, band)]
-                    mb = (band_mb[(res, band)] if reversible else
-                          band_mb[(c, res, band)]) + roi_shifts.get(c, 0)
+                    mb = band_mb[(c, res, band)] + roi_shifts.get(c, 0)
                     for p in ([None] if pinfo is None else
                               [(py, px)
                                for py in range(pinfo[c][res][4])
@@ -2579,18 +2682,20 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         nsop = nsop0
         tile_org = (trange[0], trange[2])
         if poc:
-            order = list(_packet_order_poc(poc, layers, levels + 1,
+            order = list(_packet_order_poc(poc, layers, max_nres_e,
                                            nc, pinfo,
-                                           tile_origin=tile_org))
+                                           tile_origin=tile_org,
+                                           comp_nres=comp_nres_e))
             full = layers * (
                 sum(pg[4] * pg[5] for pc in pinfo for pg in pc)
-                if pinfo else nc * (levels + 1))
+                if pinfo else sum(comp_nres_e))
             if len(order) != full:
                 raise Jp2kError(
                     "POC volumes do not cover the full packet set")
         else:
-            order = _packet_order(progression, layers, levels + 1,
-                                  nc, pinfo, tile_origin=tile_org)
+            order = _packet_order(progression, layers, max_nres_e,
+                                  nc, pinfo, tile_origin=tile_org,
+                                  comp_nres=comp_nres_e)
         for layer, res, c, prec in order:
             bands = bands_by_res[c][res]
             if sop:
@@ -2711,7 +2816,7 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
     if poc:
         pbody = bytearray()
         for rs, cs, lye, re_, ce, pprog in poc:
-            if not (0 <= rs < re_ <= levels + 1 and 0 <= cs < ce <= nc
+            if not (0 <= rs < re_ <= max_nres_e and 0 <= cs < ce <= nc
                     and 1 <= lye <= layers and 0 <= pprog <= 4):
                 raise Jp2kError("invalid POC progression volume")
             pbody += bytes([rs, cs]) + struct.pack(">H", lye) + bytes(
@@ -2723,24 +2828,33 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         exps = []
         for res, bands in layout:
             for band, bh, bw in bands:
-                mb = band_mb[(res, band)]
+                mb = qcd_mb[(res, band)]
                 eps = mb + 1 - guard
                 if not 0 <= eps <= 31:
                     raise Jp2kError("band exponent out of range")
                 exps.append(eps << 3)
         qcd = bytes([(guard << 5) | 0]) + bytes(exps)
     else:
+        # the QCD carries the default-levels band values; components
+        # with their own levels read a QCC instead, so any shared
+        # component's values serve (synthesize from qstep when every
+        # component overrides)
+        rep = next((c for c in range(nc) if c not in qcc_set), None)
         vals = b""
         for res, bands in layout:
             for band, bh, bw in bands:
-                eps, mu, _d = band_eps_mu[(0, res, band)]
+                if rep is not None:
+                    eps, mu, _d = band_eps_mu[(rep, res, band)]
+                else:
+                    eps, mu, _d = eps_mu(qstep, depth + _BAND_GAIN[band])
                 vals += struct.pack(">H", (eps << 11) | mu)
         qcd = bytes([(guard << 5) | 2]) + vals  # scalar expounded
     out += struct.pack(">HH", _QCD, len(qcd) + 2) + qcd
-    for ci in sorted(set(coc_styles) | set(coc_precincts)):
+    for ci in sorted(set(coc_styles) | set(coc_precincts)
+                     | set(coc_levels)):
         cst = comp_style[ci]
         pp_c = comp_pp_e[ci]
-        coc = bytes([ci, 0x01 if pp_c is not None else 0, levels,
+        coc = bytes([ci, 0x01 if pp_c is not None else 0, comp_lv[ci],
                      cb_we - 2, cb_he - 2, cst,
                      1 if reversible else 0])
         if pp_c is not None:
@@ -2750,13 +2864,23 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         blob = b"".join(struct.pack(">I", len(t)) + t for t in tile_hdrs)
         ppm = bytes([0]) + blob  # single segment, Zppm = 0
         out += struct.pack(">HH", _PPM, len(ppm) + 2) + ppm
-    for ci in sorted(qcc_steps):
-        vals = b""
-        for res, bands in layout:
-            for band, bh, bw in bands:
-                eps, mu, _d = band_eps_mu[(ci, res, band)]
-                vals += struct.pack(">H", (eps << 11) | mu)
-        qcc = bytes([ci, (guard << 5) | 2]) + vals
+    for ci in sorted(qcc_set):
+        if reversible:
+            exps = []
+            for res, bands in comp_layout[ci]:
+                for band, bh, bw in bands:
+                    eps = band_mb[(ci, res, band)] + 1 - guard
+                    if not 0 <= eps <= 31:
+                        raise Jp2kError("band exponent out of range")
+                    exps.append(eps << 3)
+            qcc = bytes([ci, (guard << 5) | 0]) + bytes(exps)
+        else:
+            vals = b""
+            for res, bands in comp_layout[ci]:
+                for band, bh, bw in bands:
+                    eps, mu, _d = band_eps_mu[(ci, res, band)]
+                    vals += struct.pack(">H", (eps << 11) | mu)
+            qcc = bytes([ci, (guard << 5) | 2]) + vals
         out += struct.pack(">HH", _QCC, len(qcc) + 2) + qcc
     for tidx, tb in enumerate(tile_bodies):
         ppt = b""

@@ -636,13 +636,19 @@ def test_coc_qcc_combined_with_markers():
     assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
 
 
-def test_coc_divergent_levels_rejected():
+def test_coc_divergent_levels_now_decode():
+    # r10: a COC may carry its OWN decomposition levels (A.6.2) — the
+    # r9 reject is gone. Mutating the COC levels byte changes the
+    # packet walk for that component (B.12.1.1: fewer resolutions);
+    # with an all-zeros image every packet is empty, so the shorter
+    # walk still reconstructs exactly and the header is honored.
     img = np.zeros((16, 16, 3), np.uint8)
     enc = bytearray(encode_jp2k(img, levels=2, coc_styles={1: 0}))
     coc_at = bytes(enc).index(b"\xff\x53")
     enc[coc_at + 6] = 1  # COC decomposition levels != COD's 2
-    with pytest.raises(Jp2kError, match="decomposition levels"):
-        decode_jp2k(bytes(enc))
+    dec, info = decode_jp2k(bytes(enc))
+    assert info["comp_levels"] == [2, 1, 2]
+    assert np.array_equal(dec, img)
 
 
 # ---------------------------------------------------------------------------
@@ -1158,4 +1164,121 @@ def test_mixed_depths_guards():
     siz_at = bytes(enc).index(b"\xff\x51")
     enc[siz_at + 4 + 36 + 3] = 9  # comp 1 now claims 10-bit
     with pytest.raises(Jp2kError, match="MCT requires equal depths"):
+        decode_jp2k(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Per-component decomposition levels (A.6.2 COC; r10)
+# ---------------------------------------------------------------------------
+
+
+def test_coc_levels_roundtrip_and_meta():
+    # a COC replaces the component's wavelet depth; packet walks skip
+    # resolutions the component does not have (B.12.1.1)
+    rng = np.random.default_rng(71)
+    rgb = rng.integers(0, 256, (40, 52, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, coc_levels={1: 1, 2: 3})
+    dec, info = decode_jp2k(enc)
+    assert info["comp_levels"] == [2, 1, 3]
+    assert np.array_equal(dec, rgb)
+    # the stream genuinely carries COC segments (one per override)
+    assert enc.count(b"\xff\x53") >= 2
+    # levels 0 = no wavelet at all for that component
+    dec0, info0 = decode_jp2k(
+        encode_jp2k(rgb, levels=2, coc_levels={0: 0}))
+    assert info0["comp_levels"] == [0, 2, 2]
+    assert np.array_equal(dec0, rgb)
+
+
+@pytest.mark.parametrize("prog", [0, 1, 2, 3, 4])
+def test_coc_levels_all_progressions(prog):
+    rng = np.random.default_rng(72 + prog)
+    rgb = rng.integers(0, 256, (33, 47, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=3, progression=prog,
+                      coc_levels={0: 1, 2: 2}, layers=2)
+    dec, info = decode_jp2k(enc)
+    assert info["comp_levels"] == [1, 3, 2]
+    assert np.array_equal(dec, rgb)
+
+
+def test_coc_levels_with_precinct_grids():
+    # a custom-levels component must carry its own precinct list (its
+    # length is levels+1); the position walks interleave the grids
+    rng = np.random.default_rng(77)
+    rgb = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    enc = encode_jp2k(rgb, levels=2, precincts=(5, 5),
+                      coc_levels={1: 3},
+                      coc_precincts={1: [(5, 5)] * 4},
+                      progression=2)
+    dec, info = decode_jp2k(enc)
+    assert info["comp_levels"] == [2, 3, 2]
+    assert np.array_equal(dec, rgb)
+    # PCRL over differing depths + grids
+    enc2 = encode_jp2k(rgb, levels=2, precincts=(4, 4),
+                       coc_levels={2: 1},
+                       coc_precincts={2: [(4, 4)] * 2},
+                       progression=3, eph=True)
+    dec2, _ = decode_jp2k(enc2)
+    assert np.array_equal(dec2, rgb)
+    # without an explicit per-component grid the encoder refuses
+    with pytest.raises(Jp2kError, match="its own"):
+        encode_jp2k(rgb, levels=2, precincts=(5, 5), coc_levels={1: 3})
+    # maximal precincts for the override component are fine
+    enc3 = encode_jp2k(rgb, levels=2, precincts=(5, 5),
+                       coc_levels={1: 3}, coc_precincts={1: None})
+    dec3, _ = decode_jp2k(enc3)
+    assert np.array_equal(dec3, rgb)
+
+
+def test_coc_levels_lossy_emits_qcc():
+    yy, xx = np.mgrid[0:48, 0:40]
+    g = ((np.sin(xx / 7) + np.cos(yy / 5)) * 60 + 128).astype(np.uint8)
+    rgb = np.stack([g, np.roll(g, 5, 0), 255 - g], -1)
+    enc = encode_jp2k(rgb, levels=2, reversible=False, qstep=0.25,
+                      coc_levels={1: 3})
+    dec, info = decode_jp2k(enc)
+    assert info["comp_levels"] == [2, 3, 2]
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 2
+    # the override component's band exponents travel in a QCC
+    assert b"\xff\x5d" in enc
+    # reversible too: the QCC carries style-0 exponents
+    enc2 = encode_jp2k(rgb, levels=1, coc_levels={0: 2})
+    assert b"\xff\x5d" in enc2
+    dec2, _ = decode_jp2k(enc2)
+    assert np.array_equal(dec2, rgb)
+
+
+def test_coc_levels_compose_multitile_poc_depths():
+    rng = np.random.default_rng(79)
+    img = np.stack([
+        rng.integers(0, 4096, (30, 44)),
+        rng.integers(0, 256, (30, 44)),
+    ], axis=-1).astype(np.uint16)
+    enc = encode_jp2k(img, levels=2, mct=False,
+                      comp_depths={0: 12, 1: 8},
+                      coc_levels={1: 1}, tile_size=(20, 24))
+    dec, info = decode_jp2k(enc)
+    assert info["comp_levels"] == [2, 1]
+    assert np.array_equal(dec, img)
+    # POC volumes sweep the MAX resolution count; absent resolutions
+    # of shallower components simply contribute no packets
+    rgb = rng.integers(0, 256, (26, 26, 3)).astype(np.uint8)
+    enc2 = encode_jp2k(rgb, levels=2, coc_levels={1: 1}, layers=2,
+                       poc=[(0, 0, 2, 2, 3, 1), (0, 0, 2, 3, 3, 0)])
+    dec2, _ = decode_jp2k(enc2)
+    assert np.array_equal(dec2, rgb)
+
+
+def test_coc_levels_validation():
+    rng = np.random.default_rng(80)
+    rgb = rng.integers(0, 256, (16, 16, 3)).astype(np.uint8)
+    with pytest.raises(Jp2kError, match="component out of range"):
+        encode_jp2k(rgb, coc_levels={5: 1})
+    with pytest.raises(Jp2kError, match="levels out of range"):
+        encode_jp2k(rgb, coc_levels={0: 40})
+    # decoder: a COC levels byte past the spec ceiling is loud
+    enc = bytearray(encode_jp2k(rgb, levels=1, coc_levels={1: 2}))
+    at = bytes(enc).index(b"\xff\x53")
+    enc[at + 6] = 60  # SPcoc levels byte
+    with pytest.raises(Jp2kError, match="levels out of range"):
         decode_jp2k(bytes(enc))
