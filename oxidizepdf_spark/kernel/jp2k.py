@@ -69,11 +69,14 @@ Scope (raises ``Jp2kError`` beyond it):
 - raw codestreams (SOC..EOC) and JP2 containers (the ``jp2c`` box is
   located and the codestream decoded from it).
 
-Remaining documented scope limits (loud errors, not silent
-mis-decodes): precincts combined with component subsampling. Mixed
-transforms/depths under the MCT also raise, but that one is a spec
-constraint rather than scope (A.6.1/G.2: the colour transform is
-defined over three components of like depth and transform).
+Since round 10 precincts compose with component subsampling (the
+precinct grids live on each component's resolution grids, projected
+to the reference grid through Rsiz for the B.12.1.3-5 position
+walks), leaving NO targeted capability errors in the Part-1 read
+surface. Mixed transforms/depths under the MCT still raise, but that
+is a spec constraint rather than scope (A.6.1/G.2: the colour
+transform is defined over three components of like depth and
+transform).
 
 Everything heavy is numpy: the lifting DWT runs whole-array slicing,
 Tier-1 walks coefficients per codeblock (area bounded by the
@@ -1120,15 +1123,20 @@ def _band_layout_r(y0: int, y1: int, x0: int, x1: int, levels: int):
     return out
 
 
-def _tile_prec_info(trange: tuple, levels: int, pp) -> list:
-    """Per-resolution precinct grid of one tile(-component):
-    (sy, sx, gy0, gx0, npy, npx, ay, ax) — sy/sx are one precinct
-    projected onto the reference grid (2^(PP+NL-r)), gy0/gx0 the grid
-    origin INDICES on the resolution grid (B.6: the partition is
-    anchored at (0,0), so a nonzero tile origin lands mid-cell and the
-    edge precincts clip), npy/npx the counts, and ay/ax whether the
-    first row/col's virtual reference-grid position is sy/sx-aligned
-    (drives the B.12.1.3-5 position-walk inclusion at ty0/tx0)."""
+def _tile_prec_info(trange: tuple, levels: int, pp,
+                    rsiz: tuple = (1, 1)) -> list:
+    """Per-resolution precinct grid of one tile-COMPONENT (``trange``
+    is the component tile window, = the reference range when the
+    component is not subsampled): (sy, sx, gy0, gx0, npy, npx, ay, ax)
+    — sy/sx are one precinct projected onto the reference grid
+    (Rsiz * 2^(PP+NL-r), the B.12.1.3-5 position-walk modulus),
+    gy0/gx0 the grid origin INDICES on the resolution grid (B.6: the
+    partition is anchored at (0,0), so a nonzero tile origin lands
+    mid-cell and the edge precincts clip), npy/npx the counts, and
+    ay/ax whether the first row/col's virtual reference-grid position
+    is sy/sx-aligned (drives the position-walk inclusion at
+    ty0/tx0)."""
+    xr, yr = rsiz
     out = []
     for r in range(levels + 1):
         ry0, ry1, rx0, rx1 = _res_range(trange, levels, r)
@@ -1136,7 +1144,7 @@ def _tile_prec_info(trange: tuple, levels: int, pp) -> list:
         gy0, gx0 = ry0 >> ppy, rx0 >> ppx
         npy = (-(-ry1 // (1 << ppy)) - gy0) if ry1 > ry0 else 0
         npx = (-(-rx1 // (1 << ppx)) - gx0) if rx1 > rx0 else 0
-        out.append((1 << (ppy + levels - r), 1 << (ppx + levels - r),
+        out.append((yr << (ppy + levels - r), xr << (ppx + levels - r),
                     gy0, gx0, max(npy, 1), max(npx, 1),
                     ry0 % (1 << ppy) == 0, rx0 % (1 << ppx) == 0,
                     ppy, ppx))
@@ -1724,9 +1732,6 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
             raise Jp2kError(f"unknown wavelet transform {seg[6]}")
         comp_cfg[ci] = ((1 << ch, 1 << cw), cst, seg[6] == 1)
     any_pp = any(v is not None for v in comp_pp.values())
-    if any_pp and any(r != (1, 1) for r in comp_rs):
-        raise Jp2kError(
-            "precincts with component subsampling not supported")
     qcc_by_comp: dict[int, bytes] = {}
     for seg in qcc_segs:
         if len(seg) < 2:
@@ -1835,13 +1840,15 @@ def _decode_jp2k(data: bytes) -> tuple[np.ndarray, dict]:
         layouts = [_band_layout_r(*cwin[c], comp_levels[c])
                    for c in range(ncomp)]
         comp_bands = {c: {} for c in range(ncomp)}
-        # precinct grids: subsampling is rejected with precincts, so
-        # every component shares the tile's reference range; a COC may
-        # give a component its own grid (maximal when Scoc bit 0 is
-        # unset — represented as the degenerate (15,15) grid)
+        # precinct grids live on each COMPONENT's resolution grids
+        # (B.6), projected back to the reference grid through Rsiz for
+        # the position walks; a COC may give a component its own grid
+        # (maximal when Scoc bit 0 is unset — represented as the
+        # degenerate (15,15) grid)
         pinfo = ([_tile_prec_info(
-                      (ty0, ty1, tx0, tx1), comp_levels[c],
-                      comp_pp[c] or [(15, 15)] * (comp_levels[c] + 1))
+                      cwin[c], comp_levels[c],
+                      comp_pp[c] or [(15, 15)] * (comp_levels[c] + 1),
+                      rsiz=comp_rs[c])
                   for c in range(ncomp)]
                  if any_pp else None)
         comp_nres = [comp_levels[c] + 1 for c in range(ncomp)]
@@ -2338,10 +2345,6 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
                 "a component with its own levels needs its own "
                 "coc_precincts entry when the COD grid is explicit")
     comp_pp_e = {c: coc_precincts.get(c, precincts) for c in range(nc)}
-    if any(v is not None for v in comp_pp_e.values()) and \
-            any(r != (1, 1) for r in comp_rs):
-        raise Jp2kError(
-            "precincts with component subsampling not supported")
     if cb_style & ~0x3F:
         raise Jp2kError(f"undefined codeblock style bits {cb_style:#x}")
     use_mct = bool(mct and nc >= 3)
@@ -2578,9 +2581,13 @@ def encode_jp2k(pixels: np.ndarray, levels: int = 2, cb_exp: int = 6,
         comp_bands = tile_bands[tidx]
 
         trange = tile_ranges[tidx]
+        cwin_e = [(-(-trange[0] // yr), -(-trange[1] // yr),
+                   -(-trange[2] // xr), -(-trange[3] // xr))
+                  for xr, yr in comp_rs]
         pinfo = ([_tile_prec_info(
-                      trange, comp_lv[c],
-                      comp_pp_e[c] or [(15, 15)] * (comp_lv[c] + 1))
+                      cwin_e[c], comp_lv[c],
+                      comp_pp_e[c] or [(15, 15)] * (comp_lv[c] + 1),
+                      rsiz=comp_rs[c])
                   for c in range(nc)]
                  if any(v is not None for v in comp_pp_e.values())
                  else None)

@@ -875,11 +875,44 @@ def test_subsampling_sampled_positions_exact_and_combos():
                   - rgb[..., 0].astype(int)).max() <= 90  # ICT mixes comps
 
 
-def test_subsampling_precincts_rejected():
-    img = np.zeros((32, 32, 3), np.uint8)
-    with pytest.raises(Jp2kError, match="subsampling"):
-        encode_jp2k(img, levels=1, precincts=(5, 5),
-                    comp_subsampling={1: (2, 2)})
+def test_subsampling_precincts_compose():
+    # r10: precinct grids live on each component's resolution grids
+    # (B.6), projected to the reference grid through Rsiz for the
+    # position walks — the former reject is gone. Subsampled decode
+    # replicates, so pin against the SAME independent reconstruction
+    # as the no-precinct 4:2:0 test (identical pixels, different
+    # packetization).
+    rng = np.random.default_rng(61)
+    rgb = rng.integers(0, 256, (41, 53, 3)).astype(np.uint8)
+    base, _ = decode_jp2k(encode_jp2k(
+        rgb, levels=2, comp_subsampling={1: (2, 2), 2: (2, 2)}))
+    for prog in (0, 2, 3, 4):
+        enc = encode_jp2k(rgb, levels=2, progression=prog,
+                          precincts=(4, 4), layers=2, eph=True,
+                          comp_subsampling={1: (2, 2), 2: (2, 2)})
+        dec, _ = decode_jp2k(enc)
+        assert np.array_equal(dec, base), prog
+    # the position walks interleave the DIFFERENT reference-grid
+    # moduli (chroma precincts are 2x wider on the reference grid):
+    # PCRL and CPRL genuinely disagree on the packet order
+    e3 = encode_jp2k(rgb, levels=1, progression=3, precincts=(4, 4),
+                     comp_subsampling={1: (2, 2), 2: (2, 2)})
+    e4 = encode_jp2k(rgb, levels=1, progression=4, precincts=(4, 4),
+                     comp_subsampling={1: (2, 2), 2: (2, 2)})
+    assert e3 != e4
+    d3, _ = decode_jp2k(e3)
+    d4, _ = decode_jp2k(e4)
+    assert np.array_equal(d3, d4)
+    # asymmetric sampling + per-component grids + multiple tiles
+    enc5 = encode_jp2k(rgb, levels=1, progression=2, precincts=(5, 5),
+                       coc_precincts={1: [(4, 4), (4, 4)]},
+                       comp_subsampling={1: (2, 1)},
+                       tile_size=(32, 32))
+    ref5, _ = decode_jp2k(encode_jp2k(rgb, levels=1,
+                                      comp_subsampling={1: (2, 1)},
+                                      tile_size=(32, 32)))
+    dec5, _ = decode_jp2k(enc5)
+    assert np.array_equal(dec5, ref5)
 
 
 # ---------------------------------------------------------------------------
