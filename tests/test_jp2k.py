@@ -1315,3 +1315,36 @@ def test_coc_levels_validation():
     enc[at + 6] = 60  # SPcoc levels byte
     with pytest.raises(Jp2kError, match="levels out of range"):
         decode_jp2k(bytes(enc))
+
+
+def test_round10_mutation_fuzz_contained():
+    # mutation fuzz over a stream exercising ALL the new r10 paths
+    # (per-component decomposition levels, precincts x subsampling,
+    # per-component grids, nonzero offsets) — only Jp2kError escapes
+    import random
+
+    rng = random.Random(107)
+    img = (np.random.default_rng(9).integers(0, 256, (40, 48, 3))
+           .astype(np.uint8))
+    base = bytearray(encode_jp2k(
+        img, levels=2, layers=2, precincts=(4, 4), progression=2,
+        coc_levels={1: 1}, coc_precincts={1: [(4, 4)] * 2},
+        comp_subsampling={2: (2, 2)}, image_offset=(1, 3),
+        eph=True))
+    decode_jp2k(bytes(base))  # sanity: the unmutated stream decodes
+    for _ in range(400):
+        mutated = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            mutated = mutated[: rng.randrange(2, len(mutated))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        else:
+            at = rng.randrange(len(mutated))
+            mutated[at:at] = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 12)))
+        try:
+            decode_jp2k(bytes(mutated))
+        except Jp2kError:
+            pass
