@@ -225,7 +225,8 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
         and isinstance(desc, dict)
         and info.font_type in ("Type1", "TrueType", "MMType1")
     ):
-        ff = desc.get("FontFile2") or desc.get("FontFile3")
+        ff = (desc.get("FontFile2") or desc.get("FontFile3")
+              or desc.get("FontFile"))
         if isinstance(ff, Ref):
             obj = reader.resolve(ff)
             if isinstance(obj, Stream):
@@ -237,7 +238,10 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
                 if prog:
                     # sfnt first (FontFile2, OTTO-wrapped CFF has real
                     # hmtx too); bare CFF (Type1C) carries widths in the
-                    # Type 2 charstrings instead
+                    # Type 2 charstrings; classic Type 1 (FontFile,
+                    # eexec-encrypted) in its Type 1 charstrings'
+                    # leading hsbw/sbw — each parser rejects the other
+                    # formats loudly, so the chain self-selects
                     try:
                         from .ttf import parse_truetype_metrics
 
@@ -250,7 +254,12 @@ def extract_font_info(font_dict: dict, reader) -> FontInfo | None:
 
                             mt = parse_cff_metrics(prog)
                         except Exception:
-                            mt = None
+                            try:
+                                from .type1 import parse_type1_metrics
+
+                                mt = parse_type1_metrics(prog)
+                            except Exception:
+                                mt = None
                 if mt is not None:
                     widths = []
                     for c in range(256):
