@@ -346,13 +346,15 @@ class ImageExtractor:
                 fmt = "jpeg"
                 if self.options.decode_jpeg_images:
                     # Beyond-reference: decode JPEG pixels (baseline,
-                    # extended, progressive) and re-encode as PNG
-                    # (jpeg_codec.py). Any stream that decoder rejects
-                    # (arithmetic, 12-bit, …) falls back to reference
-                    # behaviour: raw JPEG bytes.
+                    # extended incl. 12-bit, progressive) and re-encode
+                    # as PNG (jpeg_codec.py). Any stream that decoder
+                    # rejects (arithmetic, lossless, …) falls back to
+                    # reference behaviour: raw JPEG bytes.
                     try:
                         from .jpeg_codec import decode_jpeg_to_rgb
                         pixels, ncomp = decode_jpeg_to_rgb(data)
+                        if pixels.dtype != "uint8":
+                            pixels = (pixels >> 4).astype("uint8")
                         data = encode_png(
                             pixels.tobytes(), pixels.shape[1],
                             pixels.shape[0], ncomp, 8,

@@ -11,7 +11,9 @@ validate_jpeg / decode_dct).
 
 This module goes further, the same way the JBIG2 decoder does: a real
 JPEG decoder covering baseline (SOF0), extended-sequential (SOF1) and
-progressive (SOF2) Huffman processes with 8-bit samples, so the
+progressive (SOF2) Huffman processes with 8-bit samples — and, per
+T.81 Table B.2, 12-bit samples on the extended/progressive processes
+(16-bit DQT form, uint16 output; the medical/scanner shape) — so the
 extraction pipeline can hand a training-data consumer decoded pixels
 (re-encoded as PNG) instead of an opaque ``.jpg`` blob.  Everything is
 pure Python + numpy:
@@ -294,8 +296,9 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a baseline JPEG to pixel planes.
 
     Returns ``(pixels, info)`` where pixels is a (height, width, ncomp)
-    uint8 array in the stream's native colour space (no YCbCr->RGB) and
-    info carries ``{"width","height","components","adobe_transform"}``
+    uint8 (8-bit) or uint16 (12-bit extended/progressive) array in the
+    stream's native colour space (no YCbCr->RGB) and info carries
+    ``{"width","height","components","adobe_transform","precision"}``
     (adobe_transform None when no APP14 marker is present).
 
     Every malformed-stream failure surfaces as ``JpegError`` — callers
@@ -321,6 +324,7 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     restart_interval = 0
     adobe_transform = None
     frame_seen = False
+    precision = 8
     scan_seen = False
     progressive = False
     hmax = vmax = 1
@@ -364,7 +368,10 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             if len(seg) < 6:
                 raise JpegError("SOF truncated")
             precision = seg[0]
-            if precision != 8:
+            # T.81 Table B.2: baseline (SOF0) is 8-bit; the extended
+            # sequential and progressive processes allow 12-bit too
+            if precision not in (8, 12) or (
+                    precision == 12 and marker == 0xC0):
                 raise JpegError(f"unsupported sample precision {precision}")
             height = struct.unpack(">H", seg[1:3])[0]
             width = struct.unpack(">H", seg[3:5])[0]
@@ -443,14 +450,15 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         if q is None:
             raise JpegError(f"missing quantization table {c.tq}")
         deq = (c.coefs * q).reshape(-1, 8, 8).astype(np.float64)
-        blocks = _idct_blocks(deq) + 128.0
+        blocks = _idct_blocks(deq) + float(1 << (precision - 1))
         # (by*bx, 8, 8) -> (by*8, bx*8)
         plane = (
             blocks.reshape(c.by, c.bx, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(c.by * 8, c.bx * 8)
         )
-        plane = np.clip(np.round(plane), 0, 255).astype(np.uint8)
+        plane = np.clip(np.round(plane), 0, (1 << precision) - 1).astype(
+            np.uint8 if precision == 8 else np.uint16)
         # Crop to the component's true size, then upsample to full frame.
         ch = -(-height * c.v // vmax)  # ceil
         cw = -(-width * c.h // hmax)
@@ -466,6 +474,7 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         "height": height,
         "components": len(comps),
         "adobe_transform": adobe_transform,
+        "precision": precision,
     }
     return pixels, info
 
@@ -683,14 +692,17 @@ def _ac_refine_block(reader, comp, bidx, dc_table, ac_table,
 # ---------------------------------------------------------------------------
 
 
-def _ycbcr_to_rgb(pix: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(pix: np.ndarray, precision: int = 8) -> np.ndarray:
+    half = float(1 << (precision - 1))
+    maxv = (1 << precision) - 1
     y = pix[..., 0].astype(np.float64)
-    cb = pix[..., 1].astype(np.float64) - 128.0
-    cr = pix[..., 2].astype(np.float64) - 128.0
+    cb = pix[..., 1].astype(np.float64) - half
+    cr = pix[..., 2].astype(np.float64) - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, maxv).astype(
+        np.uint8 if precision == 8 else np.uint16)
 
 
 def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
@@ -705,28 +717,33 @@ def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
     pix, info = decode_jpeg(data)
     nc = info["components"]
     tr = info["adobe_transform"]
+    p = info["precision"]
+    maxf = float((1 << p) - 1)
+    odt = np.uint8 if p == 8 else np.uint16
     if nc == 1:
         return pix, 1
     if nc == 3:
         if tr == 0:
             return pix, 3
-        return _ycbcr_to_rgb(pix), 3
+        return _ycbcr_to_rgb(pix, p), 3
     # CMYK: Adobe 4-component JPEGs store inverted samples; honour the
     # convention only when an Adobe marker is present (transform 2 also
     # layers YCCK on top).
     if tr == 2:
-        rgbk = np.concatenate([_ycbcr_to_rgb(pix[..., :3]), pix[..., 3:]], axis=-1)
+        rgbk = np.concatenate(
+            [_ycbcr_to_rgb(pix[..., :3], p), pix[..., 3:]], axis=-1)
         cmyk = rgbk.astype(np.float64)
-        cmyk[..., :3] = 255.0 - cmyk[..., :3]
+        cmyk[..., :3] = maxf - cmyk[..., :3]
     else:
         cmyk = pix.astype(np.float64)
     if tr is not None:
-        cmyk = 255.0 - cmyk  # Adobe inverted convention
+        cmyk = maxf - cmyk  # Adobe inverted convention
     c, m, y_, k = (cmyk[..., i] for i in range(4))
-    r = (255.0 - c) * (255.0 - k) / 255.0
-    g = (255.0 - m) * (255.0 - k) / 255.0
-    b = (255.0 - y_) * (255.0 - k) / 255.0
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8), 3
+    r = (maxf - c) * (maxf - k) / maxf
+    g = (maxf - m) * (maxf - k) / maxf
+    b = (maxf - y_) * (maxf - k) / maxf
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)),
+                   0, maxf).astype(odt), 3
 
 
 # ---------------------------------------------------------------------------
@@ -848,15 +865,25 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 subsampling: str = "4:4:4",
                 restart_interval: int = 0,
                 native: bool = False,
-                progressive: bool = False) -> bytes:
+                progressive: bool = False,
+                precision: int = 8) -> bytes:
     """Encode (h, w) / (h, w, 1) gray or (h, w, 3) RGB uint8 pixels as a
     baseline JFIF JPEG.  With ``native=True`` the 1-4 input planes are
     entropy-coded as-is (no RGB->YCbCr), which is how 4-component CMYK
     streams are built.  With ``progressive=True`` a SOF2 stream is
     emitted (DC first Al=1 → DC refine → per-component AC first Al=1 →
     AC refine to Al=0), exercising every successive-approximation
-    decoder branch.  Fixture generation only — favours clarity."""
-    pix = np.asarray(pixels, dtype=np.uint8)
+    decoder branch.  ``precision=12`` emits the 12-bit extended
+    sequential (SOF1) or progressive process from uint16 samples, with
+    16x-scaled quantization tables in the 16-bit DQT form (T.81 B.4.1
+    Pq=1).  Fixture generation only — favours clarity."""
+    if precision not in (8, 12):
+        raise JpegError(f"unsupported encoder precision {precision}")
+    half = float(1 << (precision - 1))
+    pix = np.asarray(pixels,
+                     dtype=np.uint8 if precision == 8 else np.uint16)
+    if precision == 12 and int(pix.max(initial=0)) > 4095:
+        raise JpegError("12-bit samples exceed range")
     if pix.ndim == 2:
         pix = pix[..., None]
     h, w, nc = pix.shape
@@ -876,14 +903,20 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         g = pix[..., 1].astype(np.float64)
         b = pix[..., 2].astype(np.float64)
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + half
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + half
         planes = [y, cb, cr]
     else:
         planes = [pix[..., i].astype(np.float64) for i in range(nc)]
 
     qt_luma = _quant_table(_K_LUMA_ZZ, quality)
     qt_chroma = _quant_table(_K_CHROMA_ZZ, quality)
+    if precision == 12 and quality < 100:
+        # keep the relative quality: samples are 16x bigger, so are the
+        # steps — which also pushes the tables into the 16-bit DQT form
+        # (quality 100 keeps unit steps so the roundtrip stays exact)
+        qt_luma = qt_luma * 16
+        qt_chroma = qt_chroma * 16
 
     comp_cfg = []  # (plane, hsamp, vsamp, tq)
     for ci, plane in enumerate(planes):
@@ -918,7 +951,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
         )
         blocks = (
             padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
-            .reshape(-1, 8, 8) - 128.0
+            .reshape(-1, 8, 8) - half
         )
         coefs = _fdct_blocks(blocks)
         q = (qt_luma if tq == 0 else qt_chroma).reshape(8, 8)
@@ -930,7 +963,7 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
             raise JpegError("progressive encoder does not support restarts")
         return _encode_progressive_stream(
             h, w, nc, comp_cfg, comp_blocks, qt_luma, qt_chroma,
-            mcus_x, mcus_y,
+            mcus_x, mcus_y, precision,
         )
 
     # Walk MCUs once to gather symbols, again to emit (canonical tables
@@ -971,10 +1004,9 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
         struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tq, table in ((0, qt_luma), (1, qt_chroma))[:n_tables]:
-        zz = table[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
-        out += bytes(int(v) for v in zz)
-    out += b"\xff\xc0" + struct.pack(">H", 8 + 3 * nc) + bytes([8])
+        _emit_dqt(out, tq, table)
+    out += (b"\xff\xc0" if precision == 8 else b"\xff\xc1")
+    out += struct.pack(">H", 8 + 3 * nc) + bytes([precision])
     out += struct.pack(">HH", h, w) + bytes([nc])
     for ci, (_, hs, vs, tq) in enumerate(comp_cfg):
         out += bytes([ci + 1, (hs << 4) | vs, tq])
@@ -1205,17 +1237,28 @@ def _emit_scan(out, comps_hdr, ss, se, ah, al, ev, tables):
     out += writer.out
 
 
+def _emit_dqt(out: bytearray, tq: int, table) -> None:
+    """DQT in 8- or 16-bit element form (T.81 B.4.1: Pq follows the
+    element range)."""
+    zz = table[_ZIGZAG]
+    if int(zz.max()) > 255:
+        out += b"\xff\xdb" + struct.pack(">H", 131) + bytes([0x10 | tq])
+        out += b"".join(struct.pack(">H", int(v)) for v in zz)
+    else:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(int(v) for v in zz)
+
+
 def _encode_progressive_stream(h, w, nc, comp_cfg, comp_blocks,
-                               qt_luma, qt_chroma, mcus_x, mcus_y):
+                               qt_luma, qt_chroma, mcus_x, mcus_y,
+                               precision=8):
     n_tables = 2 if nc >= 2 else 1
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + \
         struct.pack(">HH", 1, 1) + b"\x00\x00"
     for tq, table in ((0, qt_luma), (1, qt_chroma))[:n_tables]:
-        zzvals = table[_ZIGZAG]
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
-        out += bytes(int(v) for v in zzvals)
-    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) + bytes([8])
+        _emit_dqt(out, tq, table)
+    out += b"\xff\xc2" + struct.pack(">H", 8 + 3 * nc) + bytes([precision])
     out += struct.pack(">HH", h, w) + bytes([nc])
     for ci, (_, hs, vs, tq) in enumerate(comp_cfg):
         out += bytes([ci + 1, (hs << 4) | vs, tq])

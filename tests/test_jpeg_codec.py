@@ -425,3 +425,87 @@ def test_rgb_422_subsampling():
     prog = encode_jpeg(img, quality=95, subsampling="4:2:2",
                        progressive=True)
     assert np.array_equal(decode_jpeg(enc)[0], decode_jpeg(prog)[0])
+
+
+# ---------------------------------------------------------------------------
+# 12-bit precision (round 10): T.81 Table B.2 — extended sequential
+# (SOF1) and progressive (SOF2) allow P=12; baseline stays 8-bit
+# ---------------------------------------------------------------------------
+
+
+def gradient_gray12(h=32, w=48):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return ((xx * 83 + yy * 51) % 4096).astype(np.uint16)
+
+
+def smooth_rgb12(h=32, w=40):
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((np.sin(xx / 9) + np.cos(yy / 7)) * 1000 + 2048)
+    return np.stack([g, np.roll(g, 3, 1), 4095 - g], -1).astype(np.uint16)
+
+
+def test_12bit_gray_flat_exact():
+    img = np.full((16, 24), 2071, dtype=np.uint16)
+    dec, info = decode_jpeg(encode_jpeg(img, quality=100, precision=12))
+    assert info["precision"] == 12
+    assert dec.dtype == np.uint16
+    assert int(np.abs(dec[..., 0].astype(int) - img.astype(int)).max()) == 0
+
+
+def test_12bit_smooth_tolerance_scales():
+    # quant steps scale 16x with the samples, so the RELATIVE error
+    # matches the 8-bit case: bounds are the 8-bit ones times 16
+    img = smooth_rgb12()
+    rgb, n = decode_jpeg_to_rgb(encode_jpeg(img, quality=98, precision=12))
+    assert n == 3 and rgb.dtype == np.uint16
+    err = np.abs(rgb.astype(int) - img.astype(int))
+    assert err.max() <= 12 * 16 and err.mean() < 2.0 * 16
+
+
+def test_12bit_stream_shape():
+    enc = encode_jpeg(gradient_gray12(), quality=80, precision=12)
+    # SOF1 marker, 12-bit precision byte, 16-bit DQT (Pq=1)
+    assert b"\xff\xc1" in enc and b"\xff\xc0" not in enc
+    at = enc.index(b"\xff\xc1")
+    assert enc[at + 4] == 12
+    dqt_at = enc.index(b"\xff\xdb")
+    assert enc[dqt_at + 4] >> 4 == 1  # Pq = 1: 16-bit elements
+    assert struct.unpack(">H", enc[dqt_at + 2:dqt_at + 4])[0] == 131
+
+
+def test_12bit_progressive_equals_sequential():
+    for img, kw in ((gradient_gray12(), dict(quality=85)),
+                    (smooth_rgb12(), dict(quality=90,
+                                          subsampling="4:2:0"))):
+        base = decode_jpeg(encode_jpeg(img, precision=12, **kw))
+        prog = decode_jpeg(encode_jpeg(img, precision=12,
+                                       progressive=True, **kw))
+        assert np.array_equal(base[0], prog[0])
+        assert prog[1]["precision"] == 12
+
+
+def test_12bit_baseline_marker_rejected():
+    # patch SOF1 -> SOF0: a 12-bit BASELINE frame is not a legal
+    # process (T.81 Table B.2) and must be loud
+    enc = bytearray(encode_jpeg(gradient_gray12(), precision=12))
+    at = bytes(enc).index(b"\xff\xc1")
+    enc[at + 1] = 0xC0
+    with pytest.raises(JpegError, match="precision"):
+        decode_jpeg(bytes(enc))
+
+
+def test_12bit_cmyk_native_roundtrip():
+    rng = np.random.default_rng(17)
+    planes = (rng.integers(0, 4096, (24, 24, 4)) // 64 * 64).astype(
+        np.uint16)
+    enc = encode_jpeg(planes, quality=100, native=True, precision=12)
+    dec, info = decode_jpeg(enc)
+    assert info["components"] == 4 and info["precision"] == 12
+    assert int(np.abs(dec.astype(int) - planes.astype(int)).max()) <= 64
+
+
+def test_12bit_encoder_guards():
+    with pytest.raises(JpegError, match="precision"):
+        encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
+    with pytest.raises(JpegError, match="exceed range"):
+        encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
