@@ -11,10 +11,10 @@ reference would have used (rendered from ``name_pattern``).
 Format decision tree (extract_images.rs:330-443), per the FIRST filter:
 - DCTDecode → the raw stream bytes ARE the JPEG (format 'jpeg').
   With ``decode_jpeg_images=True`` (beyond-reference, default off to
-  keep reference parity), baseline/extended/progressive streams are
-  pixel-decoded by kernel/jpeg_codec.py and re-encoded as PNG; streams
-  that decoder rejects (arithmetic, 12-bit) keep the raw-JPEG
-  behaviour.
+  keep reference parity), baseline/extended (incl. 12-bit)/progressive/
+  lossless streams are pixel-decoded by kernel/jpeg_codec.py and
+  re-encoded as PNG; streams that decoder rejects (arithmetic,
+  hierarchical) keep the raw-JPEG behaviour.
 - FlateDecode / LZWDecode / no filter → raw samples re-encoded as PNG:
   Indexed palettes expanded to the base space (issue #286), component
   count from the colour space (ICCBased /N resolved), 8-bit gray/RGB
@@ -346,10 +346,11 @@ class ImageExtractor:
                 fmt = "jpeg"
                 if self.options.decode_jpeg_images:
                     # Beyond-reference: decode JPEG pixels (baseline,
-                    # extended incl. 12-bit, progressive) and re-encode
-                    # as PNG (jpeg_codec.py). Any stream that decoder
-                    # rejects (arithmetic, lossless, …) falls back to
-                    # reference behaviour: raw JPEG bytes.
+                    # extended incl. 12-bit, progressive, lossless) and
+                    # re-encode as PNG (jpeg_codec.py). Any stream that
+                    # decoder rejects (arithmetic, hierarchical, …)
+                    # falls back to reference behaviour: raw JPEG
+                    # bytes.
                     try:
                         from .jpeg_codec import decode_jpeg_to_rgb
                         pixels, ncomp = decode_jpeg_to_rgb(data)

@@ -40,9 +40,11 @@ rather than the two well-known Annex K tables.
 Progressive streams decode through the T.81 G.1.2/G.2 scan procedures:
 spectral selection, successive approximation (DC first/refine, AC
 first/refine with EOB-run accumulation and buffered correction bits).
-Arithmetic (SOF9/10), lossless, hierarchical and 12-bit streams raise
-``JpegError`` — the caller falls back to the reference behaviour (raw
-JPEG bytes pass through).
+The SOF3 LOSSLESS process decodes too (Annex H: per-sample Huffman
+difference coding over predictors 1-7, point transform, 2-16 bit
+samples, modulo-65536 reconstruction). Arithmetic (SOF9/10) and
+hierarchical streams raise ``JpegError`` — the caller falls back to
+the reference behaviour (raw JPEG bytes pass through).
 """
 
 from __future__ import annotations
@@ -235,7 +237,7 @@ def _extend(v: int, n: int) -> int:
 
 class _Component:
     __slots__ = ("cid", "h", "v", "tq", "td", "ta", "pred", "coefs",
-                 "bx", "by", "bx_eff", "by_eff")
+                 "bx", "by", "bx_eff", "by_eff", "plane")
 
     def __init__(self, cid, h, v, tq):
         self.cid = cid
@@ -250,6 +252,7 @@ class _Component:
         self.by = 0
         self.bx_eff = 0    # ceil(component-width/8): non-interleaved walk
         self.by_eff = 0
+        self.plane = None  # lossless process: (h, w) int32 samples
 
 
 def _parse_dqt(seg: bytes, qtables: dict) -> None:
@@ -327,6 +330,7 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
     precision = 8
     scan_seen = False
     progressive = False
+    lossless = False
     hmax = vmax = 1
     mcus_x = mcus_y = 0
 
@@ -360,17 +364,23 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xEE and seg[:5] == b"Adobe" and len(seg) >= 12:
             adobe_transform = seg[11]
-        elif marker in (0xC0, 0xC1, 0xC2):
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):
             if frame_seen:
                 raise JpegError("multiple frames")
             frame_seen = True
             progressive = marker == 0xC2
+            lossless = marker == 0xC3
             if len(seg) < 6:
                 raise JpegError("SOF truncated")
             precision = seg[0]
             # T.81 Table B.2: baseline (SOF0) is 8-bit; the extended
-            # sequential and progressive processes allow 12-bit too
-            if precision not in (8, 12) or (
+            # sequential and progressive processes allow 12-bit too;
+            # the lossless process (SOF3, Annex H) allows 2-16
+            if lossless:
+                if not 2 <= precision <= 16:
+                    raise JpegError(
+                        f"unsupported sample precision {precision}")
+            elif precision not in (8, 12) or (
                     precision == 12 and marker == 0xC0):
                 raise JpegError(f"unsupported sample precision {precision}")
             height = struct.unpack(">H", seg[1:3])[0]
@@ -385,26 +395,35 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 h, v = hv >> 4, hv & 15
                 if not (1 <= h <= 4 and 1 <= v <= 4):
                     raise JpegError(f"invalid sampling factors {h}x{v}")
+                if lossless and (h, v) != (1, 1):
+                    raise JpegError(
+                        "lossless scans with subsampling not supported")
                 comps.append(_Component(cid, h, v, tq))
-            # Allocate every component's (padded) coefficient grid up
-            # front: progressive scans accumulate into it, sequential
-            # scans fill it once.
-            hmax = max(c.h for c in comps)
-            vmax = max(c.v for c in comps)
-            mcus_x = -(-width // (8 * hmax))
-            mcus_y = -(-height // (8 * vmax))
-            for c in comps:
-                c.bx = mcus_x * c.h
-                c.by = mcus_y * c.v
-                c.bx_eff = -(-width * c.h // (hmax * 8))
-                c.by_eff = -(-height * c.v // (vmax * 8))
-                c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
+            if lossless:
+                if not width or not height:
+                    raise JpegError("empty frame")
+                for c in comps:
+                    c.plane = np.zeros((height, width), dtype=np.int32)
+            else:
+                # Allocate every component's (padded) coefficient grid
+                # up front: progressive scans accumulate into it,
+                # sequential scans fill it once.
+                hmax = max(c.h for c in comps)
+                vmax = max(c.v for c in comps)
+                mcus_x = -(-width // (8 * hmax))
+                mcus_y = -(-height // (8 * vmax))
+                for c in comps:
+                    c.bx = mcus_x * c.h
+                    c.by = mcus_y * c.v
+                    c.bx_eff = -(-width * c.h // (hmax * 8))
+                    c.by_eff = -(-height * c.v // (vmax * 8))
+                    c.coefs = np.zeros((c.by * c.bx, 64), dtype=np.int32)
+        elif marker in (0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegError(
                 f"unsupported JPEG process (SOF marker {marker:#x}); "
-                "only baseline/extended-sequential/progressive Huffman "
-                "is decoded"
+                "only baseline/extended-sequential/progressive/lossless "
+                "Huffman is decoded"
             )
         elif marker == 0xDA:
             if not frame_seen:
@@ -425,6 +444,18 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
                 scan_order.append(comp)
             ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
+            if lossless:
+                # Annex H: Ss = predictor selector, Al = point transform
+                if not 1 <= ss <= 7:
+                    raise JpegError(f"invalid lossless predictor {ss}")
+                if al >= precision:
+                    raise JpegError("point transform exceeds precision")
+                pos = _decode_lossless_scan(
+                    data, pos, scan_order, width, height, dc_tables,
+                    restart_interval, ss, al, precision,
+                )
+                scan_seen = True
+                continue
             if not progressive:
                 ss, se, ah, al = 0, 63, 0, 0
             elif ss > se or se > 63 or (ss == 0 and se != 0):
@@ -441,6 +472,21 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
 
     if not frame_seen or not comps or not scan_seen:
         raise JpegError("no decoded scan data")
+
+    if lossless:
+        maxv = (1 << precision) - 1
+        odt = np.uint8 if precision <= 8 else np.uint16
+        pixels = np.stack(
+            [np.clip(c.plane, 0, maxv).astype(odt) for c in comps],
+            axis=-1)
+        return pixels, {
+            "width": width,
+            "height": height,
+            "components": len(comps),
+            "adobe_transform": adobe_transform,
+            "precision": precision,
+            "lossless": True,
+        }
 
     hmax = max(c.h for c in comps)
     vmax = max(c.v for c in comps)
@@ -475,6 +521,7 @@ def _decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
         "components": len(comps),
         "adobe_transform": adobe_transform,
         "precision": precision,
+        "lossless": False,
     }
     return pixels, info
 
@@ -554,6 +601,84 @@ def _decode_scan(data, start, scan_order, mcus_x, mcus_y,
             p += 1
         return p
     # _fill consumed the marker's two bytes; step back onto the 0xFF.
+    return reader.pos - 2
+
+
+def _lossless_predict(plane, y, x, predictor, default):
+    """Annex H.1.2 prediction: the first sample (and the one after a
+    restart, handled by the caller) uses 2^(P-Pt-1); the rest of the
+    first line predicts from Ra, the first column from Rb, and the
+    interior from the selected predictor over Ra/Rb/Rc."""
+    if y == 0:
+        return default if x == 0 else int(plane[0, x - 1])
+    if x == 0:
+        return int(plane[y - 1, 0])
+    ra = int(plane[y, x - 1])
+    rb = int(plane[y - 1, x])
+    if predictor == 1:
+        return ra
+    if predictor == 2:
+        return rb
+    rc = int(plane[y - 1, x - 1])
+    if predictor == 3:
+        return rc
+    if predictor == 4:
+        return ra + rb - rc
+    if predictor == 5:
+        return ra + ((rb - rc) >> 1)
+    if predictor == 6:
+        return rb + ((ra - rc) >> 1)
+    return (ra + rb) >> 1  # 7
+
+
+def _decode_lossless_scan(data, start, scan_order, width, height,
+                          dc_tables, restart_interval, predictor, pt,
+                          precision):
+    """One lossless scan (T.81 Annex H): a sample per component per
+    MCU position (1x1 sampling only), DC-style difference categories
+    (SSSS 16 = +32768, no extra bits), reconstruction modulo 2^16
+    (H.1.2.1), the decoded plane upshifted by the point transform at
+    the end. Restarts reset the prediction to the default (H.2.4)."""
+    for c in scan_order:
+        if c.plane is None:
+            raise JpegError("lossless scan before SOF")
+        if dc_tables.get(c.td) is None:
+            raise JpegError("scan references undefined Huffman table")
+    default = 1 << (precision - pt - 1)
+    reader = _BitReader(data, start)
+    rst_count = 0
+    since = 0
+    fresh = {c.cid: True for c in scan_order}  # default-predict next
+    for idx in range(height * width):
+        if restart_interval and since == restart_interval:
+            reader.reset_restart(rst_count)
+            rst_count += 1
+            since = 0
+            for c in scan_order:
+                fresh[c.cid] = True
+        y, x = divmod(idx, width)
+        for c in scan_order:
+            t = reader.decode_huff(dc_tables[c.td])
+            if t > 16:
+                raise JpegError("invalid lossless difference category")
+            if t == 16:
+                diff = 32768
+            else:
+                diff = _extend(reader.receive(t), t) if t else 0
+            px = default if fresh[c.cid] else _lossless_predict(
+                c.plane, y, x, predictor, default)
+            fresh[c.cid] = False
+            c.plane[y, x] = (px + diff) & 0xFFFF
+        since += 1
+    for c in scan_order:
+        if pt:
+            c.plane <<= pt
+    if reader.marker is None:
+        d = data
+        p = reader.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        return p
     return reader.pos - 2
 
 
@@ -725,6 +850,11 @@ def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
     if nc == 3:
         if tr == 0:
             return pix, 3
+        if info.get("lossless") and tr != 1:
+            # lossless 3-component streams carry source planes (no
+            # implied JFIF YCbCr); only an explicit Adobe transform 1
+            # requests the conversion
+            return pix, 3
         return _ycbcr_to_rgb(pix, p), 3
     # CMYK: Adobe 4-component JPEGs store inverted samples; honour the
     # convention only when an Adobe marker is present (transform 2 also
@@ -866,7 +996,10 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
                 restart_interval: int = 0,
                 native: bool = False,
                 progressive: bool = False,
-                precision: int = 8) -> bytes:
+                precision: int = 8,
+                lossless: bool = False,
+                predictor: int = 4,
+                point_transform: int = 0) -> bytes:
     """Encode (h, w) / (h, w, 1) gray or (h, w, 3) RGB uint8 pixels as a
     baseline JFIF JPEG.  With ``native=True`` the 1-4 input planes are
     entropy-coded as-is (no RGB->YCbCr), which is how 4-component CMYK
@@ -876,17 +1009,36 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 90,
     decoder branch.  ``precision=12`` emits the 12-bit extended
     sequential (SOF1) or progressive process from uint16 samples, with
     16x-scaled quantization tables in the 16-bit DQT form (T.81 B.4.1
-    Pq=1).  Fixture generation only — favours clarity."""
-    if precision not in (8, 12):
+    Pq=1).  ``lossless=True`` emits the SOF3 lossless process (Annex
+    H: per-sample difference coding under ``predictor`` 1-7 with
+    ``point_transform`` downshifted samples; 2-16 bit precision, no
+    quantization, exact by construction).  Fixture generation only —
+    favours clarity."""
+    if lossless:
+        if not 2 <= precision <= 16:
+            raise JpegError(f"unsupported encoder precision {precision}")
+        if progressive:
+            raise JpegError("lossless excludes progressive")
+        if not 1 <= predictor <= 7:
+            raise JpegError(f"invalid lossless predictor {predictor}")
+        if not 0 <= point_transform < precision:
+            raise JpegError("point transform exceeds precision")
+    elif precision not in (8, 12):
         raise JpegError(f"unsupported encoder precision {precision}")
     half = float(1 << (precision - 1))
     pix = np.asarray(pixels,
-                     dtype=np.uint8 if precision == 8 else np.uint16)
-    if precision == 12 and int(pix.max(initial=0)) > 4095:
-        raise JpegError("12-bit samples exceed range")
+                     dtype=np.uint8 if precision <= 8 else np.uint16)
+    if int(pix.max(initial=0)) >= (1 << precision):
+        raise JpegError(f"{precision}-bit samples exceed range")
     if pix.ndim == 2:
         pix = pix[..., None]
     h, w, nc = pix.shape
+    if lossless:
+        if not 1 <= nc <= 4:
+            raise JpegError("lossless supports 1-4 planes")
+        return _encode_lossless_stream(
+            pix, precision, predictor, point_transform,
+            restart_interval)
     if native:
         if not 1 <= nc <= 4:
             raise JpegError("native mode supports 1-4 planes")
@@ -1324,5 +1476,85 @@ def _encode_progressive_stream(h, w, nc, comp_cfg, comp_blocks,
             {(1, tid): _build_fixed_table(used or {0})},
         )
 
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_lossless_stream(pix, precision, predictor, pt,
+                            restart_interval):
+    """SOF3 lossless stream (Annex H). The encoder predicts over the
+    SAME downshifted plane the decoder reconstructs (exactness makes
+    them identical), so both sides walk one shared rule set."""
+    h, w, nc = pix.shape
+    planes = [(pix[..., i].astype(np.int64) >> pt) for i in range(nc)]
+    default = 1 << (precision - pt - 1)
+    n_tables = 2 if nc >= 2 else 1
+
+    # one pass to gather symbols, one to emit
+    events = []  # (tid, ssss, extra, nbits) in stream order; None = RST
+    dc_syms = [set() for _ in range(n_tables)]
+    since = 0
+    fresh = [True] * nc
+    for idx in range(h * w):
+        if restart_interval and since == restart_interval:
+            events.append(None)
+            since = 0
+            fresh = [True] * nc
+        y, x = divmod(idx, w)
+        for ci in range(nc):
+            tid = 0 if ci == 0 else 1
+            px = default if fresh[ci] else _lossless_predict(
+                planes[ci], y, x, predictor, default)
+            fresh[ci] = False
+            diff = (int(planes[ci][y, x]) - px) & 0xFFFF
+            if diff > 32768:
+                diff -= 65536
+            if diff == 32768:  # SSSS 16: no extra bits (H.1.2.2)
+                ssss, extra, nbits = 16, 0, 0
+            else:
+                ssss = _magnitude(diff)
+                extra = (diff if diff >= 0
+                         else diff + (1 << ssss) - 1) & ((1 << ssss) - 1)
+                nbits = ssss
+            dc_syms[tid].add(ssss)
+            events.append((tid, ssss, extra, nbits))
+        since += 1
+
+    tables = [_build_fixed_table(s or {0}) for s in dc_syms]
+    maps = [_code_map(*t) for t in tables]
+
+    out = bytearray(b"\xff\xd8")
+    for th, (bits, huffval) in enumerate(tables):
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(huffval))
+        out += bytes([th]) + bytes(bits) + huffval
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">H", 4)
+        out += struct.pack(">H", restart_interval)
+    out += b"\xff\xc3" + struct.pack(">H", 8 + 3 * nc) + bytes([precision])
+    out += struct.pack(">HH", h, w) + bytes([nc])
+    for ci in range(nc):
+        out += bytes([ci + 1, 0x11, 0])  # Hi=Vi=1, Tq unused
+    out += b"\xff\xda" + struct.pack(">H", 6 + 2 * nc) + bytes([nc])
+    for ci in range(nc):
+        out += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+    out += bytes([predictor, 0, pt])  # Ss=selector, Se=0, AhAl=Pt
+
+    writer = _BitWriter()
+    rst = 0
+    for ev in events:
+        if ev is None:
+            writer.flush()
+            out += writer.out
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            writer = _BitWriter()
+            continue
+        tid, ssss, extra, nbits = ev
+        code, length = maps[tid][ssss]
+        writer.write(code, length)
+        if nbits:
+            writer.write(extra, nbits)
+    writer.flush()
+    out += writer.out
     out += b"\xff\xd9"
     return bytes(out)

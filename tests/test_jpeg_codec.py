@@ -509,3 +509,105 @@ def test_12bit_encoder_guards():
         encode_jpeg(np.zeros((8, 8), np.uint8), precision=10)
     with pytest.raises(JpegError, match="exceed range"):
         encode_jpeg(np.full((8, 8), 5000, np.uint16), precision=12)
+
+
+# ---------------------------------------------------------------------------
+# Lossless process (SOF3, T.81 Annex H; round 10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+def test_lossless_exact_all_predictors(predictor):
+    rng = np.random.default_rng(predictor)
+    img = rng.integers(0, 256, (23, 31)).astype(np.uint8)
+    enc = encode_jpeg(img, lossless=True, predictor=predictor)
+    dec, info = decode_jpeg(enc)
+    assert info["lossless"] is True and info["precision"] == 8
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_lossless_16bit_rgb_exact():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 1 << 16, (20, 28, 3)).astype(np.uint16)
+    dec, info = decode_jpeg(encode_jpeg(img, lossless=True, precision=16))
+    assert info["precision"] == 16 and dec.dtype == np.uint16
+    assert np.array_equal(dec, img)
+    # 12-bit too, with the SOF3 marker on the wire
+    img12 = (img >> 4).astype(np.uint16)
+    enc = encode_jpeg(img12, lossless=True, precision=12)
+    assert b"\xff\xc3" in enc and b"\xff\xdb" not in enc  # no DQT
+    dec12, _ = decode_jpeg(enc)
+    assert np.array_equal(dec12, img12)
+
+
+def test_lossless_point_transform():
+    rng = np.random.default_rng(29)
+    img = (rng.integers(0, 256, (16, 16)) & 0xFC).astype(np.uint8)
+    # Pt=2: samples are coded downshifted; decode upshifts — exact for
+    # samples whose low bits are zero
+    dec, _ = decode_jpeg(encode_jpeg(img, lossless=True,
+                                     point_transform=2))
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_lossless_restart_intervals():
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 4096, (17, 19, 3)).astype(np.uint16)
+    enc = encode_jpeg(img, lossless=True, precision=12,
+                      restart_interval=7)
+    assert b"\xff\xdd" in enc and b"\xff\xd0" in enc
+    dec, _ = decode_jpeg(enc)
+    assert np.array_equal(dec, img)
+
+
+def test_lossless_ssss16_wraparound():
+    # a 0 -> 32768 jump at P=16 exercises the SSSS=16 no-extra-bits
+    # category and the modulo-65536 reconstruction (H.1.2.1/2)
+    img = np.array([[0, 32768], [65535, 0]], dtype=np.uint16)
+    dec, _ = decode_jpeg(encode_jpeg(img, lossless=True, precision=16,
+                                     predictor=1))
+    assert np.array_equal(dec[..., 0], img)
+
+
+def test_lossless_guards():
+    img8 = np.zeros((8, 8), np.uint8)
+    with pytest.raises(JpegError, match="predictor"):
+        encode_jpeg(img8, lossless=True, predictor=0)
+    with pytest.raises(JpegError, match="point transform"):
+        encode_jpeg(img8, lossless=True, point_transform=8)
+    with pytest.raises(JpegError, match="progressive"):
+        encode_jpeg(img8, lossless=True, progressive=True)
+    # decoder: predictor 0 on the wire is loud
+    enc = bytearray(encode_jpeg(img8, lossless=True))
+    at = bytes(enc).index(b"\xff\xda")
+    ln = struct.unpack(">H", enc[at + 2:at + 4])[0]
+    enc[at + ln - 1] = 0  # Ss byte (third from the segment end)
+    with pytest.raises(JpegError, match="predictor"):
+        decode_jpeg(bytes(enc))
+
+
+def test_lossless_mutation_fuzz_contained():
+    import random
+
+    rng = random.Random(37)
+    img = (np.random.default_rng(41).integers(0, 4096, (20, 24))
+           .astype(np.uint16))
+    base = bytearray(encode_jpeg(img, lossless=True, precision=12,
+                                 restart_interval=5))
+    decode_jpeg(bytes(base))  # sanity
+    for _ in range(300):
+        mutated = bytearray(base)
+        op = rng.randrange(3)
+        if op == 0:
+            mutated = mutated[: rng.randrange(2, len(mutated))]
+        elif op == 1:
+            for _ in range(rng.randrange(1, 6)):
+                mutated[rng.randrange(len(mutated))] = rng.randrange(256)
+        else:
+            at = rng.randrange(len(mutated))
+            mutated[at:at] = bytes(rng.randrange(256)
+                                   for _ in range(rng.randrange(1, 10)))
+        try:
+            decode_jpeg(bytes(mutated))
+        except JpegError:
+            pass
