@@ -496,3 +496,45 @@ def test_codec_image_pdf_variants_decode():
         assert len(images) == 1
         samples = parse_png_samples(images[0].data)[4]
         assert hashlib.md5(bytes(samples)).hexdigest() == CODEC_IMAGE_MD5[v]
+
+
+def test_dct_decode_jpeg_images_lossless_and_12bit_to_png():
+    # r10: SOF3 lossless decodes exactly; a 12-bit extended stream
+    # decodes and scales down to the 8-bit PNG sink (>> 4)
+    import numpy as np
+    from oxidizepdf_spark.kernel.jpeg_codec import encode_jpeg
+
+    w, h = 24, 16
+    rng = np.random.default_rng(53)
+    gray = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    jpeg = encode_jpeg(gray, lossless=True, predictor=4)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpeg), jpeg)
+    )
+    images = extract_images_from_pdf(
+        image_pdf(body), ExtractImagesOptions(decode_jpeg_images=True)
+    )
+    img = images[0]
+    assert img.format == "png"
+    pw, ph, depth, color_type, pixels = parse_png(img.data)
+    assert (pw, ph, depth, color_type) == (w, h, 8, 0)
+    assert pixels == gray.tobytes()  # lossless is EXACT
+
+    g12 = (gray.astype(np.uint16) << 4)
+    jpeg12 = encode_jpeg(g12, quality=100, precision=12)
+    body12 = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpeg12), jpeg12)
+    )
+    images12 = extract_images_from_pdf(
+        image_pdf(body12), ExtractImagesOptions(decode_jpeg_images=True)
+    )
+    assert images12[0].format == "png"
+    _, _, d12, _, px12 = parse_png(images12[0].data)
+    assert d12 == 8
+    err = np.abs(np.frombuffer(px12, np.uint8).astype(int)
+                 - gray.ravel().astype(int))
+    assert int(err.max()) <= 1  # q100 12-bit >>4 lands on the source
