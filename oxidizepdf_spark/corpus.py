@@ -1673,7 +1673,7 @@ def sign_pdf_objects(
     return bytes(pdf)
 
 
-CODEC_IMAGE_VARIANTS = 6
+CODEC_IMAGE_VARIANTS = 8
 
 
 def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
@@ -1688,6 +1688,10 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
     3. JPXDecode lossless gray (5/3 reversible)
     4. DCTDecode baseline gray (in-repo Huffman encoder)
     5. JPXDecode lossy gray (9/7 irreversible + scalar quantization)
+    6. DCTDecode LOSSLESS gray (SOF3, T.81 Annex H, predictor 4 —
+       decode is EXACT, so the sample hash equals the source pattern's)
+    7. DCTDecode 12-bit extended-sequential gray (SOF1, 16-bit DQT;
+       the PNG sink scales the decoded uint16 samples down by 4 bits)
     """
     import numpy as np
 
@@ -1738,7 +1742,7 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
             lambda y, x: (x * 5 + y * 17) % 256, (h, w)).astype(np.uint8)
         payload = encode_jpeg(pix)
         filt, bpc = b"/DCTDecode", 8
-    else:
+    elif variant == 5:
         from .kernel.jp2k import encode_jp2k
 
         w, h = 16, 16
@@ -1747,6 +1751,23 @@ def build_codec_image_pdf(variant: int, text: str = "codec doc") -> bytes:
         payload = encode_jp2k(pix, levels=1, cb_exp=4, reversible=False,
                               qstep=0.5)
         filt, bpc = b"/JPXDecode", 8
+    elif variant == 6:
+        from .kernel.jpeg_codec import encode_jpeg
+
+        w, h = 16, 16
+        pix = np.fromfunction(
+            lambda y, x: (x * 3 + y * 19) % 256, (h, w)).astype(np.uint8)
+        payload = encode_jpeg(pix, lossless=True, predictor=4)
+        filt, bpc = b"/DCTDecode", 8
+    else:
+        from .kernel.jpeg_codec import encode_jpeg
+
+        w, h = 16, 16
+        pix = (np.fromfunction(
+            lambda y, x: (x * 7 + y * 23) % 256,
+            (h, w)).astype(np.uint16) << 4)
+        payload = encode_jpeg(pix, quality=100, precision=12)
+        filt, bpc = b"/DCTDecode", 8
     # the stream bytes are variant-deterministic (fixed pixel pattern,
     # deterministic encoders) — memoize them so per-document fixture
     # cost is PDF assembly, not re-running the MQ/DWT/Huffman encoders

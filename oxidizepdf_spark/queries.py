@@ -5187,8 +5187,10 @@ SELECT doc_id, rank, word, tfidf FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 # frozen decoded-sample MD5s per variant (corpus.build_codec_image_pdf):
 # v0/v1 verified against independent "1=black->0, 0=white->255" pixel
-# math, v3 against the exact (x*11+y*29)%256 gradient (lossless JPX);
-# v2/v4 pin the in-repo CCITT/JPEG decoders' deterministic output.
+# math, v3 against the exact (x*11+y*29)%256 gradient (lossless JPX),
+# v6 against the exact (x*3+y*19)%256 gradient (lossless JPEG — SOF3
+# decode is bit-exact, so the hash IS the source pattern's);
+# v2/v4/v7 pin the in-repo CCITT/JPEG decoders' deterministic output.
 CODEC_IMAGE_MD5 = (
     "e9a5717de23ce960082e1e68fec352df",  # 0 JBIG2 generic arith
     "e9a5717de23ce960082e1e68fec352df",  # 1 JBIG2 generic MMR (same px)
@@ -5197,14 +5199,19 @@ CODEC_IMAGE_MD5 = (
     "bb6e558848e3df22357d2737bf616d99",  # 4 JPEG baseline gray
     "2f1cfc310e7783ed59005b77b889898e",  # 5 JPX lossy 9/7 gray (max |err|
     #   vs source gradient = 1 at qstep 0.5 — decode is deterministic)
+    "0e0c0b266223e98c808fa970bd64b97e",  # 6 JPEG lossless SOF3 (EXACT ==
+    #   md5 of the (x*3+y*19)%256 source, independently verified)
+    "fea6e15f9e366b57ec0a4a93b03cc39a",  # 7 JPEG 12-bit SOF1 q100, PNG
+    #   sink >>4 (max |err| = 1 of 4096 on 5 samples in the 12-bit
+    #   domain — FDCT/IDCT rounding, deterministic)
 )
 
 
 def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end image-codec decode: each document becomes a PDF whose
-    single image XObject is coded by codec family doc_id%6 (JBIG2
+    single image XObject is coded by codec family doc_id%8 (JBIG2
     arith / JBIG2 MMR / CCITT G4 / JPX lossless / JPEG baseline / JPX
-    lossy 9/7, all
+    lossy 9/7 / JPEG lossless SOF3 / JPEG 12-bit SOF1, all
     by-construction in-repo encoders with FIXED pixel patterns), the
     full extraction runs (text span + image capture), and the image is
     decoded back to samples whose MD5 the oracle enumerates per
@@ -5248,7 +5255,7 @@ def decode_image_codec_row(d: int, norm: str) -> dict:
 
     words = [w for w in (norm or "").split(" ") if w]
     w0 = words[0] if words else "x"
-    v = d % 6
+    v = d % 8
     pdf = build_codec_image_pdf(v, text=w0)
     res = extract_pdf_bytes(pdf)
     opts = ExtractImagesOptions(decode_jbig2_images=True,
@@ -5421,18 +5428,20 @@ WITH n AS (
   FROM documents
 )
 SELECT doc_id,
-       CAST(doc_id % 6 AS INTEGER) AS variant,
-       CAST(CASE WHEN doc_id % 6 IN (0, 1, 2) THEN 24 ELSE 16 END
+       CAST(doc_id % 8 AS INTEGER) AS variant,
+       CAST(CASE WHEN doc_id % 8 IN (0, 1, 2) THEN 24 ELSE 16 END
             AS INTEGER) AS img_w,
        CAST(16 AS INTEGER) AS img_h,
        'png' AS img_format,
-       CASE doc_id % 6
+       CASE doc_id % 8
             WHEN 0 THEN '{CODEC_IMAGE_MD5[0]}'
             WHEN 1 THEN '{CODEC_IMAGE_MD5[1]}'
             WHEN 2 THEN '{CODEC_IMAGE_MD5[2]}'
             WHEN 3 THEN '{CODEC_IMAGE_MD5[3]}'
             WHEN 4 THEN '{CODEC_IMAGE_MD5[4]}'
-            ELSE '{CODEC_IMAGE_MD5[5]}' END AS px_md5,
+            WHEN 5 THEN '{CODEC_IMAGE_MD5[5]}'
+            WHEN 6 THEN '{CODEC_IMAGE_MD5[6]}'
+            ELSE '{CODEC_IMAGE_MD5[7]}' END AS px_md5,
        CASE WHEN len(ws) = 0 THEN 'x' ELSE ws[1] END AS text,
        CAST(2 AS INTEGER) AS n_spans
 FROM n

@@ -480,7 +480,7 @@ def test_pdf_decode_image_codecs_differential():
 
 
 def test_codec_image_pdf_variants_decode():
-    # direct smoke over the 6 fixtures incl. frozen-hash agreement
+    # direct smoke over the 8 fixtures incl. frozen-hash agreement
     import hashlib
 
     from oxidizepdf_spark.corpus import build_codec_image_pdf
@@ -491,11 +491,17 @@ def test_codec_image_pdf_variants_decode():
                                 decode_jpx_images=True)
     from oxidizepdf_spark.kernel.extract_images import parse_png_samples
 
-    for v in range(6):
+    for v in range(8):
         images = extract_images_from_pdf(build_codec_image_pdf(v), opts)
         assert len(images) == 1
         samples = parse_png_samples(images[0].data)[4]
         assert hashlib.md5(bytes(samples)).hexdigest() == CODEC_IMAGE_MD5[v]
+    # v6 (lossless SOF3) is EXACT: the frozen hash IS the source pattern
+    import numpy as np
+
+    src = np.fromfunction(lambda y, x: (x * 3 + y * 19) % 256,
+                          (16, 16)).astype(np.uint8)
+    assert hashlib.md5(src.tobytes()).hexdigest() == CODEC_IMAGE_MD5[6]
 
 
 def test_dct_decode_jpeg_images_lossless_and_12bit_to_png():
