@@ -44,7 +44,13 @@ The SOF3 LOSSLESS process decodes too (Annex H: per-sample Huffman
 difference coding over predictors 1-7, point transform, 2-16 bit
 samples, modulo-65536 reconstruction). Arithmetic (SOF9/10) and
 hierarchical streams raise ``JpegError`` — the caller falls back to
-the reference behaviour (raw JPEG bytes pass through).
+the reference behaviour (raw JPEG bytes pass through). Arithmetic is
+a DELIBERATE reject, not an omission: the QM-coder's 113-state
+probability table (T.81 Table D.3) cannot be verified in this
+sandbox, and a mis-remembered table would still roundtrip perfectly
+against an in-repo encoder sharing it while silently mis-decoding
+real files — the one failure mode this codebase refuses. A loud
+raise keeps the raw bytes flowing instead.
 """
 
 from __future__ import annotations
