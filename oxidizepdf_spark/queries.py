@@ -4113,9 +4113,17 @@ def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select(
         "doc_id", norm_col("text").alias("norm")
     )
+    # Pin the shard fan-out with an explicit numbered repartition: the
+    # groupBy's own exchange is AQE-coalescible, and on a small corpus
+    # AQE folds the ~MBs of shuffle output into ONE partition — which is
+    # right for data-bound reducers but serializes THIS CPU-bound stage
+    # onto a single Python worker (measured 3.6 s -> one pid running all
+    # 32 suffix arrays back-to-back). REPARTITION_BY_NUM is exempt from
+    # AQE coalescing, and the groupBy reuses its hash distribution, so
+    # every shard keeps its own task/worker.
     sharded = docs.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(SUBSTR_BYTE_SHARDS))
-    )
+    ).repartition(SUBSTR_BYTE_SHARDS, "shard")
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from .suffix import cross_doc_duplicate_coverage

@@ -269,6 +269,14 @@ def test_exact_substring_bytes_plan_shape(spark):
     assert "FlatMapGroupsInPandas" in plan or "hashpartitioning" in plan
     # exactly one exchange: the shard-key repartition for the grouped map
     assert plan.count("Exchange") - plan.count("ReusedExchange") <= 1, plan
+    # ... and it must be the NUMBERED repartition (r10): the groupBy's
+    # own AQE-coalescible exchange folds a small corpus into ONE
+    # partition, serializing every shard's CPU-heavy suffix array onto a
+    # single Python worker (measured 3.6 s -> 0.85 s at sf0.1 when the
+    # numbered repartition pins the fan-out; REPARTITION_BY_NUM is
+    # exempt from AQE coalescing and the groupBy reuses its hash
+    # distribution)
+    assert "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_export_markdown_plan_shape(spark):
