@@ -146,6 +146,14 @@ def _encode_content(content: bytes, content_filter: str | None) -> tuple[bytes, 
             zlib.compress(content).hex().encode() + b">",
             b" /Filter [/ASCIIHexDecode /FlateDecode]",
         )
+    if content_filter == "Crypt+Fl":
+        # Crypt /Identity heads the chain (ISO 32000-1 §7.4.10 requires
+        # the Crypt filter first) — a pass-through the reader must honor
+        return (
+            zlib.compress(content),
+            b" /Filter [/Crypt /FlateDecode] /DecodeParms "
+            b"[<< /Type /CryptFilterDecodeParms /Name /Identity >> null]",
+        )
     raise ValueError(content_filter)
 
 

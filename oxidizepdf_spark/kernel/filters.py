@@ -408,7 +408,19 @@ def apply_filter_with_params(data: bytes, name: str, params: dict) -> bytes:
     if name in _PASS_THROUGH:
         return data  # JPX stays opaque — reference capture only
     if name == "Crypt":
-        raise FilterError("encrypted streams are not supported (detection-only)")
+        # ISO 32000-1 §7.4.10: a Crypt filter whose /Name is /Identity
+        # (also the DEFAULT when /DecodeParms is absent, Table 26)
+        # passes the data through unchanged — real files mark streams
+        # this way to EXCLUDE them from document encryption. The
+        # reference errors on every Crypt (filters.rs:833); only named
+        # crypt filters stay loud here, since those resolve through the
+        # document security handler (kernel/crypto.py), not the chain.
+        cn = params.get("Name") if isinstance(params, dict) else None
+        if cn is None or str(cn) == "Identity":
+            return data
+        raise FilterError(
+            "named Crypt filters resolve through the security handler, "
+            "not the filter chain")
     raise FilterError(f"unknown filter: {name}")
 
 

@@ -357,3 +357,44 @@ def test_xmp_field_scrape_and_info_precedence():
     assert out["author"] == "Jane Author"
     assert out["producer"] == "info-wins"  # /Info takes precedence
     assert out["creator"] == "tool-y"
+
+
+def test_crypt_filter_identity_passthrough():
+    # ISO 32000-1 §7.4.10: Crypt with /Name /Identity (or absent
+    # DecodeParms — Identity is the default) passes bytes through; the
+    # reference errors on every Crypt (filters.rs:833). Named crypt
+    # filters stay loud: they belong to the security handler.
+    import zlib
+
+    import pytest
+
+    from oxidizepdf_spark.kernel.filters import (
+        FilterError,
+        decode_stream_data,
+    )
+
+    payload = b"crypt identity passthrough"
+    assert decode_stream_data(payload, "Crypt", None) == payload
+    assert decode_stream_data(
+        payload, "Crypt",
+        {"Type": "CryptFilterDecodeParms", "Name": "Identity"},
+    ) == payload
+    # Crypt first in a chain (the spec's required position), then Flate
+    assert decode_stream_data(
+        zlib.compress(payload), ["Crypt", "FlateDecode"],
+        [{"Name": "Identity"}, None],
+    ) == payload
+    with pytest.raises(FilterError, match="security handler"):
+        decode_stream_data(payload, "Crypt", {"Name": "MyFilter"})
+
+
+def test_crypt_identity_stream_extracts_end_to_end():
+    # a content stream marked /Crypt Identity + Flate must extract like
+    # a plain Flate stream
+    from oxidizepdf_spark.corpus import build_pdf_with_content_stream
+    from oxidizepdf_spark.kernel.extract import extract_pdf_bytes
+
+    content = b"BT /F1 12 Tf 100 700 Td (crypt ok) Tj ET"
+    pdf = build_pdf_with_content_stream(content, content_filter="Crypt+Fl")
+    res = extract_pdf_bytes(pdf)
+    assert res.page_texts == ["crypt ok"]
