@@ -1540,7 +1540,9 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     The hyperplanes are deterministic literals shared with the oracle; the
     candidate join shuffles only (vec_id, band_sig) — the 10^12-scale path
     (brute-force pairing is quadratic and impossible)."""
-    e = _emb(spark, sf_dir).select("vec_id", "embedding")
+    e = _rebalance_for_udf(
+        spark, _emb(spark, sf_dir).select("vec_id", "embedding")
+    )
     emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     sig = F.lit(0).cast("long")
     for p, plane in enumerate(_HYPERPLANES):
@@ -1643,46 +1645,67 @@ ANN_TOPK = 5
 IVF_N_CENTROIDS = 8
 
 
-def _cos_spark(a, b):
-    dot = F.aggregate(
+def _dot_spark(a, b):
+    """Sequential-fold dot product — the exact summation order the DuckDB
+    oracle's list_dot_product uses; shared by every cosine site."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(
+
+
+def _l2norm_spark(a):
+    return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
     )
-    nb = F.sqrt(
-        F.aggregate(
-            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
-    return dot / (na * nb)
+
+
+def _cos_spark(a, b):
+    return _dot_spark(a, b) / (_l2norm_spark(a) * _l2norm_spark(b))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against the
     full embedding table — the exact-baseline for ANN. JVM-side arithmetic
-    via zip_with/aggregate (no Python in the hot path)."""
+    via zip_with/aggregate (no Python in the hot path).
+
+    r11 (guide §1.2 step 2): the vector L2 norms are projected ONCE per
+    row before the broadcast join instead of being re-folded inside every
+    (query, vector) pair — cuts the per-pair array-fold work from 3
+    O(dim) folds to 1 (the dot). Same fold order, same
+    round(dot/(nq*nv), 6) → bit-identical scores."""
     from pyspark.sql.window import Window
 
     e = _emb(spark, sf_dir)
+    # the map-side scoring needs the scan parallel: a single-row-group
+    # embeddings file is one task otherwise (same guard as the per-doc
+    # Python operators — narrow rows, bounded shuffle, no-op at
+    # production split counts)
+    en = _rebalance_for_udf(spark, e.select("vec_id", "embedding")).select(
+        "vec_id", "embedding",
+        _l2norm_spark(F.col("embedding")).alias("nv"),
+    )
     queries = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _l2norm_spark(F.col("embedding")).alias("nq"),
     )
     scored = (
-        e.crossJoin(F.broadcast(queries))
+        en.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+            F.round(
+                _dot_spark(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -1721,31 +1744,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (centroids = first {IVF_N_CENTROIDS} vectors, broadcast); a query probes
     only its own bucket. This is the shuffle-avoiding scale path: the
     cluster assignment is a map-side broadcast join, search joins on
-    centroid_id instead of a cross join."""
+    centroid_id instead of a cross join.
+
+    r11: assignment via the map-side argmax fold of
+    ``_assign_to_centroids`` (no per-vector window exchange) and the
+    bucket scoring reuses the per-row norms it emits — bit-identical
+    scores, two fewer Exchanges."""
     from pyspark.sql.window import Window
 
     e = _emb(spark, sf_dir)
     cents = e.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("centroid_id")
-    )
-    assigned = (
-        e.crossJoin(F.broadcast(cents))
-        .select(
-            "vec_id",
-            "embedding",
-            "centroid_id",
-            F.round(_cos_spark(F.col("embedding"), F.col("cv")), 6).alias("ccos"),
-        )
-        .withColumn("r", F.row_number().over(w_assign))
-        .where(F.col("r") == 1)
-        .drop("r", "ccos")
+    # parallelize the map-side argmax over a single-row-group scan (see
+    # q_ann_cosine_topk)
+    assigned = _assign_to_centroids(
+        _rebalance_for_udf(spark, e.select("vec_id", "embedding")), cents
     )
     queries = assigned.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
+        F.col("nv").alias("nq"),
         F.col("centroid_id").alias("qc"),
     )
     scored = (
@@ -1759,7 +1778,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+            F.round(
+                _dot_spark(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -1811,27 +1834,60 @@ IVF_KMEANS_NPROBE = 2
 
 
 def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (cosine, ties → lowest centroid_id):
-    broadcast the tiny centroid relation, keep the per-vector argmax. The
-    distributed k-means E-step — map-side join, one row_number window."""
-    from pyspark.sql.window import Window
+    """Nearest-centroid assignment (cosine, ties → lowest centroid_id) —
+    the distributed k-means E-step.
 
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("ccos"), F.asc("centroid_id")
+    r11 (guide §2.4 — remove shuffles outright): the tiny centroid
+    relation is folded into ONE array row, broadcast, and each vector
+    picks its argmax INSIDE its own row — no |e| x |cents| crossJoin
+    row explosion and no per-vector Exchange + Sort + row_number window
+    over rows that carried the full embedding array. Output adds the
+    vector's L2 norm (``nv``) so downstream scoring reuses it.
+
+    Semantics are identical to the former window: scores are the same
+    round(dot/(nv*ncv), 6) values, compared with Spark's NaN-aware
+    ``>``/``==`` (NaN ranks above everything, exactly like the desc
+    sort), ties preferring the lowest centroid_id; the fold is
+    order-independent, and the centroid array is sorted by centroid_id
+    for determinism anyway."""
+    carr = cents.select(
+        "centroid_id", "cv", _l2norm_spark(F.col("cv")).alias("ncv")
+    ).agg(
+        F.array_sort(
+            F.collect_list(F.struct("centroid_id", "cv", "ncv"))
+        ).alias("cs")
+    )
+    nv = _l2norm_spark(F.col("embedding"))
+    scored = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            c["centroid_id"].alias("cid"),
+            F.round(
+                _dot_spark(F.col("embedding"), c["cv"]) / (nv * c["ncv"]), 6
+            ).alias("cc"),
+        ),
+    )
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(None).cast("long").alias("cid"),
+            F.lit(None).cast("double").alias("cc"),
+        ),
+        lambda a, c: F.when(
+            a["cid"].isNull()
+            | (c["cc"] > a["cc"])
+            | ((c["cc"] == a["cc"]) & (c["cid"] < a["cid"])),
+            c,
+        ).otherwise(a),
     )
     return (
-        e.crossJoin(F.broadcast(cents))
+        e.crossJoin(F.broadcast(carr))
         .select(
             "vec_id",
             "embedding",
-            "centroid_id",
-            F.round(_cos_spark(F.col("embedding"), F.col("cv")), 6).alias(
-                "ccos"
-            ),
+            nv.alias("nv"),
+            best["cid"].alias("centroid_id"),
         )
-        .withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .drop("r", "ccos")
     )
 
 
@@ -1861,7 +1917,10 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cv"
         ),
     )
-    a1 = _assign_to_centroids(e, c0)
+    # parallelize both map-side E-steps over a single-row-group scan (see
+    # q_ann_cosine_topk)
+    e_reb = _rebalance_for_udf(spark, e)
+    a1 = _assign_to_centroids(e_reb, c0)
     upd = (
         a1.select(
             "centroid_id", F.posexplode("embedding").alias("i", "val")
@@ -1880,9 +1939,11 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_id", F.coalesce("cv_new", "cv").alias("cv")
         )
     )
-    buckets = _assign_to_centroids(e, c1)
+    buckets = _assign_to_centroids(e_reb, c1)
     qs = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        _l2norm_spark(F.col("embedding")).alias("nq"),
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("pcos"), F.asc("centroid_id")
@@ -1892,12 +1953,13 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "qv",
+            "nq",
             "centroid_id",
             F.round(_cos_spark(F.col("qv"), F.col("cv")), 6).alias("pcos"),
         )
         .withColumn("r", F.row_number().over(wp))
         .where(F.col("r") <= IVF_KMEANS_NPROBE)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "nq", "centroid_id")
     )
     scored = (
         buckets.join(F.broadcast(probes), on="centroid_id")
@@ -1905,9 +1967,11 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cos_spark(F.col("qv"), F.col("embedding")), 6).alias(
-                "cos"
-            ),
+            F.round(
+                _dot_spark(F.col("qv"), F.col("embedding"))
+                / (F.col("nq") * F.col("nv")),
+                6,
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2243,24 +2307,33 @@ FP_WINDOW = 4
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints: rolling word-3-gram hashes, min per window of
     {FP_WINDOW} (Schleimer et al. winnowing) → per-doc distinct fingerprint
-    stats."""
-    from pyspark.sql.window import Window
+    stats.
 
+    Map-only (optimization round 11, guide §2.4): winnowing is doc-local,
+    so the former posexplode → Window(doc_id) → distinct → groupBy chain
+    (one full gram-row exchange + sort + two aggregate passes over ~50
+    gram rows per doc) collapses into per-row array expressions — the
+    window min is ``array_min(slice(hs, i, W))`` (same end-clamping as
+    ``rowsBetween(currentRow, W-1)``), distinct is ``array_distinct``,
+    and the per-doc stats never leave the row. Plan: Scan → Project,
+    zero Exchanges (was: Generate + Exchange + Sort + Window + 4
+    HashAggregates). Hash/count/min semantics are bit-identical — pinned
+    by the r11 snapshot diff and the unchanged DuckDB oracle."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
     words = F.split(F.col("norm"), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
     grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
-    g = d.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
-    hashed = g.select("doc_id", "pos", _h_spark(0, F.col("gram")).alias("h"))
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, FP_WINDOW - 1)
+    hs = F.transform(grams, lambda g: _h_spark(0, g))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(hs) - 1),
+        lambda i: F.array_min(F.slice(hs, i + 1, FP_WINDOW)),
     )
-    fps = hashed.select("doc_id", F.min("h").over(w).alias("fp")).distinct()
-    return fps.groupBy("doc_id").agg(
-        F.count("*").alias("n_fingerprints"), F.min("fp").alias("min_fp")
+    dfp = F.array_distinct(wins)
+    return d.select(
+        "doc_id",
+        F.size(dfp).cast("long").alias("n_fingerprints"),
+        F.array_min(dfp).alias("min_fp"),
     )
 
 
@@ -5223,28 +5296,54 @@ def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     by-construction in-repo encoders with FIXED pixel patterns), the
     full extraction runs (text span + image capture), and the image is
     decoded back to samples whose MD5 the oracle enumerates per
-    variant."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
+    variant.
+
+    Optimization round 11 (guide §1.2 step 1 — don't compute things you
+    throw away): the per-document result is a pure function of
+    ``(doc_id % 8, first word)`` only, so the per-doc Python decode runs
+    once per DISTINCT key (a bounded relation: 8 x corpus first-word
+    vocabulary — 240 keys at sf1.0 vs 50k docs) and a broadcast join
+    fans the decoded row back onto every document. The heavy kernel
+    work drops ~200x; the added exchange carries only the narrow
+    (variant, w0) pairs into the distinct. Results are bit-identical
+    (same decode function per key) — r11 snapshot-diff pinned, oracle
+    unchanged."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", norm_col("text").alias("norm")
     )
+    ws = F.filter(F.split("norm", " "), lambda w: w != "")
+    keyed = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("variant"),
+        F.coalesce(F.get(ws, 0), F.lit("x")).alias("w0"),
+    )
+    keys = keyed.select("variant", "w0").distinct()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            out = {"doc_id": [], "variant": [], "img_w": [], "img_h": [],
+            out = {"variant": [], "w0": [], "img_w": [], "img_h": [],
                    "img_format": [], "px_md5": [], "text": [],
                    "n_spans": []}
-            for doc_id, norm in zip(b["doc_id"], b["norm"]):
-                row = decode_image_codec_row(int(doc_id), norm)
-                out["doc_id"].append(doc_id)
-                for k, v in row.items():
-                    out[k].append(v)
+            for v, w0 in zip(b["variant"], b["w0"]):
+                # decode_image_codec_row(d, norm) depends only on d % 8
+                # and the first word of norm: v in 0..7 and the single
+                # word w0 reproduce the per-doc call exactly
+                row = decode_image_codec_row(int(v), w0)
+                out["variant"].append(v)
+                out["w0"].append(w0)
+                for k, val in row.items():
+                    if k != "variant":
+                        out[k].append(val)
             yield pd.DataFrame(out)
 
-    return docs.mapInPandas(
+    decoded = keys.mapInPandas(
         run,
-        schema="doc_id long, variant int, img_w int, img_h int, "
+        schema="variant int, w0 string, img_w int, img_h int, "
         "img_format string, px_md5 string, text string, n_spans int",
+    )
+    return keyed.join(F.broadcast(decoded), on=["variant", "w0"]).select(
+        "doc_id", "variant", "img_w", "img_h", "img_format", "px_md5",
+        "text", "n_spans",
     )
 
 
@@ -5296,13 +5395,18 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape. dup_word_frac repeats here so the keep verdict is
     self-contained.
 
-    Entirely JVM-native: words -> n-gram arrays built with
-    transform(sequence(...)) -> explode -> groupBy(doc_id, gram) count
-    -> per-doc top via min(struct(-cnt, gram)) (count DESC, gram ASC
-    tie-break as one map-side-combinable aggregate; a row_number window
-    would add a per-doc sort exchange). The shuffles key on
-    (doc_id, gram), so skew is bounded by single-document size at any
-    corpus scale.
+    Entirely JVM-native AND map-only (optimization round 11, guide
+    §2.4): the n-gram concentration is doc-local, so the former
+    explode → groupBy(doc_id, gram) → min(struct) → join chain (two
+    Generate nodes, 12 Exchanges, two joins) collapses into per-row
+    array expressions — build the gram array, ``array_sort`` it, and
+    take the longest equal-run with one ``aggregate`` fold (the top
+    gram's COUNT is all the output needs; the gram string itself is
+    never emitted, so the count-DESC/gram-ASC tie-break of the old
+    aggregate is moot). Plan: Scan → Project, zero Exchanges.
+    Fractions divide the same long count by the same int denominator,
+    so results are bit-identical — pinned by the r11 snapshot diff and
+    the unchanged DuckDB oracle.
     In the 50-row oracle registry since round 9 (rotated in per VERDICT
     r8 #1); also gated by the pytest differential in
     tests/test_repetition_quality.py."""
@@ -5311,57 +5415,50 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "doc_id",
         F.filter(F.split("norm", " "), lambda w: w != "").alias("ws"))
+    n_words = F.size("ws")
 
-    def grams(n):
-        # sliding n-grams as space-joined strings
-        return words.select(
-            "doc_id",
-            F.size("ws").alias("n_words"),
-            F.explode(
-                F.when(
-                    F.size("ws") >= n,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("ws") - n),
-                        lambda i: F.concat_ws(
-                            " ", *[F.col("ws")[i + k] for k in range(n)]
-                        ),
-                    ),
-                ).otherwise(F.array())
-            ).alias("gram"),
+    def top_frac(n):
+        # per-row top n-gram count: sorted gram array → longest equal run
+        grams = F.transform(
+            F.sequence(F.lit(0), n_words - n),
+            lambda i: F.concat_ws(
+                " ", *[F.col("ws")[i + k] for k in range(n)]
+            ),
         )
-
-    def top_frac(n, out_name):
-        # top gram per doc via min(struct(-cnt, gram)) — count DESC with
-        # gram ASC tie-break as ONE map-side-combinable aggregate (a
-        # row_number window would add a full per-doc sort exchange)
-        g = grams(n)
-        counts = g.groupBy("doc_id", "n_words", "gram").agg(
-            F.count("*").alias("cnt"))
-        return (
-            counts.groupBy("doc_id", "n_words")
-            .agg(F.min(F.struct(
-                (-F.col("cnt")).alias("nc"),
-                F.col("gram"))).alias("t"))
-            .select(
-                "doc_id",
-                F.round(
-                    -F.col("t.nc") / (F.col("n_words") - (n - 1)), 6
-                ).alias(out_name),
-            )
+        zero = F.lit(0).cast("long")
+        top_cnt = F.aggregate(
+            F.array_sort(grams),
+            F.struct(
+                F.lit("").alias("prev"), zero.alias("run"),
+                zero.alias("best"),
+            ),
+            lambda a, g: F.struct(
+                g.alias("prev"),
+                F.when(g == a["prev"], a["run"] + 1)
+                .otherwise(F.lit(1).cast("long")).alias("run"),
+                F.greatest(
+                    a["best"],
+                    F.when(g == a["prev"], a["run"] + 1)
+                    .otherwise(F.lit(1).cast("long")),
+                ).alias("best"),
+            ),
+            lambda a: a["best"],
         )
+        return F.when(
+            n_words >= n,
+            F.round(top_cnt / (n_words - (n - 1)), 6),
+        ).otherwise(F.lit(0.0))
 
-    base = words.select(
-        "doc_id",
-        F.size("ws").alias("n_words"),
-        F.size(F.array_distinct("ws")).alias("n_distinct"),
-    ).withColumn(
-        "dup_word_frac",
-        F.round(1 - F.col("n_distinct") / F.col("n_words"), 6),
-    )
     out = (
-        base.join(top_frac(2, "top_bigram_frac"), "doc_id", "left")
-        .join(top_frac(3, "top_trigram_frac"), "doc_id", "left")
-        .na.fill({"top_bigram_frac": 0.0, "top_trigram_frac": 0.0})
+        words.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(
+                1 - F.size(F.array_distinct("ws")) / n_words, 6
+            ).alias("dup_word_frac"),
+            top_frac(2).alias("top_bigram_frac"),
+            top_frac(3).alias("top_trigram_frac"),
+        )
         .withColumn(
             "keep",
             ((F.col("top_bigram_frac") <= 0.20)
