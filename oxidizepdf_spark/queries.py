@@ -80,6 +80,21 @@ def _rebalance_for_udf(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _docs_norm_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalanced scan FIRST, normalization SECOND (r11, guide §2.5
+    input-skew): projecting ``norm_col`` below the round-robin exchange
+    runs the two regex passes over every document inside the scan task —
+    single-threaded for a single-row-group file. Rebalancing the raw
+    (doc_id, text) rows and projecting ABOVE the exchange runs the
+    regexes at full parallelism; shuffled bytes are unchanged (norm is
+    ~the raw text) and at production split counts the rebalance is a
+    pass-through."""
+    raw = _rebalance_for_udf(
+        spark, _docs(spark, sf_dir).select("doc_id", "text")
+    )
+    return raw.select("doc_id", norm_col("text").alias("norm"))
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
@@ -201,12 +216,7 @@ def _pdf_roundtrip(variant: str, with_mode: bool = False):
     cols = "doc_id long, text string, n_lines int, n_pages int, mode string"
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _rebalance_for_udf(
-            spark,
-            _docs(spark, sf_dir).select(
-                "doc_id", norm_col("text").alias("norm")
-            ),
-        )
+        docs = _docs_norm_rebalanced(spark, sf_dir)
         out = docs.mapInPandas(_roundtrip_udf(variant), schema=cols)
         keep = ["doc_id", "text", "n_lines", "n_pages"] + (
             ["mode"] if with_mode else []
@@ -281,10 +291,7 @@ def q_pdf_extract_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["mode"].append(mode)
             yield pd.DataFrame(out)
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     return docs.mapInPandas(run, schema=cols)
 
 
@@ -315,10 +322,7 @@ def q_pdf_extract_spans_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence (kind, text, media_ref, offset) is exact (FIXTURES.md §1.2)."""
     from .pipeline import extract_spans
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf, encode_raw_payload
@@ -406,10 +410,7 @@ def q_html_extract_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     content as <p> blocks plus one in-content image. Extraction must strip
     every boilerplate element and return exactly the content text (+1
     image span), which the oracle recomputes from the text column."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_html_doc
@@ -449,10 +450,8 @@ def q_pdf_extract_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge in one oracle-recomputable relation."""
     docs = _rebalance_for_udf(
         spark,
-        _docs(spark, sf_dir).select(
-            "doc_id", "source", norm_col("text").alias("norm")
-        ),
-    )
+        _docs(spark, sf_dir).select("doc_id", "source", "text"),
+    ).select("doc_id", "source", norm_col("text").alias("norm"))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -504,10 +503,7 @@ def q_pdf_extract_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     20pt apart at 12pt (gap 8 < 1.5x median height 12), so each page
     reconstructs to exactly one paragraph whose text joins the page's
     lines with newlines — recomputable by the oracle from the raw text."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
@@ -561,10 +557,7 @@ def q_pdf_page_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     /Pages parent node instead of each page — the §7.7.3.4 inheritance
     path must yield the same effective value; eff_w/eff_h are the
     rotation-adjusted MediaBox extents (swap on exactly 90/270)."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_text_pdf
@@ -656,10 +649,7 @@ def q_pdf_extract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     zipper the columns together. Extracting with reading_order='xycut'
     must split on the column gap and restore the original logical order,
     so the oracle is simply the normalized 32-word prefix."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -730,10 +720,7 @@ def q_pdf_extract_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     value hash)."""
     import math
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import zlib
@@ -842,10 +829,7 @@ def _pdf_encrypted_roundtrip(method: str):
     transparently unlock and recover the exact text."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+        docs = _docs_norm_rebalanced(spark, sf_dir)
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             from .corpus import build_encrypted_pdf
@@ -968,10 +952,7 @@ def q_pdf_extract_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pubsec_nokey_error"].append(pno.error)
             yield pd.DataFrame(out)
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     return docs.mapInPandas(
         run,
         schema="doc_id long, method string, text string, n_lines int, "
@@ -1046,10 +1027,7 @@ def q_pdf_extract_encrypted_password(spark: SparkSession, sf_dir: str) -> DataFr
                 out["wrong_refused"].append(wrong.error == "encrypted")
             yield pd.DataFrame(out)
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     return docs.mapInPandas(
         run,
         schema="doc_id long, text string, unlocked boolean, wrong_refused boolean",
@@ -1108,8 +1086,10 @@ def _h_sql(seed, s: str) -> str:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on normalized text (map-side partial agg;
-    at 100TB this is one shuffle on a 32-byte key)."""
-    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    at 100TB this is one shuffle on a 32-byte key). r11: rebalanced scan
+    so the norm+md5 map side parallelizes on a single-row-group corpus
+    (no-op at production split counts)."""
+    d = _docs_norm_rebalanced(spark, sf_dir)
     return (
         d.groupBy(F.md5("norm").alias("text_hash"))
         .agg(
@@ -1172,7 +1152,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-join on (band, band_hash) → candidate pairs. The join key is the
     band hash, so the shuffle carries only (doc_id, band_hash) — this is the
     scale path for near-dup at 10^12 docs (full pairwise is impossible)."""
-    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    d = _docs_norm_rebalanced(spark, sf_dir)
     # array-native minhash: per-row shingle array → base-hash array → 16
     # array_min affine projections. Map-only (no explode, no shuffle) until
     # the band bucket-join — the per-document work never leaves the row.
@@ -1202,6 +1182,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(MINHASH_N)
         ],
     )
+    # all four band branches read mh; persist so the shingle build + 16
+    # min-aggregations run once, not once per band (r11; the cached rows
+    # are doc_id + 16 longs — far narrower than the text)
+    mh = _persist(mh)
     rows_per_band = MINHASH_N // MINHASH_BANDS
     bands = []
     for b in range(MINHASH_BANDS):
@@ -1220,36 +1204,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         allb = allb.unionByName(b)
     # BUCKET-SIZE CAP: a web-scale corpus with a huge cluster of
     # byte-identical docs puts them all in one (band, band_hash) bucket,
-    # and an uncapped self-join produces |bucket|^2 pairs in one task
+    # and uncapped pairing produces |bucket|^2 pairs in one task
     # (100k-doc bucket → 10^10 pairs). Keep the CAP lowest doc_ids per
     # bucket (deterministic, mirrored in the DuckDB oracle) — the same
     # discipline as SHINGLE_DF_CAP in q_dedup_ngram_jaccard. Exact
     # duplicates should be removed by q_dedup_exact BEFORE this stage in
     # a production pipeline; the cap is the safety net, not the dedup.
-    from pyspark.sql import Window
-
-    bw = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    allb = (
-        allb.withColumn("rnk", F.row_number().over(bw))
-        .where(F.col("rnk") <= LSH_BUCKET_CAP)
-        .drop("rnk")
+    #
+    # r11 plan shape (guide §2.3): ONE groupBy(band, band_hash) collects
+    # each bucket's sorted doc list — slice(sorted, 1, CAP) IS the old
+    # row_number cap — and candidate pairs are the list's ordered
+    # combinations generated inside the row. This replaces the former
+    # window (exchange + sort) AND the bucket self-join (two more sorted
+    # exchanges of the banded relation) with a single hash aggregation;
+    # the collect is bounded by the cap's pre-image per bucket, which the
+    # exact-dedup-first pipeline discipline keeps small. Identical pair
+    # set (snapshot diff; oracle unchanged).
+    buckets = (
+        allb.groupBy("band", "band_hash")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list("doc_id")), 1, LSH_BUCKET_CAP
+            ).alias("ds")
+        )
+        .where(F.size("ds") >= 2)
+        .select("ds")
     )
-    # both sides of the bucket self-join read this relation; persist so the
-    # shingle explode + 16 min-aggregations + bucket cap run once
-    allb = _persist(allb)
+    k = F.size("ds")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ds")[i].alias("doc_a"),
+                    F.col("ds")[j].alias("doc_b"),
+                ),
+            ),
+        )
+    )
     pairs = (
-        allb.alias("a")
-        .join(
-            allb.alias("b"),
-            on=[
-                F.col("a.band") == F.col("b.band"),
-                F.col("a.band_hash") == F.col("b.band_hash"),
-                F.col("a.doc_id") < F.col("b.doc_id"),
-            ],
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        buckets.select(F.explode(pairs_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
     return pairs
@@ -1454,28 +1450,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage behind MinHash candidates). Shuffle key = shingle.
 
     Skew guard: shingles with document frequency > SHINGLE_DF_CAP are
-    dropped before the self-join (standard CC-Net-style practice) — one
+    dropped before any pairing (standard CC-Net-style practice) — one
     ubiquitous stop-word shingle would otherwise contribute |bucket|^2
-    join rows and dominate the shuffle on a skewed corpus. Jaccard is
-    then over the rare-shingle sets, identically in both dialects."""
-    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    # the shingle relation feeds four plan branches (df filter, sizes, both
-    # join sides); persist so the regexp+explode runs once
-    sh_all = _persist(_shingles_spark(d))
-    rare = (
+    pair rows and dominate the shuffle on a skewed corpus. Jaccard is
+    then over the rare-shingle sets, identically in both dialects.
+
+    r11 plan shape (guide §2.3 'aggregate before you shuffle'): ONE
+    groupBy(shingle) collects each rare shingle's (capped, sorted) doc
+    list, and the candidate pairs are generated INSIDE the row as the
+    list's ordered combinations — replacing the former rare-filter
+    join-back plus sh<->sh self-join (two extra sorted exchanges of the
+    full 2.5M-row shingle relation). The per-shingle doc list is
+    bounded by SHINGLE_DF_CAP, so the collect is skew-safe at any
+    corpus size. Pair set and Jaccard values are identical (snapshot
+    diff; oracle unchanged)."""
+    d = _docs_norm_rebalanced(spark, sf_dir)
+    sh_all = _shingles_spark(d)
+    g = _persist(
         sh_all.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .where(F.col("df") <= SHINGLE_DF_CAP)
-        .select("shingle")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= SHINGLE_DF_CAP)
+        .select("ds")
     )
-    sh = _persist(sh_all.join(rare, on="shingle"))
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes = (
+        g.select(F.explode("ds").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    k = F.size("ds")
+    pairs_arr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), k - 2),
+            lambda i: F.transform(
+                F.sequence(i + 1, k - 1),
+                lambda j: F.struct(
+                    F.col("ds")[i].alias("doc_a"),
+                    F.col("ds")[j].alias("doc_b"),
+                ),
+            ),
+        )
+    )
     inter = (
-        sh.alias("a")
-        .join(sh.alias("b"), on="shingle")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        g.where(k >= 2)
+        .select(F.explode(pairs_arr).alias("p"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b")
         )
         .agg(F.count("*").alias("inter"))
     )
@@ -2424,10 +2443,7 @@ def q_html_extract_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     template plus {HTML_LINK_WORDS} doc-derived anchors; the oracle
     enumerates the template's static links and recomputes the derived
     ones from the word array."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_html_doc
@@ -2511,10 +2527,7 @@ def q_pdf_extract_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     linkage, /Open state, own /Rect) that the extractor must FOLD into
     the parent's row (popup_open encoded -1 none / 0 closed / 1 open)
     rather than emit standalone — 3 rows per doc, not 4."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -2667,10 +2680,7 @@ def q_pdf_extract_keyvalues(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair (two runs on one baseline with a wide gap); the detector must
     recover all four with the right pattern class and confidence. Values
     derive from the word array so the oracle recomputes every pair."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -2759,10 +2769,7 @@ def q_pdf_extract_ocr(spark: SparkSession, sf_dir: str) -> DataFrame:
     output row per page with the analyzer's classification and counts; the
     OCR round-trip columns ride on the page-0 row (the scanned class is
     exactly the OCR trigger)."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_composition_pdf, build_scanned_pdf
@@ -2844,10 +2851,7 @@ def q_pdf_extract_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact pre-order sequence (ord), nesting level, decoded title, and
     /Dest-resolved page index. Titles: top i = 'sec-i-w(i*3)', child j of
     i = 'sub-i.j-w(i*3+1+j)' over the word array with modulo."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_outline_pdf
@@ -2958,10 +2962,7 @@ def q_pdf_extract_form_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     imprint on doc_id%8==5 (ts_valid must read 0 while the signature
     itself stays valid).  The signature detail repeats on every field
     row (doc-level columns)."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_form_pdf
@@ -3083,10 +3084,7 @@ def q_pdf_extract_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     center containment (text/table_detection.rs). The oracle recomputes
     every cell's text from the word array + grid constants — proving cell
     geometry, line clustering, and text assignment all at once."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_table_pdf
@@ -3164,10 +3162,7 @@ def q_pdf_extract_tables_borderless(spark: SparkSession, sf_dir: str) -> DataFra
     recovered purely from repeated left-edge alignment and rows from
     baseline clusters. Same oracle shape — every cell recomputed from the
     word array + geometry constants."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_borderless_table_pdf
@@ -3223,10 +3218,7 @@ def q_pdf_extract_tables_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
     recovered purely from left-edge + baseline alignment). Every cell's
     text is recomputed by the oracle from the word array + geometry
     constants. Consolidates the two single-family registry entries."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_borderless_table_pdf, build_table_pdf
@@ -3330,10 +3322,7 @@ def q_rag_chunk_elements(spark: SparkSession, sf_dir: str) -> DataFrame:
     paragraph (the classifier's body font IS the title size then), which
     the oracle mirrors — that is the honest behavior of a relative-size
     classifier on a single-size document."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -3458,10 +3447,7 @@ def q_pdf_export_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     a round-robin rebalance of the narrow (doc_id, text) rows buys full
     parallelism for ~nothing. At production split counts the branch
     never fires and the plan stays map-only."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import math
@@ -3678,10 +3664,7 @@ def q_rag_chunk_typed_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     inline under AnyInlineContent), footer — with heading lineage
     attached everywhere after the title. Mirrors partition.rs zone +
     is_list_item classification and hybrid_chunking.rs merge policy."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_pdf_with_content_stream, escape_pdf_string
@@ -3834,7 +3817,11 @@ def q_corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final per-sequence assembly."""
     from pyspark.sql.window import Window
 
-    d = _docs(spark, sf_dir).select(
+    # rebalanced scan first (r11): the norm+split map work otherwise runs
+    # inside a single-row-group scan task; no-op at production splits
+    d = _rebalance_for_udf(
+        spark, _docs(spark, sf_dir).select("doc_id", "text")
+    ).select(
         "doc_id",
         (F.col("doc_id") % PACK_SHARDS).alias("shard"),
         F.filter(
@@ -3920,7 +3907,7 @@ def q_text_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     line-DF relation is itself huge — production replaces the equi-join
     with a counting Bloom filter / CMS broadcast; the join keyed on a
     16-byte hash is the exact fallback shape."""
-    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
+    d = _docs_norm_rebalanced(spark, sf_dir)
     words = F.split(F.col("norm"), " ")
     n_lines = F.ceil(F.size(words) / F.lit(LINE_WORDS)).cast("int")
     lines_arr = F.transform(
@@ -4193,9 +4180,7 @@ def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_suffix.py::test_cross_shard_duplicate_caught_by_word_gram_stage);
     only NON-word-aligned cross-shard variants (e.g. a whitespace
     change) escape both."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", norm_col("text").alias("norm")
-    )
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     # Pin the shard fan-out with an explicit numbered repartition: the
     # groupBy's own exchange is AQE-coalescible, and on a small corpus
     # AQE folds the ~MBs of shuffle output into ONE partition — which is
@@ -4204,9 +4189,16 @@ def q_text_exact_substring_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 32 suffix arrays back-to-back). REPARTITION_BY_NUM is exempt from
     # AQE coalescing, and the groupBy reuses its hash distribution, so
     # every shard keeps its own task/worker.
-    sharded = docs.withColumn(
-        "shard", F.pmod(F.col("doc_id"), F.lit(SUBSTR_BYTE_SHARDS))
-    ).repartition(SUBSTR_SHARD_PARTITIONS, "shard")
+    # normalization is projected ABOVE the exchange (r11): below it, the
+    # regexes over every document would run inside the (often
+    # single-task) scan; above it they run once per shard task
+    sharded = (
+        docs.withColumn(
+            "shard", F.pmod(F.col("doc_id"), F.lit(SUBSTR_BYTE_SHARDS))
+        )
+        .repartition(SUBSTR_SHARD_PARTITIONS, "shard")
+        .select("doc_id", "shard", norm_col("text").alias("norm"))
+    )
 
     def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         from .suffix import cross_doc_duplicate_coverage
@@ -4389,10 +4381,9 @@ def q_media_stub_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the real decode — image/audio libs — is stubbed per round-1 scope, but
     the schema, batching, and binary transport are production-shaped)."""
     d = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select(
-            "doc_id", F.encode(norm_col("text"), "UTF-8").alias("media")
-        ),
+        spark, _docs(spark, sf_dir).select("doc_id", "text")
+    ).select(
+        "doc_id", F.encode(norm_col("text"), "UTF-8").alias("media")
     )
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -4423,10 +4414,7 @@ def q_pdf_extract_invoice(spark: SparkSession, sf_dir: str) -> DataFrame:
     number INV-doc_id, date 2024-MM-DD from doc_id, total from integer
     cents — and the extractor must recover all four via pattern-keyed
     keyvalue matching plus first-colon-less-line vendor detection."""
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from .corpus import build_invoice_pdf
@@ -4565,10 +4553,7 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replaces the separate stub-features and fake-embeddings entries."""
     from .multimodal import extract_media_features, synth_media_table
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
     feats = extract_media_features(media, dims=4)
     return feats.select(
@@ -4609,10 +4594,7 @@ def q_media_fake_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding dimension from the source text."""
     from .multimodal import extract_media_features, synth_media_table
 
-    docs = _rebalance_for_udf(
-        spark,
-        _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm")),
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     media = synth_media_table(spark, docs).where(F.col("media_type") == "image")
     feats = extract_media_features(media, dims=4)
     return feats.select(
@@ -5318,9 +5300,7 @@ def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (variant, w0) pairs into the distinct. Results are bit-identical
     (same decode function per key) — r11 snapshot-diff pinned, oracle
     unchanged."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", norm_col("text").alias("norm")
-    )
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     ws = F.filter(F.split("norm", " "), lambda w: w != "")
     keyed = docs.select(
         "doc_id",
