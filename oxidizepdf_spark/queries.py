@@ -80,6 +80,20 @@ def _rebalance_for_udf(spark: SparkSession, df: DataFrame) -> DataFrame:
     return df
 
 
+def _bind(col, f):
+    """Expression-level let-binding (r11): evaluate ``col`` ONCE per row
+    and pass the result to ``f`` as a higher-order-function lambda
+    variable. Referencing a column expression N times in one projection
+    re-evaluates its whole subtree N times at runtime — HOFs are
+    CodegenFallback, so neither whole-stage codegen subexpression
+    elimination nor CollapseProject's used-once rule saves you inside a
+    single expression tree (measured: the 16-column minhash projection
+    re-ran the shingle+md5 subtree 16x, 15.7s vs 1.3s noop at sf1.0).
+    A lambda variable is the one construct the evaluator guarantees is
+    computed once."""
+    return F.get(F.transform(F.array(col), f), 0)
+
+
 def _docs_norm_rebalanced(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebalanced scan FIRST, normalization SECOND (r11, guide §2.5
     input-skew): projecting ``norm_col`` below the round-robin exchange
@@ -1154,8 +1168,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path for near-dup at 10^12 docs (full pairwise is impossible)."""
     d = _docs_norm_rebalanced(spark, sf_dir)
     # array-native minhash: per-row shingle array → base-hash array → 16
-    # array_min affine projections. Map-only (no explode, no shuffle) until
-    # the band bucket-join — the per-document work never leaves the row.
+    # array_min affine projections → 4 (band, band_hash) structs, ALL as
+    # one ``_bind``-chained expression (r11): the former 16-column shape
+    # re-evaluated the shingle+md5 subtree once per column (no CSE for
+    # HOF trees — measured 15.7s vs 1.3s noop at sf1.0) and needed a
+    # 4-way union plus a persist to feed the bands. Map-only (no
+    # explode-shuffle) until the band bucket aggregation.
     words = F.split(F.col("norm"), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
@@ -1173,35 +1191,43 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
-    mh = d.select(
-        "doc_id",
-        *[
-            F.array_min(
-                F.transform(hb, lambda x: (F.lit(_MH_A[i]) * x + F.lit(_MH_B[i])) % _MERSENNE)
-            ).alias(f"h{i}")
-            for i in range(MINHASH_N)
-        ],
-    )
-    # all four band branches read mh; persist so the shingle build + 16
-    # min-aggregations run once, not once per band (r11; the cached rows
-    # are doc_id + 16 longs — far narrower than the text)
-    mh = _persist(mh)
     rows_per_band = MINHASH_N // MINHASH_BANDS
-    bands = []
-    for b in range(MINHASH_BANDS):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            mh.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws(",", *[c.cast("string") for c in cols])).alias(
-                    "band_hash"
-                ),
+    consts = F.array(
+        *[
+            F.struct(
+                F.lit(_MH_A[i]).alias("a"), F.lit(_MH_B[i]).alias("b")
             )
-        )
-    allb = bands[0]
-    for b in bands[1:]:
-        allb = allb.unionByName(b)
+            for i in range(MINHASH_N)
+        ]
+    )
+    bands_arr = _bind(hb, lambda hbv: _bind(
+        F.transform(
+            consts,
+            lambda c: F.array_min(
+                F.transform(hbv, lambda x: (c["a"] * x + c["b"]) % _MERSENNE)
+            ),
+        ),
+        lambda mh: F.transform(
+            F.sequence(F.lit(0), F.lit(MINHASH_BANDS - 1)),
+            lambda b: F.struct(
+                b.alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.get(mh, b * rows_per_band + r).cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("band_hash"),
+            ),
+        ),
+    ))
+    allb = d.select("doc_id", F.explode(bands_arr).alias("bb")).select(
+        "doc_id",
+        F.col("bb.band").alias("band"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
     # BUCKET-SIZE CAP: a web-scale corpus with a huge cluster of
     # byte-identical docs puts them all in one (band, band_hash) bucket,
     # and uncapped pairing produces |bucket|^2 pairs in one task
@@ -1876,36 +1902,43 @@ def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
             F.collect_list(F.struct("centroid_id", "cv", "ncv"))
         ).alias("cs")
     )
-    nv = _l2norm_spark(F.col("embedding"))
-    scored = F.transform(
-        F.col("cs"),
-        lambda c: F.struct(
-            c["centroid_id"].alias("cid"),
-            F.round(
-                _dot_spark(F.col("embedding"), c["cv"]) / (nv * c["ncv"]), 6
-            ).alias("cc"),
-        ),
-    )
-    best = F.aggregate(
-        scored,
-        F.struct(
-            F.lit(None).cast("long").alias("cid"),
-            F.lit(None).cast("double").alias("cc"),
-        ),
-        lambda a, c: F.when(
-            a["cid"].isNull()
-            | (c["cc"] > a["cc"])
-            | ((c["cc"] == a["cc"]) & (c["cid"] < a["cid"])),
-            c,
-        ).otherwise(a),
-    )
+    def pick(nv):
+        # nv is a _bind lambda variable → the norm fold runs once per
+        # row even though it appears in every per-centroid score
+        scored = F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                c["centroid_id"].alias("cid"),
+                F.round(
+                    _dot_spark(F.col("embedding"), c["cv"]) / (nv * c["ncv"]),
+                    6,
+                ).alias("cc"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(None).cast("long").alias("cid"),
+                F.lit(None).cast("double").alias("cc"),
+            ),
+            lambda a, c: F.when(
+                a["cid"].isNull()
+                | (c["cc"] > a["cc"])
+                | ((c["cc"] == a["cc"]) & (c["cid"] < a["cid"])),
+                c,
+            ).otherwise(a),
+        )
+        return F.struct(nv.alias("nv"), best["cid"].alias("centroid_id"))
+
+    picked = _bind(_l2norm_spark(F.col("embedding")), pick)
     return (
         e.crossJoin(F.broadcast(carr))
+        .select("vec_id", "embedding", picked.alias("pk"))
         .select(
             "vec_id",
             "embedding",
-            nv.alias("nv"),
-            best["cid"].alias("centroid_id"),
+            F.col("pk.nv").alias("nv"),
+            F.col("pk.centroid_id").alias("centroid_id"),
         )
     )
 
@@ -2336,23 +2369,39 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``rowsBetween(currentRow, W-1)``), distinct is ``array_distinct``,
     and the per-doc stats never leave the row. Plan: Scan → Project,
     zero Exchanges (was: Generate + Exchange + Sort + Window + 4
-    HashAggregates). Hash/count/min semantics are bit-identical — pinned
-    by the r11 snapshot diff and the unchanged DuckDB oracle."""
-    d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    words = F.split(F.col("norm"), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
-    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3)))
-    hs = F.transform(grams, lambda g: _h_spark(0, g))
-    wins = F.transform(
-        F.sequence(F.lit(0), F.size(hs) - 1),
-        lambda i: F.array_min(F.slice(hs, i + 1, FP_WINDOW)),
-    )
-    dfp = F.array_distinct(wins)
-    return d.select(
+    HashAggregates). The word and hash arrays are ``_bind``-ed so each
+    is evaluated once per row (an unbound ``hs`` inside the window
+    lambda would re-run every gram md5 per window position). Hash/
+    count/min semantics are bit-identical — pinned by the r11 snapshot
+    diff and the unchanged DuckDB oracle. The rebalanced scan keeps the
+    per-row compute parallel on a single-row-group corpus (pass-through
+    at production split counts, where the plan is pure map-side)."""
+    d = _docs_norm_rebalanced(spark, sf_dir)
+
+    def wins_of(words):
+        n = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(n - 3, F.lit(0)))
+        grams = F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, 3))
+        )
+        hs = F.transform(grams, lambda g: _h_spark(0, g))
+        return _bind(hs, lambda h: F.transform(
+            F.sequence(F.lit(0), F.size(h) - 1),
+            lambda i: F.array_min(F.slice(h, i + 1, FP_WINDOW)),
+        ))
+
+    dfp = d.select(
         "doc_id",
-        F.size(dfp).cast("long").alias("n_fingerprints"),
-        F.array_min(dfp).alias("min_fp"),
+        F.array_distinct(
+            _bind(F.split(F.col("norm"), " "), wins_of)
+        ).alias("dfp"),
+    )
+    # two consumers of the non-cheap dfp alias → CollapseProject keeps
+    # the boundary, so the fingerprint array is computed once per row
+    return dfp.select(
+        "doc_id",
+        F.size("dfp").cast("long").alias("n_fingerprints"),
+        F.array_min("dfp").alias("min_fp"),
     )
 
 
@@ -5400,8 +5449,7 @@ def q_text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     In the 50-row oracle registry since round 9 (rotated in per VERDICT
     r8 #1); also gated by the pytest differential in
     tests/test_repetition_quality.py."""
-    docs = _docs(spark, sf_dir).select(
-        "doc_id", norm_col("text").alias("norm"))
+    docs = _docs_norm_rebalanced(spark, sf_dir)
     words = docs.select(
         "doc_id",
         F.filter(F.split("norm", " "), lambda w: w != "").alias("ws"))
