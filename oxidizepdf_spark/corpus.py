@@ -840,6 +840,7 @@ def build_invoice_pdf(
 def build_encrypted_pdf(
     text: str, method: str = "rc4-128", user_pw: bytes = b"",
     owner_pw: bytes = b"owner", p: int = -4,
+    crypt_identity_content: bool = False,
 ) -> bytes:
     """One-page PDF encrypted with the standard security handler
     (fixture-side forward direction of kernel/crypto.py; ISO 32000 §7.6.3,
@@ -904,7 +905,23 @@ def build_encrypted_pdf(
         else:
             parts.append(b"0 -20 Td (%s) Tj" % escape_pdf_string(ln))
     parts.append(b"ET")
-    content = enc_stream(b" ".join(parts), 5)
+    if crypt_identity_content:
+        # ISO 32000-1 §7.6.5: the content stream is marked with an
+        # Identity /Crypt filter → stored IN THE CLEAR inside the
+        # otherwise-encrypted document (exempt from the default StmF);
+        # Flate follows in the chain so a wrongly-applied default
+        # cipher is caught loudly by the inflate, not silently.
+        import zlib as _zlib
+
+        content = _zlib.compress(b" ".join(parts))
+        content_dict = (
+            b"<< /Length %d /Filter [/Crypt /FlateDecode]"
+            b" /DecodeParms [<< /Type /CryptFilterDecodeParms"
+            b" /Name /Identity >> null] >>" % len(content)
+        )
+    else:
+        content = enc_stream(b" ".join(parts), 5)
+        content_dict = b"<< /Length %d >>" % len(content)
 
     cf_clause = (
         b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
@@ -916,7 +933,7 @@ def build_encrypted_pdf(
         3: b"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 4 0 R >> >>"
            b" /Contents 5 0 R /MediaBox [0 0 612 792] >>",
         4: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
-        5: b"<< /Length %d >>\nstream\n" % len(content) + content + b"\nendstream",
+        5: content_dict + b"\nstream\n" + content + b"\nendstream",
         6: b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
            b" /O <%s> /U <%s>%s >>"
            % (v, r, length, p, o.hex().encode(), u.hex().encode(), cf_clause),

@@ -352,10 +352,21 @@ class ImageExtractor:
                     # falls back to reference behaviour: raw JPEG
                     # bytes.
                     try:
-                        from .jpeg_codec import decode_jpeg_to_rgb
-                        pixels, ncomp = decode_jpeg_to_rgb(data)
-                        if pixels.dtype != "uint8":
-                            pixels = (pixels >> 4).astype("uint8")
+                        from .jpeg_codec import decode_jpeg_to_rgb_px
+                        pixels, ncomp, prec = decode_jpeg_to_rgb_px(data)
+                        # scale to the 8-bit PNG range by the stream's
+                        # actual precision (ADVICE r10: a fixed >>4 was
+                        # only right for 12-bit; SOF3 lossless allows
+                        # 2-16-bit samples, upscale the sub-8-bit ones)
+                        if prec > 8:
+                            pixels = (pixels >> (prec - 8)).astype(
+                                "uint8")
+                        elif prec < 8:
+                            pixels = (
+                                pixels.astype("uint16") << (8 - prec)
+                            ).astype("uint8")
+                        elif pixels.dtype != "uint8":
+                            pixels = pixels.astype("uint8")
                         data = encode_png(
                             pixels.tobytes(), pixels.shape[1],
                             pixels.shape[0], ncomp, 8,

@@ -644,7 +644,14 @@ def _decode_lossless_scan(data, start, scan_order, width, height,
     MCU position (1x1 sampling only), DC-style difference categories
     (SSSS 16 = +32768, no extra bits), reconstruction modulo 2^16
     (H.1.2.1), the decoded plane upshifted by the point transform at
-    the end. Restarts reset the prediction to the default (H.2.4)."""
+    the end. Restarts reset the prediction to the default, and the
+    REMAINDER of the restart interval's first line predicts with the
+    1-D Ra predictor (H.1.2.1: "the one-dimensional horizontal
+    predictor is used for the first line of samples at the start of
+    the scan and at the beginning of each restart interval") — a
+    2-D predictor there would reach across the restart boundary into
+    rows decoded before the marker (ADVICE r10 fix, mirrored in
+    ``_encode_lossless_stream``)."""
     for c in scan_order:
         if c.plane is None:
             raise JpegError("lossless scan before SOF")
@@ -655,6 +662,7 @@ def _decode_lossless_scan(data, start, scan_order, width, height,
     rst_count = 0
     since = 0
     fresh = {c.cid: True for c in scan_order}  # default-predict next
+    rst_line = -1  # line the current restart interval began on
     for idx in range(height * width):
         if restart_interval and since == restart_interval:
             reader.reset_restart(rst_count)
@@ -662,7 +670,9 @@ def _decode_lossless_scan(data, start, scan_order, width, height,
             since = 0
             for c in scan_order:
                 fresh[c.cid] = True
+            rst_line = idx // width
         y, x = divmod(idx, width)
+        pred_sel = 1 if y == rst_line else predictor
         for c in scan_order:
             t = reader.decode_huff(dc_tables[c.td])
             if t > 16:
@@ -672,7 +682,7 @@ def _decode_lossless_scan(data, start, scan_order, width, height,
             else:
                 diff = _extend(reader.receive(t), t) if t else 0
             px = default if fresh[c.cid] else _lossless_predict(
-                c.plane, y, x, predictor, default)
+                c.plane, y, x, pred_sel, default)
             fresh[c.cid] = False
             c.plane[y, x] = (px + diff) & 0xFFFF
         since += 1
@@ -837,13 +847,22 @@ def _ycbcr_to_rgb(pix: np.ndarray, precision: int = 8) -> np.ndarray:
 
 
 def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode to display pixels: (h, w, 1) gray or (h, w, 3) RGB — see
+    ``decode_jpeg_to_rgb_px`` (this keeps the historical 2-tuple API)."""
+    pix, nc, _p = decode_jpeg_to_rgb_px(data)
+    return pix, nc
+
+
+def decode_jpeg_to_rgb_px(data: bytes) -> tuple[np.ndarray, int, int]:
     """Decode to display pixels: (h, w, 1) gray or (h, w, 3) RGB.
 
     Colour-space policy mirrors dct.rs:277-293: 1 component = Gray;
     3 components = YCbCr unless an Adobe APP14 marker says transform 0
     (RGB pass-through); 4 components = CMYK (Adobe transform 2 = YCCK
     first), then converted to RGB for the PNG sink.  Returns
-    (pixels, n_output_components).
+    (pixels, n_output_components, sample_precision) — the precision is
+    what the PNG sink needs to scale 9-16-bit (and sub-8-bit lossless,
+    T.81 Annex H allows 2-16) samples into its 8-bit output.
     """
     pix, info = decode_jpeg(data)
     nc = info["components"]
@@ -852,16 +871,16 @@ def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
     maxf = float((1 << p) - 1)
     odt = np.uint8 if p == 8 else np.uint16
     if nc == 1:
-        return pix, 1
+        return pix, 1, p
     if nc == 3:
         if tr == 0:
-            return pix, 3
+            return pix, 3, p
         if info.get("lossless") and tr != 1:
             # lossless 3-component streams carry source planes (no
             # implied JFIF YCbCr); only an explicit Adobe transform 1
             # requests the conversion
-            return pix, 3
-        return _ycbcr_to_rgb(pix, p), 3
+            return pix, 3, p
+        return _ycbcr_to_rgb(pix, p), 3, p
     # CMYK: Adobe 4-component JPEGs store inverted samples; honour the
     # convention only when an Adobe marker is present (transform 2 also
     # layers YCCK on top).
@@ -879,7 +898,7 @@ def decode_jpeg_to_rgb(data: bytes) -> tuple[np.ndarray, int]:
     g = (maxf - m) * (maxf - k) / maxf
     b = (maxf - y_) * (maxf - k) / maxf
     return np.clip(np.round(np.stack([r, g, b], axis=-1)),
-                   0, maxf).astype(odt), 3
+                   0, maxf).astype(odt), 3, p
 
 
 # ---------------------------------------------------------------------------
@@ -1501,16 +1520,19 @@ def _encode_lossless_stream(pix, precision, predictor, pt,
     dc_syms = [set() for _ in range(n_tables)]
     since = 0
     fresh = [True] * nc
+    rst_line = -1  # H.1.2.1: Ra for the rest of the interval's 1st line
     for idx in range(h * w):
         if restart_interval and since == restart_interval:
             events.append(None)
             since = 0
             fresh = [True] * nc
+            rst_line = idx // w
         y, x = divmod(idx, w)
+        pred_sel = 1 if y == rst_line else predictor
         for ci in range(nc):
             tid = 0 if ci == 0 else 1
             px = default if fresh[ci] else _lossless_predict(
-                planes[ci], y, x, predictor, default)
+                planes[ci], y, x, pred_sel, default)
             fresh[ci] = False
             diff = (int(planes[ci][y, x]) - px) & 0xFFFF
             if diff > 32768:

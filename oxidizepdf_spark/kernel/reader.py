@@ -231,6 +231,24 @@ class PdfReader:
                 return num, gen, self._capture_stream(value, pos, num, gen)
         return self._parse_indirect_object_at_py(offset)
 
+    def _has_crypt_filter(self, value: dict) -> bool:
+        """ISO 32000-1 §7.6.5: a stream whose /Filter chain contains a
+        /Crypt filter is EXEMPT from the document's default stream
+        cipher (StmF) — the crypt filter itself governs (Identity =
+        stored in the clear). Applying decrypt_stream first would garble
+        an Identity-crypt plaintext stream (ADVICE r10 fix)."""
+        f = value.get("Filter")
+        if isinstance(f, Ref):
+            f = self.resolve(f)
+        if isinstance(f, list):
+            for x in f:
+                if isinstance(x, Ref):
+                    x = self.resolve(x)
+                if str(x) == "Crypt":
+                    return True
+            return False
+        return f is not None and str(f) == "Crypt"
+
     def _capture_stream(self, value: dict, pos: int, num: int, gen: int):
         """Stream payload capture after the ``stream`` keyword at ``pos``
         (shared by the C and Python parse paths)."""
@@ -269,8 +287,10 @@ class PdfReader:
             # /Metadata when EncryptMetadata is false (ISO 32000 §7.6.2)
             t = value.get("Type")
             tname = str(t) if t is not None else ""
-            if tname != "XRef" and not (
-                tname == "Metadata" and not dec.encrypt_metadata
+            if (
+                tname != "XRef"
+                and not (tname == "Metadata" and not dec.encrypt_metadata)
+                and not self._has_crypt_filter(value)
             ):
                 raw = dec.decrypt_stream(raw, num, gen)
             if tname != "XRef":

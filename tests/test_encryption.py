@@ -300,3 +300,18 @@ def test_encrypted_reading_order_composes():
         res = extract_pdf_bytes(pdf, ExtractionOptions(reading_order=ro))
         assert res.error is None, ro
         assert res.page_texts[0] == text, (ro, res.page_texts[0])
+
+
+def test_crypt_identity_stream_exempt_from_default_cipher():
+    """ISO 32000-1 §7.6.5 (ADVICE r10): a stream whose /Filter chain
+    carries an Identity /Crypt filter is stored in the clear inside an
+    encrypted document and must NOT be run through the default StmF
+    cipher first — doing so garbles the plaintext (the trailing Flate
+    stage would fail loudly on the garbled bytes)."""
+    for method in ("rc4-40", "rc4-128", "aes-128"):
+        pdf = build_encrypted_pdf(
+            "identity crypt", method=method, crypt_identity_content=True
+        )
+        res = extract_pdf_bytes(pdf)
+        assert res.mode == "strict", method
+        assert res.page_texts == ["identity crypt"], method

@@ -367,3 +367,31 @@ def test_coc_precinct_wire_bytes():
     body = s[i + 4:i + 2 + ln]
     assert body[0] == 1 and body[1] & 0x01  # component 1, explicit grid
     assert list(body[7:9]) == [0x33, 0x33]  # (ppy<<4)|ppx per res
+
+
+def test_short_qcd_raises_jp2k_error_not_indexerror():
+    """ADVICE r10 #4 pin: a QCD whose exponent list is shorter than the
+    component's band count must raise Jp2kError at parse time, never a
+    bare IndexError from band table assembly. (The length validation
+    already landed with the COC/QCC work — this pins it.)"""
+    import struct
+
+    import numpy as np
+
+    from oxidizepdf_spark.kernel.jp2k import (
+        Jp2kError,
+        decode_jp2k,
+        encode_jp2k,
+    )
+
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)[..., None]
+    data = encode_jp2k(img, levels=2)
+    i = data.find(b"\xff\x5c")
+    ln = struct.unpack(">H", data[i + 2:i + 4])[0]
+    trunc = (data[:i + 2] + struct.pack(">H", ln - 2)
+             + data[i + 4:i + 2 + ln - 2] + data[i + 2 + ln:])
+    try:
+        decode_jp2k(trunc)
+        raise AssertionError("short QCD decoded")
+    except Jp2kError:
+        pass

@@ -611,3 +611,117 @@ def test_lossless_mutation_fuzz_contained():
             decode_jpeg(bytes(mutated))
         except JpegError:
             pass
+
+
+def test_lossless_restart_first_line_uses_ra_predictor():
+    """T.81 H.1.2.1 (ADVICE r10): after an RSTn the remainder of the
+    restart interval's first line predicts with the 1-D Ra predictor,
+    never a 2-D predictor reaching rows decoded before the marker.
+    With one restart per line this makes every line self-contained:
+    the encoded segment for a line must not change when OTHER lines'
+    samples do."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    w, h = 16, 6
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    img2 = img.copy()
+    img2[2] = (img2[2] + 97) % 256  # perturb only line 2
+
+    def segments(stream: bytes) -> list[bytes]:
+        # split the entropy-coded data at RSTn markers
+        sos = stream.find(b"\xff\xda")
+        body = stream[sos:]
+        out, cur, i = [], bytearray(), 0
+        while i < len(body):
+            if body[i] == 0xFF and i + 1 < len(body) and \
+                    0xD0 <= body[i + 1] <= 0xD7:
+                out.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            cur.append(body[i])
+            i += 1
+        out.append(bytes(cur))
+        return out
+
+    for predictor in (4, 5, 7):
+        enc1 = encode_jpeg(img, lossless=True, predictor=predictor,
+                           restart_interval=w)
+        enc2 = encode_jpeg(img2, lossless=True, predictor=predictor,
+                           restart_interval=w)
+        # exact roundtrip still holds
+        dec1, info = decode_jpeg(enc1)
+        assert info["lossless"] and np.array_equal(dec1[..., 0], img)
+        dec2, _ = decode_jpeg(enc2)
+        assert np.array_equal(dec2[..., 0], img2)
+        s1, s2 = segments(enc1), segments(enc2)
+        # h-1 RSTn markers -> h segments (s[0] = SOS header + line 0)
+        assert len(s1) == len(s2) == h
+        # every line except the perturbed one encodes identically —
+        # impossible if line y still predicted from line y-1
+        for y in range(h):
+            if y == 2:
+                assert s1[y] != s2[y]
+            else:
+                assert s1[y] == s2[y], y
+
+
+def test_lossless_restart_midline_roundtrip_exact():
+    """Restart intervals that end mid-line exercise the Ra-forced tail
+    of the interval's first line; the shared-rule encoder/decoder pair
+    must stay exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 4096, (5, 11), dtype=np.uint16)
+    for dri in (3, 7, 11, 13):
+        enc = encode_jpeg(img, lossless=True, predictor=6, precision=12,
+                          restart_interval=dri)
+        dec, info = decode_jpeg(enc)
+        assert info["precision"] == 12
+        assert np.array_equal(dec[..., 0], img)
+
+
+def test_png_sink_scales_lossless_by_precision():
+    """ADVICE r10: the PNG sink must shift decoded uint16 samples by
+    (precision - 8), not a fixed 4 bits — a 16-bit lossless JPEG
+    previously wrapped modulo 256; sub-8-bit output upscales."""
+    import numpy as np
+
+    from oxidizepdf_spark.kernel.extract_images import (
+        ExtractImagesOptions,
+        extract_images_from_pdf,
+    )
+    from tests.test_extract_images import image_pdf, parse_png
+
+    w, h = 16, 12
+    img16 = (np.arange(w * h, dtype=np.uint16).reshape(h, w) * 341)
+    jpeg = encode_jpeg(img16, lossless=True, precision=16)
+    body = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 16 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpeg), jpeg)
+    )
+    images = extract_images_from_pdf(
+        image_pdf(body), ExtractImagesOptions(decode_jpeg_images=True)
+    )
+    assert images[0].format == "png"
+    _pw, _ph, depth, _ct, pixels = parse_png(images[0].data)
+    assert depth == 8
+    assert pixels == (img16 >> 8).astype(np.uint8).tobytes()
+
+    img6 = (np.arange(w * h, dtype=np.uint16).reshape(h, w) % 64)
+    jpeg6 = encode_jpeg(img6, lossless=True, precision=6)
+    body6 = (
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d "
+        b"/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n%s\nendstream" % (w, h, len(jpeg6), jpeg6)
+    )
+    images6 = extract_images_from_pdf(
+        image_pdf(body6), ExtractImagesOptions(decode_jpeg_images=True)
+    )
+    assert images6[0].format == "png"
+    _pw, _ph, depth6, _ct, pixels6 = parse_png(images6[0].data)
+    assert depth6 == 8
+    assert pixels6 == (img6.astype(np.uint8) << 2).tobytes()
