@@ -1529,7 +1529,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("ds") <= SHINGLE_DF_CAP)
         .select("ds")
     )
-    sizes = (
+    # per-doc rare-shingle counts: consumed by BOTH pair-side joins, and
+    # recomputing it re-explodes the full 2.27M-row cached shingle
+    # relation — persist the 50k-row result instead (r11)
+    sizes = _persist(
         g.select(F.explode("ds").alias("doc_id"))
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"))
