@@ -67,6 +67,25 @@ def _plan_memo(spark: SparkSession, key: str, build):
     return df
 
 
+_EXPR_MEMO: dict = {}
+
+
+def _expr_memo(spark: SparkSession, key: str, sql: str):
+    """Per-application memo of parsed Column expressions (r11, same
+    rationale as _plan_memo): ``F.expr`` pays a py4j round-trip plus a
+    JVM SQL parse per call, re-paid on every bench issuance for the big
+    SQL folds below. A Column is an immutable UNRESOLVED expression
+    tree — no data, no plan state — so reusing the parsed tree across
+    issuances changes nothing about what executes. Keyed by
+    applicationId so a stopped session never leaks into a new one."""
+    k = (spark.sparkContext.applicationId, key)
+    c = _EXPR_MEMO.get(k)
+    if c is None:
+        c = F.expr(sql)
+        _EXPR_MEMO[k] = c
+    return c
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _plan_memo(
         spark, f"docs:{sf_dir}",
@@ -1170,13 +1189,15 @@ LSH_BUCKET_CAP = 50
 
 def _shingles_spark(d: DataFrame) -> DataFrame:
     """Distinct word-5-gram shingles per doc (SURVEY-level: explode stays
-    columnar; no Python)."""
-    words = F.split(F.col("norm"), " ")
-    n = F.size(words)
-    shingle_idx = F.sequence(F.lit(0), F.greatest(n - SHINGLE_K, F.lit(0)))
-    shingles = F.transform(
-        shingle_idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, SHINGLE_K))
+    columnar; no Python). Single memoized expression — the SQL text is
+    the exact twin of the former F-API tree (the F-API also repeated the
+    split() subtree per reference), snapshot-pinned."""
+    shingles_sql = (
+        "transform(sequence(0, greatest(size(split(norm, ' ')) - "
+        f"{SHINGLE_K}, 0)), "
+        f"i -> concat_ws(' ', slice(split(norm, ' '), i + 1, {SHINGLE_K})))"
     )
+    shingles = _expr_memo(d.sparkSession, "shingles", shingles_sql)
     return d.select(
         "doc_id", F.explode(F.array_distinct(shingles)).alias("shingle")
     ).where(F.length("shingle") > 0)
@@ -1288,17 +1309,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("ds")
     )
     k = F.size("ds")
-    pairs_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), k - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, k - 1),
-                lambda j: F.struct(
-                    F.col("ds")[i].alias("doc_a"),
-                    F.col("ds")[j].alias("doc_b"),
-                ),
-            ),
-        )
+    pairs_arr = _expr_memo(
+        spark, "bucket_pairs",
+        "flatten(transform(sequence(0, size(ds) - 2), "
+        "i -> transform(sequence(i + 1, size(ds) - 1), "
+        "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))",
     )
     pairs = (
         buckets.select(F.explode(pairs_arr).alias("p"))
@@ -1362,26 +1377,36 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (zero shuffle, no 16x explode amplification), so at 10^12 docs the
     signature computation never leaves the row."""
     d = _docs(spark, sf_dir).select("doc_id", norm_col("text").alias("norm"))
-    words = F.filter(F.split("norm", " "), lambda w: F.length(w) > 0)
-    hashes = F.transform(words, lambda w: _h_spark(0, w))
-    hashed = d.select("doc_id", hashes.alias("hs"))
+    # One parsed expression per projection instead of ~500 py4j
+    # Column-building calls (r11 follow-up: the BUILD cost 0.29 s per
+    # issuance against 0.05 s of execution at sf0.1). SQL text is the
+    # exact twin of the former F-API tree — same md5/conv hash, same
+    # per-bit aggregate vote with cast(0 as bigint) seed, same
+    # left-associative term sum — snapshot-pinned bit-identical.
+    h = (
+        "cast(conv(substring(md5(concat_ws(':', '0', w)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    hs_sql = f"transform(filter(split(norm, ' '), w -> length(w) > 0), w -> {h})"
+    hashed = d.select(
+        "doc_id", _expr_memo(spark, "simhash_hs", hs_sql).alias("hs")
+    )
 
-    def vote(bit: int):
+    def vote(bit: int) -> str:
         # sum over words of ((h >> bit) & 1) * 2 - 1, with multiplicity
-        return F.aggregate(
-            F.col("hs"),
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + (F.shiftright(h, bit).bitwiseAND(F.lit(1)) * 2 - 1),
+        return (
+            "aggregate(hs, cast(0 as bigint), (acc, h) -> "
+            f"acc + ((shiftright(h, {bit}) & 1) * 2 - 1))"
         )
 
-    sig = None
-    for b in range(SIMHASH_BITS):
-        term = F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sig = term if sig is None else sig + term
-    return hashed.select("doc_id", sig.alias("simhash"))
+    sig_sql = " + ".join(
+        f"(case when {vote(b)} > 0 then cast({1 << b} as bigint)"
+        " else cast(0 as bigint) end)"
+        for b in range(SIMHASH_BITS)
+    )
+    return hashed.select(
+        "doc_id", _expr_memo(spark, "simhash_sig", sig_sql).alias("simhash")
+    )
 
 
 ORACLE_SIMHASH = f"""
@@ -1538,17 +1563,11 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_sh"))
     )
     k = F.size("ds")
-    pairs_arr = F.flatten(
-        F.transform(
-            F.sequence(F.lit(0), k - 2),
-            lambda i: F.transform(
-                F.sequence(i + 1, k - 1),
-                lambda j: F.struct(
-                    F.col("ds")[i].alias("doc_a"),
-                    F.col("ds")[j].alias("doc_b"),
-                ),
-            ),
-        )
+    pairs_arr = _expr_memo(
+        spark, "bucket_pairs",
+        "flatten(transform(sequence(0, size(ds) - 2), "
+        "i -> transform(sequence(i + 1, size(ds) - 1), "
+        "j -> struct(ds[i] AS doc_a, ds[j] AS doc_b))))",
     )
     inter = (
         g.where(k >= 2)
@@ -1746,6 +1765,30 @@ def _cos_spark(a, b):
     return _dot_spark(a, b) / (_l2norm_spark(a) * _l2norm_spark(b))
 
 
+# SQL-text twins of the three folds above (r11 follow-up): the F-API
+# lambda builders cost ~10-80 ms of py4j chatter per call site per
+# issuance; a single parsed expression (memoized via _expr_memo) builds
+# in microseconds. ``double(x)`` ≡ ``cast(x as double)`` and
+# ``double(0)`` ≡ ``lit(0.0)`` — same fold order, same seed type, so
+# values are bit-identical (snapshot-pinned at sf0.01/sf0.1).
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        "double(0), (acc, v) -> acc + v)"
+    )
+
+
+def _l2norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(transform({a}, x -> double(x) * double(x)), "
+        "double(0), (acc, v) -> acc + v))"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"{_dot_sql(a, b)} / ({_l2norm_sql(a)} * {_l2norm_sql(b)})"
+
+
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query set against the
     full embedding table — the exact-baseline for ANN. JVM-side arithmetic
@@ -1763,14 +1806,14 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embeddings file is one task otherwise (same guard as the per-doc
     # Python operators — narrow rows, bounded shuffle, no-op at
     # production split counts)
+    nv_expr = _expr_memo(spark, "ann_l2_emb", _l2norm_sql("embedding"))
     en = _emb_rebalanced(spark, sf_dir).select(
-        "vec_id", "embedding",
-        _l2norm_spark(F.col("embedding")).alias("nv"),
+        "vec_id", "embedding", nv_expr.alias("nv")
     )
     queries = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        _l2norm_spark(F.col("embedding")).alias("nq"),
+        nv_expr.alias("nq"),
     )
     scored = (
         en.crossJoin(F.broadcast(queries))
@@ -1778,10 +1821,9 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot_spark(F.col("qv"), F.col("embedding"))
-                / (F.col("nq") * F.col("nv")),
-                6,
+            _expr_memo(
+                spark, "ann_pair_cos",
+                f"round({_dot_sql('qv', 'embedding')} / (nq * nv), 6)",
             ).alias("cos"),
         )
     )
@@ -1853,10 +1895,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot_spark(F.col("qv"), F.col("embedding"))
-                / (F.col("nq") * F.col("nv")),
-                6,
+            _expr_memo(
+                spark, "ann_pair_cos",
+                f"round({_dot_sql('qv', 'embedding')} / (nq * nv), 6)",
             ).alias("cos"),
         )
     )
@@ -1925,11 +1966,13 @@ def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     sort), ties preferring the lowest centroid_id; the fold is
     order-independent, and the centroid array is sorted by centroid_id
     for determinism anyway."""
+    spark = e.sparkSession
     carr = cents.select(
         "centroid_id", "cv",
-        F.expr(
+        _expr_memo(
+            spark, "assign_ncv",
             "sqrt(aggregate(transform(cv, x -> double(x) * double(x)),"
-            " double(0), (acc, v) -> acc + v))"
+            " double(0), (acc, v) -> acc + v))",
         ).alias("ncv"),
     ).agg(
         F.array_sort(
@@ -1938,12 +1981,13 @@ def _assign_to_centroids(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
     # One F.expr instead of ~200 py4j Column-building calls (r11: the
     # DataFrame BUILD is paid on every issuance and the F-API tree for
-    # this fold cost ~0.3s of driver time per build). The norm is
-    # let-bound via the array/transform/get trick so it folds once per
-    # row; values are exactly the F-API tree this replaces
-    # (snapshot-pinned): same fold order, same round(dot/(nv*ncv), 6),
-    # same NaN-aware comparisons and lowest-centroid tie-break.
-    picked = F.expr("""
+    # this fold cost ~0.3s of driver time per build; the parse itself is
+    # memoized per application too). The norm is let-bound via the
+    # array/transform/get trick so it folds once per row; values are
+    # exactly the F-API tree this replaces (snapshot-pinned): same fold
+    # order, same round(dot/(nv*ncv), 6), same NaN-aware comparisons and
+    # lowest-centroid tie-break.
+    picked = _expr_memo(spark, "assign_pick", """
         get(transform(array(
             sqrt(aggregate(transform(embedding, x -> double(x) * double(x)),
                            double(0), (acc, v) -> acc + v))
@@ -1997,9 +2041,9 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir).select("vec_id", "embedding")
     c0 = e.where(F.col("vec_id") < IVF_N_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"),
-        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
-            "cv"
-        ),
+        _expr_memo(
+            spark, "emb_as_double", "transform(embedding, x -> double(x))"
+        ).alias("cv"),
     )
     # parallelize both map-side E-steps over a single-row-group scan (see
     # q_ann_cosine_topk)
@@ -2027,7 +2071,7 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = e.where(F.col("vec_id") < ANN_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
-        _l2norm_spark(F.col("embedding")).alias("nq"),
+        _expr_memo(spark, "ann_l2_emb", _l2norm_sql("embedding")).alias("nq"),
     )
     wp = Window.partitionBy("query_id").orderBy(
         F.desc("pcos"), F.asc("centroid_id")
@@ -2039,7 +2083,9 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qv",
             "nq",
             "centroid_id",
-            F.round(_cos_spark(F.col("qv"), F.col("cv")), 6).alias("pcos"),
+            _expr_memo(
+                spark, "kmeans_pcos", f"round({_cos_sql('qv', 'cv')}, 6)"
+            ).alias("pcos"),
         )
         .withColumn("r", F.row_number().over(wp))
         .where(F.col("r") <= IVF_KMEANS_NPROBE)
@@ -2051,10 +2097,9 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                _dot_spark(F.col("qv"), F.col("embedding"))
-                / (F.col("nq") * F.col("nv")),
-                6,
+            _expr_memo(
+                spark, "ann_pair_cos",
+                f"round({_dot_sql('qv', 'embedding')} / (nq * nv), 6)",
             ).alias("cos"),
         )
     )
@@ -5388,14 +5433,21 @@ def q_pdf_decode_image_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(F.col("doc_id"), F.lit(8)).cast("int").alias("variant"),
         F.coalesce(F.get(ws, 0), F.lit("x")).alias("w0"),
     )
-    # numbered round-robin repartition of the key relation: the
-    # distinct's own exchange is AQE-coalescible and these are tiny
-    # BYTES but real CPU (the r10 substring lesson) — measured: AQE
-    # folded the decode stage into ONE task running every key serially.
-    # REPARTITION_BY_NUM is exempt; at a production vocabulary the keys
-    # spread over the full width.
+    # ONE numbered exchange feeds both the dedup and the decode: a
+    # distinct would add its own (AQE-coalescible) exchange, and these
+    # are tiny BYTES but real CPU (the r10 substring lesson — AQE once
+    # folded the decode stage into ONE task running every key serially).
+    # repartition(par, keys) is REPARTITION_BY_NUM (AQE-exempt) and its
+    # hash distribution satisfies the aggregate's clustering, so the
+    # dedup AND the python decode run in the repartition's stage with no
+    # further shuffle (guide §2.4 "share one exchange"); at a production
+    # vocabulary the hash spreads keys over the full width.
     par = spark.sparkContext.defaultParallelism
-    keys = keyed.select("variant", "w0").distinct().repartition(par)
+    keys = (
+        keyed.select("variant", "w0")
+        .repartition(par, "variant", "w0")
+        .dropDuplicates(["variant", "w0"])
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # Per-task memo of the per-VARIANT image fields: the image
