@@ -22,13 +22,17 @@ the extracted span sequence with per-row span-sequence equality
 
 __version__ = "0.1.0"
 
-# Worker-boundary latency fix (workerenv.py docstring has the full story):
-# PySpark re-validates every cached zipimporter per task; skipping the
-# re-read for Spark's immutable runtime zips removes 200-300 ms of fixed
-# latency from every Python task. Importing this package is the one step
-# every Spark worker performs before running any of its functions, so the
-# patch lands exactly where it is needed without per-UDF boilerplate.
+# Worker-boundary latency fixes (workerenv.py docstrings have the full
+# story): PySpark re-validates every cached zipimporter per task (200-300
+# ms of fixed latency per Python task until skipped for Spark's immutable
+# runtime zips), and the daemon full-gc's the worker heap between tasks
+# (~15 ms over the imported modules until frozen). Importing this package
+# is the one step every Spark worker performs before running any of its
+# functions, so both land exactly where needed without per-UDF
+# boilerplate; the heap freeze applies only under the PySpark daemon.
+from .workerenv import freeze_worker_heap as _freeze_worker
 from .workerenv import neutralize_static_zip_invalidation as _neutralize_zip
 
 _neutralize_zip()
-del _neutralize_zip
+_freeze_worker()
+del _neutralize_zip, _freeze_worker

@@ -89,12 +89,14 @@ def spark():
 
 def test_patch_lands_in_spark_workers(spark):
     """After one task that unpickles a package function, the worker's
-    zipimport is patched (worker reuse keeps it for later tasks)."""
+    zipimport is patched and its import-time heap frozen (worker reuse
+    keeps both for later tasks)."""
     import pyarrow as pa
 
     def probe(batches):
         # importing the package is what real worker functions cause; do it
         # explicitly so the probe does not depend on closure capture
+        import gc
         import zipimport as zi
 
         import oxidizepdf_spark  # noqa: F401
@@ -102,10 +104,25 @@ def test_patch_lands_in_spark_workers(spark):
         for _ in batches:
             pass
         yield pa.RecordBatch.from_arrays(
-            [pa.array([zi.zipimporter.invalidate_caches.__module__])],
-            names=["mod"],
+            [
+                pa.array([zi.zipimporter.invalidate_caches.__module__]),
+                pa.array([gc.get_freeze_count()], type=pa.int64()),
+            ],
+            names=["mod", "frozen"],
         )
 
     df = spark.range(8, numPartitions=2)
-    mods = {r.mod for r in df.mapInArrow(probe, schema="mod string").collect()}
-    assert mods == {"oxidizepdf_spark.workerenv"}
+    rows = df.mapInArrow(probe, schema="mod string, frozen long").collect()
+    assert {r.mod for r in rows} == {"oxidizepdf_spark.workerenv"}
+    assert all(r.frozen > 0 for r in rows)
+
+
+def test_heap_freeze_skipped_in_driver():
+    """The driver process (no pyspark.daemon) must never be frozen by the
+    package import."""
+    import gc
+
+    import oxidizepdf_spark  # noqa: F401 — already imported at module top
+
+    assert gc.get_freeze_count() == 0
+    assert workerenv.freeze_worker_heap() is False
