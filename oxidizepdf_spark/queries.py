@@ -1245,7 +1245,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(get(mh, b * {rows_per_band} + {r}) AS string)"
         for r in range(rows_per_band)
     )
-    bands_arr = F.expr(f"""
+    bands_arr = _expr_memo(spark, "minhash_bands", f"""
         get(transform(array(split(norm, ' ')), ws ->
           get(transform(array(
                 transform(
